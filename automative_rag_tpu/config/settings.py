@@ -1,0 +1,168 @@
+"""Global settings for the TPU RAG framework.
+
+Functional parity target: the env-driven knob families of the reference's
+``src/config/settings.py`` (retrieval depths, rerank weights, chunking,
+sequence lengths, batch sizes, model paths), re-expressed for a TPU engine:
+instead of per-GPU-worker memory fractions there are mesh/layout knobs.
+
+Everything is read from environment variables once at import, with sane
+defaults, and is overridable at runtime through ``Settings.update`` (the
+equivalent of the reference's ``/model/update-config`` mutable config file).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field, asdict, fields
+from pathlib import Path
+from typing import Any, Optional
+
+
+def _env(name: str, default: Any, cast=None):
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    if cast is bool:
+        return raw.strip().lower() in ("1", "true", "yes", "on")
+    if cast is None:
+        cast = type(default) if default is not None else str
+    try:
+        return cast(raw)
+    except (TypeError, ValueError):
+        return default
+
+
+@dataclass
+class Settings:
+    # --- service ---
+    host: str = field(default_factory=lambda: _env("API_HOST", "0.0.0.0"))
+    port: int = field(default_factory=lambda: _env("API_PORT", 8000))
+    api_auth_enabled: bool = field(
+        default_factory=lambda: _env("API_AUTH_ENABLED", False, bool)
+    )
+    api_key: str = field(default_factory=lambda: _env("API_KEY", "default-api-key"))
+
+    # --- paths ---
+    data_dir: str = field(default_factory=lambda: _env("DATA_DIR", "data"))
+    models_dir: str = field(default_factory=lambda: _env("MODELS_DIR", "models"))
+    index_dir: str = field(default_factory=lambda: _env("INDEX_DIR", "data/index"))
+    upload_dir: str = field(default_factory=lambda: _env("UPLOAD_DIR", "data/uploads"))
+    media_cache_dir: str = field(
+        default_factory=lambda: _env("MEDIA_CACHE_DIR", "data/media")
+    )
+
+    # --- embedding model (bge-m3-compatible dense encoder) ---
+    embedding_model_path: str = field(
+        default_factory=lambda: _env("EMBEDDING_MODEL_PATH", "")
+    )
+    embedding_dim: int = field(default_factory=lambda: _env("EMBEDDING_DIM", 1024))
+    embedding_batch_size: int = field(
+        default_factory=lambda: _env("EMBEDDING_BATCH_SIZE", 64)
+    )
+    embedding_max_length: int = field(
+        default_factory=lambda: _env("EMBEDDING_MAX_LENGTH", 512)
+    )
+
+    # --- ColBERT late-interaction reranker ---
+    colbert_model_path: str = field(
+        default_factory=lambda: _env("COLBERT_MODEL_PATH", "")
+    )
+    colbert_dim: int = field(default_factory=lambda: _env("COLBERT_DIM", 1024))
+    colbert_max_query_length: int = field(
+        default_factory=lambda: _env("COLBERT_MAX_QUERY_LENGTH", 32)
+    )
+    colbert_max_doc_length: int = field(
+        default_factory=lambda: _env("COLBERT_MAX_DOC_LENGTH", 256)
+    )
+    colbert_batch_size: int = field(
+        default_factory=lambda: _env("COLBERT_BATCH_SIZE", 128)
+    )
+    # hybrid combine weights (reference: settings.py:88-89 — 0.8 / 0.2)
+    colbert_weight: float = field(default_factory=lambda: _env("COLBERT_WEIGHT", 0.8))
+    bge_weight: float = field(default_factory=lambda: _env("BGE_WEIGHT", 0.2))
+    use_bge_reranker: bool = field(
+        default_factory=lambda: _env("USE_BGE_RERANKER", True, bool)
+    )
+
+    # --- retrieval ---
+    retriever_top_k: int = field(default_factory=lambda: _env("RETRIEVER_TOP_K", 20))
+    reranker_top_k: int = field(default_factory=lambda: _env("RERANKER_TOP_K", 8))
+    chunk_size: int = field(default_factory=lambda: _env("CHUNK_SIZE", 1000))
+    chunk_overlap: int = field(default_factory=lambda: _env("CHUNK_OVERLAP", 200))
+
+    # --- index engine ---
+    index_kind: str = field(default_factory=lambda: _env("INDEX_KIND", "flat"))
+    index_dtype: str = field(default_factory=lambda: _env("INDEX_DTYPE", "bfloat16"))
+    ivf_n_lists: int = field(default_factory=lambda: _env("IVF_N_LISTS", 0))  # 0=auto
+    ivf_n_probe: int = field(default_factory=lambda: _env("IVF_N_PROBE", 16))
+
+    # --- mesh / parallel layout ---
+    mesh_data_axis: int = field(default_factory=lambda: _env("MESH_DATA_AXIS", 0))
+    mesh_shard_axis_name: str = field(
+        default_factory=lambda: _env("MESH_SHARD_AXIS_NAME", "shard")
+    )
+
+    # --- LLM ---
+    llm_model_path: str = field(default_factory=lambda: _env("LLM_MODEL_PATH", ""))
+    llm_max_tokens: int = field(default_factory=lambda: _env("LLM_MAX_TOKENS", 512))
+    llm_temperature: float = field(default_factory=lambda: _env("LLM_TEMPERATURE", 0.0))
+
+    # --- orchestration ---
+    job_retention_days: int = field(
+        default_factory=lambda: _env("JOB_RETENTION_DAYS", 7)
+    )
+    worker_heartbeat_interval_s: float = field(
+        default_factory=lambda: _env("WORKER_HEARTBEAT_INTERVAL_S", 15.0)
+    )
+    worker_heartbeat_ttl_s: float = field(
+        default_factory=lambda: _env("WORKER_HEARTBEAT_TTL_S", 60.0)
+    )
+    task_time_limit_s: float = field(
+        default_factory=lambda: _env("TASK_TIME_LIMIT_S", 300.0)
+    )
+    task_max_retries: int = field(default_factory=lambda: _env("TASK_MAX_RETRIES", 2))
+
+    # --- ingestion ---
+    whisper_model_path: str = field(
+        default_factory=lambda: _env("WHISPER_MODEL_PATH", "")
+    )
+    ocr_enabled: bool = field(default_factory=lambda: _env("OCR_ENABLED", False, bool))
+
+    def ensure_dirs(self) -> None:
+        for d in (
+            self.data_dir,
+            self.index_dir,
+            self.upload_dir,
+            self.media_cache_dir,
+        ):
+            Path(d).mkdir(parents=True, exist_ok=True)
+
+    # runtime-mutable config (parity with reference /model/update-config)
+    def update(self, overrides: dict) -> dict:
+        applied = {}
+        valid = {f.name for f in fields(self)}
+        for key, value in overrides.items():
+            if key in valid:
+                current = getattr(self, key)
+                if current is not None and not isinstance(value, type(current)):
+                    try:
+                        value = type(current)(value)
+                    except (TypeError, ValueError):
+                        continue
+                setattr(self, key, value)
+                applied[key] = value
+        return applied
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    def save(self, path: Optional[str] = None) -> str:
+        path = path or os.path.join(self.data_dir, "runtime_config.json")
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(self.to_dict(), f, ensure_ascii=False, indent=2)
+        return path
+
+
+settings = Settings()

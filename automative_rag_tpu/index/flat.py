@@ -1,0 +1,339 @@
+"""Flat exact-cosine vector index, HBM-resident, searched on the MXU.
+
+TPU-native replacement for the reference's Qdrant-backed store
+(``src/core/query/retrieval/vectorstore.py``): vectors live as one padded
+[capacity, dim] device array (bf16 by default), metadata lives in the
+columnar store of ``filters.py``, and a search is a single jitted program:
+
+    scores = Q @ Vᵀ  (MXU, fp32 accumulation)
+    mask   = valid ∧ filter-bitmask
+    top-k  = jax.lax.top_k(where(mask, scores, -inf))
+
+Capacity is padded to a power-of-two multiple of 128, so XLA recompiles only
+when the corpus crosses a capacity bucket — live upserts/deletes touch host
+mirrors and are flushed to the device lazily (append-buffer semantics without
+dynamic shapes). Supports add/search/scroll/delete/stats/save/load — the
+functional surface of the reference store (:124-472).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..documents.schema import Document
+from ..ops.topk import masked_top_k
+from .filters import (
+    FilterError,
+    FilterSpec,
+    MetadataColumns,
+    compile_filter,
+    eval_filter_mask,
+)
+
+
+@dataclass
+class SearchResult:
+    document: Document
+    score: float
+    row: int
+
+
+def _round_capacity(n: int) -> int:
+    """Smallest power-of-two ≥ n that is also ≥ 128 (TPU lane alignment)."""
+    cap = 128
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _search_kernel(vectors, valid, codes, numerics, queries, spec: FilterSpec, k: int):
+    # [B, D] @ [N, D]ᵀ on the MXU with fp32 accumulation. HIGHEST precision:
+    # for bf16-stored corpora this is the native MXU mode anyway; for f32 it
+    # prevents the backend's default low-precision matmul pass.
+    scores = jax.lax.dot_general(
+        queries.astype(vectors.dtype),
+        vectors,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    mask = valid & eval_filter_mask(codes, numerics, spec)
+    return masked_top_k(scores, mask, k)
+
+
+@jax.jit
+def _mask_kernel(valid, codes, numerics, spec: FilterSpec):
+    return valid & eval_filter_mask(codes, numerics, spec)
+
+
+class FlatIndex:
+    """Exact cosine search over an HBM-resident corpus."""
+
+    def __init__(self, dim: int, device_dtype: str = "bfloat16"):
+        self.dim = dim
+        self.device_dtype = jnp.dtype(device_dtype)
+        # host mirrors (source of truth)
+        self._vectors = np.zeros((0, dim), np.float32)
+        self._docs: List[Document] = []
+        self._ids: List[str] = []
+        self._row_of_id: Dict[str, int] = {}
+        self._deleted = np.zeros(0, bool)
+        self.columns = MetadataColumns()
+        # device cache
+        self._device: Optional[dict] = None
+
+    # ------------------------------------------------------------------ size
+    @property
+    def count(self) -> int:
+        return int((~self._deleted).sum())
+
+    @property
+    def total_rows(self) -> int:
+        return len(self._ids)
+
+    # ------------------------------------------------------------ mutation
+    def add(
+        self,
+        vectors: np.ndarray,
+        documents: Sequence[Document],
+        normalize: bool = True,
+    ) -> List[str]:
+        """Upsert documents with their embedding vectors.
+
+        Vectors are L2-normalized so dot product == cosine similarity
+        (parity with the reference's cosine-distance collection,
+        ``vectorstore.py:60-87``).
+        """
+        vectors = np.asarray(vectors, np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.dim:
+            raise ValueError(f"expected vectors [N, {self.dim}], got {vectors.shape}")
+        if len(documents) != vectors.shape[0]:
+            raise ValueError("documents/vectors length mismatch")
+        if normalize:
+            norms = np.linalg.norm(vectors, axis=1, keepdims=True)
+            vectors = vectors / np.maximum(norms, 1e-12)
+
+        for doc in documents:
+            doc.stamp_ingestion()
+
+        start = len(self._ids)
+        n_new = len(documents)
+        capacity = _round_capacity(start + n_new)
+
+        self._vectors = np.concatenate([self._vectors, vectors], axis=0)
+        self._deleted = np.concatenate([self._deleted, np.zeros(n_new, bool)])
+        self.columns.append_rows([d.metadata for d in documents], capacity)
+        new_ids = []
+        for i, doc in enumerate(documents):
+            row = start + i
+            if doc.id in self._row_of_id:
+                # upsert: tombstone the previous row
+                self._deleted[self._row_of_id[doc.id]] = True
+            self._row_of_id[doc.id] = row
+            self._ids.append(doc.id)
+            self._docs.append(doc)
+            new_ids.append(doc.id)
+        self._device = None
+        return new_ids
+
+    def delete_by_ids(self, ids: Sequence[str]) -> int:
+        deleted = 0
+        for doc_id in ids:
+            row = self._row_of_id.pop(doc_id, None)
+            if row is not None and not self._deleted[row]:
+                self._deleted[row] = True
+                deleted += 1
+        if deleted:
+            self._device = None
+        return deleted
+
+    def delete_by_filter(self, metadata_filter: Dict[str, Any]) -> int:
+        rows = self._filter_rows(metadata_filter)
+        return self.delete_by_ids([self._ids[r] for r in rows])
+
+    # ------------------------------------------------------------- device
+    def _device_state(self) -> dict:
+        if self._device is not None:
+            return self._device
+        n = len(self._ids)
+        capacity = _round_capacity(max(n, 1))
+        vectors = np.zeros((capacity, self.dim), np.float32)
+        vectors[:n] = self._vectors
+        valid = np.zeros(capacity, bool)
+        valid[:n] = ~self._deleted
+        self.columns._grow(capacity)
+        self._device = {
+            "vectors": jnp.asarray(vectors, self.device_dtype),
+            "valid": jnp.asarray(valid),
+            "codes": jnp.asarray(self.columns.codes[:, :capacity]),
+            "numerics": jnp.asarray(self.columns.numerics[:, :capacity]),
+            "capacity": capacity,
+        }
+        return self._device
+
+    # -------------------------------------------------------------- search
+    def _compile(self, metadata_filter: Optional[Dict[str, Any]]) -> Tuple[FilterSpec, bool]:
+        """Compile the filter; on error, fall back to match-all (reference
+        falls back to unfiltered search on filter errors,
+        ``vectorstore.py:195-213``)."""
+        if not metadata_filter:
+            return FilterSpec.match_all(), True
+        try:
+            return compile_filter(metadata_filter, self.columns), True
+        except FilterError:
+            return FilterSpec.match_all(), False
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        metadata_filter: Optional[Dict[str, Any]] = None,
+        normalize: bool = True,
+    ) -> List[List[SearchResult]]:
+        """Batched filtered cosine top-k. Returns per-query result lists."""
+        queries = np.asarray(queries, np.float32)
+        squeeze = queries.ndim == 1
+        if squeeze:
+            queries = queries[None, :]
+        if normalize:
+            norms = np.linalg.norm(queries, axis=1, keepdims=True)
+            queries = queries / np.maximum(norms, 1e-12)
+
+        state = self._device_state()
+        spec, _ = self._compile(metadata_filter)
+        k_eff = min(k, state["capacity"])
+        values, indices = _search_kernel(
+            state["vectors"],
+            state["valid"],
+            state["codes"],
+            state["numerics"],
+            jnp.asarray(queries),
+            spec,
+            k_eff,
+        )
+        values = np.asarray(values)
+        indices = np.asarray(indices)
+
+        out: List[List[SearchResult]] = []
+        for b in range(values.shape[0]):
+            hits = []
+            for score, row in zip(values[b], indices[b]):
+                if not np.isfinite(score):
+                    continue
+                hits.append(SearchResult(self._docs[int(row)], float(score), int(row)))
+            out.append(hits)
+        return out
+
+    def similarity_search_with_score(
+        self,
+        query_vector: np.ndarray,
+        k: int = 4,
+        metadata_filter: Optional[Dict[str, Any]] = None,
+    ) -> List[Tuple[Document, float]]:
+        """Reference-shaped convenience API (``vectorstore.py:166-214``)."""
+        results = self.search(query_vector, k, metadata_filter)[0]
+        return [(r.document, r.score) for r in results]
+
+    # -------------------------------------------------- metadata-only scan
+    def _filter_rows(self, metadata_filter: Optional[Dict[str, Any]]) -> List[int]:
+        state = self._device_state()
+        spec, ok = self._compile(metadata_filter)
+        if metadata_filter and not ok:
+            return []
+        mask = np.asarray(_mask_kernel(state["valid"], state["codes"], state["numerics"], spec))
+        return [int(r) for r in np.nonzero(mask)[0]]
+
+    def metadata_search(
+        self,
+        metadata_filter: Dict[str, Any],
+        limit: int = 100,
+        offset: int = 0,
+    ) -> List[Document]:
+        """Mask-only scan path — parity with Qdrant scroll search
+        (``vectorstore.py:278-318``)."""
+        rows = self._filter_rows(metadata_filter)
+        return [self._docs[r] for r in rows[offset : offset + limit]]
+
+    def get_document(self, doc_id: str) -> Optional[Document]:
+        row = self._row_of_id.get(doc_id)
+        return self._docs[row] if row is not None else None
+
+    def get_embedding_by_id(self, doc_id: str) -> Optional[np.ndarray]:
+        row = self._row_of_id.get(doc_id)
+        return None if row is None else self._vectors[row].copy()
+
+    # --------------------------------------------------------------- stats
+    def stats(self) -> Dict[str, Any]:
+        state = self._device_state()
+        return {
+            "count": self.count,
+            "total_rows": self.total_rows,
+            "capacity": state["capacity"],
+            "dim": self.dim,
+            "device_dtype": str(self.device_dtype),
+            "hbm_bytes": int(state["vectors"].nbytes),
+            "vocab_sizes": {k: len(v) for k, v in self.columns.vocabs.items()},
+        }
+
+    # --------------------------------------------------------- checkpoint
+    def save(self, directory: str) -> None:
+        """Serialize the index (the reference has no index checkpoint — Qdrant
+        owns persistence; here the HBM index is a first-class artifact)."""
+        path = Path(directory)
+        path.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(
+            path / "arrays.npz",
+            vectors=self._vectors,
+            deleted=self._deleted,
+            codes=self.columns.codes[:, : len(self._ids)],
+            numerics=self.columns.numerics[:, : len(self._ids)],
+        )
+        manifest = {
+            "version": 1,
+            "dim": self.dim,
+            "device_dtype": str(self.device_dtype),
+            "saved_at": time.time(),
+            "ids": self._ids,
+            "docs": [d.to_dict() for d in self._docs],
+            "vocabs": self.columns.vocabs,
+            "count": len(self._ids),
+        }
+        (path / "manifest.json").write_text(
+            json.dumps(manifest, ensure_ascii=False), encoding="utf-8"
+        )
+
+    @classmethod
+    def load(cls, directory: str) -> "FlatIndex":
+        path = Path(directory)
+        manifest = json.loads((path / "manifest.json").read_text(encoding="utf-8"))
+        arrays = np.load(path / "arrays.npz", allow_pickle=False)
+        index = cls(dim=manifest["dim"], device_dtype=manifest["device_dtype"])
+        n = manifest["count"]
+        index._vectors = np.asarray(arrays["vectors"], np.float32)
+        index._deleted = np.asarray(arrays["deleted"], bool)
+        index._ids = list(manifest["ids"])
+        index._docs = [Document.from_dict(d) for d in manifest["docs"]]
+        index._row_of_id = {
+            doc_id: row
+            for row, doc_id in enumerate(index._ids)
+            if not index._deleted[row]
+        }
+        cols = MetadataColumns()
+        cols.vocabs = {k: {kk: int(vv) for kk, vv in v.items()} for k, v in manifest["vocabs"].items()}
+        capacity = _round_capacity(max(n, 1))
+        cols._grow(capacity)
+        cols.codes[:, :n] = np.asarray(arrays["codes"], np.int32)
+        cols.numerics[:, :n] = np.asarray(arrays["numerics"], np.int32)
+        cols.count = n
+        index.columns = cols
+        return index

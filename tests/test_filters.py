@@ -1,0 +1,117 @@
+"""Filter compiler unit tests — semantics parity with the reference's
+filter-compiler tests (reference tests/test_retrieval.py:122-152: single
+value, OR-list, year-range, multi-field)."""
+
+import numpy as np
+import pytest
+
+from automative_rag_tpu.index.filters import (
+    FilterError,
+    FilterSpec,
+    MetadataColumns,
+    compile_filter,
+    eval_filter_mask,
+)
+
+
+def _make_columns(metadatas):
+    cols = MetadataColumns()
+    cols.append_rows(metadatas, capacity=128)
+    return cols
+
+
+@pytest.fixture
+def columns():
+    return _make_columns(
+        [
+            {"manufacturer": "BMW", "model": "X5", "year": 2022, "category": "suv"},
+            {"manufacturer": "BMW", "model": "5 Series", "year": 2023, "category": "sedan"},
+            {"manufacturer": "Tesla", "model": "Model 3", "year": 2023, "category": "sedan"},
+            {"manufacturer": "Toyota", "model": "Camry", "year": 2021},
+            {"model": "Unknown"},  # missing manufacturer/year
+        ]
+    )
+
+
+def _mask(columns, flt):
+    import jax.numpy as jnp
+
+    spec = compile_filter(flt, columns)
+    mask = eval_filter_mask(
+        jnp.asarray(columns.codes), jnp.asarray(columns.numerics), spec
+    )
+    return np.asarray(mask)[: columns.count]
+
+
+def test_match_all(columns):
+    assert _mask(columns, None).all()
+    assert _mask(columns, {}).all()
+
+
+def test_single_value_equality(columns):
+    np.testing.assert_array_equal(
+        _mask(columns, {"manufacturer": "BMW"}), [True, True, False, False, False]
+    )
+
+
+def test_or_list(columns):
+    np.testing.assert_array_equal(
+        _mask(columns, {"manufacturer": ["BMW", "Tesla"]}),
+        [True, True, True, False, False],
+    )
+
+
+def test_year_range_equality(columns):
+    np.testing.assert_array_equal(
+        _mask(columns, {"year": 2023}), [False, True, True, False, False]
+    )
+    # float year behaves like the reference's Range gte=lte
+    np.testing.assert_array_equal(
+        _mask(columns, {"year": 2023.0}), [False, True, True, False, False]
+    )
+
+
+def test_year_list(columns):
+    np.testing.assert_array_equal(
+        _mask(columns, {"year": [2021, 2022]}), [True, False, False, True, False]
+    )
+
+
+def test_multi_field_and(columns):
+    np.testing.assert_array_equal(
+        _mask(columns, {"manufacturer": "BMW", "year": 2023}),
+        [False, True, False, False, False],
+    )
+
+
+def test_unknown_value_matches_nothing(columns):
+    assert not _mask(columns, {"manufacturer": "Porsche"}).any()
+
+
+def test_missing_field_never_matches(columns):
+    # row 4 has no manufacturer — must never satisfy a manufacturer filter
+    assert not _mask(columns, {"manufacturer": ["BMW", "Tesla", "Toyota"]})[4]
+
+
+def test_none_and_empty_skipped(columns):
+    np.testing.assert_array_equal(
+        _mask(columns, {"manufacturer": None, "model": [], "year": 2023}),
+        [False, True, True, False, False],
+    )
+
+
+def test_unknown_field_raises(columns):
+    with pytest.raises(FilterError):
+        compile_filter({"vin_number": "abc"}, columns)
+
+
+def test_too_many_terms_raises(columns):
+    with pytest.raises(FilterError):
+        compile_filter({"year": list(range(2000, 2020))}, columns)
+
+
+def test_spec_is_fixed_shape(columns):
+    spec = compile_filter({"manufacturer": "BMW"}, columns)
+    blank = FilterSpec.match_all()
+    for a, b in zip(spec, blank):
+        assert a.shape == b.shape and a.dtype == b.dtype
