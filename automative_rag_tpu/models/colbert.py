@@ -1,0 +1,92 @@
+"""ColBERT-style token-level encoder for late-interaction reranking.
+
+JAX replacement for the reference's torch encoder paths
+(``src/core/query/llm/rerankers.py:133-213``): queries tokenize to a fixed 32
+tokens, documents to 256, and the last hidden state provides token-level
+embeddings. Returns embeddings plus *scoring masks*:
+
+- query mask: content tokens only — [CLS]/[SEP]/[PAD] are excluded from the
+  MaxSim sum (reference drops first/last tokens, rerankers.py:250-258);
+- doc mask: real tokens only — unlike the reference, padded doc tokens are
+  excluded from the max (see ops/maxsim.py docstring).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .encoder import EncoderConfig, TransformerEncoder, init_encoder_params, load_hf_weights
+from .tokenizer import load_tokenizer
+
+
+class ColBERTEncoder:
+    def __init__(
+        self,
+        config: Optional[EncoderConfig] = None,
+        weights_path: str = "",
+        tokenizer_path: str = "",
+        max_query_length: int = 32,
+        max_doc_length: int = 256,
+        batch_size: int = 128,
+        seed: int = 1,
+    ):
+        self.config = config or EncoderConfig.bge_m3()
+        self.max_query_length = max_query_length
+        self.max_doc_length = max_doc_length
+        self.batch_size = batch_size
+        self.model = TransformerEncoder(self.config)
+        params = load_hf_weights(self.config, weights_path) if weights_path else None
+        self.pretrained = params is not None
+        self.params = params if params is not None else init_encoder_params(self.config, seed)
+        self.tokenizer = load_tokenizer(tokenizer_path, vocab_size=self.config.vocab_size)
+
+        def _forward(params, input_ids, attention_mask):
+            return self.model.apply({"params": params}, input_ids, attention_mask)
+
+        self._forward = jax.jit(_forward)
+
+    @property
+    def dim(self) -> int:
+        return self.config.hidden_size
+
+    def _encode(self, texts: Sequence[str], max_length: int) -> Tuple[np.ndarray, np.ndarray]:
+        ids, mask = self.tokenizer.encode_batch(texts, max_length)
+        out = []
+        for i in range(0, len(texts), self.batch_size):
+            hidden = self._forward(
+                self.params,
+                jnp.asarray(ids[i : i + self.batch_size]),
+                jnp.asarray(mask[i : i + self.batch_size]),
+            )
+            out.append(np.asarray(hidden, np.float32))
+        return np.concatenate(out, axis=0), mask
+
+    def encode_queries(self, queries: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """→ (embeddings [B, Lq, H], scoring mask [B, Lq]).
+
+        The scoring mask keeps content tokens: attention minus the leading
+        [CLS] and the final [SEP] of each sequence."""
+        emb, mask = self._encode(queries, self.max_query_length)
+        scoring = mask.astype(bool).copy()
+        scoring[:, 0] = False  # [CLS]
+        lengths = mask.sum(axis=1)
+        for b, length in enumerate(lengths):
+            if length > 1:
+                scoring[b, length - 1] = False  # [SEP]
+        return emb, scoring
+
+    def encode_documents(self, texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """→ (embeddings [N, Ld, H], real-token mask [N, Ld])."""
+        emb, mask = self._encode(texts, self.max_doc_length)
+        return emb, mask.astype(bool)
+
+    def tokenize_for_display(self, text: str, max_length: int) -> list:
+        """Token strings for match explanations (best-effort)."""
+        tok = self.tokenizer
+        if hasattr(tok, "tokenize"):
+            return ["[CLS]"] + tok.tokenize(text)[: max_length - 2] + ["[SEP]"]
+        return [text]

@@ -1,0 +1,179 @@
+"""Fused MaxSim (late-interaction) scoring kernels.
+
+Replaces the reference's per-document Python loop
+(``src/core/query/llm/rerankers.py:215-265``: ``S = Q @ Dᵀ; max over doc
+tokens; sum over content query tokens``) with one fused Pallas kernel that
+scores *all* candidate documents for a *batch* of queries in a single launch:
+
+    grid over doc blocks; per program:
+        S    = [B·Lq, D] @ [D, ND·Ld]      (one MXU matmul per block)
+        S   += doc-padding bias (-1e30 on padded doc tokens)
+        max  = S.max(over doc tokens)       (VPU)
+        out  = Σ over query tokens (max · query-token weight)
+
+Per-block VMEM: docs (ND·Ld·D bf16) + similarity (B·Lq·ND·Ld f32); with the
+default ND=8, Ld=256, D=1024, B≤8 that is ≈ 7 MB — streams a corpus of any
+size through VMEM (SURVEY.md §5 "blockwise MaxSim").
+
+Improvement over the reference: the reference pads documents to max length
+and lets [PAD] tokens participate in the max (rerankers.py:195 tokenizes with
+padding="max_length" and never masks doc tokens); here padded doc tokens are
+properly excluded via the additive bias. Query-token filtering (drop
+[CLS]/[SEP]/[PAD]; rerankers.py:250-258) is expressed by the caller through
+``q_weights``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_BIAS = -1e30
+
+
+def _as_weights_and_bias(q_mask: jax.Array, d_mask: jax.Array):
+    """Boolean masks → f32 multiplicative query weights / additive doc bias."""
+    qw = q_mask.astype(jnp.float32)
+    d_bias = jnp.where(d_mask, 0.0, NEG_BIAS).astype(jnp.float32)
+    return qw, d_bias
+
+
+@partial(jax.jit, static_argnames=())
+def maxsim_scores_ref(
+    q: jax.Array,  # [B, Lq, D]
+    q_mask: jax.Array,  # [B, Lq] bool — True for scoring query tokens
+    docs: jax.Array,  # [N, Ld, D]
+    d_mask: jax.Array,  # [N, Ld] bool — True for real doc tokens
+) -> jax.Array:  # [B, N]
+    """Pure-XLA reference implementation (CPU-runnable oracle)."""
+    qw, d_bias = _as_weights_and_bias(q_mask, d_mask)
+    sim = jnp.einsum(
+        "bqd,ntd->bqnt",
+        q.astype(jnp.float32),
+        docs.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    sim = sim + d_bias[None, None, :, :]
+    per_qtok = sim.max(axis=-1)  # [B, Lq, N]
+    return (per_qtok * qw[:, :, None]).sum(axis=1)
+
+
+def _maxsim_kernel(q_ref, qw_ref, d_ref, bias_ref, out_ref):
+    b, lq, dim = q_ref.shape
+    nd, ld, _ = d_ref.shape
+    sim = jax.lax.dot_general(
+        q_ref[:].reshape(b * lq, dim),
+        d_ref[:].reshape(nd * ld, dim),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [B*Lq, ND*Ld]
+    sim = sim.reshape(b, lq, nd, ld) + bias_ref[:][None, None, :, :]
+    per_qtok = jnp.max(sim, axis=3)  # [B, Lq, ND]
+    out_ref[:] = jnp.sum(per_qtok * qw_ref[:][:, :, None], axis=1)
+
+
+def maxsim_scores_pallas(
+    q: jax.Array,  # [B, Lq, D]
+    q_mask: jax.Array,  # [B, Lq] bool
+    docs: jax.Array,  # [N, Ld, D]
+    d_mask: jax.Array,  # [N, Ld] bool
+    block_docs: int = 8,
+    interpret: bool = False,
+) -> jax.Array:  # [B, N]
+    """Fused Pallas MaxSim over all candidate docs. N is padded to a multiple
+    of ``block_docs`` internally; padded docs score ≈ -1e30·|valid q tokens|
+    and are stripped by callers that padded."""
+    b, lq, dim = q.shape
+    n, ld, _ = docs.shape
+    qw, d_bias = _as_weights_and_bias(q_mask, d_mask)
+
+    n_pad = -(-n // block_docs) * block_docs
+    if n_pad != n:
+        docs = jnp.pad(docs, ((0, n_pad - n), (0, 0), (0, 0)))
+        d_bias = jnp.pad(d_bias, ((0, n_pad - n), (0, 0)), constant_values=NEG_BIAS)
+
+    grid = (n_pad // block_docs,)
+    out = pl.pallas_call(
+        _maxsim_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, lq, dim), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, lq), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_docs, ld, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_docs, ld), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, block_docs), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * lq * dim * n_pad * ld,
+            bytes_accessed=n_pad * ld * dim * docs.dtype.itemsize
+            + b * lq * dim * q.dtype.itemsize
+            + b * n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, qw, docs, d_bias)
+    return out[:, :n]
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
+def maxsim_scores(
+    q: jax.Array,
+    q_mask: jax.Array,
+    docs: jax.Array,
+    d_mask: jax.Array,
+    block_docs: int = 8,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """MaxSim scores [B, N]; Pallas kernel on TPU, XLA fallback elsewhere."""
+    if use_pallas is None:
+        use_pallas = _on_tpu()
+    if use_pallas:
+        return maxsim_scores_pallas(q, q_mask, docs, d_mask, block_docs=block_docs)
+    return maxsim_scores_ref(q, q_mask, docs, d_mask)
+
+
+def maxsim_argmax_ref(
+    q: jax.Array,  # [Lq, D] single query
+    q_mask: jax.Array,  # [Lq]
+    doc: jax.Array,  # [Ld, D] single doc
+    d_mask: jax.Array,  # [Ld]
+):
+    """Per-query-token best doc token and similarity — powers token-level
+    match explanations (reference rerankers.py:387-561)."""
+    sim = jnp.einsum(
+        "qd,td->qt",
+        q.astype(jnp.float32),
+        doc.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    sim = sim + jnp.where(d_mask, 0.0, NEG_BIAS)[None, :]
+    best = jnp.argmax(sim, axis=1)
+    best_sim = jnp.max(sim, axis=1)
+    return best, jnp.where(q_mask, best_sim, 0.0)
+
+
+def min_max_normalize(scores: np.ndarray) -> np.ndarray:
+    """Per-candidate-set min-max normalization — exact reference semantics
+    for the hybrid combine (rerankers.py:302-333): constant score lists
+    normalize to all-ones."""
+    scores = np.asarray(scores, np.float64)
+    if scores.size == 0:
+        return scores
+    lo, hi = scores.min(), scores.max()
+    if hi - lo > 0:
+        return (scores - lo) / (hi - lo)
+    return np.ones_like(scores)

@@ -1,0 +1,149 @@
+"""Mesh-sharded corpus search: per-shard masked top-k + ICI all-gather merge.
+
+This is the component the reference has no counterpart for (SURVEY.md §2.8
+"Corpus shard parallel (NEW)"): the corpus (vectors + metadata columns) is
+laid out row-sharded over the mesh ``shard`` axis; each device computes its
+local masked top-k on its HBM slice; the tiny [k] candidate lists are
+all-gathered over ICI and merged — so the bytes crossing the interconnect are
+O(shards·k), never O(corpus).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..index.filters import FilterSpec, eval_filter_mask
+from ..index.flat import FlatIndex, SearchResult, _round_capacity
+from ..ops.topk import masked_top_k, merge_top_k
+
+
+def make_sharded_search(mesh: Mesh, axis_name: str, k: int):
+    """Build a jitted sharded-search executable for a given mesh/k.
+
+    Signature: (vectors [N,D], valid [N], codes [F,N], numerics [G,N],
+    queries [B,D] replicated, spec) → (values [B,k], indices [B,k]) with
+    *global* row indices; inputs must be placed with row sharding over
+    ``axis_name``.
+    """
+
+    def _local_search(vectors, valid, codes, numerics, queries, spec: FilterSpec):
+        local_rows = vectors.shape[0]
+        scores = jax.lax.dot_general(
+            queries.astype(vectors.dtype),
+            vectors,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        mask = valid & eval_filter_mask(codes, numerics, spec)
+        vals, idx = masked_top_k(scores, mask, k)
+        # local → global row ids
+        shard = jax.lax.axis_index(axis_name)
+        gidx = idx + shard * local_rows
+        # O(shards·k) bytes over ICI, then a replicated merge
+        all_vals = jax.lax.all_gather(vals, axis_name)  # [S, B, k]
+        all_idx = jax.lax.all_gather(gidx, axis_name)
+        return merge_top_k(all_vals, all_idx, k)
+
+    sharded = shard_map(
+        _local_search,
+        mesh=mesh,
+        in_specs=(
+            P(axis_name, None),  # vectors row-sharded
+            P(axis_name),  # valid
+            P(None, axis_name),  # keyword codes column-sharded by row
+            P(None, axis_name),  # numeric columns
+            P(None, None),  # queries replicated
+            P(),  # filter spec replicated
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+class ShardedFlatIndex(FlatIndex):
+    """FlatIndex whose device state is row-sharded over a mesh.
+
+    Host-side mutation/serialization is inherited; only device placement and
+    the search executable differ. Capacity rounds to a power of two that is a
+    multiple of ``128 · n_shards`` so every shard gets aligned, equal rows.
+    """
+
+    def __init__(self, dim: int, mesh: Mesh, axis_name: str = "shard",
+                 device_dtype: str = "bfloat16"):
+        super().__init__(dim, device_dtype)
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.n_shards = mesh.shape[axis_name]
+        self._search_fns: Dict[int, Any] = {}
+
+    def _capacity(self, n: int) -> int:
+        cap = _round_capacity(max(n, 1))
+        return max(cap, 128 * self.n_shards)
+
+    def _device_state(self) -> dict:
+        if self._device is not None:
+            return self._device
+        n = len(self._ids)
+        capacity = self._capacity(n)
+        vectors = np.zeros((capacity, self.dim), np.float32)
+        vectors[:n] = self._vectors
+        valid = np.zeros(capacity, bool)
+        valid[:n] = ~self._deleted
+        self.columns._grow(capacity)
+
+        row_sharded = NamedSharding(self.mesh, P(self.axis_name, None))
+        flag_sharded = NamedSharding(self.mesh, P(self.axis_name))
+        col_sharded = NamedSharding(self.mesh, P(None, self.axis_name))
+        self._device = {
+            "vectors": jax.device_put(vectors.astype(self.device_dtype), row_sharded),
+            "valid": jax.device_put(valid, flag_sharded),
+            "codes": jax.device_put(self.columns.codes[:, :capacity], col_sharded),
+            "numerics": jax.device_put(self.columns.numerics[:, :capacity], col_sharded),
+            "capacity": capacity,
+        }
+        return self._device
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        metadata_filter: Optional[Dict[str, Any]] = None,
+        normalize: bool = True,
+    ) -> List[List[SearchResult]]:
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        if normalize:
+            norms = np.linalg.norm(queries, axis=1, keepdims=True)
+            queries = queries / np.maximum(norms, 1e-12)
+
+        state = self._device_state()
+        spec, _ = self._compile(metadata_filter)
+        k_eff = min(k, state["capacity"] // self.n_shards)
+        fn = self._search_fns.get(k_eff)
+        if fn is None:
+            fn = make_sharded_search(self.mesh, self.axis_name, k_eff)
+            self._search_fns[k_eff] = fn
+        values, indices = fn(
+            state["vectors"], state["valid"], state["codes"], state["numerics"],
+            jnp.asarray(queries), spec,
+        )
+        values, indices = np.asarray(values), np.asarray(indices)
+        out: List[List[SearchResult]] = []
+        for b in range(values.shape[0]):
+            hits = []
+            for score, row in zip(values[b], indices[b]):
+                if not np.isfinite(score):
+                    continue
+                hits.append(SearchResult(self._docs[int(row)], float(score), int(row)))
+            out.append(hits)
+        return out

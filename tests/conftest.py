@@ -10,7 +10,14 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard-set (the harness exports JAX_PLATFORMS=axon for the real chip)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+# the axon sitecustomize hook force-registers the TPU backend and pins
+# jax_platforms; pin it back to CPU before any backend initializes
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,127 @@
+"""Encoder/embedder/reranker tests with tiny configs (weightless)."""
+
+import numpy as np
+import pytest
+
+from automative_rag_tpu.documents import Document
+from automative_rag_tpu.models import (
+    ColBERTEncoder,
+    DenseEmbedder,
+    EncoderConfig,
+    HashTokenizer,
+)
+from automative_rag_tpu.rerank import LateInteractionReranker
+
+
+@pytest.fixture(scope="module")
+def embedder():
+    return DenseEmbedder(config=EncoderConfig.tiny(), max_length=64, batch_size=4)
+
+
+@pytest.fixture(scope="module")
+def colbert():
+    return ColBERTEncoder(config=EncoderConfig.tiny(), max_query_length=16, max_doc_length=32)
+
+
+def test_hash_tokenizer_cjk_and_latin():
+    tok = HashTokenizer(vocab_size=1024)
+    toks = tok.tokenize("宝马X5 2023款 0-100加速")
+    assert "宝" in toks and "马" in toks and "x" in toks and "2023" in toks
+    ids, mask = tok.encode_batch(["宝马X5", ""], max_length=8)
+    assert ids.shape == (2, 8)
+    assert mask[0].sum() > 2 and mask[1].sum() == 2  # empty text = CLS+SEP
+    ids2, _ = tok.encode_batch(["宝马X5"], max_length=8)
+    np.testing.assert_array_equal(ids[0], ids2[0])  # deterministic
+
+
+def test_embedder_shapes_and_norm(embedder):
+    vecs = embedder.embed_texts(["宝马5系加速很快", "Tesla Model 3 range", "丰田凯美瑞"])
+    assert vecs.shape == (3, embedder.dim)
+    np.testing.assert_allclose(np.linalg.norm(vecs, axis=1), 1.0, rtol=1e-5)
+
+
+def test_embedder_deterministic(embedder):
+    a = embedder.embed_query("宝马X5 2023")
+    b = embedder.embed_query("宝马X5 2023")
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_embedder_padding_invariance(embedder):
+    """Embedding must not depend on how much padding the batch carries —
+    i.e. attention masking is correct."""
+    alone = embedder.embed_texts(["短文本"])[0]
+    with_long = embedder.embed_texts(["短文本", "这是一段长得多的文本 " * 10])[0]
+    np.testing.assert_allclose(alone, with_long, rtol=1e-3, atol=1e-5)
+
+
+def test_embedder_batch_larger_than_batch_size(embedder):
+    texts = [f"doc number {i}" for i in range(10)]
+    vecs = embedder.embed_texts(texts)
+    assert vecs.shape == (10, embedder.dim)
+    single = embedder.embed_texts([texts[7]])[0]
+    np.testing.assert_allclose(vecs[7], single, rtol=1e-3, atol=1e-5)
+
+
+def test_colbert_masks(colbert):
+    emb, scoring = colbert.encode_queries(["宝马X5怎么样"])
+    assert emb.shape[0] == 1 and emb.shape[1] == 16
+    assert not scoring[0, 0]  # [CLS] excluded
+    n_real = scoring[0].sum()
+    assert 0 < n_real < 16  # content tokens only
+    d_emb, d_mask = colbert.encode_documents(["宝马X5 2023款 SUV"])
+    assert d_emb.shape[1] == 32
+    assert d_mask[0, 0] and not d_mask[0, -1]
+
+
+def test_reranker_orders_by_relevance(colbert):
+    """With a weightless encoder we can't test semantics, but ordering and
+    plumbing must hold: identical doc text should outscore unrelated text."""
+    reranker = LateInteractionReranker(colbert, use_pallas=False)
+    query = "宝马X5 2023 加速"
+    docs = [
+        Document(page_content="完全无关的文字 apples bananas"),
+        Document(page_content="宝马X5 2023 加速"),
+    ]
+    ranked = reranker.rerank(query, docs)
+    assert ranked[0][0].page_content == "宝马X5 2023 加速"
+    assert ranked[0][1] > ranked[1][1]
+
+
+def test_reranker_hybrid_combine(colbert):
+    calls = {}
+
+    def second(query, texts):
+        calls["n"] = len(texts)
+        return np.arange(len(texts), dtype=np.float64)  # prefers last doc
+
+    reranker = LateInteractionReranker(
+        colbert, colbert_weight=0.0, second_weight=1.0, second_scorer=second, use_pallas=False
+    )
+    docs = [Document(page_content=f"doc {i}") for i in range(4)]
+    ranked = reranker.rerank("any query", docs, top_k=2)
+    assert calls["n"] == 4
+    assert ranked[0][0].page_content == "doc 3"
+    assert ranked[0][1] == pytest.approx(1.0)  # min-max normalized top
+
+
+def test_reranker_batch_shares_docs(colbert):
+    reranker = LateInteractionReranker(colbert, use_pallas=False)
+    docs = [Document(page_content=f"样本 {i}") for i in range(5)]
+    out = reranker.rerank_batch(["查询一", "查询二"], docs, top_k=3)
+    assert len(out) == 2 and all(len(r) == 3 for r in out)
+
+
+def test_reranker_empty_docs(colbert):
+    reranker = LateInteractionReranker(colbert, use_pallas=False)
+    assert reranker.rerank("q", []) == []
+    assert reranker.rerank_batch(["a", "b"], []) == [[], []]
+
+
+def test_explanations(colbert):
+    reranker = LateInteractionReranker(colbert, use_pallas=False)
+    doc = Document(page_content="宝马X5 2023款 SUV 加速很快")
+    result = reranker.explain("宝马X5 加速", doc, top_matches=3)
+    assert result["query_content_tokens"] > 0
+    assert len(result["matches"]) <= 3
+    for m in result["matches"]:
+        assert {"query_token", "doc_token", "similarity"} <= set(m)

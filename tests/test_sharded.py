@@ -1,0 +1,92 @@
+"""Mesh-sharded search tests on the virtual 8-device CPU mesh: the sharded
+path must return exactly what the single-device flat index returns."""
+
+import numpy as np
+import pytest
+import jax
+
+from automative_rag_tpu.documents import Document
+from automative_rag_tpu.index import FlatIndex
+from automative_rag_tpu.parallel import ShardedFlatIndex, make_mesh
+
+
+def _corpus(rng, n, dim):
+    vectors = rng.normal(size=(n, dim)).astype(np.float32)
+    docs = [
+        Document(
+            page_content=f"doc {i}",
+            metadata={
+                "manufacturer": f"manu-{i % 4}",
+                "year": 2015 + (i % 10),
+                "source_id": f"s{i % 5}",
+            },
+        )
+        for i in range(n)
+    ]
+    return vectors, docs
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def _build_pair(rng, n=1000, dim=64, mesh=None):
+    vectors, docs = _corpus(rng, n, dim)
+    flat = FlatIndex(dim=dim, device_dtype="float32")
+    flat.add(vectors, [Document(d.page_content, dict(d.metadata), d.id) for d in docs])
+    sharded = ShardedFlatIndex(dim=dim, mesh=mesh, device_dtype="float32")
+    sharded.add(vectors, docs)
+    return flat, sharded
+
+
+def test_sharded_matches_single_device(rng, mesh):
+    flat, sharded = _build_pair(rng, mesh=mesh)
+    queries = rng.normal(size=(4, 64)).astype(np.float32)
+    a = flat.search(queries, 10)
+    b = sharded.search(queries, 10)
+    for qa, qb in zip(a, b):
+        assert [r.row for r in qa] == [r.row for r in qb]
+        np.testing.assert_allclose(
+            [r.score for r in qa], [r.score for r in qb], rtol=1e-5
+        )
+
+
+def test_sharded_filtered_search(rng, mesh):
+    flat, sharded = _build_pair(rng, mesh=mesh)
+    q = rng.normal(size=64).astype(np.float32)
+    flt = {"manufacturer": ["manu-1", "manu-3"], "year": 2018}
+    a = flat.search(q, 8, flt)[0]
+    b = sharded.search(q, 8, flt)[0]
+    assert [r.row for r in a] == [r.row for r in b]
+    for r in b:
+        assert r.document.metadata["manufacturer"] in ("manu-1", "manu-3")
+        assert r.document.metadata["year"] == 2018
+
+
+def test_sharded_capacity_is_shard_aligned(rng, mesh):
+    _, sharded = _build_pair(rng, n=100, mesh=mesh)
+    state = sharded._device_state()
+    assert state["capacity"] % (128 * 8) == 0
+
+
+def test_sharded_delete(rng, mesh):
+    flat, sharded = _build_pair(rng, mesh=mesh)
+    victims = [sharded._ids[i] for i in range(0, 50)]
+    flat.delete_by_ids(victims)
+    sharded.delete_by_ids(victims)
+    q = rng.normal(size=64).astype(np.float32)
+    a = [r.row for r in flat.search(q, 10)[0]]
+    b = [r.row for r in sharded.search(q, 10)[0]]
+    assert a == b
+    assert all(r >= 50 for r in b)
+
+
+def test_sharded_fewer_matches_than_k(rng, mesh):
+    flat, sharded = _build_pair(rng, n=300, mesh=mesh)
+    q = rng.normal(size=64).astype(np.float32)
+    flt = {"manufacturer": "manu-2", "year": 2017}
+    a = sharded.search(q, 20, flt)[0]
+    b = flat.search(q, 20, flt)[0]
+    assert [r.row for r in a] == [r.row for r in b]
