@@ -1,0 +1,165 @@
+"""Answer generation: LLM backends + the mode-aware generation pipeline.
+
+Parity targets:
+- ``LocalLLM.answer_query_with_mode_specific_params``
+  (``src/core/query/llm/local_llm.py:405-492``): mode params → context build
+  → prompt → generate → ``<think>`` tag stripping → fact check.
+- confidence = ``min(100, avg_relevance*50 + validation_confidence*0.5)``
+  (``src/core/query/tasks/inference_tasks.py:119``).
+
+Backends:
+- ``StubLLM`` — extractive fallback: quotes the highest-relevance sentences
+  that share key terms with the query, each with its 【来源：DOC_X】 citation.
+  Keeps the full pipeline functional (and honest about provenance) with no
+  weights in the environment.
+- ``HFCausalLM`` — local HuggingFace causal LM (DeepSeek-class) when a
+  checkpoint directory is configured; generation itself is out of the TPU
+  north-star scope (SURVEY.md §2.3) and runs wherever torch places it.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from typing import Any, Dict, List, Optional, Protocol, Tuple
+
+from ..config.mode_config import QueryMode, mode_config
+from ..documents.schema import Document
+from ..utils.quality import extract_key_terms
+from .context import documents_in_context_order, format_documents_with_relevance_scores
+from .fact_check import SimpleFactChecker
+from .prompts import build_prompt
+
+_THINK_RE = re.compile(r"<think>.*?</think>", re.DOTALL)
+_SENTENCE_SPLIT = re.compile(r"(?<=[。！？.!?])\s*")
+
+
+class LLMBackend(Protocol):
+    def generate(self, prompt: str, params: Dict[str, Any]) -> str: ...
+
+
+class StubLLM:
+    """Extractive answerer — no weights needed, citations always real."""
+
+    name = "extractive-stub"
+
+    def __init__(self):
+        self._context: List[Tuple[str, Document, float]] = []
+        self._question = ""
+
+    def bind(self, ordered_docs, question: str) -> None:
+        self._context = ordered_docs
+        self._question = question
+
+    def generate(self, prompt: str, params: Dict[str, Any]) -> str:
+        terms = extract_key_terms(self._question)
+        picked: List[str] = []
+        for doc_id, doc, _score in self._context:
+            for sentence in _SENTENCE_SPLIT.split(doc.page_content):
+                sentence = sentence.strip()
+                if not sentence:
+                    continue
+                if not terms or any(t.lower() in sentence.lower() for t in terms):
+                    picked.append(f"{sentence}【来源：{doc_id}】")
+                if len(picked) >= 5:
+                    break
+            if len(picked) >= 5:
+                break
+        if not picked:
+            return "根据提供文档，未找到具体的相关数据。"
+        return "。".join(p.rstrip("。") for p in picked) + "。"
+
+
+class HFCausalLM:
+    """Local HuggingFace causal LM (lazy import; local files only)."""
+
+    def __init__(self, model_path: str):
+        from transformers import AutoModelForCausalLM, AutoTokenizer
+
+        self.tokenizer = AutoTokenizer.from_pretrained(model_path, local_files_only=True)
+        self.model = AutoModelForCausalLM.from_pretrained(model_path, local_files_only=True)
+        self.name = model_path
+
+    def generate(self, prompt: str, params: Dict[str, Any]) -> str:
+        import torch
+
+        inputs = self.tokenizer(prompt, return_tensors="pt")
+        with torch.no_grad():
+            output = self.model.generate(
+                **inputs,
+                max_new_tokens=params.get("max_tokens", 512),
+                do_sample=params.get("temperature", 0.0) > 0,
+                temperature=max(params.get("temperature", 0.0), 1e-5),
+                top_p=params.get("top_p", 0.85),
+                repetition_penalty=params.get("repetition_penalty", 1.1),
+            )
+        text = self.tokenizer.decode(output[0], skip_special_tokens=True)
+        return text[len(prompt):] if text.startswith(prompt) else text
+
+
+def load_llm(model_path: str = "") -> LLMBackend:
+    if model_path:
+        try:
+            return HFCausalLM(model_path)
+        except Exception:
+            pass
+    return StubLLM()
+
+
+class AnswerGenerator:
+    """Mode-aware answer pipeline over any LLM backend."""
+
+    def __init__(self, llm: Optional[LLMBackend] = None):
+        self.llm = llm or StubLLM()
+        self.fact_checker = SimpleFactChecker()
+
+    def answer(
+        self,
+        query: str,
+        documents: List[Tuple[Document, float]],
+        mode: QueryMode | str = QueryMode.FACTS,
+    ) -> Dict[str, Any]:
+        t0 = time.perf_counter()
+        mode = QueryMode.parse(mode)
+        llm_params = mode_config.get_llm_params(mode)
+        ctx_params = mode_config.get_context_params(mode)
+
+        context = format_documents_with_relevance_scores(
+            documents, max_token_budget=ctx_params["max_context_tokens"]
+        )
+        ordered = documents_in_context_order(documents)
+        prompt = build_prompt(mode, context, query)
+
+        if isinstance(self.llm, StubLLM):
+            self.llm.bind(ordered, query)
+        raw = self.llm.generate(prompt, llm_params)
+        answer = _THINK_RE.sub("", raw).strip()
+
+        check = self.fact_checker.simple_quality_check(answer, context)
+        avg_rel = sum(s for _, s in documents) / len(documents) if documents else 0.0
+        confidence = min(100.0, avg_rel * 50 + check["quality_score"] * 0.5)
+
+        cited = set(re.findall(r"【来源：([^】]+)】", answer))
+        cited_ids = {c.strip() for group in cited for c in group.split(",")}
+        sources = [
+            {
+                "doc_id": doc_id,
+                "score": score,
+                "metadata": doc.metadata,
+                "id": doc.id,
+                "cited": doc_id in cited_ids,
+            }
+            for doc_id, doc, score in ordered
+        ]
+
+        return {
+            "answer": answer,
+            "mode": mode.value,
+            "confidence": confidence,
+            "quality_check": check,
+            "sources": sources,
+            "cited_doc_ids": sorted(cited_ids),
+            "context_tokens_budget": ctx_params["max_context_tokens"],
+            "generation_time_s": time.perf_counter() - t0,
+            "llm": getattr(self.llm, "name", "unknown"),
+        }

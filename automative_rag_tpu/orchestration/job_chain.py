@@ -1,0 +1,207 @@
+"""Sequential workflow engine: executes each job's step list via the task
+router, advancing on completion.
+
+Parity target: reference ``JobChain`` (``src/core/orchestration/job_chain.py``)
+— per-job chain state, step execution via router, ``task_completed`` advance
+(:183-262), failure handling (:507-542), completion summary with step
+timings (:544-613), dynamic step insertion (:349-433), and pause/resume for
+user input (:266-347). Unlike the reference snapshot this engine actually
+resolves workflows (see ``workflows.py``).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from enum import Enum
+from typing import Any, Dict, List, Optional
+
+from .job_tracker import JobStatus, JobTracker
+from .task_router import TaskRouter
+from .workflows import get_workflow_for_job_type
+
+
+class TaskStatus(str, Enum):
+    PENDING = "pending"
+    RUNNING = "running"
+    COMPLETED = "completed"
+    FAILED = "failed"
+    SKIPPED = "skipped"
+
+
+class JobChain:
+    def __init__(self, job_tracker: JobTracker, task_router: TaskRouter):
+        self.tracker = job_tracker
+        self.router = task_router
+        self._chains: Dict[str, Dict[str, Any]] = {}
+        self._lock = threading.RLock()
+
+    # -------------------------------------------------------------- start
+    def start_job_chain(self, job_id: str, job_type: str, payload: Dict[str, Any]) -> None:
+        steps = get_workflow_for_job_type(job_type)
+        with self._lock:
+            self._chains[job_id] = {
+                "job_id": job_id,
+                "job_type": str(job_type),
+                "steps": steps,
+                "current": 0,
+                "data": dict(payload),
+                "step_status": {s: TaskStatus.PENDING.value for s in steps},
+                "step_timings": {},
+                "started_at": time.time(),
+                "paused": False,
+            }
+        self.tracker.update_job_status(job_id, JobStatus.PROCESSING)
+        self._execute_current(job_id)
+
+    # ------------------------------------------------------------ execute
+    def _execute_current(self, job_id: str) -> None:
+        with self._lock:
+            chain = self._chains.get(job_id)
+            if chain is None or chain["paused"]:
+                return
+            if chain["current"] >= len(chain["steps"]):
+                self._complete(job_id)
+                return
+            task_name = chain["steps"][chain["current"]]
+            chain["step_status"][task_name] = TaskStatus.RUNNING.value
+            chain["step_started_at"] = time.time()
+            payload = dict(chain["data"])
+
+        progress = int(100 * chain["current"] / max(len(chain["steps"]), 1))
+        self.tracker.update_job_progress(job_id, progress, f"step {task_name}")
+
+        if not self.router.has_executor(task_name):
+            self._skip_step(task_name, job_id, payload)
+            return
+
+        def _run(job_id_, payload_):
+            fn = self.router._executors[task_name]
+            try:
+                result = fn(job_id_, payload_)
+            except Exception as exc:  # noqa: BLE001 — chain owns failure policy
+                self.task_failed(job_id_, task_name, f"{type(exc).__name__}: {exc}")
+                return
+            self.task_completed(job_id_, task_name, result or {})
+
+        self.router.queue_manager.enqueue(
+            self.router.get_queue_for_task(task_name),
+            f"{task_name}:{job_id}",
+            _run,
+            job_id,
+            payload,
+        )
+
+    # ---------------------------------------------------------- callbacks
+    def _skip_step(self, task_name: str, job_id: str, payload: dict) -> None:
+        """No executor registered: mark skipped and advance (reference skips
+        missing executors, task_router.py:71-326)."""
+        with self._lock:
+            chain = self._chains.get(job_id)
+            if chain is None:
+                return
+            chain["step_status"][task_name] = TaskStatus.SKIPPED.value
+            chain["current"] += 1
+        self._execute_current(job_id)
+
+    def task_completed(self, job_id: str, task_name: str, result: Dict[str, Any]) -> None:
+        with self._lock:
+            chain = self._chains.get(job_id)
+            if chain is None:
+                return
+            chain["step_status"][task_name] = TaskStatus.COMPLETED.value
+            started = chain.pop("step_started_at", None)
+            if started is not None:
+                chain["step_timings"][task_name] = round(time.time() - started, 4)
+            if isinstance(result, dict):
+                chain["data"].update(result)
+            chain["current"] += 1
+        if isinstance(result, dict) and result:
+            self.tracker.update_job_status(job_id, JobStatus.PROCESSING, result=result)
+        self._execute_current(job_id)
+
+    def task_failed(self, job_id: str, task_name: str, error: str) -> None:
+        with self._lock:
+            chain = self._chains.get(job_id)
+            if chain is None:
+                return
+            chain["step_status"][task_name] = TaskStatus.FAILED.value
+            chain["failed_at"] = time.time()
+        self.tracker.update_job_status(job_id, JobStatus.FAILED, error=f"{task_name}: {error}")
+
+    # ----------------------------------------------------------- complete
+    def _complete(self, job_id: str) -> None:
+        with self._lock:
+            chain = self._chains.get(job_id)
+            if chain is None:
+                return
+            summary = {
+                "step_timings": chain["step_timings"],
+                "total_time_s": round(time.time() - chain["started_at"], 4),
+                "steps": chain["steps"],
+            }
+        self.tracker.update_job_progress(job_id, 100, "completed")
+        self.tracker.update_job_status(job_id, JobStatus.COMPLETED, result={"chain": summary})
+
+    # ----------------------------------------------- dynamic modification
+    def insert_steps_after_current(self, job_id: str, steps: List[str]) -> bool:
+        """Dynamic step insertion (reference meta-validation/auto-fetch
+        hooks, job_chain.py:349-433)."""
+        with self._lock:
+            chain = self._chains.get(job_id)
+            if chain is None:
+                return False
+            pos = chain["current"] + 1
+            chain["steps"][pos:pos] = steps
+            for s in steps:
+                chain["step_status"].setdefault(s, TaskStatus.PENDING.value)
+        return True
+
+    # -------------------------------------------------------- pause/resume
+    def wait_for_user_input(self, job_id: str, prompt: Dict[str, Any]) -> None:
+        with self._lock:
+            chain = self._chains.get(job_id)
+            if chain is None:
+                return
+            chain["paused"] = True
+            chain["user_prompt"] = prompt
+        self.tracker.update_job_status(
+            job_id, JobStatus.WAITING_USER, result={"user_prompt": prompt}
+        )
+
+    def resume_from_user_input(self, job_id: str, user_input: Dict[str, Any]) -> bool:
+        with self._lock:
+            chain = self._chains.get(job_id)
+            if chain is None or not chain["paused"]:
+                return False
+            # the pausing step already completed (task_completed advanced
+            # past it); resuming just unblocks the next step
+            chain["paused"] = False
+            chain["data"].update(user_input or {})
+        self.tracker.update_job_status(job_id, JobStatus.PROCESSING)
+        self._execute_current(job_id)
+        return True
+
+    def cancel(self, job_id: str) -> bool:
+        with self._lock:
+            chain = self._chains.pop(job_id, None)
+        if chain is None:
+            return False
+        self.tracker.update_job_status(job_id, JobStatus.CANCELLED)
+        return True
+
+    # -------------------------------------------------------------- state
+    def get_chain_state(self, job_id: str) -> Optional[Dict[str, Any]]:
+        with self._lock:
+            chain = self._chains.get(job_id)
+            if chain is None:
+                return None
+            state = dict(chain)
+            state["data"] = dict(chain["data"])
+            state["step_status"] = dict(chain["step_status"])
+            return state
+
+    def all_chains(self) -> List[Dict[str, Any]]:
+        with self._lock:
+            ids = list(self._chains)
+        return [s for s in (self.get_chain_state(i) for i in ids) if s]

@@ -1,0 +1,205 @@
+"""Job chain / queue manager / tracker tests — the workflow engine must
+actually run chains end to end (the reference's could not, SURVEY.md §0)."""
+
+import time
+
+import pytest
+
+from automative_rag_tpu.orchestration import (
+    JobChain,
+    JobStatus,
+    JobTracker,
+    QueueManager,
+    TaskRouter,
+)
+from automative_rag_tpu.orchestration.task_router import JobType
+from automative_rag_tpu.orchestration.workflows import get_workflow_for_job_type
+
+
+@pytest.fixture
+def stack():
+    tracker = JobTracker()
+    qm = QueueManager(start=True)
+    router = TaskRouter(qm)
+    chain = JobChain(tracker, router)
+    yield tracker, qm, router, chain
+    qm.shutdown()
+
+
+def _wait_status(tracker, job_id, statuses, timeout=10.0):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        job = tracker.get_job(job_id)
+        if job and job["status"] in statuses:
+            return job
+        time.sleep(0.01)
+    raise TimeoutError(f"job never reached {statuses}: {tracker.get_job(job_id)}")
+
+
+def test_workflows_resolve():
+    for jt in JobType:
+        if jt == JobType.BATCH_VIDEO_PROCESSING:
+            continue
+        assert get_workflow_for_job_type(jt.value)
+    with pytest.raises(KeyError):
+        get_workflow_for_job_type("nope")
+
+
+def test_chain_runs_all_steps(stack):
+    tracker, qm, router, chain = stack
+    calls = []
+
+    @router.task("retrieve_documents")
+    def retrieve(job_id, payload):
+        calls.append(("retrieve", payload["query"]))
+        return {"documents": ["d1", "d2"]}
+
+    @router.task("llm_inference")
+    def infer(job_id, payload):
+        calls.append(("infer", payload["documents"]))
+        return {"answer": "42"}
+
+    job_id = tracker.create_job(JobType.LLM_INFERENCE.value)
+    chain.start_job_chain(job_id, JobType.LLM_INFERENCE.value, {"query": "q"})
+    job = _wait_status(tracker, job_id, {JobStatus.COMPLETED.value})
+
+    assert calls == [("retrieve", "q"), ("infer", ["d1", "d2"])]
+    assert job["result"]["answer"] == "42"
+    assert job["progress"] == 100
+    timings = job["result"]["chain"]["step_timings"]
+    assert set(timings) == {"retrieve_documents", "llm_inference"}
+
+
+def test_chain_failure_marks_job(stack):
+    tracker, qm, router, chain = stack
+
+    @router.task("retrieve_documents")
+    def retrieve(job_id, payload):
+        raise RuntimeError("boom")
+
+    job_id = tracker.create_job(JobType.LLM_INFERENCE.value)
+    chain.start_job_chain(job_id, JobType.LLM_INFERENCE.value, {})
+    job = _wait_status(tracker, job_id, {JobStatus.FAILED.value})
+    assert "boom" in job["error"]
+
+
+def test_chain_skips_missing_executor(stack):
+    tracker, qm, router, chain = stack
+
+    @router.task("llm_inference")
+    def infer(job_id, payload):
+        return {"answer": "ok"}
+
+    # retrieve_documents unregistered → skipped
+    job_id = tracker.create_job(JobType.LLM_INFERENCE.value)
+    chain.start_job_chain(job_id, JobType.LLM_INFERENCE.value, {})
+    job = _wait_status(tracker, job_id, {JobStatus.COMPLETED.value})
+    assert job["result"]["answer"] == "ok"
+    state = chain.get_chain_state(job_id)
+    assert state["step_status"]["retrieve_documents"] == "skipped"
+
+
+def test_pause_resume(stack):
+    tracker, qm, router, chain = stack
+    seen = {}
+
+    @router.task("retrieve_documents")
+    def retrieve(job_id, payload):
+        chain.wait_for_user_input(job_id, {"question": "pick a model"})
+        return {}
+
+    @router.task("llm_inference")
+    def infer(job_id, payload):
+        seen["choice"] = payload.get("choice")
+        return {"answer": "done"}
+
+    job_id = tracker.create_job(JobType.LLM_INFERENCE.value)
+    chain.start_job_chain(job_id, JobType.LLM_INFERENCE.value, {})
+    _wait_status(tracker, job_id, {JobStatus.WAITING_USER.value})
+
+    assert chain.resume_from_user_input(job_id, {"choice": "X5"})
+    job = _wait_status(tracker, job_id, {JobStatus.COMPLETED.value})
+    assert seen["choice"] == "X5"
+    assert job["result"]["answer"] == "done"
+
+
+def test_dynamic_step_insertion(stack):
+    tracker, qm, router, chain = stack
+    order = []
+
+    @router.task("retrieve_documents")
+    def retrieve(job_id, payload):
+        order.append("retrieve")
+        chain.insert_steps_after_current(job_id, ["validate_documents"])
+        return {}
+
+    @router.task("validate_documents")
+    def validate(job_id, payload):
+        order.append("validate")
+        return {"validated": True}
+
+    @router.task("llm_inference")
+    def infer(job_id, payload):
+        order.append("infer")
+        return {"answer": "ok", "was_validated": payload.get("validated")}
+
+    job_id = tracker.create_job(JobType.LLM_INFERENCE.value)
+    chain.start_job_chain(job_id, JobType.LLM_INFERENCE.value, {})
+    job = _wait_status(tracker, job_id, {JobStatus.COMPLETED.value})
+    assert order == ["retrieve", "validate", "infer"]
+    assert job["result"]["was_validated"] is True
+
+
+def test_queue_retry(stack):
+    tracker, qm, router, chain = stack
+    attempts = []
+
+    def flaky():
+        attempts.append(1)
+        if len(attempts) < 2:
+            raise ValueError("transient")
+
+    qm.enqueue("cpu_tasks", "flaky", flaky)
+    deadline = time.time() + 10
+    while len(attempts) < 2 and time.time() < deadline:
+        time.sleep(0.02)
+    assert len(attempts) == 2
+    assert qm.get_queue_status()["cpu_tasks"]["retried"] == 1
+
+
+def test_tracker_lifecycle():
+    tracker = JobTracker()
+    job_id = tracker.create_job("text_processing", metadata={"src": "unit"})
+    assert tracker.get_job(job_id)["status"] == "pending"
+
+    tracker.update_job_status(job_id, JobStatus.PROCESSING, result={"a": 1})
+    tracker.update_job_status(job_id, JobStatus.COMPLETED, result={"b": 2})
+    job = tracker.get_job(job_id)
+    assert job["result"] == {"a": 1, "b": 2}  # merge semantics
+
+    tracker.update_job_status(job_id, JobStatus.COMPLETED, result={"c": 3}, replace_result=True)
+    assert tracker.get_job(job_id)["result"] == {"c": 3}
+
+    counts = tracker.get_job_counts()
+    assert counts["completed"] == 1 and counts["total"] == 1
+
+    # retention: nothing young gets dropped; backdated jobs do
+    assert tracker.cleanup_old_jobs(max_age_days=1) == 0
+    tracker._jobs[job_id]["updated_at"] -= 10 * 86400
+    assert tracker.cleanup_old_jobs(max_age_days=7) == 1
+
+
+def test_tracker_stalled_reaper():
+    tracker = JobTracker()
+    job_id = tracker.create_job("video_processing")
+    tracker.update_job_status(job_id, JobStatus.PROCESSING)
+    tracker._jobs[job_id]["updated_at"] -= 4 * 3600
+    assert tracker.mark_stalled_jobs(max_processing_hours=3) == 1
+    assert tracker.get_job(job_id)["status"] == JobStatus.TIMEOUT.value
+
+
+def test_worker_health(stack):
+    tracker, qm, router, chain = stack
+    time.sleep(0.05)
+    health = qm.worker_health()
+    assert all(v == "healthy" for v in health.values()), health
