@@ -64,62 +64,123 @@ def maxsim_scores_ref(
     return (per_qtok * qw[:, :, None]).sum(axis=1)
 
 
-def _maxsim_kernel(q_ref, qw_ref, d_ref, bias_ref, out_ref):
+def _maxsim_kernel(q_ref, qw_ref, d_ref, bias_ref, out_ref, acc_ref):
+    """Grid (doc_blocks, token_chunks), token axis innermost: per (i, j) one
+    MXU matmul over a [LDC, ND, D] doc slab, running max into acc scratch,
+    final masked query-token sum on the last token chunk.
+
+    The slab is token-major so the flattened similarity columns split as
+    (LDC, ND) with the minor dim = ND = 128 — the only lane-dim split the
+    Mosaic layout engine supports; doc-major ordering would need an
+    unsupported 2048→(128,16) lane relayout."""
     b, lq, dim = q_ref.shape
-    nd, ld, _ = d_ref.shape
+    ldc, nd, _ = d_ref.shape
+    j = pl.program_id(1)
+
+    # bf16 operands hit the MXU natively (f32 accumulate); explicit HIGHEST
+    # is only needed to stop multi-pass downcasting of f32 operands
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if d_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     sim = jax.lax.dot_general(
         q_ref[:].reshape(b * lq, dim),
-        d_ref[:].reshape(nd * ld, dim),
+        d_ref[:].reshape(ldc * nd, dim),
         dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
         preferred_element_type=jnp.float32,
-    )  # [B*Lq, ND*Ld]
-    sim = sim.reshape(b, lq, nd, ld) + bias_ref[:][None, None, :, :]
-    per_qtok = jnp.max(sim, axis=3)  # [B, Lq, ND]
-    out_ref[:] = jnp.sum(per_qtok * qw_ref[:][:, :, None], axis=1)
+    )  # [B*Lq, LDC*ND]
+    sim = sim.reshape(b, lq, ldc, nd) + bias_ref[:][None, None, :, :]
+    chunk_max = jnp.max(sim, axis=2)  # [B, Lq, ND]
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = chunk_max
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[:] = jnp.maximum(acc_ref[:], chunk_max)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        out_ref[:] = jnp.sum(acc_ref[:] * qw_ref[:][:, :, None], axis=1)
 
 
 def maxsim_scores_pallas(
-    q: jax.Array,  # [B, Lq, D]
+    q: jax.Array,  # [B, Lq, D] — or [Ld, N, D] when token_major
     q_mask: jax.Array,  # [B, Lq] bool
     docs: jax.Array,  # [N, Ld, D]
     d_mask: jax.Array,  # [N, Ld] bool
-    block_docs: int = 8,
+    block_docs: int = 128,
+    vmem_block_bytes: int = 4 * 1024 * 1024,
     interpret: bool = False,
+    token_major: bool = False,
 ) -> jax.Array:  # [B, N]
-    """Fused Pallas MaxSim over all candidate docs. N is padded to a multiple
-    of ``block_docs`` internally; padded docs score ≈ -1e30·|valid q tokens|
-    and are stripped by callers that padded."""
-    b, lq, dim = q.shape
-    n, ld, _ = docs.shape
+    """Fused Pallas MaxSim over all candidate docs.
+
+    N pads to a multiple of ``block_docs`` (lane-aligned output tiles) and Ld
+    to a multiple of the token-chunk size, which is chosen so a doc slab fits
+    ``vmem_block_bytes`` (double-buffered by the pipeline). Padded docs carry
+    the -1e30 bias and score hugely negative; callers strip padded columns.
+
+    ``token_major=True`` means ``docs`` is already [Ld, N, D] (and ``d_mask``
+    [N, Ld] still) — encode-time relayout amortizes the 2·|docs| HBM
+    transpose across every query that reranks the same candidates.
+    """
+    if token_major:
+        ld, n, dim = docs.shape
+    else:
+        n, ld, dim = docs.shape
+    b, lq, _ = q.shape
     qw, d_bias = _as_weights_and_bias(q_mask, d_mask)
 
-    n_pad = -(-n // block_docs) * block_docs
-    if n_pad != n:
-        docs = jnp.pad(docs, ((0, n_pad - n), (0, 0), (0, 0)))
-        d_bias = jnp.pad(d_bias, ((0, n_pad - n), (0, 0)), constant_values=NEG_BIAS)
+    # token-chunk size: fit the doc slab in the VMEM budget, respect the
+    # dtype's minimum sublane tile
+    itemsize = docs.dtype.itemsize
+    min_sublane = {2: 16, 4: 8, 1: 32}.get(itemsize, 16)
+    ld_chunk = max(min_sublane, vmem_block_bytes // (block_docs * dim * itemsize))
+    ld_chunk = min(ld_chunk, max(ld, min_sublane))
 
-    grid = (n_pad // block_docs,)
+    n_pad = -(-n // block_docs) * block_docs
+    ld_pad = -(-ld // ld_chunk) * ld_chunk
+    if token_major:
+        docs_t = jnp.pad(docs, ((0, ld_pad - ld), (0, n_pad - n), (0, 0)))
+    else:
+        if n_pad != n or ld_pad != ld:
+            docs = jnp.pad(docs, ((0, n_pad - n), (0, ld_pad - ld), (0, 0)))
+        # token-major layout: lane dim = docs (128-aligned)
+        docs_t = docs.transpose(1, 0, 2)  # [Ld_pad, N_pad, D]
+    if n_pad != n or ld_pad != ld:
+        d_bias = jnp.pad(
+            d_bias, ((0, n_pad - n), (0, ld_pad - ld)), constant_values=NEG_BIAS
+        )
+    d_bias_t = d_bias.T  # [Ld_pad, N_pad]
+
+    grid = (n_pad // block_docs, ld_pad // ld_chunk)
     out = pl.pallas_call(
         _maxsim_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((b, lq, dim), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, lq), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_docs, ld, dim), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_docs, ld), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, lq, dim), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, lq), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (ld_chunk, block_docs, dim), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((ld_chunk, block_docs), lambda i, j: (j, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, block_docs), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((b, block_docs), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b, lq, block_docs), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * lq * dim * n_pad * ld,
-            bytes_accessed=n_pad * ld * dim * docs.dtype.itemsize
+            flops=2 * b * lq * dim * n_pad * ld_pad,
+            bytes_accessed=n_pad * ld_pad * dim * itemsize
             + b * lq * dim * q.dtype.itemsize
             + b * n_pad * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q, qw, docs, d_bias)
+    )(q, qw, docs_t, d_bias_t)
     return out[:, :n]
 
 
@@ -135,14 +196,22 @@ def maxsim_scores(
     q_mask: jax.Array,
     docs: jax.Array,
     d_mask: jax.Array,
-    block_docs: int = 8,
+    block_docs: int = 128,
     use_pallas: Optional[bool] = None,
+    token_major: bool = False,
 ) -> jax.Array:
-    """MaxSim scores [B, N]; Pallas kernel on TPU, XLA fallback elsewhere."""
+    """MaxSim scores [B, N]; Pallas kernel on TPU, XLA fallback elsewhere.
+
+    ``token_major``: docs are [Ld, N, D] (the production layout — encoders
+    emit it so the hot path never pays a per-query HBM transpose)."""
     if use_pallas is None:
         use_pallas = _on_tpu()
     if use_pallas:
-        return maxsim_scores_pallas(q, q_mask, docs, d_mask, block_docs=block_docs)
+        return maxsim_scores_pallas(
+            q, q_mask, docs, d_mask, block_docs=block_docs, token_major=token_major
+        )
+    if token_major:
+        docs = docs.transpose(1, 0, 2)
     return maxsim_scores_ref(q, q_mask, docs, d_mask)
 
 

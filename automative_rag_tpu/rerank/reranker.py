@@ -37,7 +37,7 @@ class LateInteractionReranker:
         second_weight: float = 0.2,
         second_scorer: Optional[SecondScorer] = None,
         use_pallas: Optional[bool] = None,
-        block_docs: int = 8,
+        block_docs: int = 128,
     ):
         self.encoder = encoder
         self.colbert_weight = colbert_weight
@@ -59,15 +59,18 @@ class LateInteractionReranker:
         q_emb, q_mask = self.encoder.encode_queries(list(queries))
         t1 = time.perf_counter()
         d_emb, d_mask = self.encoder.encode_documents([d.page_content for d in documents])
+        # token-major relayout at encode time so scoring pays no transpose
+        d_emb_t = np.ascontiguousarray(d_emb.transpose(1, 0, 2))
         t2 = time.perf_counter()
         scores = np.asarray(
             maxsim_scores(
                 jnp.asarray(q_emb),
                 jnp.asarray(q_mask),
-                jnp.asarray(d_emb),
+                jnp.asarray(d_emb_t),
                 jnp.asarray(d_mask),
                 block_docs=self.block_docs,
                 use_pallas=self.use_pallas,
+                token_major=True,
             )
         )
         t3 = time.perf_counter()

@@ -1,0 +1,142 @@
+"""Benchmark harness. Prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.json north star): ColBERT top-100 MaxSim rerank
+latency — token-level late interaction over 100 candidate docs × 256 tokens ×
+1024 dims, target < 10 ms p50 on one chip. ``vs_baseline`` is the speedup vs
+the 10 ms target (>1 = faster than target).
+
+Timing methodology: the serving hardware here is reached through a relay
+whose per-dispatch round trip (~26 ms) and unreliable ``block_until_ready``
+would swamp sub-millisecond kernels, so the kernel is repeated inside one
+jitted ``lax.scan`` with a carry dependency (no CSE/hoisting of the scored
+query) and the cost is total/REPS with a forced host fetch at the end.
+Docs use the production token-major layout (encode-time relayout; the hot
+path pays no per-query transpose).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REPS = 10
+
+
+def bench_maxsim(n_docs=100, ld=256, lq=32, dim=1024, trials=5):
+    import jax
+    import jax.numpy as jnp
+
+    from automative_rag_tpu.ops.maxsim import maxsim_scores_pallas, maxsim_scores_ref
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    rng = np.random.default_rng(0)
+    q0 = jnp.asarray(rng.normal(size=(1, lq, dim)), jnp.bfloat16)
+    docs_t = jnp.asarray(rng.normal(size=(ld, n_docs, dim)), jnp.bfloat16)
+    q_mask = jnp.ones((1, lq), bool)
+    d_mask = jnp.ones((n_docs, ld), bool)
+
+    if on_tpu:
+        score = lambda q: maxsim_scores_pallas(q, q_mask, docs_t, d_mask, token_major=True)
+    else:
+        docs_std = docs_t.transpose(1, 0, 2)
+        score = lambda q: maxsim_scores_ref(q, q_mask, docs_std, d_mask)
+
+    @jax.jit
+    def many(q):
+        def body(carry, _):
+            out = score(carry)
+            # serialize reps: next query depends on this output
+            carry = carry + (out[0, 0] * 0).astype(carry.dtype)
+            return carry, out[0, 0]
+
+        _, outs = jax.lax.scan(body, q, None, length=REPS)
+        return outs
+
+    np.asarray(many(q0))  # compile + warm
+    samples = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        np.asarray(many(q0))
+        samples.append((time.perf_counter() - t0) * 1000.0 / REPS)
+    return float(np.percentile(samples, 50)), on_tpu
+
+
+def bench_flat_search(n=100_000, dim=1024, k=20, batch=8, trials=3):
+    import jax
+    import jax.numpy as jnp
+
+    from automative_rag_tpu.index.filters import FilterSpec, eval_filter_mask
+    from automative_rag_tpu.ops.topk import masked_top_k
+
+    rng = np.random.default_rng(0)
+    vectors = jnp.asarray(rng.normal(size=(n, dim)), jnp.bfloat16)
+    valid = jnp.ones(n, bool)
+    codes = jnp.zeros((7, n), jnp.int32)
+    numerics = jnp.zeros((2, n), jnp.int32)
+    q0 = jnp.asarray(rng.normal(size=(batch, dim)), jnp.bfloat16)
+    spec = FilterSpec.match_all()
+
+    @jax.jit
+    def many(q):
+        def body(carry, _):
+            scores = jax.lax.dot_general(
+                carry, vectors, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            mask = valid & eval_filter_mask(codes, numerics, spec)
+            vals, idx = masked_top_k(scores, mask, k)
+            carry = carry + (vals[0, 0] * 0).astype(carry.dtype)
+            return carry, vals[:, 0]
+
+        _, outs = jax.lax.scan(body, q, None, length=REPS)
+        return outs
+
+    np.asarray(many(q0))
+    samples = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        np.asarray(many(q0))
+        samples.append((time.perf_counter() - t0) / REPS)
+    per_call = float(np.percentile(samples, 50))
+    return batch / per_call
+
+
+def main():
+    target_ms = 10.0
+    p50_ms, on_tpu = bench_maxsim()
+    try:
+        qps = bench_flat_search()
+        print(
+            f"[side] flat filtered search @100K×1024 bf16: {qps:.0f} QPS (batch 8, k=20)",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001 — side metric only
+        print(f"[side] flat search bench failed: {exc}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "colbert_top100_maxsim_rerank_p50",
+                "value": round(p50_ms, 4),
+                "unit": "ms",
+                "vs_baseline": round(target_ms / p50_ms, 3),
+                "detail": {
+                    "n_docs": 100,
+                    "doc_tokens": 256,
+                    "query_tokens": 32,
+                    "dim": 1024,
+                    "dtype": "bfloat16",
+                    "backend": "pallas" if on_tpu else "xla-cpu",
+                    "target_ms": target_ms,
+                    "timing": f"lax.scan x{REPS}, serialized carry, host-fetch sync",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
