@@ -1,0 +1,67 @@
+"""PDF ingestion processor.
+
+Parity target: reference ``PDFLoader``/``PDFProcessor``
+(``src/core/ingestion/loaders/pdf_loader.py``): text extraction with an OCR
+fallback when a page yields <100 chars. Extraction here is the from-scratch
+parser in ``pdf_text.py`` (the environment ships no PDF libraries); the OCR
+path is interface-gated (no OCR engine in the image — inject one via
+``ocr_engine`` when available).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, Optional, Tuple
+
+from ..utils.text import clean_text
+from .base import BaseIngestionProcessor
+from .pdf_text import extract_pdf_text
+
+# an OCR engine is a callable: path -> extracted text
+OCREngine = Callable[[str], str]
+
+OCR_MIN_CHARS = 100  # below this, the reference tries OCR (pdf_loader.py:75-170)
+
+
+class PDFProcessor(BaseIngestionProcessor):
+    source_type = "pdf"
+
+    def __init__(self, ocr_engine: Optional[OCREngine] = None, **kwargs):
+        super().__init__(**kwargs)
+        self.ocr_engine = ocr_engine
+
+    def validate_source(self, source: Any) -> Tuple[bool, str]:
+        path = source.get("path") if isinstance(source, dict) else source
+        if not isinstance(path, str) or not path.lower().endswith(".pdf"):
+            return False, "expected a .pdf path"
+        if not os.path.exists(path):
+            return False, f"file not found: {path}"
+        return True, ""
+
+    def extract_raw_content(self, source: Any) -> Tuple[str, Dict[str, Any]]:
+        metadata: Dict[str, Any] = {}
+        path = source
+        if isinstance(source, dict):
+            metadata = {k: v for k, v in source.items() if k != "path"}
+            path = source["path"]
+
+        text, info = extract_pdf_text(path)
+        used_ocr = False
+        if len(text.strip()) < OCR_MIN_CHARS and self.ocr_engine is not None:
+            text = self.ocr_engine(path)
+            used_ocr = True
+
+        metadata.setdefault("title", os.path.basename(path))
+        metadata["pages"] = info.get("pages", 0)
+        metadata["used_ocr"] = used_ocr
+        return clean_text(text), metadata
+
+    def get_pdf_info(self, path: str) -> Dict[str, Any]:
+        text, info = extract_pdf_text(path)
+        return {
+            "path": path,
+            "pages": info.get("pages", 0),
+            "objects": info.get("objects", 0),
+            "extracted_chars": len(text),
+            "needs_ocr": len(text.strip()) < OCR_MIN_CHARS,
+        }

@@ -1,0 +1,205 @@
+"""Minimal from-scratch PDF text extraction (no third-party PDF libs).
+
+The environment has no pypdf/fitz, and the reference's PDF path is a library
+call (``src/core/ingestion/loaders/pdf_loader.py`` uses PyPDFLoader); this
+module implements the needed subset directly: object/xref parsing,
+FlateDecode, page-tree walk, and Tj/TJ/' text operators from content
+streams, with UTF-16BE and PDFDocEncoding string handling. Handles the
+common "simple text PDF" class (which is also what the reference's loader
+handles without OCR); scanned PDFs need the OCR path (gated).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Dict, List, Optional, Tuple
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_TEXT_SHOW_RE = re.compile(
+    rb"\((?P<lit>(?:\\.|[^\\()])*)\)\s*(?:Tj|')"  # literal string shows
+    rb"|<(?P<hex>[0-9A-Fa-f\s]+)>\s*(?:Tj|')"  # hex string shows
+    rb"|\[(?P<arr>(?:\\.|[^\]])*)\]\s*TJ",  # array shows
+    re.DOTALL,
+)
+_ARR_ITEM_RE = re.compile(rb"\((?P<lit>(?:\\.|[^\\()])*)\)|<(?P<hex>[0-9A-Fa-f\s]+)>")
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _unescape_literal(raw: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i : i + 1]
+        if c == b"\\" and i + 1 < len(raw):
+            nxt = raw[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():  # octal escape \ddd
+                digits = raw[i + 1 : i + 4]
+                span = 1
+                while span < 3 and span < len(digits) and digits[:span + 1].isdigit():
+                    span += 1
+                out.append(int(digits[:span], 8) & 0xFF)
+                i += 1 + span
+                continue
+            i += 1
+            continue
+        out += c
+        i += 1
+    return bytes(out)
+
+
+def _decode_pdf_string(raw: bytes) -> str:
+    if raw[:2] == b"\xfe\xff":
+        try:
+            return raw[2:].decode("utf-16-be", errors="ignore")
+        except UnicodeDecodeError:
+            pass
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1", errors="ignore")
+
+
+def _inflate(data: bytes) -> Optional[bytes]:
+    for candidate in (data, data.strip(b"\r\n")):
+        try:
+            return zlib.decompress(candidate)
+        except zlib.error:
+            continue
+    return None
+
+
+class _Obj:
+    def __init__(self, header: bytes, stream: Optional[bytes]):
+        self.header = header
+        self.stream = stream
+
+
+def _parse_objects(data: bytes) -> Dict[int, _Obj]:
+    objects: Dict[int, _Obj] = {}
+    for match in _OBJ_RE.finditer(data):
+        num = int(match.group(1))
+        body = match.group(3)
+        stream_match = _STREAM_RE.search(body)
+        stream = stream_match.group(1) if stream_match else None
+        header = body[: stream_match.start()] if stream_match else body
+        objects[num] = _Obj(header, stream)
+    return objects
+
+
+def _content_streams(objects: Dict[int, _Obj]) -> List[bytes]:
+    """Page-order-ish content streams: walk /Page objects' /Contents refs;
+    fall back to every Flate stream that yields text operators."""
+    streams: List[bytes] = []
+    page_objs = [o for o in objects.values() if re.search(rb"/Type\s*/Page\b", o.header)]
+    ref_re = re.compile(rb"/Contents\s+(?:\[(.*?)\]|(\d+)\s+\d+\s+R)", re.DOTALL)
+    seen = set()
+    for page in page_objs:
+        match = ref_re.search(page.header)
+        if not match:
+            continue
+        refs = (
+            [int(n) for n in re.findall(rb"(\d+)\s+\d+\s+R", match.group(1))]
+            if match.group(1)
+            else [int(match.group(2))]
+        )
+        for ref in refs:
+            obj = objects.get(ref)
+            if obj is None or obj.stream is None or ref in seen:
+                continue
+            seen.add(ref)
+            raw = obj.stream
+            if re.search(rb"/Filter\s*/FlateDecode", obj.header):
+                raw = _inflate(raw) or b""
+            streams.append(raw)
+    if streams:
+        return streams
+    # fallback: any stream containing text-show operators
+    for num, obj in objects.items():
+        if obj.stream is None:
+            continue
+        raw = obj.stream
+        if re.search(rb"/Filter\s*/FlateDecode", obj.header):
+            raw = _inflate(raw) or b""
+        if b"Tj" in raw or b"TJ" in raw:
+            streams.append(raw)
+    return streams
+
+
+def _extract_from_stream(stream: bytes) -> str:
+    pieces: List[str] = []
+    for match in _TEXT_SHOW_RE.finditer(stream):
+        if match.group("lit") is not None:
+            pieces.append(_decode_pdf_string(_unescape_literal(match.group("lit"))))
+        elif match.group("hex") is not None:
+            hexstr = re.sub(rb"\s", b"", match.group("hex"))
+            if len(hexstr) % 2:
+                hexstr += b"0"
+            pieces.append(_decode_pdf_string(bytes.fromhex(hexstr.decode("ascii"))))
+        else:
+            for item in _ARR_ITEM_RE.finditer(match.group("arr")):
+                if item.group("lit") is not None:
+                    pieces.append(_decode_pdf_string(_unescape_literal(item.group("lit"))))
+                else:
+                    hexstr = re.sub(rb"\s", b"", item.group("hex"))
+                    if len(hexstr) % 2:
+                        hexstr += b"0"
+                    pieces.append(_decode_pdf_string(bytes.fromhex(hexstr.decode("ascii"))))
+    return "".join(pieces)
+
+
+def extract_pdf_text(path: str) -> Tuple[str, Dict[str, int]]:
+    """→ (text, info) where info carries page/object counts."""
+    with open(path, "rb") as f:
+        data = f.read()
+    objects = _parse_objects(data)
+    n_pages = sum(1 for o in objects.values() if re.search(rb"/Type\s*/Page\b", o.header))
+    parts = []
+    for stream in _content_streams(objects):
+        text = _extract_from_stream(stream)
+        if text.strip():
+            parts.append(text)
+    return "\n".join(parts), {"pages": n_pages, "objects": len(objects)}
+
+
+# ------------------------------------------------------------------ writer
+def write_simple_pdf(path: str, lines: List[str]) -> None:
+    """Tiny single-page PDF writer (test fixture support — latin-1 text)."""
+    content = b"BT /F1 12 Tf 50 750 Td " + b" ".join(
+        b"(" + line.encode("latin-1", errors="replace")
+        .replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
+        + b") Tj 0 -16 Td"
+        for line in lines
+    ) + b" ET"
+    stream = zlib.compress(content)
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(stream)).encode() + b" /Filter /FlateDecode >>\nstream\n"
+        + stream + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF"
+    ).encode()
+    with open(path, "wb") as f:
+        f.write(bytes(out))

@@ -1,0 +1,189 @@
+"""Ingestion tests: metadata extraction, chunking, transcript enhancement,
+text/pdf/video processors (mirrors reference tests/test_ingest.py strategy:
+mocked loaders + real processing logic)."""
+
+import numpy as np
+import pytest
+
+from automative_rag_tpu.ingestion import (
+    MetadataExtractor,
+    PDFProcessor,
+    ProcessorFactory,
+    TextProcessor,
+    TranscriptProcessor,
+    VideoProcessor,
+    split_text,
+)
+from automative_rag_tpu.ingestion.pdf_text import write_simple_pdf
+from automative_rag_tpu.ingestion.video_processor import (
+    detect_platform,
+    extract_video_id,
+    validate_video_url,
+)
+
+
+# ------------------------------------------------------------ metadata
+def test_extract_manufacturer_and_model():
+    ex = MetadataExtractor()
+    fields = ex.extract("2023款宝马X5 SUV 试驾体验，动力强劲")
+    assert fields["manufacturer"] == "宝马"
+    assert fields["model"] == "X5"
+    assert fields["modelYear"] == 2023
+    assert fields["vehicleType"] == "SUV"
+
+
+def test_extract_english_alias():
+    ex = MetadataExtractor()
+    fields = ex.extract("Tesla Model 3 2022 electric sedan review")
+    assert fields["manufacturer"] == "特斯拉"
+    assert fields["model"] == "Model 3"
+    assert fields["fuelType"] == "电动"
+
+
+def test_extract_author_views_source():
+    ex = MetadataExtractor()
+    fields, remaining = ex.extract_and_remove(
+        "比亚迪汉EV深度评测 author: 车评人老王 views: 12,345 source: bilibili"
+    )
+    assert fields["authorName"] == "车评人老王"
+    assert fields["viewsCount"] == 12345
+    assert fields["sourcePlatform"] == "bilibili"
+    assert fields["model"] == "汉EV"
+    assert fields["fuelType"] == "电动"
+    assert "author:" not in remaining and "12,345" not in remaining
+
+
+def test_extract_nothing():
+    ex = MetadataExtractor()
+    fields = ex.extract("今天天气不错")
+    assert not ex.vehicle_detected(fields)
+
+
+# ------------------------------------------------------------- chunker
+def test_split_short_text():
+    assert split_text("短文本", 100, 20) == ["短文本"]
+    assert split_text("", 100, 20) == []
+
+
+def test_split_respects_size_and_overlap():
+    sentences = "这是第一句话。这是第二句话。" * 120  # ~1680 chars
+    chunks = split_text(sentences, chunk_size=300, chunk_overlap=50)
+    assert len(chunks) > 3
+    assert all(len(c) <= 300 for c in chunks)
+    # overlap: consecutive chunks share content
+    assert chunks[0][-20:] in chunks[0]  # sanity
+    joined = "".join(chunks)
+    assert "第一句话" in joined and "第二句话" in joined
+
+
+def test_split_unsplittable_run():
+    blob = "x" * 1000
+    chunks = split_text(blob, chunk_size=300, chunk_overlap=50)
+    assert all(len(c) <= 300 for c in chunks)
+    assert sum(len(c) for c in chunks) >= 1000  # all content covered
+
+
+# ----------------------------------------------------------- transcript
+def test_transcript_processor_injection_and_metadata():
+    tp = TranscriptProcessor(chunk_size=200, chunk_overlap=20)
+    docs = tp.process(
+        "宝马X5 2023款百公里加速5.5秒。" + "这款SUV的动力表现非常出色。" * 30,
+        source_metadata={"title": "宝马X5评测 author: 老王 views: 999 source: youtube",
+                         "url": "https://youtube.com/watch?v=abc123xyz"},
+        source="video",
+    )
+    assert len(docs) > 1
+    first = docs[0]
+    assert first.page_content.startswith("【brand:宝马】【model:X5】【year:2023】")
+    assert first.metadata["manufacturer"] == "宝马"
+    assert first.metadata["model"] == "X5"
+    assert first.metadata["year"] == 2023
+    assert first.metadata["source"] == "video"
+    assert first.metadata["chunk_index"] == 0
+    assert first.metadata["total_chunks"] == len(docs)
+    assert first.metadata["vehicle_detected"] is True
+    assert all(d.metadata["source_id"] == first.metadata["source_id"] for d in docs)
+
+
+# ------------------------------------------------------------ processors
+def test_text_processor():
+    docs = TextProcessor().process({"content": "比亚迪汉EV 2023款续航600公里", "title": "汉EV介绍"})
+    assert docs
+    assert docs[0].metadata["manufacturer"] == "比亚迪"
+    assert docs[0].metadata["source"] == "text"
+
+
+def test_text_processor_rejects_empty():
+    with pytest.raises(ValueError):
+        TextProcessor().process("   ")
+
+
+def test_pdf_processor_roundtrip(tmp_path):
+    pdf_path = str(tmp_path / "spec.pdf")
+    write_simple_pdf(pdf_path, [
+        "BMW X5 2023 Specifications",
+        "0-100 km/h acceleration: 5.5 s",
+        "Top speed: 250 km/h",
+    ] * 10)
+    docs = PDFProcessor().process(pdf_path)
+    assert docs
+    text = " ".join(d.page_content for d in docs)
+    assert "250" in text and "5.5" in text
+    assert docs[0].metadata["source"] == "pdf"
+    assert docs[0].metadata["manufacturer"] == "宝马"
+
+
+def test_pdf_ocr_fallback(tmp_path):
+    pdf_path = str(tmp_path / "scan.pdf")
+    write_simple_pdf(pdf_path, ["x"])  # nearly empty → triggers OCR path
+    docs = PDFProcessor(ocr_engine=lambda p: "Audi Q7 2022 OCR text " * 20).process(pdf_path)
+    assert docs[0].metadata["used_ocr"] is True
+    assert docs[0].metadata["manufacturer"] == "奥迪"
+
+
+def test_pdf_rejects_missing_file():
+    with pytest.raises(ValueError):
+        PDFProcessor().process("/nonexistent/x.pdf")
+
+
+# ---------------------------------------------------------------- video
+def test_platform_detection():
+    assert detect_platform("https://www.youtube.com/watch?v=dQw4w9WgXcQ") == "youtube"
+    assert detect_platform("https://youtu.be/dQw4w9WgXcQ") == "youtube"
+    assert detect_platform("https://www.bilibili.com/video/BV1xx411c7mD") == "bilibili"
+    assert detect_platform("https://example.com/v/1") is None
+    assert extract_video_id("https://youtu.be/dQw4w9WgXcQ") == "dQw4w9WgXcQ"
+    assert extract_video_id("https://www.bilibili.com/video/BV1xx411c7mD") == "BV1xx411c7mD"
+    ok, _ = validate_video_url("https://www.youtube.com/watch?v=dQw4w9WgXcQ")
+    assert ok
+    ok, reason = validate_video_url("ftp://bad")
+    assert not ok
+
+
+def test_video_processor_with_mocks():
+    def downloader(url):
+        return "/tmp/fake.m4a", {"title": "特斯拉Model Y实测", "author": "小李", "views": 500}
+
+    def transcriber(path):
+        return {"text": "特斯拉Model Y 2022款續航表現不錯", "language": "zh", "segments": [1, 2]}
+
+    vp = VideoProcessor(downloader=downloader, transcriber=transcriber)
+    docs = vp.process("https://www.youtube.com/watch?v=dQw4w9WgXcQ")
+    assert docs
+    assert docs[0].metadata["manufacturer"] == "特斯拉"
+    assert docs[0].metadata["source"] == "video"
+    # traditional→simplified hook applied
+    assert "续航" in docs[0].page_content
+
+
+def test_video_processor_without_backends_raises():
+    vp = VideoProcessor()
+    with pytest.raises(RuntimeError):
+        vp.process("https://www.youtube.com/watch?v=dQw4w9WgXcQ")
+
+
+def test_factory():
+    assert isinstance(ProcessorFactory.create_processor("text"), TextProcessor)
+    assert isinstance(ProcessorFactory.create_processor("pdf"), PDFProcessor)
+    with pytest.raises(ValueError):
+        ProcessorFactory.create_processor("carrier-pigeon")
