@@ -1,0 +1,391 @@
+"""API route surface — parity with the reference's FastAPI routers
+(SURVEY.md §2.5: main/query/ingest/system/model/auth) on the stdlib
+framework in ``http.py``.
+
+Endpoints (reference file:line cited per group):
+
+- root/health/job-chains/workers (``src/api/main.py:155-356``)
+- query submit/result/modes/capabilities/validate/manufacturers/models/
+  queue-status/debug-retrieval (``src/api/query.py:23-165``)
+- ingest video/batch-videos/pdf/text + job CRUD + reset
+  (``src/api/ingest.py:31-520``)
+- system health/workers/queue-stats/config/disk-usage/heartbeats
+  (``src/api/system.py:20-404``)
+- model config get/update (``src/api/model.py:23-79``)
+- auth token (``src/api/auth.py``)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+from pathlib import Path
+from typing import Optional
+
+from ..app import RAGApplication
+from ..config.mode_config import QueryMode, mode_config
+from ..ingestion.metadata import known_manufacturers, known_models
+from ..ingestion.video_processor import validate_video_url
+from ..orchestration.job_tracker import JobStatus
+from .auth import issue_token
+from .http import HTTPApi, HTTPError, Request, Router
+
+_MODE_INFO = {
+    QueryMode.FACTS: {"name": "车辆规格查询", "icon": "📌", "time_estimate": "~10秒"},
+    QueryMode.FEATURES: {"name": "功能特性分析", "icon": "💡", "time_estimate": "~15秒"},
+    QueryMode.TRADEOFFS: {"name": "权衡利弊分析", "icon": "🧾", "time_estimate": "~20秒"},
+    QueryMode.SCENARIOS: {"name": "使用场景评估", "icon": "🧩", "time_estimate": "~18秒"},
+    QueryMode.DEBATE: {"name": "多角度辩论", "icon": "🗣️", "time_estimate": "~25秒"},
+    QueryMode.QUOTES: {"name": "原文引用提取", "icon": "💬", "time_estimate": "~12秒"},
+}
+
+
+def _mode_payload(mode: QueryMode) -> dict:
+    params = mode_config.params(mode)
+    return {
+        "mode": mode.value,
+        **_MODE_INFO[mode],
+        "retrieval_k": params.retrieval_k,
+        "final_k": params.final_k,
+        "max_tokens": params.max_tokens,
+        "max_context_tokens": params.max_context_tokens,
+        "complexity": params.complexity,
+    }
+
+
+def build_api(app: RAGApplication) -> HTTPApi:
+    router = Router()
+
+    # ------------------------------------------------------------- root
+    @router.get("/")
+    def root(req: Request):
+        return {
+            "service": "automative-rag-tpu",
+            "version": "0.1.0",
+            "endpoints": router.routes(),
+        }
+
+    @router.get("/health")
+    def health(req: Request):
+        return app.health()
+
+    @router.get("/job-chains")
+    def job_chains(req: Request):
+        chains = app.job_chain.all_chains()
+        return {
+            "total": len(chains),
+            "chains": [
+                {
+                    "job_id": c["job_id"],
+                    "job_type": c["job_type"],
+                    "steps": c["steps"],
+                    "current_step": c["current"],
+                    "step_status": c["step_status"],
+                    "paused": c["paused"],
+                }
+                for c in chains
+            ],
+        }
+
+    @router.get("/job-chains/{job_id}")
+    def job_chain_detail(req: Request):
+        state = app.job_chain.get_chain_state(req.params["job_id"])
+        if state is None:
+            raise HTTPError(404, "job chain not found")
+        state.pop("data", None)  # payloads can be large
+        return state
+
+    @router.get("/workers/status")
+    def workers_status(req: Request):
+        return {
+            "workers": app.queue_manager.worker_health(),
+            "queues": app.queue_manager.get_queue_status(),
+        }
+
+    @router.get("/query/default-mode")
+    def default_mode(req: Request):
+        return _mode_payload(QueryMode.FACTS)
+
+    # ------------------------------------------------------------- auth
+    @router.post("/auth/token")
+    def auth_token(req: Request):
+        body = req.json()
+        token = issue_token(
+            body.get("username", ""), body.get("password", ""), app.settings.api_key
+        )
+        if token is None:
+            raise HTTPError(401, "invalid credentials")
+        return {"access_token": token, "token_type": "bearer"}
+
+    # ------------------------------------------------------------ query
+    @router.post("/query")
+    def submit_query(req: Request):
+        body = req.json()
+        query = (body.get("query") or "").strip()
+        if not query:
+            raise HTTPError(422, "query must be a non-empty string")
+        mode = body.get("mode", "facts")
+        job_id = app.submit_query(query, mode, body.get("metadata_filter"))
+        return {"job_id": job_id, "status": "pending", "mode": mode}
+
+    def _job_result(job_id: str) -> dict:
+        job = app.tracker.get_job(job_id)
+        if job is None:
+            raise HTTPError(404, "job not found")
+        return job
+
+    @router.get("/query/results/{job_id}")  # UI polling path (智能查询.py:130)
+    def query_results(req: Request):
+        return _job_result(req.params["job_id"])
+
+    @router.get("/query/modes")
+    def query_modes(req: Request):
+        return {"modes": [_mode_payload(m) for m in mode_config.all_modes()]}
+
+    @router.get("/query/modes/{mode}")
+    def query_mode_detail(req: Request):
+        try:
+            mode = QueryMode(req.params["mode"])
+        except ValueError:
+            raise HTTPError(404, f"unknown mode {req.params['mode']!r}")
+        return _mode_payload(mode)
+
+    @router.get("/query/capabilities")
+    def capabilities(req: Request):
+        return {
+            "modes": [m.value for m in mode_config.all_modes()],
+            "metadata_filters": [
+                "manufacturer", "model", "year", "category",
+                "engine_type", "transmission", "source", "source_id",
+            ],
+            "reranking": True,
+            "late_interaction": True,
+            "bilingual": ["zh", "en"],
+            "index": app.index.stats(),
+        }
+
+    @router.post("/query/validate")
+    def validate_query(req: Request):
+        body = req.json()
+        query = (body.get("query") or "").strip()
+        issues = []
+        if not query:
+            issues.append("query is empty")
+        if len(query) > 512:
+            issues.append("query too long (max 512 chars)")
+        mode = body.get("mode", "facts")
+        if mode not in {m.value for m in QueryMode}:
+            issues.append(f"unknown mode {mode!r}")
+        return {"valid": not issues, "issues": issues}
+
+    @router.get("/query/manufacturers")
+    def manufacturers(req: Request):
+        indexed = sorted(app.index.columns.vocabs.get("manufacturer", {}))
+        return {"manufacturers": indexed or known_manufacturers()}
+
+    @router.get("/query/models")
+    def models(req: Request):
+        manufacturer = req.query_param("manufacturer")
+        indexed = sorted(app.index.columns.vocabs.get("model", {}))
+        return {"models": indexed or known_models(manufacturer)}
+
+    @router.get("/query/queue-status")
+    def queue_status(req: Request):
+        return app.queue_manager.get_queue_status()
+
+    @router.post("/query/debug-retrieval")
+    def debug_retrieval(req: Request):
+        body = req.json()
+        query = (body.get("query") or "").strip()
+        if not query:
+            raise HTTPError(422, "query must be a non-empty string")
+        ranked = app.engine.retrieve(
+            query,
+            mode=body.get("mode", "facts"),
+            metadata_filter=body.get("metadata_filter"),
+            rerank=body.get("rerank", True),
+        )
+        return {
+            "query": query,
+            "count": len(ranked),
+            "timings": app.engine.last_timings,
+            "documents": [
+                {
+                    "id": doc.id,
+                    "score": score,
+                    "metadata": doc.metadata,
+                    "preview": doc.page_content[:200],
+                }
+                for doc, score in ranked
+            ],
+        }
+
+    # ----------------------------------------------------------- ingest
+    @router.post("/ingest/text")
+    def ingest_text(req: Request):
+        body = req.json()
+        content = (body.get("content") or "").strip()
+        if not content:
+            raise HTTPError(422, "content must be a non-empty string")
+        job_id = app.ingest_text(content, body.get("metadata"))
+        return {"job_id": job_id, "status": "pending"}
+
+    @router.post("/ingest/video")
+    def ingest_video(req: Request):
+        body = req.json()
+        url = body.get("url", "")
+        ok, reason = validate_video_url(url)
+        if not ok:
+            raise HTTPError(422, f"invalid video url: {reason}")
+        job_id = app.ingest_video(url, body.get("metadata"))
+        return {"job_id": job_id, "status": "pending"}
+
+    @router.post("/ingest/batch-videos")
+    def ingest_batch(req: Request):
+        body = req.json()
+        urls = body.get("urls") or []
+        if not isinstance(urls, list) or not urls:
+            raise HTTPError(422, "urls must be a non-empty list")
+        accepted, rejected = [], []
+        for url in urls:
+            ok, reason = validate_video_url(url)
+            (accepted if ok else rejected).append(url if ok else {"url": url, "reason": reason})
+        job_ids = app.ingest_batch_videos(accepted)
+        return {"job_ids": job_ids, "accepted": len(job_ids), "rejected": rejected}
+
+    @router.post("/ingest/pdf")
+    def ingest_pdf(req: Request):
+        """Accepts a raw PDF body (Content-Type: application/pdf) or a JSON
+        body {"path": server-local path}."""
+        ctype = (req.headers.get("content-type") or req.headers.get("Content-Type") or "")
+        if ctype.startswith("application/pdf"):
+            Path(app.settings.upload_dir).mkdir(parents=True, exist_ok=True)
+            name = req.query_param("filename", f"upload-{uuid.uuid4().hex[:8]}.pdf")
+            path = os.path.join(app.settings.upload_dir, os.path.basename(name))
+            with open(path, "wb") as f:
+                f.write(req.body)
+        else:
+            path = req.json().get("path", "")
+            if not path or not os.path.exists(path):
+                raise HTTPError(422, "provide a PDF body or an existing 'path'")
+        job_id = app.ingest_pdf(path)
+        return {"job_id": job_id, "status": "pending", "path": path}
+
+    @router.get("/ingest/jobs")
+    def list_jobs(req: Request):
+        return {
+            "jobs": app.tracker.get_all_jobs(
+                job_type=req.query_param("job_type"),
+                status=req.query_param("status"),
+                limit=int(req.query_param("limit", "100")),
+                offset=int(req.query_param("offset", "0")),
+            ),
+            "counts": app.tracker.get_job_counts(),
+        }
+
+    @router.get("/ingest/jobs/{job_id}")
+    def get_job(req: Request):
+        return _job_result(req.params["job_id"])
+
+    @router.delete("/ingest/jobs/{job_id}")
+    def delete_job(req: Request):
+        if not app.tracker.delete_job(req.params["job_id"]):
+            raise HTTPError(404, "job not found")
+        return {"deleted": req.params["job_id"]}
+
+    @router.post("/ingest/reset")
+    def reset(req: Request):
+        return app.reset_index()
+
+    # ----------------------------------------------------------- system
+    @router.get("/system/health/detailed")
+    def system_health(req: Request):
+        health = app.health()
+        try:
+            du = shutil.disk_usage(".")
+            health["disk"] = {
+                "total_gb": round(du.total / 1e9, 1),
+                "used_gb": round(du.used / 1e9, 1),
+                "free_gb": round(du.free / 1e9, 1),
+            }
+        except OSError:
+            pass
+        import jax
+
+        health["devices"] = [
+            {"id": d.id, "platform": d.platform, "kind": getattr(d, "device_kind", "?")}
+            for d in jax.devices()
+        ]
+        return health
+
+    @router.get("/system/workers")
+    def system_workers(req: Request):
+        return {"workers": app.queue_manager.worker_health()}
+
+    @router.get("/system/queue-stats")
+    def system_queues(req: Request):
+        return app.queue_manager.get_queue_status()
+
+    @router.get("/system/config")
+    def system_config(req: Request):
+        cfg = app.settings.to_dict()
+        cfg.pop("api_key", None)
+        return cfg
+
+    @router.get("/system/disk-usage")
+    def disk_usage(req: Request):
+        du = shutil.disk_usage(".")
+        return {"total": du.total, "used": du.used, "free": du.free}
+
+    @router.post("/system/cleanup-jobs")
+    def cleanup_jobs(req: Request):
+        removed = app.tracker.cleanup_old_jobs(app.settings.job_retention_days)
+        stalled = app.tracker.mark_stalled_jobs()
+        return {"removed": removed, "marked_stalled": stalled}
+
+    # ------------------------------------------------------------ model
+    @router.get("/model/config")
+    def model_config(req: Request):
+        return {
+            "embedding": {
+                "dim": app.embedder.dim,
+                "pretrained": app.embedder.pretrained,
+                "max_length": app.embedder.max_length,
+                "batch_size": app.embedder.batch_size,
+            },
+            "colbert": {
+                "max_query_length": app.colbert.max_query_length,
+                "max_doc_length": app.colbert.max_doc_length,
+                "pretrained": app.colbert.pretrained,
+            },
+            "rerank_weights": {
+                "colbert": app.settings.colbert_weight,
+                "second": app.settings.bge_weight,
+            },
+            "retrieval": {
+                "retriever_top_k": app.settings.retriever_top_k,
+                "reranker_top_k": app.settings.reranker_top_k,
+            },
+            "llm": getattr(app.generator.llm, "name", "unknown"),
+            "index_dtype": str(app.settings.index_dtype),
+        }
+
+    @router.post("/model/update-config")
+    def update_config(req: Request):
+        applied = app.settings.update(req.json())
+        return {"applied": applied}
+
+    token = app.settings.api_key if app.settings.api_auth_enabled else None
+    return HTTPApi(router, auth_token=token)
+
+
+def serve(app: Optional[RAGApplication] = None, host: Optional[str] = None,
+          port: Optional[int] = None, background: bool = False):
+    app = app or RAGApplication()
+    api = build_api(app)
+    return api.serve(
+        host or app.settings.host, port if port is not None else app.settings.port,
+        background=background,
+    )

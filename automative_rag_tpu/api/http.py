@@ -1,0 +1,192 @@
+"""Minimal stdlib HTTP framework (router + JSON + threading server).
+
+The reference fronts everything with FastAPI; this environment ships no ASGI
+stack, so the API layer is a small purpose-built framework on
+``http.server``: pattern routes with ``{param}`` segments, JSON bodies,
+x-token auth hook, and a threading server. The route *surface* matches the
+reference (SURVEY.md §2.5); only the plumbing differs.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable, Dict, List, Optional, Tuple
+from urllib.parse import parse_qs, urlparse
+
+
+class Request:
+    def __init__(self, method: str, path: str, query: Dict[str, List[str]],
+                 headers: Dict[str, str], body: bytes, params: Dict[str, str]):
+        self.method = method
+        self.path = path
+        self.query = query
+        self.headers = headers
+        self.body = body
+        self.params = params
+
+    def json(self) -> Any:
+        if not self.body:
+            return {}
+        return json.loads(self.body.decode("utf-8"))
+
+    def query_param(self, name: str, default: Optional[str] = None) -> Optional[str]:
+        values = self.query.get(name)
+        return values[0] if values else default
+
+
+class HTTPError(Exception):
+    def __init__(self, status: int, detail: str):
+        super().__init__(detail)
+        self.status = status
+        self.detail = detail
+
+
+Handler = Callable[[Request], Any]
+
+
+def _compile(pattern: str) -> re.Pattern:
+    regex = re.sub(r"\{(\w+)\}", r"(?P<\1>[^/]+)", pattern)
+    return re.compile(f"^{regex}$")
+
+
+class Router:
+    def __init__(self):
+        self._routes: List[Tuple[str, re.Pattern, str, Handler]] = []
+
+    def add(self, method: str, pattern: str, handler: Handler) -> None:
+        self._routes.append((method.upper(), _compile(pattern), pattern, handler))
+
+    def get(self, pattern: str):
+        return lambda fn: (self.add("GET", pattern, fn), fn)[1]
+
+    def post(self, pattern: str):
+        return lambda fn: (self.add("POST", pattern, fn), fn)[1]
+
+    def delete(self, pattern: str):
+        return lambda fn: (self.add("DELETE", pattern, fn), fn)[1]
+
+    def match(self, method: str, path: str) -> Tuple[Optional[Handler], Dict[str, str], bool]:
+        """→ (handler, params, path_exists)."""
+        path_exists = False
+        for route_method, regex, _pat, handler in self._routes:
+            match = regex.match(path)
+            if match:
+                path_exists = True
+                if route_method == method.upper():
+                    return handler, match.groupdict(), True
+        return None, {}, path_exists
+
+    def routes(self) -> List[str]:
+        return [f"{m} {p}" for m, _r, p, _h in self._routes]
+
+
+class HTTPApi:
+    """Threading HTTP server over a Router with optional x-token auth."""
+
+    def __init__(self, router: Router, auth_token: Optional[str] = None,
+                 open_paths: Tuple[str, ...] = ("/health", "/auth/token")):
+        self.router = router
+        self.auth_token = auth_token
+        self.open_paths = open_paths
+        self._server: Optional[ThreadingHTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+
+    # -------------------------------------------------------- dispatching
+    def dispatch(self, method: str, path: str, headers: Dict[str, str],
+                 body: bytes) -> Tuple[int, bytes, str]:
+        parsed = urlparse(path)
+        handler, params, exists = self.router.match(method, parsed.path)
+
+        if self.auth_token and parsed.path not in self.open_paths:
+            token = headers.get("x-token") or headers.get("X-Token")
+            auth = headers.get("authorization") or headers.get("Authorization") or ""
+            if auth.startswith("Bearer "):
+                token = token or auth[len("Bearer "):]
+            if token != self.auth_token:
+                return 401, _dump({"detail": "invalid or missing x-token"}), "application/json"
+
+        if handler is None:
+            status = 405 if exists else 404
+            return status, _dump({"detail": "not found" if status == 404 else "method not allowed"}), "application/json"
+
+        request = Request(
+            method=method,
+            path=parsed.path,
+            query=parse_qs(parsed.query),
+            headers=headers,
+            body=body,
+            params=params,
+        )
+        try:
+            result = handler(request)
+        except HTTPError as exc:
+            return exc.status, _dump({"detail": exc.detail}), "application/json"
+        except (ValueError, KeyError, json.JSONDecodeError) as exc:
+            return 400, _dump({"detail": f"{type(exc).__name__}: {exc}"}), "application/json"
+        except Exception as exc:  # noqa: BLE001 — API boundary
+            return 500, _dump({"detail": f"{type(exc).__name__}: {exc}"}), "application/json"
+
+        if isinstance(result, tuple):
+            status, payload = result
+        else:
+            status, payload = 200, result
+        return status, _dump(payload), "application/json"
+
+    # ------------------------------------------------------------ serving
+    def serve(self, host: str = "0.0.0.0", port: int = 8000, background: bool = False):
+        api = self
+
+        class _Handler(BaseHTTPRequestHandler):
+            def _run(self, method: str):
+                length = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(length) if length else b""
+                status, payload, ctype = api.dispatch(
+                    method, self.path, dict(self.headers.items()), body
+                )
+                self.send_response(status)
+                self.send_header("Content-Type", ctype + "; charset=utf-8")
+                self.send_header("Content-Length", str(len(payload)))
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def do_GET(self):
+                self._run("GET")
+
+            def do_POST(self):
+                self._run("POST")
+
+            def do_DELETE(self):
+                self._run("DELETE")
+
+            def do_OPTIONS(self):
+                self.send_response(204)
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header("Access-Control-Allow-Headers", "content-type,x-token,authorization")
+                self.send_header("Access-Control-Allow-Methods", "GET,POST,DELETE,OPTIONS")
+                self.end_headers()
+
+            def log_message(self, fmt, *args):  # quiet
+                pass
+
+        self._server = ThreadingHTTPServer((host, port), _Handler)
+        if background:
+            self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+            self._thread.start()
+            return self._server
+        self._server.serve_forever()
+
+    @property
+    def port(self) -> Optional[int]:
+        return self._server.server_address[1] if self._server else None
+
+    def stop(self) -> None:
+        if self._server:
+            self._server.shutdown()
+
+
+def _dump(obj: Any) -> bytes:
+    return json.dumps(obj, ensure_ascii=False, default=str).encode("utf-8")

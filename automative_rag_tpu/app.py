@@ -1,0 +1,279 @@
+"""Application assembly: the full RAG system wired together.
+
+This is the working equivalent of the reference's broken DI layer
+(``src/api/dependencies.py`` referenced controllers that don't exist —
+SURVEY.md §0): one object owns the encoders, index, reranker, generator, and
+the orchestration engine, registers every task executor, and exposes the
+submit/ingest/query surface the API routes call.
+
+Task executors mirror the reference's per-queue actors (SURVEY.md §2.4):
+``download_video`` → ``transcribe_video`` → ``generate_embeddings`` on the
+ingest side; ``retrieve_documents`` → ``llm_inference`` on the query side —
+but retrieval actually includes the rerank stage (the reference never wired
+it, §0) and all TPU work happens in-process on the engine.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Any, Dict, List, Optional
+
+from .config.mode_config import QueryMode, mode_config
+from .config.settings import Settings, settings as default_settings
+from .documents.schema import Document
+from .engine.retrieval import RetrievalEngine
+from .generation.llm import AnswerGenerator, load_llm
+from .index.flat import FlatIndex
+from .ingestion.factory import ProcessorFactory
+from .models.bge_m3 import DenseEmbedder
+from .models.colbert import ColBERTEncoder
+from .models.encoder import EncoderConfig
+from .orchestration.job_chain import JobChain
+from .orchestration.job_tracker import JobStatus, JobTracker
+from .orchestration.queue_manager import QueueManager
+from .orchestration.task_router import JobType, TaskRouter
+from .rerank.reranker import LateInteractionReranker
+from .utils.unicode import clean_unicode_escapes
+
+
+class RAGApplication:
+    def __init__(
+        self,
+        settings: Optional[Settings] = None,
+        tiny: bool = False,
+        video_downloader=None,
+        video_transcriber=None,
+        start_workers: bool = True,
+    ):
+        self.settings = settings or default_settings
+        self.started_at = time.time()
+
+        if tiny:
+            encoder_config = EncoderConfig.tiny()
+            self.settings.embedding_dim = encoder_config.hidden_size
+        else:
+            encoder_config = EncoderConfig.bge_m3()
+
+        # --- models & engine ---
+        self.embedder = DenseEmbedder(
+            config=encoder_config,
+            weights_path=self.settings.embedding_model_path,
+            tokenizer_path=self.settings.embedding_model_path,
+            max_length=self.settings.embedding_max_length,
+            batch_size=self.settings.embedding_batch_size,
+        )
+        self.colbert = ColBERTEncoder(
+            config=encoder_config,
+            weights_path=self.settings.colbert_model_path,
+            tokenizer_path=self.settings.colbert_model_path,
+            max_query_length=self.settings.colbert_max_query_length,
+            max_doc_length=self.settings.colbert_max_doc_length,
+            batch_size=self.settings.colbert_batch_size,
+        )
+        self.reranker = LateInteractionReranker(
+            self.colbert,
+            colbert_weight=self.settings.colbert_weight,
+            second_weight=self.settings.bge_weight,
+        )
+        self.index = FlatIndex(
+            dim=self.embedder.dim, device_dtype=self.settings.index_dtype
+        )
+        self.engine = RetrievalEngine(self.embedder, self.index, self.reranker)
+        self.generator = AnswerGenerator(load_llm(self.settings.llm_model_path))
+
+        # --- ingestion ---
+        self.video_downloader = video_downloader
+        self.video_transcriber = video_transcriber
+
+        # --- orchestration ---
+        self.tracker = JobTracker()
+        self.queue_manager = QueueManager(
+            time_limit_s=self.settings.task_time_limit_s, start=start_workers
+        )
+        self.task_router = TaskRouter(self.queue_manager)
+        self.job_chain = JobChain(self.tracker, self.task_router)
+        self._register_tasks()
+        self._lock = threading.RLock()
+
+    # ------------------------------------------------------------- tasks
+    def _register_tasks(self) -> None:
+        router = self.task_router
+
+        @router.task("process_text")
+        def process_text(job_id, payload):
+            processor = ProcessorFactory.create_processor("text")
+            docs = processor.process(
+                {"content": payload["content"], **payload.get("metadata", {})}
+            )
+            self.tracker.update_job_progress(job_id, 40, f"chunked {len(docs)} docs")
+            return {"documents": [d.to_dict() for d in docs]}
+
+        @router.task("process_pdf")
+        def process_pdf(job_id, payload):
+            processor = ProcessorFactory.create_processor("pdf")
+            docs = processor.process({"path": payload["path"], **payload.get("metadata", {})})
+            self.tracker.update_job_progress(job_id, 40, f"parsed {len(docs)} chunks")
+            return {"documents": [d.to_dict() for d in docs]}
+
+        @router.task("download_video")
+        def download_video(job_id, payload):
+            if self.video_downloader is None:
+                raise RuntimeError("no video downloader configured on this deployment")
+            audio_path, video_metadata = self.video_downloader(payload["url"])
+            self.tracker.update_job_progress(job_id, 25, "media downloaded")
+            return {"audio_path": audio_path, "video_metadata": video_metadata}
+
+        @router.task("transcribe_video")
+        def transcribe_video(job_id, payload):
+            if self.video_transcriber is None:
+                raise RuntimeError("no transcriber configured on this deployment")
+            from .ingestion.transcript import TranscriptProcessor
+            from .ingestion.video_processor import to_simplified_chinese
+
+            result = self.video_transcriber(payload["audio_path"])
+            text = to_simplified_chinese(result.get("text", ""))
+            metadata = dict(payload.get("video_metadata", {}))
+            metadata["url"] = payload.get("url")
+            metadata["language"] = result.get("language")
+            docs = TranscriptProcessor().process(text, metadata, source="video")
+            self.tracker.update_job_progress(job_id, 60, f"transcribed, {len(docs)} chunks")
+            return {"documents": [d.to_dict() for d in docs]}
+
+        @router.task("generate_embeddings")
+        def generate_embeddings(job_id, payload):
+            docs = [Document.from_dict(d) for d in payload.get("documents", [])]
+            if not docs:
+                return {"document_count": 0, "document_ids": []}
+            for doc in docs:
+                doc.metadata.setdefault("job_id", job_id)
+            ids = self.engine.add_documents(docs)
+            self.tracker.update_job_progress(job_id, 90, f"indexed {len(ids)} chunks")
+            return {"document_count": len(ids), "document_ids": ids}
+
+        @router.task("retrieve_documents")
+        def retrieve_documents(job_id, payload):
+            payload = clean_unicode_escapes(payload)
+            ranked = self.engine.retrieve(
+                payload["query"],
+                mode=payload.get("mode", "facts"),
+                metadata_filter=payload.get("metadata_filter"),
+            )
+            self.tracker.update_job_progress(job_id, 50, f"retrieved {len(ranked)} docs")
+            return {
+                "documents": [
+                    {**doc.to_dict(), "relevance_score": score} for doc, score in ranked
+                ],
+                "retrieval_timings": self.engine.last_timings,
+            }
+
+        @router.task("llm_inference")
+        def llm_inference(job_id, payload):
+            docs = [
+                (Document.from_dict(d), float(d.get("relevance_score", 0.0)))
+                for d in payload.get("documents", [])
+            ]
+            result = self.generator.answer(
+                payload["query"], docs, mode=payload.get("mode", "facts")
+            )
+            self.tracker.update_job_progress(job_id, 95, "answer generated")
+            return result
+
+    # ------------------------------------------------------------- query
+    def submit_query(
+        self,
+        query: str,
+        mode: str = "facts",
+        metadata_filter: Optional[Dict[str, Any]] = None,
+    ) -> str:
+        job_id = self.tracker.create_job(
+            JobType.LLM_INFERENCE.value,
+            metadata={"query": query, "mode": mode, "metadata_filter": metadata_filter},
+        )
+        self.job_chain.start_job_chain(
+            job_id,
+            JobType.LLM_INFERENCE.value,
+            {"query": query, "mode": mode, "metadata_filter": metadata_filter},
+        )
+        return job_id
+
+    def query_sync(
+        self,
+        query: str,
+        mode: str = "facts",
+        metadata_filter: Optional[Dict[str, Any]] = None,
+        timeout: float = 120.0,
+    ) -> Dict[str, Any]:
+        """Blocking convenience path (scripts, tests)."""
+        job_id = self.submit_query(query, mode, metadata_filter)
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            job = self.tracker.get_job(job_id)
+            if job["status"] in (
+                JobStatus.COMPLETED.value,
+                JobStatus.FAILED.value,
+                JobStatus.TIMEOUT.value,
+            ):
+                return job
+            time.sleep(0.02)
+        raise TimeoutError(f"query job {job_id} did not finish in {timeout}s")
+
+    # ------------------------------------------------------------ ingest
+    def ingest_text(self, content: str, metadata: Optional[Dict[str, Any]] = None) -> str:
+        job_id = self.tracker.create_job(JobType.TEXT_PROCESSING.value, metadata={"kind": "text"})
+        self.job_chain.start_job_chain(
+            job_id, JobType.TEXT_PROCESSING.value,
+            {"content": content, "metadata": metadata or {}},
+        )
+        return job_id
+
+    def ingest_pdf(self, path: str, metadata: Optional[Dict[str, Any]] = None) -> str:
+        job_id = self.tracker.create_job(JobType.PDF_PROCESSING.value, metadata={"path": path})
+        self.job_chain.start_job_chain(
+            job_id, JobType.PDF_PROCESSING.value, {"path": path, "metadata": metadata or {}}
+        )
+        return job_id
+
+    def ingest_video(self, url: str, metadata: Optional[Dict[str, Any]] = None) -> str:
+        job_id = self.tracker.create_job(JobType.VIDEO_PROCESSING.value, metadata={"url": url})
+        self.job_chain.start_job_chain(
+            job_id, JobType.VIDEO_PROCESSING.value, {"url": url, "metadata": metadata or {}}
+        )
+        return job_id
+
+    def ingest_batch_videos(self, urls: List[str]) -> List[str]:
+        """Per-video independent chains (reference ingest.py:88-162)."""
+        return [self.ingest_video(url) for url in urls]
+
+    # ------------------------------------------------------------- admin
+    def reset_index(self) -> Dict[str, Any]:
+        before = self.index.count
+        self.index = FlatIndex(dim=self.embedder.dim, device_dtype=self.settings.index_dtype)
+        self.engine.index = self.index
+        return {"deleted_documents": before}
+
+    def save_index(self, directory: Optional[str] = None) -> str:
+        directory = directory or self.settings.index_dir
+        self.index.save(directory)
+        return directory
+
+    def load_index(self, directory: Optional[str] = None) -> int:
+        directory = directory or self.settings.index_dir
+        self.index = FlatIndex.load(directory)
+        self.engine.index = self.index
+        return self.index.count
+
+    def health(self) -> Dict[str, Any]:
+        return {
+            "status": "healthy",
+            "uptime_s": round(time.time() - self.started_at, 1),
+            "index": self.index.stats(),
+            "queues": self.queue_manager.get_queue_status(),
+            "workers": self.queue_manager.worker_health(),
+            "jobs": self.tracker.get_job_counts(),
+            "llm": getattr(self.generator.llm, "name", "unknown"),
+            "default_mode": QueryMode.FACTS.value,
+        }
+
+    def shutdown(self) -> None:
+        self.queue_manager.shutdown()

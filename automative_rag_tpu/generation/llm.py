@@ -31,7 +31,8 @@ from .fact_check import SimpleFactChecker
 from .prompts import build_prompt
 
 _THINK_RE = re.compile(r"<think>.*?</think>", re.DOTALL)
-_SENTENCE_SPLIT = re.compile(r"(?<=[。！？.!?])\s*")
+# don't treat a decimal point inside a number (6.9秒, 3.0T) as a boundary
+_SENTENCE_SPLIT = re.compile(r"(?<=[。！？!?])\s*|(?<=\.)(?!\d)\s*")
 
 
 class LLMBackend(Protocol):

@@ -1,0 +1,185 @@
+"""API surface tests (reference tests/test_api.py strategy: exercise the
+HTTP layer with the heavy internals live but tiny). Most tests go through
+``HTTPApi.dispatch`` directly; one socket smoke test exercises the real
+threading server."""
+
+import json
+import time
+import urllib.request
+
+import pytest
+
+from automative_rag_tpu.api.app import build_api
+from automative_rag_tpu.app import RAGApplication
+
+
+@pytest.fixture(scope="module")
+def app():
+    application = RAGApplication(tiny=True)
+    yield application
+    application.shutdown()
+
+
+@pytest.fixture(scope="module")
+def api(app):
+    return build_api(app)
+
+
+def call(api, method, path, body=None, headers=None):
+    raw = json.dumps(body, ensure_ascii=False).encode() if body is not None else b""
+    status, payload, _ = api.dispatch(method, path, headers or {}, raw)
+    return status, json.loads(payload)
+
+
+def _wait_job(app, job_id, timeout=60.0):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        job = app.tracker.get_job(job_id)
+        if job["status"] in ("completed", "failed"):
+            return job
+        time.sleep(0.05)
+    raise TimeoutError
+
+
+def test_root_and_health(api):
+    status, body = call(api, "GET", "/")
+    assert status == 200 and body["service"] == "automative-rag-tpu"
+    status, body = call(api, "GET", "/health")
+    assert status == 200 and body["status"] == "healthy"
+    assert set(body["workers"]) == {"cpu_tasks", "transcription_tasks", "embedding_tasks", "llm_tasks"}
+
+
+def test_modes_endpoints(api):
+    status, body = call(api, "GET", "/query/modes")
+    assert status == 200 and len(body["modes"]) == 6
+    status, body = call(api, "GET", "/query/modes/facts")
+    assert status == 200 and body["retrieval_k"] == 20 and body["final_k"] == 8
+    status, _ = call(api, "GET", "/query/modes/nonsense")
+    assert status == 404
+
+
+def test_query_validation(api):
+    status, body = call(api, "POST", "/query/validate", {"query": "宝马X5怎么样", "mode": "facts"})
+    assert status == 200 and body["valid"]
+    status, body = call(api, "POST", "/query/validate", {"query": "", "mode": "bogus"})
+    assert status == 200 and not body["valid"] and len(body["issues"]) == 2
+    status, _ = call(api, "POST", "/query", {"query": "   "})
+    assert status == 422
+
+
+def test_ingest_text_and_query_flow(api, app):
+    status, body = call(api, "POST", "/ingest/text", {
+        "content": "奥迪Q7 2023款百公里加速5.9秒，售价70万元。",
+        "metadata": {"title": "Q7评测"},
+    })
+    assert status == 200
+    job = _wait_job(app, body["job_id"])
+    assert job["status"] == "completed"
+
+    status, body = call(api, "POST", "/query", {"query": "奥迪Q7加速几秒？", "mode": "facts"})
+    assert status == 200
+    job = _wait_job(app, body["job_id"])
+    status, body = call(api, "GET", f"/query/results/{body['job_id']}")
+    assert status == 200
+    assert "5.9" in body["result"]["answer"]
+
+
+def test_debug_retrieval(api):
+    status, body = call(api, "POST", "/query/debug-retrieval", {"query": "奥迪Q7"})
+    assert status == 200
+    assert body["count"] >= 1
+    assert "timings" in body
+
+
+def test_manufacturers_and_models(api):
+    status, body = call(api, "GET", "/query/manufacturers")
+    assert status == 200 and "奥迪" in body["manufacturers"]
+    status, body = call(api, "GET", "/query/models")
+    assert status == 200 and body["models"]
+
+
+def test_ingest_video_validation(api):
+    status, body = call(api, "POST", "/ingest/video", {"url": "https://example.com/x"})
+    assert status == 422
+    status, body = call(api, "POST", "/ingest/batch-videos", {"urls": [
+        "https://www.youtube.com/watch?v=dQw4w9WgXcQ",
+        "https://example.com/x",
+    ]})
+    assert status == 200
+    assert body["accepted"] == 1 and len(body["rejected"]) == 1
+
+
+def test_jobs_crud(api, app):
+    status, body = call(api, "GET", "/ingest/jobs")
+    assert status == 200 and body["jobs"]
+    victim = body["jobs"][-1]["job_id"]
+    status, body = call(api, "DELETE", f"/ingest/jobs/{victim}")
+    assert status == 200
+    status, _ = call(api, "DELETE", f"/ingest/jobs/{victim}")
+    assert status == 404
+
+
+def test_system_and_model_endpoints(api):
+    status, body = call(api, "GET", "/system/health/detailed")
+    assert status == 200 and "devices" in body and "disk" in body
+    status, body = call(api, "GET", "/system/config")
+    assert status == 200 and "api_key" not in body
+    status, body = call(api, "GET", "/model/config")
+    assert status == 200 and body["rerank_weights"]["colbert"] == 0.8
+    status, body = call(api, "POST", "/model/update-config", {"retriever_top_k": 25})
+    assert status == 200 and body["applied"] == {"retriever_top_k": 25}
+    status, body = call(api, "GET", "/model/config")
+    assert body["retrieval"]["retriever_top_k"] == 25
+
+
+def test_unknown_route(api):
+    status, _ = call(api, "GET", "/nope")
+    assert status == 404
+    status, _ = call(api, "DELETE", "/health")
+    assert status == 405
+
+
+def test_auth_enforcement(app):
+    from automative_rag_tpu.api.http import HTTPApi
+
+    api = build_api(app)
+    api.auth_token = "secret-token"
+    status, _ = call(api, "GET", "/query/modes")
+    assert status == 401
+    status, _ = call(api, "GET", "/query/modes", headers={"x-token": "secret-token"})
+    assert status == 200
+    status, _ = call(api, "GET", "/query/modes", headers={"Authorization": "Bearer secret-token"})
+    assert status == 200
+    status, _ = call(api, "GET", "/health")  # open path
+    assert status == 200
+
+
+def test_auth_token_issuing(api, app):
+    status, body = call(api, "POST", "/auth/token", {"username": "admin", "password": "admin-password"})
+    assert status == 200 and body["token_type"] == "bearer"
+    from automative_rag_tpu.api.auth import verify_token
+
+    claims = verify_token(body["access_token"], app.settings.api_key)
+    assert claims and claims["sub"] == "admin"
+    status, _ = call(api, "POST", "/auth/token", {"username": "admin", "password": "wrong"})
+    assert status == 401
+
+
+def test_real_socket_server(api, app):
+    server = api.serve(host="127.0.0.1", port=0, background=True)
+    port = server.server_address[1]
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=10) as resp:
+            assert resp.status == 200
+            body = json.loads(resp.read())
+            assert body["status"] == "healthy"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/query/validate",
+            data=json.dumps({"query": "测试"}).encode(),
+            method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            assert json.loads(resp.read())["valid"]
+    finally:
+        api.stop()

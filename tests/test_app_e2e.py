@@ -1,0 +1,94 @@
+"""End-to-end slice test: ingest → index → query → answer with citations,
+all through the job-chain engine (the reference's own end-to-end script,
+scripts/test_end_to_end.py, drives the same flow over HTTP)."""
+
+import time
+
+import pytest
+
+from automative_rag_tpu.app import RAGApplication
+from automative_rag_tpu.orchestration.job_tracker import JobStatus
+
+
+@pytest.fixture(scope="module")
+def app():
+    application = RAGApplication(tiny=True)
+    yield application
+    application.shutdown()
+
+
+def _wait(app, job_id, timeout=60.0):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        job = app.tracker.get_job(job_id)
+        if job["status"] in ("completed", "failed", "timeout"):
+            return job
+        time.sleep(0.05)
+    raise TimeoutError(str(app.tracker.get_job(job_id)))
+
+
+CORPUS = [
+    "宝马5系 2023款 530Li 百公里加速时间为6.9秒，最高时速250公里/小时。author: 测评君 source: text",
+    "宝马X5 2022款是一款中大型SUV，搭载3.0T发动机，马力340匹。",
+    "特斯拉Model 3 2023款续航606公里，百公里加速5.6秒。",
+    "丰田凯美瑞 2021款混合动力版油耗4.1L。",
+]
+
+
+def test_ingest_text_jobs(app):
+    for text in CORPUS:
+        job = _wait(app, app.ingest_text(text))
+        assert job["status"] == JobStatus.COMPLETED.value, job
+        assert job["result"]["document_count"] >= 1
+    assert app.index.count >= len(CORPUS)
+
+
+def test_query_end_to_end(app):
+    job = app.query_sync("宝马5系的加速时间是多少？", mode="facts", timeout=60)
+    assert job["status"] == JobStatus.COMPLETED.value, job
+    result = job["result"]
+    assert "answer" in result
+    assert "【来源：DOC_" in result["answer"]
+    assert "6.9" in result["answer"]
+    assert result["confidence"] > 0
+    assert result["sources"]
+    chain = result["chain"]
+    assert set(chain["step_timings"]) == {"retrieve_documents", "llm_inference"}
+
+
+def test_query_with_metadata_filter(app):
+    job = app.query_sync(
+        "加速时间", mode="facts", metadata_filter={"manufacturer": "特斯拉"}, timeout=60
+    )
+    assert job["status"] == JobStatus.COMPLETED.value
+    for source in job["result"]["sources"]:
+        assert source["metadata"]["manufacturer"] == "特斯拉"
+
+
+def test_query_no_matches_filter(app):
+    job = app.query_sync(
+        "加速", mode="facts", metadata_filter={"manufacturer": "保时捷"}, timeout=60
+    )
+    assert job["status"] == JobStatus.COMPLETED.value
+    assert job["result"]["sources"] == []
+    assert "未找到" in job["result"]["answer"]
+
+
+def test_index_checkpoint_roundtrip(app, tmp_path):
+    directory = str(tmp_path / "ckpt")
+    app.save_index(directory)
+    count_before = app.index.count
+    app.load_index(directory)
+    assert app.index.count == count_before
+
+
+def test_reset_index():
+    app = RAGApplication(tiny=True)
+    try:
+        _ = _wait(app, app.ingest_text("测试文本 宝马X1 2020款"))
+        assert app.index.count > 0
+        result = app.reset_index()
+        assert result["deleted_documents"] > 0
+        assert app.index.count == 0
+    finally:
+        app.shutdown()
