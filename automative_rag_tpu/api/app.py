@@ -339,6 +339,10 @@ def build_api(app: RAGApplication) -> HTTPApi:
         du = shutil.disk_usage(".")
         return {"total": du.total, "used": du.used, "free": du.free}
 
+    @router.post("/system/rebuild-index")
+    def rebuild_index(req: Request):
+        return app.rebuild_index()
+
     @router.post("/system/cleanup-jobs")
     def cleanup_jobs(req: Request):
         removed = app.tracker.cleanup_old_jobs(app.settings.job_retention_days)

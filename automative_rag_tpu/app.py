@@ -76,9 +76,7 @@ class RAGApplication:
             colbert_weight=self.settings.colbert_weight,
             second_weight=self.settings.bge_weight,
         )
-        self.index = FlatIndex(
-            dim=self.embedder.dim, device_dtype=self.settings.index_dtype
-        )
+        self.index = self._make_index()
         self.engine = RetrievalEngine(self.embedder, self.index, self.reranker)
         self.generator = AnswerGenerator(load_llm(self.settings.llm_model_path))
 
@@ -95,6 +93,24 @@ class RAGApplication:
         self.job_chain = JobChain(self.tracker, self.task_router)
         self._register_tasks()
         self._lock = threading.RLock()
+
+    def _make_index(self):
+        if self.settings.index_kind == "ivf":
+            from .index.ivf import IVFIndex
+
+            return IVFIndex(
+                dim=self.embedder.dim,
+                device_dtype=self.settings.index_dtype,
+                n_lists=self.settings.ivf_n_lists,
+                n_probe=self.settings.ivf_n_probe,
+            )
+        return FlatIndex(dim=self.embedder.dim, device_dtype=self.settings.index_dtype)
+
+    def rebuild_index(self) -> Dict[str, Any]:
+        """(Re)build the ANN structure (IVF lists); no-op for flat."""
+        if hasattr(self.index, "rebuild"):
+            return self.index.rebuild()
+        return {"kind": "flat", "note": "flat index needs no build"}
 
     # ------------------------------------------------------------- tasks
     def _register_tasks(self) -> None:
@@ -248,7 +264,7 @@ class RAGApplication:
     # ------------------------------------------------------------- admin
     def reset_index(self) -> Dict[str, Any]:
         before = self.index.count
-        self.index = FlatIndex(dim=self.embedder.dim, device_dtype=self.settings.index_dtype)
+        self.index = self._make_index()
         self.engine.index = self.index
         return {"deleted_documents": before}
 

@@ -1,0 +1,265 @@
+"""IVF ANN index: k-means coarse quantizer + probe-gather search.
+
+The TPU-native replacement for Qdrant's HNSW (SURVEY.md §2.2): instead of
+sequential graph traversal, search is three dense steps —
+
+    1. q @ centroidsᵀ → top-nprobe lists          (MXU)
+    2. gather the probed lists' row ids + vectors  (static shapes: every
+       list is padded to the same capacity, -1 = empty slot)
+    3. masked candidate scores → jax.lax.top_k     (MXU + VPU)
+
+Metadata filters reuse the FlatIndex bitmask: the full-corpus row mask is
+computed once per query (VPU, cheap) and gathered per candidate — so
+filtered recall degrades only by probe starvation, which ``nprobe`` controls
+(SURVEY.md §7 "mask-aware probe expansion" is the round-2 refinement).
+
+Live upserts land in a flat **tail buffer** searched exactly and merged with
+the IVF candidates (classic IVF+fresh-list design); ``rebuild()`` folds the
+tail into the lists. Deletes tombstone rows via the validity mask everywhere.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.kmeans import spherical_kmeans
+from ..ops.topk import masked_top_k, merge_top_k
+from .filters import FilterSpec, eval_filter_mask
+from .flat import FlatIndex, SearchResult, _round_capacity
+
+
+@partial(jax.jit, static_argnames=("nprobe", "k"))
+def _ivf_search_kernel(
+    vectors,  # [cap, D]
+    full_mask,  # [cap] bool — valid ∧ filter
+    centroids,  # [K, D]
+    list_table,  # [K, list_cap] int32 row ids, -1 = empty
+    queries,  # [B, D]
+    nprobe: int,
+    k: int,
+):
+    q = queries.astype(vectors.dtype)
+    coarse = jax.lax.dot_general(
+        q, centroids.astype(vectors.dtype), (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [B, K]
+    _, probes = jax.lax.top_k(coarse, nprobe)  # [B, nprobe]
+
+    cand = list_table[probes]  # [B, nprobe, list_cap]
+    b = cand.shape[0]
+    cand = cand.reshape(b, -1)  # [B, M]
+    safe = jnp.maximum(cand, 0)
+
+    cand_vecs = vectors[safe]  # [B, M, D]
+    scores = jnp.einsum(
+        "bd,bmd->bm", q, cand_vecs,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    mask = (cand >= 0) & full_mask[safe]
+    vals, pos = masked_top_k(scores, mask, k)
+    rows = jnp.take_along_axis(cand, pos, axis=1)
+    return vals, rows
+
+
+@jax.jit
+def _full_mask_kernel(valid, codes, numerics, spec: FilterSpec):
+    return valid & eval_filter_mask(codes, numerics, spec)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _tail_search_kernel(vectors, full_mask, queries, tail_start: jnp.ndarray, k: int):
+    """Exact search over rows ≥ tail_start (the un-indexed fresh buffer)."""
+    scores = jax.lax.dot_general(
+        queries.astype(vectors.dtype), vectors, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    n = vectors.shape[0]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    mask = full_mask & (row_ids >= tail_start)
+    return masked_top_k(scores, mask, k)
+
+
+class IVFIndex(FlatIndex):
+    """FlatIndex storage + IVF search path."""
+
+    def __init__(
+        self,
+        dim: int,
+        device_dtype: str = "bfloat16",
+        n_lists: int = 0,  # 0 → auto (~sqrt(N) at build time)
+        n_probe: int = 16,
+        kmeans_iters: int = 10,
+    ):
+        super().__init__(dim, device_dtype)
+        self.n_lists = n_lists
+        self.n_probe = n_probe
+        self.kmeans_iters = kmeans_iters
+        # build artifacts (host)
+        self._centroids: Optional[np.ndarray] = None
+        self._list_table: Optional[np.ndarray] = None
+        self._indexed_rows: int = 0  # rows covered by the lists; rest = tail
+
+    # -------------------------------------------------------------- build
+    def rebuild(self, n_lists: Optional[int] = None, seed: int = 0) -> Dict[str, Any]:
+        """(Re)cluster all live rows into IVF lists; empties the tail."""
+        n = len(self._ids)
+        if n == 0:
+            raise ValueError("cannot build an empty index")
+        if n_lists:
+            self.n_lists = n_lists
+        if not self.n_lists:
+            self.n_lists = max(1, int(round(np.sqrt(n))))
+        self.n_lists = min(self.n_lists, n)
+
+        normalized = self._vectors / np.maximum(
+            np.linalg.norm(self._vectors, axis=1, keepdims=True), 1e-12
+        )
+        centroids, assignments = spherical_kmeans(
+            normalized, self.n_lists, n_iters=self.kmeans_iters, seed=seed
+        )
+
+        counts = np.bincount(assignments, minlength=self.n_lists)
+        list_cap = max(8, int(counts.max()))
+        # lane-align the gather width
+        list_cap = -(-list_cap // 8) * 8
+        table = np.full((self.n_lists, list_cap), -1, np.int32)
+        cursor = np.zeros(self.n_lists, np.int64)
+        for row, cluster in enumerate(assignments):
+            table[cluster, cursor[cluster]] = row
+            cursor[cluster] += 1
+
+        self._centroids = centroids
+        self._list_table = table
+        self._indexed_rows = n
+        self._device = None
+        return {
+            "n_lists": self.n_lists,
+            "list_cap": list_cap,
+            "rows_indexed": n,
+            "fill_ratio": round(float(counts.sum()) / table.size, 4),
+            "max_list": int(counts.max()),
+            "min_list": int(counts.min()),
+        }
+
+    @property
+    def tail_rows(self) -> int:
+        return len(self._ids) - self._indexed_rows
+
+    # ------------------------------------------------------------- device
+    def _device_state(self) -> dict:
+        if self._device is not None:
+            return self._device
+        state = super()._device_state()
+        if self._centroids is not None:
+            state["centroids"] = jnp.asarray(self._centroids, self.device_dtype)
+            state["list_table"] = jnp.asarray(self._list_table)
+        self._device = state
+        return state
+
+    # -------------------------------------------------------------- search
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        metadata_filter: Optional[Dict[str, Any]] = None,
+        normalize: bool = True,
+        n_probe: Optional[int] = None,
+    ) -> List[List[SearchResult]]:
+        if self._centroids is None:
+            # not built yet → exact
+            return super().search(queries, k, metadata_filter, normalize)
+
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        if normalize:
+            norms = np.linalg.norm(queries, axis=1, keepdims=True)
+            queries = queries / np.maximum(norms, 1e-12)
+
+        state = self._device_state()
+        spec, _ = self._compile(metadata_filter)
+        full_mask = _full_mask_kernel(state["valid"], state["codes"], state["numerics"], spec)
+
+        nprobe = min(n_probe or self.n_probe, self.n_lists)
+        k_eff = min(k, state["capacity"])
+        vals, rows = _ivf_search_kernel(
+            state["vectors"], full_mask, state["centroids"], state["list_table"],
+            jnp.asarray(queries), nprobe, k_eff,
+        )
+        if self.tail_rows > 0:
+            tail_vals, tail_rows = _tail_search_kernel(
+                state["vectors"], full_mask, jnp.asarray(queries),
+                jnp.int32(self._indexed_rows), k_eff,
+            )
+            vals, rows = merge_top_k(
+                jnp.stack([vals, tail_vals]), jnp.stack([rows, tail_rows]), k_eff
+            )
+        vals, rows = np.asarray(vals), np.asarray(rows)
+
+        out: List[List[SearchResult]] = []
+        for b in range(vals.shape[0]):
+            hits, seen = [], set()
+            for score, row in zip(vals[b], rows[b]):
+                if not np.isfinite(score) or int(row) in seen:
+                    continue
+                seen.add(int(row))
+                hits.append(SearchResult(self._docs[int(row)], float(score), int(row)))
+            out.append(hits)
+        return out
+
+    # --------------------------------------------------------------- stats
+    def stats(self) -> Dict[str, Any]:
+        base = super().stats()
+        base.update(
+            {
+                "kind": "ivf",
+                "n_lists": self.n_lists if self._centroids is not None else 0,
+                "n_probe": self.n_probe,
+                "rows_indexed": self._indexed_rows,
+                "tail_rows": self.tail_rows,
+            }
+        )
+        return base
+
+    # ----------------------------------------------------------- persist
+    def save(self, directory: str) -> None:
+        super().save(directory)
+        if self._centroids is not None:
+            from pathlib import Path
+
+            np.savez_compressed(
+                Path(directory) / "ivf.npz",
+                centroids=self._centroids,
+                list_table=self._list_table,
+                indexed_rows=np.int64(self._indexed_rows),
+                n_probe=np.int64(self.n_probe),
+            )
+
+    @classmethod
+    def load(cls, directory: str) -> "IVFIndex":
+        from pathlib import Path
+
+        flat = FlatIndex.load(directory)
+        index = cls(dim=flat.dim, device_dtype=str(flat.device_dtype))
+        index.__dict__.update(
+            {k: v for k, v in flat.__dict__.items() if k in (
+                "_vectors", "_docs", "_ids", "_row_of_id", "_deleted", "columns",
+            )}
+        )
+        ivf_path = Path(directory) / "ivf.npz"
+        if ivf_path.exists():
+            arrays = np.load(ivf_path)
+            index._centroids = np.asarray(arrays["centroids"], np.float32)
+            index._list_table = np.asarray(arrays["list_table"], np.int32)
+            index._indexed_rows = int(arrays["indexed_rows"])
+            index.n_probe = int(arrays["n_probe"])
+            index.n_lists = index._centroids.shape[0]
+        return index

@@ -1,0 +1,151 @@
+"""IVF index tests: recall vs the exact oracle, filtered search, fresh-tail
+buffer, rebuild, persistence (SURVEY.md §7 step 4 recall-vs-QPS harness)."""
+
+import numpy as np
+import pytest
+
+from automative_rag_tpu.documents import Document
+from automative_rag_tpu.index.ivf import IVFIndex
+from automative_rag_tpu.ops.kmeans import spherical_kmeans
+
+
+def _corpus(rng, n, dim, clusters=32):
+    """Clustered corpus (realistic for embeddings; uniform random is the
+    adversarial worst case for IVF)."""
+    centers = rng.normal(size=(clusters, dim)).astype(np.float32) * 3
+    assign = rng.integers(0, clusters, size=n)
+    vectors = centers[assign] + rng.normal(size=(n, dim)).astype(np.float32)
+    docs = [
+        Document(
+            page_content=f"doc {i}",
+            metadata={"manufacturer": f"manu-{i % 5}", "year": 2015 + (i % 8)},
+        )
+        for i in range(n)
+    ]
+    return vectors.astype(np.float32), docs
+
+
+def _exact_topk(vectors, query, k, row_mask=None):
+    v = vectors / np.linalg.norm(vectors, axis=1, keepdims=True)
+    q = query / np.linalg.norm(query)
+    scores = v @ q
+    if row_mask is not None:
+        scores = np.where(row_mask, scores, -np.inf)
+    order = np.argsort(-scores)[:k]
+    return [int(o) for o in order if np.isfinite(scores[o])]
+
+
+@pytest.fixture(scope="module")
+def built(rng=None):
+    rng = np.random.default_rng(7)
+    vectors, docs = _corpus(rng, 8000, 64)
+    index = IVFIndex(dim=64, device_dtype="float32", n_lists=64, n_probe=8)
+    index.add(vectors, docs)
+    info = index.rebuild()
+    return index, vectors, docs, info, rng
+
+
+def test_kmeans_shapes_and_quality():
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(8, 32)).astype(np.float32) * 5
+    data = np.repeat(centers, 100, axis=0) + rng.normal(size=(800, 32)).astype(np.float32) * 0.1
+    data = data / np.linalg.norm(data, axis=1, keepdims=True)
+    centroids, assign = spherical_kmeans(data, 8, n_iters=8)
+    assert centroids.shape == (8, 32)
+    assert assign.shape == (800,)
+    np.testing.assert_allclose(np.linalg.norm(centroids, axis=1), 1.0, rtol=1e-5)
+    # points generated from one center should mostly share an assignment
+    for g in range(8):
+        block = assign[g * 100 : (g + 1) * 100]
+        dominant = np.bincount(block).max()
+        assert dominant >= 90
+
+
+def test_build_info(built):
+    index, _, _, info, _ = built
+    assert info["n_lists"] == 64
+    assert info["rows_indexed"] == 8000
+    assert info["max_list"] >= info["min_list"]
+
+
+def test_recall_at_10(built):
+    index, vectors, _, _, rng = built
+    queries = rng.normal(size=(20, 64)).astype(np.float32)
+    recall = 0.0
+    for q in queries:
+        want = set(_exact_topk(vectors, q, 10))
+        got = {r.row for r in index.search(q, 10)[0]}
+        recall += len(got & want) / 10
+    recall /= len(queries)
+    assert recall >= 0.85, f"recall@10={recall}"
+    # higher nprobe → exact
+    recall_full = 0.0
+    for q in queries:
+        want = set(_exact_topk(vectors, q, 10))
+        got = {r.row for r in index.search(q, 10, n_probe=64)[0]}
+        recall_full += len(got & want) / 10
+    assert recall_full / len(queries) >= 0.999
+
+
+def test_filtered_ivf_search(built):
+    index, vectors, docs, _, rng = built
+    q = rng.normal(size=64).astype(np.float32)
+    flt = {"manufacturer": "manu-2"}
+    results = index.search(q, 10, flt, n_probe=64)[0]
+    assert results
+    for r in results:
+        assert r.document.metadata["manufacturer"] == "manu-2"
+    row_mask = np.array([d.metadata["manufacturer"] == "manu-2" for d in docs])
+    want = _exact_topk(vectors, q, 10, row_mask)
+    got = [r.row for r in results]
+    assert len(set(got) & set(want)) >= 8
+
+
+def test_tail_buffer_searched_exactly(built, rng):
+    index, vectors, docs, _, _ = built
+    q = rng.normal(size=64).astype(np.float32)
+    # insert a doc that is exactly the query direction — must be found even
+    # though it's only in the un-indexed tail
+    new_doc = Document(page_content="fresh", metadata={"manufacturer": "manu-9"})
+    index.add(q[None, :].astype(np.float32), [new_doc])
+    assert index.tail_rows == 1
+    hits = index.search(q, 5)[0]
+    assert hits[0].document.page_content == "fresh"
+    assert hits[0].score == pytest.approx(1.0, abs=1e-3)
+    # rebuild folds the tail in
+    index.rebuild()
+    assert index.tail_rows == 0
+    hits = index.search(q, 5)[0]
+    assert hits[0].document.page_content == "fresh"
+
+
+def test_ivf_delete(built, rng):
+    index, vectors, docs, _, _ = built
+    q = rng.normal(size=64).astype(np.float32)
+    top = index.search(q, 3, n_probe=64)[0]
+    victim = top[0].document.id
+    index.delete_by_ids([victim])
+    after = index.search(q, 3, n_probe=64)[0]
+    assert all(r.document.id != victim for r in after)
+
+
+def test_ivf_save_load(tmp_path, built, rng):
+    index, vectors, _, _, _ = built
+    directory = str(tmp_path / "ivf")
+    index.save(directory)
+    restored = IVFIndex.load(directory)
+    assert restored.n_lists == index.n_lists
+    q = rng.normal(size=64).astype(np.float32)
+    a = [r.row for r in index.search(q, 10)[0]]
+    b = [r.row for r in restored.search(q, 10)[0]]
+    assert a == b
+
+
+def test_unbuilt_falls_back_to_exact(rng):
+    vectors, docs = _corpus(np.random.default_rng(1), 300, 32)
+    index = IVFIndex(dim=32, device_dtype="float32")
+    index.add(vectors, docs)
+    q = np.random.default_rng(2).normal(size=32).astype(np.float32)
+    got = [r.row for r in index.search(q, 10)[0]]
+    want = _exact_topk(vectors, q, 10)
+    assert got == want
