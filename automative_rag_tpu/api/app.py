@@ -127,7 +127,10 @@ def build_api(app: RAGApplication) -> HTTPApi:
         if not query:
             raise HTTPError(422, "query must be a non-empty string")
         mode = body.get("mode", "facts")
-        job_id = app.submit_query(query, mode, body.get("metadata_filter"))
+        job_id = app.submit_query(
+            query, mode, body.get("metadata_filter"),
+            validation=bool(body.get("validation", False)),
+        )
         return {"job_id": job_id, "status": "pending", "mode": mode}
 
     def _job_result(job_id: str) -> dict:

@@ -35,6 +35,7 @@ from .orchestration.queue_manager import QueueManager
 from .orchestration.task_router import JobType, TaskRouter
 from .rerank.reranker import LateInteractionReranker
 from .utils.unicode import clean_unicode_escapes
+from .validation.engine import ValidationEngine
 
 
 class RAGApplication:
@@ -79,6 +80,7 @@ class RAGApplication:
         self.index = self._make_index()
         self.engine = RetrievalEngine(self.embedder, self.index, self.reranker)
         self.generator = AnswerGenerator(load_llm(self.settings.llm_model_path))
+        self.validation_engine = ValidationEngine()
 
         # --- ingestion ---
         self.video_downloader = video_downloader
@@ -176,12 +178,17 @@ class RAGApplication:
                 metadata_filter=payload.get("metadata_filter"),
             )
             self.tracker.update_job_progress(job_id, 50, f"retrieved {len(ranked)} docs")
-            return {
+            result = {
                 "documents": [
                     {**doc.to_dict(), "relevance_score": score} for doc, score in ranked
                 ],
                 "retrieval_timings": self.engine.last_timings,
             }
+            if payload.get("validation"):
+                result["validation"] = self.validation_engine.validate_documents(
+                    payload["query"], ranked, payload.get("mode", "facts")
+                )
+            return result
 
         @router.task("llm_inference")
         def llm_inference(job_id, payload):
@@ -192,6 +199,12 @@ class RAGApplication:
             result = self.generator.answer(
                 payload["query"], docs, mode=payload.get("mode", "facts")
             )
+            if payload.get("validation"):
+                result["answer_validation"] = self.validation_engine.validate_answer(
+                    result["answer"],
+                    [d for d, _ in docs],
+                    payload.get("validation") if isinstance(payload.get("validation"), dict) else None,
+                )
             self.tracker.update_job_progress(job_id, 95, "answer generated")
             return result
 
@@ -201,6 +214,7 @@ class RAGApplication:
         query: str,
         mode: str = "facts",
         metadata_filter: Optional[Dict[str, Any]] = None,
+        validation: bool = False,
     ) -> str:
         job_id = self.tracker.create_job(
             JobType.LLM_INFERENCE.value,
@@ -209,7 +223,12 @@ class RAGApplication:
         self.job_chain.start_job_chain(
             job_id,
             JobType.LLM_INFERENCE.value,
-            {"query": query, "mode": mode, "metadata_filter": metadata_filter},
+            {
+                "query": query,
+                "mode": mode,
+                "metadata_filter": metadata_filter,
+                "validation": validation,
+            },
         )
         return job_id
 
@@ -219,9 +238,10 @@ class RAGApplication:
         mode: str = "facts",
         metadata_filter: Optional[Dict[str, Any]] = None,
         timeout: float = 120.0,
+        validation: bool = False,
     ) -> Dict[str, Any]:
         """Blocking convenience path (scripts, tests)."""
-        job_id = self.submit_query(query, mode, metadata_filter)
+        job_id = self.submit_query(query, mode, metadata_filter, validation=validation)
         deadline = time.time() + timeout
         while time.time() < deadline:
             job = self.tracker.get_job(job_id)
