@@ -71,6 +71,13 @@ def build_api(app: RAGApplication) -> HTTPApi:
     def health(req: Request):
         return app.health()
 
+    @router.get("/ui")
+    def ui_page(req: Request):
+        from ..ui import UI_HTML
+        from .http import RawResponse
+
+        return RawResponse(UI_HTML)
+
     @router.get("/job-chains")
     def job_chains(req: Request):
         chains = app.job_chain.all_chains()
@@ -385,7 +392,7 @@ def build_api(app: RAGApplication) -> HTTPApi:
         return {"applied": applied}
 
     token = app.settings.api_key if app.settings.api_auth_enabled else None
-    return HTTPApi(router, auth_token=token)
+    return HTTPApi(router, auth_token=token, open_paths=("/health", "/auth/token", "/ui"))
 
 
 def serve(app: Optional[RAGApplication] = None, host: Optional[str] = None,

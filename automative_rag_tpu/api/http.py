@@ -44,6 +44,15 @@ class HTTPError(Exception):
         self.detail = detail
 
 
+class RawResponse:
+    """Non-JSON handler result (HTML pages, files)."""
+
+    def __init__(self, body, content_type: str = "text/html", status: int = 200):
+        self.body = body.encode("utf-8") if isinstance(body, str) else body
+        self.content_type = content_type
+        self.status = status
+
+
 Handler = Callable[[Request], Any]
 
 
@@ -129,6 +138,8 @@ class HTTPApi:
         except Exception as exc:  # noqa: BLE001 — API boundary
             return 500, _dump({"detail": f"{type(exc).__name__}: {exc}"}), "application/json"
 
+        if isinstance(result, RawResponse):
+            return result.status, result.body, result.content_type
         if isinstance(result, tuple):
             status, payload = result
         else:

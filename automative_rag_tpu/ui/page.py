@@ -1,0 +1,334 @@
+"""Single-page web UI served at /ui.
+
+Functional parity with the reference's Streamlit pages (SURVEY.md §2.7:
+主页/智能查询/数据摄取/文档浏览/后台任务/系统信息 + components): the same six
+views as tabs in one dependency-free HTML page talking to this API (the
+environment ships no Streamlit). Chinese-first labels, mode picker with the
+per-mode parameter table, metadata filter widget, job polling, source and
+validation display, job dashboard, worker/queue health.
+"""
+
+UI_HTML = """<!DOCTYPE html>
+<html lang="zh">
+<head>
+<meta charset="utf-8">
+<title>汽车智能问答系统 · TPU</title>
+<meta name="viewport" content="width=device-width, initial-scale=1">
+<style>
+:root { --bg:#0f1117; --card:#1a1d27; --line:#2a2e3d; --text:#e6e8ef;
+        --dim:#9aa0b4; --accent:#4f8cff; --ok:#37c77b; --warn:#e8b339; --bad:#e5484d; }
+* { box-sizing:border-box; margin:0; }
+body { background:var(--bg); color:var(--text);
+       font:14px/1.6 -apple-system,"PingFang SC","Microsoft YaHei",sans-serif; }
+header { padding:14px 24px; border-bottom:1px solid var(--line);
+         display:flex; gap:18px; align-items:center; }
+header h1 { font-size:17px; }
+nav { display:flex; gap:4px; }
+nav button { background:none; border:none; color:var(--dim); padding:8px 14px;
+             cursor:pointer; border-radius:8px; font-size:14px; }
+nav button.active { background:var(--card); color:var(--text); }
+main { max-width:1060px; margin:20px auto; padding:0 20px; }
+.card { background:var(--card); border:1px solid var(--line); border-radius:12px;
+        padding:16px; margin-bottom:14px; }
+.row { display:flex; gap:10px; flex-wrap:wrap; align-items:center; }
+input,select,textarea { background:#12141d; color:var(--text); border:1px solid var(--line);
+        border-radius:8px; padding:8px 10px; font-size:14px; }
+textarea { width:100%; min-height:90px; }
+button.primary { background:var(--accent); color:#fff; border:none; border-radius:8px;
+        padding:9px 18px; cursor:pointer; font-size:14px; }
+button.ghost { background:none; border:1px solid var(--line); color:var(--dim);
+        border-radius:8px; padding:7px 12px; cursor:pointer; }
+.badge { display:inline-block; padding:2px 9px; border-radius:20px; font-size:12px; }
+.badge.ok { background:#143a28; color:var(--ok); }
+.badge.warn { background:#3a3114; color:var(--warn); }
+.badge.bad { background:#3a1416; color:var(--bad); }
+.badge.dim { background:#22263a; color:var(--dim); }
+.grid { display:grid; grid-template-columns:repeat(auto-fill,minmax(220px,1fr)); gap:10px; }
+.stat { background:#12141d; border-radius:10px; padding:12px; }
+.stat b { font-size:20px; display:block; }
+.stat span { color:var(--dim); font-size:12px; }
+pre { background:#12141d; border-radius:8px; padding:10px; overflow:auto;
+      font-size:12px; color:var(--dim); }
+.answer { white-space:pre-wrap; background:#12141d; border-left:3px solid var(--accent);
+          border-radius:8px; padding:14px; }
+.src { border-top:1px dashed var(--line); padding:8px 0; font-size:13px; color:var(--dim); }
+table { width:100%; border-collapse:collapse; font-size:13px; }
+th,td { text-align:left; padding:7px 8px; border-bottom:1px solid var(--line); }
+th { color:var(--dim); font-weight:normal; }
+.hide { display:none; }
+.modecard { cursor:pointer; border:1px solid var(--line); border-radius:10px;
+            padding:10px; background:#12141d; }
+.modecard.sel { border-color:var(--accent); }
+.modecard b { display:block; }
+.modecard span { font-size:12px; color:var(--dim); }
+label { color:var(--dim); font-size:13px; }
+</style>
+</head>
+<body>
+<header>
+  <h1>🚗 汽车智能问答 <span style="color:var(--dim);font-size:12px">TPU-native RAG</span></h1>
+  <nav id="nav"></nav>
+  <span id="healthdot" class="badge dim" style="margin-left:auto">…</span>
+</header>
+<main>
+
+<section id="tab-home" class="card">
+  <h2>系统概览</h2><br>
+  <div class="grid" id="home-stats"></div><br>
+  <h3>查询模式</h3><br>
+  <div class="grid" id="home-modes"></div>
+</section>
+
+<section id="tab-query" class="hide">
+  <div class="card">
+    <h2>智能查询</h2><br>
+    <div class="grid" id="mode-picker"></div><br>
+    <textarea id="q-text" placeholder="例如：宝马X5的百公里加速是多少？"></textarea>
+    <div class="row" style="margin-top:10px">
+      <label>品牌 <input id="f-manu" size="8"></label>
+      <label>车型 <input id="f-model" size="8"></label>
+      <label>年款 <input id="f-year" size="5"></label>
+      <label><input type="checkbox" id="q-validate"> 验证管线</label>
+      <button class="primary" onclick="submitQuery()">提交查询</button>
+      <span id="q-status"></span>
+    </div>
+  </div>
+  <div class="card hide" id="q-result">
+    <h3>回答 <span id="q-conf" class="badge dim"></span></h3><br>
+    <div class="answer" id="q-answer"></div>
+    <div id="q-validation"></div>
+    <h4 style="margin-top:12px">来源</h4>
+    <div id="q-sources"></div>
+  </div>
+</section>
+
+<section id="tab-ingest" class="hide">
+  <div class="card">
+    <h2>数据摄取 — 文本</h2><br>
+    <textarea id="i-text" placeholder="粘贴汽车相关文本…"></textarea>
+    <div class="row" style="margin-top:8px">
+      <button class="primary" onclick="ingestText()">摄取文本</button><span id="i-text-status"></span>
+    </div>
+  </div>
+  <div class="card">
+    <h2>数据摄取 — 视频</h2><br>
+    <div class="row">
+      <input id="i-url" size="50" placeholder="YouTube / Bilibili URL">
+      <button class="primary" onclick="ingestVideo()">摄取视频</button><span id="i-video-status"></span>
+    </div>
+  </div>
+  <div class="card">
+    <h2>数据摄取 — PDF</h2><br>
+    <div class="row">
+      <input type="file" id="i-pdf" accept="application/pdf">
+      <button class="primary" onclick="ingestPdf()">上传并解析</button><span id="i-pdf-status"></span>
+    </div>
+  </div>
+</section>
+
+<section id="tab-browse" class="hide">
+  <div class="card">
+    <h2>文档浏览</h2><br>
+    <div class="row">
+      <input id="b-query" size="28" placeholder="检索词（调试检索）">
+      <label>品牌 <input id="b-manu" size="8"></label>
+      <button class="primary" onclick="browse()">检索</button>
+    </div><br>
+    <div id="b-analysis"></div>
+    <div id="b-results"></div>
+  </div>
+</section>
+
+<section id="tab-jobs" class="hide">
+  <div class="card">
+    <h2>后台任务 <button class="ghost" onclick="loadJobs()">刷新</button></h2><br>
+    <div id="jobs-table"></div>
+  </div>
+</section>
+
+<section id="tab-system" class="hide">
+  <div class="card">
+    <h2>系统信息 <button class="ghost" onclick="loadSystem()">刷新</button></h2><br>
+    <div id="sys-workers"></div><br>
+    <div id="sys-queues"></div><br>
+    <h4>配置</h4><pre id="sys-config"></pre>
+  </div>
+</section>
+
+</main>
+<script>
+const TABS = [["home","主页"],["query","智能查询"],["ingest","数据摄取"],
+              ["browse","文档浏览"],["jobs","后台任务"],["system","系统信息"]];
+let MODES = [], selMode = "facts";
+
+const $ = id => document.getElementById(id);
+const api = async (path, opts) => {
+  const r = await fetch(path, opts);
+  if (!r.ok) throw new Error((await r.json()).detail || r.status);
+  return r.json();
+};
+const esc = s => String(s ?? "").replace(/[&<>"]/g,
+  c => ({"&":"&amp;","<":"&lt;",">":"&gt;",'"':"&quot;"}[c]));
+
+function show(tab) {
+  TABS.forEach(([t]) => {
+    $("tab-"+t).classList.toggle("hide", t !== tab);
+    $("nav-"+t).classList.toggle("active", t === tab);
+  });
+  if (tab === "home") loadHome();
+  if (tab === "jobs") loadJobs();
+  if (tab === "system") loadSystem();
+}
+
+async function loadHome() {
+  try {
+    const h = await api("/health");
+    $("healthdot").textContent = "● " + h.status;
+    $("healthdot").className = "badge ok";
+    $("home-stats").innerHTML = `
+      <div class="stat"><b>${h.index.count}</b><span>索引文档块</span></div>
+      <div class="stat"><b>${h.jobs.total || 0}</b><span>历史任务</span></div>
+      <div class="stat"><b>${Math.round(h.uptime_s)}s</b><span>运行时间</span></div>
+      <div class="stat"><b>${h.index.dim}</b><span>向量维度</span></div>`;
+  } catch (e) { $("healthdot").className = "badge bad"; $("healthdot").textContent = "离线"; }
+  if (!MODES.length) {
+    MODES = (await api("/query/modes")).modes;
+    $("home-modes").innerHTML = MODES.map(m =>
+      `<div class="modecard"><b>${m.icon} ${esc(m.name)}</b>
+       <span>${m.mode} · 检索${m.retrieval_k}→${m.final_k} · ${esc(m.time_estimate)}</span></div>`).join("");
+    $("mode-picker").innerHTML = MODES.map(m =>
+      `<div class="modecard ${m.mode===selMode?"sel":""}" id="mode-${m.mode}"
+            onclick="pickMode('${m.mode}')"><b>${m.icon} ${esc(m.name)}</b>
+       <span>${m.mode} · ${esc(m.time_estimate)}</span></div>`).join("");
+  }
+}
+function pickMode(m) {
+  selMode = m;
+  MODES.forEach(x => $("mode-"+x.mode).classList.toggle("sel", x.mode === m));
+}
+
+function filterBody() {
+  const f = {};
+  if ($("f-manu").value) f.manufacturer = $("f-manu").value;
+  if ($("f-model").value) f.model = $("f-model").value;
+  if ($("f-year").value) f.year = parseInt($("f-year").value);
+  return Object.keys(f).length ? f : null;
+}
+
+async function submitQuery() {
+  const q = $("q-text").value.trim();
+  if (!q) return;
+  $("q-status").textContent = "提交中…";
+  $("q-result").classList.add("hide");
+  try {
+    const sub = await api("/query", {method:"POST", headers:{"Content-Type":"application/json"},
+      body: JSON.stringify({query:q, mode:selMode, metadata_filter:filterBody(),
+                            validation:$("q-validate").checked})});
+    pollQuery(sub.job_id, Date.now());
+  } catch (e) { $("q-status").textContent = "错误: " + e.message; }
+}
+
+async function pollQuery(jobId, t0) {
+  const job = await api("/query/results/" + jobId);
+  if (job.status === "completed" || job.status === "failed") {
+    $("q-status").textContent = job.status === "completed"
+      ? `完成 (${((Date.now()-t0)/1000).toFixed(1)}s)` : "失败: " + esc(job.error);
+    if (job.status !== "completed") return;
+    const r = job.result;
+    $("q-result").classList.remove("hide");
+    $("q-answer").textContent = r.answer;
+    $("q-conf").textContent = "可信度 " + Math.round(r.confidence) + "/100";
+    $("q-conf").className = "badge " + (r.confidence >= 70 ? "ok" : r.confidence >= 40 ? "warn" : "bad");
+    $("q-sources").innerHTML = (r.sources || []).map(s =>
+      `<div class="src">${s.cited ? "✅" : "▫️"} <b>${s.doc_id}</b>
+       ${esc(s.metadata.manufacturer||"")} ${esc(s.metadata.model||"")}
+       ${s.metadata.year||""} · ${esc(s.metadata.source||"")}
+       · 相关度 ${(+s.score).toFixed(2)}</div>`).join("") || "<div class='src'>无来源</div>";
+    const v = r.validation;
+    $("q-validation").innerHTML = v ? `<br><h4>验证管线
+      <span class="badge ${v.status==="passed"?"ok":v.status==="warning"?"warn":"bad"}">
+      ${v.status} · ${v.confidence}</span></h4>` +
+      Object.entries(v.steps).map(([k,s]) =>
+        `<div class="src">${esc(k)}: ${s.score} — ${esc(s.detail)}</div>`).join("") : "";
+  } else {
+    $("q-status").textContent = `处理中 ${job.progress||0}%`;
+    setTimeout(() => pollQuery(jobId, t0), 600);
+  }
+}
+
+async function ingestText() {
+  try {
+    const r = await api("/ingest/text", {method:"POST", headers:{"Content-Type":"application/json"},
+      body: JSON.stringify({content: $("i-text").value})});
+    watchJob(r.job_id, "i-text-status");
+  } catch (e) { $("i-text-status").textContent = "错误: " + e.message; }
+}
+async function ingestVideo() {
+  try {
+    const r = await api("/ingest/video", {method:"POST", headers:{"Content-Type":"application/json"},
+      body: JSON.stringify({url: $("i-url").value})});
+    watchJob(r.job_id, "i-video-status");
+  } catch (e) { $("i-video-status").textContent = "错误: " + e.message; }
+}
+async function ingestPdf() {
+  const file = $("i-pdf").files[0];
+  if (!file) return;
+  try {
+    const r = await fetch("/ingest/pdf?filename=" + encodeURIComponent(file.name),
+      {method:"POST", headers:{"Content-Type":"application/pdf"}, body: file});
+    const body = await r.json();
+    if (!r.ok) throw new Error(body.detail);
+    watchJob(body.job_id, "i-pdf-status");
+  } catch (e) { $("i-pdf-status").textContent = "错误: " + e.message; }
+}
+async function watchJob(jobId, el) {
+  const job = await api("/ingest/jobs/" + jobId);
+  if (job.status === "completed") {
+    $(el).innerHTML = `<span class="badge ok">完成 · ${job.result.document_count||0} 块</span>`;
+  } else if (job.status === "failed") {
+    $(el).innerHTML = `<span class="badge bad">失败: ${esc(job.error)}</span>`;
+  } else {
+    $(el).textContent = `处理中 ${job.progress||0}%`;
+    setTimeout(() => watchJob(jobId, el), 700);
+  }
+}
+
+async function browse() {
+  const body = {query: $("b-query").value || "汽车"};
+  if ($("b-manu").value) body.metadata_filter = {manufacturer: $("b-manu").value};
+  const r = await api("/query/debug-retrieval", {method:"POST",
+    headers:{"Content-Type":"application/json"}, body: JSON.stringify(body)});
+  $("b-analysis").innerHTML = `<span class="badge dim">${r.count} 结果 ·
+    检索 ${(r.timings.search_s*1000).toFixed(1)}ms · 重排 ${(r.timings.rerank_s*1000).toFixed(1)}ms</span><br><br>`;
+  $("b-results").innerHTML = r.documents.map(d =>
+    `<div class="src"><b>${(+d.score).toFixed(2)}</b>
+     ${esc(d.metadata.manufacturer||"?")} ${esc(d.metadata.model||"")} ${d.metadata.year||""}
+     <br>${esc(d.preview)}</div>`).join("") || "无结果";
+}
+
+async function loadJobs() {
+  const r = await api("/ingest/jobs?limit=30");
+  $("jobs-table").innerHTML = `<table><tr><th>任务</th><th>类型</th><th>状态</th><th>进度</th></tr>` +
+    r.jobs.map(j => `<tr><td>${j.job_id.slice(0,8)}</td><td>${j.job_type}</td>
+      <td><span class="badge ${j.status==="completed"?"ok":j.status==="failed"?"bad":"warn"}">${j.status}</span></td>
+      <td>${j.progress}%</td></tr>`).join("") + "</table>";
+}
+
+async function loadSystem() {
+  const w = await api("/workers/status");
+  $("sys-workers").innerHTML = "<h4>工作线程</h4>" + Object.entries(w.workers).map(([k,v]) =>
+    `<span class="badge ${v==="healthy"?"ok":v==="stale"?"warn":"bad"}" style="margin-right:6px">${k}: ${v}</span>`).join("");
+  $("sys-queues").innerHTML = `<h4>队列</h4><table><tr><th>队列</th><th>等待</th><th>完成</th><th>失败</th><th>重试</th></tr>` +
+    Object.entries(w.queues).map(([k,q]) =>
+      `<tr><td>${k}</td><td>${q.pending}</td><td>${q.completed}</td><td>${q.failed}</td><td>${q.retried}</td></tr>`).join("") + "</table>";
+  const cfg = await api("/system/config");
+  $("sys-config").textContent = JSON.stringify(cfg, null, 2);
+}
+
+$("nav").innerHTML = TABS.map(([t,label]) =>
+  `<button id="nav-${t}" onclick="show('${t}')">${label}</button>`).join("");
+show("home");
+</script>
+</body>
+</html>
+"""
