@@ -34,6 +34,7 @@ from .orchestration.job_tracker import JobStatus, JobTracker
 from .orchestration.queue_manager import QueueManager
 from .orchestration.task_router import JobType, TaskRouter
 from .rerank.reranker import LateInteractionReranker
+from .rerank.token_store import TokenStore
 from .utils.unicode import clean_unicode_escapes
 from .validation.engine import ValidationEngine
 
@@ -78,7 +79,18 @@ class RAGApplication:
             second_weight=self.settings.bge_weight,
         )
         self.index = self._make_index()
-        self.engine = RetrievalEngine(self.embedder, self.index, self.reranker)
+        self.token_store = (
+            TokenStore(
+                dim=self.colbert.dim,
+                max_doc_length=self.colbert.max_doc_length,
+                device_dtype=self.settings.index_dtype,
+            )
+            if self.settings.store_token_embeddings
+            else None
+        )
+        self.engine = RetrievalEngine(
+            self.embedder, self.index, self.reranker, token_store=self.token_store
+        )
         self.generator = AnswerGenerator(load_llm(self.settings.llm_model_path))
         self.validation_engine = ValidationEngine()
 
@@ -286,17 +298,34 @@ class RAGApplication:
         before = self.index.count
         self.index = self._make_index()
         self.engine.index = self.index
+        if self.token_store is not None:
+            self.token_store = TokenStore(
+                dim=self.colbert.dim,
+                max_doc_length=self.colbert.max_doc_length,
+                device_dtype=self.settings.index_dtype,
+            )
+            self.engine.token_store = self.token_store
         return {"deleted_documents": before}
 
     def save_index(self, directory: Optional[str] = None) -> str:
         directory = directory or self.settings.index_dir
         self.index.save(directory)
+        if self.token_store is not None:
+            self.token_store.save(directory)
         return directory
 
     def load_index(self, directory: Optional[str] = None) -> int:
         directory = directory or self.settings.index_dir
         self.index = FlatIndex.load(directory)
         self.engine.index = self.index
+        if self.token_store is not None:
+            self.token_store = TokenStore.load(
+                directory,
+                dim=self.colbert.dim,
+                max_doc_length=self.colbert.max_doc_length,
+                device_dtype=self.settings.index_dtype,
+            )
+            self.engine.token_store = self.token_store
         return self.index.count
 
     def health(self) -> Dict[str, Any]:

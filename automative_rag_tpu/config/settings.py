@@ -96,6 +96,13 @@ class Settings:
     index_dtype: str = field(default_factory=lambda: _env("INDEX_DTYPE", "bfloat16"))
     ivf_n_lists: int = field(default_factory=lambda: _env("IVF_N_LISTS", 0))  # 0=auto
     ivf_n_probe: int = field(default_factory=lambda: _env("IVF_N_PROBE", 16))
+    # store ColBERT token embeddings at ingest (rerank-from-store fast path)
+    store_token_embeddings: bool = field(
+        default_factory=lambda: _env("STORE_TOKEN_EMBEDDINGS", True, bool)
+    )
+    token_store_device_budget_mb: int = field(
+        default_factory=lambda: _env("TOKEN_STORE_DEVICE_BUDGET_MB", 4096)
+    )
 
     # --- mesh / parallel layout ---
     mesh_data_axis: int = field(default_factory=lambda: _env("MESH_DATA_AXIS", 0))

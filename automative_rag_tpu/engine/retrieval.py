@@ -32,16 +32,24 @@ class RetrievalEngine:
         embedder: DenseEmbedder,
         index,
         reranker: Optional[LateInteractionReranker] = None,
+        token_store=None,
     ):
         self.embedder = embedder
         self.index = index
         self.reranker = reranker
+        self.token_store = token_store
         self.last_timings: Dict[str, float] = {}
 
     # ------------------------------------------------------------ ingest
     def add_documents(self, documents: List[Document]) -> List[str]:
-        vectors = self.embedder.embed_texts([d.page_content for d in documents])
-        return self.index.add(vectors, documents)
+        texts = [d.page_content for d in documents]
+        vectors = self.embedder.embed_texts(texts)
+        ids = self.index.add(vectors, documents)
+        if self.token_store is not None and self.reranker is not None:
+            # token embeddings row-aligned with the index (rerank-from-store)
+            token_embs, masks = self.reranker.encoder.encode_documents(texts)
+            self.token_store.append(token_embs, masks)
+        return ids
 
     # ----------------------------------------------------------- retrieve
     def retrieve(
@@ -71,7 +79,13 @@ class RetrievalEngine:
 
         candidates = [h.document for h in hits]
         if rerank and self.reranker is not None and candidates:
-            ranked = self.reranker.rerank(query, candidates, top_k=k2)
+            rows = [h.row for h in hits]
+            if self.token_store is not None and max(rows) < self.token_store.rows:
+                ranked = self.reranker.rerank_rows(
+                    query, candidates, rows, self.token_store, top_k=k2
+                )
+            else:
+                ranked = self.reranker.rerank(query, candidates, top_k=k2)
             # MaxSim/hybrid scores are unbounded; normalize to [0,1] for the
             # relevance cutoffs that assume cosine-like scores
             if ranked:

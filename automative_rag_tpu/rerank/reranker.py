@@ -81,6 +81,59 @@ class LateInteractionReranker:
         }
         return scores
 
+    def maxsim_scores_from_store(
+        self,
+        queries: Sequence[str],
+        rows: Sequence[int],
+        store,
+    ) -> np.ndarray:
+        """MaxSim scores [n_queries, n_rows] against stored token embeddings
+        (no document forward passes — see token_store.py)."""
+        t0 = time.perf_counter()
+        q_emb, q_mask = self.encoder.encode_queries(list(queries))
+        t1 = time.perf_counter()
+        docs_t, d_mask = store.gather(rows)
+        t2 = time.perf_counter()
+        scores = np.asarray(
+            maxsim_scores(
+                jnp.asarray(q_emb),
+                jnp.asarray(q_mask),
+                docs_t,
+                d_mask,
+                block_docs=self.block_docs,
+                use_pallas=self.use_pallas,
+                token_major=True,
+            )
+        )
+        t3 = time.perf_counter()
+        self.last_timings = {
+            "encode_query_s": t1 - t0,
+            "gather_s": t2 - t1,
+            "maxsim_s": t3 - t2,
+        }
+        return scores
+
+    def rerank_rows(
+        self,
+        query: str,
+        documents: Sequence[Document],
+        rows: Sequence[int],
+        store,
+        top_k: Optional[int] = None,
+    ) -> List[Tuple[Document, float]]:
+        """rerank() over stored token embeddings; same hybrid combine."""
+        if not documents:
+            return []
+        maxsim = self.maxsim_scores_from_store([query], rows, store)[0]
+        if self.second_scorer is None:
+            ranked = sorted(zip(documents, maxsim.tolist()), key=lambda p: p[1], reverse=True)
+            return ranked[:top_k] if top_k is not None else ranked
+        colbert_norm = min_max_normalize(maxsim)
+        second = np.asarray(self.second_scorer(query, [d.page_content for d in documents]))
+        combined = self.colbert_weight * colbert_norm + self.second_weight * min_max_normalize(second)
+        ranked = sorted(zip(documents, combined.tolist()), key=lambda p: p[1], reverse=True)
+        return ranked[:top_k] if top_k is not None else ranked
+
     # -------------------------------------------------------------- rerank
     def rerank(
         self,

@@ -1,0 +1,88 @@
+"""Token-store rerank path: scores must match the re-encode path exactly,
+persistence round-trips, and the engine prefers the store."""
+
+import numpy as np
+import pytest
+
+from automative_rag_tpu.app import RAGApplication
+from automative_rag_tpu.documents import Document
+from automative_rag_tpu.models import ColBERTEncoder, EncoderConfig
+from automative_rag_tpu.rerank import LateInteractionReranker
+from automative_rag_tpu.rerank.token_store import TokenStore
+
+
+@pytest.fixture(scope="module")
+def colbert():
+    return ColBERTEncoder(config=EncoderConfig.tiny(), max_query_length=16, max_doc_length=32)
+
+
+def test_store_scores_match_reencode(colbert):
+    reranker = LateInteractionReranker(colbert, use_pallas=False)
+    docs = [Document(page_content=f"宝马X{i} 测试文本 {i}") for i in range(6)]
+    texts = [d.page_content for d in docs]
+
+    store = TokenStore(dim=colbert.dim, max_doc_length=32, device_dtype="float32")
+    embs, masks = colbert.encode_documents(texts)
+    store.append(embs, masks)
+
+    direct = reranker.maxsim_scores_batch(["宝马X3 怎么样"], docs)
+    stored = reranker.maxsim_scores_from_store(["宝马X3 怎么样"], list(range(6)), store)
+    np.testing.assert_allclose(stored, direct, rtol=1e-3, atol=1e-4)
+
+    # fp16 storage can flip near-ties; top-1 and score values must agree
+    ranked_direct = reranker.rerank("宝马X3", docs, top_k=3)
+    ranked_store = reranker.rerank_rows("宝马X3", docs, list(range(6)), store, top_k=3)
+    assert ranked_direct[0][0].page_content == ranked_store[0][0].page_content
+    np.testing.assert_allclose(
+        [s for _, s in ranked_direct], [s for _, s in ranked_store], rtol=1e-3
+    )
+
+
+def test_store_gather_subset(colbert):
+    store = TokenStore(dim=colbert.dim, max_doc_length=32, device_dtype="float32")
+    embs, masks = colbert.encode_documents(["一", "二", "三", "四"])
+    store.append(embs, masks)
+    docs_t, m = store.gather([2, 0])
+    assert docs_t.shape == (32, 2, colbert.dim)
+    np.testing.assert_allclose(np.asarray(docs_t)[:, 0, :], embs[2].astype(np.float32), rtol=1e-2)
+    np.testing.assert_array_equal(np.asarray(m), masks[[2, 0]])
+
+
+def test_store_host_fallback(colbert):
+    # zero device budget forces the host-gather path
+    store = TokenStore(dim=colbert.dim, max_doc_length=32,
+                       device_dtype="float32", device_budget_bytes=0)
+    embs, masks = colbert.encode_documents(["甲", "乙"])
+    store.append(embs, masks)
+    docs_t, m = store.gather([1])
+    assert docs_t.shape == (32, 1, colbert.dim)
+
+
+def test_store_save_load(tmp_path, colbert):
+    store = TokenStore(dim=colbert.dim, max_doc_length=32, device_dtype="float32")
+    embs, masks = colbert.encode_documents(["持久化测试"])
+    store.append(embs, masks)
+    store.save(str(tmp_path))
+    restored = TokenStore.load(str(tmp_path), dim=colbert.dim, max_doc_length=32,
+                               device_dtype="float32")
+    assert restored.rows == 1
+    np.testing.assert_array_equal(restored._tokens, store._tokens)
+
+
+def test_engine_uses_store():
+    app = RAGApplication(tiny=True)
+    try:
+        import time
+
+        jid = app.ingest_text("奔驰GLC 2023款百公里加速6.2秒。")
+        while app.tracker.get_job(jid)["status"] not in ("completed", "failed"):
+            time.sleep(0.05)
+        assert app.token_store is not None
+        assert app.token_store.rows == app.index.total_rows
+
+        ranked = app.engine.retrieve("奔驰GLC 加速")
+        assert ranked
+        # the store path reports gather timing instead of doc-encode timing
+        assert "gather_s" in app.reranker.last_timings
+    finally:
+        app.shutdown()
