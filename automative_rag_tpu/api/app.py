@@ -349,6 +349,22 @@ def build_api(app: RAGApplication) -> HTTPApi:
         du = shutil.disk_usage(".")
         return {"total": du.total, "used": du.used, "free": du.free}
 
+    @router.post("/system/profile")
+    def system_profile(req: Request):
+        """Run one retrieval under a jax.profiler device trace."""
+        from ..utils.profiling import profile_retrieval
+
+        body = req.json()
+        query = (body.get("query") or "").strip()
+        if not query:
+            raise HTTPError(422, "query must be a non-empty string")
+        trace_dir = body.get("trace_dir") or os.path.join(
+            app.settings.data_dir, "traces", str(int(time.time()))
+        )
+        return profile_retrieval(
+            app.engine, query, trace_dir=trace_dir, mode=body.get("mode", "facts")
+        )
+
     @router.post("/system/rebuild-index")
     def rebuild_index(req: Request):
         return app.rebuild_index()

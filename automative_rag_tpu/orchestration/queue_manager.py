@@ -71,6 +71,10 @@ class QueueManager:
 
     def __init__(self, time_limit_s: float = 300.0, start: bool = True):
         self.time_limit_s = time_limit_s
+        # fault injection hook (tests/chaos): called with the task name
+        # before execution; raising simulates a worker fault. The reference
+        # has no fault injection at all (SURVEY.md §5).
+        self.fault_injector: Optional[Callable[[str], None]] = None
         self._queues: Dict[str, queue.Queue] = {
             name: queue.Queue() for name in QueueNames.all_queues()
         }
@@ -110,6 +114,8 @@ class QueueManager:
             with self._lock:
                 self._busy[queue_name] = task.name
             try:
+                if self.fault_injector is not None:
+                    self.fault_injector(task.name)
                 task.fn(*task.args, **task.kwargs)
                 self._stats[queue_name]["completed"] += 1
             except Exception:

@@ -203,3 +203,24 @@ def test_worker_health(stack):
     time.sleep(0.05)
     health = qm.worker_health()
     assert all(v == "healthy" for v in health.values()), health
+
+
+def test_fault_injection(stack):
+    """Chaos hook: injected faults retry transparently (the reference has no
+    fault injection at all, SURVEY.md §5)."""
+    tracker, qm, router, chain = stack
+    remaining = {"faults": 2}
+
+    def injector(task_name):
+        if task_name.startswith("flaky") and remaining["faults"] > 0:
+            remaining["faults"] -= 1
+            raise RuntimeError("injected fault")
+
+    qm.fault_injector = injector
+    done = []
+    qm.enqueue("cpu_tasks", "flaky-task", lambda: done.append(1))
+    deadline = time.time() + 15
+    while not done and time.time() < deadline:
+        time.sleep(0.02)
+    assert done and remaining["faults"] == 0
+    assert qm.get_queue_status()["cpu_tasks"]["retried"] == 2
