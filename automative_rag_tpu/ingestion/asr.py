@@ -1,0 +1,104 @@
+"""ASR transcriber on the TPU-native Whisper model.
+
+Implements the ``Transcriber`` interface of ``video_processor`` (audio path →
+{"text", "language", "segments"}), replacing the reference's faster-whisper
+call (``video_transcriber.py:300-332``). Audio arrives as 16 kHz mono wav
+(the downloader's job, as ffmpeg was in the reference's); 30 s chunks run
+batched through the encoder-decoder with greedy decoding.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.audio import CHUNK_SECONDS, chunk_audio, load_wav, log_mel_spectrogram, mel_filterbank
+from ..models.whisper import WhisperConfig, WhisperModel
+
+
+def _config_from_hf(path: str) -> Optional[WhisperConfig]:
+    cfg_file = Path(path) / "config.json"
+    if not cfg_file.exists():
+        return None
+    raw = json.loads(cfg_file.read_text())
+    return WhisperConfig(
+        n_mels=raw.get("num_mel_bins", 80),
+        d_model=raw.get("d_model", 512),
+        encoder_layers=raw.get("encoder_layers", 6),
+        decoder_layers=raw.get("decoder_layers", 6),
+        n_heads=raw.get("encoder_attention_heads", 8),
+        vocab_size=raw.get("vocab_size", 51865),
+        max_source_positions=raw.get("max_source_positions", 1500),
+        max_target_positions=raw.get("max_target_positions", 448),
+        eos_token=raw.get("eos_token_id", 50257),
+        sot_token=raw.get("decoder_start_token_id", 50258),
+    )
+
+
+class WhisperTranscriber:
+    def __init__(
+        self,
+        model_path: str = "",
+        config: Optional[WhisperConfig] = None,
+        language: str = "zh",
+        batch_chunks: int = 4,
+    ):
+        if config is None:
+            config = _config_from_hf(model_path) if model_path else None
+        self.config = config or WhisperConfig.base()
+        self.model = WhisperModel(self.config, weights_path=model_path)
+        self.language = language
+        self.batch_chunks = batch_chunks
+        self._mel_bank = jnp.asarray(mel_filterbank(self.config.n_mels))
+        self._tokenizer = None
+        if model_path and Path(model_path).exists():
+            try:
+                from transformers import AutoTokenizer
+
+                self._tokenizer = AutoTokenizer.from_pretrained(
+                    model_path, local_files_only=True
+                )
+            except Exception:
+                self._tokenizer = None
+
+    def _decode_text(self, token_rows: np.ndarray) -> str:
+        if self._tokenizer is None:
+            # weightless mode: no meaningful text exists; emit nothing rather
+            # than garbage (the pipeline stays exercisable via mocks)
+            return ""
+        texts = []
+        for row in token_rows:
+            ids = [t for t in row.tolist() if t < self.config.sot_token]
+            texts.append(self._tokenizer.decode(ids, skip_special_tokens=True))
+        return "".join(texts)
+
+    def transcribe_array(self, audio: np.ndarray) -> Dict[str, Any]:
+        chunks = chunk_audio(np.asarray(audio, np.float32))
+        mels = jnp.stack(
+            [log_mel_spectrogram(jnp.asarray(c), self._mel_bank, self.config.n_mels)
+             for c in chunks]
+        )
+        token_rows = []
+        for i in range(0, mels.shape[0], self.batch_chunks):
+            token_rows.append(self.model.transcribe_tokens(
+                mels[i : i + self.batch_chunks], language=self.language
+            ))
+        tokens = np.concatenate(token_rows)
+        segments = [
+            {"start": i * CHUNK_SECONDS, "end": (i + 1) * CHUNK_SECONDS,
+             "tokens": int((row != self.config.eos_token).sum())}
+            for i, row in enumerate(tokens)
+        ]
+        return {
+            "text": self._decode_text(tokens),
+            "language": self.language,
+            "segments": segments,
+            "pretrained": self.model.pretrained,
+        }
+
+    def __call__(self, audio_path: str) -> Dict[str, Any]:
+        return self.transcribe_array(load_wav(audio_path))

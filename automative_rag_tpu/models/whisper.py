@@ -1,0 +1,302 @@
+"""Whisper-architecture speech recognition in Flax (TPU-native ASR).
+
+Replaces the reference's faster-whisper/CTranslate2 GPU transcription
+(``video_transcriber.py:300-332``) with a JAX encoder-decoder that runs the
+entire ASR pipeline on TPU: log-mel frontend (``audio.py``) → conv+transformer
+audio encoder → autoregressive decoder with greedy decoding under
+``lax.while_loop`` (static shapes, early-exit on EOS). Weights load from a
+local HuggingFace Whisper checkpoint; the tiny config keeps the pipeline
+testable without weights. KV-caching is a follow-up optimization — decoding
+recomputes the (short, ≤224-token) decoder per step, which the MXU absorbs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class WhisperConfig:
+    n_mels: int = 80
+    d_model: int = 512
+    encoder_layers: int = 6
+    decoder_layers: int = 6
+    n_heads: int = 8
+    vocab_size: int = 51865
+    max_source_positions: int = 1500  # 30 s / (160 hop · 2 conv stride)
+    max_target_positions: int = 448
+    # special tokens (multilingual whisper defaults; overridden by HF config)
+    sot_token: int = 50258
+    eos_token: int = 50257
+    no_timestamps_token: int = 50363
+    transcribe_token: int = 50359
+    lang_zh_token: int = 50260
+    lang_en_token: int = 50259
+    dtype: Any = jnp.bfloat16
+
+    @classmethod
+    def base(cls) -> "WhisperConfig":
+        return cls()
+
+    @classmethod
+    def tiny_test(cls, vocab_size: int = 256) -> "WhisperConfig":
+        return cls(
+            n_mels=80, d_model=64, encoder_layers=2, decoder_layers=2, n_heads=4,
+            vocab_size=vocab_size, max_source_positions=1500, max_target_positions=32,
+            sot_token=1, eos_token=2, no_timestamps_token=3, transcribe_token=4,
+            lang_zh_token=5, lang_en_token=6,
+        )
+
+
+def _sinusoids(length: int, channels: int) -> np.ndarray:
+    """Whisper's sinusoidal positions for the audio encoder."""
+    log_timescale = np.log(10_000.0) / (channels // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+
+
+class _MHA(nn.Module):
+    config: WhisperConfig
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, x, kv=None):
+        cfg = self.config
+        kv = x if kv is None else kv
+        head_dim = cfg.d_model // cfg.n_heads
+        q = nn.Dense(cfg.d_model, dtype=cfg.dtype, name="q_proj")(x)
+        k = nn.Dense(cfg.d_model, use_bias=False, dtype=cfg.dtype, name="k_proj")(kv)
+        v = nn.Dense(cfg.d_model, dtype=cfg.dtype, name="v_proj")(kv)
+        b, lq, _ = q.shape
+        lk = k.shape[1]
+        split = lambda t, l: t.reshape(b, l, cfg.n_heads, head_dim)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", split(q, lq), split(k, lk)) / np.sqrt(head_dim)
+        if self.causal:
+            mask = jnp.tril(jnp.ones((lq, lk), bool))
+            scores = jnp.where(mask[None, None], scores, -1e9)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cfg.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, split(v, lk)).reshape(b, lq, cfg.d_model)
+        return nn.Dense(cfg.d_model, dtype=cfg.dtype, name="out_proj")(out)
+
+
+class _Block(nn.Module):
+    config: WhisperConfig
+    causal: bool = False
+    cross: bool = False
+
+    @nn.compact
+    def __call__(self, x, enc=None):
+        cfg = self.config
+        h = nn.LayerNorm(dtype=jnp.float32, name="self_attn_norm")(x)
+        x = x + _MHA(cfg, causal=self.causal, name="self_attn")(h.astype(cfg.dtype))
+        if self.cross:
+            h = nn.LayerNorm(dtype=jnp.float32, name="cross_attn_norm")(x)
+            x = x + _MHA(cfg, name="cross_attn")(h.astype(cfg.dtype), enc)
+        h = nn.LayerNorm(dtype=jnp.float32, name="mlp_norm")(x)
+        h = nn.Dense(4 * cfg.d_model, dtype=cfg.dtype, name="fc1")(h.astype(cfg.dtype))
+        h = nn.gelu(h, approximate=False)
+        return x + nn.Dense(cfg.d_model, dtype=cfg.dtype, name="fc2")(h)
+
+
+class WhisperEncoder(nn.Module):
+    config: WhisperConfig
+
+    @nn.compact
+    def __call__(self, mel):  # [B, n_frames, n_mels]
+        cfg = self.config
+        x = nn.Conv(cfg.d_model, (3,), padding=1, dtype=cfg.dtype, name="conv1")(mel)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Conv(cfg.d_model, (3,), strides=(2,), padding=1, dtype=cfg.dtype, name="conv2")(x)
+        x = nn.gelu(x, approximate=False)
+        positions = self.param(
+            "positions",
+            lambda key, shape: jnp.asarray(_sinusoids(*shape)),
+            (cfg.max_source_positions, cfg.d_model),
+        )
+        x = x + positions[None, : x.shape[1]].astype(cfg.dtype)
+        for i in range(cfg.encoder_layers):
+            x = _Block(cfg, name=f"layer_{i}")(x)
+        return nn.LayerNorm(dtype=jnp.float32, name="final_norm")(x).astype(cfg.dtype)
+
+
+class WhisperDecoder(nn.Module):
+    config: WhisperConfig
+
+    @nn.compact
+    def __call__(self, tokens, enc):  # tokens [B, L], enc [B, T, D]
+        cfg = self.config
+        embed = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=cfg.dtype, name="embed_tokens")
+        positions = self.param(
+            "positions",
+            nn.initializers.normal(0.02),
+            (cfg.max_target_positions, cfg.d_model),
+        )
+        x = embed(tokens) + positions[None, : tokens.shape[1]].astype(cfg.dtype)
+        for i in range(cfg.decoder_layers):
+            x = _Block(cfg, causal=True, cross=True, name=f"layer_{i}")(x, enc)
+        x = nn.LayerNorm(dtype=jnp.float32, name="final_norm")(x)
+        # tied output projection
+        logits = x @ embed.embedding.T.astype(jnp.float32)
+        return logits  # [B, L, V]
+
+
+class WhisperModel:
+    """Encoder-decoder bundle with jitted greedy decoding."""
+
+    def __init__(self, config: Optional[WhisperConfig] = None, weights_path: str = "",
+                 seed: int = 0):
+        self.config = config or WhisperConfig.base()
+        self.encoder = WhisperEncoder(self.config)
+        self.decoder = WhisperDecoder(self.config)
+        params = load_hf_whisper(self.config, weights_path) if weights_path else None
+        self.pretrained = params is not None
+        if params is None:
+            key = jax.random.PRNGKey(seed)
+            mel = jnp.zeros((1, 3000, self.config.n_mels))
+            enc_params = self.encoder.init(key, mel)["params"]
+            enc_out = self.encoder.apply({"params": enc_params}, mel)
+            dec_params = self.decoder.init(
+                key, jnp.zeros((1, 4), jnp.int32), enc_out
+            )["params"]
+            params = {"encoder": enc_params, "decoder": dec_params}
+        self.params = params
+
+        def _greedy(params, mel, start_tokens, max_tokens):
+            enc = self.encoder.apply({"params": params["encoder"]}, mel)
+            b = mel.shape[0]
+            n_start = start_tokens.shape[0]
+            tokens = jnp.zeros((b, max_tokens), jnp.int32)
+            tokens = tokens.at[:, :n_start].set(start_tokens[None, :])
+            finished = jnp.zeros((b,), bool)
+
+            def cond(state):
+                t, _tokens, finished = state
+                return (t < max_tokens) & ~jnp.all(finished)
+
+            def body(state):
+                t, tokens, finished = state
+                logits = self.decoder.apply({"params": params["decoder"]}, tokens, enc)
+                next_tok = jnp.argmax(logits[:, t - 1, :], axis=-1).astype(jnp.int32)
+                next_tok = jnp.where(finished, self.config.eos_token, next_tok)
+                tokens = tokens.at[:, t].set(next_tok)
+                finished = finished | (next_tok == self.config.eos_token)
+                return t + 1, tokens, finished
+
+            _, tokens, _ = jax.lax.while_loop(cond, body, (n_start, tokens, finished))
+            return tokens
+
+        self._greedy = jax.jit(_greedy, static_argnames=("max_tokens",))
+
+    def transcribe_tokens(self, mel: jnp.ndarray, language: str = "zh",
+                          max_tokens: Optional[int] = None) -> np.ndarray:
+        """mel [B, 3000, n_mels] → token ids [B, max_tokens] (greedy)."""
+        cfg = self.config
+        lang = cfg.lang_zh_token if language == "zh" else cfg.lang_en_token
+        start = jnp.asarray(
+            [cfg.sot_token, lang, cfg.transcribe_token, cfg.no_timestamps_token],
+            jnp.int32,
+        )
+        max_tokens = max_tokens or cfg.max_target_positions
+        return np.asarray(self._greedy(self.params, mel, start, max_tokens))
+
+
+# --------------------------------------------------------------------------
+# HF checkpoint loading (WhisperForConditionalGeneration naming)
+# --------------------------------------------------------------------------
+
+def _whisper_key_map(cfg: WhisperConfig) -> Dict[str, str]:
+    mapping = {
+        "model.encoder.conv1.weight": "encoder/conv1/kernel",
+        "model.encoder.conv1.bias": "encoder/conv1/bias",
+        "model.encoder.conv2.weight": "encoder/conv2/kernel",
+        "model.encoder.conv2.bias": "encoder/conv2/bias",
+        "model.encoder.embed_positions.weight": "encoder/positions",
+        "model.encoder.layer_norm.weight": "encoder/final_norm/scale",
+        "model.encoder.layer_norm.bias": "encoder/final_norm/bias",
+        "model.decoder.embed_tokens.weight": "decoder/embed_tokens/embedding",
+        "model.decoder.embed_positions.weight": "decoder/positions",
+        "model.decoder.layer_norm.weight": "decoder/final_norm/scale",
+        "model.decoder.layer_norm.bias": "decoder/final_norm/bias",
+    }
+
+    def attn(side, i, hf_prefix, fx_prefix):
+        for proj in ("q_proj", "v_proj", "out_proj"):
+            mapping[f"model.{side}.layers.{i}.{hf_prefix}.{proj}.weight"] = (
+                f"{fx_prefix}/{proj}/kernel"
+            )
+            mapping[f"model.{side}.layers.{i}.{hf_prefix}.{proj}.bias"] = (
+                f"{fx_prefix}/{proj}/bias"
+            )
+        mapping[f"model.{side}.layers.{i}.{hf_prefix}.k_proj.weight"] = (
+            f"{fx_prefix}/k_proj/kernel"
+        )
+
+    for i in range(cfg.encoder_layers):
+        fx = f"encoder/layer_{i}"
+        attn("encoder", i, "self_attn", f"{fx}/self_attn")
+        mapping[f"model.encoder.layers.{i}.self_attn_layer_norm.weight"] = f"{fx}/self_attn_norm/scale"
+        mapping[f"model.encoder.layers.{i}.self_attn_layer_norm.bias"] = f"{fx}/self_attn_norm/bias"
+        mapping[f"model.encoder.layers.{i}.fc1.weight"] = f"{fx}/fc1/kernel"
+        mapping[f"model.encoder.layers.{i}.fc1.bias"] = f"{fx}/fc1/bias"
+        mapping[f"model.encoder.layers.{i}.fc2.weight"] = f"{fx}/fc2/kernel"
+        mapping[f"model.encoder.layers.{i}.fc2.bias"] = f"{fx}/fc2/bias"
+        mapping[f"model.encoder.layers.{i}.final_layer_norm.weight"] = f"{fx}/mlp_norm/scale"
+        mapping[f"model.encoder.layers.{i}.final_layer_norm.bias"] = f"{fx}/mlp_norm/bias"
+    for i in range(cfg.decoder_layers):
+        fx = f"decoder/layer_{i}"
+        attn("decoder", i, "self_attn", f"{fx}/self_attn")
+        attn("decoder", i, "encoder_attn", f"{fx}/cross_attn")
+        mapping[f"model.decoder.layers.{i}.self_attn_layer_norm.weight"] = f"{fx}/self_attn_norm/scale"
+        mapping[f"model.decoder.layers.{i}.self_attn_layer_norm.bias"] = f"{fx}/self_attn_norm/bias"
+        mapping[f"model.decoder.layers.{i}.encoder_attn_layer_norm.weight"] = f"{fx}/cross_attn_norm/scale"
+        mapping[f"model.decoder.layers.{i}.encoder_attn_layer_norm.bias"] = f"{fx}/cross_attn_norm/bias"
+        mapping[f"model.decoder.layers.{i}.fc1.weight"] = f"{fx}/fc1/kernel"
+        mapping[f"model.decoder.layers.{i}.fc1.bias"] = f"{fx}/fc1/bias"
+        mapping[f"model.decoder.layers.{i}.fc2.weight"] = f"{fx}/fc2/kernel"
+        mapping[f"model.decoder.layers.{i}.fc2.bias"] = f"{fx}/fc2/bias"
+        mapping[f"model.decoder.layers.{i}.final_layer_norm.weight"] = f"{fx}/mlp_norm/scale"
+        mapping[f"model.decoder.layers.{i}.final_layer_norm.bias"] = f"{fx}/mlp_norm/bias"
+    return mapping
+
+
+def load_hf_whisper(config: WhisperConfig, path: str) -> Optional[Dict]:
+    ckpt = Path(path)
+    files = sorted(ckpt.glob("*.safetensors")) if ckpt.exists() else []
+    if not files:
+        return None
+    from safetensors.numpy import load_file
+
+    state: Dict[str, np.ndarray] = {}
+    for f in files:
+        state.update(load_file(str(f)))
+
+    params: Dict = {}
+
+    def put(path_str, value):
+        node = params
+        parts = path_str.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = jnp.asarray(value, jnp.float32)
+
+    for hf_key, fx_path in _whisper_key_map(config).items():
+        tensor = state.get(hf_key)
+        if tensor is None and hf_key.startswith("model."):
+            tensor = state.get(hf_key[len("model."):])
+        if tensor is None:
+            return None
+        if fx_path.endswith("/kernel"):
+            if "conv" in fx_path:
+                tensor = tensor.transpose(2, 1, 0)  # [out,in,k] → [k,in,out]
+            else:
+                tensor = tensor.T
+        put(fx_path, tensor)
+    return params
