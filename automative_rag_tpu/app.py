@@ -73,10 +73,19 @@ class RAGApplication:
             max_doc_length=self.settings.colbert_max_doc_length,
             batch_size=self.settings.colbert_batch_size,
         )
+        second_scorer = None
+        if self.settings.use_bge_reranker and self.settings.reranker_model_path:
+            from .models.cross_encoder import CrossEncoderScorer
+
+            second_scorer = CrossEncoderScorer(
+                weights_path=self.settings.reranker_model_path,
+                tokenizer_path=self.settings.reranker_model_path,
+            )
         self.reranker = LateInteractionReranker(
             self.colbert,
             colbert_weight=self.settings.colbert_weight,
             second_weight=self.settings.bge_weight,
+            second_scorer=second_scorer,
         )
         self.index = self._make_index()
         self.token_store = (

@@ -68,6 +68,10 @@ class Settings:
     colbert_model_path: str = field(
         default_factory=lambda: _env("COLBERT_MODEL_PATH", "")
     )
+    # bge-reranker-class cross-encoder (hybrid second scorer)
+    reranker_model_path: str = field(
+        default_factory=lambda: _env("RERANKER_MODEL_PATH", "")
+    )
     colbert_dim: int = field(default_factory=lambda: _env("COLBERT_DIM", 1024))
     colbert_max_query_length: int = field(
         default_factory=lambda: _env("COLBERT_MAX_QUERY_LENGTH", 32)

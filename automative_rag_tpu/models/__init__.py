@@ -2,6 +2,8 @@ from .tokenizer import HashTokenizer, load_tokenizer
 from .encoder import EncoderConfig, TransformerEncoder, init_encoder_params
 from .bge_m3 import DenseEmbedder
 from .colbert import ColBERTEncoder
+from .cross_encoder import CrossEncoderScorer
+from .whisper import WhisperConfig, WhisperModel
 
 __all__ = [
     "HashTokenizer",
@@ -11,4 +13,7 @@ __all__ = [
     "init_encoder_params",
     "DenseEmbedder",
     "ColBERTEncoder",
+    "CrossEncoderScorer",
+    "WhisperConfig",
+    "WhisperModel",
 ]

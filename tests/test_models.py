@@ -125,3 +125,33 @@ def test_explanations(colbert):
     assert len(result["matches"]) <= 3
     for m in result["matches"]:
         assert {"query_token", "doc_token", "similarity"} <= set(m)
+
+
+def test_cross_encoder_scorer():
+    from automative_rag_tpu.models.cross_encoder import CrossEncoderScorer
+    from automative_rag_tpu.models import EncoderConfig
+
+    scorer = CrossEncoderScorer(config=EncoderConfig.tiny(), max_length=64, batch_size=2)
+    scores = scorer("宝马X5怎么样", ["宝马X5评测", "苹果手机发布", "特斯拉续航"])
+    assert scores.shape == (3,)
+    # deterministic
+    again = scorer("宝马X5怎么样", ["宝马X5评测", "苹果手机发布", "特斯拉续航"])
+    np.testing.assert_allclose(scores, again, rtol=1e-5)
+
+
+def test_cross_encoder_plugs_into_hybrid(colbert):
+    from automative_rag_tpu.models.cross_encoder import CrossEncoderScorer
+    from automative_rag_tpu.models import EncoderConfig
+    from automative_rag_tpu.documents import Document
+
+    scorer = CrossEncoderScorer(config=EncoderConfig.tiny(), max_length=64)
+    reranker = LateInteractionReranker(
+        colbert, colbert_weight=0.8, second_weight=0.2,
+        second_scorer=scorer, use_pallas=False,
+    )
+    docs = [Document(page_content=f"文本{i}") for i in range(4)]
+    ranked = reranker.rerank("查询", docs, top_k=4)
+    assert len(ranked) == 4
+    scores = [s for _, s in ranked]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0.0 <= s <= 1.0 for s in scores)  # min-max combined range
