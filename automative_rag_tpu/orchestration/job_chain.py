@@ -30,11 +30,65 @@ class TaskStatus(str, Enum):
 
 
 class JobChain:
-    def __init__(self, job_tracker: JobTracker, task_router: TaskRouter):
+    def __init__(
+        self,
+        job_tracker: JobTracker,
+        task_router: TaskRouter,
+        persist_path: Optional[str] = None,
+    ):
         self.tracker = job_tracker
         self.router = task_router
         self._chains: Dict[str, Dict[str, Any]] = {}
         self._lock = threading.RLock()
+        self._persist_path = persist_path
+        if persist_path:
+            self._restore()
+
+    # ------------------------------------------------------- persistence
+    def _persist(self) -> None:
+        """Chain state survives process restarts (reference keeps chain
+        state in Redis with a 24h TTL, job_chain.py:651-665)."""
+        if not self._persist_path:
+            return
+        import json
+        from pathlib import Path
+
+        try:
+            with self._lock:
+                snapshot = {
+                    jid: {k: v for k, v in chain.items() if k != "step_started_at"}
+                    for jid, chain in self._chains.items()
+                }
+            Path(self._persist_path).parent.mkdir(parents=True, exist_ok=True)
+            Path(self._persist_path).write_text(
+                json.dumps(snapshot, ensure_ascii=False, default=str), encoding="utf-8"
+            )
+        except (OSError, TypeError):
+            pass
+
+    def _restore(self) -> None:
+        import json
+        from pathlib import Path
+
+        path = Path(self._persist_path)
+        if not path.exists():
+            return
+        try:
+            self._chains = json.loads(path.read_text(encoding="utf-8"))
+        except (OSError, json.JSONDecodeError):
+            self._chains = {}
+
+    def resume_incomplete(self) -> int:
+        """Re-execute the current step of every restored unfinished chain
+        (call after restart, once executors are registered)."""
+        with self._lock:
+            pending = [
+                jid for jid, chain in self._chains.items()
+                if not chain.get("paused") and chain["current"] < len(chain["steps"])
+            ]
+        for job_id in pending:
+            self._execute_current(job_id)
+        return len(pending)
 
     # -------------------------------------------------------------- start
     def start_job_chain(self, job_id: str, job_type: str, payload: Dict[str, Any]) -> None:
@@ -52,6 +106,7 @@ class JobChain:
                 "paused": False,
             }
         self.tracker.update_job_status(job_id, JobStatus.PROCESSING)
+        self._persist()
         self._execute_current(job_id)
 
     # ------------------------------------------------------------ execute
@@ -118,6 +173,7 @@ class JobChain:
             chain["current"] += 1
         if isinstance(result, dict) and result:
             self.tracker.update_job_status(job_id, JobStatus.PROCESSING, result=result)
+        self._persist()
         self._execute_current(job_id)
 
     def task_failed(self, job_id: str, task_name: str, error: str) -> None:
@@ -128,6 +184,7 @@ class JobChain:
             chain["step_status"][task_name] = TaskStatus.FAILED.value
             chain["failed_at"] = time.time()
         self.tracker.update_job_status(job_id, JobStatus.FAILED, error=f"{task_name}: {error}")
+        self._persist()
 
     # ----------------------------------------------------------- complete
     def _complete(self, job_id: str) -> None:
@@ -142,6 +199,7 @@ class JobChain:
             }
         self.tracker.update_job_progress(job_id, 100, "completed")
         self.tracker.update_job_status(job_id, JobStatus.COMPLETED, result={"chain": summary})
+        self._persist()
 
     # ----------------------------------------------- dynamic modification
     def insert_steps_after_current(self, job_id: str, steps: List[str]) -> bool:

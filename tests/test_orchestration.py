@@ -224,3 +224,60 @@ def test_fault_injection(stack):
         time.sleep(0.02)
     assert done and remaining["faults"] == 0
     assert qm.get_queue_status()["cpu_tasks"]["retried"] == 2
+
+
+def test_chain_persistence_and_resume(tmp_path):
+    """Chain state survives a restart; resume_incomplete re-drives the
+    current step (reference parity: Redis chain state, job_chain.py:651-665)."""
+    import json
+
+    from automative_rag_tpu.orchestration.job_chain import JobChain
+
+    persist = str(tmp_path / "chains.json")
+    tracker = JobTracker()
+    qm = QueueManager(start=True)
+    router = TaskRouter(qm)
+    chain = JobChain(tracker, router, persist_path=persist)
+
+    gate = {"open": False}
+    done = []
+
+    @router.task("retrieve_documents")
+    def retrieve(job_id, payload):
+        if not gate["open"]:
+            raise RuntimeError("simulated crash")
+        return {"documents": ["x"]}
+
+    @router.task("llm_inference")
+    def infer(job_id, payload):
+        done.append(job_id)
+        return {"answer": "ok"}
+
+    job_id = tracker.create_job(JobType.LLM_INFERENCE.value)
+    chain.start_job_chain(job_id, JobType.LLM_INFERENCE.value, {"query": "q"})
+    _wait_status(tracker, job_id, {JobStatus.FAILED.value})
+    qm.shutdown()
+
+    # "restart": new queue/router/chain restored from disk
+    state = json.loads(open(persist).read())
+    assert job_id in state
+
+    qm2 = QueueManager(start=True)
+    router2 = TaskRouter(qm2)
+    tracker2 = JobTracker()
+    tracker2.create_job(JobType.LLM_INFERENCE.value, job_id=job_id)
+    chain2 = JobChain(tracker2, router2, persist_path=persist)
+
+    @router2.task("retrieve_documents")
+    def retrieve2(job_id, payload):
+        return {"documents": ["x"]}
+
+    @router2.task("llm_inference")
+    def infer2(job_id, payload):
+        done.append(job_id)
+        return {"answer": "resumed"}
+
+    assert chain2.resume_incomplete() == 1
+    job = _wait_status(tracker2, job_id, {JobStatus.COMPLETED.value})
+    assert job["result"]["answer"] == "resumed"
+    qm2.shutdown()
