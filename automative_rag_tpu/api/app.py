@@ -140,6 +140,26 @@ def build_api(app: RAGApplication) -> HTTPApi:
         )
         return {"job_id": job_id, "status": "pending", "mode": mode}
 
+    @router.post("/query/batch")
+    def query_batch(req: Request):
+        """Synchronous batched retrieval+answer (serving-throughput path)."""
+        body = req.json()
+        queries = body.get("queries") or []
+        if not isinstance(queries, list) or not queries:
+            raise HTTPError(422, "queries must be a non-empty list")
+        if len(queries) > 64:
+            raise HTTPError(422, "at most 64 queries per batch")
+        mode = body.get("mode", "facts")
+        ranked_lists = app.engine.retrieve_batch(
+            [str(q) for q in queries], mode=mode,
+            metadata_filter=body.get("metadata_filter"),
+        )
+        answers = [
+            app.generator.answer(query, ranked, mode=mode)
+            for query, ranked in zip(queries, ranked_lists)
+        ]
+        return {"answers": answers, "timings": app.engine.last_timings}
+
     def _job_result(job_id: str) -> dict:
         job = app.tracker.get_job(job_id)
         if job is None:

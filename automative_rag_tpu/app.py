@@ -92,7 +92,11 @@ class RAGApplication:
             TokenStore(
                 dim=self.colbert.dim,
                 max_doc_length=self.colbert.max_doc_length,
-                device_dtype=self.settings.index_dtype,
+                device_dtype=(
+                    "bfloat16" if self.settings.index_dtype == "int8"
+                    else self.settings.index_dtype
+                ),
+                device_budget_bytes=self.settings.token_store_device_budget_mb * 1024**2,
             )
             if self.settings.store_token_embeddings
             else None

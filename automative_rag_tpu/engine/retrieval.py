@@ -111,6 +111,59 @@ class RetrievalEngine:
         }
         return trimmed
 
+    def retrieve_batch(
+        self,
+        queries: List[str],
+        mode: QueryMode | str = QueryMode.FACTS,
+        metadata_filter: Optional[Dict[str, Any]] = None,
+        rerank: bool = True,
+    ) -> List[List[Tuple[Document, float]]]:
+        """Batched retrieval: one encoder forward and one search launch for
+        all queries; rerank gathers each query's own candidates from the
+        token store. This is the serving-throughput path — per-query cost
+        amortizes every matmul over the batch."""
+        if not queries:
+            return []
+        mode = QueryMode.parse(mode)
+        params = mode_config.get_retrieval_params(mode)
+        k1, k2 = params["retrieval_k"], params["final_k"]
+
+        t0 = time.perf_counter()
+        qvecs = self.embedder.embed_texts(queries)
+        t1 = time.perf_counter()
+        per_query_hits = self.index.search(qvecs, k1, metadata_filter)
+        t2 = time.perf_counter()
+
+        out: List[List[Tuple[Document, float]]] = []
+        for query, hits in zip(queries, per_query_hits):
+            candidates = [h.document for h in hits]
+            if rerank and self.reranker is not None and candidates:
+                rows = [h.row for h in hits]
+                if self.token_store is not None and max(rows) < self.token_store.rows:
+                    ranked = self.reranker.rerank_rows(
+                        query, candidates, rows, self.token_store, top_k=k2
+                    )
+                else:
+                    ranked = self.reranker.rerank(query, candidates, top_k=k2)
+                if ranked:
+                    scores = np.array([s for _, s in ranked], np.float64)
+                    lo, hi = scores.min(), scores.max()
+                    norm = (
+                        0.2 + 0.8 * (scores - lo) / (hi - lo)
+                        if hi > lo else np.ones_like(scores)
+                    )
+                    ranked = [(d, float(s)) for (d, _), s in zip(ranked, norm)]
+            else:
+                ranked = [(h.document, h.score) for h in hits[:k2]]
+            out.append(trim_documents_by_tokens(ranked, mode))
+        self.last_timings = {
+            "embed_s": t1 - t0,
+            "search_s": t2 - t1,
+            "rerank_s": time.perf_counter() - t2,
+            "batch": len(queries),
+        }
+        return out
+
     # -------------------------------------------------------------- admin
     def stats(self) -> Dict[str, Any]:
         return {

@@ -1,0 +1,158 @@
+#!/usr/bin/env python3
+"""Scale benchmarks on the real chip: flat search QPS at 100K/1M vectors
+(bf16 + int8) and IVF recall/latency vs the exact oracle (BASELINE configs
+#1-#3). Writes a JSON report.
+
+Run on TPU (default backend); uses the persistent compile cache.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+REPS = 10
+
+
+def _enable_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def bench_flat(n, dim=1024, k=20, batch=8, dtype="bfloat16", trials=3):
+    import jax
+    import jax.numpy as jnp
+
+    from automative_rag_tpu.index.filters import FilterSpec, eval_filter_mask
+    from automative_rag_tpu.ops.topk import masked_top_k
+
+    rng = np.random.default_rng(0)
+    raw = rng.normal(size=(n, dim)).astype(np.float32)
+    int8 = dtype == "int8"
+    if int8:
+        scales = np.abs(raw).max(axis=1) / 127.0
+        vectors = jnp.asarray(np.clip(np.round(raw / scales[:, None]), -127, 127), jnp.int8)
+        row_scales = jnp.asarray(scales, jnp.float32)
+    else:
+        vectors = jnp.asarray(raw, jnp.bfloat16)
+    del raw
+    valid = jnp.ones(n, bool)
+    codes = jnp.zeros((7, n), jnp.int32)
+    numerics = jnp.zeros((2, n), jnp.int32)
+    q0 = jnp.asarray(np.random.default_rng(1).normal(size=(batch, dim)),
+                     jnp.int8 if int8 else jnp.bfloat16)
+    spec = FilterSpec.match_all()
+
+    @jax.jit
+    def many(q):
+        def body(carry, _):
+            scores = jax.lax.dot_general(
+                carry, vectors, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32 if int8 else jnp.float32,
+            )
+            if int8:
+                scores = scores.astype(jnp.float32) * row_scales[None, :]
+            mask = valid & eval_filter_mask(codes, numerics, spec)
+            vals, _ = masked_top_k(scores, mask, k)
+            carry = carry + (vals[0, 0] * 0).astype(carry.dtype)
+            return carry, vals[:, 0]
+
+        _, outs = jax.lax.scan(body, q, None, length=REPS)
+        return outs
+
+    np.asarray(many(q0))
+    samples = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        np.asarray(many(q0))
+        samples.append((time.perf_counter() - t0) / REPS)
+    per_call = float(np.percentile(samples, 50))
+    return {
+        "n": n, "dtype": dtype, "batch": batch, "k": k,
+        "latency_ms_per_batch": round(per_call * 1000, 3),
+        "qps": round(batch / per_call, 1),
+    }
+
+
+def bench_ivf_recall(n=100_000, dim=1024, k=10, n_lists=256, probes=(8, 16, 32)):
+    """IVF recall vs exact oracle + per-query latency at each nprobe."""
+    from automative_rag_tpu.documents import Document
+    from automative_rag_tpu.index.ivf import IVFIndex
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(512, dim)).astype(np.float32) * 2
+    assign = rng.integers(0, 512, size=n)
+    vectors = (centers[assign] + rng.normal(size=(n, dim)).astype(np.float32)).astype(np.float32)
+    docs = [Document(page_content=f"d{i}", metadata={}) for i in range(n)]
+
+    index = IVFIndex(dim=dim, device_dtype="bfloat16", n_lists=n_lists)
+    index.add(vectors, docs)
+    t0 = time.time()
+    info = index.rebuild()
+    build_s = time.time() - t0
+
+    normalized = vectors / np.linalg.norm(vectors, axis=1, keepdims=True)
+    queries = rng.normal(size=(20, dim)).astype(np.float32)
+    out = {"build_s": round(build_s, 1), **info, "probes": {}}
+    for nprobe in probes:
+        recall, latency = 0.0, []
+        for q in queries:
+            qn = q / np.linalg.norm(q)
+            want = set(np.argsort(-(normalized @ qn))[:k].tolist())
+            t0 = time.perf_counter()
+            got = {r.row for r in index.search(q, k, n_probe=nprobe)[0]}
+            latency.append(time.perf_counter() - t0)
+            recall += len(got & want) / k
+        out["probes"][nprobe] = {
+            "recall_at_10": round(recall / len(queries), 4),
+            "p50_latency_ms": round(float(np.percentile(latency, 50)) * 1000, 2),
+        }
+    return out
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", default="BENCH_SCALE.json")
+    parser.add_argument("--skip-1m", action="store_true")
+    parser.add_argument("--skip-ivf", action="store_true")
+    args = parser.parse_args()
+    _enable_cache()
+
+    import jax
+
+    report = {"platform": jax.devices()[0].platform,
+              "device": str(jax.devices()[0])}
+    for n in (100_000,) + (() if args.skip_1m else (1_000_000,)):
+        for dtype in ("bfloat16", "int8"):
+            key = f"flat_{n}_{dtype}"
+            try:
+                report[key] = bench_flat(n, dtype=dtype)
+                print(key, report[key], flush=True)
+            except Exception as exc:  # noqa: BLE001
+                report[key] = {"error": str(exc)[:200]}
+                print(key, "FAILED", exc, flush=True)
+    if not args.skip_ivf:
+        try:
+            report["ivf_100k"] = bench_ivf_recall()
+            print("ivf_100k", report["ivf_100k"], flush=True)
+        except Exception as exc:  # noqa: BLE001
+            report["ivf_100k"] = {"error": str(exc)[:200]}
+
+    Path(args.out).write_text(json.dumps(report, indent=2))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -183,3 +183,16 @@ def test_real_socket_server(api, app):
             assert json.loads(resp.read())["valid"]
     finally:
         api.stop()
+
+
+def test_query_batch(api, app):
+    # corpus already has the Audi Q7 doc from the earlier flow test
+    status, body = call(api, "POST", "/query/batch", {
+        "queries": ["奥迪Q7加速", "奥迪Q7价格"], "mode": "facts",
+    })
+    assert status == 200
+    assert len(body["answers"]) == 2
+    assert body["timings"]["batch"] == 2
+    assert "5.9" in body["answers"][0]["answer"]
+    status, _ = call(api, "POST", "/query/batch", {"queries": []})
+    assert status == 422
