@@ -109,7 +109,22 @@ class RAGApplication:
 
         # --- ingestion ---
         self.video_downloader = video_downloader
+        if video_transcriber is None and self.settings.whisper_model_path:
+            from .ingestion.asr import WhisperTranscriber
+
+            video_transcriber = WhisperTranscriber(
+                model_path=self.settings.whisper_model_path
+            )
         self.video_transcriber = video_transcriber
+        if video_downloader is None and self.settings.media_cache_dir:
+            import shutil as _shutil
+
+            if _shutil.which("yt-dlp"):
+                from .ingestion.video_processor import make_ytdlp_downloader
+
+                self.video_downloader = make_ytdlp_downloader(
+                    self.settings.media_cache_dir
+                )
 
         # --- orchestration ---
         self.tracker = JobTracker()
