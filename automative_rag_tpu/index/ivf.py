@@ -190,19 +190,33 @@ class IVFIndex(FlatIndex):
 
         nprobe = min(n_probe or self.n_probe, self.n_lists)
         k_eff = min(k, state["capacity"])
-        vals, rows = _ivf_search_kernel(
-            state["vectors"], full_mask, state["centroids"], state["list_table"],
-            jnp.asarray(queries), nprobe, k_eff,
-        )
-        if self.tail_rows > 0:
-            tail_vals, tail_rows = _tail_search_kernel(
-                state["vectors"], full_mask, jnp.asarray(queries),
-                jnp.int32(self._indexed_rows), k_eff,
+
+        def _run(nprobe_now: int):
+            vals, rows = _ivf_search_kernel(
+                state["vectors"], full_mask, state["centroids"], state["list_table"],
+                jnp.asarray(queries), nprobe_now, k_eff,
             )
-            vals, rows = merge_top_k(
-                jnp.stack([vals, tail_vals]), jnp.stack([rows, tail_rows]), k_eff
-            )
-        vals, rows = np.asarray(vals), np.asarray(rows)
+            if self.tail_rows > 0:
+                tail_vals, tail_rows = _tail_search_kernel(
+                    state["vectors"], full_mask, jnp.asarray(queries),
+                    jnp.int32(self._indexed_rows), k_eff,
+                )
+                vals, rows = merge_top_k(
+                    jnp.stack([vals, tail_vals]), jnp.stack([rows, tail_rows]), k_eff
+                )
+            return np.asarray(vals), np.asarray(rows)
+
+        vals, rows = _run(nprobe)
+        # mask-aware probe expansion (SURVEY.md §7 hard part): a selective
+        # filter can starve the probed lists; escalate nprobe until the
+        # candidate set fills k or the whole index was probed
+        if metadata_filter:
+            while (
+                nprobe < self.n_lists
+                and np.isfinite(vals).sum(axis=1).min() < k_eff
+            ):
+                nprobe = min(nprobe * 4, self.n_lists)
+                vals, rows = _run(nprobe)
 
         out: List[List[SearchResult]] = []
         for b in range(vals.shape[0]):

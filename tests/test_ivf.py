@@ -149,3 +149,20 @@ def test_unbuilt_falls_back_to_exact(rng):
     got = [r.row for r in index.search(q, 10)[0]]
     want = _exact_topk(vectors, q, 10)
     assert got == want
+
+
+def test_probe_expansion_on_selective_filter(built, rng):
+    """A filter matching only a handful of rows must still return them all,
+    even when the initial nprobe would starve the candidate set (mask-aware
+    probe expansion, SURVEY.md §7)."""
+    index, vectors, docs, _, _ = built
+    # exactly the rows with year 2015 and manufacturer manu-0 (i % 40 == 0 subset)
+    flt = {"manufacturer": "manu-0", "year": 2015}
+    want_rows = {
+        i for i, d in enumerate(docs)
+        if d.metadata["manufacturer"] == "manu-0" and d.metadata["year"] == 2015
+    }
+    q = rng.normal(size=64).astype(np.float32)
+    hits = index.search(q, len(want_rows), flt, n_probe=1)[0]
+    got_rows = {r.row for r in hits}
+    assert got_rows == want_rows
