@@ -221,6 +221,18 @@ def build_api(app: RAGApplication) -> HTTPApi:
         indexed = sorted(app.index.columns.vocabs.get("model", {}))
         return {"models": indexed or known_models(manufacturer)}
 
+    @router.get("/query/history")
+    def query_history(req: Request):
+        return {"history": app.analytics.history(int(req.query_param("limit", "50")))}
+
+    @router.get("/query/suggestions")
+    def query_suggestions(req: Request):
+        return {"suggestions": app.analytics.suggestions(req.query_param("prefix", ""))}
+
+    @router.get("/system/analytics")
+    def system_analytics(req: Request):
+        return app.analytics.usage_summary()
+
     @router.get("/query/queue-status")
     def queue_status(req: Request):
         return app.queue_manager.get_queue_status()

@@ -36,6 +36,7 @@ from .orchestration.task_router import JobType, TaskRouter
 from .rerank.reranker import LateInteractionReranker
 from .rerank.token_store import TokenStore
 from .utils.unicode import clean_unicode_escapes
+from .services.analytics import AnalyticsService
 from .validation.engine import ValidationEngine
 
 
@@ -106,6 +107,7 @@ class RAGApplication:
         )
         self.generator = AnswerGenerator(load_llm(self.settings.llm_model_path))
         self.validation_engine = ValidationEngine()
+        self.analytics = AnalyticsService()
 
         # --- ingestion ---
         self.video_downloader = video_downloader
@@ -266,6 +268,14 @@ class RAGApplication:
                     payload.get("validation") if isinstance(payload.get("validation"), dict) else None,
                 )
             self.tracker.update_job_progress(job_id, 95, "answer generated")
+            self.analytics.record_query(
+                payload["query"],
+                payload.get("mode", "facts"),
+                latency_s=result.get("generation_time_s", 0.0),
+                confidence=result.get("confidence"),
+                n_sources=len(result.get("sources", [])),
+                job_id=job_id,
+            )
             return result
 
     # ------------------------------------------------------------- query
@@ -364,7 +374,17 @@ class RAGApplication:
 
     def load_index(self, directory: Optional[str] = None) -> int:
         directory = directory or self.settings.index_dir
-        self.index = FlatIndex.load(directory)
+        if self.settings.index_kind == "ivf":
+            from .index.ivf import IVFIndex
+
+            self.index = IVFIndex.load(directory)
+        else:
+            loaded = FlatIndex.load(directory)
+            fresh = self._make_index()  # honors sharded/auto kinds
+            for attr in ("_vectors", "_docs", "_ids", "_row_of_id", "_deleted", "columns"):
+                setattr(fresh, attr, getattr(loaded, attr))
+            fresh._device = None
+            self.index = fresh
         self.engine.index = self.index
         if self.token_store is not None:
             self.token_store = TokenStore.load(

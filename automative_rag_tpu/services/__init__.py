@@ -3,6 +3,7 @@ from .document_service import DocumentService
 from .system_service import SystemService
 from .workflow_service import WorkflowService
 from .causation_service import CausationService
+from .analytics import AnalyticsService
 
 __all__ = [
     "QueryService",
@@ -10,4 +11,5 @@ __all__ = [
     "SystemService",
     "WorkflowService",
     "CausationService",
+    "AnalyticsService",
 ]

@@ -136,3 +136,27 @@ def test_task_catalog_and_model():
     model._instances[slow.instance_id].started_at -= 1000
     flagged = model.sweep_timeouts()
     assert [i.instance_id for i in flagged] == [slow.instance_id]
+
+
+def test_analytics_service(app):
+    from automative_rag_tpu.services import AnalyticsService
+
+    analytics = AnalyticsService()
+    assert analytics.usage_summary() == {"total_queries": 0}
+    analytics.record_query("宝马X5加速", "facts", 0.4, confidence=85.0, n_sources=3)
+    analytics.record_query("特斯拉续航", "features", 0.9, confidence=70.0, n_sources=2)
+    summary = analytics.usage_summary()
+    assert summary["total_queries"] == 2
+    assert summary["by_mode"] == {"facts": 1, "features": 1}
+    assert summary["avg_confidence"] == 77.5
+    assert analytics.history(1)[0]["query"] == "特斯拉续航"
+    hits = analytics.suggestions("宝马")
+    assert any("宝马" in h for h in hits)
+
+
+def test_analytics_records_query_jobs(app):
+    before = app.analytics.usage_summary().get("total_queries", 0)
+    job = app.query_sync("宝马X5马力多少", timeout=60)
+    assert job["status"] == "completed"
+    after = app.analytics.usage_summary()["total_queries"]
+    assert after == before + 1
