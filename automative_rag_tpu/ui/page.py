@@ -83,7 +83,8 @@ label { color:var(--dim); font-size:13px; }
   <div class="card">
     <h2>智能查询</h2><br>
     <div class="grid" id="mode-picker"></div><br>
-    <textarea id="q-text" placeholder="例如：宝马X5的百公里加速是多少？"></textarea>
+    <input id="q-text" list="q-suggest" style="width:100%" placeholder="例如：宝马X5的百公里加速是多少？" oninput="suggest()">
+    <datalist id="q-suggest"></datalist>
     <div class="row" style="margin-top:10px">
       <label>品牌 <input id="f-manu" size="8"></label>
       <label>车型 <input id="f-model" size="8"></label>
@@ -93,9 +94,14 @@ label { color:var(--dim); font-size:13px; }
       <span id="q-status"></span>
     </div>
   </div>
+  <div class="card">
+    <h3>历史查询 <button class="ghost" onclick="loadHistory()">刷新</button></h3>
+    <div id="q-history"></div>
+  </div>
   <div class="card hide" id="q-result">
     <h3>回答 <span id="q-conf" class="badge dim"></span></h3><br>
     <div class="answer" id="q-answer"></div>
+    <div id="q-quality"></div>
     <div id="q-validation"></div>
     <h4 style="margin-top:12px">来源</h4>
     <div id="q-sources"></div>
@@ -151,6 +157,7 @@ label { color:var(--dim); font-size:13px; }
     <h2>系统信息 <button class="ghost" onclick="loadSystem()">刷新</button></h2><br>
     <div id="sys-workers"></div><br>
     <div id="sys-queues"></div><br>
+    <h4>使用分析</h4><pre id="sys-analytics"></pre><br>
     <h4>配置</h4><pre id="sys-config"></pre>
   </div>
 </section>
@@ -176,6 +183,7 @@ function show(tab) {
     $("nav-"+t).classList.toggle("active", t === tab);
   });
   if (tab === "home") loadHome();
+  if (tab === "query") loadHistory();
   if (tab === "jobs") loadJobs();
   if (tab === "system") loadSystem();
 }
@@ -239,6 +247,10 @@ async function pollQuery(jobId, t0) {
     $("q-answer").textContent = r.answer;
     $("q-conf").textContent = "可信度 " + Math.round(r.confidence) + "/100";
     $("q-conf").className = "badge " + (r.confidence >= 70 ? "ok" : r.confidence >= 40 ? "warn" : "bad");
+    const qc = r.quality_check || {};
+    $("q-quality").innerHTML = (qc.warnings || []).length
+      ? "<br>" + qc.warnings.map(w => `<span class="badge warn">⚠️ ${esc(w)}</span>`).join(" ")
+      : "";
     $("q-sources").innerHTML = (r.sources || []).map(s =>
       `<div class="src">${s.cited ? "✅" : "▫️"} <b>${s.doc_id}</b>
        ${esc(s.metadata.manufacturer||"")} ${esc(s.metadata.model||"")}
@@ -314,6 +326,23 @@ async function loadJobs() {
       <td>${j.progress}%</td></tr>`).join("") + "</table>";
 }
 
+let suggestTimer = null;
+function suggest() {
+  clearTimeout(suggestTimer);
+  suggestTimer = setTimeout(async () => {
+    const r = await api("/query/suggestions?prefix=" + encodeURIComponent($("q-text").value));
+    $("q-suggest").innerHTML = r.suggestions.map(s => `<option value="${esc(s)}">`).join("");
+  }, 250);
+}
+
+async function loadHistory() {
+  const r = await api("/query/history?limit=10");
+  $("q-history").innerHTML = r.history.map(h =>
+    `<div class="src" style="cursor:pointer" onclick="$('q-text').value='${esc(h.query)}'">
+     ${esc(h.query)} <span class="badge dim">${h.mode} · ${(h.latency_s*1000).toFixed(0)}ms</span></div>`
+  ).join("") || "<div class='src'>暂无历史</div>";
+}
+
 async function loadSystem() {
   const w = await api("/workers/status");
   $("sys-workers").innerHTML = "<h4>工作线程</h4>" + Object.entries(w.workers).map(([k,v]) =>
@@ -323,6 +352,8 @@ async function loadSystem() {
       `<tr><td>${k}</td><td>${q.pending}</td><td>${q.completed}</td><td>${q.failed}</td><td>${q.retried}</td></tr>`).join("") + "</table>";
   const cfg = await api("/system/config");
   $("sys-config").textContent = JSON.stringify(cfg, null, 2);
+  const an = await api("/system/analytics");
+  $("sys-analytics").textContent = JSON.stringify(an, null, 2);
 }
 
 $("nav").innerHTML = TABS.map(([t,label]) =>
