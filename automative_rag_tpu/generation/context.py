@@ -64,7 +64,12 @@ def format_documents_with_relevance_scores(
                 # high-relevance overflow: include a truncated tail slice
                 if score > 0.7 and used_tokens < max_token_budget * 0.8:
                     remaining = max_token_budget - used_tokens - estimate_token_count(header)
-                    max_chars = int(remaining * 2.5)
+                    # chars-per-token measured on this doc (CJK ≈ 0.67,
+                    # English ≈ 3; the reference's fixed 2.5 overshoots CJK)
+                    ratio = len(doc.page_content) / max(
+                        estimate_token_count(doc.page_content), 1
+                    )
+                    max_chars = int(remaining * ratio)
                     if max_chars > 100:
                         parts.append(f"{header}\n{doc.page_content[:max_chars]}... [截断]\n")
                 break

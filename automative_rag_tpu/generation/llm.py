@@ -25,7 +25,7 @@ from typing import Any, Dict, List, Optional, Protocol, Tuple
 
 from ..config.mode_config import QueryMode, mode_config
 from ..documents.schema import Document
-from ..utils.quality import extract_key_terms
+from ..utils.quality import extract_key_terms, term_matches
 from .context import documents_in_context_order, format_documents_with_relevance_scores
 from .fact_check import SimpleFactChecker
 from .prompts import build_prompt
@@ -60,7 +60,7 @@ class StubLLM:
                 sentence = sentence.strip()
                 if not sentence:
                     continue
-                if not terms or any(t.lower() in sentence.lower() for t in terms):
+                if not terms or any(term_matches(t, sentence) for t in terms):
                     picked.append(f"{sentence}【来源：{doc_id}】")
                 if len(picked) >= 5:
                     break

@@ -26,6 +26,21 @@ def extract_key_terms(query: str) -> List[str]:
     return [t for t in tokens if t.lower() not in _STOPWORDS and len(t) > 1]
 
 
+def term_matches(term: str, text: str) -> bool:
+    """Does a key term occur in the text? Exact substring for latin/numbers;
+    CJK runs (which are unsegmented multi-word phrases like 特斯拉加速) match
+    when most of their character bigrams appear — '特斯拉...加速' counts."""
+    lowered = text.lower()
+    term_l = term.lower()
+    if term_l in lowered:
+        return True
+    if not re.fullmatch(r"[一-鿿]{3,}", term):
+        return False
+    bigrams = [term[i : i + 2] for i in range(len(term) - 1)]
+    hits = sum(1 for b in bigrams if b in text)
+    return hits >= max(1, int(0.6 * len(bigrams)))
+
+
 _NUMERIC_SPEC = re.compile(
     r"\d+(?:\.\d+)?\s*(?:秒|km/h|公里|马力|匹|kw|kW|牛米|nm|N·m|L|升|mpg|万|元|hp|s\b)",
     re.IGNORECASE,

@@ -36,6 +36,7 @@ from ..utils.quality import (
     check_numerical_specs_realistic,
     extract_key_terms,
     has_garbled_content,
+    term_matches,
 )
 
 _SOURCE_CREDIBILITY = {
@@ -113,7 +114,7 @@ class ValidationEngine:
         # -- completeness (query term coverage)
         terms = extract_key_terms(query)
         corpus_text = " ".join(d.page_content for d in docs).lower()
-        covered = [t for t in terms if t.lower() in corpus_text]
+        covered = [t for t in terms if term_matches(t, corpus_text)]
         completeness = 100.0 * len(covered) / len(terms) if terms else 100.0
         steps[ValidationStepType.COMPLETENESS.value] = self._step(
             completeness, f"{len(covered)}/{len(terms)} query terms covered"

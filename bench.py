@@ -131,8 +131,38 @@ def bench_flat_search(n=100_000, dim=1024, k=20, batch=8, trials=3, dtype="bfloa
     return batch / per_call
 
 
+def _probe_device(timeout_s: float = 150.0) -> bool:
+    """Can the configured backend run a trivial op? Probed in a subprocess so
+    a wedged device tunnel can't hang the benchmark itself."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "print(np.asarray(jnp.ones((8,8)) @ jnp.ones((8,8)))[0,0])"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, timeout=timeout_s
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     target_ms = 10.0
+    if not _probe_device():
+        print(
+            "[warn] accelerator probe timed out — falling back to CPU backend",
+            file=sys.stderr,
+        )
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
     p50_ms, on_tpu = bench_maxsim()
     for dtype in ("bfloat16", "int8"):
         try:

@@ -1,0 +1,104 @@
+"""Generation-layer tests: context builder budgets/format, prompt templates,
+fact checker, answer pipeline scoring."""
+
+import numpy as np
+import pytest
+
+from automative_rag_tpu.config.mode_config import QueryMode, estimate_token_count
+from automative_rag_tpu.documents import Document
+from automative_rag_tpu.generation import (
+    SimpleFactChecker,
+    build_prompt,
+    format_documents_with_relevance_scores,
+)
+from automative_rag_tpu.generation.context import documents_in_context_order
+from automative_rag_tpu.generation.llm import AnswerGenerator, StubLLM
+
+
+def _doc(text, score, **md):
+    return (Document(page_content=text, metadata=md), score)
+
+
+def test_context_empty():
+    assert "No relevant documents" in format_documents_with_relevance_scores([])
+
+
+def test_context_ordering_ids_and_indicators():
+    docs = [
+        _doc("低分文档", 0.3, source="text", title="低"),
+        _doc("高分文档", 0.9, source="pdf", title="高", manufacturer="宝马"),
+        _doc("中分文档", 0.7, source="youtube", title="中"),
+    ]
+    ctx = format_documents_with_relevance_scores(docs)
+    # relevance order: DOC_1 = highest
+    assert ctx.index("DOC_1") < ctx.index("DOC_2") < ctx.index("DOC_3")
+    assert "🔥" in ctx and "⭐" in ctx and "📄" in ctx
+    assert "(PDF - '高') - 宝马" in ctx
+    assert "(YouTube - '中')" in ctx
+    order = documents_in_context_order(docs)
+    assert order[0][1].page_content == "高分文档"
+    assert order[0][0] == "DOC_1"
+
+
+def test_context_budget_and_truncation():
+    long_doc = _doc("这是一段很长的内容。" * 300, 0.95, source="text", title="长")
+    other = _doc("短内容。", 0.9, source="text", title="短")
+    ctx = format_documents_with_relevance_scores([long_doc, other], max_token_budget=500)
+    # high-relevance overflow gets truncated, not dropped
+    assert "[截断]" in ctx
+    assert estimate_token_count(ctx) < 800
+
+
+def test_context_doc_cap():
+    docs = [_doc(f"文档{i}。", 0.9 - i * 0.01, source="text") for i in range(20)]
+    ctx = format_documents_with_relevance_scores(docs)
+    assert "DOC_12" in ctx and "DOC_13" not in ctx  # 12-doc hard cap
+
+
+def test_prompts_carry_citation_contract():
+    for mode in QueryMode:
+        prompt = build_prompt(mode, context="CTX_SENTINEL", question="Q_SENTINEL")
+        assert "【来源：DOC_X】" in prompt
+        assert "CTX_SENTINEL" in prompt and "Q_SENTINEL" in prompt
+    assert "优点/缺点" in build_prompt("tradeoffs", "c", "q")
+    assert "观点" in build_prompt("debate", "c", "q")
+    assert "quotes" in build_prompt("quotes", "c", "q").lower() or "引用" in build_prompt("quotes", "c", "q") or "quote" in build_prompt("quotes", "c", "q").lower()
+
+
+def test_fact_checker():
+    checker = SimpleFactChecker()
+    context = "宝马X5百公里加速5.5秒，最高时速250公里。"
+    good = checker.simple_quality_check("加速5.5秒【来源：DOC_1】", context)
+    assert good["quality_score"] == 100 and not good["has_issues"]
+
+    bad = checker.simple_quality_check("百公里加速0.3秒，最高时速900公里", context)
+    assert bad["has_issues"]
+    assert bad["quality_score"] < 100
+    assert bad["recommendation"] == "review_answer"
+
+
+def test_answer_pipeline_confidence_and_sources():
+    gen = AnswerGenerator(StubLLM())
+    docs = [
+        _doc("特斯拉Model 3百公里加速5.6秒。", 0.9, source="text", source_id="a"),
+        _doc("无关内容。", 0.5, source="text", source_id="b"),
+    ]
+    out = gen.answer("特斯拉加速", docs, mode="facts")
+    assert 0 < out["confidence"] <= 100
+    assert out["sources"][0]["doc_id"] == "DOC_1"
+    assert any(s["cited"] for s in out["sources"])
+    assert out["mode"] == "facts"
+    assert "5.6" in out["answer"]
+
+
+def test_think_tag_stripping():
+    class ThinkLLM:
+        name = "thinker"
+
+        def generate(self, prompt, params):
+            return "<think>internal musing</think>最终答案【来源：DOC_1】"
+
+    gen = AnswerGenerator(ThinkLLM())
+    out = gen.answer("q", [_doc("内容", 0.9)], mode="facts")
+    assert out["answer"] == "最终答案【来源：DOC_1】"
+    assert "musing" not in out["answer"]
