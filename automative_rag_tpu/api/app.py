@@ -170,6 +170,69 @@ def build_api(app: RAGApplication) -> HTTPApi:
     def query_results(req: Request):
         return _job_result(req.params["job_id"])
 
+    # --- validation sub-resource (reference query.py:54-89: progress /
+    # user-choice / restart / cancel) ---
+    @router.get("/query/{job_id}/validation-progress")
+    def validation_progress(req: Request):
+        job_id = req.params["job_id"]
+        job = _job_result(job_id)
+        state = app.job_chain.get_chain_state(job_id)
+        return {
+            "job_id": job_id,
+            "status": job["status"],
+            "progress": job.get("progress", 0),
+            "paused": bool(state and state.get("paused")),
+            "user_prompt": (state or {}).get("user_prompt"),
+            "step_status": (state or {}).get("step_status"),
+            "validation": (job.get("result") or {}).get("validation"),
+        }
+
+    @router.post("/query/{job_id}/user-choice")
+    def user_choice(req: Request):
+        job_id = req.params["job_id"]
+        if not app.job_chain.resume_from_user_input(job_id, req.json()):
+            raise HTTPError(409, "job is not waiting for user input")
+        return {"job_id": job_id, "resumed": True}
+
+    @router.post("/query/{job_id}/contribute")
+    def contribute(req: Request):
+        """Guided-trust-loop user contribution (reference
+        inference_tasks.py:205-278): ingest the contributed evidence, then
+        resume the paused workflow."""
+        job_id = req.params["job_id"]
+        body = req.json()
+        kind = body.get("type", "text_input")
+        content = (body.get("content") or "").strip()
+        if not content:
+            raise HTTPError(422, "content must be non-empty")
+        contribution = {"type": kind, "contributed_by": body.get("user", "anonymous")}
+        ingest_job = app.ingest_text(
+            content, metadata={"source": "manual", **contribution}
+        )
+        resumed = app.job_chain.resume_from_user_input(
+            job_id, {"contribution_job_id": ingest_job, "contribution": contribution}
+        )
+        return {"job_id": job_id, "ingest_job_id": ingest_job, "resumed": resumed}
+
+    @router.post("/query/{job_id}/restart")
+    def restart_query(req: Request):
+        job_id = req.params["job_id"]
+        job = _job_result(job_id)
+        meta = job.get("metadata") or {}
+        if "query" not in meta:
+            raise HTTPError(409, "job has no restartable query payload")
+        app.job_chain.cancel(job_id)
+        new_id = app.submit_query(
+            meta["query"], meta.get("mode", "facts"), meta.get("metadata_filter")
+        )
+        return {"old_job_id": job_id, "job_id": new_id, "status": "pending"}
+
+    @router.post("/query/{job_id}/cancel")
+    def cancel_query(req: Request):
+        if not app.job_chain.cancel(req.params["job_id"]):
+            raise HTTPError(404, "no active chain for this job")
+        return {"job_id": req.params["job_id"], "cancelled": True}
+
     @router.get("/query/modes")
     def query_modes(req: Request):
         return {"modes": [_mode_payload(m) for m in mode_config.all_modes()]}

@@ -196,3 +196,61 @@ def test_query_batch(api, app):
     assert "5.9" in body["answers"][0]["answer"]
     status, _ = call(api, "POST", "/query/batch", {"queries": []})
     assert status == 422
+
+
+def test_validation_subresource_endpoints(api, app):
+    # progress view on a normal completed job
+    status, body = call(api, "POST", "/query", {"query": "奥迪Q7 加速"})
+    job_id = body["job_id"]
+    _wait_job(app, job_id)
+    status, body = call(api, "GET", f"/query/{job_id}/validation-progress")
+    assert status == 200 and body["status"] == "completed" and not body["paused"]
+
+    # restart produces a fresh job with the same query
+    status, body = call(api, "POST", f"/query/{job_id}/restart")
+    assert status == 200 and body["job_id"] != job_id
+    _wait_job(app, body["job_id"])
+
+    # user-choice on a non-paused job conflicts
+    status, _ = call(api, "POST", f"/query/{job_id}/user-choice", {"choice": "x"})
+    assert status == 409
+
+
+def test_user_choice_and_contribution_flow(api, app):
+    from automative_rag_tpu.orchestration.workflows import WORKFLOWS
+
+    WORKFLOWS["test_pause_flow"] = ["pause_step", "finish_step"]
+    finished = {}
+
+    @app.task_router.task("pause_step")
+    def pause_step(job_id, payload):
+        app.job_chain.wait_for_user_input(job_id, {"question": "需要补充资料"})
+        return {}
+
+    @app.task_router.task("finish_step")
+    def finish_step(job_id, payload):
+        finished.update(payload)
+        return {"done": True}
+
+    try:
+        job_id = app.tracker.create_job("test_pause_flow")
+        app.job_chain.start_job_chain(job_id, "test_pause_flow", {})
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            state = app.job_chain.get_chain_state(job_id)
+            if state and state["paused"]:
+                break
+            time.sleep(0.05)
+        status, body = call(api, "GET", f"/query/{job_id}/validation-progress")
+        assert body["paused"] and body["user_prompt"]["question"] == "需要补充资料"
+
+        # contribute evidence: ingests it and resumes the chain
+        status, body = call(api, "POST", f"/query/{job_id}/contribute",
+                            {"content": "蔚来ES6 2023款续航610公里。", "user": "tester"})
+        assert status == 200 and body["resumed"]
+        _wait_job(app, body["ingest_job_id"])
+        job = _wait_job(app, job_id)
+        assert job["status"] == "completed"
+        assert "contribution_job_id" in finished
+    finally:
+        WORKFLOWS.pop("test_pause_flow", None)
