@@ -153,8 +153,22 @@ class AnswerGenerator:
             for doc_id, doc, score in ordered
         ]
 
+        # structured parse for list-shaped modes (UI debate/quotes renderers,
+        # reference 智能查询.py two-layer display)
+        structured: Dict[str, Any] = {}
+        if mode == QueryMode.TRADEOFFS:
+            structured = {
+                "pros": re.findall(r"优点[:：]?\s*(.+)", answer),
+                "cons": re.findall(r"缺点[:：]?\s*(.+)", answer),
+            }
+        elif mode == QueryMode.DEBATE:
+            structured = {"viewpoints": re.findall(r"观点[一二三四五\d]+[:：]?\s*(.+)", answer)}
+        elif mode == QueryMode.QUOTES:
+            structured = {"quotes": re.findall(r"[“\"](.+?)[”\"]", answer)}
+
         return {
             "answer": answer,
+            "structured": structured,
             "mode": mode.value,
             "confidence": confidence,
             "quality_check": check,
