@@ -28,7 +28,6 @@ from ..app import RAGApplication
 from ..config.mode_config import QueryMode, mode_config
 from ..ingestion.metadata import known_manufacturers, known_models
 from ..ingestion.video_processor import validate_video_url
-from ..orchestration.job_tracker import JobStatus
 from .auth import issue_token
 from .http import HTTPApi, HTTPError, Request, Router
 

@@ -30,7 +30,7 @@ import numpy as np
 from ..ops.kmeans import spherical_kmeans
 from ..ops.topk import masked_top_k, merge_top_k
 from .filters import FilterSpec, eval_filter_mask
-from .flat import FlatIndex, SearchResult, _round_capacity
+from .flat import FlatIndex, SearchResult
 
 
 @partial(jax.jit, static_argnames=("nprobe", "k"))

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import wave
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

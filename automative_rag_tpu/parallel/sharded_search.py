@@ -10,7 +10,6 @@ O(shards·k), never O(corpus).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, List, Optional
 
 import jax

@@ -8,7 +8,7 @@ internals are replaced by the real ingestion pipeline.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 from ..documents.schema import Document
 from ..ingestion.chunker import split_text

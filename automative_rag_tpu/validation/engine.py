@@ -20,7 +20,6 @@ step scored 0-100 and mapped to a ConfidenceLevel.
 from __future__ import annotations
 
 import re
-from collections import Counter
 from typing import Any, Dict, List, Optional, Tuple
 
 from ..config.mode_config import QueryMode, mode_config
