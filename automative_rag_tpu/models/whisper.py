@@ -64,27 +64,64 @@ def _sinusoids(length: int, channels: int) -> np.ndarray:
 
 
 class _MHA(nn.Module):
+    """Multi-head attention with full and incremental (KV-cached) paths.
+
+    setup-style so the decode step can reuse the same projections; attribute
+    names (q_proj/k_proj/v_proj/out_proj) keep the HF weight mapping stable.
+    """
+
     config: WhisperConfig
     causal: bool = False
 
-    @nn.compact
-    def __call__(self, x, kv=None):
+    def setup(self):
         cfg = self.config
-        kv = x if kv is None else kv
+        self.q_proj = nn.Dense(cfg.d_model, dtype=cfg.dtype)
+        self.k_proj = nn.Dense(cfg.d_model, use_bias=False, dtype=cfg.dtype)
+        self.v_proj = nn.Dense(cfg.d_model, dtype=cfg.dtype)
+        self.out_proj = nn.Dense(cfg.d_model, dtype=cfg.dtype)
+
+    def _attend(self, q, k, v, mask=None):
+        cfg = self.config
         head_dim = cfg.d_model // cfg.n_heads
-        q = nn.Dense(cfg.d_model, dtype=cfg.dtype, name="q_proj")(x)
-        k = nn.Dense(cfg.d_model, use_bias=False, dtype=cfg.dtype, name="k_proj")(kv)
-        v = nn.Dense(cfg.d_model, dtype=cfg.dtype, name="v_proj")(kv)
         b, lq, _ = q.shape
         lk = k.shape[1]
         split = lambda t, l: t.reshape(b, l, cfg.n_heads, head_dim)
         scores = jnp.einsum("bqhd,bkhd->bhqk", split(q, lq), split(k, lk)) / np.sqrt(head_dim)
-        if self.causal:
-            mask = jnp.tril(jnp.ones((lq, lk), bool))
-            scores = jnp.where(mask[None, None], scores, -1e9)
+        if mask is not None:
+            scores = jnp.where(mask, scores, -1e9)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cfg.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, split(v, lk)).reshape(b, lq, cfg.d_model)
-        return nn.Dense(cfg.d_model, dtype=cfg.dtype, name="out_proj")(out)
+        return self.out_proj(out)
+
+    def __call__(self, x, kv=None):
+        kv = x if kv is None else kv
+        q, k, v = self.q_proj(x), self.k_proj(kv), self.v_proj(kv)
+        mask = None
+        if self.causal:
+            mask = jnp.tril(jnp.ones((x.shape[1], kv.shape[1]), bool))[None, None]
+        return self._attend(q, k, v, mask)
+
+    def kv(self, source):
+        """Precompute (k, v) once (cross-attention over a fixed encoder)."""
+        return self.k_proj(source), self.v_proj(source)
+
+    def step(self, x_t, pos, cache_k, cache_v):
+        """One causal decode step: write this position's k/v into the cache,
+        attend over positions ≤ pos."""
+        q = self.q_proj(x_t)  # [B, 1, D]
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, self.k_proj(x_t).astype(cache_k.dtype), (0, pos, 0)
+        )
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, self.v_proj(x_t).astype(cache_v.dtype), (0, pos, 0)
+        )
+        t_max = cache_k.shape[1]
+        valid = (jnp.arange(t_max) <= pos)[None, None, None, :]  # [1,1,1,T]
+        out = self._attend(q, cache_k, cache_v, valid)
+        return out, cache_k, cache_v
+
+    def cross_step(self, x_t, k, v):
+        return self._attend(self.q_proj(x_t), k, v)
 
 
 class _Block(nn.Module):
@@ -92,18 +129,41 @@ class _Block(nn.Module):
     causal: bool = False
     cross: bool = False
 
-    @nn.compact
+    def setup(self):
+        cfg = self.config
+        self.self_attn_norm = nn.LayerNorm(dtype=jnp.float32)
+        self.self_attn = _MHA(cfg, causal=self.causal)
+        if self.cross:
+            self.cross_attn_norm = nn.LayerNorm(dtype=jnp.float32)
+            self.cross_attn = _MHA(cfg)
+        self.mlp_norm = nn.LayerNorm(dtype=jnp.float32)
+        self.fc1 = nn.Dense(4 * cfg.d_model, dtype=cfg.dtype)
+        self.fc2 = nn.Dense(cfg.d_model, dtype=cfg.dtype)
+
+    def _mlp(self, x):
+        h = self.fc1(self.mlp_norm(x).astype(self.config.dtype))
+        return x + self.fc2(nn.gelu(h, approximate=False))
+
     def __call__(self, x, enc=None):
         cfg = self.config
-        h = nn.LayerNorm(dtype=jnp.float32, name="self_attn_norm")(x)
-        x = x + _MHA(cfg, causal=self.causal, name="self_attn")(h.astype(cfg.dtype))
+        x = x + self.self_attn(self.self_attn_norm(x).astype(cfg.dtype))
         if self.cross:
-            h = nn.LayerNorm(dtype=jnp.float32, name="cross_attn_norm")(x)
-            x = x + _MHA(cfg, name="cross_attn")(h.astype(cfg.dtype), enc)
-        h = nn.LayerNorm(dtype=jnp.float32, name="mlp_norm")(x)
-        h = nn.Dense(4 * cfg.d_model, dtype=cfg.dtype, name="fc1")(h.astype(cfg.dtype))
-        h = nn.gelu(h, approximate=False)
-        return x + nn.Dense(cfg.d_model, dtype=cfg.dtype, name="fc2")(h)
+            x = x + self.cross_attn(self.cross_attn_norm(x).astype(cfg.dtype), enc)
+        return self._mlp(x)
+
+    def cross_kv(self, enc):
+        return self.cross_attn.kv(enc)
+
+    def step(self, x_t, pos, enc_k, enc_v, cache_k, cache_v):
+        cfg = self.config
+        attn, cache_k, cache_v = self.self_attn.step(
+            self.self_attn_norm(x_t).astype(cfg.dtype), pos, cache_k, cache_v
+        )
+        x = x_t + attn
+        x = x + self.cross_attn.cross_step(
+            self.cross_attn_norm(x).astype(cfg.dtype), enc_k, enc_v
+        )
+        return self._mlp(x), cache_k, cache_v
 
 
 class WhisperEncoder(nn.Module):
@@ -130,22 +190,52 @@ class WhisperEncoder(nn.Module):
 class WhisperDecoder(nn.Module):
     config: WhisperConfig
 
-    @nn.compact
-    def __call__(self, tokens, enc):  # tokens [B, L], enc [B, T, D]
+    def setup(self):
         cfg = self.config
-        embed = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=cfg.dtype, name="embed_tokens")
-        positions = self.param(
+        self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=cfg.dtype)
+        self.positions = self.param(
             "positions",
             nn.initializers.normal(0.02),
             (cfg.max_target_positions, cfg.d_model),
         )
-        x = embed(tokens) + positions[None, : tokens.shape[1]].astype(cfg.dtype)
-        for i in range(cfg.decoder_layers):
-            x = _Block(cfg, causal=True, cross=True, name=f"layer_{i}")(x, enc)
-        x = nn.LayerNorm(dtype=jnp.float32, name="final_norm")(x)
+        self.layer = [
+            _Block(cfg, causal=True, cross=True) for _ in range(cfg.decoder_layers)
+        ]
+        self.final_norm = nn.LayerNorm(dtype=jnp.float32)
+
+    def __call__(self, tokens, enc):  # tokens [B, L], enc [B, T, D]
+        cfg = self.config
+        x = self.embed_tokens(tokens) + self.positions[None, : tokens.shape[1]].astype(cfg.dtype)
+        for block in self.layer:
+            x = block(x, enc)
+        x = self.final_norm(x)
         # tied output projection
-        logits = x @ embed.embedding.T.astype(jnp.float32)
-        return logits  # [B, L, V]
+        return x @ self.embed_tokens.embedding.T.astype(jnp.float32)  # [B, L, V]
+
+    # ------------------------------------------------ incremental decoding
+    def cross_kvs(self, enc):
+        """Per-layer (k, v) over the encoder output — computed once per
+        utterance, reused by every decode step."""
+        return [block.cross_kv(enc) for block in self.layer]
+
+    def step(self, token_t, pos, cross_kvs, caches):
+        """One decode step with KV caches: O(1) attention work per token
+        instead of re-running the full sequence (the cached path drops
+        greedy decoding from O(L²·layers) to O(L·layers))."""
+        cfg = self.config
+        pos_emb = jax.lax.dynamic_slice(
+            self.positions, (pos, 0), (1, cfg.d_model)
+        )
+        x = self.embed_tokens(token_t) + pos_emb[None].astype(cfg.dtype)
+        new_caches = []
+        for block, (enc_k, enc_v), (cache_k, cache_v) in zip(
+            self.layer, cross_kvs, caches
+        ):
+            x, cache_k, cache_v = block.step(x, pos, enc_k, enc_v, cache_k, cache_v)
+            new_caches.append((cache_k, cache_v))
+        x = self.final_norm(x)
+        logits = x[:, 0] @ self.embed_tokens.embedding.T.astype(jnp.float32)
+        return logits, new_caches  # [B, V], caches
 
 
 class WhisperModel:
@@ -169,7 +259,9 @@ class WhisperModel:
             params = {"encoder": enc_params, "decoder": dec_params}
         self.params = params
 
-        def _greedy(params, mel, start_tokens, max_tokens):
+        def _greedy_full(params, mel, start_tokens, max_tokens):
+            """Reference path: full decoder re-run per step (used to validate
+            the cached path)."""
             enc = self.encoder.apply({"params": params["encoder"]}, mel)
             b = mel.shape[0]
             n_start = start_tokens.shape[0]
@@ -193,7 +285,54 @@ class WhisperModel:
             _, tokens, _ = jax.lax.while_loop(cond, body, (n_start, tokens, finished))
             return tokens
 
-        self._greedy = jax.jit(_greedy, static_argnames=("max_tokens",))
+        def _greedy_cached(params, mel, start_tokens, max_tokens):
+            """Production path: per-layer self-attention KV caches + one-time
+            cross-attention k/v precompute."""
+            cfg = self.config
+            dparams = {"params": params["decoder"]}
+            enc = self.encoder.apply({"params": params["encoder"]}, mel)
+            cross = self.decoder.apply(dparams, enc, method="cross_kvs")
+            b = mel.shape[0]
+            n_start = start_tokens.shape[0]
+            caches = [
+                (
+                    jnp.zeros((b, max_tokens, cfg.d_model), cfg.dtype),
+                    jnp.zeros((b, max_tokens, cfg.d_model), cfg.dtype),
+                )
+                for _ in range(cfg.decoder_layers)
+            ]
+            tokens = jnp.full((b, max_tokens), cfg.eos_token, jnp.int32)
+            tokens = jax.lax.dynamic_update_slice(
+                tokens, jnp.tile(start_tokens[None, :], (b, 1)), (0, 0)
+            )
+            finished = jnp.zeros((b,), bool)
+
+            def cond(state):
+                t, _tokens, _caches, finished = state
+                return (t < max_tokens - 1) & ~jnp.all(finished)
+
+            def body(state):
+                t, tokens, caches, finished = state
+                token_t = jax.lax.dynamic_slice(tokens, (0, t), (b, 1))
+                logits, caches = self.decoder.apply(
+                    dparams, token_t, t, cross, caches, method="step"
+                )
+                predicted = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                predicted = jnp.where(finished, cfg.eos_token, predicted)
+                existing = jax.lax.dynamic_slice(tokens, (0, t + 1), (b, 1))[:, 0]
+                in_prompt = t + 1 < n_start
+                new = jnp.where(in_prompt, existing, predicted)
+                tokens = jax.lax.dynamic_update_slice(tokens, new[:, None], (0, t + 1))
+                finished = finished | (~in_prompt & (new == cfg.eos_token))
+                return t + 1, tokens, caches, finished
+
+            _, tokens, _, _ = jax.lax.while_loop(
+                cond, body, (0, tokens, caches, finished)
+            )
+            return tokens
+
+        self._greedy = jax.jit(_greedy_cached, static_argnames=("max_tokens",))
+        self._greedy_uncached = jax.jit(_greedy_full, static_argnames=("max_tokens",))
 
     def transcribe_tokens(self, mel: jnp.ndarray, language: str = "zh",
                           max_tokens: Optional[int] = None) -> np.ndarray:

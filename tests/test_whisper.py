@@ -119,3 +119,23 @@ def test_transcriber_plugs_into_video_processor(tmp_path):
     )
     docs = vp.process("https://www.youtube.com/watch?v=dQw4w9WgXcQ")
     assert docs and docs[0].metadata["manufacturer"] == "宝马"
+
+
+def test_cached_decode_matches_full(tiny_model):
+    """KV-cached greedy decoding must produce the same tokens as the full
+    re-run-per-step reference path."""
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(rng.normal(size=(2, 3000, 80)).astype(np.float32))
+    cfg = tiny_model.config
+    start = jnp.asarray(
+        [cfg.sot_token, cfg.lang_zh_token, cfg.transcribe_token, cfg.no_timestamps_token],
+        jnp.int32,
+    )
+    cached = np.asarray(tiny_model._greedy(tiny_model.params, mel, start, 16))
+    full = np.asarray(tiny_model._greedy_uncached(tiny_model.params, mel, start, 16))
+    # compare up to each row's first EOS (the reference fills tails with 0,
+    # the cached path with EOS)
+    for row_c, row_f in zip(cached, full):
+        eos_at = np.where(row_f == cfg.eos_token)[0]
+        upto = int(eos_at[0]) + 1 if len(eos_at) else len(row_f)
+        np.testing.assert_array_equal(row_c[:upto], row_f[:upto])
