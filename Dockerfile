@@ -1,0 +1,21 @@
+# Single-image deployment (replaces the reference's 7-container compose
+# stack: API + 3 GPU workers + CPU pool + Qdrant + Redis — here the engine
+# is one process that owns the TPU and all state).
+FROM python:3.12-slim
+
+WORKDIR /app
+COPY pyproject.toml README.md ./
+COPY automative_rag_tpu ./automative_rag_tpu
+COPY scripts ./scripts
+COPY run_api.sh bench.py ./
+
+# jax[tpu] on Cloud TPU VMs; plain jax elsewhere (CPU fallback mode)
+ARG JAX_EXTRA=tpu
+RUN pip install --no-cache-dir -e . && \
+    pip install --no-cache-dir "jax[${JAX_EXTRA}]" transformers safetensors || true
+
+ENV API_HOST=0.0.0.0 API_PORT=8000 INDEX_KIND=auto
+EXPOSE 8000
+HEALTHCHECK --interval=30s --timeout=10s \
+  CMD python -c "import urllib.request;urllib.request.urlopen('http://localhost:8000/health', timeout=5)"
+CMD ["./run_api.sh"]

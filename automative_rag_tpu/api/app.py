@@ -463,6 +463,23 @@ def build_api(app: RAGApplication) -> HTTPApi:
     def rebuild_index(req: Request):
         return app.rebuild_index()
 
+    @router.post("/system/clear-cache")
+    def clear_cache(req: Request):
+        """Drop device caches + jit executables (reference
+        POST /system/clear-gpu-cache; here it forces the index to re-stage
+        its HBM state and clears XLA's live executables)."""
+        import jax
+
+        app.index._device = None
+        if app.token_store is not None:
+            app.token_store._device = None
+        jax.clear_caches()
+        return {"cleared": True}
+
+    @router.post("/system/restart-workers")
+    def restart_workers(req: Request):
+        return {"restarted": app.queue_manager.restart_workers()}
+
     @router.post("/system/cleanup-jobs")
     def cleanup_jobs(req: Request):
         removed = app.tracker.cleanup_old_jobs(app.settings.job_retention_days)

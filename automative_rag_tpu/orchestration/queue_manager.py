@@ -206,5 +206,17 @@ class QueueManager:
             time.sleep(0.02)
         return False
 
+    def restart_workers(self) -> Dict[str, bool]:
+        """Replace dead worker threads (reference POST /system/restart-workers;
+        container restarts become thread restarts in the single-process
+        topology)."""
+        restarted = {}
+        for name in self._queues:
+            worker = self._workers.get(name)
+            dead = worker is None or not worker.is_alive()
+            restarted[name] = dead
+        self.start_workers()
+        return restarted
+
     def shutdown(self) -> None:
         self._shutdown.set()

@@ -254,3 +254,15 @@ def test_user_choice_and_contribution_flow(api, app):
         assert "contribution_job_id" in finished
     finally:
         WORKFLOWS.pop("test_pause_flow", None)
+
+
+def test_clear_cache_and_restart_workers(api, app):
+    status, body = call(api, "POST", "/system/clear-cache")
+    assert status == 200 and body["cleared"]
+    # engine still functional after cache drop
+    status, body = call(api, "POST", "/query/debug-retrieval", {"query": "奥迪"})
+    assert status == 200
+    status, body = call(api, "POST", "/system/restart-workers")
+    assert status == 200 and set(body["restarted"]) == {
+        "cpu_tasks", "transcription_tasks", "embedding_tasks", "llm_tasks",
+    }
