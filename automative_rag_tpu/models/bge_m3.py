@@ -30,7 +30,18 @@ def _bucket_length(max_len: int, cap: int) -> int:
 
 
 class DenseEmbedder:
-    """Batched, jitted dense text embedder."""
+    """Batched, jitted dense text embedder.
+
+    Two modes:
+    - **transformer** (a checkpoint is configured): the real bge-m3 path —
+      encoder forward, CLS pooling, L2 norm.
+    - **lexical** (weightless fallback): deterministic hashed
+      bag-of-tokens projection — token ids hash into the embedding
+      dimensions with sqrt-tf weighting and sign hashing, L2 normalized.
+      Cosine then measures lexical overlap, so weightless deployments get
+      *functional* dense retrieval instead of random-encoder noise (the
+      MaxSim rerank stage sharpens it further).
+    """
 
     def __init__(
         self,
@@ -40,6 +51,7 @@ class DenseEmbedder:
         max_length: int = 512,
         batch_size: int = 64,
         seed: int = 0,
+        mode: Optional[str] = None,  # "transformer" | "lexical" | None=auto
     ):
         self.config = config or EncoderConfig.bge_m3()
         self.max_length = max_length
@@ -47,6 +59,7 @@ class DenseEmbedder:
         self.model = TransformerEncoder(self.config)
         params = load_hf_weights(self.config, weights_path) if weights_path else None
         self.pretrained = params is not None
+        self.mode = mode or ("transformer" if self.pretrained else "lexical")
         self.params = params if params is not None else init_encoder_params(self.config, seed)
         self.tokenizer = load_tokenizer(tokenizer_path, vocab_size=self.config.vocab_size)
 
@@ -58,6 +71,21 @@ class DenseEmbedder:
 
         self._forward = jax.jit(_forward)
 
+        def _lexical(input_ids, attention_mask):
+            # hashed bag-of-tokens: bucket = id % dim, sign = parity of id//dim
+            dim = self.config.hidden_size
+            ids = input_ids
+            bucket = ids % dim
+            sign = jnp.where((ids // dim) % 2 == 0, 1.0, -1.0)
+            weight = sign * attention_mask.astype(jnp.float32)
+            onehot = jax.nn.one_hot(bucket, dim, dtype=jnp.float32)  # [B, L, dim]
+            counts = jnp.einsum("bl,bld->bd", weight, onehot)
+            emb = jnp.sign(counts) * jnp.sqrt(jnp.abs(counts))  # sqrt-tf
+            norm = jnp.linalg.norm(emb, axis=-1, keepdims=True)
+            return emb / jnp.maximum(norm, 1e-12)
+
+        self._lexical = jax.jit(_lexical)
+
     @property
     def dim(self) -> int:
         return self.config.hidden_size
@@ -67,7 +95,11 @@ class DenseEmbedder:
         ids, mask = self.tokenizer.encode_batch(texts, self.max_length)
         real_len = int(mask.sum(axis=1).max()) if len(texts) else 1
         length = _bucket_length(real_len, self.max_length)
-        out = self._forward(self.params, jnp.asarray(ids[:, :length]), jnp.asarray(mask[:, :length]))
+        ids_j, mask_j = jnp.asarray(ids[:, :length]), jnp.asarray(mask[:, :length])
+        if self.mode == "lexical":
+            out = self._lexical(ids_j, mask_j)
+        else:
+            out = self._forward(self.params, ids_j, mask_j)
         return np.asarray(out, np.float32)
 
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:

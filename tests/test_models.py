@@ -155,3 +155,25 @@ def test_cross_encoder_plugs_into_hybrid(colbert):
     scores = [s for _, s in ranked]
     assert scores == sorted(scores, reverse=True)
     assert all(0.0 <= s <= 1.0 for s in scores)  # min-max combined range
+
+
+def test_lexical_embedder_retrieval_quality():
+    """Weightless dense retrieval must be lexically meaningful: overlapping
+    text scores higher than unrelated text."""
+    emb = DenseEmbedder(config=EncoderConfig.tiny(), max_length=64, batch_size=4)
+    assert emb.mode == "lexical"
+    vecs = emb.embed_texts([
+        "宝马X5 2023款百公里加速5.5秒",
+        "宝马X5的加速测试成绩",
+        "今天的天气多云转晴",
+    ])
+    sim_related = float(vecs[0] @ vecs[1])
+    sim_unrelated = float(vecs[0] @ vecs[2])
+    assert sim_related > sim_unrelated + 0.1
+
+
+def test_transformer_mode_still_available():
+    emb = DenseEmbedder(config=EncoderConfig.tiny(), max_length=32, mode="transformer")
+    vecs = emb.embed_texts(["测试"])
+    assert vecs.shape == (1, emb.dim)
+    np.testing.assert_allclose(np.linalg.norm(vecs, axis=1), 1.0, rtol=1e-5)
