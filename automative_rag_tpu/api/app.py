@@ -393,6 +393,39 @@ def build_api(app: RAGApplication) -> HTTPApi:
     def get_job(req: Request):
         return _job_result(req.params["job_id"])
 
+    @router.get("/ingest/jobs/{job_id}/analysis")
+    def job_analysis(req: Request):
+        """Per-job chunk analysis (reference ingest.py:379-498
+        calculate_job_processing_analysis): chunk counts, metadata coverage,
+        vehicle detection, quality summary over the job's indexed chunks."""
+        job_id = req.params["job_id"]
+        _job_result(job_id)
+        docs = [
+            d for d in app.index._docs
+            if d.metadata.get("job_id") == job_id
+            and d.id in app.index._row_of_id
+        ]
+        if not docs:
+            return {"job_id": job_id, "chunks": 0, "note": "no indexed chunks for this job"}
+        from ..utils.quality import get_automotive_validation_summary
+
+        fields = ("manufacturer", "model", "year", "category", "engine_type")
+        coverage = {
+            f: sum(1 for d in docs if d.metadata.get(f) is not None) / len(docs)
+            for f in fields
+        }
+        return {
+            "job_id": job_id,
+            "chunks": len(docs),
+            "total_chars": sum(len(d.page_content) for d in docs),
+            "vehicle_detected_rate": sum(
+                1 for d in docs if d.metadata.get("vehicle_detected")
+            ) / len(docs),
+            "metadata_coverage": coverage,
+            "quality": get_automotive_validation_summary(docs),
+            "sources": sorted({str(d.metadata.get("source")) for d in docs}),
+        }
+
     @router.delete("/ingest/jobs/{job_id}")
     def delete_job(req: Request):
         if not app.tracker.delete_job(req.params["job_id"]):
@@ -511,6 +544,34 @@ def build_api(app: RAGApplication) -> HTTPApi:
             },
             "llm": getattr(app.generator.llm, "name", "unknown"),
             "index_dtype": str(app.settings.index_dtype),
+        }
+
+    @router.get("/model/status")
+    def model_status(req: Request):
+        """Per-model load status (reference model.py:80-229)."""
+        return {
+            "embedder": {
+                "mode": app.embedder.mode,
+                "pretrained": app.embedder.pretrained,
+                "dim": app.embedder.dim,
+                "path": app.settings.embedding_model_path or None,
+            },
+            "colbert": {
+                "pretrained": app.colbert.pretrained,
+                "path": app.settings.colbert_model_path or None,
+            },
+            "cross_encoder": {
+                "loaded": app.reranker.second_scorer is not None,
+                "path": app.settings.reranker_model_path or None,
+            },
+            "llm": {
+                "backend": getattr(app.generator.llm, "name", "unknown"),
+                "path": app.settings.llm_model_path or None,
+            },
+            "whisper": {
+                "loaded": app.video_transcriber is not None,
+                "path": app.settings.whisper_model_path or None,
+            },
         }
 
     @router.post("/model/update-config")

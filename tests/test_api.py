@@ -266,3 +266,20 @@ def test_clear_cache_and_restart_workers(api, app):
     assert status == 200 and set(body["restarted"]) == {
         "cpu_tasks", "transcription_tasks", "embedding_tasks", "llm_tasks",
     }
+
+
+def test_job_analysis_and_model_status(api, app):
+    status, body = call(api, "POST", "/ingest/text", {
+        "content": "蔚来ET5 2023款续航710公里，百公里加速4.0秒。",
+    })
+    job_id = body["job_id"]
+    _wait_job(app, job_id)
+    status, body = call(api, "GET", f"/ingest/jobs/{job_id}/analysis")
+    assert status == 200 and body["chunks"] >= 1
+    assert body["vehicle_detected_rate"] == 1.0
+    assert body["metadata_coverage"]["manufacturer"] == 1.0
+
+    status, body = call(api, "GET", "/model/status")
+    assert status == 200
+    assert body["embedder"]["mode"] == "lexical"
+    assert body["llm"]["backend"] == "extractive-stub"
