@@ -148,6 +148,17 @@ class RAGApplication:
                 n_lists=self.settings.ivf_n_lists,
                 n_probe=self.settings.ivf_n_probe,
             )
+        if self.settings.index_kind == "sharded-ivf":
+            from .parallel import ShardedIVFIndex, make_mesh
+
+            return ShardedIVFIndex(
+                dim=self.embedder.dim,
+                mesh=make_mesh(axis_name=self.settings.mesh_shard_axis_name),
+                axis_name=self.settings.mesh_shard_axis_name,
+                device_dtype=self.settings.index_dtype,
+                n_lists=self.settings.ivf_n_lists,
+                n_probe=self.settings.ivf_n_probe,
+            )
         if self.settings.index_kind == "sharded" or (
             self.settings.index_kind == "auto" and self._n_devices() > 1
         ):

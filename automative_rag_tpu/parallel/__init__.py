@@ -1,4 +1,5 @@
 from .mesh import make_mesh, shard_axis_size
 from .sharded_search import ShardedFlatIndex, make_sharded_search
+from .sharded_ivf import ShardedIVFIndex
 
-__all__ = ["make_mesh", "shard_axis_size", "ShardedFlatIndex", "make_sharded_search"]
+__all__ = ["make_mesh", "shard_axis_size", "ShardedFlatIndex", "ShardedIVFIndex", "make_sharded_search"]

@@ -1,0 +1,274 @@
+"""Mesh-sharded IVF: per-shard coarse quantizers + local probe-gather +
+ICI all-gather merge.
+
+Completes BASELINE config #5 at IVF speeds: each shard owns a contiguous
+row range of the corpus and builds its own k-means lists (build = S
+independent matmul-heavy k-means runs); a query runs the IVF probe-gather
+on every shard in parallel under ``shard_map`` and only the [k] candidate
+lists cross the interconnect. Fresh rows after a build are searched exactly
+within each shard (global tail cutoff) and merged locally before the
+collective, so upserts stay live without rebuilds.
+
+Build artifacts are capacity-bound: growing past the built capacity (which
+would re-split shard ranges) invalidates the build and search falls back to
+the sharded exact path until ``rebuild()``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..index.filters import FilterSpec, eval_filter_mask
+from ..index.flat import SearchResult
+from ..ops.kmeans import spherical_kmeans
+from ..ops.topk import masked_top_k, merge_top_k
+from .sharded_search import ShardedFlatIndex
+
+
+def make_sharded_ivf_search(mesh: Mesh, axis_name: str, nprobe: int, k: int,
+                            with_tail: bool):
+    def _local(vectors, valid, codes, numerics, centroids, table, queries,
+               spec: FilterSpec, tail_start):
+        # local blocks: vectors [rps, D], centroids [1, K, D], table [1, K, cap]
+        centroids_l = centroids[0]
+        table_l = table[0]
+        rps = vectors.shape[0]
+        q = queries.astype(vectors.dtype)
+
+        full_mask = valid & eval_filter_mask(codes, numerics, spec)
+        shard = jax.lax.axis_index(axis_name)
+        gid_base = shard * rps
+
+        coarse = jax.lax.dot_general(
+            q, centroids_l.astype(vectors.dtype), (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # [B, K]
+        _, probes = jax.lax.top_k(coarse, min(nprobe, coarse.shape[1]))
+        cand = table_l[probes]  # [B, nprobe, cap] local row ids, -1 pad
+        b = cand.shape[0]
+        cand = cand.reshape(b, -1)
+        safe = jnp.maximum(cand, 0)
+        cand_vecs = vectors[safe]  # [B, M, D]
+        scores = jnp.einsum(
+            "bd,bmd->bm", q, cand_vecs,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        mask = (cand >= 0) & full_mask[safe]
+        vals, pos = masked_top_k(scores, mask, k)
+        rows = jnp.take_along_axis(cand, pos, axis=1) + gid_base
+
+        if with_tail:
+            # exact pass over this shard's fresh rows (global id ≥ tail_start)
+            tail_scores = jax.lax.dot_general(
+                q, vectors, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            local_ids = jax.lax.broadcasted_iota(jnp.int32, (rps, 1), 0).squeeze(-1)
+            tail_mask = full_mask & (local_ids + gid_base >= tail_start)
+            tail_vals, tail_idx = masked_top_k(tail_scores, tail_mask, k)
+            vals, rows = merge_top_k(
+                jnp.stack([vals, tail_vals]),
+                jnp.stack([rows, tail_idx + gid_base]),
+                k,
+            )
+
+        all_vals = jax.lax.all_gather(vals, axis_name)
+        all_rows = jax.lax.all_gather(rows, axis_name)
+        return merge_top_k(all_vals, all_rows, k)
+
+    sharded = shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(
+            P(axis_name, None),  # vectors
+            P(axis_name),  # valid
+            P(None, axis_name),  # codes
+            P(None, axis_name),  # numerics
+            P(axis_name, None, None),  # centroids [S, K, D]
+            P(axis_name, None, None),  # list tables [S, K, cap]
+            P(None, None),  # queries replicated
+            P(),  # spec replicated
+            P(),  # tail_start replicated
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+class ShardedIVFIndex(ShardedFlatIndex):
+    def __init__(self, dim: int, mesh: Mesh, axis_name: str = "shard",
+                 device_dtype: str = "bfloat16", n_lists: int = 0,
+                 n_probe: int = 16, kmeans_iters: int = 10):
+        super().__init__(dim, mesh, axis_name, device_dtype)
+        self.n_lists = n_lists
+        self.n_probe = n_probe
+        self.kmeans_iters = kmeans_iters
+        self._centroids: Optional[np.ndarray] = None  # [S, K, D]
+        self._list_table: Optional[np.ndarray] = None  # [S, K, cap] local ids
+        self._built_capacity = 0
+        self._indexed_rows = 0
+        self._ivf_search_fns: Dict[Any, Any] = {}
+
+    @property
+    def tail_rows(self) -> int:
+        return len(self._ids) - self._indexed_rows
+
+    def _built(self) -> bool:
+        if self._centroids is None:
+            return False
+        # growth past the built capacity re-splits shard ranges → invalid
+        return self._capacity(len(self._ids)) == self._built_capacity
+
+    # ---------------------------------------------------------------- build
+    def rebuild(self, n_lists: Optional[int] = None, seed: int = 0) -> Dict[str, Any]:
+        n = len(self._ids)
+        if n == 0:
+            raise ValueError("cannot build an empty index")
+        capacity = self._capacity(n)
+        rps = capacity // self.n_shards
+        if n_lists:
+            self.n_lists = n_lists
+        k_lists = self.n_lists or max(1, int(round(np.sqrt(max(rps, 1)))))
+
+        normalized = self._vectors / np.maximum(
+            np.linalg.norm(self._vectors, axis=1, keepdims=True), 1e-12
+        )
+        shard_tables: List[np.ndarray] = []
+        shard_centroids: List[np.ndarray] = []
+        max_cap = 8
+        per_shard_info = []
+        for s in range(self.n_shards):
+            lo, hi = s * rps, min(n, (s + 1) * rps)
+            rows = normalized[lo:hi]
+            if rows.shape[0] == 0:
+                shard_centroids.append(np.zeros((k_lists, self.dim), np.float32))
+                shard_tables.append(None)
+                per_shard_info.append(0)
+                continue
+            k_s = min(k_lists, rows.shape[0])
+            centroids, assign = spherical_kmeans(
+                rows, k_s, n_iters=self.kmeans_iters, seed=seed + s
+            )
+            if k_s < k_lists:  # pad centroid count to the common K
+                centroids = np.concatenate(
+                    [centroids, np.zeros((k_lists - k_s, self.dim), np.float32)]
+                )
+            counts = np.bincount(assign, minlength=k_lists)
+            max_cap = max(max_cap, int(counts.max()))
+            shard_centroids.append(centroids)
+            shard_tables.append(assign)
+            per_shard_info.append(rows.shape[0])
+
+        list_cap = -(-max_cap // 8) * 8
+        tables = np.full((self.n_shards, k_lists, list_cap), -1, np.int32)
+        for s, assign in enumerate(shard_tables):
+            if assign is None:
+                continue
+            cursor = np.zeros(k_lists, np.int64)
+            for local_row, cluster in enumerate(assign):
+                tables[s, cluster, cursor[cluster]] = local_row
+                cursor[cluster] += 1
+
+        self._centroids = np.stack(shard_centroids)
+        self._list_table = tables
+        self._built_capacity = capacity
+        self._indexed_rows = n
+        self._device = None
+        return {
+            "n_shards": self.n_shards,
+            "n_lists_per_shard": k_lists,
+            "list_cap": list_cap,
+            "rows_indexed": n,
+            "rows_per_shard": per_shard_info,
+        }
+
+    # --------------------------------------------------------------- device
+    def _device_state(self) -> dict:
+        if self._device is not None:
+            return self._device
+        state = super()._device_state()
+        if self._built():
+            spec3 = NamedSharding(self.mesh, P(self.axis_name, None, None))
+            state["centroids"] = jax.device_put(
+                self._centroids.astype(self.device_dtype), spec3
+            )
+            state["list_table"] = jax.device_put(self._list_table, spec3)
+        self._device = state
+        return state
+
+    # --------------------------------------------------------------- search
+    def search(self, queries: np.ndarray, k: int,
+               metadata_filter: Optional[Dict[str, Any]] = None,
+               normalize: bool = True,
+               n_probe: Optional[int] = None) -> List[List[SearchResult]]:
+        if not self._built():
+            return super().search(queries, k, metadata_filter, normalize)
+
+        queries = np.asarray(queries, np.float32)
+        if queries.ndim == 1:
+            queries = queries[None, :]
+        if normalize:
+            norms = np.linalg.norm(queries, axis=1, keepdims=True)
+            queries = queries / np.maximum(norms, 1e-12)
+
+        state = self._device_state()
+        spec, _ = self._compile(metadata_filter)
+        k_eff = min(k, state["capacity"] // self.n_shards)
+        nprobe = min(n_probe or self.n_probe, self._centroids.shape[1])
+
+        def _run(nprobe_now: int):
+            key = (k_eff, nprobe_now, self.tail_rows > 0)
+            fn = self._ivf_search_fns.get(key)
+            if fn is None:
+                fn = make_sharded_ivf_search(
+                    self.mesh, self.axis_name, nprobe_now, k_eff,
+                    with_tail=self.tail_rows > 0,
+                )
+                self._ivf_search_fns[key] = fn
+            vals, rows = fn(
+                state["vectors"], state["valid"], state["codes"],
+                state["numerics"], state["centroids"], state["list_table"],
+                jnp.asarray(queries), spec, jnp.int32(self._indexed_rows),
+            )
+            return np.asarray(vals), np.asarray(rows)
+
+        vals, rows = _run(nprobe)
+        if metadata_filter:
+            # mask-aware probe expansion (same policy as single-device IVF)
+            max_probe = self._centroids.shape[1]
+            while nprobe < max_probe and np.isfinite(vals).sum(axis=1).min() < k_eff:
+                nprobe = min(nprobe * 4, max_probe)
+                vals, rows = _run(nprobe)
+
+        out: List[List[SearchResult]] = []
+        for b in range(vals.shape[0]):
+            hits, seen = [], set()
+            for score, row in zip(vals[b], rows[b]):
+                if not np.isfinite(score) or int(row) in seen:
+                    continue
+                seen.add(int(row))
+                hits.append(SearchResult(self._docs[int(row)], float(score), int(row)))
+            out.append(hits)
+        return out
+
+    def stats(self) -> Dict[str, Any]:
+        base = super().stats()
+        base.update({
+            "kind": "sharded-ivf",
+            "built": self._built(),
+            "n_shards": self.n_shards,
+            "n_probe": self.n_probe,
+            "rows_indexed": self._indexed_rows,
+            "tail_rows": self.tail_rows,
+        })
+        return base

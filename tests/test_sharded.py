@@ -90,3 +90,73 @@ def test_sharded_fewer_matches_than_k(rng, mesh):
     a = sharded.search(q, 20, flt)[0]
     b = flat.search(q, 20, flt)[0]
     assert [r.row for r in a] == [r.row for r in b]
+
+
+def test_sharded_ivf_recall_and_filters(rng, mesh):
+    from automative_rag_tpu.parallel import ShardedIVFIndex
+
+    n, dim = 4000, 64
+    centers = rng.normal(size=(32, dim)).astype(np.float32) * 3
+    assign = rng.integers(0, 32, size=n)
+    vectors = (centers[assign] + rng.normal(size=(n, dim))).astype(np.float32)
+    docs = [
+        Document(page_content=f"doc {i}",
+                 metadata={"manufacturer": f"manu-{i % 4}", "year": 2018 + i % 4})
+        for i in range(n)
+    ]
+    index = ShardedIVFIndex(dim=dim, mesh=mesh, device_dtype="float32",
+                            n_lists=16, n_probe=4)
+    index.add(vectors, docs)
+
+    # unbuilt → exact sharded path
+    q = rng.normal(size=dim).astype(np.float32)
+    exact_rows = [r.row for r in index.search(q, 10)[0]]
+
+    info = index.rebuild()
+    assert info["n_shards"] == 8 and info["rows_indexed"] == n
+    assert index.stats()["built"]
+
+    # recall vs exact over several queries
+    normalized = vectors / np.linalg.norm(vectors, axis=1, keepdims=True)
+    recall = 0.0
+    queries = rng.normal(size=(10, dim)).astype(np.float32)
+    for qq in queries:
+        qn = qq / np.linalg.norm(qq)
+        want = set(np.argsort(-(normalized @ qn))[:10].tolist())
+        got = {r.row for r in index.search(qq, 10)[0]}
+        recall += len(got & want) / 10
+    assert recall / 10 >= 0.8, recall / 10
+
+    # filtered search respects the filter (with probe expansion)
+    hits = index.search(q, 8, {"manufacturer": "manu-1", "year": 2019}, n_probe=1)[0]
+    assert hits
+    for r in hits:
+        assert r.document.metadata["manufacturer"] == "manu-1"
+        assert r.document.metadata["year"] == 2019
+
+
+def test_sharded_ivf_tail_and_growth_invalidation(rng, mesh):
+    from automative_rag_tpu.parallel import ShardedIVFIndex
+
+    n, dim = 2000, 64
+    vectors = rng.normal(size=(n, dim)).astype(np.float32)
+    docs = [Document(page_content=f"d{i}", metadata={}) for i in range(n)]
+    index = ShardedIVFIndex(dim=dim, mesh=mesh, device_dtype="float32",
+                            n_lists=8, n_probe=8)
+    index.add(vectors, docs)
+    index.rebuild()
+
+    # fresh row in the tail must be findable without a rebuild
+    q = rng.normal(size=dim).astype(np.float32)
+    index.add(q[None, :], [Document(page_content="fresh", metadata={})])
+    assert index.tail_rows == 1
+    hits = index.search(q, 3)[0]
+    assert hits[0].document.page_content == "fresh"
+
+    # growing past the built capacity invalidates the build (falls back to
+    # exact) instead of returning wrong shard-range results
+    filler = rng.normal(size=(3000, dim)).astype(np.float32)
+    index.add(filler, [Document(page_content=f"x{i}", metadata={}) for i in range(3000)])
+    assert not index.stats()["built"]
+    hits = index.search(q, 3)[0]
+    assert hits[0].document.page_content == "fresh"
