@@ -98,6 +98,7 @@ class RAGApplication:
                     else self.settings.index_dtype
                 ),
                 device_budget_bytes=self.settings.token_store_device_budget_mb * 1024**2,
+                quantize=self.settings.token_store_quantize,
             )
             if self.settings.store_token_embeddings
             else None

@@ -107,6 +107,9 @@ class Settings:
     token_store_device_budget_mb: int = field(
         default_factory=lambda: _env("TOKEN_STORE_DEVICE_BUDGET_MB", 4096)
     )
+    token_store_quantize: str = field(
+        default_factory=lambda: _env("TOKEN_STORE_QUANTIZE", "none")
+    )
 
     # --- mesh / parallel layout ---
     mesh_data_axis: int = field(default_factory=lambda: _env("MESH_DATA_AXIS", 0))

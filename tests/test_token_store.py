@@ -86,3 +86,39 @@ def test_engine_uses_store():
         assert "gather_s" in app.reranker.last_timings
     finally:
         app.shutdown()
+
+
+def test_int8_store_close_to_fp16(colbert):
+    from automative_rag_tpu.rerank.token_store import TokenStore
+
+    docs = [Document(page_content=f"奔驰GLE {i}款测试") for i in range(5)]
+    texts = [d.page_content for d in docs]
+    embs, masks = colbert.encode_documents(texts)
+
+    exact = TokenStore(dim=colbert.dim, max_doc_length=32, device_dtype="float32")
+    exact.append(embs, masks)
+    quant = TokenStore(dim=colbert.dim, max_doc_length=32, device_dtype="float32",
+                       quantize="int8")
+    quant.append(embs, masks)
+    assert quant._tokens.dtype == np.int8
+
+    reranker = LateInteractionReranker(colbert, use_pallas=False)
+    s_exact = reranker.maxsim_scores_from_store(["奔驰GLE"], list(range(5)), exact)
+    s_quant = reranker.maxsim_scores_from_store(["奔驰GLE"], list(range(5)), quant)
+    np.testing.assert_allclose(s_quant, s_exact, rtol=0.05)
+    # same ordering
+    assert list(np.argsort(-s_exact[0])) == list(np.argsort(-s_quant[0]))
+
+
+def test_int8_store_save_load(tmp_path, colbert):
+    from automative_rag_tpu.rerank.token_store import TokenStore
+
+    store = TokenStore(dim=colbert.dim, max_doc_length=32,
+                       device_dtype="float32", quantize="int8")
+    embs, masks = colbert.encode_documents(["量化持久化"])
+    store.append(embs, masks)
+    store.save(str(tmp_path))
+    restored = TokenStore.load(str(tmp_path), dim=colbert.dim, max_doc_length=32,
+                               device_dtype="float32")
+    assert restored.quantize == "int8" and restored.rows == 1
+    np.testing.assert_array_equal(restored._tokens, store._tokens)
