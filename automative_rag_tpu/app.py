@@ -45,6 +45,7 @@ class RAGApplication:
         self,
         settings: Optional[Settings] = None,
         tiny: bool = False,
+        tiny_dim: int = 64,
         video_downloader=None,
         video_transcriber=None,
         start_workers: bool = True,
@@ -53,7 +54,7 @@ class RAGApplication:
         self.started_at = time.time()
 
         if tiny:
-            encoder_config = EncoderConfig.tiny()
+            encoder_config = EncoderConfig.tiny(hidden_size=tiny_dim)
             self.settings.embedding_dim = encoder_config.hidden_size
         else:
             encoder_config = EncoderConfig.bge_m3()

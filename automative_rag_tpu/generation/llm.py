@@ -54,20 +54,23 @@ class StubLLM:
 
     def generate(self, prompt: str, params: Dict[str, Any]) -> str:
         terms = extract_key_terms(self._question)
-        picked: List[str] = []
-        for doc_id, doc, _score in self._context:
+        candidates: List[tuple] = []  # (n_matched, relevance, order, cited)
+        for order, (doc_id, doc, score) in enumerate(self._context):
             for sentence in _SENTENCE_SPLIT.split(doc.page_content):
                 sentence = sentence.strip()
                 if not sentence:
                     continue
-                if not terms or any(term_matches(t, sentence) for t in terms):
-                    picked.append(f"{sentence}【来源：{doc_id}】")
-                if len(picked) >= 5:
-                    break
-            if len(picked) >= 5:
-                break
-        if not picked:
+                matched = sum(1 for t in terms if term_matches(t, sentence))
+                if terms and matched == 0:
+                    continue
+                candidates.append(
+                    (matched, score, -order, f"{sentence}【来源：{doc_id}】")
+                )
+        if not candidates:
             return "根据提供文档，未找到具体的相关数据。"
+        # most matched query terms first, then retrieval relevance
+        candidates.sort(key=lambda c: (c[0], c[1], c[2]), reverse=True)
+        picked = [c[3] for c in candidates[:5]]
         return "。".join(p.rstrip("。") for p in picked) + "。"
 
 

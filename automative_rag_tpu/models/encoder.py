@@ -43,10 +43,10 @@ class EncoderConfig:
                    intermediate_size=4096, max_position=8194)
 
     @classmethod
-    def tiny(cls, vocab_size: int = 1024) -> "EncoderConfig":
+    def tiny(cls, vocab_size: int = 1024, hidden_size: int = 64) -> "EncoderConfig":
         """Small config for tests and weightless smoke runs."""
-        return cls(vocab_size=vocab_size, hidden_size=64, num_layers=2, num_heads=4,
-                   intermediate_size=128, max_position=514)
+        return cls(vocab_size=vocab_size, hidden_size=hidden_size, num_layers=2,
+                   num_heads=4, intermediate_size=2 * hidden_size, max_position=514)
 
 
 class _SelfAttention(nn.Module):

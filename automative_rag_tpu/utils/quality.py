@@ -20,9 +20,19 @@ _STOPWORDS = {
 }
 
 
+# interrogative/aux fragments that glue onto CJK runs ("X的百公里加速是多少")
+_CJK_NOISE = re.compile(
+    r"是多少|多少钱|怎么样|怎样|如何|什么|哪个|哪些|几秒|的话|请问|多少"
+)
+_CJK_SPLIT = re.compile(r"的|了|吗|呢")
+
+
 def extract_key_terms(query: str) -> List[str]:
-    """Key terms from a query: CJK runs, latin words, numbers; stopwords out."""
-    tokens = re.findall(r"[一-鿿]+|[a-zA-Z][a-zA-Z0-9-]*|\d+(?:\.\d+)?", query)
+    """Key terms from a query: CJK runs, latin words, numbers; stopwords and
+    interrogative fragments out (CJK queries are unsegmented, so 的/是多少
+    etc. are stripped before run extraction)."""
+    cleaned = _CJK_SPLIT.sub(" ", _CJK_NOISE.sub(" ", query))
+    tokens = re.findall(r"[一-鿿]+|[a-zA-Z][a-zA-Z0-9-]*|\d+(?:\.\d+)?", cleaned)
     return [t for t in tokens if t.lower() not in _STOPWORDS and len(t) > 1]
 
 

@@ -1,0 +1,147 @@
+#!/usr/bin/env python3
+"""End-to-end retrieval/answer quality eval on a ground-truth corpus.
+
+Generates a synthetic automotive corpus where every document carries one
+known (model, metric, value) fact, ingests it through the job-chain path,
+then asks templated questions and scores:
+
+- retrieval hit@k — is the ground-truth document among the cited sources?
+- answer accuracy — does the answer contain the ground-truth value?
+- filtered accuracy — same, with a manufacturer metadata filter applied.
+
+Runs weightless (lexical dense retrieval + MaxSim rerank + extractive
+answerer), so the numbers measure the *pipeline*, not model weights.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import random
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _pin_platform(use_tpu: bool = False) -> None:
+    if use_tpu:
+        return
+    import os
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
+
+
+METRICS = [
+    ("百公里加速", lambda r: f"{round(r.uniform(3.5, 12.0), 1)}秒"),
+    ("最高时速", lambda r: f"{r.randrange(180, 300, 10)}公里/小时"),
+    ("马力", lambda r: f"{r.randrange(120, 640, 10)}匹"),
+    ("续航里程", lambda r: f"{r.randrange(400, 1000, 10)}公里"),
+    ("轴距", lambda r: f"{r.randrange(2600, 3200, 5)}mm"),
+]
+
+
+def build_corpus(n_docs: int, seed: int = 7):
+    from automative_rag_tpu.ingestion.metadata import MODEL_CATALOG
+
+    rng = random.Random(seed)
+    models = list(MODEL_CATALOG)
+    facts = []
+    used = set()
+    while len(facts) < n_docs:
+        model = rng.choice(models)
+        metric, gen = METRICS[rng.randrange(len(METRICS))]
+        if (model, metric) in used:
+            continue
+        used.add((model, metric))
+        value = gen(rng)
+        year = rng.randint(2019, 2024)
+        text = f"{model} {year}款 {metric}为{value}。"
+        facts.append({
+            "model": model,
+            "manufacturer": MODEL_CATALOG[model]["manufacturer"],
+            "metric": metric,
+            "value": value,
+            "text": text,
+        })
+    return facts
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=120)
+    parser.add_argument("--queries", type=int, default=40)
+    parser.add_argument("--tpu", action="store_true")
+    parser.add_argument("--dim", type=int, default=256,
+                        help="embedding dim for the weightless lexical encoder")
+    parser.add_argument("--json", action="store_true", help="print one JSON line")
+    args = parser.parse_args()
+    _pin_platform(args.tpu)
+
+    from automative_rag_tpu.app import RAGApplication
+
+    facts = build_corpus(args.n)
+    app = RAGApplication(tiny=True, tiny_dim=args.dim)
+    try:
+        t0 = time.time()
+        for fact in facts:
+            job = app.ingest_text(fact["text"])
+            while app.tracker.get_job(job)["status"] not in ("completed", "failed"):
+                time.sleep(0.02)
+        ingest_s = time.time() - t0
+
+        rng = random.Random(11)
+        sample = rng.sample(facts, min(args.queries, len(facts)))
+        hits = answered = filtered_ok = 0
+        latencies = []
+        for fact in sample:
+            query = f"{fact['model']}的{fact['metric']}是多少？"
+            t0 = time.time()
+            job = app.query_sync(query, mode="facts", timeout=120)
+            latencies.append(time.time() - t0)
+            result = job["result"]
+            if fact["value"] in result["answer"]:
+                answered += 1
+            retrieved_models = {
+                s["metadata"].get("model") for s in result["sources"]
+            }
+            if fact["model"] in retrieved_models:
+                hits += 1
+
+            fjob = app.query_sync(
+                query, mode="facts",
+                metadata_filter={"manufacturer": fact["manufacturer"]},
+                timeout=120,
+            )
+            if fact["value"] in fjob["result"]["answer"]:
+                filtered_ok += 1
+
+        n = len(sample)
+        report = {
+            "corpus_docs": len(facts),
+            "queries": n,
+            "retrieval_hit_rate": round(hits / n, 3),
+            "answer_accuracy": round(answered / n, 3),
+            "filtered_answer_accuracy": round(filtered_ok / n, 3),
+            "query_p50_s": round(sorted(latencies)[n // 2], 3),
+            "ingest_s": round(ingest_s, 1),
+            "mode": f"weightless dim={args.dim} (lexical + maxsim + extractive)",
+        }
+        if args.json:
+            print(json.dumps(report, ensure_ascii=False))
+        else:
+            for key, value in report.items():
+                print(f"{key:28s} {value}")
+    finally:
+        app.shutdown()
+
+
+if __name__ == "__main__":
+    main()
