@@ -72,14 +72,23 @@ class DenseEmbedder:
         self._forward = jax.jit(_forward)
 
         def _lexical(input_ids, attention_mask):
-            # hashed bag-of-tokens: bucket = id % dim, sign = parity of id//dim
+            # hashed bag-of-tokens + token-bigrams: bucket = hash % dim,
+            # sign-hashed, sqrt-tf weighted. Bigrams capture phrase identity
+            # (CJK model names span several hash tokens).
             dim = self.config.hidden_size
-            ids = input_ids
-            bucket = ids % dim
-            sign = jnp.where((ids // dim) % 2 == 0, 1.0, -1.0)
-            weight = sign * attention_mask.astype(jnp.float32)
-            onehot = jax.nn.one_hot(bucket, dim, dtype=jnp.float32)  # [B, L, dim]
-            counts = jnp.einsum("bl,bld->bd", weight, onehot)
+            ids = input_ids.astype(jnp.uint32)
+            mask = attention_mask.astype(jnp.float32)
+
+            def bag(hashes, weights):
+                bucket = (hashes % dim).astype(jnp.int32)
+                sign = jnp.where((hashes // dim) % 2 == 0, 1.0, -1.0)
+                onehot = jax.nn.one_hot(bucket, dim, dtype=jnp.float32)
+                return jnp.einsum("bl,bld->bd", sign * weights, onehot)
+
+            counts = bag(ids, mask)
+            bi = ids[:, :-1] * jnp.uint32(1000003) + ids[:, 1:]
+            bi_mask = mask[:, :-1] * mask[:, 1:]
+            counts = counts + 0.7 * bag(bi, bi_mask)
             emb = jnp.sign(counts) * jnp.sqrt(jnp.abs(counts))  # sqrt-tf
             norm = jnp.linalg.norm(emb, axis=-1, keepdims=True)
             return emb / jnp.maximum(norm, 1e-12)
