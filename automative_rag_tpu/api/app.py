@@ -579,6 +579,24 @@ def build_api(app: RAGApplication) -> HTTPApi:
         applied = app.settings.update(req.json())
         return {"applied": applied}
 
+    # registered last so literal /query/* routes match first
+    @router.get("/query/{job_id}")
+    def query_result_alias(req: Request):
+        """Reference-shaped alias (query.py:41-47 GET /query/{job_id})."""
+        return _job_result(req.params["job_id"])
+
+    @router.delete("/ingest/jobs")
+    def bulk_delete_jobs(req: Request):
+        """Bulk delete by status (reference job CRUD, ingest.py:277-340)."""
+        status_filter = req.query_param("status", "completed")
+        victims = [
+            j["job_id"]
+            for j in app.tracker.get_all_jobs(status=status_filter, limit=10_000)
+        ]
+        for job_id in victims:
+            app.tracker.delete_job(job_id)
+        return {"deleted": len(victims), "status": status_filter}
+
     token = app.settings.api_key if app.settings.api_auth_enabled else None
     return HTTPApi(router, auth_token=token, open_paths=("/health", "/auth/token", "/ui"))
 

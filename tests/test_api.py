@@ -283,3 +283,18 @@ def test_job_analysis_and_model_status(api, app):
     assert status == 200
     assert body["embedder"]["mode"] == "lexical"
     assert body["llm"]["backend"] == "extractive-stub"
+
+
+def test_query_alias_and_bulk_delete(api, app):
+    status, body = call(api, "POST", "/query", {"query": "奥迪Q7"})
+    job_id = body["job_id"]
+    _wait_job(app, job_id)
+    status, body = call(api, "GET", f"/query/{job_id}")
+    assert status == 200 and body["status"] == "completed"
+    # literal routes still win over the {job_id} pattern
+    status, body = call(api, "GET", "/query/modes")
+    assert status == 200 and "modes" in body
+
+    status, body = call(api, "DELETE", "/ingest/jobs?status=completed")
+    assert status == 200 and body["deleted"] >= 1
+    assert app.tracker.get_job_counts().get("completed", 0) == 0
