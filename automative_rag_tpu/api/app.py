@@ -579,6 +579,95 @@ def build_api(app: RAGApplication) -> HTTPApi:
         applied = app.settings.update(req.json())
         return {"applied": applied}
 
+    @router.get("/ingest/jobs/{job_id}/chain")
+    def job_chain_alias(req: Request):
+        """Reference ingest.py GET /jobs/{id}/chain alias."""
+        state = app.job_chain.get_chain_state(req.params["job_id"])
+        if state is None:
+            raise HTTPError(404, "job chain not found")
+        state.pop("data", None)
+        return state
+
+    @router.get("/query/{job_id}/validation")
+    def validation_alias(req: Request):
+        return validation_progress(req)
+
+    @router.delete("/query/{job_id}/validation")
+    def cancel_validation(req: Request):
+        """Cancel a paused validation workflow (reference
+        DELETE /{job_id}/validation): unpauses and lets the chain proceed
+        without the user's input."""
+        job_id = req.params["job_id"]
+        if not app.job_chain.resume_from_user_input(job_id, {"validation_cancelled": True}):
+            raise HTTPError(409, "job is not in a validation pause")
+        return {"job_id": job_id, "validation": "cancelled"}
+
+    @router.get("/system/model-info")
+    def system_model_info(req: Request):
+        return model_status(req)
+
+    @router.post("/model/reload-model")
+    def reload_model(req: Request):
+        """Re-instantiate encoders from the current settings paths
+        (reference POST /reload-model + background/models.py:444-476)."""
+        from ..models.bge_m3 import DenseEmbedder
+        from ..models.colbert import ColBERTEncoder
+        from ..models.encoder import EncoderConfig
+
+        config = app.embedder.config
+        app.embedder = DenseEmbedder(
+            config=config,
+            weights_path=app.settings.embedding_model_path,
+            tokenizer_path=app.settings.embedding_model_path,
+            max_length=app.settings.embedding_max_length,
+            batch_size=app.settings.embedding_batch_size,
+        )
+        app.colbert = ColBERTEncoder(
+            config=config,
+            weights_path=app.settings.colbert_model_path,
+            tokenizer_path=app.settings.colbert_model_path,
+            max_query_length=app.settings.colbert_max_query_length,
+            max_doc_length=app.settings.colbert_max_doc_length,
+            batch_size=app.settings.colbert_batch_size,
+        )
+        app.engine.embedder = app.embedder
+        app.reranker.encoder = app.colbert
+        return {
+            "reloaded": True,
+            "embedder_pretrained": app.embedder.pretrained,
+            "colbert_pretrained": app.colbert.pretrained,
+        }
+
+    @router.get("/system/heartbeats")
+    def heartbeats(req: Request):
+        """Heartbeat analysis (reference system.py redis key-analysis /
+        worker_status.py heartbeat scan — in-process equivalents)."""
+        import time as _time
+
+        now = _time.time()
+        return {
+            "workers": {
+                name: {
+                    "last_beat_age_s": round(now - beat, 1),
+                    "health": app.queue_manager.worker_health().get(name, "unknown"),
+                }
+                for name, beat in app.queue_manager._heartbeats.items()
+            }
+        }
+
+    @router.get("/system/workers/debug")
+    def workers_debug(req: Request):
+        import threading as _threading
+
+        return {
+            "queues": app.queue_manager.get_queue_status(),
+            "threads": [
+                {"name": t.name, "alive": t.is_alive(), "daemon": t.daemon}
+                for t in _threading.enumerate()
+                if t.name.startswith("worker-")
+            ],
+        }
+
     # registered last so literal /query/* routes match first
     @router.get("/query/{job_id}")
     def query_result_alias(req: Request):

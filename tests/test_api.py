@@ -298,3 +298,17 @@ def test_query_alias_and_bulk_delete(api, app):
     status, body = call(api, "DELETE", "/ingest/jobs?status=completed")
     assert status == 200 and body["deleted"] >= 1
     assert app.tracker.get_job_counts().get("completed", 0) == 0
+
+
+def test_route_aliases_and_debug_endpoints(api, app):
+    status, body = call(api, "GET", "/system/model-info")
+    assert status == 200 and "embedder" in body
+    status, body = call(api, "GET", "/system/heartbeats")
+    assert status == 200 and set(body["workers"]) >= {"cpu_tasks"}
+    status, body = call(api, "GET", "/system/workers/debug")
+    assert status == 200 and body["threads"]
+    status, body = call(api, "POST", "/model/reload-model")
+    assert status == 200 and body["reloaded"]
+    # engine still works after reload
+    status, body = call(api, "POST", "/query/debug-retrieval", {"query": "测试"})
+    assert status == 200
