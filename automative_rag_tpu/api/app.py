@@ -77,6 +77,49 @@ def build_api(app: RAGApplication) -> HTTPApi:
 
         return RawResponse(UI_HTML)
 
+    @router.get("/openapi.json")
+    def openapi(req: Request):
+        """Minimal OpenAPI 3 document generated from the route table."""
+        paths: dict = {}
+        for route in router.describe():
+            entry = paths.setdefault(
+                route["path"].replace("{", "{").replace("}", "}"), {}
+            )
+            entry[route["method"].lower()] = {
+                "summary": route["summary"],
+                "responses": {"200": {"description": "OK"}},
+            }
+        return {
+            "openapi": "3.0.0",
+            "info": {"title": "automative-rag-tpu", "version": "0.1.0"},
+            "paths": paths,
+        }
+
+    @router.get("/docs")
+    def docs_page(req: Request):
+        """Self-contained API reference (no CDN assets — zero-egress safe)."""
+        from .http import RawResponse
+
+        rows = "".join(
+            f"<tr><td><code>{r['method']}</code></td>"
+            f"<td><code>{r['path']}</code></td><td>{r['summary']}</td></tr>"
+            for r in router.describe()
+        )
+        html = (
+            "<!DOCTYPE html><html><head><meta charset='utf-8'>"
+            "<title>automative-rag-tpu API</title><style>"
+            "body{font:14px/1.6 sans-serif;max-width:960px;margin:24px auto;"
+            "padding:0 16px;color:#222}table{border-collapse:collapse;width:100%}"
+            "td,th{border-bottom:1px solid #ddd;padding:6px 8px;text-align:left}"
+            "code{background:#f2f2f6;padding:1px 5px;border-radius:4px}"
+            "</style></head><body><h1>automative-rag-tpu API</h1>"
+            "<p>Web UI at <a href='/ui'>/ui</a> · raw spec at "
+            "<a href='/openapi.json'>/openapi.json</a></p>"
+            f"<table><tr><th>Method</th><th>Path</th><th>Summary</th></tr>{rows}</table>"
+            "</body></html>"
+        )
+        return RawResponse(html)
+
     @router.get("/job-chains")
     def job_chains(req: Request):
         chains = app.job_chain.all_chains()

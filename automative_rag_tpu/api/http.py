@@ -91,6 +91,14 @@ class Router:
     def routes(self) -> List[str]:
         return [f"{m} {p}" for m, _r, p, _h in self._routes]
 
+    def describe(self) -> List[Dict[str, str]]:
+        """Route metadata for docs: method, path, first doc line."""
+        out = []
+        for method, _regex, pattern, handler in self._routes:
+            doc = (handler.__doc__ or "").strip().split("\n")[0]
+            out.append({"method": method, "path": pattern, "summary": doc})
+        return out
+
 
 class HTTPApi:
     """Threading HTTP server over a Router with optional x-token auth."""

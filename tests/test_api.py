@@ -312,3 +312,12 @@ def test_route_aliases_and_debug_endpoints(api, app):
     # engine still works after reload
     status, body = call(api, "POST", "/query/debug-retrieval", {"query": "测试"})
     assert status == 200
+
+
+def test_docs_and_openapi(api):
+    status, payload, ctype = api.dispatch("GET", "/docs", {}, b"")
+    assert status == 200 and ctype.startswith("text/html")
+    assert b"/query/batch" in payload
+    status, body = call(api, "GET", "/openapi.json")
+    assert status == 200 and body["openapi"] == "3.0.0"
+    assert "/query" in body["paths"]
