@@ -30,8 +30,10 @@ class TokenStore:
         max_doc_length: int,
         device_dtype: str = "bfloat16",
         device_budget_bytes: int = 4 * 1024**3,
-        quantize: str = "none",  # "none" (fp16 host / bf16 device) | "int8"
+        quantize: str = "none",  # "none" (fp16) | "int8" | "residual2" (via compress())
     ):
+        if quantize == "residual2":
+            raise ValueError("residual2 is reached via compress(), not at init")
         self.dim = dim
         self.max_doc_length = max_doc_length
         self.device_dtype = jnp.dtype(device_dtype)
@@ -47,6 +49,11 @@ class TokenStore:
             self._scales = None
         self._masks = np.zeros((0, max_doc_length), bool)
         self._device: Optional[Tuple[jnp.ndarray, ...]] = None
+        # residual2 (PLAID-style) artifacts — populated by compress()
+        self._centroids: Optional[np.ndarray] = None  # [K, D]
+        self._cids: Optional[np.ndarray] = None  # [N, Ld] int32
+        self._codes: Optional[np.ndarray] = None  # [N, Ld, D//4] uint8
+        self._res_scales: Optional[np.ndarray] = None  # [N, Ld] fp16
 
     # ------------------------------------------------------------ mutation
     def append(self, token_embs: np.ndarray, masks: np.ndarray) -> None:
@@ -57,6 +64,23 @@ class TokenStore:
             raise ValueError(
                 f"expected [N, {self.max_doc_length}, {self.dim}], got {token_embs.shape}"
             )
+        if self.quantize == "residual2":
+            # encode against the trained centroids (no retrain needed)
+            from .residual_codec import assign_centroids, encode_residuals
+
+            n, ld, dim = token_embs.shape
+            flat = token_embs.reshape(n * ld, dim)
+            cids = assign_centroids(flat, self._centroids)
+            residuals = flat - self._centroids[cids]
+            packed, scales = encode_residuals(residuals)
+            self._cids = np.concatenate([self._cids, cids.reshape(n, ld)])
+            self._codes = np.concatenate([self._codes, packed.reshape(n, ld, dim // 4)])
+            self._res_scales = np.concatenate(
+                [self._res_scales, scales.reshape(n, ld)]
+            )
+            self._masks = np.concatenate([self._masks, masks])
+            self._device = None
+            return
         if self.quantize == "int8":
             scales = np.abs(token_embs).max(axis=2) / 127.0  # [N, Ld]
             safe = np.maximum(scales, 1e-8)[:, :, None]
@@ -70,24 +94,98 @@ class TokenStore:
 
     @property
     def rows(self) -> int:
+        if self.quantize == "residual2":
+            return self._codes.shape[0]
         return self._tokens.shape[0]
 
     @property
     def nbytes(self) -> int:
+        if self.quantize == "residual2":
+            return (
+                self._codes.nbytes + self._cids.nbytes
+                + self._res_scales.nbytes + self._centroids.nbytes
+            )
         return self._tokens.nbytes
+
+    def _dequantized(self) -> np.ndarray:
+        """Full-precision reconstruction of every stored token (host)."""
+        if self.quantize == "residual2":
+            from .residual_codec import decode_residuals_np
+
+            n, ld = self._cids.shape
+            flat_res = decode_residuals_np(
+                self._codes.reshape(n * ld, -1),
+                self._res_scales.reshape(n * ld),
+                self.dim,
+            )
+            return (
+                self._centroids[self._cids.reshape(-1)] + flat_res
+            ).reshape(n, ld, self.dim)
+        if self.quantize == "int8":
+            return (
+                self._tokens.astype(np.float32)
+                * self._scales[:, :, None].astype(np.float32)
+            )
+        return self._tokens.astype(np.float32)
+
+    # ---------------------------------------------------------- compression
+    def compress(self, k_centroids: int = 256, sample: int = 262_144,
+                 n_iters: int = 8, seed: int = 0) -> dict:
+        """Convert storage to PLAID-style centroid + 2-bit residual codes
+        (~8x smaller than fp16 at D=1024). Later appends encode against the
+        trained centroids; call again to retrain on the grown corpus."""
+        from .residual_codec import assign_centroids, encode_residuals, train_centroids
+
+        if self.rows == 0:
+            raise ValueError("cannot compress an empty store")
+        before = self.nbytes
+        tokens = self._dequantized()
+        n, ld, dim = tokens.shape
+        flat = tokens.reshape(n * ld, dim)
+        rng = np.random.default_rng(seed)
+        pool = flat[rng.choice(flat.shape[0], size=min(sample, flat.shape[0]),
+                               replace=False)]
+        self._centroids = train_centroids(pool, k_centroids, n_iters=n_iters, seed=seed)
+        cids = assign_centroids(flat, self._centroids)
+        residuals = flat - self._centroids[cids]
+        packed, scales = encode_residuals(residuals)
+        self._cids = cids.reshape(n, ld)
+        self._codes = packed.reshape(n, ld, dim // 4)
+        self._res_scales = scales.reshape(n, ld)
+        self._tokens = np.zeros((0, ld, dim), np.float16)
+        self._scales = None
+        self.quantize = "residual2"
+        self._device = None
+        return {
+            "rows": n,
+            "k_centroids": k_centroids,
+            "bytes_before": int(before),
+            "bytes_after": int(self.nbytes),
+            "compression": round(before / max(self.nbytes, 1), 2),
+        }
 
     # -------------------------------------------------------------- reads
     @property
     def _element_bytes(self) -> int:
-        return 1 if self.quantize == "int8" else self.device_dtype.itemsize
+        if self.quantize == "residual2":
+            return self.dim // 4 + 6  # packed codes + cid + fp16 scale, per token
+        return self.dim * (1 if self.quantize == "int8" else self.device_dtype.itemsize)
 
     def _device_cache(self) -> Optional[Tuple[jnp.ndarray, ...]]:
-        wanted = self.rows * self.max_doc_length * self.dim * self._element_bytes
+        wanted = self.rows * self.max_doc_length * self._element_bytes
         if self.rows == 0 or wanted > self.device_budget_bytes:
             return None
         if self._device is None:
             # token-major [Ld, N, D] — the MaxSim kernel's native layout
-            if self.quantize == "int8":
+            if self.quantize == "residual2":
+                self._device = (
+                    jnp.asarray(self._codes.transpose(1, 0, 2)),  # [Ld, N, D/4]
+                    jnp.asarray(self._res_scales.T, jnp.float32),  # [Ld, N]
+                    jnp.asarray(self._cids.T),  # [Ld, N]
+                    jnp.asarray(self._centroids),  # [K, D]
+                    jnp.asarray(self._masks),
+                )
+            elif self.quantize == "int8":
                 self._device = (
                     jnp.asarray(self._tokens.transpose(1, 0, 2)),  # int8
                     jnp.asarray(self._scales.T, jnp.float32),  # [Ld, N]
@@ -110,6 +208,15 @@ class TokenStore:
         rows = np.asarray(list(rows), np.int32)
         cache = self._device_cache()
         if cache is not None:
+            if self.quantize == "residual2":
+                from .residual_codec import decode_tokens
+
+                codes_t, scales_t, cids_t, centroids, masks = cache
+                slab = decode_tokens(
+                    codes_t[:, rows, :], scales_t[:, rows], cids_t[:, rows],
+                    centroids, dtype=self.device_dtype,
+                )
+                return slab, masks[rows]
             if self.quantize == "int8":
                 tokens_t, scales_t, masks = cache
                 slab = tokens_t[:, rows, :].astype(jnp.float32)
@@ -117,7 +224,19 @@ class TokenStore:
                 return slab.astype(self.device_dtype), masks[rows]
             tokens_t, masks = cache
             return tokens_t[:, rows, :], masks[rows]
-        if self.quantize == "int8":
+        if self.quantize == "residual2":
+            from .residual_codec import decode_residuals_np
+
+            n_sel = rows.shape[0]
+            flat_res = decode_residuals_np(
+                self._codes[rows].reshape(n_sel * self.max_doc_length, -1),
+                self._res_scales[rows].reshape(-1),
+                self.dim,
+            )
+            slab = (
+                self._centroids[self._cids[rows].reshape(-1)] + flat_res
+            ).reshape(n_sel, self.max_doc_length, self.dim)
+        elif self.quantize == "int8":
             slab = (
                 self._tokens[rows].astype(np.float32)
                 * self._scales[rows][:, :, None].astype(np.float32)
@@ -137,6 +256,9 @@ class TokenStore:
                   "quantize": np.array(self.quantize)}
         if self._scales is not None:
             arrays["scales"] = self._scales
+        if self.quantize == "residual2":
+            arrays.update(codes=self._codes, cids=self._cids,
+                          res_scales=self._res_scales, centroids=self._centroids)
         np.savez_compressed(path / "token_store.npz", **arrays)
 
     @classmethod
@@ -145,13 +267,21 @@ class TokenStore:
         if file.exists():
             arrays = np.load(file)
             saved_quant = str(arrays["quantize"]) if "quantize" in arrays else "none"
-            kwargs["quantize"] = saved_quant
+            init_quant = "none" if saved_quant == "residual2" else saved_quant
+            kwargs["quantize"] = init_quant
             store = cls(dim=dim, max_doc_length=max_doc_length, **kwargs)
-            store._tokens = np.asarray(
-                arrays["tokens"], np.int8 if saved_quant == "int8" else np.float16
-            )
-            if "scales" in arrays:
-                store._scales = np.asarray(arrays["scales"], np.float16)
+            if saved_quant == "residual2":
+                store.quantize = "residual2"
+                store._codes = np.asarray(arrays["codes"], np.uint8)
+                store._cids = np.asarray(arrays["cids"], np.int32)
+                store._res_scales = np.asarray(arrays["res_scales"], np.float16)
+                store._centroids = np.asarray(arrays["centroids"], np.float32)
+            else:
+                store._tokens = np.asarray(
+                    arrays["tokens"], np.int8 if saved_quant == "int8" else np.float16
+                )
+                if "scales" in arrays:
+                    store._scales = np.asarray(arrays["scales"], np.float16)
             store._masks = np.asarray(arrays["masks"], bool)
             return store
         return cls(dim=dim, max_doc_length=max_doc_length, **kwargs)

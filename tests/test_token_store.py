@@ -122,3 +122,51 @@ def test_int8_store_save_load(tmp_path, colbert):
                                device_dtype="float32")
     assert restored.quantize == "int8" and restored.rows == 1
     np.testing.assert_array_equal(restored._tokens, store._tokens)
+
+
+def test_residual2_compression(colbert):
+    from automative_rag_tpu.rerank.token_store import TokenStore
+
+    docs = [Document(page_content=f"理想L{i} 2023款测试文本内容 {i}") for i in range(12)]
+    embs, masks = colbert.encode_documents([d.page_content for d in docs])
+
+    exact = TokenStore(dim=colbert.dim, max_doc_length=32, device_dtype="float32")
+    exact.append(embs, masks)
+    store = TokenStore(dim=colbert.dim, max_doc_length=32, device_dtype="float32")
+    store.append(embs, masks)
+    info = store.compress(k_centroids=32, n_iters=6)
+    assert store.quantize == "residual2"
+    # tiny dims: centroid-table overhead dominates; ≥2.5x here, ~8x at D=1024
+    assert info["compression"] > 2.5, info
+
+    reranker = LateInteractionReranker(colbert, use_pallas=False)
+    s_exact = reranker.maxsim_scores_from_store(["理想L7"], list(range(12)), exact)
+    s_comp = reranker.maxsim_scores_from_store(["理想L7"], list(range(12)), store)
+    # scores correlate strongly and top-1 agrees
+    corr = np.corrcoef(s_exact[0], s_comp[0])[0, 1]
+    assert corr > 0.95, corr
+    assert int(np.argmax(s_exact[0])) == int(np.argmax(s_comp[0]))
+
+    # appends after compression encode against the trained centroids
+    more, more_masks = colbert.encode_documents(["新增文档 蔚来ES8"])
+    store.append(more, more_masks)
+    assert store.rows == 13
+    docs_t, m = store.gather([12])
+    assert docs_t.shape == (32, 1, colbert.dim)
+
+
+def test_residual2_save_load(tmp_path, colbert):
+    from automative_rag_tpu.rerank.token_store import TokenStore
+
+    store = TokenStore(dim=colbert.dim, max_doc_length=32, device_dtype="float32")
+    embs, masks = colbert.encode_documents(["压缩持久化测试一", "压缩持久化测试二"])
+    store.append(embs, masks)
+    store.compress(k_centroids=16, n_iters=4)
+    before = store.gather([0, 1])[0]
+    store.save(str(tmp_path))
+
+    restored = TokenStore.load(str(tmp_path), dim=colbert.dim, max_doc_length=32,
+                               device_dtype="float32")
+    assert restored.quantize == "residual2" and restored.rows == 2
+    after = restored.gather([0, 1])[0]
+    np.testing.assert_allclose(np.asarray(before), np.asarray(after), rtol=1e-3)
