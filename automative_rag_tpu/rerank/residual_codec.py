@@ -5,11 +5,11 @@ PLAID/WARP (PAPERS.md) compress late-interaction token embeddings as a
 coarse centroid plus low-bit residuals; this codec implements the same idea
 TPU-side:
 
-    token ≈ centroid[cid] + scale · (q − 1.5),  q ∈ {0,1,2,3} per dim
+    token ≈ centroid[cid] + scale · (q − mid),  q ∈ {0..2^bits−1} per dim
 
-Storage per token: 2 B centroid id + 2 B fp16 scale + D/4 B packed 2-bit
-codes — ~8× smaller than fp16 at D=1024 (2048 B → ~262 B), which puts a
-100K-doc × 256-token rerank corpus (~6.7 GB) fully in one chip's HBM.
+bits=4 (default): D/2 B codes + 6 B → ~4× smaller than fp16 at D=1024 with
+near-exact scores; bits=2: D/4 B codes → ~8× (coarser). 4-bit puts a
+50K-doc × 256-token rerank corpus in one chip's HBM; 2-bit doubles that.
 Centroid training is chunked Lloyd k-means with L2 assignment expressed as
 matmuls (argmin ‖x−c‖² = argmax x·c − ½‖c‖²).
 """
@@ -104,41 +104,56 @@ def assign_centroids(points: np.ndarray, centroids: np.ndarray,
 
 # ------------------------------------------------------------- 2-bit codes
 
-def encode_residuals(residuals: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """residuals [N, D] → (packed uint8 [N, D//4], scales fp16 [N]).
+def _levels(bits: int) -> Tuple[int, float]:
+    per_byte = 8 // bits
+    mid = (2**bits - 1) / 2.0
+    return per_byte, mid
 
-    Levels: scale·(q − 1.5) for q ∈ {0..3}; scale = max|r| / 1.5 keeps the
-    outermost levels on the residual envelope.
+
+def encode_residuals(residuals: np.ndarray, bits: int = 4) -> Tuple[np.ndarray, np.ndarray]:
+    """residuals [N, D] → (packed uint8 [N, D·bits//8], scales fp16 [N]).
+
+    Levels: scale·(q − mid) for q ∈ {0..2^bits−1}; scale = max|r| / mid keeps
+    the outermost levels on the residual envelope. bits ∈ {2, 4}.
     """
     n, dim = residuals.shape
-    if dim % 4:
-        raise ValueError("dim must be divisible by 4 for 2-bit packing")
-    scales = np.abs(residuals).max(axis=1) / 1.5
+    per_byte, mid = _levels(bits)
+    if dim % per_byte:
+        raise ValueError(f"dim must be divisible by {per_byte} for {bits}-bit packing")
+    scales = np.abs(residuals).max(axis=1) / mid
     safe = np.maximum(scales, 1e-8)[:, None]
-    q = np.clip(np.round(residuals / safe + 1.5), 0, 3).astype(np.uint8)
-    q = q.reshape(n, dim // 4, 4)
-    packed = q[:, :, 0] | (q[:, :, 1] << 2) | (q[:, :, 2] << 4) | (q[:, :, 3] << 6)
-    return packed.astype(np.uint8), scales.astype(np.float16)
+    q = np.clip(np.round(residuals / safe + mid), 0, 2**bits - 1).astype(np.uint8)
+    q = q.reshape(n, dim // per_byte, per_byte)
+    packed = np.zeros(q.shape[:2], np.uint8)
+    for j in range(per_byte):
+        packed |= q[:, :, j] << (bits * j)
+    return packed, scales.astype(np.float16)
 
 
-def decode_residuals_np(packed: np.ndarray, scales: np.ndarray, dim: int) -> np.ndarray:
+def decode_residuals_np(packed: np.ndarray, scales: np.ndarray, dim: int,
+                        bits: int = 4) -> np.ndarray:
     n = packed.shape[0]
+    per_byte, mid = _levels(bits)
+    mask = (1 << bits) - 1
     q = np.stack(
-        [(packed >> shift) & 0x3 for shift in (0, 2, 4, 6)], axis=2
+        [(packed >> (bits * j)) & mask for j in range(per_byte)], axis=2
     ).reshape(n, dim)
-    return (q.astype(np.float32) - 1.5) * np.asarray(scales, np.float32)[:, None]
+    return (q.astype(np.float32) - mid) * np.asarray(scales, np.float32)[:, None]
 
 
 def decode_tokens(
-    packed: jnp.ndarray,  # [.., D//4] uint8
+    packed: jnp.ndarray,  # [.., D·bits//8] uint8
     scales: jnp.ndarray,  # [..] f32
     cids: jnp.ndarray,  # [..] int32
     centroids: jnp.ndarray,  # [K, D]
     dtype=jnp.bfloat16,
+    bits: int = 4,
 ) -> jnp.ndarray:
-    """Device-side reconstruction: centroid + scale·(q − 1.5)."""
-    parts = [((packed >> shift) & 0x3) for shift in (0, 2, 4, 6)]
-    q = jnp.stack(parts, axis=-1)  # [.., D//4, 4]
-    q = q.reshape(*packed.shape[:-1], packed.shape[-1] * 4)
-    residual = (q.astype(jnp.float32) - 1.5) * scales[..., None]
+    """Device-side reconstruction: centroid + scale·(q − mid)."""
+    per_byte, mid = _levels(bits)
+    mask = (1 << bits) - 1
+    parts = [((packed >> (bits * j)) & mask) for j in range(per_byte)]
+    q = jnp.stack(parts, axis=-1)
+    q = q.reshape(*packed.shape[:-1], packed.shape[-1] * per_byte)
+    residual = (q.astype(jnp.float32) - mid) * scales[..., None]
     return (centroids[cids].astype(jnp.float32) + residual).astype(dtype)

@@ -54,6 +54,7 @@ class TokenStore:
         self._cids: Optional[np.ndarray] = None  # [N, Ld] int32
         self._codes: Optional[np.ndarray] = None  # [N, Ld, D//4] uint8
         self._res_scales: Optional[np.ndarray] = None  # [N, Ld] fp16
+        self._res_bits = 4
 
     # ------------------------------------------------------------ mutation
     def append(self, token_embs: np.ndarray, masks: np.ndarray) -> None:
@@ -72,9 +73,11 @@ class TokenStore:
             flat = token_embs.reshape(n * ld, dim)
             cids = assign_centroids(flat, self._centroids)
             residuals = flat - self._centroids[cids]
-            packed, scales = encode_residuals(residuals)
+            packed, scales = encode_residuals(residuals, bits=self._res_bits)
             self._cids = np.concatenate([self._cids, cids.reshape(n, ld)])
-            self._codes = np.concatenate([self._codes, packed.reshape(n, ld, dim // 4)])
+            self._codes = np.concatenate(
+                [self._codes, packed.reshape(n, ld, self._codes.shape[2])]
+            )
             self._res_scales = np.concatenate(
                 [self._res_scales, scales.reshape(n, ld)]
             )
@@ -117,6 +120,7 @@ class TokenStore:
                 self._codes.reshape(n * ld, -1),
                 self._res_scales.reshape(n * ld),
                 self.dim,
+                bits=self._res_bits,
             )
             return (
                 self._centroids[self._cids.reshape(-1)] + flat_res
@@ -130,7 +134,7 @@ class TokenStore:
 
     # ---------------------------------------------------------- compression
     def compress(self, k_centroids: int = 256, sample: int = 262_144,
-                 n_iters: int = 8, seed: int = 0) -> dict:
+                 n_iters: int = 8, seed: int = 0, bits: int = 4) -> dict:
         """Convert storage to PLAID-style centroid + 2-bit residual codes
         (~8x smaller than fp16 at D=1024). Later appends encode against the
         trained centroids; call again to retrain on the grown corpus."""
@@ -146,11 +150,12 @@ class TokenStore:
         pool = flat[rng.choice(flat.shape[0], size=min(sample, flat.shape[0]),
                                replace=False)]
         self._centroids = train_centroids(pool, k_centroids, n_iters=n_iters, seed=seed)
+        self._res_bits = bits
         cids = assign_centroids(flat, self._centroids)
         residuals = flat - self._centroids[cids]
-        packed, scales = encode_residuals(residuals)
+        packed, scales = encode_residuals(residuals, bits=bits)
         self._cids = cids.reshape(n, ld)
-        self._codes = packed.reshape(n, ld, dim // 4)
+        self._codes = packed.reshape(n, ld, packed.shape[1])
         self._res_scales = scales.reshape(n, ld)
         self._tokens = np.zeros((0, ld, dim), np.float16)
         self._scales = None
@@ -168,7 +173,7 @@ class TokenStore:
     @property
     def _element_bytes(self) -> int:
         if self.quantize == "residual2":
-            return self.dim // 4 + 6  # packed codes + cid + fp16 scale, per token
+            return self.dim * self._res_bits // 8 + 6  # codes + cid + scale
         return self.dim * (1 if self.quantize == "int8" else self.device_dtype.itemsize)
 
     def _device_cache(self) -> Optional[Tuple[jnp.ndarray, ...]]:
@@ -214,7 +219,7 @@ class TokenStore:
                 codes_t, scales_t, cids_t, centroids, masks = cache
                 slab = decode_tokens(
                     codes_t[:, rows, :], scales_t[:, rows], cids_t[:, rows],
-                    centroids, dtype=self.device_dtype,
+                    centroids, dtype=self.device_dtype, bits=self._res_bits,
                 )
                 return slab, masks[rows]
             if self.quantize == "int8":
@@ -232,6 +237,7 @@ class TokenStore:
                 self._codes[rows].reshape(n_sel * self.max_doc_length, -1),
                 self._res_scales[rows].reshape(-1),
                 self.dim,
+                bits=self._res_bits,
             )
             slab = (
                 self._centroids[self._cids[rows].reshape(-1)] + flat_res
@@ -258,7 +264,8 @@ class TokenStore:
             arrays["scales"] = self._scales
         if self.quantize == "residual2":
             arrays.update(codes=self._codes, cids=self._cids,
-                          res_scales=self._res_scales, centroids=self._centroids)
+                          res_scales=self._res_scales, centroids=self._centroids,
+                          res_bits=np.int64(self._res_bits))
         np.savez_compressed(path / "token_store.npz", **arrays)
 
     @classmethod
@@ -276,6 +283,7 @@ class TokenStore:
                 store._cids = np.asarray(arrays["cids"], np.int32)
                 store._res_scales = np.asarray(arrays["res_scales"], np.float16)
                 store._centroids = np.asarray(arrays["centroids"], np.float32)
+                store._res_bits = int(arrays.get("res_bits", 4))
             else:
                 store._tokens = np.asarray(
                     arrays["tokens"], np.int8 if saved_quant == "int8" else np.float16

@@ -134,10 +134,10 @@ def test_residual2_compression(colbert):
     exact.append(embs, masks)
     store = TokenStore(dim=colbert.dim, max_doc_length=32, device_dtype="float32")
     store.append(embs, masks)
-    info = store.compress(k_centroids=32, n_iters=6)
+    info = store.compress(k_centroids=32, n_iters=6, bits=4)
     assert store.quantize == "residual2"
-    # tiny dims: centroid-table overhead dominates; ≥2.5x here, ~8x at D=1024
-    assert info["compression"] > 2.5, info
+    # tiny dims: centroid-table overhead dominates; ~4x at D=1024 with 4-bit
+    assert info["compression"] > 2.0, info
 
     reranker = LateInteractionReranker(colbert, use_pallas=False)
     s_exact = reranker.maxsim_scores_from_store(["理想L7"], list(range(12)), exact)
