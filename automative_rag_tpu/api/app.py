@@ -420,6 +420,46 @@ def build_api(app: RAGApplication) -> HTTPApi:
         job_id = app.ingest_pdf(path)
         return {"job_id": job_id, "status": "pending", "path": path}
 
+    @router.get("/ingest/documents")
+    def browse_documents(req: Request):
+        """Metadata-only scroll over the index (reference Qdrant scroll
+        search, vectorstore.py:278-318 / 文档浏览 page)."""
+        flt = {}
+        for field in ("manufacturer", "model", "category", "engine_type",
+                      "transmission", "source", "source_id"):
+            value = req.query_param(field)
+            if value:
+                flt[field] = value
+        year = req.query_param("year")
+        if year:
+            flt["year"] = int(year)
+        limit = int(req.query_param("limit", "50"))
+        offset = int(req.query_param("offset", "0"))
+        if flt:
+            docs = app.index.metadata_search(flt, limit=limit, offset=offset)
+        else:
+            live = [d for d in app.index._docs if d.id in app.index._row_of_id]
+            docs = live[offset : offset + limit]
+        return {
+            "count": len(docs),
+            "filter": flt,
+            "documents": [
+                {"id": d.id, "metadata": d.metadata, "preview": d.page_content[:200]}
+                for d in docs
+            ],
+        }
+
+    @router.post("/system/compress-token-store")
+    def compress_token_store(req: Request):
+        """PLAID-style token-store compression (rerank/residual_codec.py)."""
+        if app.token_store is None:
+            raise HTTPError(409, "token store is disabled")
+        body = req.json()
+        return app.token_store.compress(
+            k_centroids=int(body.get("k_centroids", 256)),
+            bits=int(body.get("bits", 4)),
+        )
+
     @router.get("/ingest/jobs")
     def list_jobs(req: Request):
         return {

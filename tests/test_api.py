@@ -321,3 +321,22 @@ def test_docs_and_openapi(api):
     status, body = call(api, "GET", "/openapi.json")
     assert status == 200 and body["openapi"] == "3.0.0"
     assert "/query" in body["paths"]
+
+
+def test_browse_documents_and_compress_store(api, app):
+    status, body = call(api, "POST", "/ingest/text", {
+        "content": "保时捷Taycan 2023款百公里加速2.8秒。",
+    })
+    _wait_job(app, body["job_id"])
+    status, body = call(api, "GET", "/ingest/documents?manufacturer=保时捷")
+    assert status == 200 and body["count"] >= 1
+    assert body["documents"][0]["metadata"]["manufacturer"] == "保时捷"
+    status, body = call(api, "GET", "/ingest/documents")
+    assert status == 200 and body["count"] >= 1
+
+    status, body = call(api, "POST", "/system/compress-token-store",
+                        {"k_centroids": 16, "bits": 4})
+    assert status == 200 and body["compression"] > 1.0
+    # rerank-from-store still works on compressed storage
+    status, body = call(api, "POST", "/query/debug-retrieval", {"query": "保时捷 加速"})
+    assert status == 200 and body["count"] >= 1
