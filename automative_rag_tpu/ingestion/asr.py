@@ -44,7 +44,7 @@ class WhisperTranscriber:
         self,
         model_path: str = "",
         config: Optional[WhisperConfig] = None,
-        language: str = "zh",
+        language: str = "auto",
         batch_chunks: int = 4,
     ):
         if config is None:
@@ -82,10 +82,13 @@ class WhisperTranscriber:
             [log_mel_spectrogram(jnp.asarray(c), self._mel_bank, self.config.n_mels)
              for c in chunks]
         )
+        language = self.language
+        if language == "auto":
+            language = self.model.detect_language(mels[:1])
         token_rows = []
         for i in range(0, mels.shape[0], self.batch_chunks):
             token_rows.append(self.model.transcribe_tokens(
-                mels[i : i + self.batch_chunks], language=self.language
+                mels[i : i + self.batch_chunks], language=language
             ))
         tokens = np.concatenate(token_rows)
         segments = [
@@ -95,7 +98,7 @@ class WhisperTranscriber:
         ]
         return {
             "text": self._decode_text(tokens),
-            "language": self.language,
+            "language": language,
             "segments": segments,
             "pretrained": self.model.pretrained,
         }

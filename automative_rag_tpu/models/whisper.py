@@ -334,6 +334,22 @@ class WhisperModel:
         self._greedy = jax.jit(_greedy_cached, static_argnames=("max_tokens",))
         self._greedy_uncached = jax.jit(_greedy_full, static_argnames=("max_tokens",))
 
+    def detect_language(self, mel: jnp.ndarray, candidates=("zh", "en")) -> str:
+        """Whisper-style language id: one decoder step on [SOT] and compare
+        the logits of the candidate language tokens."""
+        cfg = self.config
+        token_ids = {
+            "zh": cfg.lang_zh_token,
+            "en": cfg.lang_en_token,
+        }
+        enc = self.encoder.apply({"params": self.params["encoder"]}, mel)
+        sot = jnp.full((mel.shape[0], 1), cfg.sot_token, jnp.int32)
+        logits = self.decoder.apply({"params": self.params["decoder"]}, sot, enc)
+        lang_logits = np.asarray(logits[:, 0, :])  # [B, V]
+        votes = {lang: float(lang_logits[:, token_ids[lang]].mean())
+                 for lang in candidates if lang in token_ids}
+        return max(votes, key=votes.get)
+
     def transcribe_tokens(self, mel: jnp.ndarray, language: str = "zh",
                           max_tokens: Optional[int] = None) -> np.ndarray:
         """mel [B, 3000, n_mels] → token ids [B, max_tokens] (greedy)."""

@@ -139,3 +139,29 @@ def test_cached_decode_matches_full(tiny_model):
         eos_at = np.where(row_f == cfg.eos_token)[0]
         upto = int(eos_at[0]) + 1 if len(eos_at) else len(row_f)
         np.testing.assert_array_equal(row_c[:upto], row_f[:upto])
+
+
+def test_language_detection(tiny_model):
+    rng = np.random.default_rng(5)
+    mel = jnp.asarray(rng.normal(size=(1, 3000, 80)).astype(np.float32))
+    lang = tiny_model.detect_language(mel)
+    assert lang in ("zh", "en")
+    # deterministic
+    assert tiny_model.detect_language(mel) == lang
+
+
+def test_transcriber_auto_language(tmp_path):
+    import wave
+
+    from automative_rag_tpu.ingestion.asr import WhisperTranscriber
+    from automative_rag_tpu.models.whisper import WhisperConfig
+
+    path = str(tmp_path / "auto.wav")
+    with wave.open(path, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(SAMPLE_RATE)
+        f.writeframes(np.zeros(SAMPLE_RATE // 2, np.int16).tobytes())
+    transcriber = WhisperTranscriber(config=WhisperConfig.tiny_test(), language="auto")
+    out = transcriber(path)
+    assert out["language"] in ("zh", "en")
