@@ -17,10 +17,11 @@ static shapes for the jitted encoders.
 
 from __future__ import annotations
 
-import hashlib
+import ctypes
+import os
 import re
 from pathlib import Path
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -34,23 +35,88 @@ _TOKEN_RE = re.compile(
     r"[一-鿿]|[a-zA-Z]+|[0-9]+(?:\.[0-9]+)?|[^\sa-zA-Z0-9一-鿿]"
 )
 
+_FNV_OFFSET = 14695981039346656037
+_FNV_PRIME = 1099511628211
+_U64 = (1 << 64) - 1
+
+
+def _fnv1a64(data: bytes) -> int:
+    value = _FNV_OFFSET
+    for byte in data:
+        value = ((value ^ byte) * _FNV_PRIME) & _U64
+    return value
+
 
 def _stable_hash(token: str, vocab_size: int) -> int:
-    digest = hashlib.blake2s(token.encode("utf-8"), digest_size=8).digest()
-    return _RESERVED + int.from_bytes(digest, "little") % (vocab_size - _RESERVED)
+    return _RESERVED + _fnv1a64(token.lower().encode("utf-8")) % (
+        vocab_size - _RESERVED
+    )
+
+
+# ------------------------------------------------------------- native path
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    """Load the C tokenizer hot loop (native/libfasttok.so) if built; the
+    Python fallback implements the identical algorithm (FNV-1a64 on
+    lowercased UTF-8), so ids are bit-identical either way."""
+    candidates = [
+        os.environ.get("FASTTOK_LIB", ""),
+        str(Path(__file__).resolve().parents[2] / "native" / "libfasttok.so"),
+    ]
+    for candidate in candidates:
+        if candidate and Path(candidate).exists():
+            try:
+                lib = ctypes.CDLL(candidate)
+                lib.fasttok_encode.restype = ctypes.c_int
+                lib.fasttok_encode.argtypes = [
+                    ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint32,
+                    ctypes.POINTER(ctypes.c_uint32), ctypes.c_size_t,
+                ]
+                return lib
+            except OSError:
+                continue
+    return None
+
+
+_NATIVE: Optional[ctypes.CDLL] = None
+_NATIVE_TRIED = False
+
+
+def _native() -> Optional[ctypes.CDLL]:
+    global _NATIVE, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _NATIVE = _load_native()
+        _NATIVE_TRIED = True
+    return _NATIVE
 
 
 class HashTokenizer:
-    """Deterministic hash tokenizer with CJK-aware splitting."""
+    """Deterministic hash tokenizer with CJK-aware splitting.
 
-    def __init__(self, vocab_size: int = 32768):
+    The encode hot loop runs in C when ``native/libfasttok.so`` is built
+    (``native/build.sh``); pure-Python fallback is bit-identical.
+    """
+
+    def __init__(self, vocab_size: int = 32768, use_native: bool = True):
         self.vocab_size = vocab_size
         self.pad_token_id = PAD_ID
         self.cls_token_id = CLS_ID
         self.sep_token_id = SEP_ID
+        self._lib = _native() if use_native else None
 
     def tokenize(self, text: str) -> List[str]:
         return _TOKEN_RE.findall(text.lower())
+
+    def _encode_ids(self, text: str, max_tokens: int) -> List[int]:
+        if self._lib is not None:
+            raw = text.encode("utf-8")
+            buf = (ctypes.c_uint32 * max_tokens)()
+            n = self._lib.fasttok_encode(
+                raw, len(raw), self.vocab_size, buf, max_tokens
+            )
+            return list(buf[:n])
+        toks = self.tokenize(text)[:max_tokens]
+        return [_stable_hash(t, self.vocab_size) for t in toks]
 
     def encode_batch(
         self, texts: Sequence[str], max_length: int
@@ -59,8 +125,7 @@ class HashTokenizer:
         ids = np.full((n, max_length), PAD_ID, np.int32)
         mask = np.zeros((n, max_length), np.int32)
         for i, text in enumerate(texts):
-            toks = [_stable_hash(t, self.vocab_size) for t in self.tokenize(text)]
-            toks = toks[: max_length - 2]
+            toks = self._encode_ids(text, max_length - 2)
             row = [CLS_ID] + toks + [SEP_ID]
             ids[i, : len(row)] = row
             mask[i, : len(row)] = 1

@@ -177,3 +177,48 @@ def test_transformer_mode_still_available():
     vecs = emb.embed_texts(["测试"])
     assert vecs.shape == (1, emb.dim)
     np.testing.assert_allclose(np.linalg.norm(vecs, axis=1), 1.0, rtol=1e-5)
+
+
+def test_native_tokenizer_matches_python():
+    """The C hot loop and the Python fallback must produce identical ids."""
+    from automative_rag_tpu.models.tokenizer import HashTokenizer, _native
+
+    if _native() is None:
+        pytest.skip("native/libfasttok.so not built")
+    native = HashTokenizer(vocab_size=4096, use_native=True)
+    python = HashTokenizer(vocab_size=4096, use_native=False)
+    assert native._lib is not None and python._lib is None
+    samples = [
+        "宝马X5 2023款 0-100加速6.9秒，售价72.5万元！",
+        "Tesla Model 3 Long Range, 629km CLTC",
+        "混动SUV对比：RAV4 vs CR-V（2022）",
+        "",
+        "  spaces\tand\nnewlines  ",
+        "ABC123def456.789xyz",
+    ]
+    for text in samples:
+        a, am = native.encode_batch([text], 64)
+        b, bm = python.encode_batch([text], 64)
+        np.testing.assert_array_equal(a, b, err_msg=text)
+        np.testing.assert_array_equal(am, bm)
+
+
+def test_native_tokenizer_speedup():
+    from automative_rag_tpu.models.tokenizer import HashTokenizer, _native
+
+    if _native() is None:
+        pytest.skip("native/libfasttok.so not built")
+    import time
+
+    text = "宝马X5 2023款百公里加速5.5秒，最高时速250公里。" * 40
+    native = HashTokenizer(use_native=True)
+    python = HashTokenizer(use_native=False)
+    t0 = time.perf_counter()
+    for _ in range(200):
+        native.encode_batch([text], 512)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(200):
+        python.encode_batch([text], 512)
+    t_python = time.perf_counter() - t0
+    assert t_native < t_python  # the C loop must actually be faster
