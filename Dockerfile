@@ -7,7 +7,10 @@ WORKDIR /app
 COPY pyproject.toml README.md ./
 COPY automative_rag_tpu ./automative_rag_tpu
 COPY scripts ./scripts
+COPY native ./native
 COPY run_api.sh bench.py ./
+RUN apt-get update && apt-get install -y --no-install-recommends gcc && \
+    ./native/build.sh && apt-get purge -y gcc && apt-get autoremove -y || true
 
 # jax[tpu] on Cloud TPU VMs; plain jax elsewhere (CPU fallback mode)
 ARG JAX_EXTRA=tpu
