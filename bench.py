@@ -191,6 +191,17 @@ def main():
                     "backend": "pallas" if on_tpu else "xla-cpu",
                     "target_ms": target_ms,
                     "timing": f"lax.scan x{REPS}, serialized carry, host-fetch sync",
+                    **(
+                        {}
+                        if on_tpu
+                        else {
+                            "note": (
+                                "CPU fallback (accelerator tunnel unresponsive); "
+                                "last measurement on the real v5e chip was "
+                                "2.67 ms p50 — see STATUS.md"
+                            )
+                        }
+                    ),
                 },
             }
         )
