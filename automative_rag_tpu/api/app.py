@@ -579,6 +579,11 @@ def build_api(app: RAGApplication) -> HTTPApi:
     def rebuild_index(req: Request):
         return app.rebuild_index()
 
+    @router.post("/system/warmup")
+    def warmup(req: Request):
+        """Pre-compile the hot query executables (see RAGApplication.warmup)."""
+        return app.warmup()
+
     @router.post("/system/clear-cache")
     def clear_cache(req: Request):
         """Drop device caches + jit executables (reference

@@ -409,6 +409,26 @@ class RAGApplication:
             self.engine.token_store = self.token_store
         return self.index.count
 
+    def warmup(self) -> Dict[str, Any]:
+        """Pre-compile the hot executables (encode / search / rerank) so the
+        first user query doesn't pay jit latency — material when compiles go
+        through a remote compiler. Idempotent."""
+        t0 = time.time()
+        steps = []
+        doc = Document(
+            page_content="预热文档 warmup", metadata={"source": "text", "source_id": "warmup"}
+        )
+        if self.index.count == 0:
+            ids = self.engine.add_documents([doc])
+            steps.append("ingest")
+            self.engine.retrieve("预热查询", mode="facts")
+            steps.append("retrieve")
+            self.index.delete_by_ids(ids)
+        else:
+            self.engine.retrieve("预热查询", mode="facts")
+            steps.append("retrieve")
+        return {"warmed": steps, "seconds": round(time.time() - t0, 2)}
+
     def health(self) -> Dict[str, Any]:
         return {
             "status": "healthy",

@@ -133,6 +133,21 @@ def maxsim_scores_pallas(
     else:
         n, ld, dim = docs.shape
     b, lq, _ = q.shape
+
+    # VMEM budget: sim is [B·Lq, ND·LDC] f32; tile large query batches so a
+    # single launch never exceeds ~8 queries (≈4 MB sim at Lq=32, ND=128)
+    max_b = 8
+    if b > max_b:
+        chunks = [
+            maxsim_scores_pallas(
+                q[i : i + max_b], q_mask[i : i + max_b], docs, d_mask,
+                block_docs=block_docs, vmem_block_bytes=vmem_block_bytes,
+                interpret=interpret, token_major=token_major,
+            )
+            for i in range(0, b, max_b)
+        ]
+        return jnp.concatenate(chunks, axis=0)
+
     qw, d_bias = _as_weights_and_bias(q_mask, d_mask)
 
     # token-chunk size: fit the doc slab in the VMEM budget, respect the

@@ -340,3 +340,8 @@ def test_browse_documents_and_compress_store(api, app):
     # rerank-from-store still works on compressed storage
     status, body = call(api, "POST", "/query/debug-retrieval", {"query": "保时捷 加速"})
     assert status == 200 and body["count"] >= 1
+
+
+def test_warmup(api, app):
+    status, body = call(api, "POST", "/system/warmup")
+    assert status == 200 and "retrieve" in body["warmed"]

@@ -128,3 +128,20 @@ def test_min_max_normalize():
     np.testing.assert_allclose(min_max_normalize([1.0, 3.0, 2.0]), [0.0, 1.0, 0.5])
     np.testing.assert_allclose(min_max_normalize([2.0, 2.0]), [1.0, 1.0])
     assert min_max_normalize(np.array([])).size == 0
+
+
+def test_pallas_query_batch_tiling(case):
+    """Batches above the VMEM-safe size are tiled transparently."""
+    q, q_mask, docs, d_mask = case
+    big_q = np.tile(q, (6, 1, 1))[:11]         # B=11 > max_b=8
+    big_mask = np.tile(q_mask, (6, 1))[:11]
+    want = np.asarray(maxsim_scores_ref(big_q, big_mask, docs, d_mask))
+    got = np.asarray(
+        maxsim_scores_pallas(
+            jnp.asarray(big_q), jnp.asarray(big_mask),
+            jnp.asarray(docs), jnp.asarray(d_mask),
+            block_docs=8, interpret=True,
+        )
+    )
+    assert got.shape == (11, docs.shape[0])
+    np.testing.assert_allclose(got, want, rtol=1e-4)
