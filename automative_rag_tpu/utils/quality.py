@@ -26,13 +26,40 @@ _CJK_NOISE = re.compile(
 )
 _CJK_SPLIT = re.compile(r"的|了|吗|呢")
 
+_JIEBA = None
+
+
+def _jieba():
+    """jieba segmenter, lazily initialized (the reference also uses jieba
+    for keyword analysis, enhanced_transcript_processor.py:2-3)."""
+    global _JIEBA
+    if _JIEBA is None:
+        try:
+            import jieba
+
+            jieba.setLogLevel(60)
+            jieba.initialize()
+            _JIEBA = jieba
+        except Exception:
+            _JIEBA = False
+    return _JIEBA or None
+
 
 def extract_key_terms(query: str) -> List[str]:
-    """Key terms from a query: CJK runs, latin words, numbers; stopwords and
-    interrogative fragments out (CJK queries are unsegmented, so 的/是多少
-    etc. are stripped before run extraction)."""
+    """Key terms from a query: jieba-segmented CJK words when available
+    (regex CJK runs otherwise), latin words, numbers; stopwords and
+    interrogative fragments stripped."""
     cleaned = _CJK_SPLIT.sub(" ", _CJK_NOISE.sub(" ", query))
-    tokens = re.findall(r"[一-鿿]+|[a-zA-Z][a-zA-Z0-9-]*|\d+(?:\.\d+)?", cleaned)
+    segmenter = _jieba()
+    if segmenter is not None:
+        tokens: List[str] = []
+        for piece in re.findall(r"[一-鿿]+|[a-zA-Z][a-zA-Z0-9-]*|\d+(?:\.\d+)?", cleaned):
+            if re.fullmatch(r"[一-鿿]+", piece) and len(piece) > 2:
+                tokens.extend(segmenter.cut(piece, cut_all=False))
+            else:
+                tokens.append(piece)
+    else:
+        tokens = re.findall(r"[一-鿿]+|[a-zA-Z][a-zA-Z0-9-]*|\d+(?:\.\d+)?", cleaned)
     return [t for t in tokens if t.lower() not in _STOPWORDS and len(t) > 1]
 
 
