@@ -100,16 +100,66 @@ def make_ytdlp_downloader(cache_dir: Optional[str] = None) -> Downloader:
 
 def to_simplified_chinese(text: str) -> str:
     """Traditional→simplified conversion hook. The reference uses OpenCC
-    (video_transcriber.py:58-64); absent here, so this covers the most
-    common characters and passes everything else through."""
+    (video_transcriber.py:58-64); absent here, so a built-in table covers
+    the high-frequency characters (incl. the automotive-review vocabulary)
+    and passes everything else through; swap in OpenCC when available."""
+    try:  # full converter when the host has it
+        import opencc  # type: ignore
+
+        return opencc.OpenCC("t2s").convert(text)
+    except Exception:
+        pass
     pairs = {
         "車": "车", "馬": "马", "來": "来", "時": "时", "間": "间", "説": "说",
         "話": "话", "對": "对", "開": "开", "關": "关", "東": "东", "買": "买",
         "賣": "卖", "點": "点", "為": "为", "無": "无", "電": "电", "動": "动",
         "機": "机", "體": "体", "後": "后", "裡": "里", "國": "国", "語": "语",
         "氣": "气", "壓": "压", "顯": "显", "驅": "驱", "輛": "辆", "駛": "驶",
-        "續": "续", "航": "航", "錶": "表", "鐘": "钟", "萬": "万", "優": "优",
+        "續": "续", "錶": "表", "鐘": "钟", "萬": "万", "優": "优",
         "壞": "坏", "環": "环", "載": "载", "內": "内", "價": "价", "級": "级",
+        "門": "门", "問": "问", "聞": "闻", "們": "们", "風": "风", "飛": "飞",
+        "長": "长", "張": "张", "廠": "厂", "場": "场", "園": "园", "遠": "远",
+        "運": "运", "過": "过", "達": "达", "適": "适", "選": "选", "還": "还",
+        "進": "进", "邊": "边", "這": "这", "連": "连", "週": "周", "遲": "迟",
+        "鋼": "钢", "鐵": "铁", "鋁": "铝", "銷": "销", "鍵": "键", "錢": "钱",
+        "銀": "银", "錯": "错", "鏡": "镜", "鎖": "锁", "鋰": "锂", "輪": "轮",
+        "軸": "轴", "轉": "转", "輕": "轻", "較": "较", "輸": "输", "轎": "轿",
+        "試": "试", "調": "调", "設": "设", "計": "计", "評": "评", "誰": "谁",
+        "談": "谈", "讓": "让", "議": "议", "記": "记", "認": "认", "識": "识",
+        "許": "许", "訂": "订", "變": "变", "讀": "读", "課": "课", "請": "请",
+        "購": "购", "貴": "贵", "費": "费", "質": "质", "責": "责", "貼": "贴",
+        "賽": "赛", "贏": "赢", "備": "备", "傳": "传", "億": "亿", "儀": "仪",
+        "們": "们", "僅": "仅", "從": "从", "眾": "众", "優": "优", "會": "会",
+        "傷": "伤", "倆": "俩", "個": "个", "剎": "刹", "動": "动", "務": "务",
+        "勢": "势", "勝": "胜", "勵": "励", "區": "区", "醫": "医", "華": "华",
+        "協": "协", "單": "单", "廣": "广", "慶": "庆", "應": "应", "廢": "废",
+        "強": "强", "當": "当", "錄": "录", "復": "复", "惡": "恶", "懷": "怀",
+        "態": "态", "總": "总", "愛": "爱", "憶": "忆", "戰": "战", "戶": "户",
+        "擎": "擎", "擋": "挡", "據": "据", "擇": "择", "掛": "挂", "採": "采",
+        "護": "护", "換": "换", "擁": "拥", "數": "数", "斷": "断", "舊": "旧",
+        "暢": "畅", "曉": "晓", "術": "术", "標": "标", "樣": "样", "橫": "横",
+        "檔": "档", "檢": "检", "樂": "乐", "樹": "树", "權": "权", "歐": "欧",
+        "歲": "岁", "歷": "历", "殘": "残", "氫": "氢", "氣": "气", "決": "决",
+        "況": "况", "測": "测", "滿": "满", "漲": "涨", "濟": "济", "灣": "湾",
+        "燈": "灯", "燃": "燃", "熱": "热", "獲": "获", "現": "现", "環": "环",
+        "產": "产", "異": "异", "畫": "画", "發": "发", "盤": "盘", "監": "监",
+        "礙": "碍", "確": "确", "碼": "码", "積": "积", "穩": "稳", "空": "空",
+        "競": "竞", "筆": "笔", "節": "节", "範": "范", "籌": "筹", "類": "类",
+        "細": "细", "終": "终", "組": "组", "結": "结", "統": "统", "經": "经",
+        "維": "维", "網": "网", "緊": "紧", "線": "线", "緣": "缘", "縮": "缩",
+        "總": "总", "績": "绩", "續": "续", "義": "义", "習": "习", "聽": "听",
+        "聯": "联", "聲": "声", "職": "职", "艙": "舱", "艦": "舰", "蓋": "盖",
+        "薦": "荐", "藍": "蓝", "藝": "艺", "處": "处", "號": "号", "虧": "亏",
+        "行": "行", "裝": "装", "補": "补", "製": "制", "複": "复", "見": "见",
+        "規": "规", "視": "视", "覺": "觉", "觀": "观", "覽": "览", "觸": "触",
+        "誤": "误", "說": "说", "諸": "诸", "謂": "谓", "譜": "谱", "警": "警",
+        "譯": "译", "豐": "丰", "貌": "貌", "賓": "宾", "贊": "赞", "趕": "赶",
+        "趨": "趋", "車": "车", "軍": "军", "軟": "软", "輔": "辅", "輝": "辉",
+        "辦": "办", "辭": "辞", "農": "农", "釋": "释", "響": "响", "頂": "顶",
+        "項": "项", "順": "顺", "預": "预", "領": "领", "頭": "头", "頻": "频",
+        "題": "题", "額": "额", "顏": "颜", "願": "愿", "類": "类", "驗": "验",
+        "驚": "惊", "骨": "骨", "高": "高", "鳴": "鸣", "點": "点", "黨": "党",
+        "齊": "齐", "齡": "龄",
     }
     return text.translate(str.maketrans(pairs))
 
