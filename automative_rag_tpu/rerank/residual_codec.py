@@ -79,9 +79,9 @@ def train_centroids(points: np.ndarray, k: int, n_iters: int = 8,
         )
         sums, counts = np.asarray(sums), np.asarray(counts)
         if n_pad != n:
+            # padded rows are zeros: they add nothing to sums, but their
+            # argmax assignment must not deflate a centroid's mean
             pad_assign = np.asarray(assigns)[n:]
-            zero_rows = padded[n:]
-            # padded rows are zeros: remove their pull from their cluster
             np.add.at(counts, pad_assign, -1.0)
         nonempty = counts > 0
         centroids[nonempty] = sums[nonempty] / counts[nonempty, None]

@@ -6,6 +6,8 @@ exec python -c "
 from automative_rag_tpu.api.app import serve
 from automative_rag_tpu.app import RAGApplication
 app = RAGApplication()
-print(f'serving on {app.settings.host}:{app.settings.port}')
+print('warming up hot executables...', flush=True)
+print(app.warmup(), flush=True)
+print(f'serving on {app.settings.host}:{app.settings.port}', flush=True)
 serve(app)
 "
