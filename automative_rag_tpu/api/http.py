@@ -9,6 +9,7 @@ reference (SURVEY.md §2.5); only the plumbing differs.
 
 from __future__ import annotations
 
+import hmac
 import json
 import re
 import threading
@@ -122,7 +123,7 @@ class HTTPApi:
             auth = headers.get("authorization") or headers.get("Authorization") or ""
             if auth.startswith("Bearer "):
                 token = token or auth[len("Bearer "):]
-            if token != self.auth_token:
+            if not (token and hmac.compare_digest(str(token), self.auth_token)):
                 return 401, _dump({"detail": "invalid or missing x-token"}), "application/json"
 
         if handler is None:
@@ -158,9 +159,15 @@ class HTTPApi:
     def serve(self, host: str = "0.0.0.0", port: int = 8000, background: bool = False):
         api = self
 
+        MAX_BODY = 256 * 1024 * 1024  # PDF uploads cap
+
         class _Handler(BaseHTTPRequestHandler):
             def _run(self, method: str):
                 length = int(self.headers.get("Content-Length") or 0)
+                if length > MAX_BODY:
+                    self.send_response(413)
+                    self.end_headers()
+                    return
                 body = self.rfile.read(length) if length else b""
                 status, payload, ctype = api.dispatch(
                     method, self.path, dict(self.headers.items()), body
