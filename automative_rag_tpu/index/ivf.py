@@ -98,6 +98,13 @@ class IVFIndex(FlatIndex):
         n_probe: int = 16,
         kmeans_iters: int = 10,
     ):
+        if device_dtype == "int8":
+            # the probe-gather kernel and centroid table don't carry per-row
+            # scales yet — fail loudly instead of silently mis-scoring
+            raise NotImplementedError(
+                "int8 storage is not yet supported on the IVF index; use "
+                "bfloat16/float32 (int8 is available on FlatIndex)"
+            )
         super().__init__(dim, device_dtype)
         self.n_lists = n_lists
         self.n_probe = n_probe

@@ -78,6 +78,13 @@ class ShardedFlatIndex(FlatIndex):
 
     def __init__(self, dim: int, mesh: Mesh, axis_name: str = "shard",
                  device_dtype: str = "bfloat16"):
+        if device_dtype == "int8":
+            # int8 corpora need the per-row-scale kernel, which the sharded
+            # path doesn't carry yet — fail loudly instead of truncating
+            raise NotImplementedError(
+                "int8 storage is not yet supported on the sharded index; "
+                "use bfloat16/float32 (int8 is available on FlatIndex/IVFIndex)"
+            )
         super().__init__(dim, device_dtype)
         self.mesh = mesh
         self.axis_name = axis_name

@@ -166,3 +166,8 @@ def test_probe_expansion_on_selective_filter(built, rng):
     hits = index.search(q, len(want_rows), flt, n_probe=1)[0]
     got_rows = {r.row for r in hits}
     assert got_rows == want_rows
+
+
+def test_int8_guard():
+    with pytest.raises(NotImplementedError):
+        IVFIndex(dim=32, device_dtype="int8")

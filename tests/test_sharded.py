@@ -160,3 +160,10 @@ def test_sharded_ivf_tail_and_growth_invalidation(rng, mesh):
     assert not index.stats()["built"]
     hits = index.search(q, 3)[0]
     assert hits[0].document.page_content == "fresh"
+
+
+def test_sharded_int8_guard(mesh):
+    from automative_rag_tpu.parallel import ShardedFlatIndex
+
+    with pytest.raises(NotImplementedError):
+        ShardedFlatIndex(dim=32, mesh=mesh, device_dtype="int8")
