@@ -95,6 +95,21 @@ class DenseEmbedder:
 
         self._lexical = jax.jit(_lexical)
 
+    @classmethod
+    def from_params(cls, config: EncoderConfig, params, tokenizer_path: str = "",
+                    max_length: int = 512, batch_size: int = 64) -> "DenseEmbedder":
+        """Build an embedder around an existing param pytree (e.g. the
+        output of ``ContrastiveTrainer.export_params`` — the train→serve
+        hot-swap path)."""
+        import jax
+
+        embedder = cls(config=config, tokenizer_path=tokenizer_path,
+                       max_length=max_length, batch_size=batch_size,
+                       mode="transformer")
+        embedder.params = jax.device_get(params)
+        embedder.pretrained = True
+        return embedder
+
     @property
     def dim(self) -> int:
         return self.config.hidden_size

@@ -101,6 +101,7 @@ label { color:var(--dim); font-size:13px; }
   <div class="card hide" id="q-result">
     <h3>回答 <span id="q-conf" class="badge dim"></span></h3><br>
     <div class="answer" id="q-answer"></div>
+    <div id="q-structured"></div>
     <div id="q-quality"></div>
     <div id="q-validation"></div>
     <h4 style="margin-top:12px">来源</h4>
@@ -245,6 +246,20 @@ async function pollQuery(jobId, t0) {
     const r = job.result;
     $("q-result").classList.remove("hide");
     $("q-answer").textContent = r.answer;
+    const st = r.structured || {};
+    let structuredHtml = "";
+    if ((st.pros||[]).length || (st.cons||[]).length) {
+      structuredHtml = "<br><h4>权衡</h4>" +
+        (st.pros||[]).map(x => `<div class="src">✅ ${esc(x)}</div>`).join("") +
+        (st.cons||[]).map(x => `<div class="src">⚠️ ${esc(x)}</div>`).join("");
+    } else if ((st.viewpoints||[]).length) {
+      structuredHtml = "<br><h4>观点</h4>" +
+        st.viewpoints.map((x,i) => `<div class="src">🗣️ 观点${i+1}: ${esc(x)}</div>`).join("");
+    } else if ((st.quotes||[]).length) {
+      structuredHtml = "<br><h4>引用</h4>" +
+        st.quotes.map(x => `<div class="src">💬 “${esc(x)}”</div>`).join("");
+    }
+    $("q-structured").innerHTML = structuredHtml;
     $("q-conf").textContent = "可信度 " + Math.round(r.confidence) + "/100";
     $("q-conf").className = "badge " + (r.confidence >= 70 ? "ok" : r.confidence >= 40 ? "warn" : "bad");
     const qc = r.quality_check || {};

@@ -55,3 +55,23 @@ def test_checkpoint_roundtrip(tmp_path):
     # restored trainer keeps training
     fresh.fit(PAIRS[:8], batch_size=8, epochs=1, log_every=0)
     assert fresh.step == trainer.step + 1
+
+
+def test_trained_params_hot_swap_into_embedder():
+    """Train → export → serve: a DenseEmbedder built from trained params
+    must embed deterministically and differ from the random-init encoder."""
+    from automative_rag_tpu.models.bge_m3 import DenseEmbedder
+
+    config = EncoderConfig.tiny()
+    trainer = ContrastiveTrainer(config, learning_rate=3e-4, max_length=16)
+    trainer.fit(PAIRS[:8], batch_size=8, epochs=2, log_every=0)
+
+    trained = DenseEmbedder.from_params(config, trainer.export_params(), max_length=16)
+    assert trained.pretrained and trained.mode == "transformer"
+    fresh = DenseEmbedder(config=config, max_length=16, mode="transformer")
+
+    a = trained.embed_query("宝马X5 加速")
+    b = trained.embed_query("宝马X5 加速")
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+    c = fresh.embed_query("宝马X5 加速")
+    assert np.abs(a - c).max() > 1e-4  # training actually changed the encoder
