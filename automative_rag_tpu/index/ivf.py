@@ -33,19 +33,20 @@ from .filters import FilterSpec, eval_filter_mask
 from .flat import FlatIndex, SearchResult
 
 
-@partial(jax.jit, static_argnames=("nprobe", "k"))
+@partial(jax.jit, static_argnames=("nprobe", "k", "int8"))
 def _ivf_search_kernel(
-    vectors,  # [cap, D]
+    vectors,  # [cap, D] (bf16/f32, or int8 when int8=True)
+    row_scales,  # [cap] f32 (int8 mode) or None-like zeros
     full_mask,  # [cap] bool — valid ∧ filter
-    centroids,  # [K, D]
+    centroids,  # [K, D] float (always)
     list_table,  # [K, list_cap] int32 row ids, -1 = empty
-    queries,  # [B, D]
+    queries,  # [B, D] f32
     nprobe: int,
     k: int,
+    int8: bool,
 ):
-    q = queries.astype(vectors.dtype)
     coarse = jax.lax.dot_general(
-        q, centroids.astype(vectors.dtype), (((1,), (1,)), ((), ())),
+        queries.astype(centroids.dtype), centroids, (((1,), (1,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )  # [B, K]
@@ -57,11 +58,21 @@ def _ivf_search_kernel(
     safe = jnp.maximum(cand, 0)
 
     cand_vecs = vectors[safe]  # [B, M, D]
-    scores = jnp.einsum(
-        "bd,bmd->bm", q, cand_vecs,
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
+    if int8:
+        q_scale = jnp.max(jnp.abs(queries), axis=1, keepdims=True) / 127.0
+        q_i8 = jnp.clip(
+            jnp.round(queries / jnp.maximum(q_scale, 1e-12)), -127, 127
+        ).astype(jnp.int8)
+        raw = jnp.einsum(
+            "bd,bmd->bm", q_i8, cand_vecs, preferred_element_type=jnp.int32
+        )
+        scores = raw.astype(jnp.float32) * q_scale * row_scales[safe]
+    else:
+        scores = jnp.einsum(
+            "bd,bmd->bm", queries.astype(vectors.dtype), cand_vecs,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
     mask = (cand >= 0) & full_mask[safe]
     vals, pos = masked_top_k(scores, mask, k)
     rows = jnp.take_along_axis(cand, pos, axis=1)
@@ -73,14 +84,26 @@ def _full_mask_kernel(valid, codes, numerics, spec: FilterSpec):
     return valid & eval_filter_mask(codes, numerics, spec)
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _tail_search_kernel(vectors, full_mask, queries, tail_start: jnp.ndarray, k: int):
+@partial(jax.jit, static_argnames=("k", "int8"))
+def _tail_search_kernel(vectors, row_scales, full_mask, queries,
+                        tail_start: jnp.ndarray, k: int, int8: bool):
     """Exact search over rows ≥ tail_start (the un-indexed fresh buffer)."""
-    scores = jax.lax.dot_general(
-        queries.astype(vectors.dtype), vectors, (((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
+    if int8:
+        q_scale = jnp.max(jnp.abs(queries), axis=1, keepdims=True) / 127.0
+        q_i8 = jnp.clip(
+            jnp.round(queries / jnp.maximum(q_scale, 1e-12)), -127, 127
+        ).astype(jnp.int8)
+        raw = jax.lax.dot_general(
+            q_i8, vectors, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        scores = raw.astype(jnp.float32) * q_scale * row_scales[None, :]
+    else:
+        scores = jax.lax.dot_general(
+            queries.astype(vectors.dtype), vectors, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
     n = vectors.shape[0]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     mask = full_mask & (row_ids >= tail_start)
@@ -98,13 +121,6 @@ class IVFIndex(FlatIndex):
         n_probe: int = 16,
         kmeans_iters: int = 10,
     ):
-        if device_dtype == "int8":
-            # the probe-gather kernel and centroid table don't carry per-row
-            # scales yet — fail loudly instead of silently mis-scoring
-            raise NotImplementedError(
-                "int8 storage is not yet supported on the IVF index; use "
-                "bfloat16/float32 (int8 is available on FlatIndex)"
-            )
         super().__init__(dim, device_dtype)
         self.n_lists = n_lists
         self.n_probe = n_probe
@@ -166,8 +182,14 @@ class IVFIndex(FlatIndex):
             return self._device
         state = super()._device_state()
         if self._centroids is not None:
-            state["centroids"] = jnp.asarray(self._centroids, self.device_dtype)
+            # centroids stay float even for int8 corpora (coarse scoring)
+            centroid_dtype = (
+                jnp.bfloat16 if self._int8 else self.device_dtype
+            )
+            state["centroids"] = jnp.asarray(self._centroids, centroid_dtype)
             state["list_table"] = jnp.asarray(self._list_table)
+        if "row_scales" not in state:
+            state["row_scales"] = jnp.zeros(state["capacity"], jnp.float32)
         self._device = state
         return state
 
@@ -200,13 +222,15 @@ class IVFIndex(FlatIndex):
 
         def _run(nprobe_now: int):
             vals, rows = _ivf_search_kernel(
-                state["vectors"], full_mask, state["centroids"], state["list_table"],
-                jnp.asarray(queries), nprobe_now, k_eff,
+                state["vectors"], state["row_scales"], full_mask,
+                state["centroids"], state["list_table"],
+                jnp.asarray(queries), nprobe_now, k_eff, self._int8,
             )
             if self.tail_rows > 0:
                 tail_vals, tail_rows = _tail_search_kernel(
-                    state["vectors"], full_mask, jnp.asarray(queries),
-                    jnp.int32(self._indexed_rows), k_eff,
+                    state["vectors"], state["row_scales"], full_mask,
+                    jnp.asarray(queries), jnp.int32(self._indexed_rows),
+                    k_eff, self._int8,
                 )
                 vals, rows = merge_top_k(
                     jnp.stack([vals, tail_vals]), jnp.stack([rows, tail_rows]), k_eff

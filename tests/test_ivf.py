@@ -168,6 +168,16 @@ def test_probe_expansion_on_selective_filter(built, rng):
     assert got_rows == want_rows
 
 
-def test_int8_guard():
-    with pytest.raises(NotImplementedError):
-        IVFIndex(dim=32, device_dtype="int8")
+def test_int8_ivf_recall(built):
+    """int8 IVF: top-10 must overlap the f32 IVF results >= 80%."""
+    index_f32, vectors, docs, _, rng = built
+    quant = IVFIndex(dim=64, device_dtype="int8", n_lists=64, n_probe=8)
+    quant.add(vectors, [Document(d.page_content, dict(d.metadata)) for d in docs])
+    quant.rebuild()
+    overlap = 0.0
+    queries = rng.normal(size=(10, 64)).astype(np.float32)
+    for q in queries:
+        want = {r.row for r in index_f32.search(q, 10, n_probe=64)[0]}
+        got = {r.row for r in quant.search(q, 10, n_probe=64)[0]}
+        overlap += len(got & want) / 10
+    assert overlap / 10 >= 0.8, overlap / 10
