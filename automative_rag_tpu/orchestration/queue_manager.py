@@ -80,6 +80,7 @@ class QueueManager:
         }
         self._workers: Dict[str, threading.Thread] = {}
         self._busy: Dict[str, Optional[str]] = {name: None for name in self._queues}
+        self._busy_since: Dict[str, Optional[float]] = {name: None for name in self._queues}
         self._heartbeats: Dict[str, float] = {}
         self._stats: Dict[str, Dict[str, int]] = {
             name: {"enqueued": 0, "completed": 0, "failed": 0, "retried": 0}
@@ -113,6 +114,7 @@ class QueueManager:
                 continue
             with self._lock:
                 self._busy[queue_name] = task.name
+                self._busy_since[queue_name] = time.time()
             try:
                 if self.fault_injector is not None:
                     self.fault_injector(task.name)
@@ -130,6 +132,7 @@ class QueueManager:
             finally:
                 with self._lock:
                     self._busy[queue_name] = None
+                    self._busy_since[queue_name] = None
                 q.task_done()
 
     # ------------------------------------------------------------ enqueue
@@ -154,6 +157,15 @@ class QueueManager:
                 name: {
                     "pending": self._queues[name].qsize(),
                     "busy_with": self._busy[name],
+                    "busy_for_s": (
+                        round(now - self._busy_since[name], 1)
+                        if self._busy_since[name] is not None
+                        else None
+                    ),
+                    "over_time_limit": (
+                        self._busy_since[name] is not None
+                        and now - self._busy_since[name] > self.time_limit_s
+                    ),
                     "worker_alive": self._workers.get(name) is not None
                     and self._workers[name].is_alive(),
                     "heartbeat_age_s": (
