@@ -136,7 +136,11 @@ class RAGApplication:
             time_limit_s=self.settings.task_time_limit_s, start=start_workers
         )
         self.task_router = TaskRouter(self.queue_manager)
-        self.job_chain = JobChain(self.tracker, self.task_router)
+        self.job_chain = JobChain(
+            self.tracker,
+            self.task_router,
+            persist_path=self.settings.chain_persist_path or None,
+        )
         self._register_tasks()
         self._lock = threading.RLock()
 

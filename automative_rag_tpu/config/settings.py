@@ -136,6 +136,10 @@ class Settings:
         default_factory=lambda: _env("TASK_TIME_LIMIT_S", 300.0)
     )
     task_max_retries: int = field(default_factory=lambda: _env("TASK_MAX_RETRIES", 2))
+    # optional chain-state persistence (resume after restart); empty = off
+    chain_persist_path: str = field(
+        default_factory=lambda: _env("CHAIN_PERSIST_PATH", "")
+    )
 
     # --- ingestion ---
     whisper_model_path: str = field(
