@@ -19,6 +19,7 @@ functional surface of the reference store (:124-472).
 from __future__ import annotations
 
 import json
+import threading
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -113,6 +114,10 @@ class FlatIndex:
         self.columns = MetadataColumns()
         # device cache
         self._device: Optional[dict] = None
+        # guards host mirrors + device staging: ingestion runs on a worker
+        # thread while direct API paths (debug-retrieval, /query/batch) may
+        # search concurrently
+        self._mutex = threading.RLock()
 
     # ------------------------------------------------------------------ size
     @property
@@ -148,27 +153,33 @@ class FlatIndex:
         for doc in documents:
             doc.stamp_ingestion()
 
-        start = len(self._ids)
-        n_new = len(documents)
-        capacity = _round_capacity(start + n_new)
+        with self._mutex:
+            start = len(self._ids)
+            n_new = len(documents)
+            capacity = _round_capacity(start + n_new)
 
-        self._vectors = np.concatenate([self._vectors, vectors], axis=0)
-        self._deleted = np.concatenate([self._deleted, np.zeros(n_new, bool)])
-        self.columns.append_rows([d.metadata for d in documents], capacity)
-        new_ids = []
-        for i, doc in enumerate(documents):
-            row = start + i
-            if doc.id in self._row_of_id:
-                # upsert: tombstone the previous row
-                self._deleted[self._row_of_id[doc.id]] = True
-            self._row_of_id[doc.id] = row
-            self._ids.append(doc.id)
-            self._docs.append(doc)
-            new_ids.append(doc.id)
-        self._device = None
+            self._vectors = np.concatenate([self._vectors, vectors], axis=0)
+            self._deleted = np.concatenate([self._deleted, np.zeros(n_new, bool)])
+            self.columns.append_rows([d.metadata for d in documents], capacity)
+            new_ids = []
+            for i, doc in enumerate(documents):
+                row = start + i
+                if doc.id in self._row_of_id:
+                    # upsert: tombstone the previous row
+                    self._deleted[self._row_of_id[doc.id]] = True
+                self._row_of_id[doc.id] = row
+                self._ids.append(doc.id)
+                self._docs.append(doc)
+                new_ids.append(doc.id)
+            self._device = None
         return new_ids
 
     def delete_by_ids(self, ids: Sequence[str]) -> int:
+        deleted = 0
+        with self._mutex:
+            return self._delete_by_ids_locked(ids)
+
+    def _delete_by_ids_locked(self, ids: Sequence[str]) -> int:
         deleted = 0
         for doc_id in ids:
             row = self._row_of_id.pop(doc_id, None)
@@ -189,6 +200,10 @@ class FlatIndex:
         return self.device_dtype == jnp.int8
 
     def _device_state(self) -> dict:
+        with self._mutex:
+            return self._device_state_locked()
+
+    def _device_state_locked(self) -> dict:
         if self._device is not None:
             return self._device
         n = len(self._ids)

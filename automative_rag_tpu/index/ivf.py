@@ -178,9 +178,13 @@ class IVFIndex(FlatIndex):
 
     # ------------------------------------------------------------- device
     def _device_state(self) -> dict:
+        with self._mutex:
+            return self._device_state_locked()
+
+    def _device_state_locked(self) -> dict:
         if self._device is not None:
             return self._device
-        state = super()._device_state()
+        state = super()._device_state_locked()
         if self._centroids is not None:
             # centroids stay float even for int8 corpora (coarse scoring)
             centroid_dtype = (

@@ -194,9 +194,13 @@ class ShardedIVFIndex(ShardedFlatIndex):
 
     # --------------------------------------------------------------- device
     def _device_state(self) -> dict:
+        with self._mutex:
+            return self._device_state_locked()
+
+    def _device_state_locked(self) -> dict:
         if self._device is not None:
             return self._device
-        state = super()._device_state()
+        state = super()._device_state_locked()
         if self._built():
             spec3 = NamedSharding(self.mesh, P(self.axis_name, None, None))
             state["centroids"] = jax.device_put(

@@ -96,6 +96,10 @@ class ShardedFlatIndex(FlatIndex):
         return max(cap, 128 * self.n_shards)
 
     def _device_state(self) -> dict:
+        with self._mutex:
+            return self._device_state_locked()
+
+    def _device_state_locked(self) -> dict:
         if self._device is not None:
             return self._device
         n = len(self._ids)

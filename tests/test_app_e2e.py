@@ -113,3 +113,44 @@ def test_sharded_app_serving():
     finally:
         app.shutdown()
         settings.index_kind = "flat"
+
+
+def test_concurrent_ingest_and_direct_search():
+    """The direct API search paths (debug-retrieval, /query/batch) bypass
+    the serialized queue; concurrent ingestion must not corrupt them."""
+    import threading
+
+    app = RAGApplication(tiny=True)
+    try:
+        seed_job = app.ingest_text("种子文档 长安UNI-T 2022款。")
+        _wait(app, seed_job)
+
+        errors = []
+        stop = threading.Event()
+
+        def searcher():
+            while not stop.is_set():
+                try:
+                    app.engine.retrieve("长安 UNI-T", mode="facts")
+                except Exception as exc:  # noqa: BLE001 — collecting races
+                    errors.append(repr(exc))
+                    return
+
+        threads = [threading.Thread(target=searcher) for _ in range(3)]
+        for t in threads:
+            t.start()
+        job_ids = [
+            app.ingest_text(f"并发文档{i} 吉利星越L 2023款 功率{150 + i}kW。")
+            for i in range(10)
+        ]
+        for jid in job_ids:
+            _wait(app, jid)
+        stop.set()
+        for t in threads:
+            t.join(timeout=10)
+        assert not errors, errors
+        assert app.index.count >= 11
+        hits = app.engine.retrieve("星越L 功率")
+        assert hits
+    finally:
+        app.shutdown()
