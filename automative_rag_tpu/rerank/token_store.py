@@ -16,6 +16,7 @@ follow-up (PAPERS.md) — this store is exact.
 
 from __future__ import annotations
 
+import threading
 from pathlib import Path
 from typing import Optional, Sequence, Tuple
 
@@ -49,6 +50,8 @@ class TokenStore:
             self._scales = None
         self._masks = np.zeros((0, max_doc_length), bool)
         self._device: Optional[Tuple[jnp.ndarray, ...]] = None
+        # appends (ingestion worker) can race gathers (direct API search)
+        self._mutex = threading.RLock()
         # residual2 (PLAID-style) artifacts — populated by compress()
         self._centroids: Optional[np.ndarray] = None  # [K, D]
         self._cids: Optional[np.ndarray] = None  # [N, Ld] int32
@@ -59,6 +62,10 @@ class TokenStore:
     # ------------------------------------------------------------ mutation
     def append(self, token_embs: np.ndarray, masks: np.ndarray) -> None:
         """Append rows (row order must mirror the vector index)."""
+        with self._mutex:
+            self._append_locked(token_embs, masks)
+
+    def _append_locked(self, token_embs: np.ndarray, masks: np.ndarray) -> None:
         masks = np.asarray(masks, bool)
         token_embs = np.asarray(token_embs, np.float32)
         if token_embs.shape[1:] != (self.max_doc_length, self.dim):
@@ -211,7 +218,18 @@ class TokenStore:
         (per-token scales), so the MaxSim kernel always sees bf16/f32.
         """
         rows = np.asarray(list(rows), np.int32)
-        cache = self._device_cache()
+        with self._mutex:
+            cache = self._device_cache()
+            if cache is None:
+                # snapshot host arrays so concurrent appends (which replace
+                # the arrays) can't shift under this gather
+                if self.quantize == "residual2":
+                    host = (self._codes, self._res_scales, self._cids,
+                            self._centroids, self._masks)
+                elif self.quantize == "int8":
+                    host = (self._tokens, self._scales, self._masks)
+                else:
+                    host = (self._tokens, self._masks)
         if cache is not None:
             if self.quantize == "residual2":
                 from .residual_codec import decode_tokens
@@ -232,26 +250,29 @@ class TokenStore:
         if self.quantize == "residual2":
             from .residual_codec import decode_residuals_np
 
+            codes, res_scales, cids, centroids, masks = host
             n_sel = rows.shape[0]
             flat_res = decode_residuals_np(
-                self._codes[rows].reshape(n_sel * self.max_doc_length, -1),
-                self._res_scales[rows].reshape(-1),
+                codes[rows].reshape(n_sel * self.max_doc_length, -1),
+                res_scales[rows].reshape(-1),
                 self.dim,
                 bits=self._res_bits,
             )
             slab = (
-                self._centroids[self._cids[rows].reshape(-1)] + flat_res
+                centroids[cids[rows].reshape(-1)] + flat_res
             ).reshape(n_sel, self.max_doc_length, self.dim)
         elif self.quantize == "int8":
+            tokens, scales, masks = host
             slab = (
-                self._tokens[rows].astype(np.float32)
-                * self._scales[rows][:, :, None].astype(np.float32)
+                tokens[rows].astype(np.float32)
+                * scales[rows][:, :, None].astype(np.float32)
             )
         else:
-            slab = self._tokens[rows]
+            tokens, masks = host
+            slab = tokens[rows]
         return (
             jnp.asarray(slab.transpose(1, 0, 2), self.device_dtype),
-            jnp.asarray(self._masks[rows]),
+            jnp.asarray(masks[rows]),
         )
 
     # ----------------------------------------------------------- persist
