@@ -154,3 +154,25 @@ def test_concurrent_ingest_and_direct_search():
         assert hits
     finally:
         app.shutdown()
+
+
+def test_ivf_app_end_to_end():
+    """index_kind=ivf through the whole app: ingest -> rebuild -> query."""
+    from automative_rag_tpu.config.settings import Settings
+    from automative_rag_tpu.index.ivf import IVFIndex
+
+    settings = Settings()
+    settings.index_kind = "ivf"
+    app = RAGApplication(settings=settings, tiny=True)
+    try:
+        assert isinstance(app.index, IVFIndex)
+        for i in range(12):
+            _wait(app, app.ingest_text(f"测试车型{i} 功率{100 + i}kW，型号编号{i}。"))
+        info = app.rebuild_index()
+        assert info["rows_indexed"] >= 12
+        result = app.query_sync("型号编号7 功率", timeout=60)
+        assert result["status"] == JobStatus.COMPLETED.value
+        assert "107" in result["result"]["answer"]
+    finally:
+        app.shutdown()
+        settings.index_kind = "flat"
