@@ -115,3 +115,72 @@ def test_spec_is_fixed_shape(columns):
     blank = FilterSpec.match_all()
     for a, b in zip(spec, blank):
         assert a.shape == b.shape and a.dtype == b.dtype
+
+
+def test_randomized_filters_match_python_oracle(rng):
+    """50 random filter dicts: the device bitmask must equal a direct
+    Python evaluation of the DSL semantics."""
+    import jax.numpy as jnp
+
+    manus = ["宝马", "奔驰", "特斯拉", "丰田", None]
+    models = ["X5", "5系", "Model 3", None]
+    cats = ["suv", "sedan", None]
+    metadatas = []
+    for i in range(300):
+        md = {}
+        manu = manus[rng.integers(len(manus))]
+        if manu:
+            md["manufacturer"] = manu
+        model = models[rng.integers(len(models))]
+        if model:
+            md["model"] = model
+        cat = cats[rng.integers(len(cats))]
+        if cat:
+            md["category"] = cat
+        if rng.random() < 0.8:
+            md["year"] = int(2015 + rng.integers(10))
+        metadatas.append(md)
+    cols = MetadataColumns()
+    cols.append_rows(metadatas, capacity=512)
+
+    def python_oracle(md, flt):
+        for key, value in flt.items():
+            if value is None or (isinstance(value, list) and not value):
+                continue
+            values = value if isinstance(value, list) else [value]
+            actual = md.get(key)
+            if key == "year":
+                if actual is None or int(actual) not in [int(v) for v in values]:
+                    return False
+            else:
+                if actual is None or str(actual) not in [str(v) for v in values]:
+                    return False
+        return True
+
+    fields = ["manufacturer", "model", "category", "year"]
+    pools = {
+        "manufacturer": ["宝马", "奔驰", "特斯拉", "保时捷"],
+        "model": ["X5", "Model 3", "911"],
+        "category": ["suv", "sedan"],
+        "year": list(range(2014, 2027)),
+    }
+    for trial in range(50):
+        flt = {}
+        for field in fields:
+            roll = rng.random()
+            if roll < 0.4:
+                continue
+            pool = pools[field]
+            if roll < 0.7:
+                flt[field] = pool[rng.integers(len(pool))]
+            else:
+                size = 1 + int(rng.integers(3))
+                flt[field] = [pool[rng.integers(len(pool))] for _ in range(size)]
+        if not flt:
+            flt = {"manufacturer": "宝马"}
+        spec = compile_filter(flt, cols)
+        mask = np.asarray(
+            eval_filter_mask(jnp.asarray(cols.codes), jnp.asarray(cols.numerics), spec)
+        )[: len(metadatas)]
+        want = np.array([python_oracle(md, flt) for md in metadatas])
+        np.testing.assert_array_equal(mask, want, err_msg=str(flt))
