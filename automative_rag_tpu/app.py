@@ -267,7 +267,32 @@ class RAGApplication:
                 result["validation"] = self.validation_engine.validate_documents(
                     payload["query"], ranked, payload.get("mode", "facts")
                 )
+                if payload.get("validation") == "guided":
+                    # guided trust loop: a dedicated validation step follows,
+                    # which can pause for user evidence (reference
+                    # ValidationType.USER_GUIDED + dynamic step insertion,
+                    # job_chain.py:349-433)
+                    self.job_chain.insert_steps_after_current(
+                        job_id, ["validate_documents"]
+                    )
             return result
+
+        @router.task("validate_documents")
+        def validate_documents(job_id, payload):
+            """Guided validation step: if the retrieved evidence fails
+            validation, pause the chain and ask the user for input (resumed
+            via /query/{id}/user-choice or /contribute)."""
+            validation = payload.get("validation") or {}
+            if validation.get("status") in ("failed", "warning"):
+                self.job_chain.wait_for_user_input(
+                    job_id,
+                    {
+                        "question": "检索证据未通过验证，请补充资料或选择继续",
+                        "validation": validation,
+                        "options": ["contribute", "proceed", "cancel"],
+                    },
+                )
+            return {"validation_reviewed": True}
 
         @router.task("llm_inference")
         def llm_inference(job_id, payload):

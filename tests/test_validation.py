@@ -101,3 +101,38 @@ def test_validation_in_query_chain():
         assert job["result"]["validation"]["steps"]
     finally:
         app.shutdown()
+
+
+def test_guided_validation_pauses_and_resumes():
+    """validation='guided' on an empty corpus: retrieval validation fails,
+    the chain pauses for user input, contribution resumes it to completion
+    (the reference's guided trust loop, never functional there)."""
+    import time
+
+    from automative_rag_tpu.app import RAGApplication
+
+    app = RAGApplication(tiny=True)
+    try:
+        # empty corpus → retrieval step scores 0 → validation failed
+        job_id = app.submit_query("不存在的车型问题", validation="guided")
+        deadline = time.time() + 30
+        state = None
+        while time.time() < deadline:
+            state = app.job_chain.get_chain_state(job_id)
+            if state and state["paused"]:
+                break
+            time.sleep(0.05)
+        assert state and state["paused"], state
+        assert "validate_documents" in state["steps"]
+        assert state["user_prompt"]["options"] == ["contribute", "proceed", "cancel"]
+
+        assert app.job_chain.resume_from_user_input(job_id, {"user_choice": "proceed"})
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            job = app.tracker.get_job(job_id)
+            if job["status"] in ("completed", "failed"):
+                break
+            time.sleep(0.05)
+        assert job["status"] == "completed", job
+    finally:
+        app.shutdown()
