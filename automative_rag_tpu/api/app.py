@@ -176,9 +176,11 @@ def build_api(app: RAGApplication) -> HTTPApi:
         if not query:
             raise HTTPError(422, "query must be a non-empty string")
         mode = body.get("mode", "facts")
+        validation = body.get("validation", False)
+        if not isinstance(validation, str):  # true → basic, "guided" passes through
+            validation = bool(validation)
         job_id = app.submit_query(
-            query, mode, body.get("metadata_filter"),
-            validation=bool(body.get("validation", False)),
+            query, mode, body.get("metadata_filter"), validation=validation
         )
         return {"job_id": job_id, "status": "pending", "mode": mode}
 

@@ -345,3 +345,21 @@ def test_browse_documents_and_compress_store(api, app):
 def test_warmup(api, app):
     status, body = call(api, "POST", "/system/warmup")
     assert status == 200 and "retrieve" in body["warmed"]
+
+
+def test_guided_validation_over_http(api, app):
+    status, body = call(api, "POST", "/query",
+                        {"query": "完全不存在的主题xyz", "validation": "guided"})
+    job_id = body["job_id"]
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        status, prog = call(api, "GET", f"/query/{job_id}/validation-progress")
+        if prog["paused"]:
+            break
+        if prog["status"] in ("completed", "failed"):
+            break
+        time.sleep(0.05)
+    assert prog["paused"], prog
+    status, body = call(api, "POST", f"/query/{job_id}/user-choice", {"user_choice": "proceed"})
+    assert status == 200
+    _wait_job(app, job_id)
