@@ -89,7 +89,11 @@ label { color:var(--dim); font-size:13px; }
       <label>品牌 <input id="f-manu" size="8"></label>
       <label>车型 <input id="f-model" size="8"></label>
       <label>年款 <input id="f-year" size="5"></label>
-      <label><input type="checkbox" id="q-validate"> 验证管线</label>
+      <label>验证 <select id="q-validate">
+        <option value="">关闭</option>
+        <option value="basic">基础</option>
+        <option value="guided">引导式</option>
+      </select></label>
       <button class="primary" onclick="submitQuery()">提交查询</button>
       <span id="q-status"></span>
     </div>
@@ -97,6 +101,15 @@ label { color:var(--dim); font-size:13px; }
   <div class="card">
     <h3>历史查询 <button class="ghost" onclick="loadHistory()">刷新</button></h3>
     <div id="q-history"></div>
+  </div>
+  <div class="card hide" id="q-pause">
+    <h3>⏸️ 等待用户输入</h3>
+    <div id="q-prompt" class="src"></div>
+    <div class="row" style="margin-top:8px">
+      <input id="q-contrib" size="50" placeholder="补充资料（将被摄取为新文档）">
+      <button class="primary" onclick="contribute()">提交资料</button>
+      <button class="ghost" onclick="userChoice('proceed')">直接继续</button>
+    </div>
   </div>
   <div class="card hide" id="q-result">
     <h3>回答 <span id="q-conf" class="badge dim"></span></h3><br>
@@ -230,16 +243,43 @@ async function submitQuery() {
   $("q-status").textContent = "提交中…";
   $("q-result").classList.add("hide");
   try {
+    const vmode = $("q-validate").value;
     const sub = await api("/query", {method:"POST", headers:{"Content-Type":"application/json"},
       body: JSON.stringify({query:q, mode:selMode, metadata_filter:filterBody(),
-                            validation:$("q-validate").checked})});
+                            validation: vmode === "guided" ? "guided" : vmode === "basic"})});
+    window._activeJob = sub.job_id;
     pollQuery(sub.job_id, Date.now());
   } catch (e) { $("q-status").textContent = "错误: " + e.message; }
 }
 
+async function userChoice(choice) {
+  await api(`/query/${window._activeJob}/user-choice`, {method:"POST",
+    headers:{"Content-Type":"application/json"},
+    body: JSON.stringify({user_choice: choice})});
+  $("q-pause").classList.add("hide");
+}
+
+async function contribute() {
+  const content = $("q-contrib").value.trim();
+  if (!content) return;
+  await api(`/query/${window._activeJob}/contribute`, {method:"POST",
+    headers:{"Content-Type":"application/json"},
+    body: JSON.stringify({content})});
+  $("q-pause").classList.add("hide");
+}
+
 async function pollQuery(jobId, t0) {
   const job = await api("/query/results/" + jobId);
+  if (job.status === "waiting_user") {
+    const prog = await api(`/query/${jobId}/validation-progress`);
+    $("q-pause").classList.remove("hide");
+    $("q-prompt").textContent = (prog.user_prompt || {}).question || "需要用户输入";
+    $("q-status").textContent = "等待输入…";
+    setTimeout(() => pollQuery(jobId, t0), 900);
+    return;
+  }
   if (job.status === "completed" || job.status === "failed") {
+    $("q-pause").classList.add("hide");
     $("q-status").textContent = job.status === "completed"
       ? `完成 (${((Date.now()-t0)/1000).toFixed(1)}s)` : "失败: " + esc(job.error);
     if (job.status !== "completed") return;
