@@ -253,6 +253,10 @@ def build_api(app: RAGApplication) -> HTTPApi:
         ingest_job = app.ingest_text(
             content, metadata={"source": "manual", **contribution}
         )
+        # wait for the evidence to index, then re-retrieve before answering
+        app.job_chain.insert_steps_next(
+            job_id, ["await_contribution", "retrieve_documents"]
+        )
         resumed = app.job_chain.resume_from_user_input(
             job_id, {"contribution_job_id": ingest_job, "contribution": contribution}
         )
@@ -668,6 +672,14 @@ def build_api(app: RAGApplication) -> HTTPApi:
     def update_config(req: Request):
         applied = app.settings.update(req.json())
         return {"applied": applied}
+
+    @router.get("/ingest/jobs/{job_id}/progress")
+    def job_progress(req: Request):
+        """Per-job progress message stream (reference job_tracker.py:87-143
+        progress keys; rendered by the jobs dashboard)."""
+        job_id = req.params["job_id"]
+        _job_result(job_id)
+        return {"job_id": job_id, "messages": app.tracker.get_progress_messages(job_id)}
 
     @router.get("/ingest/jobs/{job_id}/chain")
     def job_chain_alias(req: Request):

@@ -294,6 +294,21 @@ class RAGApplication:
                 )
             return {"validation_reviewed": True}
 
+        @router.task("await_contribution")
+        def await_contribution(job_id, payload):
+            """Wait for a user-contributed ingest job to finish indexing so
+            the follow-up re-retrieval sees the new evidence."""
+            target = payload.get("contribution_job_id")
+            if not target:
+                return {}
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                job = self.tracker.get_job(target)
+                if job is None or job["status"] in ("completed", "failed", "timeout"):
+                    return {"contribution_status": (job or {}).get("status", "missing")}
+                time.sleep(0.1)
+            return {"contribution_status": "timeout"}
+
         @router.task("llm_inference")
         def llm_inference(job_id, payload):
             docs = [

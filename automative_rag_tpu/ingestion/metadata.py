@@ -183,6 +183,16 @@ class MetadataExtractor:
         if year_match:
             fields["modelYear"] = int(year_match.group(1) or year_match.group(2))
 
+        # extract author/views/source fields first and strip their spans so
+        # e.g. "source: manual" can't false-match the manual-transmission
+        # pattern below
+        stripped = text
+        for key, pattern in _FIELD_RES.items():
+            match = pattern.search(stripped)
+            if match:
+                fields[key] = match.group(1)
+                stripped = pattern.sub(" ", stripped)
+
         for patterns, key in (
             (_TYPE_PATTERNS, "vehicleType"),
             (_FUEL_PATTERNS, "fuelType"),
@@ -190,14 +200,9 @@ class MetadataExtractor:
         ):
             if key not in fields:
                 for pattern, value in patterns:
-                    if pattern.search(text):
+                    if pattern.search(stripped):
                         fields[key] = value
                         break
-
-        for key, pattern in _FIELD_RES.items():
-            match = pattern.search(text)
-            if match:
-                fields[key] = match.group(1)
         if "viewsCount" in fields:
             try:
                 fields["viewsCount"] = int(str(fields["viewsCount"]).replace(",", ""))

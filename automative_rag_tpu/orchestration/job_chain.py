@@ -205,11 +205,20 @@ class JobChain:
     def insert_steps_after_current(self, job_id: str, steps: List[str]) -> bool:
         """Dynamic step insertion (reference meta-validation/auto-fetch
         hooks, job_chain.py:349-433)."""
+        return self._insert_steps(job_id, steps, offset=1)
+
+    def insert_steps_next(self, job_id: str, steps: List[str]) -> bool:
+        """Insert steps at the *current* position — they run before the step
+        the chain is about to execute (used when resuming a paused chain
+        with extra work, e.g. re-retrieval after a user contribution)."""
+        return self._insert_steps(job_id, steps, offset=0)
+
+    def _insert_steps(self, job_id: str, steps: List[str], offset: int) -> bool:
         with self._lock:
             chain = self._chains.get(job_id)
             if chain is None:
                 return False
-            pos = chain["current"] + 1
+            pos = chain["current"] + offset
             chain["steps"][pos:pos] = steps
             for s in steps:
                 chain["step_status"].setdefault(s, TaskStatus.PENDING.value)

@@ -32,6 +32,7 @@ TASK_QUEUE_MAP: Dict[str, str] = {
     "process_text": QueueNames.CPU_TASKS,
     "generate_embeddings": QueueNames.EMBEDDING_TASKS,
     "retrieve_documents": QueueNames.EMBEDDING_TASKS,
+    "await_contribution": QueueNames.CPU_TASKS,
     "llm_inference": QueueNames.LLM_TASKS,
 }
 
