@@ -254,9 +254,14 @@ def build_api(app: RAGApplication) -> HTTPApi:
             content, metadata={"source": "manual", **contribution}
         )
         # wait for the evidence to index, then re-retrieve before answering
-        app.job_chain.insert_steps_next(
-            job_id, ["await_contribution", "retrieve_documents"]
-        )
+        # (only for chains that actually carry a query payload)
+        state = app.job_chain.get_chain_state(job_id)
+        if state and "query" in (state.get("data") or {}):
+            app.job_chain.insert_steps_next(
+                job_id, ["await_contribution", "retrieve_documents"]
+            )
+        else:
+            app.job_chain.insert_steps_next(job_id, ["await_contribution"])
         resumed = app.job_chain.resume_from_user_input(
             job_id, {"contribution_job_id": ingest_job, "contribution": contribution}
         )
