@@ -65,16 +65,16 @@ class WhisperTranscriber:
             except Exception:
                 self._tokenizer = None
 
-    def _decode_text(self, token_rows: np.ndarray) -> str:
+    def _decode_rows(self, token_rows: np.ndarray) -> list:
         if self._tokenizer is None:
             # weightless mode: no meaningful text exists; emit nothing rather
             # than garbage (the pipeline stays exercisable via mocks)
-            return ""
+            return ["" for _ in token_rows]
         texts = []
         for row in token_rows:
             ids = [t for t in row.tolist() if t < self.config.sot_token]
             texts.append(self._tokenizer.decode(ids, skip_special_tokens=True))
-        return "".join(texts)
+        return texts
 
     def transcribe_array(self, audio: np.ndarray) -> Dict[str, Any]:
         chunks = chunk_audio(np.asarray(audio, np.float32))
@@ -91,13 +91,15 @@ class WhisperTranscriber:
                 mels[i : i + self.batch_chunks], language=language
             ))
         tokens = np.concatenate(token_rows)
+        texts = self._decode_rows(tokens)
         segments = [
             {"start": i * CHUNK_SECONDS, "end": (i + 1) * CHUNK_SECONDS,
-             "tokens": int((row != self.config.eos_token).sum())}
+             "tokens": int((row != self.config.eos_token).sum()),
+             "text": texts[i]}
             for i, row in enumerate(tokens)
         ]
         return {
-            "text": self._decode_text(tokens),
+            "text": "".join(texts),
             "language": language,
             "segments": segments,
             "pretrained": self.model.pretrained,

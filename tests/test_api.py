@@ -363,3 +363,13 @@ def test_guided_validation_over_http(api, app):
     status, body = call(api, "POST", f"/query/{job_id}/user-choice", {"user_choice": "proceed"})
     assert status == 200
     _wait_job(app, job_id)
+
+
+def test_profile_endpoint(api, app):
+    status, body = call(api, "POST", "/system/profile",
+                        {"query": "奥迪", "trace_dir": "/tmp/test_trace_dir"})
+    assert status == 200
+    assert "stage_timings" in body and body["trace_dir"] == "/tmp/test_trace_dir"
+    import shutil
+
+    shutil.rmtree("/tmp/test_trace_dir", ignore_errors=True)
