@@ -32,21 +32,32 @@ from .sharded_search import ShardedFlatIndex
 
 
 def make_sharded_ivf_search(mesh: Mesh, axis_name: str, nprobe: int, k: int,
-                            with_tail: bool):
-    def _local(vectors, valid, codes, numerics, centroids, table, queries,
-               spec: FilterSpec, tail_start):
+                            with_tail: bool, int8: bool = False):
+    def _local(vectors, row_scales, valid, codes, numerics, centroids, table,
+               queries, spec: FilterSpec, tail_start):
         # local blocks: vectors [rps, D], centroids [1, K, D], table [1, K, cap]
+        # With int8 corpora the centroids stay float (quantizing them would
+        # corrupt the coarse ranking for ~zero HBM win) and row_scales carries
+        # the per-row dequant scales.
         centroids_l = centroids[0]
         table_l = table[0]
         rps = vectors.shape[0]
-        q = queries.astype(vectors.dtype)
+        if int8:
+            q_scale = jnp.max(jnp.abs(queries), axis=1, keepdims=True) / 127.0
+            q_i8 = jnp.clip(
+                jnp.round(queries / jnp.maximum(q_scale, 1e-12)), -127, 127
+            ).astype(jnp.int8)
+            q = q_i8
+        else:
+            q = queries.astype(vectors.dtype)
 
         full_mask = valid & eval_filter_mask(codes, numerics, spec)
         shard = jax.lax.axis_index(axis_name)
         gid_base = shard * rps
 
         coarse = jax.lax.dot_general(
-            q, centroids_l.astype(vectors.dtype), (((1,), (1,)), ((), ())),
+            queries.astype(centroids_l.dtype), centroids_l,
+            (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )  # [B, K]
@@ -58,9 +69,11 @@ def make_sharded_ivf_search(mesh: Mesh, axis_name: str, nprobe: int, k: int,
         cand_vecs = vectors[safe]  # [B, M, D]
         scores = jnp.einsum(
             "bd,bmd->bm", q, cand_vecs,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
+            precision=None if int8 else jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.int32 if int8 else jnp.float32,
         )
+        if int8:
+            scores = scores.astype(jnp.float32) * q_scale * row_scales[safe]
         mask = (cand >= 0) & full_mask[safe]
         vals, pos = masked_top_k(scores, mask, k)
         rows = jnp.take_along_axis(cand, pos, axis=1) + gid_base
@@ -69,9 +82,13 @@ def make_sharded_ivf_search(mesh: Mesh, axis_name: str, nprobe: int, k: int,
             # exact pass over this shard's fresh rows (global id ≥ tail_start)
             tail_scores = jax.lax.dot_general(
                 q, vectors, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
+                precision=None if int8 else jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.int32 if int8 else jnp.float32,
             )
+            if int8:
+                tail_scores = (
+                    tail_scores.astype(jnp.float32) * q_scale * row_scales[None, :]
+                )
             local_ids = jax.lax.broadcasted_iota(jnp.int32, (rps, 1), 0).squeeze(-1)
             tail_mask = full_mask & (local_ids + gid_base >= tail_start)
             tail_vals, tail_idx = masked_top_k(tail_scores, tail_mask, k)
@@ -90,6 +107,7 @@ def make_sharded_ivf_search(mesh: Mesh, axis_name: str, nprobe: int, k: int,
         mesh=mesh,
         in_specs=(
             P(axis_name, None),  # vectors
+            P(axis_name),  # row scales (ones unless int8)
             P(axis_name),  # valid
             P(None, axis_name),  # codes
             P(None, axis_name),  # numerics
@@ -203,8 +221,10 @@ class ShardedIVFIndex(ShardedFlatIndex):
         state = super()._device_state_locked()
         if self._built():
             spec3 = NamedSharding(self.mesh, P(self.axis_name, None, None))
+            # centroids stay float for int8 corpora (coarse ranking quality)
+            cdtype = jnp.bfloat16 if self._int8 else self.device_dtype
             state["centroids"] = jax.device_put(
-                self._centroids.astype(self.device_dtype), spec3
+                self._centroids.astype(cdtype), spec3
             )
             state["list_table"] = jax.device_put(self._list_table, spec3)
         self._device = state
@@ -231,18 +251,19 @@ class ShardedIVFIndex(ShardedFlatIndex):
         nprobe = min(n_probe or self.n_probe, self._centroids.shape[1])
 
         def _run(nprobe_now: int):
-            key = (k_eff, nprobe_now, self.tail_rows > 0)
+            key = (k_eff, nprobe_now, self.tail_rows > 0, self._int8)
             fn = self._ivf_search_fns.get(key)
             if fn is None:
                 fn = make_sharded_ivf_search(
                     self.mesh, self.axis_name, nprobe_now, k_eff,
-                    with_tail=self.tail_rows > 0,
+                    with_tail=self.tail_rows > 0, int8=self._int8,
                 )
                 self._ivf_search_fns[key] = fn
             vals, rows = fn(
-                state["vectors"], state["valid"], state["codes"],
-                state["numerics"], state["centroids"], state["list_table"],
-                jnp.asarray(queries), spec, jnp.int32(self._indexed_rows),
+                state["vectors"], state["row_scales"], state["valid"],
+                state["codes"], state["numerics"], state["centroids"],
+                state["list_table"], jnp.asarray(queries), spec,
+                jnp.int32(self._indexed_rows),
             )
             return np.asarray(vals), np.asarray(rows)
 

@@ -23,24 +23,41 @@ from ..index.flat import FlatIndex, SearchResult, _round_capacity
 from ..ops.topk import masked_top_k, merge_top_k
 
 
-def make_sharded_search(mesh: Mesh, axis_name: str, k: int):
+def make_sharded_search(mesh: Mesh, axis_name: str, k: int, int8: bool = False):
     """Build a jitted sharded-search executable for a given mesh/k.
 
-    Signature: (vectors [N,D], valid [N], codes [F,N], numerics [G,N],
-    queries [B,D] replicated, spec) → (values [B,k], indices [B,k]) with
-    *global* row indices; inputs must be placed with row sharding over
-    ``axis_name``.
+    Signature: (vectors [N,D], row_scales [N], valid [N], codes [F,N],
+    numerics [G,N], queries [B,D] replicated, spec) → (values [B,k],
+    indices [B,k]) with *global* row indices; inputs must be placed with row
+    sharding over ``axis_name``. With ``int8=True`` the corpus block is
+    symmetric-int8 and ``row_scales`` carries the per-row dequant scales
+    (same scheme as ``flat._search_kernel_int8``); otherwise row_scales is
+    ignored (pass ones).
     """
 
-    def _local_search(vectors, valid, codes, numerics, queries, spec: FilterSpec):
+    def _local_search(vectors, row_scales, valid, codes, numerics, queries,
+                      spec: FilterSpec):
         local_rows = vectors.shape[0]
-        scores = jax.lax.dot_general(
-            queries.astype(vectors.dtype),
-            vectors,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+        if int8:
+            q_scale = jnp.max(jnp.abs(queries), axis=1, keepdims=True) / 127.0
+            q_i8 = jnp.clip(
+                jnp.round(queries / jnp.maximum(q_scale, 1e-12)), -127, 127
+            ).astype(jnp.int8)
+            raw = jax.lax.dot_general(
+                q_i8,
+                vectors,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            scores = raw.astype(jnp.float32) * q_scale * row_scales[None, :]
+        else:
+            scores = jax.lax.dot_general(
+                queries.astype(vectors.dtype),
+                vectors,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
         mask = valid & eval_filter_mask(codes, numerics, spec)
         vals, idx = masked_top_k(scores, mask, k)
         # local → global row ids
@@ -56,6 +73,7 @@ def make_sharded_search(mesh: Mesh, axis_name: str, k: int):
         mesh=mesh,
         in_specs=(
             P(axis_name, None),  # vectors row-sharded
+            P(axis_name),  # row scales (ones unless int8)
             P(axis_name),  # valid
             P(None, axis_name),  # keyword codes column-sharded by row
             P(None, axis_name),  # numeric columns
@@ -78,18 +96,11 @@ class ShardedFlatIndex(FlatIndex):
 
     def __init__(self, dim: int, mesh: Mesh, axis_name: str = "shard",
                  device_dtype: str = "bfloat16"):
-        if device_dtype == "int8":
-            # int8 corpora need the per-row-scale kernel, which the sharded
-            # path doesn't carry yet — fail loudly instead of truncating
-            raise NotImplementedError(
-                "int8 storage is not yet supported on the sharded index; "
-                "use bfloat16/float32 (int8 is available on FlatIndex/IVFIndex)"
-            )
         super().__init__(dim, device_dtype)
         self.mesh = mesh
         self.axis_name = axis_name
         self.n_shards = mesh.shape[axis_name]
-        self._search_fns: Dict[int, Any] = {}
+        self._search_fns: Dict[Any, Any] = {}
 
     def _capacity(self, n: int) -> int:
         cap = _round_capacity(max(n, 1))
@@ -113,8 +124,17 @@ class ShardedFlatIndex(FlatIndex):
         row_sharded = NamedSharding(self.mesh, P(self.axis_name, None))
         flag_sharded = NamedSharding(self.mesh, P(self.axis_name))
         col_sharded = NamedSharding(self.mesh, P(None, self.axis_name))
+        if self._int8:
+            scales = np.abs(vectors).max(axis=1) / 127.0
+            staged = np.clip(
+                np.round(vectors / np.maximum(scales[:, None], 1e-12)), -127, 127
+            ).astype(np.int8)
+        else:
+            scales = np.ones(capacity, np.float32)
+            staged = vectors.astype(self.device_dtype)
         self._device = {
-            "vectors": jax.device_put(vectors.astype(self.device_dtype), row_sharded),
+            "vectors": jax.device_put(staged, row_sharded),
+            "row_scales": jax.device_put(scales.astype(np.float32), flag_sharded),
             "valid": jax.device_put(valid, flag_sharded),
             "codes": jax.device_put(self.columns.codes[:, :capacity], col_sharded),
             "numerics": jax.device_put(self.columns.numerics[:, :capacity], col_sharded),
@@ -139,13 +159,14 @@ class ShardedFlatIndex(FlatIndex):
         state = self._device_state()
         spec, _ = self._compile(metadata_filter)
         k_eff = min(k, state["capacity"] // self.n_shards)
-        fn = self._search_fns.get(k_eff)
+        key = (k_eff, self._int8)
+        fn = self._search_fns.get(key)
         if fn is None:
-            fn = make_sharded_search(self.mesh, self.axis_name, k_eff)
-            self._search_fns[k_eff] = fn
+            fn = make_sharded_search(self.mesh, self.axis_name, k_eff, int8=self._int8)
+            self._search_fns[key] = fn
         values, indices = fn(
-            state["vectors"], state["valid"], state["codes"], state["numerics"],
-            jnp.asarray(queries), spec,
+            state["vectors"], state["row_scales"], state["valid"],
+            state["codes"], state["numerics"], jnp.asarray(queries), spec,
         )
         values, indices = np.asarray(values), np.asarray(indices)
         out: List[List[SearchResult]] = []

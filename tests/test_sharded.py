@@ -4,6 +4,7 @@ path must return exactly what the single-device flat index returns."""
 import numpy as np
 import pytest
 import jax
+import jax.numpy as jnp
 
 from automative_rag_tpu.documents import Document
 from automative_rag_tpu.index import FlatIndex
@@ -162,8 +163,76 @@ def test_sharded_ivf_tail_and_growth_invalidation(rng, mesh):
     assert hits[0].document.page_content == "fresh"
 
 
-def test_sharded_int8_guard(mesh):
-    from automative_rag_tpu.parallel import ShardedFlatIndex
+def test_sharded_int8_recall(rng, mesh):
+    """int8 sharded flat: top-10 must overlap the f32 sharded results >=80%
+    and the top hit must agree (same bound as the single-device int8 test)."""
+    flat, sharded = _build_pair(rng, mesh=mesh)
+    vectors = sharded._vectors.copy()
+    docs = [Document(d.page_content, dict(d.metadata)) for d in sharded._docs]
+    quant = ShardedFlatIndex(dim=64, mesh=mesh, device_dtype="int8")
+    quant.add(vectors, docs, normalize=False)
 
-    with pytest.raises(NotImplementedError):
-        ShardedFlatIndex(dim=32, mesh=mesh, device_dtype="int8")
+    queries = rng.normal(size=(4, 64)).astype(np.float32)
+    exact = sharded.search(queries, 10)
+    approx = quant.search(queries, 10)
+    for qa, qb in zip(exact, approx):
+        a, b = {r.row for r in qa}, {r.row for r in qb}
+        assert len(a & b) >= 8, (a, b)
+        assert qa[0].row == qb[0].row
+        np.testing.assert_allclose(qa[0].score, qb[0].score, atol=0.03)
+
+
+def test_sharded_int8_filtered(rng, mesh):
+    flat, _ = _build_pair(rng, mesh=mesh)
+    quant = ShardedFlatIndex(dim=64, mesh=mesh, device_dtype="int8")
+    quant.add(flat._vectors.copy(),
+              [Document(d.page_content, dict(d.metadata)) for d in flat._docs],
+              normalize=False)
+    q = rng.normal(size=64).astype(np.float32)
+    flt = {"manufacturer": ["manu-1", "manu-3"], "year": 2018}
+    want = {r.row for r in flat.search(q, 8, flt)[0]}
+    hits = quant.search(q, 8, flt)[0]
+    assert {r.row for r in hits} == want  # tiny filtered pool → exact agreement
+    for r in hits:
+        assert r.document.metadata["manufacturer"] in ("manu-1", "manu-3")
+        assert r.document.metadata["year"] == 2018
+
+
+def test_sharded_ivf_int8(rng, mesh):
+    from automative_rag_tpu.parallel import ShardedIVFIndex
+
+    n, dim = 4000, 64
+    centers = rng.normal(size=(32, dim)).astype(np.float32) * 3
+    assign = rng.integers(0, 32, size=n)
+    vectors = (centers[assign] + rng.normal(size=(n, dim))).astype(np.float32)
+    docs = [Document(page_content=f"doc {i}",
+                     metadata={"manufacturer": f"manu-{i % 4}"})
+            for i in range(n)]
+    f32 = ShardedIVFIndex(dim=dim, mesh=mesh, device_dtype="float32",
+                          n_lists=16, n_probe=16)
+    f32.add(vectors, [Document(d.page_content, dict(d.metadata)) for d in docs])
+    f32.rebuild(seed=0)
+    quant = ShardedIVFIndex(dim=dim, mesh=mesh, device_dtype="int8",
+                            n_lists=16, n_probe=16)
+    quant.add(vectors, docs)
+    quant.rebuild(seed=0)
+    # centroids must not be quantized
+    assert quant._device_state()["centroids"].dtype == jnp.bfloat16
+
+    queries = rng.normal(size=(6, dim)).astype(np.float32)
+    overlap = 0.0
+    for q in queries:
+        a = {r.row for r in f32.search(q, 10)[0]}
+        b = {r.row for r in quant.search(q, 10)[0]}
+        overlap += len(a & b) / 10
+    assert overlap / 6 >= 0.8, overlap / 6
+
+    # filtered + tail row still works on the int8 path
+    qv = rng.normal(size=dim).astype(np.float32)
+    quant.add(qv[None, :], [Document(page_content="fresh", metadata={})])
+    hits = quant.search(qv, 3)[0]
+    assert hits[0].document.page_content == "fresh"
+    flt_hits = quant.search(qv, 5, {"manufacturer": "manu-2"}, n_probe=2)[0]
+    assert flt_hits
+    for r in flt_hits:
+        assert r.document.metadata["manufacturer"] == "manu-2"
