@@ -21,6 +21,19 @@ from ..documents.schema import Document
 from .chunker import split_text
 from .metadata import MetadataExtractor
 
+# explicit source-metadata keys that override extracted fields: a caller who
+# passes manufacturer="小米" must not have it silently dropped just because
+# the extractor's alias catalog doesn't know the brand (the extractor would
+# leave the field None and the None-strip would erase the user's value)
+_USER_FIELD_KEYS = (
+    ("manufacturer", "manufacturer"),
+    ("model", "model"),
+    ("year", "modelYear"),
+    ("category", "vehicleType"),
+    ("engine_type", "fuelType"),
+    ("transmission", "transmission"),
+)
+
 # injected marker key order (reference _create_enhanced_document :500-560)
 _MARKER_KEYS = (
     ("manufacturer", "brand"),
@@ -87,6 +100,12 @@ class TranscriptProcessor:
         content_fields = self.extractor.extract(content[:2000])
         for key, value in content_fields.items():
             fields.setdefault(key, value)
+        # explicit caller metadata wins over regex extraction, and lands in
+        # the markers below so the embedding carries the signal too
+        for meta_key, field_key in _USER_FIELD_KEYS:
+            value = source_metadata.get(meta_key)
+            if value not in (None, ""):
+                fields[field_key] = value
 
         if source_id is None:
             basis = (source_metadata.get("url") or content[:256]).encode("utf-8")

@@ -105,6 +105,37 @@ def test_transcript_processor_injection_and_metadata():
     assert all(d.metadata["source_id"] == first.metadata["source_id"] for d in docs)
 
 
+def test_transcript_explicit_metadata_survives_unknown_brand():
+    """Caller-supplied manufacturer/model must not be dropped when the
+    extractor's alias catalog doesn't know the brand (regression: setdefault
+    after the key was already None erased the user's value)."""
+    tp = TranscriptProcessor(chunk_size=500, chunk_overlap=0)
+    docs = tp.process(
+        "2024款的百公里加速是2.78秒。",
+        source_metadata={"manufacturer": "小米", "model": "SU7", "year": 2024},
+        source="text",
+    )
+    first = docs[0]
+    assert first.metadata["manufacturer"] == "小米"
+    assert first.metadata["model"] == "SU7"
+    assert first.metadata["year"] == 2024
+    # the injected markers must carry the explicit values too
+    assert "【brand:小米】" in first.page_content
+    assert "【model:SU7】" in first.page_content
+
+
+def test_transcript_explicit_metadata_beats_extraction():
+    tp = TranscriptProcessor(chunk_size=500, chunk_overlap=0)
+    docs = tp.process(
+        "对比宝马X5，这款车加速更快。",
+        source_metadata={"manufacturer": "特斯拉", "model": "Model Y"},
+        source="text",
+    )
+    # the text mentions 宝马 but the caller authored this as a 特斯拉 doc
+    assert docs[0].metadata["manufacturer"] == "特斯拉"
+    assert docs[0].metadata["model"] == "Model Y"
+
+
 # ------------------------------------------------------------ processors
 def test_text_processor():
     docs = TextProcessor().process({"content": "比亚迪汉EV 2023款续航600公里", "title": "汉EV介绍"})
