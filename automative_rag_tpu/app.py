@@ -91,18 +91,7 @@ class RAGApplication:
         )
         self.index = self._make_index()
         self.token_store = (
-            TokenStore(
-                dim=self.colbert.dim,
-                max_doc_length=self.colbert.max_doc_length,
-                device_dtype=(
-                    "bfloat16" if self.settings.index_dtype == "int8"
-                    else self.settings.index_dtype
-                ),
-                device_budget_bytes=self.settings.token_store_device_budget_mb * 1024**2,
-                quantize=self.settings.token_store_quantize,
-            )
-            if self.settings.store_token_embeddings
-            else None
+            self._make_token_store() if self.settings.store_token_embeddings else None
         )
         self.engine = RetrievalEngine(
             self.embedder, self.index, self.reranker, token_store=self.token_store
@@ -177,6 +166,32 @@ class RAGApplication:
                 device_dtype=self.settings.index_dtype,
             )
         return FlatIndex(dim=self.embedder.dim, device_dtype=self.settings.index_dtype)
+
+    def _make_token_store(self):
+        common = dict(
+            dim=self.colbert.dim,
+            max_doc_length=self.colbert.max_doc_length,
+            device_dtype=(
+                "bfloat16" if self.settings.index_dtype == "int8"
+                else self.settings.index_dtype
+            ),
+            device_budget_bytes=self.settings.token_store_device_budget_mb * 1024**2,
+            quantize=self.settings.token_store_quantize,
+        )
+        if self.settings.token_store_sharded:
+            from .parallel import ShardedTokenStore, make_mesh
+
+            # reuse the sharded index's mesh when there is one so the token
+            # slabs and vectors ride the same device layout
+            mesh = getattr(self.index, "mesh", None)
+            if mesh is None:
+                mesh = make_mesh(axis_name=self.settings.mesh_shard_axis_name)
+            return ShardedTokenStore(
+                mesh=mesh,
+                axis_name=self.settings.mesh_shard_axis_name,
+                **common,
+            )
+        return TokenStore(**common)
 
     @staticmethod
     def _n_devices() -> int:
@@ -414,11 +429,7 @@ class RAGApplication:
         self.index = self._make_index()
         self.engine.index = self.index
         if self.token_store is not None:
-            self.token_store = TokenStore(
-                dim=self.colbert.dim,
-                max_doc_length=self.colbert.max_doc_length,
-                device_dtype=self.settings.index_dtype,
-            )
+            self.token_store = self._make_token_store()
             self.engine.token_store = self.token_store
         return {"deleted_documents": before}
 
@@ -444,12 +455,26 @@ class RAGApplication:
             self.index = fresh
         self.engine.index = self.index
         if self.token_store is not None:
-            self.token_store = TokenStore.load(
+            dtype = (
+                "bfloat16" if self.settings.index_dtype == "int8"
+                else self.settings.index_dtype
+            )
+            restored = TokenStore.load(
                 directory,
                 dim=self.colbert.dim,
                 max_doc_length=self.colbert.max_doc_length,
-                device_dtype=self.settings.index_dtype,
+                device_dtype=dtype,
             )
+            # re-host on the mesh when configured; residual2 checkpoints stay
+            # single-device (the sharded store doesn't carry that codec yet)
+            if self.settings.token_store_sharded and restored.quantize != "residual2":
+                sharded = self._make_token_store()
+                sharded.quantize = restored.quantize
+                sharded._tokens = restored._tokens
+                sharded._scales = restored._scales
+                sharded._masks = restored._masks
+                restored = sharded
+            self.token_store = restored
             self.engine.token_store = self.token_store
         return self.index.count
 

@@ -110,6 +110,11 @@ class Settings:
     token_store_quantize: str = field(
         default_factory=lambda: _env("TOKEN_STORE_QUANTIZE", "none")
     )
+    # row-shard the token store over the mesh (rerank-from-store at corpus
+    # sizes past one chip's HBM); needs a sharded index kind or >1 device
+    token_store_sharded: bool = field(
+        default_factory=lambda: _env("TOKEN_STORE_SHARDED", False, bool)
+    )
 
     # --- mesh / parallel layout ---
     mesh_data_axis: int = field(default_factory=lambda: _env("MESH_DATA_AXIS", 0))

@@ -1,5 +1,14 @@
 from .mesh import make_mesh, shard_axis_size
 from .sharded_search import ShardedFlatIndex, make_sharded_search
 from .sharded_ivf import ShardedIVFIndex
+from .sharded_rerank import ShardedTokenStore, make_sharded_maxsim
 
-__all__ = ["make_mesh", "shard_axis_size", "ShardedFlatIndex", "ShardedIVFIndex", "make_sharded_search"]
+__all__ = [
+    "make_mesh",
+    "shard_axis_size",
+    "ShardedFlatIndex",
+    "ShardedIVFIndex",
+    "make_sharded_search",
+    "ShardedTokenStore",
+    "make_sharded_maxsim",
+]

@@ -88,10 +88,21 @@ class LateInteractionReranker:
         store,
     ) -> np.ndarray:
         """MaxSim scores [n_queries, n_rows] against stored token embeddings
-        (no document forward passes — see token_store.py)."""
+        (no document forward passes — see token_store.py). Mesh-sharded
+        stores (parallel/sharded_rerank.py) score in place on the mesh via
+        ``store.maxsim``; single-device stores gather the candidate slab and
+        run the fused kernel."""
         t0 = time.perf_counter()
         q_emb, q_mask = self.encoder.encode_queries(list(queries))
         t1 = time.perf_counter()
+        if hasattr(store, "maxsim"):
+            scores = np.asarray(store.maxsim(q_emb, q_mask, rows))
+            self.last_timings = {
+                "encode_query_s": t1 - t0,
+                "maxsim_s": time.perf_counter() - t1,
+                "sharded": True,
+            }
+            return scores
         docs_t, d_mask = store.gather(rows)
         t2 = time.perf_counter()
         scores = np.asarray(
