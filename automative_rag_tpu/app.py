@@ -106,7 +106,8 @@ class RAGApplication:
             from .ingestion.asr import WhisperTranscriber
 
             video_transcriber = WhisperTranscriber(
-                model_path=self.settings.whisper_model_path
+                model_path=self.settings.whisper_model_path,
+                timestamps=self.settings.whisper_timestamps,
             )
         self.video_transcriber = video_transcriber
         if video_downloader is None and self.settings.media_cache_dir:

@@ -150,6 +150,9 @@ class Settings:
     whisper_model_path: str = field(
         default_factory=lambda: _env("WHISPER_MODEL_PATH", "")
     )
+    whisper_timestamps: bool = field(
+        default_factory=lambda: _env("WHISPER_TIMESTAMPS", False, bool)
+    )
     ocr_enabled: bool = field(default_factory=lambda: _env("OCR_ENABLED", False, bool))
 
     def ensure_dirs(self) -> None:

@@ -16,7 +16,14 @@ from typing import Any, Dict, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.audio import CHUNK_SECONDS, chunk_audio, load_wav, log_mel_spectrogram, mel_filterbank
+from ..models.audio import (
+    CHUNK_SECONDS,
+    SAMPLE_RATE,
+    chunk_audio,
+    load_wav,
+    log_mel_spectrogram,
+    mel_filterbank,
+)
 from ..models.whisper import WhisperConfig, WhisperModel
 
 
@@ -46,6 +53,7 @@ class WhisperTranscriber:
         config: Optional[WhisperConfig] = None,
         language: str = "auto",
         batch_chunks: int = 4,
+        timestamps: bool = False,
     ):
         if config is None:
             config = _config_from_hf(model_path) if model_path else None
@@ -53,6 +61,7 @@ class WhisperTranscriber:
         self.model = WhisperModel(self.config, weights_path=model_path)
         self.language = language
         self.batch_chunks = batch_chunks
+        self.timestamps = timestamps
         self._mel_bank = jnp.asarray(mel_filterbank(self.config.n_mels))
         self._tokenizer = None
         if model_path and Path(model_path).exists():
@@ -76,6 +85,38 @@ class WhisperTranscriber:
             texts.append(self._tokenizer.decode(ids, skip_special_tokens=True))
         return texts
 
+    def _build_segments(self, tokens: np.ndarray, texts: list) -> list:
+        """Per-chunk segments; with ``timestamps=True`` each chunk is further
+        split at the model's timestamp tokens (absolute times = chunk offset
+        + in-window time), matching faster-whisper's segment output shape."""
+        if self.timestamps:
+            from ..models.whisper import segments_from_tokens
+
+            segments = []
+            for i, row in enumerate(tokens):
+                offset = i * CHUNK_SECONDS
+                for seg in segments_from_tokens(row, self.config):
+                    text = (
+                        self._tokenizer.decode(seg["token_ids"],
+                                               skip_special_tokens=True)
+                        if self._tokenizer is not None else ""
+                    )
+                    segments.append({
+                        "start": offset + seg["start"],
+                        "end": offset + seg["end"],
+                        "tokens": len(seg["token_ids"]),
+                        "text": text,
+                    })
+            if segments:
+                return segments
+            # model emitted no timestamp tokens: fall through to chunk grain
+        return [
+            {"start": i * CHUNK_SECONDS, "end": (i + 1) * CHUNK_SECONDS,
+             "tokens": int((row != self.config.eos_token).sum()),
+             "text": texts[i]}
+            for i, row in enumerate(tokens)
+        ]
+
     def transcribe_array(self, audio: np.ndarray) -> Dict[str, Any]:
         chunks = chunk_audio(np.asarray(audio, np.float32))
         mels = jnp.stack(
@@ -88,16 +129,18 @@ class WhisperTranscriber:
         token_rows = []
         for i in range(0, mels.shape[0], self.batch_chunks):
             token_rows.append(self.model.transcribe_tokens(
-                mels[i : i + self.batch_chunks], language=language
+                mels[i : i + self.batch_chunks], language=language,
+                timestamps=self.timestamps,
             ))
         tokens = np.concatenate(token_rows)
         texts = self._decode_rows(tokens)
-        segments = [
-            {"start": i * CHUNK_SECONDS, "end": (i + 1) * CHUNK_SECONDS,
-             "tokens": int((row != self.config.eos_token).sum()),
-             "text": texts[i]}
-            for i, row in enumerate(tokens)
-        ]
+        segments = self._build_segments(tokens, texts)
+        # the final chunk is zero-padded to 30 s; clamp reported times to the
+        # real audio duration (faster-whisper reports true durations)
+        duration = len(audio) / SAMPLE_RATE
+        for seg in segments:
+            seg["end"] = min(seg["end"], duration)
+            seg["start"] = min(seg["start"], duration)
         return {
             "text": "".join(texts),
             "language": language,

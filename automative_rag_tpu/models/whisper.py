@@ -39,6 +39,9 @@ class WhisperConfig:
     transcribe_token: int = 50359
     lang_zh_token: int = 50260
     lang_en_token: int = 50259
+    # ids ≥ timestamp_begin_token encode times: (id - begin) · time_precision
+    timestamp_begin_token: int = 50364
+    time_precision: float = 0.02
     dtype: Any = jnp.bfloat16
 
     @classmethod
@@ -51,7 +54,7 @@ class WhisperConfig:
             n_mels=80, d_model=64, encoder_layers=2, decoder_layers=2, n_heads=4,
             vocab_size=vocab_size, max_source_positions=1500, max_target_positions=32,
             sot_token=1, eos_token=2, no_timestamps_token=3, transcribe_token=4,
-            lang_zh_token=5, lang_en_token=6,
+            lang_zh_token=5, lang_en_token=6, timestamp_begin_token=200,
         )
 
 
@@ -351,16 +354,57 @@ class WhisperModel:
         return max(votes, key=votes.get)
 
     def transcribe_tokens(self, mel: jnp.ndarray, language: str = "zh",
-                          max_tokens: Optional[int] = None) -> np.ndarray:
-        """mel [B, 3000, n_mels] → token ids [B, max_tokens] (greedy)."""
+                          max_tokens: Optional[int] = None,
+                          timestamps: bool = False) -> np.ndarray:
+        """mel [B, 3000, n_mels] → token ids [B, max_tokens] (greedy).
+
+        With ``timestamps=True`` the prompt omits ``no_timestamps_token`` so
+        the model interleaves timestamp tokens (faster-whisper's default mode,
+        reference ``video_transcriber.py:300-332`` consumes its segment
+        times); parse with :func:`segments_from_tokens`.
+        """
         cfg = self.config
         lang = cfg.lang_zh_token if language == "zh" else cfg.lang_en_token
-        start = jnp.asarray(
-            [cfg.sot_token, lang, cfg.transcribe_token, cfg.no_timestamps_token],
-            jnp.int32,
-        )
+        prompt = [cfg.sot_token, lang, cfg.transcribe_token]
+        if not timestamps:
+            prompt.append(cfg.no_timestamps_token)
+        start = jnp.asarray(prompt, jnp.int32)
         max_tokens = max_tokens or cfg.max_target_positions
         return np.asarray(self._greedy(self.params, mel, start, max_tokens))
+
+
+def segments_from_tokens(row: np.ndarray, config: WhisperConfig) -> list:
+    """Parse one decoded token row into timed segments.
+
+    Whisper's timestamp grammar interleaves ``<|t0|> text <|t1|><|t2|> text
+    <|t3|> ...``: a timestamp token opens a segment, the next one closes it.
+    Returns ``[{"start": s, "end": s, "token_ids": [...]}, ...]`` (seconds,
+    relative to the 30 s window); an empty list when the row carries no
+    timestamp tokens (caller falls back to whole-chunk segmentation).
+    """
+    begin = config.timestamp_begin_token
+    segments = []
+    start: Optional[float] = None
+    ids: list = []
+    for tok in np.asarray(row).tolist():
+        if tok == config.eos_token:
+            break
+        if tok >= begin:
+            time = (tok - begin) * config.time_precision
+            if start is None:
+                start = time
+                ids = []
+            else:
+                segments.append({"start": start, "end": time, "token_ids": ids})
+                start = None
+        elif start is not None and tok < config.eos_token:
+            ids.append(tok)
+    if start is not None and ids:
+        # unterminated trailing segment: close at the window end
+        segments.append(
+            {"start": start, "end": 30.0, "token_ids": ids}
+        )
+    return segments
 
 
 # --------------------------------------------------------------------------

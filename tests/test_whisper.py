@@ -165,3 +165,61 @@ def test_transcriber_auto_language(tmp_path):
     transcriber = WhisperTranscriber(config=WhisperConfig.tiny_test(), language="auto")
     out = transcriber(path)
     assert out["language"] in ("zh", "en")
+
+
+def test_timestamp_segment_parser():
+    from automative_rag_tpu.models.whisper import WhisperConfig, segments_from_tokens
+
+    cfg = WhisperConfig.base()
+    ts = cfg.timestamp_begin_token
+    # <|0.00|> hello world <|1.00|><|1.50|> again <|2.00|> <eos>
+    row = np.array([cfg.sot_token, cfg.lang_zh_token, cfg.transcribe_token,
+                    ts + 0, 100, 200, ts + 50,
+                    ts + 75, 300, ts + 100,
+                    cfg.eos_token, cfg.eos_token])
+    segs = segments_from_tokens(row, cfg)
+    assert len(segs) == 2
+    assert segs[0] == {"start": 0.0, "end": 1.0, "token_ids": [100, 200]}
+    assert segs[1]["start"] == 1.5 and segs[1]["end"] == 2.0
+    assert segs[1]["token_ids"] == [300]
+
+    # unterminated trailing segment closes at the 30 s window end
+    row2 = np.array([ts + 10, 42, cfg.eos_token])
+    segs2 = segments_from_tokens(row2, cfg)
+    assert segs2 == [{"start": 0.2, "end": 30.0, "token_ids": [42]}]
+
+    # no timestamp tokens at all → empty (caller falls back to chunk grain)
+    row3 = np.array([100, 200, cfg.eos_token])
+    assert segments_from_tokens(row3, cfg) == []
+
+
+def test_timestamps_prompt_decodes(tiny_model):
+    """timestamps=True drops no_timestamps from the prompt; decode still
+    terminates and prompt tokens are preserved."""
+    cfg = tiny_model.config
+    mel = jnp.zeros((1, 3000, cfg.n_mels))
+    tokens = tiny_model.transcribe_tokens(mel, language="zh", max_tokens=16,
+                                          timestamps=True)
+    assert tokens.shape == (1, 16)
+    assert tokens[0, :3].tolist() == [cfg.sot_token, cfg.lang_zh_token,
+                                      cfg.transcribe_token]
+    assert tokens[0, 3] != cfg.no_timestamps_token or True  # model's choice
+
+
+def test_transcriber_timestamp_fallback(tmp_path):
+    """Weightless tiny model emits no usable timestamps; segments fall back
+    to the 30 s chunk grain instead of vanishing."""
+    path = str(tmp_path / "t.wav")
+    rng = np.random.default_rng(0)
+    samples = (rng.normal(size=SAMPLE_RATE * 35) * 2000).astype(np.int16)
+    with wave.open(path, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(SAMPLE_RATE)
+        f.writeframes(samples.tobytes())
+    transcriber = WhisperTranscriber(config=WhisperConfig.tiny_test(),
+                                     language="zh", timestamps=True)
+    out = transcriber(path)
+    assert out["segments"]
+    assert out["segments"][0]["start"] == 0.0
+    assert out["segments"][-1]["end"] >= 30.0
