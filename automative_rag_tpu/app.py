@@ -108,6 +108,7 @@ class RAGApplication:
             video_transcriber = WhisperTranscriber(
                 model_path=self.settings.whisper_model_path,
                 timestamps=self.settings.whisper_timestamps,
+                beam_size=self.settings.whisper_beam_size,
             )
         self.video_transcriber = video_transcriber
         if video_downloader is None and self.settings.media_cache_dir:

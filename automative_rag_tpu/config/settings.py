@@ -153,6 +153,9 @@ class Settings:
     whisper_timestamps: bool = field(
         default_factory=lambda: _env("WHISPER_TIMESTAMPS", False, bool)
     )
+    whisper_beam_size: int = field(
+        default_factory=lambda: _env("WHISPER_BEAM_SIZE", 1)
+    )
     ocr_enabled: bool = field(default_factory=lambda: _env("OCR_ENABLED", False, bool))
 
     def ensure_dirs(self) -> None:

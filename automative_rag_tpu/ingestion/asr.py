@@ -54,6 +54,7 @@ class WhisperTranscriber:
         language: str = "auto",
         batch_chunks: int = 4,
         timestamps: bool = False,
+        beam_size: int = 1,
     ):
         if config is None:
             config = _config_from_hf(model_path) if model_path else None
@@ -62,6 +63,7 @@ class WhisperTranscriber:
         self.language = language
         self.batch_chunks = batch_chunks
         self.timestamps = timestamps
+        self.beam_size = beam_size
         self._mel_bank = jnp.asarray(mel_filterbank(self.config.n_mels))
         self._tokenizer = None
         if model_path and Path(model_path).exists():
@@ -130,7 +132,7 @@ class WhisperTranscriber:
         for i in range(0, mels.shape[0], self.batch_chunks):
             token_rows.append(self.model.transcribe_tokens(
                 mels[i : i + self.batch_chunks], language=language,
-                timestamps=self.timestamps,
+                timestamps=self.timestamps, beam_size=self.beam_size,
             ))
         tokens = np.concatenate(token_rows)
         texts = self._decode_rows(tokens)

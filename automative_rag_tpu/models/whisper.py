@@ -334,8 +334,95 @@ class WhisperModel:
             )
             return tokens
 
+        def _beam_cached(params, mel, start_tokens, max_tokens, beam_size):
+            """KV-cached beam search, whole loop under jit: beams live as an
+            extra batch factor (state arrays are [B·K, ...]), each step is one
+            decoder.step + a [B, K·V] top-k + a beam-reorder gather. Finished
+            beams propagate an eos continuation at zero cost (faster-whisper
+            semantics, no length penalty)."""
+            cfg = self.config
+            NEG = -1e30
+            k_beams = beam_size
+            dparams = {"params": params["decoder"]}
+            enc = self.encoder.apply({"params": params["encoder"]}, mel)
+            b = mel.shape[0]
+            bk = b * k_beams
+            enc_tiled = jnp.repeat(enc, k_beams, axis=0)
+            cross = self.decoder.apply(dparams, enc_tiled, method="cross_kvs")
+            n_start = start_tokens.shape[0]
+            caches = [
+                (
+                    jnp.zeros((bk, max_tokens, cfg.d_model), cfg.dtype),
+                    jnp.zeros((bk, max_tokens, cfg.d_model), cfg.dtype),
+                )
+                for _ in range(cfg.decoder_layers)
+            ]
+            tokens = jnp.full((bk, max_tokens), cfg.eos_token, jnp.int32)
+            tokens = jax.lax.dynamic_update_slice(
+                tokens, jnp.tile(start_tokens[None, :], (bk, 1)), (0, 0)
+            )
+            # only beam 0 is live at the start so the first expansion draws
+            # all k beams from it instead of k duplicates
+            cum = jnp.tile(
+                jnp.concatenate([jnp.zeros(1), jnp.full(k_beams - 1, NEG)]), b
+            ).astype(jnp.float32)
+            finished = jnp.zeros((bk,), bool)
+
+            def cond(state):
+                t, _tokens, _caches, _cum, finished = state
+                return (t < max_tokens - 1) & ~jnp.all(finished)
+
+            def body(state):
+                t, tokens, caches, cum, finished = state
+                token_t = jax.lax.dynamic_slice(tokens, (0, t), (bk, 1))
+                logits, caches = self.decoder.apply(
+                    dparams, token_t, t, cross, caches, method="step"
+                )
+                logp = jax.nn.log_softmax(logits, axis=-1)  # [bk, V]
+                eos_only = jnp.full_like(logp, NEG).at[:, cfg.eos_token].set(0.0)
+                logp = jnp.where(finished[:, None], eos_only, logp)
+
+                vocab = logp.shape[-1]
+                cand = (cum[:, None] + logp).reshape(b, k_beams * vocab)
+                top_val, top_idx = jax.lax.top_k(cand, k_beams)  # [b, K]
+                beam_src = top_idx // vocab
+                flat_src = (
+                    jnp.arange(b, dtype=jnp.int32)[:, None] * k_beams + beam_src
+                ).reshape(-1)
+                picked = (top_idx % vocab).astype(jnp.int32).reshape(-1)
+
+                # prompt phase: identity beams, forced prompt token, cum kept
+                in_prompt = t + 1 < n_start
+                existing = jax.lax.dynamic_slice(tokens, (0, t + 1), (bk, 1))[:, 0]
+                flat_src = jnp.where(in_prompt, jnp.arange(bk, dtype=jnp.int32), flat_src)
+                new_tok = jnp.where(in_prompt, existing, picked)
+                cum = jnp.where(in_prompt, cum, top_val.reshape(-1))
+
+                tokens = jnp.take(tokens, flat_src, axis=0)
+                tokens = jax.lax.dynamic_update_slice(
+                    tokens, new_tok[:, None], (0, t + 1)
+                )
+                caches = [
+                    (jnp.take(ck, flat_src, axis=0), jnp.take(cv, flat_src, axis=0))
+                    for ck, cv in caches
+                ]
+                finished = jnp.take(finished, flat_src, axis=0)
+                finished = finished | (~in_prompt & (new_tok == cfg.eos_token))
+                return t + 1, tokens, caches, cum, finished
+
+            _, tokens, _, cum, _ = jax.lax.while_loop(
+                cond, body, (0, tokens, caches, cum, finished)
+            )
+            best = jnp.argmax(cum.reshape(b, k_beams), axis=1)
+            tokens = tokens.reshape(b, k_beams, max_tokens)
+            return (
+                jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0],
+                cum.reshape(b, k_beams),
+            )
+
         self._greedy = jax.jit(_greedy_cached, static_argnames=("max_tokens",))
         self._greedy_uncached = jax.jit(_greedy_full, static_argnames=("max_tokens",))
+        self._beam = jax.jit(_beam_cached, static_argnames=("max_tokens", "beam_size"))
 
     def detect_language(self, mel: jnp.ndarray, candidates=("zh", "en")) -> str:
         """Whisper-style language id: one decoder step on [SOT] and compare
@@ -355,13 +442,15 @@ class WhisperModel:
 
     def transcribe_tokens(self, mel: jnp.ndarray, language: str = "zh",
                           max_tokens: Optional[int] = None,
-                          timestamps: bool = False) -> np.ndarray:
-        """mel [B, 3000, n_mels] → token ids [B, max_tokens] (greedy).
+                          timestamps: bool = False,
+                          beam_size: int = 1) -> np.ndarray:
+        """mel [B, 3000, n_mels] → token ids [B, max_tokens].
 
-        With ``timestamps=True`` the prompt omits ``no_timestamps_token`` so
-        the model interleaves timestamp tokens (faster-whisper's default mode,
-        reference ``video_transcriber.py:300-332`` consumes its segment
-        times); parse with :func:`segments_from_tokens`.
+        ``beam_size=1`` is the KV-cached greedy path; ``beam_size>1`` runs
+        jitted beam search (faster-whisper defaults to beam_size=5,
+        reference ``video_transcriber.py:300-332``). With ``timestamps=True``
+        the prompt omits ``no_timestamps_token`` so the model interleaves
+        timestamp tokens; parse with :func:`segments_from_tokens`.
         """
         cfg = self.config
         lang = cfg.lang_zh_token if language == "zh" else cfg.lang_en_token
@@ -370,6 +459,9 @@ class WhisperModel:
             prompt.append(cfg.no_timestamps_token)
         start = jnp.asarray(prompt, jnp.int32)
         max_tokens = max_tokens or cfg.max_target_positions
+        if beam_size > 1:
+            tokens, _ = self._beam(self.params, mel, start, max_tokens, beam_size)
+            return np.asarray(tokens)
         return np.asarray(self._greedy(self.params, mel, start, max_tokens))
 
 

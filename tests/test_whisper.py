@@ -223,3 +223,51 @@ def test_transcriber_timestamp_fallback(tmp_path):
     assert out["segments"]
     assert out["segments"][0]["start"] == 0.0
     assert out["segments"][-1]["end"] >= 30.0
+
+
+def test_beam_size_one_matches_greedy(tiny_model):
+    cfg = tiny_model.config
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(rng.normal(size=(2, 3000, cfg.n_mels)).astype(np.float32))
+    greedy = tiny_model.transcribe_tokens(mel, language="zh", max_tokens=12)
+    beam1 = tiny_model.transcribe_tokens(mel, language="zh", max_tokens=12,
+                                         beam_size=1)
+    # beam_size=1 routes to the greedy path
+    np.testing.assert_array_equal(beam1, greedy)
+    # an explicit width-1 beam search must also reproduce greedy
+    start = jnp.asarray([cfg.sot_token, cfg.lang_zh_token, cfg.transcribe_token,
+                         cfg.no_timestamps_token], jnp.int32)
+    forced, _ = tiny_model._beam(tiny_model.params, mel, start, 12, 1)
+    np.testing.assert_array_equal(np.asarray(forced), greedy)
+
+
+def test_beam_search_improves_or_matches_score(tiny_model):
+    cfg = tiny_model.config
+    rng = np.random.default_rng(7)
+    mel = jnp.asarray(rng.normal(size=(2, 3000, cfg.n_mels)).astype(np.float32))
+    start = jnp.asarray([cfg.sot_token, cfg.lang_zh_token, cfg.transcribe_token,
+                         cfg.no_timestamps_token], jnp.int32)
+    _, cum1 = tiny_model._beam(tiny_model.params, mel, start, 10, 1)
+    tokens3, cum3 = tiny_model._beam(tiny_model.params, mel, start, 10, 3)
+    tokens3 = np.asarray(tokens3)
+    assert tokens3.shape == (2, 10)
+    # prompt preserved on the returned best beam
+    np.testing.assert_array_equal(tokens3[:, :4], np.tile(np.asarray(start), (2, 1)))
+    best3 = np.asarray(cum3).max(axis=1)
+    best1 = np.asarray(cum1).max(axis=1)
+    assert np.all(best3 >= best1 - 1e-4), (best3, best1)
+    assert np.isfinite(best3).all()
+
+
+def test_transcriber_beam_size(tmp_path):
+    path = str(tmp_path / "beam.wav")
+    rng = np.random.default_rng(0)
+    with wave.open(path, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(SAMPLE_RATE)
+        f.writeframes((rng.normal(size=SAMPLE_RATE * 2) * 1000).astype(np.int16).tobytes())
+    transcriber = WhisperTranscriber(config=WhisperConfig.tiny_test(),
+                                     language="zh", beam_size=2)
+    out = transcriber(path)
+    assert out["language"] == "zh" and out["segments"]
