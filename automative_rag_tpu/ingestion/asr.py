@@ -11,18 +11,20 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Iterator, Optional
 
 import jax.numpy as jnp
 import numpy as np
 
 from ..models.audio import (
+    CHUNK_SAMPLES,
     CHUNK_SECONDS,
     SAMPLE_RATE,
     chunk_audio,
     load_wav,
     log_mel_spectrogram,
     mel_filterbank,
+    trim_silence,
 )
 from ..models.whisper import WhisperConfig, WhisperModel
 
@@ -55,6 +57,7 @@ class WhisperTranscriber:
         batch_chunks: int = 4,
         timestamps: bool = False,
         beam_size: int = 1,
+        vad: bool = False,
     ):
         if config is None:
             config = _config_from_hf(model_path) if model_path else None
@@ -64,6 +67,7 @@ class WhisperTranscriber:
         self.batch_chunks = batch_chunks
         self.timestamps = timestamps
         self.beam_size = beam_size
+        self.vad = vad
         self._mel_bank = jnp.asarray(mel_filterbank(self.config.n_mels))
         self._tokenizer = None
         if model_path and Path(model_path).exists():
@@ -120,7 +124,13 @@ class WhisperTranscriber:
         ]
 
     def transcribe_array(self, audio: np.ndarray) -> Dict[str, Any]:
-        chunks = chunk_audio(np.asarray(audio, np.float32))
+        audio = np.asarray(audio, np.float32)
+        if self.vad:
+            # drop silence before chunking: encoder FLOPs go to speech only
+            # (reference runs faster-whisper with vad_filter=True; note
+            # reported segment times are then in *trimmed* time)
+            audio = trim_silence(audio)
+        chunks = chunk_audio(audio)
         mels = jnp.stack(
             [log_mel_spectrogram(jnp.asarray(c), self._mel_bank, self.config.n_mels)
              for c in chunks]
@@ -149,6 +159,34 @@ class WhisperTranscriber:
             "segments": segments,
             "pretrained": self.model.pretrained,
         }
+
+    def transcribe_stream(self, audio_iter) -> "Iterator[Dict[str, Any]]":
+        """Incremental transcription: consume an iterable of float32 sample
+        arrays (any granularity), yield one result per completed 30 s window
+        as soon as its audio is available — first text arrives ~30 s into a
+        live feed instead of after the whole file (the reference's
+        faster-whisper path is strictly offline). The trailing partial window
+        is flushed (zero-padded) when the iterator ends."""
+        buffer = np.zeros(0, np.float32)
+        index = 0
+
+        def _emit(chunk: np.ndarray, index: int) -> Dict[str, Any]:
+            out = self.transcribe_array(chunk)
+            offset = index * CHUNK_SECONDS
+            for seg in out["segments"]:
+                seg["start"] += offset
+                seg["end"] += offset
+            out["chunk_index"] = index
+            return out
+
+        for piece in audio_iter:
+            buffer = np.concatenate([buffer, np.asarray(piece, np.float32)])
+            while len(buffer) >= CHUNK_SAMPLES:
+                yield _emit(buffer[:CHUNK_SAMPLES], index)
+                buffer = buffer[CHUNK_SAMPLES:]
+                index += 1
+        if len(buffer):
+            yield _emit(buffer, index)
 
     def __call__(self, audio_path: str) -> Dict[str, Any]:
         return self.transcribe_array(load_wav(audio_path))

@@ -56,6 +56,45 @@ class PDFProcessor(BaseIngestionProcessor):
         metadata["used_ocr"] = used_ocr
         return clean_text(text), metadata
 
+    def extract_tables(self, path: str) -> list:
+        """Heuristic table extraction from the PDF's text layer (reference
+        ``pdf_loader.py:402-443`` pulls tables via PyMuPDF; no PDF library
+        ships here, so tables are recovered from column-aligned text).
+
+        A table is ≥2 consecutive lines that split into the same number of
+        ≥2 cells on ``|``, tabs, or runs of ≥2 spaces. Returns
+        ``[{"rows": [[cell, ...], ...], "n_columns": int}, ...]``.
+        """
+        import re
+
+        text, _ = extract_pdf_text(path)
+        tables: list = []
+        current: list = []
+
+        def _cells(line: str) -> list:
+            if "|" in line:
+                parts = [c.strip() for c in line.split("|")]
+            else:
+                parts = [c.strip() for c in re.split(r"\t| {2,}", line)]
+            return [c for c in parts if c]
+
+        def _flush():
+            if len(current) >= 2:
+                tables.append({"rows": list(current),
+                               "n_columns": len(current[0])})
+            current.clear()
+
+        for line in text.splitlines():
+            cells = _cells(line)
+            if len(cells) >= 2 and (not current or len(cells) == len(current[0])):
+                current.append(cells)
+            else:
+                _flush()
+                if len(cells) >= 2:
+                    current.append(cells)
+        _flush()
+        return tables
+
     def get_pdf_info(self, path: str) -> Dict[str, Any]:
         text, info = extract_pdf_text(path)
         return {

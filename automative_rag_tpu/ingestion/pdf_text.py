@@ -20,7 +20,8 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 _TEXT_SHOW_RE = re.compile(
     rb"\((?P<lit>(?:\\.|[^\\()])*)\)\s*(?:Tj|')"  # literal string shows
     rb"|<(?P<hex>[0-9A-Fa-f\s]+)>\s*(?:Tj|')"  # hex string shows
-    rb"|\[(?P<arr>(?:\\.|[^\]])*)\]\s*TJ",  # array shows
+    rb"|\[(?P<arr>(?:\\.|[^\]])*)\]\s*TJ"  # array shows
+    rb"|(?P<nl>(?:-?[\d.]+\s+-?[\d.]+\s+(?:Td|TD))|T\*)",  # line moves
     re.DOTALL,
 )
 _ARR_ITEM_RE = re.compile(rb"\((?P<lit>(?:\\.|[^\\()])*)\)|<(?P<hex>[0-9A-Fa-f\s]+)>")
@@ -137,7 +138,12 @@ def _content_streams(objects: Dict[int, _Obj]) -> List[bytes]:
 def _extract_from_stream(stream: bytes) -> str:
     pieces: List[str] = []
     for match in _TEXT_SHOW_RE.finditer(stream):
-        if match.group("lit") is not None:
+        if match.group("nl") is not None:
+            # Td/TD/T* line moves delimit rows — preserved so downstream
+            # structure recovery (table extraction) sees real lines
+            if pieces and not pieces[-1].endswith("\n"):
+                pieces.append("\n")
+        elif match.group("lit") is not None:
             pieces.append(_decode_pdf_string(_unescape_literal(match.group("lit"))))
         elif match.group("hex") is not None:
             hexstr = re.sub(rb"\s", b"", match.group("hex"))

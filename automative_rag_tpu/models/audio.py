@@ -97,3 +97,38 @@ def chunk_audio(audio: np.ndarray) -> np.ndarray:
     padded = np.zeros(n_chunks * CHUNK_SAMPLES, np.float32)
     padded[: len(audio)] = audio
     return padded.reshape(n_chunks, CHUNK_SAMPLES)
+
+
+def trim_silence(
+    audio: np.ndarray,
+    frame_ms: int = 30,
+    threshold_db: float = -40.0,
+    pad_frames: int = 4,
+) -> np.ndarray:
+    """Energy-based VAD: drop silent spans before chunking (the reference's
+    faster-whisper call runs with ``vad_filter=True``,
+    ``video_transcriber.py:300-332``). Frames whose RMS is below
+    ``threshold_db`` relative to the loudest frame are removed, keeping
+    ``pad_frames`` of context around speech so word onsets survive. Pure
+    host-side preprocessing — every encoder FLOP afterwards is spent on
+    speech."""
+    audio = np.asarray(audio, np.float32)
+    frame = SAMPLE_RATE * frame_ms // 1000
+    if len(audio) < frame:
+        return audio
+    n_frames = len(audio) // frame
+    frames = audio[: n_frames * frame].reshape(n_frames, frame)
+    rms = np.sqrt((frames ** 2).mean(axis=1) + 1e-12)
+    peak = rms.max()
+    if peak <= 1e-8:
+        return audio  # pure silence/zeros: nothing meaningful to trim
+    active = 20.0 * np.log10(rms / peak) > threshold_db
+    if active.all():
+        return audio
+    # dilate the active mask so speech edges keep context
+    kernel = np.ones(2 * pad_frames + 1, bool)
+    dilated = np.convolve(active, kernel, mode="same") > 0
+    kept = frames[dilated].reshape(-1)
+    tail = audio[n_frames * frame :] if dilated[-1] else np.zeros(0, np.float32)
+    out = np.concatenate([kept, tail]) if len(tail) else kept
+    return out if len(out) else audio

@@ -218,3 +218,24 @@ def test_factory():
     assert isinstance(ProcessorFactory.create_processor("pdf"), PDFProcessor)
     with pytest.raises(ValueError):
         ProcessorFactory.create_processor("carrier-pigeon")
+
+
+def test_pdf_table_extraction(tmp_path):
+    from automative_rag_tpu.ingestion import PDFProcessor
+    from automative_rag_tpu.ingestion.pdf_text import write_simple_pdf
+
+    path = str(tmp_path / "specs.pdf")
+    write_simple_pdf(path, [
+        "2023 BMW X5 specifications",
+        "metric | value | unit",
+        "acceleration | 5.5 | s",
+        "power | 340 | hp",
+        "free text paragraph here",
+        "col1  col2",
+        "a  b",
+    ])
+    tables = PDFProcessor().extract_tables(path)
+    assert len(tables) == 2
+    assert tables[0]["n_columns"] == 3
+    assert tables[0]["rows"][1] == ["acceleration", "5.5", "s"]
+    assert tables[1]["rows"] == [["col1", "col2"], ["a", "b"]]

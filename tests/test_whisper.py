@@ -271,3 +271,51 @@ def test_transcriber_beam_size(tmp_path):
                                      language="zh", beam_size=2)
     out = transcriber(path)
     assert out["language"] == "zh" and out["segments"]
+
+
+def test_trim_silence():
+    from automative_rag_tpu.models.audio import trim_silence
+
+    rng = np.random.default_rng(0)
+    speech = rng.normal(size=SAMPLE_RATE).astype(np.float32) * 0.3
+    silence = np.zeros(SAMPLE_RATE * 4, np.float32)
+    audio = np.concatenate([silence, speech, silence])
+    trimmed = trim_silence(audio)
+    # most of the 8 s of silence removed, all speech energy kept
+    assert len(trimmed) < len(audio) * 0.5
+    assert abs((trimmed ** 2).sum() - (speech ** 2).sum()) / (speech ** 2).sum() < 0.02
+    # degenerate inputs pass through
+    assert len(trim_silence(np.zeros(SAMPLE_RATE, np.float32))) == SAMPLE_RATE
+    assert len(trim_silence(speech)) == len(speech)
+    assert len(trim_silence(np.zeros(10, np.float32))) == 10
+
+
+def test_transcriber_vad(tmp_path):
+    path = str(tmp_path / "vad.wav")
+    rng = np.random.default_rng(1)
+    speech = (rng.normal(size=SAMPLE_RATE * 2) * 8000).astype(np.int16)
+    silence = np.zeros(SAMPLE_RATE * 40, np.int16)
+    with wave.open(path, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(SAMPLE_RATE)
+        f.writeframes(np.concatenate([silence, speech]).tobytes())
+    # 42 s of audio, 40 silent: with VAD only one 30 s window is encoded
+    t = WhisperTranscriber(config=WhisperConfig.tiny_test(), language="zh", vad=True)
+    out = t(path)
+    assert len(out["segments"]) == 1
+    t2 = WhisperTranscriber(config=WhisperConfig.tiny_test(), language="zh")
+    assert len(t2(path)["segments"]) == 2
+
+
+def test_transcribe_stream(tmp_path):
+    t = WhisperTranscriber(config=WhisperConfig.tiny_test(), language="zh")
+    rng = np.random.default_rng(2)
+    # 70 s delivered in uneven pieces → 3 incremental results
+    pieces = [rng.normal(size=n).astype(np.float32) * 0.1
+              for n in (SAMPLE_RATE * 25, SAMPLE_RATE * 25, SAMPLE_RATE * 20)]
+    results = list(t.transcribe_stream(iter(pieces)))
+    assert [r["chunk_index"] for r in results] == [0, 1, 2]
+    assert results[1]["segments"][0]["start"] == 30.0
+    # the flushed tail window reports its true (clamped+offset) duration
+    assert results[2]["segments"][-1]["end"] == 70.0
