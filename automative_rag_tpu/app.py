@@ -467,14 +467,12 @@ class RAGApplication:
                 max_doc_length=self.colbert.max_doc_length,
                 device_dtype=dtype,
             )
-            # re-host on the mesh when configured; residual2 checkpoints stay
-            # single-device (the sharded store doesn't carry that codec yet)
-            if self.settings.token_store_sharded and restored.quantize != "residual2":
+            if self.settings.token_store_sharded:
                 sharded = self._make_token_store()
                 sharded.quantize = restored.quantize
-                sharded._tokens = restored._tokens
-                sharded._scales = restored._scales
-                sharded._masks = restored._masks
+                for attr in ("_tokens", "_scales", "_masks", "_codes",
+                             "_cids", "_res_scales", "_centroids", "_res_bits"):
+                    setattr(sharded, attr, getattr(restored, attr))
                 restored = sharded
             self.token_store = restored
             self.engine.token_store = self.token_store

@@ -85,6 +85,63 @@ def make_sharded_maxsim(mesh: Mesh, axis_name: str, int8: bool = False):
     return jax.jit(sharded)
 
 
+def make_sharded_maxsim_residual(mesh: Mesh, axis_name: str, bits: int):
+    """Sharded MaxSim over a PLAID-compressed (centroid + packed-residual)
+    token store: each shard decodes only its own candidates' codes on-device
+    right before scoring — compressed bytes sit in HBM, full-precision tokens
+    exist only transiently in registers/VMEM for the [k/S] rows a shard owns.
+
+    Signature: (codes_t [Ld, N, D·bits/8] row-sharded, scales_t [Ld, N],
+    cids_t [Ld, N], centroids [K, D] replicated, masks [N, Ld], rows [k],
+    q [B, Lq, D], q_mask [B, Lq]) → scores [B, k] replicated.
+    """
+    from ..rerank.residual_codec import decode_tokens
+
+    def _local(codes_t, scales_t, cids_t, centroids, masks, rows, q, q_mask):
+        rps = codes_t.shape[1]
+        shard = jax.lax.axis_index(axis_name)
+        local = rows - shard * rps
+        owned = (local >= 0) & (local < rps)
+        safe = jnp.clip(local, 0, rps - 1)
+
+        cand = decode_tokens(
+            codes_t[:, safe, :], scales_t[:, safe], cids_t[:, safe],
+            centroids, dtype=jnp.float32, bits=bits,
+        )  # [Ld, k, D]
+        cand_mask = masks[safe]
+
+        d_bias = jnp.where(cand_mask, 0.0, NEG_BIAS).astype(jnp.float32)
+        sim = jnp.einsum(
+            "bqd,tkd->bqkt",
+            q.astype(jnp.float32),
+            cand,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        sim = sim + d_bias[None, None, :, :]
+        per_qtok = sim.max(axis=-1)
+        scores = (per_qtok * q_mask.astype(jnp.float32)[:, :, None]).sum(axis=1)
+        scores = jnp.where(owned[None, :], scores, 0.0)
+        return jax.lax.psum(scores, axis_name)
+
+    sharded = shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis_name, None),  # packed residual codes
+            P(None, axis_name),  # residual scales
+            P(None, axis_name),  # centroid ids
+            P(None, None),  # centroids replicated (tiny: K·D)
+            P(axis_name, None),  # masks
+            P(),  # candidate rows
+            P(),  # queries
+            P(),  # query masks
+        ),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def _round_rows(n: int, quantum: int) -> int:
     return max(quantum, -(-n // quantum) * quantum)
 
@@ -95,8 +152,9 @@ class ShardedTokenStore(TokenStore):
     Host mirrors, persistence, and compression inherit from TokenStore; the
     device cache is placed with NamedSharding and reranking goes through
     ``maxsim()`` (score-where-data-lives) instead of ``gather()`` + kernel.
-    Supports fp16 ("none") and int8 stores; residual2 compression is a
-    single-device feature for now (``compress()`` raises here).
+    Supports fp16 ("none") and int8 stores, and PLAID residual compression
+    via ``compress()`` — shards hold packed codes and decode only their own
+    candidates on-device at score time.
     """
 
     #: candidate-list lengths are padded to this quantum (static shapes)
@@ -106,9 +164,10 @@ class ShardedTokenStore(TokenStore):
                  axis_name: str = "shard", device_dtype: str = "bfloat16",
                  device_budget_bytes: int = 4 * 1024**3, quantize: str = "none"):
         if quantize not in ("none", "int8"):
+            # residual2 is reached via compress() (same rule as the base)
             raise ValueError(
-                "ShardedTokenStore supports quantize='none'|'int8' "
-                "(residual2 is single-device only for now)"
+                "ShardedTokenStore init supports quantize='none'|'int8'; "
+                "residual2 is reached via compress()"
             )
         super().__init__(dim, max_doc_length, device_dtype,
                          device_budget_bytes, quantize)
@@ -117,11 +176,6 @@ class ShardedTokenStore(TokenStore):
         self.n_shards = mesh.shape[axis_name]
         self._maxsim_fns: Dict[Any, Any] = {}
         self._padded_rows = 0
-
-    def compress(self, *args, **kwargs):
-        raise NotImplementedError(
-            "residual2 compression on the sharded store is not supported yet"
-        )
 
     # --------------------------------------------------------------- device
     def _device_cache(self) -> Optional[Tuple[jnp.ndarray, ...]]:
@@ -143,6 +197,24 @@ class ShardedTokenStore(TokenStore):
 
             masks = np.zeros((padded, ld), bool)
             masks[:n] = self._masks
+            if self.quantize == "residual2":
+                code_w = self._codes.shape[2]
+                codes = np.zeros((padded, ld, code_w), np.uint8)
+                codes[:n] = self._codes
+                cids = np.zeros((padded, ld), np.int32)
+                cids[:n] = self._cids
+                scales = np.zeros((padded, ld), np.float32)
+                scales[:n] = self._res_scales.astype(np.float32)
+                self._device = (
+                    jax.device_put(jnp.asarray(codes.transpose(1, 0, 2)), tok_sharded),
+                    jax.device_put(jnp.asarray(scales.T), scale_sharded),
+                    jax.device_put(jnp.asarray(cids.T), scale_sharded),
+                    jax.device_put(jnp.asarray(self._centroids, jnp.float32),
+                                   NamedSharding(self.mesh, P(None, None))),
+                    jax.device_put(jnp.asarray(masks), mask_sharded),
+                )
+                self._padded_rows = padded
+                return self._device
             if self.quantize == "int8":
                 tokens = np.zeros((padded, ld, d), np.int8)
                 tokens[:n] = self._tokens
@@ -183,17 +255,20 @@ class ShardedTokenStore(TokenStore):
                 jnp.asarray(q_emb), jnp.asarray(q_mask), docs_t, d_mask,
                 token_major=True,
             ))
-        docs_t, scales_t, masks = cache
         k_pad = _round_rows(k, self.K_QUANTUM)
         rows_padded = np.full(k_pad, -1, np.int32)
         rows_padded[:k] = rows
-        key = (k_pad, q_emb.shape[0], self.quantize == "int8")
+        key = (k_pad, q_emb.shape[0], self.quantize, self._res_bits)
         fn = self._maxsim_fns.get(key)
         if fn is None:
-            fn = make_sharded_maxsim(self.mesh, self.axis_name,
-                                     int8=self.quantize == "int8")
+            if self.quantize == "residual2":
+                fn = make_sharded_maxsim_residual(self.mesh, self.axis_name,
+                                                  bits=self._res_bits)
+            else:
+                fn = make_sharded_maxsim(self.mesh, self.axis_name,
+                                         int8=self.quantize == "int8")
             self._maxsim_fns[key] = fn
-        scores = fn(docs_t, scales_t, masks, jnp.asarray(rows_padded),
+        scores = fn(*cache, jnp.asarray(rows_padded),
                     jnp.asarray(q_emb), jnp.asarray(q_mask))
         return np.asarray(scores)[:, :k]
 

@@ -143,10 +143,41 @@ def test_app_wires_sharded_token_store(mesh):
         app.shutdown()
 
 
-def test_sharded_residual2_rejected(colbert, mesh):
+def test_sharded_residual2_init_rejected(colbert, mesh):
+    # residual2 is reached via compress(), never at init (same as the base)
     with pytest.raises(ValueError):
         ShardedTokenStore(dim=colbert.dim, max_doc_length=32, mesh=mesh,
                           quantize="residual2")
-    store = ShardedTokenStore(dim=colbert.dim, max_doc_length=32, mesh=mesh)
-    with pytest.raises(NotImplementedError):
-        store.compress()
+
+
+def test_sharded_residual_compress_matches_single_device(colbert, corpus, mesh):
+    """compress() on the sharded store: shards decode their own candidates'
+    packed codes at score time; scores must match the single-device residual
+    store's gather path."""
+    import jax.numpy as jnp
+
+    from automative_rag_tpu.ops.maxsim import maxsim_scores
+
+    single, sharded = _stores(colbert, corpus, mesh)
+    info_a = single.compress(k_centroids=16, n_iters=4, seed=0, bits=4)
+    info_b = sharded.compress(k_centroids=16, n_iters=4, seed=0, bits=4)
+    assert info_a["compression"] == info_b["compression"] > 1
+    assert sharded.quantize == "residual2"
+
+    q_emb, q_mask = colbert.encode_queries(["宝马X5 速度"])
+    rows = [0, 7, 19, 33, 39]
+    got = sharded.maxsim(q_emb, q_mask, rows)
+    assert sharded.stats()["device_resident"]
+    docs_t, d_mask = single.gather(rows)
+    want = np.asarray(maxsim_scores(
+        jnp.asarray(q_emb), jnp.asarray(q_mask), docs_t, d_mask,
+        token_major=True, use_pallas=False,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+    # appends after compress() encode against the trained centroids and stay
+    # queryable on the sharded path
+    _, embs, masks = corpus
+    sharded.append(embs[:1], masks[:1])
+    after = sharded.maxsim(q_emb, q_mask, [40, 0])
+    np.testing.assert_allclose(after[0, 0], after[0, 1], rtol=1e-4)
