@@ -676,7 +676,10 @@ def build_api(app: RAGApplication) -> HTTPApi:
     @router.post("/model/update-config")
     def update_config(req: Request):
         applied = app.settings.update(req.json())
-        return {"applied": applied}
+        # reference persists config updates to a JSON file
+        # (src/config/utils.py:17-90 via /model/update-config)
+        saved_to = app.settings.save() if applied else None
+        return {"applied": applied, "saved_to": saved_to}
 
     @router.get("/ingest/jobs/{job_id}/progress")
     def job_progress(req: Request):

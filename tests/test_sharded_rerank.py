@@ -143,6 +143,43 @@ def test_app_wires_sharded_token_store(mesh):
         app.shutdown()
 
 
+def test_sharded_store_concurrent_append_and_maxsim(colbert, corpus, mesh):
+    """Ingestion-thread appends racing direct-path reranks must neither crash
+    nor corrupt scores (same guarantee as the single-device store soak)."""
+    import threading
+
+    texts, embs, masks = corpus
+    _, sharded = _stores(colbert, corpus, mesh)
+    q_emb, q_mask = colbert.encode_queries(["宝马X5"])
+    baseline = sharded.maxsim(q_emb, q_mask, [0, 5])
+    errors = []
+
+    def writer():
+        try:
+            for _ in range(10):
+                sharded.append(embs[:2], masks[:2])
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    def reader():
+        try:
+            for _ in range(10):
+                got = sharded.maxsim(q_emb, q_mask, [0, 5])
+                np.testing.assert_allclose(got, baseline, rtol=1e-4)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer)] + [
+        threading.Thread(target=reader) for _ in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert sharded.rows == 40 + 20
+
+
 def test_sharded_residual2_init_rejected(colbert, mesh):
     # residual2 is reached via compress(), never at init (same as the base)
     with pytest.raises(ValueError):
