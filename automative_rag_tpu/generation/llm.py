@@ -12,9 +12,11 @@ Backends:
   that share key terms with the query, each with its 【来源：DOC_X】 citation.
   Keeps the full pipeline functional (and honest about provenance) with no
   weights in the environment.
-- ``HFCausalLM`` — local HuggingFace causal LM (DeepSeek-class) when a
-  checkpoint directory is configured; generation itself is out of the TPU
-  north-star scope (SURVEY.md §2.3) and runs wherever torch places it.
+- ``JaxCausalLM`` — the TPU-native path: a Flax Qwen2-family decoder
+  (``models/qwen2.py``, DeepSeek-R1-Distill-Qwen is this architecture) with
+  whole-loop-jitted KV-cached generation. Preferred automatically when the
+  checkpoint's ``config.json`` is qwen2/llama-shaped.
+- ``HFCausalLM`` — torch fallback for other architectures.
 """
 
 from __future__ import annotations
@@ -101,8 +103,47 @@ class HFCausalLM:
         return text[len(prompt):] if text.startswith(prompt) else text
 
 
+class JaxCausalLM:
+    """TPU-native causal LM: Flax Qwen2 decoder + jitted generation."""
+
+    def __init__(self, model_path: str, config=None, tokenizer=None):
+        from ..models.qwen2 import Qwen2Config, Qwen2Model
+
+        config = config or Qwen2Config.from_hf(model_path)
+        if config is None:
+            raise ValueError(f"no qwen2-family config.json under {model_path!r}")
+        self.model = Qwen2Model(config, weights_path=model_path)
+        if not self.model.pretrained and model_path:
+            raise ValueError(f"no loadable safetensors under {model_path!r}")
+        self.tokenizer = tokenizer
+        if self.tokenizer is None:
+            from transformers import AutoTokenizer
+
+            self.tokenizer = AutoTokenizer.from_pretrained(
+                model_path, local_files_only=True
+            )
+        self.name = f"jax-qwen2:{model_path or 'random-init'}"
+
+    def generate(self, prompt: str, params: Dict[str, Any]) -> str:
+        ids = self.tokenizer(prompt)["input_ids"]
+        out = self.model.generate_tokens(
+            ids,
+            max_new_tokens=params.get("max_tokens", 512),
+            temperature=params.get("temperature", 0.0),
+            top_p=params.get("top_p", 0.85),
+        )[0]
+        new_ids = [t for t in out[len(ids):].tolist()
+                   if t != self.model.config.eos_token]
+        return self.tokenizer.decode(new_ids, skip_special_tokens=True)
+
+
 def load_llm(model_path: str = "") -> LLMBackend:
     if model_path:
+        # TPU-native decoder first (qwen2/llama checkpoints), torch fallback
+        try:
+            return JaxCausalLM(model_path)
+        except Exception:
+            pass
         try:
             return HFCausalLM(model_path)
         except Exception:

@@ -1,0 +1,367 @@
+"""TPU-native Qwen2-family causal LM (the reference's answer model).
+
+The reference serves DeepSeek-R1-Distill-Qwen via a torch HF ``pipeline`` on
+a T4 (``src/core/query/llm/local_llm.py:233-299``); that model family is the
+Qwen2 architecture (RMSNorm, rotary embeddings, grouped-query attention,
+SwiGLU MLP). Here the whole generation path is jax/Flax:
+
+- full teacher-forcing forward (parity oracle + scoring),
+- O(1)-per-token incremental ``step`` with per-layer KV caches
+  (rotary applied at write time, so cached k/v are position-final),
+- whole-loop-jitted generation under ``lax.while_loop``: greedy or
+  temperature/top-p sampling with a threaded PRNG key,
+- HF safetensors checkpoint loading (``model.layers.N.self_attn...``).
+
+bf16 weights feed the MXU natively; norms and logits run in f32.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class Qwen2Config:
+    vocab_size: int = 152064
+    d_model: int = 3584
+    num_layers: int = 28
+    num_heads: int = 28
+    num_kv_heads: int = 4
+    intermediate_size: int = 18944
+    max_positions: int = 4096
+    rope_theta: float = 1_000_000.0
+    rms_eps: float = 1e-6
+    tie_embeddings: bool = False
+    eos_token: int = 151643
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.num_heads
+
+    @classmethod
+    def tiny_test(cls, vocab_size: int = 256) -> "Qwen2Config":
+        return cls(
+            vocab_size=vocab_size, d_model=64, num_layers=2, num_heads=4,
+            num_kv_heads=2, intermediate_size=128, max_positions=128,
+            rope_theta=10_000.0, eos_token=2, tie_embeddings=True,
+        )
+
+    @classmethod
+    def from_hf(cls, path: str) -> Optional["Qwen2Config"]:
+        cfg_file = Path(path) / "config.json"
+        if not cfg_file.exists():
+            return None
+        raw = json.loads(cfg_file.read_text())
+        if raw.get("model_type") not in ("qwen2", "llama", None):
+            return None
+        return cls(
+            vocab_size=raw.get("vocab_size", 152064),
+            d_model=raw.get("hidden_size", 3584),
+            num_layers=raw.get("num_hidden_layers", 28),
+            num_heads=raw.get("num_attention_heads", 28),
+            num_kv_heads=raw.get("num_key_value_heads", 4),
+            intermediate_size=raw.get("intermediate_size", 18944),
+            max_positions=min(raw.get("max_position_embeddings", 4096), 8192),
+            rope_theta=raw.get("rope_theta", 1_000_000.0),
+            rms_eps=raw.get("rms_norm_eps", 1e-6),
+            tie_embeddings=raw.get("tie_word_embeddings", False),
+            eos_token=raw.get("eos_token_id", 151643),
+        )
+
+
+def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """HF-style rotary embedding: x [..., T, H, D], positions [T]."""
+    d = x.shape[-1]
+    inv_freq = 1.0 / (theta ** (np.arange(0, d, 2, dtype=np.float32) / d))
+    angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [T, D/2]
+    cos = jnp.cos(angles)[None, :, None, :]  # [1, T, 1, D/2]
+    sin = jnp.sin(angles)[None, :, None, :]
+    x1, x2 = x[..., : d // 2], x[..., d // 2 :]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    return jnp.concatenate(
+        [xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+class _Attention(nn.Module):
+    config: Qwen2Config
+
+    def setup(self):
+        cfg = self.config
+        hd = cfg.head_dim
+        # qwen2 puts biases on q/k/v, none on o
+        self.q_proj = nn.Dense(cfg.num_heads * hd, use_bias=True, dtype=cfg.dtype)
+        self.k_proj = nn.Dense(cfg.num_kv_heads * hd, use_bias=True, dtype=cfg.dtype)
+        self.v_proj = nn.Dense(cfg.num_kv_heads * hd, use_bias=True, dtype=cfg.dtype)
+        self.o_proj = nn.Dense(cfg.d_model, use_bias=False, dtype=cfg.dtype)
+
+    def _qkv(self, x, positions):
+        cfg = self.config
+        b, t, _ = x.shape
+        hd = cfg.head_dim
+        q = self.q_proj(x).reshape(b, t, cfg.num_heads, hd)
+        k = self.k_proj(x).reshape(b, t, cfg.num_kv_heads, hd)
+        v = self.v_proj(x).reshape(b, t, cfg.num_kv_heads, hd)
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
+        return q, k, v
+
+    def _attend(self, q, k, v, mask):
+        """q [B,Tq,H,D]; k/v [B,Tk,Hkv,D]; mask [Tq,Tk] or None."""
+        cfg = self.config
+        groups = cfg.num_heads // cfg.num_kv_heads
+        k = jnp.repeat(k, groups, axis=2)
+        v = jnp.repeat(v, groups, axis=2)
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+        ) / np.sqrt(cfg.head_dim)
+        if mask is not None:
+            scores = jnp.where(mask[None, None], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+        return self.o_proj(out.reshape(*out.shape[:2], -1))
+
+    def __call__(self, x, positions):
+        t = x.shape[1]
+        q, k, v = self._qkv(x, positions)
+        causal = jnp.tril(jnp.ones((t, t), bool))
+        return self._attend(q, k, v, causal)
+
+    def step(self, x_t, pos, cache_k, cache_v):
+        """x_t [B,1,D]; caches [B, max, Hkv, hd] (rope-applied)."""
+        q, k, v = self._qkv(x_t, pos[None])
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k, (0, pos, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v, (0, pos, 0, 0))
+        max_len = cache_k.shape[1]
+        valid = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1) <= pos
+        out = self._attend(q, cache_k, cache_v, valid)
+        return out, cache_k, cache_v
+
+
+class _Block(nn.Module):
+    config: Qwen2Config
+
+    def setup(self):
+        cfg = self.config
+        self.ln1 = nn.RMSNorm(epsilon=cfg.rms_eps, dtype=jnp.float32)
+        self.attn = _Attention(cfg)
+        self.ln2 = nn.RMSNorm(epsilon=cfg.rms_eps, dtype=jnp.float32)
+        self.gate_proj = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=cfg.dtype)
+        self.up_proj = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=cfg.dtype)
+        self.down_proj = nn.Dense(cfg.d_model, use_bias=False, dtype=cfg.dtype)
+
+    def _mlp(self, x):
+        return self.down_proj(jax.nn.silu(self.gate_proj(x)) * self.up_proj(x))
+
+    def __call__(self, x, positions):
+        cfg = self.config
+        x = x + self.attn(self.ln1(x).astype(cfg.dtype), positions)
+        return x + self._mlp(self.ln2(x).astype(cfg.dtype))
+
+    def step(self, x_t, pos, cache_k, cache_v):
+        cfg = self.config
+        a, cache_k, cache_v = self.attn.step(
+            self.ln1(x_t).astype(cfg.dtype), pos, cache_k, cache_v
+        )
+        x_t = x_t + a
+        return x_t + self._mlp(self.ln2(x_t).astype(cfg.dtype)), cache_k, cache_v
+
+
+class Qwen2Decoder(nn.Module):
+    config: Qwen2Config
+
+    def setup(self):
+        cfg = self.config
+        self.embed_tokens = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=cfg.dtype)
+        self.layer = [_Block(cfg) for _ in range(cfg.num_layers)]
+        self.final_norm = nn.RMSNorm(epsilon=cfg.rms_eps, dtype=jnp.float32)
+        if not cfg.tie_embeddings:
+            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False, dtype=cfg.dtype)
+
+    def _logits(self, x):
+        x = self.final_norm(x)
+        if self.config.tie_embeddings:
+            return x.astype(jnp.float32) @ self.embed_tokens.embedding.T.astype(jnp.float32)
+        return self.lm_head(x.astype(self.config.dtype)).astype(jnp.float32)
+
+    def __call__(self, tokens):  # [B, T] → [B, T, V]
+        positions = jnp.arange(tokens.shape[1])
+        x = self.embed_tokens(tokens)
+        for block in self.layer:
+            x = block(x, positions)
+        return self._logits(x)
+
+    def step(self, token_t, pos, caches):
+        """token_t [B,1] → (logits [B,V], caches)."""
+        x = self.embed_tokens(token_t)
+        new_caches = []
+        for block, (ck, cv) in zip(self.layer, caches):
+            x, ck, cv = block.step(x, pos, ck, cv)
+            new_caches.append((ck, cv))
+        return self._logits(x)[:, 0], new_caches
+
+
+def _sample_token(logits, key, temperature, top_p):
+    """Temperature + nucleus sampling; temperature<=0 → greedy."""
+
+    def greedy(_):
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def sample(_):
+        scaled = logits / jnp.maximum(temperature, 1e-5)
+        sort_idx = jnp.argsort(-scaled, axis=-1)
+        sorted_logits = jnp.take_along_axis(scaled, sort_idx, axis=-1)
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep the smallest prefix whose mass ≥ top_p (always keep rank 0)
+        keep = (cum - probs) < top_p
+        filtered = jnp.where(keep, sorted_logits, -1e30)
+        choice = jax.random.categorical(key, filtered, axis=-1)
+        return jnp.take_along_axis(
+            sort_idx, choice[:, None], axis=-1
+        )[:, 0].astype(jnp.int32)
+
+    return jax.lax.cond(temperature > 0, sample, greedy, operand=None)
+
+
+class Qwen2Model:
+    """Weights + jitted whole-loop generation."""
+
+    def __init__(self, config: Optional[Qwen2Config] = None, weights_path: str = "",
+                 seed: int = 0):
+        self.config = config or Qwen2Config()
+        self.decoder = Qwen2Decoder(self.config)
+        params = load_hf_qwen2(self.config, weights_path) if weights_path else None
+        self.pretrained = params is not None
+        if params is None:
+            key = jax.random.PRNGKey(seed)
+            params = self.decoder.init(key, jnp.zeros((1, 4), jnp.int32))["params"]
+        self.params = params
+
+        def _generate(params, prompt, prompt_len, max_tokens, key,
+                      temperature, top_p):
+            """prompt [B, max_tokens] (ids, eos-padded), prompt_len [B]."""
+            cfg = self.config
+            dparams = {"params": params}
+            b = prompt.shape[0]
+            caches = [
+                (
+                    jnp.zeros((b, max_tokens, cfg.num_kv_heads, cfg.head_dim), cfg.dtype),
+                    jnp.zeros((b, max_tokens, cfg.num_kv_heads, cfg.head_dim), cfg.dtype),
+                )
+                for _ in range(cfg.num_layers)
+            ]
+            tokens = prompt
+            finished = jnp.zeros((b,), bool)
+
+            def cond(state):
+                t, _tokens, _caches, _key, finished = state
+                return (t < max_tokens - 1) & ~jnp.all(finished)
+
+            def body(state):
+                t, tokens, caches, key, finished = state
+                token_t = jax.lax.dynamic_slice(tokens, (0, t), (b, 1))
+                logits, caches = self.decoder.apply(
+                    dparams, token_t, t, caches, method="step"
+                )
+                key, sub = jax.random.split(key)
+                picked = _sample_token(logits, sub, temperature, top_p)
+                in_prompt = t + 1 < prompt_len  # [B]
+                existing = jax.lax.dynamic_slice(tokens, (0, t + 1), (b, 1))[:, 0]
+                new = jnp.where(in_prompt | finished,
+                                jnp.where(in_prompt, existing, cfg.eos_token),
+                                picked)
+                tokens = jax.lax.dynamic_update_slice(tokens, new[:, None], (0, t + 1))
+                finished = finished | (~in_prompt & (new == cfg.eos_token))
+                return t + 1, tokens, caches, key, finished
+
+            _, tokens, _, _, _ = jax.lax.while_loop(
+                cond, body, (0, tokens, caches, jnp.asarray(key), finished)
+            )
+            return tokens
+
+        self._generate = jax.jit(_generate, static_argnames=("max_tokens",))
+
+    def generate_tokens(self, prompt_ids, max_new_tokens: int = 256,
+                        temperature: float = 0.0, top_p: float = 0.85,
+                        seed: int = 0) -> np.ndarray:
+        """prompt_ids: [B, L] or [L] int array → [B, L + max_new] ids."""
+        cfg = self.config
+        prompt_ids = np.asarray(prompt_ids, np.int32)
+        if prompt_ids.ndim == 1:
+            prompt_ids = prompt_ids[None, :]
+        b, plen = prompt_ids.shape
+        total = min(plen + max_new_tokens, cfg.max_positions)
+        padded = np.full((b, total), cfg.eos_token, np.int32)
+        padded[:, :plen] = prompt_ids[:, :total]
+        return np.asarray(self._generate(
+            self.params, jnp.asarray(padded), jnp.full((b,), plen, jnp.int32),
+            total, jax.random.PRNGKey(seed),
+            jnp.float32(temperature), jnp.float32(top_p),
+        ))
+
+
+# --------------------------------------------------------------------------
+# HF checkpoint loading (Qwen2ForCausalLM naming)
+# --------------------------------------------------------------------------
+
+def _qwen2_key_map(cfg: Qwen2Config) -> Dict[str, Tuple[str, ...]]:
+    m: Dict[str, Tuple[str, ...]] = {
+        "model.embed_tokens.weight": ("embed_tokens", "embedding"),
+        "model.norm.weight": ("final_norm", "scale"),
+    }
+    if not cfg.tie_embeddings:
+        m["lm_head.weight"] = ("lm_head", "kernel")
+    for i in range(cfg.num_layers):
+        hf = f"model.layers.{i}"
+        fx = f"layer_{i}"
+        m[f"{hf}.input_layernorm.weight"] = (fx, "ln1", "scale")
+        m[f"{hf}.post_attention_layernorm.weight"] = (fx, "ln2", "scale")
+        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            m[f"{hf}.self_attn.{proj}.weight"] = (fx, "attn", proj, "kernel")
+            if proj != "o_proj":
+                m[f"{hf}.self_attn.{proj}.bias"] = (fx, "attn", proj, "bias")
+        for proj in ("gate_proj", "up_proj", "down_proj"):
+            m[f"{hf}.mlp.{proj}.weight"] = (fx, proj, "kernel")
+    return m
+
+
+def load_hf_qwen2(config: Qwen2Config, path: str) -> Optional[Dict]:
+    ckpt_dir = Path(path)
+    files = sorted(ckpt_dir.glob("*.safetensors")) if ckpt_dir.exists() else []
+    if not files:
+        return None
+    from safetensors.numpy import load_file
+
+    state: Dict[str, np.ndarray] = {}
+    for f in files:
+        state.update(load_file(str(f)))
+    mapping = _qwen2_key_map(config)
+
+    params: Dict = {}
+
+    def put(dest: Tuple[str, ...], value: np.ndarray) -> None:
+        node = params
+        for part in dest[:-1]:
+            node = node.setdefault(part, {})
+        node[dest[-1]] = jnp.asarray(value, config.dtype)
+
+    for hf_key, dest in mapping.items():
+        if hf_key not in state:
+            if hf_key == "lm_head.weight":
+                continue  # some exports tie even when config says otherwise
+            return None
+        value = state[hf_key]
+        if dest[-1] == "kernel":
+            value = value.T  # torch Linear [out, in] → flax [in, out]
+        put(dest, value)
+    return params
