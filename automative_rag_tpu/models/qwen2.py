@@ -136,15 +136,24 @@ class _Attention(nn.Module):
         causal = jnp.tril(jnp.ones((t, t), bool))
         return self._attend(q, k, v, causal)
 
-    def step(self, x_t, pos, cache_k, cache_v):
-        """x_t [B,1,D]; caches [B, max, Hkv, hd] (rope-applied)."""
-        q, k, v = self._qkv(x_t, pos[None])
-        cache_k = jax.lax.dynamic_update_slice(cache_k, k, (0, pos, 0, 0))
-        cache_v = jax.lax.dynamic_update_slice(cache_v, v, (0, pos, 0, 0))
-        max_len = cache_k.shape[1]
-        valid = jax.lax.broadcasted_iota(jnp.int32, (1, max_len), 1) <= pos
+    def step(self, x_t, slot, rope_pos, valid, cache_k, cache_v):
+        """x_t [B,1,D]; caches [B, max, Hkv, hd] (rope-applied). ``slot`` is
+        the cache position, ``rope_pos`` the rotary position (they diverge
+        after a bucketed prefill), ``valid`` [1, max] masks live cache cols."""
+        q, k, v = self._qkv(x_t, rope_pos[None])
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k, (0, slot, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v, (0, slot, 0, 0))
         out = self._attend(q, cache_k, cache_v, valid)
         return out, cache_k, cache_v
+
+    def prefill(self, x, positions):
+        """Full-sequence pass that also returns rope-applied k/v for the
+        caches — the whole prompt costs one MXU matmul set instead of T
+        sequential steps."""
+        t = x.shape[1]
+        q, k, v = self._qkv(x, positions)
+        causal = jnp.tril(jnp.ones((t, t), bool))
+        return self._attend(q, k, v, causal), k, v
 
 
 class _Block(nn.Module):
@@ -167,13 +176,20 @@ class _Block(nn.Module):
         x = x + self.attn(self.ln1(x).astype(cfg.dtype), positions)
         return x + self._mlp(self.ln2(x).astype(cfg.dtype))
 
-    def step(self, x_t, pos, cache_k, cache_v):
+    def step(self, x_t, slot, rope_pos, valid, cache_k, cache_v):
         cfg = self.config
         a, cache_k, cache_v = self.attn.step(
-            self.ln1(x_t).astype(cfg.dtype), pos, cache_k, cache_v
+            self.ln1(x_t).astype(cfg.dtype), slot, rope_pos, valid,
+            cache_k, cache_v,
         )
         x_t = x_t + a
         return x_t + self._mlp(self.ln2(x_t).astype(cfg.dtype)), cache_k, cache_v
+
+    def prefill(self, x, positions):
+        cfg = self.config
+        a, k, v = self.attn.prefill(self.ln1(x).astype(cfg.dtype), positions)
+        x = x + a
+        return x + self._mlp(self.ln2(x).astype(cfg.dtype)), k, v
 
 
 class Qwen2Decoder(nn.Module):
@@ -200,14 +216,26 @@ class Qwen2Decoder(nn.Module):
             x = block(x, positions)
         return self._logits(x)
 
-    def step(self, token_t, pos, caches):
+    def step(self, token_t, slot, rope_pos, valid, caches):
         """token_t [B,1] → (logits [B,V], caches)."""
         x = self.embed_tokens(token_t)
         new_caches = []
         for block, (ck, cv) in zip(self.layer, caches):
-            x, ck, cv = block.step(x, pos, ck, cv)
+            x, ck, cv = block.step(x, slot, rope_pos, valid, ck, cv)
             new_caches.append((ck, cv))
         return self._logits(x)[:, 0], new_caches
+
+    def prefill(self, tokens):
+        """tokens [B, P] → (logits [B, P, V], [(k, v) each [B, P, Hkv, hd]]).
+        One full forward fills every cache slot the prompt needs — the prompt
+        costs one batched MXU pass instead of P sequential decode steps."""
+        positions = jnp.arange(tokens.shape[1])
+        x = self.embed_tokens(tokens)
+        kvs = []
+        for block in self.layer:
+            x, k, v = block.prefill(x, positions)
+            kvs.append((k, v))
+        return self._logits(x), kvs
 
 
 def _sample_token(logits, key, temperature, top_p):
@@ -247,21 +275,38 @@ class Qwen2Model:
             params = self.decoder.init(key, jnp.zeros((1, 4), jnp.int32))["params"]
         self.params = params
 
-        def _generate(params, prompt, prompt_len, max_tokens, key,
-                      temperature, top_p):
-            """prompt [B, max_tokens] (ids, eos-padded), prompt_len [B]."""
+        def _generate(params, prompt, plen, max_tokens, key, temperature, top_p):
+            """prompt [B, P] (eos-padded past ``plen``; P is a static bucket),
+            plen: traced scalar prompt length (uniform — prompts arrive as a
+            rectangle). One prefill forward fills cache slots [0, P), then the
+            decode loop runs from slot P with rope positions continuing at
+            ``plen`` (cache slot and rotary position diverge across the
+            bucket-padding gap; the validity mask hides the pad slots)."""
             cfg = self.config
             dparams = {"params": params}
-            b = prompt.shape[0]
-            caches = [
-                (
-                    jnp.zeros((b, max_tokens, cfg.num_kv_heads, cfg.head_dim), cfg.dtype),
-                    jnp.zeros((b, max_tokens, cfg.num_kv_heads, cfg.head_dim), cfg.dtype),
-                )
-                for _ in range(cfg.num_layers)
-            ]
-            tokens = prompt
-            finished = jnp.zeros((b,), bool)
+            b, p_bucket = prompt.shape
+
+            logits_all, kvs = self.decoder.apply(dparams, prompt, method="prefill")
+            caches = []
+            for k, v in kvs:
+                ck = jnp.zeros((b, max_tokens, cfg.num_kv_heads, cfg.head_dim), cfg.dtype)
+                cv = jnp.zeros_like(ck)
+                caches.append((
+                    jax.lax.dynamic_update_slice(ck, k.astype(cfg.dtype), (0, 0, 0, 0)),
+                    jax.lax.dynamic_update_slice(cv, v.astype(cfg.dtype), (0, 0, 0, 0)),
+                ))
+            tokens = jnp.full((b, max_tokens), cfg.eos_token, jnp.int32)
+            tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
+
+            vocab = logits_all.shape[-1]
+            logits0 = jax.lax.dynamic_slice(
+                logits_all, (0, plen - 1, 0), (b, 1, vocab)
+            )[:, 0]
+            key, sub = jax.random.split(jnp.asarray(key))
+            tok0 = _sample_token(logits0, sub, temperature, top_p)
+            tokens = jax.lax.dynamic_update_slice(tokens, tok0[:, None], (0, p_bucket))
+            finished = tok0 == cfg.eos_token
+            iota = jnp.arange(max_tokens)
 
             def cond(state):
                 t, _tokens, _caches, _key, finished = state
@@ -270,44 +315,54 @@ class Qwen2Model:
             def body(state):
                 t, tokens, caches, key, finished = state
                 token_t = jax.lax.dynamic_slice(tokens, (0, t), (b, 1))
+                rope_pos = plen + (t - p_bucket)
+                valid = ((iota < plen) | ((iota >= p_bucket) & (iota <= t)))[None, :]
                 logits, caches = self.decoder.apply(
-                    dparams, token_t, t, caches, method="step"
+                    dparams, token_t, t, rope_pos, valid, caches, method="step"
                 )
                 key, sub = jax.random.split(key)
                 picked = _sample_token(logits, sub, temperature, top_p)
-                in_prompt = t + 1 < prompt_len  # [B]
-                existing = jax.lax.dynamic_slice(tokens, (0, t + 1), (b, 1))[:, 0]
-                new = jnp.where(in_prompt | finished,
-                                jnp.where(in_prompt, existing, cfg.eos_token),
-                                picked)
+                new = jnp.where(finished, cfg.eos_token, picked)
                 tokens = jax.lax.dynamic_update_slice(tokens, new[:, None], (0, t + 1))
-                finished = finished | (~in_prompt & (new == cfg.eos_token))
+                finished = finished | (new == cfg.eos_token)
                 return t + 1, tokens, caches, key, finished
 
             _, tokens, _, _, _ = jax.lax.while_loop(
-                cond, body, (0, tokens, caches, jnp.asarray(key), finished)
+                cond, body, (p_bucket, tokens, caches, key, finished)
             )
             return tokens
 
         self._generate = jax.jit(_generate, static_argnames=("max_tokens",))
 
+    #: prompt lengths round up to this bucket so serving traffic with varied
+    #: prompt sizes reuses a small set of compiled prefill shapes
+    PROMPT_BUCKET = 64
+
     def generate_tokens(self, prompt_ids, max_new_tokens: int = 256,
                         temperature: float = 0.0, top_p: float = 0.85,
                         seed: int = 0) -> np.ndarray:
-        """prompt_ids: [B, L] or [L] int array → [B, L + max_new] ids."""
+        """prompt_ids: [B, L] or [L] int array → [B, L + n_new] ids."""
         cfg = self.config
         prompt_ids = np.asarray(prompt_ids, np.int32)
         if prompt_ids.ndim == 1:
             prompt_ids = prompt_ids[None, :]
         b, plen = prompt_ids.shape
-        total = min(plen + max_new_tokens, cfg.max_positions)
-        padded = np.full((b, total), cfg.eos_token, np.int32)
-        padded[:, :plen] = prompt_ids[:, :total]
-        return np.asarray(self._generate(
-            self.params, jnp.asarray(padded), jnp.full((b,), plen, jnp.int32),
-            total, jax.random.PRNGKey(seed),
+        if plen >= cfg.max_positions:
+            prompt_ids = prompt_ids[:, -(cfg.max_positions - 1):]
+            plen = prompt_ids.shape[1]
+        n_new = max(1, min(max_new_tokens, cfg.max_positions - plen))
+        bucket = min(-(-plen // self.PROMPT_BUCKET) * self.PROMPT_BUCKET,
+                     cfg.max_positions)
+        bucket = max(bucket, plen)
+        padded = np.full((b, bucket), cfg.eos_token, np.int32)
+        padded[:, :plen] = prompt_ids
+        out = np.asarray(self._generate(
+            self.params, jnp.asarray(padded), jnp.int32(plen),
+            bucket + n_new, jax.random.PRNGKey(seed),
             jnp.float32(temperature), jnp.float32(top_p),
         ))
+        # splice out the bucket-padding gap between prompt and generation
+        return np.concatenate([out[:, :plen], out[:, bucket:]], axis=1)
 
 
 # --------------------------------------------------------------------------

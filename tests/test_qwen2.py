@@ -146,3 +146,24 @@ def test_jax_backend_in_answer_pipeline():
     text = llm.generate("宝马X5的加速是多少", {"max_tokens": 8, "temperature": 0.0})
     assert isinstance(text, str)
     assert llm.name.startswith("jax-qwen2")
+
+
+def test_prompt_bucket_boundaries(tiny):
+    """Prompt lengths straddling the prefill bucket must still satisfy the
+    full-forward argmax oracle (cache slots and rope positions diverge across
+    the bucket gap)."""
+    import jax.numpy as jnp
+
+    cfg = tiny.config
+    rng = np.random.default_rng(9)
+    for plen in (64, 70):  # exactly one bucket, and just past it
+        prompt = rng.integers(3, cfg.vocab_size, size=(1, plen)).astype(np.int32)
+        out = tiny.generate_tokens(prompt, max_new_tokens=4)
+        assert out.shape == (1, plen + 4)
+        np.testing.assert_array_equal(out[0, :plen], prompt[0])
+        logits = np.asarray(tiny.decoder.apply({"params": tiny.params},
+                                               jnp.asarray(out)))
+        for t in range(plen, out.shape[1]):
+            if cfg.eos_token in out[0, plen:t]:
+                break
+            assert int(out[0, t]) == int(np.argmax(logits[0, t - 1])), (plen, t)
