@@ -96,7 +96,23 @@ class RAGApplication:
         self.engine = RetrievalEngine(
             self.embedder, self.index, self.reranker, token_store=self.token_store
         )
-        self.generator = AnswerGenerator(load_llm(self.settings.llm_model_path))
+        from .generation.llm import JaxCausalLM
+
+        llm = load_llm(self.settings.llm_model_path)
+        if self.settings.llm_tensor_parallel > 1 and isinstance(llm, JaxCausalLM):
+            import jax as _jax
+            import numpy as _np
+
+            from .parallel import shard_qwen2_model
+
+            tp = self.settings.llm_tensor_parallel
+            devices = _jax.devices()
+            if len(devices) >= tp:
+                shard_qwen2_model(
+                    llm.model,
+                    _jax.sharding.Mesh(_np.array(devices[:tp]), ("tp",)),
+                )
+        self.generator = AnswerGenerator(llm)
         self.validation_engine = ValidationEngine()
         self.analytics = AnalyticsService()
 

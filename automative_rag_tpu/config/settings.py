@@ -156,6 +156,9 @@ class Settings:
     whisper_beam_size: int = field(
         default_factory=lambda: _env("WHISPER_BEAM_SIZE", 1)
     )
+    # tensor-parallel degree for the jax LLM backend (0/1 = single device;
+    # must divide the model's num_kv_heads)
+    llm_tensor_parallel: int = field(default_factory=lambda: _env("LLM_TP", 0))
     ocr_enabled: bool = field(default_factory=lambda: _env("OCR_ENABLED", False, bool))
 
     def ensure_dirs(self) -> None:
