@@ -722,7 +722,6 @@ def build_api(app: RAGApplication) -> HTTPApi:
         (reference POST /reload-model + background/models.py:444-476)."""
         from ..models.bge_m3 import DenseEmbedder
         from ..models.colbert import ColBERTEncoder
-        from ..models.encoder import EncoderConfig
 
         config = app.embedder.config
         app.embedder = DenseEmbedder(

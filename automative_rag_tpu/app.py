@@ -19,7 +19,7 @@ import threading
 import time
 from typing import Any, Dict, List, Optional
 
-from .config.mode_config import QueryMode, mode_config
+from .config.mode_config import QueryMode
 from .config.settings import Settings, settings as default_settings
 from .documents.schema import Document
 from .engine.retrieval import RetrievalEngine

@@ -140,8 +140,6 @@ def test_unknown_route(api):
 
 
 def test_auth_enforcement(app):
-    from automative_rag_tpu.api.http import HTTPApi
-
     api = build_api(app)
     api.auth_token = "secret-token"
     status, _ = call(api, "GET", "/query/modes")

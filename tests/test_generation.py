@@ -1,9 +1,6 @@
 """Generation-layer tests: context builder budgets/format, prompt templates,
 fact checker, answer pipeline scoring."""
 
-import numpy as np
-import pytest
-
 from automative_rag_tpu.config.mode_config import QueryMode, estimate_token_count
 from automative_rag_tpu.documents import Document
 from automative_rag_tpu.generation import (

@@ -2,7 +2,6 @@
 text/pdf/video processors (mirrors reference tests/test_ingest.py strategy:
 mocked loaders + real processing logic)."""
 
-import numpy as np
 import pytest
 
 from automative_rag_tpu.ingestion import (

@@ -2,7 +2,6 @@
 virtual mesh, checkpoint round-trips via orbax."""
 
 import numpy as np
-import pytest
 import jax
 
 from automative_rag_tpu.models.encoder import EncoderConfig

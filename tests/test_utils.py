@@ -3,8 +3,6 @@ automotive quality library (reference src/utils/* parity)."""
 
 import json
 
-import pytest
-
 from automative_rag_tpu.documents import Document
 from automative_rag_tpu.utils import (
     clean_text,

@@ -2,10 +2,7 @@
 weights exist in this environment; these prove the name mapping, transposes,
 and wiring are correct for when they do)."""
 
-import json
-
 import numpy as np
-import pytest
 
 from automative_rag_tpu.models.encoder import (
     EncoderConfig,
