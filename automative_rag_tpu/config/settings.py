@@ -159,6 +159,9 @@ class Settings:
     # tensor-parallel degree for the jax LLM backend (0/1 = single device;
     # must divide the model's num_kv_heads)
     llm_tensor_parallel: int = field(default_factory=lambda: _env("LLM_TP", 0))
+    # 0/16 = bf16 weights; 8 = int8 weight-only quantization (BitsAndBytes
+    # parity; halves LLM HBM footprint and decode weight traffic)
+    llm_weight_bits: int = field(default_factory=lambda: _env("LLM_WEIGHT_BITS", 0))
     ocr_enabled: bool = field(default_factory=lambda: _env("OCR_ENABLED", False, bool))
 
     def ensure_dirs(self) -> None:

@@ -42,6 +42,11 @@ class Qwen2Config:
     tie_embeddings: bool = False
     eos_token: int = 151643
     dtype: Any = jnp.bfloat16
+    # 16 = bf16 kernels; 8 = symmetric int8 weight-only quantization
+    # (the reference squeezes its 7B model onto a T4 with BitsAndBytes
+    # 4/8-bit, settings.py:195-214 — autoregressive decode reads every
+    # weight per token, so int8 halves the HBM traffic that bounds it)
+    weight_bits: int = 16
 
     @property
     def head_dim(self) -> int:
@@ -92,6 +97,49 @@ def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
     ).astype(x.dtype)
 
 
+class QuantDense(nn.Module):
+    """Symmetric int8 weight-only linear: int8 kernel + per-output-channel
+    f32 scale live in HBM (half the bytes of bf16); the cast to bf16 happens
+    in registers on the way into the MXU."""
+
+    features: int
+    use_bias: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        kernel_q = self.param(
+            "kernel_q",
+            lambda key, shape: jax.random.randint(key, shape, -127, 128, jnp.int8),
+            (in_features, self.features),
+        )
+        scale = self.param(
+            "scale", lambda key, shape: jnp.full(shape, 0.01, jnp.float32),
+            (self.features,),
+        )
+        y = jnp.dot(x.astype(self.dtype), kernel_q.astype(self.dtype))
+        y = y * scale.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def quantize_kernel(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """f32 kernel [in, out] → (int8 kernel, per-out-channel f32 scales)."""
+    scale = np.abs(kernel).max(axis=0) / 127.0
+    safe = np.maximum(scale, 1e-12)
+    q = np.clip(np.round(kernel / safe[None, :]), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
+def _dense(cfg: Qwen2Config, features: int, use_bias: bool = False):
+    if cfg.weight_bits == 8:
+        return QuantDense(features, use_bias=use_bias, dtype=cfg.dtype)
+    return nn.Dense(features, use_bias=use_bias, dtype=cfg.dtype)
+
+
 class _Attention(nn.Module):
     config: Qwen2Config
 
@@ -99,10 +147,10 @@ class _Attention(nn.Module):
         cfg = self.config
         hd = cfg.head_dim
         # qwen2 puts biases on q/k/v, none on o
-        self.q_proj = nn.Dense(cfg.num_heads * hd, use_bias=True, dtype=cfg.dtype)
-        self.k_proj = nn.Dense(cfg.num_kv_heads * hd, use_bias=True, dtype=cfg.dtype)
-        self.v_proj = nn.Dense(cfg.num_kv_heads * hd, use_bias=True, dtype=cfg.dtype)
-        self.o_proj = nn.Dense(cfg.d_model, use_bias=False, dtype=cfg.dtype)
+        self.q_proj = _dense(cfg, cfg.num_heads * hd, use_bias=True)
+        self.k_proj = _dense(cfg, cfg.num_kv_heads * hd, use_bias=True)
+        self.v_proj = _dense(cfg, cfg.num_kv_heads * hd, use_bias=True)
+        self.o_proj = _dense(cfg, cfg.d_model)
 
     def _qkv(self, x, positions):
         cfg = self.config
@@ -164,9 +212,9 @@ class _Block(nn.Module):
         self.ln1 = nn.RMSNorm(epsilon=cfg.rms_eps, dtype=jnp.float32)
         self.attn = _Attention(cfg)
         self.ln2 = nn.RMSNorm(epsilon=cfg.rms_eps, dtype=jnp.float32)
-        self.gate_proj = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=cfg.dtype)
-        self.up_proj = nn.Dense(cfg.intermediate_size, use_bias=False, dtype=cfg.dtype)
-        self.down_proj = nn.Dense(cfg.d_model, use_bias=False, dtype=cfg.dtype)
+        self.gate_proj = _dense(cfg, cfg.intermediate_size)
+        self.up_proj = _dense(cfg, cfg.intermediate_size)
+        self.down_proj = _dense(cfg, cfg.d_model)
 
     def _mlp(self, x):
         return self.down_proj(jax.nn.silu(self.gate_proj(x)) * self.up_proj(x))
@@ -201,7 +249,7 @@ class Qwen2Decoder(nn.Module):
         self.layer = [_Block(cfg) for _ in range(cfg.num_layers)]
         self.final_norm = nn.RMSNorm(epsilon=cfg.rms_eps, dtype=jnp.float32)
         if not cfg.tie_embeddings:
-            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False, dtype=cfg.dtype)
+            self.lm_head = _dense(cfg, cfg.vocab_size)
 
     def _logits(self, x):
         x = self.final_norm(x)
@@ -404,11 +452,11 @@ def load_hf_qwen2(config: Qwen2Config, path: str) -> Optional[Dict]:
 
     params: Dict = {}
 
-    def put(dest: Tuple[str, ...], value: np.ndarray) -> None:
+    def put(dest: Tuple[str, ...], value, dtype) -> None:
         node = params
         for part in dest[:-1]:
             node = node.setdefault(part, {})
-        node[dest[-1]] = jnp.asarray(value, config.dtype)
+        node[dest[-1]] = jnp.asarray(value, dtype)
 
     for hf_key, dest in mapping.items():
         if hf_key not in state:
@@ -417,6 +465,34 @@ def load_hf_qwen2(config: Qwen2Config, path: str) -> Optional[Dict]:
             return None
         value = state[hf_key]
         if dest[-1] == "kernel":
-            value = value.T  # torch Linear [out, in] → flax [in, out]
-        put(dest, value)
+            value = np.asarray(value, np.float32).T  # torch [out,in] → flax [in,out]
+            if config.weight_bits == 8:
+                q, scale = quantize_kernel(value)
+                put(dest[:-1] + ("kernel_q",), q, jnp.int8)
+                put(dest[:-1] + ("scale",), scale, jnp.float32)
+                continue
+        put(dest, value, config.dtype)
     return params
+
+
+def quantize_qwen2_params(params: Dict, config: Qwen2Config) -> Dict:
+    """bf16/f32 params tree → the int8 weight-only tree QuantDense expects
+    (train or load full precision, serve quantized)."""
+
+    def walk(tree):
+        out = {}
+        for key, value in tree.items():
+            if isinstance(value, dict):
+                if "kernel" in value and key != "embed_tokens":
+                    q, scale = quantize_kernel(np.asarray(value["kernel"], np.float32))
+                    leaf = {"kernel_q": jnp.asarray(q), "scale": jnp.asarray(scale)}
+                    if "bias" in value:
+                        leaf["bias"] = jnp.asarray(value["bias"], config.dtype)
+                    out[key] = leaf
+                else:
+                    out[key] = walk(value)
+            else:
+                out[key] = value
+        return out
+
+    return walk(params)

@@ -29,26 +29,42 @@ _ROW = P("tp", None)  # kernel [in, out]: split input features (psum after)
 
 
 def qwen2_partition_specs(config: Qwen2Config) -> Dict:
-    """Params-tree of PartitionSpec mirroring Qwen2Decoder's structure."""
+    """Params-tree of PartitionSpec mirroring Qwen2Decoder's structure.
+
+    With int8 weight-only quantization (``weight_bits=8``) the kernel leaf is
+    ``kernel_q`` and the per-output-channel ``scale`` follows the output
+    split: sharded for column-parallel layers, replicated for row-parallel.
+    """
+    q8 = config.weight_bits == 8
+
+    def linear(spec, out_sharded, with_bias=False):
+        if q8:
+            leaf = {"kernel_q": spec, "scale": P("tp") if out_sharded else P()}
+        else:
+            leaf = {"kernel": spec}
+        if with_bias:
+            leaf["bias"] = P("tp")
+        return leaf
+
     layer = {
         "ln1": {"scale": P()},
         "ln2": {"scale": P()},
         "attn": {
-            "q_proj": {"kernel": _COLUMN, "bias": P("tp")},
-            "k_proj": {"kernel": _COLUMN, "bias": P("tp")},
-            "v_proj": {"kernel": _COLUMN, "bias": P("tp")},
-            "o_proj": {"kernel": _ROW},
+            "q_proj": linear(_COLUMN, True, with_bias=True),
+            "k_proj": linear(_COLUMN, True, with_bias=True),
+            "v_proj": linear(_COLUMN, True, with_bias=True),
+            "o_proj": linear(_ROW, False),
         },
-        "gate_proj": {"kernel": _COLUMN},
-        "up_proj": {"kernel": _COLUMN},
-        "down_proj": {"kernel": _ROW},
+        "gate_proj": linear(_COLUMN, True),
+        "up_proj": linear(_COLUMN, True),
+        "down_proj": linear(_ROW, False),
     }
     specs: Dict = {
         "embed_tokens": {"embedding": P()},  # replicated (activations stay small)
         "final_norm": {"scale": P()},
     }
     if not config.tie_embeddings:
-        specs["lm_head"] = {"kernel": _COLUMN}  # vocab-sharded logits
+        specs["lm_head"] = linear(_COLUMN, True)  # vocab-sharded logits
     for i in range(config.num_layers):
         specs[f"layer_{i}"] = layer
     return specs

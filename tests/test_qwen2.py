@@ -201,3 +201,98 @@ def test_tensor_parallel_generation_matches_single_device():
     bad = Mesh(np.array(jax.devices()[:8]), ("tp",))
     with pytest.raises(ValueError):
         shard_qwen2_model(Qwen2Model(cfg, seed=1), bad)
+
+
+def test_int8_weight_only_quantization():
+    """weight_bits=8: loading quantizes kernels to int8+scale; logits track
+    the full-precision model closely and generation runs end-to-end."""
+    import dataclasses
+
+    from automative_rag_tpu.models.qwen2 import quantize_qwen2_params
+
+    cfg = Qwen2Config.tiny_test()
+    base = Qwen2Model(cfg, seed=13)
+    qcfg = dataclasses.replace(cfg, weight_bits=8)
+    quant = Qwen2Model.__new__(Qwen2Model)  # build around converted params
+    quant.__init__(qcfg, seed=13)
+    quant.params = quantize_qwen2_params(base.params, qcfg)
+
+    rng = np.random.default_rng(13)
+    prompt = rng.integers(3, cfg.vocab_size, size=(1, 6)).astype(np.int32)
+    want = np.asarray(base.decoder.apply({"params": base.params},
+                                         jnp.asarray(prompt)))
+    got = np.asarray(quant.decoder.apply({"params": quant.params},
+                                         jnp.asarray(prompt)))
+    # int8 weights: small pointwise error, top-1 must agree
+    np.testing.assert_allclose(got, want, rtol=0.2, atol=0.2)
+    assert (got.argmax(-1) == want.argmax(-1)).mean() >= 0.8
+
+    out = quant.generate_tokens(prompt, max_new_tokens=5)
+    assert out.shape == (1, 11)
+    np.testing.assert_array_equal(out[0, :6], prompt[0])
+
+    # the quantized tree actually stores int8 kernels
+    leaf = quant.params["layer_0"]["attn"]["q_proj"]
+    assert leaf["kernel_q"].dtype == jnp.int8 and "kernel" not in leaf
+
+
+def test_int8_hf_loading(tmp_path):
+    """HF checkpoints load directly into the quantized layout."""
+    import dataclasses
+
+    from safetensors.numpy import save_file
+
+    cfg = Qwen2Config.tiny_test()
+    base = Qwen2Model(cfg, seed=17)
+    mapping = _qwen2_key_map(cfg)
+    flat = _flatten(base.params)
+    state = {}
+    for hf_key, dest in mapping.items():
+        if cfg.tie_embeddings and hf_key == "lm_head.weight":
+            continue
+        value = np.asarray(flat["/".join(dest)], np.float32)
+        if dest[-1] == "kernel":
+            value = value.T
+        state[hf_key] = np.ascontiguousarray(value)
+    save_file(state, str(tmp_path / "model.safetensors"))
+
+    qcfg = dataclasses.replace(cfg, weight_bits=8)
+    loaded = load_hf_qwen2(qcfg, str(tmp_path))
+    assert loaded is not None
+    leaf = loaded["layer_0"]["attn"]["k_proj"]
+    assert leaf["kernel_q"].dtype == jnp.int8
+    assert leaf["scale"].dtype == jnp.float32
+
+    quant = Qwen2Model(qcfg, seed=17)
+    quant.params = loaded
+    out = quant.generate_tokens(np.array([[5, 6, 7]], np.int32), max_new_tokens=4)
+    assert out.shape == (1, 7)
+
+
+def test_int8_tensor_parallel():
+    """int8 weight-only + tp compose: sharded quantized generation matches
+    the single-device quantized model token-for-token."""
+    import dataclasses
+
+    import jax
+    from jax.sharding import Mesh
+
+    from automative_rag_tpu.models.qwen2 import quantize_qwen2_params
+    from automative_rag_tpu.parallel import shard_qwen2_model
+
+    qcfg = dataclasses.replace(Qwen2Config.tiny_test(), weight_bits=8)
+    a = Qwen2Model(qcfg, seed=19)
+    a.params = quantize_qwen2_params(Qwen2Model(Qwen2Config.tiny_test(), seed=19).params, qcfg)
+    prompt = np.array([[5, 9, 12, 7]], np.int32)
+    want = np.asarray(a.decoder.apply({"params": a.params}, jnp.asarray(prompt)))
+
+    b = Qwen2Model(qcfg, seed=19)
+    b.params = quantize_qwen2_params(Qwen2Model(Qwen2Config.tiny_test(), seed=19).params, qcfg)
+    shard_qwen2_model(b, Mesh(np.array(jax.devices()[:2]), ("tp",)))
+    got = np.asarray(b.decoder.apply({"params": b.params}, jnp.asarray(prompt)))
+    # int8-lattice logits hit exact ties whose argmax flips with reduction
+    # order, so compare logits (spec errors would be garbage, not 1% drift)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+    out = b.generate_tokens(prompt, max_new_tokens=5)
+    assert out.shape == (1, 9)
+    np.testing.assert_array_equal(out[0, :4], prompt[0])
