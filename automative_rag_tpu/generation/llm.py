@@ -136,6 +136,7 @@ class JaxCausalLM:
             max_new_tokens=params.get("max_tokens", 512),
             temperature=params.get("temperature", 0.0),
             top_p=params.get("top_p", 0.85),
+            repetition_penalty=params.get("repetition_penalty", 1.0),
         )[0]
         new_ids = [t for t in out[len(ids):].tolist()
                    if t != self.model.config.eos_token]

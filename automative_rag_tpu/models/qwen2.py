@@ -286,6 +286,15 @@ class Qwen2Decoder(nn.Module):
         return self._logits(x), kvs
 
 
+def _apply_repetition_penalty(logits, seen, penalty):
+    """CTRL-style repetition penalty over tokens already in the sequence
+    (the reference passes repetition_penalty≈1.1 to HF generate,
+    mode_config.py:28-142): positive logits of seen tokens divide by the
+    penalty, negative multiply."""
+    penalized = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(seen, penalized, logits)
+
+
 def _sample_token(logits, key, temperature, top_p):
     """Temperature + nucleus sampling; temperature<=0 → greedy."""
 
@@ -323,7 +332,8 @@ class Qwen2Model:
             params = self.decoder.init(key, jnp.zeros((1, 4), jnp.int32))["params"]
         self.params = params
 
-        def _generate(params, prompt, plen, max_tokens, key, temperature, top_p):
+        def _generate(params, prompt, plen, max_tokens, key, temperature,
+                      top_p, penalty):
             """prompt [B, P] (eos-padded past ``plen``; P is a static bucket),
             plen: traced scalar prompt length (uniform — prompts arrive as a
             rectangle). One prefill forward fills cache slots [0, P), then the
@@ -347,36 +357,46 @@ class Qwen2Model:
             tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
 
             vocab = logits_all.shape[-1]
+            # tokens already in the (real) prompt, for repetition penalty
+            rows = jnp.arange(b)[:, None]
+            prompt_mask = jnp.broadcast_to(
+                (jnp.arange(p_bucket) < plen)[None, :], (b, p_bucket)
+            )
+            seen = jnp.zeros((b, vocab), bool).at[rows, prompt].max(prompt_mask)
             logits0 = jax.lax.dynamic_slice(
                 logits_all, (0, plen - 1, 0), (b, 1, vocab)
             )[:, 0]
+            logits0 = _apply_repetition_penalty(logits0, seen, penalty)
             key, sub = jax.random.split(jnp.asarray(key))
             tok0 = _sample_token(logits0, sub, temperature, top_p)
+            seen = seen.at[jnp.arange(b), tok0].set(True)
             tokens = jax.lax.dynamic_update_slice(tokens, tok0[:, None], (0, p_bucket))
             finished = tok0 == cfg.eos_token
             iota = jnp.arange(max_tokens)
 
             def cond(state):
-                t, _tokens, _caches, _key, finished = state
+                t, _tokens, _caches, _key, finished, _seen = state
                 return (t < max_tokens - 1) & ~jnp.all(finished)
 
             def body(state):
-                t, tokens, caches, key, finished = state
+                t, tokens, caches, key, finished, seen = state
                 token_t = jax.lax.dynamic_slice(tokens, (0, t), (b, 1))
                 rope_pos = plen + (t - p_bucket)
                 valid = ((iota < plen) | ((iota >= p_bucket) & (iota <= t)))[None, :]
                 logits, caches = self.decoder.apply(
                     dparams, token_t, t, rope_pos, valid, caches, method="step"
                 )
+                logits = _apply_repetition_penalty(logits, seen, penalty)
                 key, sub = jax.random.split(key)
                 picked = _sample_token(logits, sub, temperature, top_p)
                 new = jnp.where(finished, cfg.eos_token, picked)
                 tokens = jax.lax.dynamic_update_slice(tokens, new[:, None], (0, t + 1))
+                seen = seen.at[jnp.arange(b), new].set(True)
                 finished = finished | (new == cfg.eos_token)
-                return t + 1, tokens, caches, key, finished
+                return t + 1, tokens, caches, key, finished, seen
 
-            _, tokens, _, _, _ = jax.lax.while_loop(
-                cond, body, (p_bucket, tokens, caches, key, finished)
+            _, tokens, _, _, _, _ = jax.lax.while_loop(
+                cond, body, (p_bucket, tokens, caches, key, finished, seen)
             )
             return tokens
 
@@ -388,6 +408,7 @@ class Qwen2Model:
 
     def generate_tokens(self, prompt_ids, max_new_tokens: int = 256,
                         temperature: float = 0.0, top_p: float = 0.85,
+                        repetition_penalty: float = 1.0,
                         seed: int = 0) -> np.ndarray:
         """prompt_ids: [B, L] or [L] int array → [B, L + n_new] ids."""
         cfg = self.config
@@ -408,6 +429,7 @@ class Qwen2Model:
             self.params, jnp.asarray(padded), jnp.int32(plen),
             bucket + n_new, jax.random.PRNGKey(seed),
             jnp.float32(temperature), jnp.float32(top_p),
+            jnp.float32(repetition_penalty),
         ))
         # splice out the bucket-padding gap between prompt and generation
         return np.concatenate([out[:, :plen], out[:, bucket:]], axis=1)

@@ -296,3 +296,23 @@ def test_int8_tensor_parallel():
     out = b.generate_tokens(prompt, max_new_tokens=5)
     assert out.shape == (1, 9)
     np.testing.assert_array_equal(out[0, :4], prompt[0])
+
+
+def test_repetition_penalty(tiny):
+    """A huge penalty forbids re-emitting any seen token: the generated ids
+    must be distinct from each other and from the prompt (until eos)."""
+    cfg = tiny.config
+    prompt = np.array([[5, 6, 7]], np.int32)
+    out = tiny.generate_tokens(prompt, max_new_tokens=10,
+                               repetition_penalty=1e9)[0]
+    gen = []
+    for t in out[3:]:
+        if t == cfg.eos_token:
+            break
+        gen.append(int(t))
+    assert len(gen) == len(set(gen)), gen
+    assert not (set(gen) & {5, 6, 7})
+    # penalty=1.0 is a strict no-op vs the default path
+    a = tiny.generate_tokens(prompt, max_new_tokens=6)
+    b = tiny.generate_tokens(prompt, max_new_tokens=6, repetition_penalty=1.0)
+    np.testing.assert_array_equal(a, b)
