@@ -90,6 +90,12 @@ class RAGApplication:
             second_scorer=second_scorer,
         )
         self.index = self._make_index()
+        if self.settings.encoder_data_parallel:
+            mesh = getattr(self.index, "mesh", None)
+            if mesh is not None:
+                axis = self.settings.mesh_shard_axis_name
+                self.embedder.data_parallel(mesh, axis)
+                self.colbert.data_parallel(mesh, axis)
         self.token_store = (
             self._make_token_store() if self.settings.store_token_embeddings else None
         )

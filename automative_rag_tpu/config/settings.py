@@ -162,6 +162,10 @@ class Settings:
     # 0/16 = bf16 weights; 8 = int8 weight-only quantization (BitsAndBytes
     # parity; halves LLM HBM footprint and decode weight traffic)
     llm_weight_bits: int = field(default_factory=lambda: _env("LLM_WEIGHT_BITS", 0))
+    # split encoder batches data-parallel over the sharded index's mesh
+    encoder_data_parallel: bool = field(
+        default_factory=lambda: _env("ENCODER_DP", False, bool)
+    )
     ocr_enabled: bool = field(default_factory=lambda: _env("OCR_ENABLED", False, bool))
 
     def ensure_dirs(self) -> None:

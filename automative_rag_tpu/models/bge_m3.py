@@ -94,6 +94,8 @@ class DenseEmbedder:
             return emb / jnp.maximum(norm, 1e-12)
 
         self._lexical = jax.jit(_lexical)
+        self._mesh = None
+        self._batch_sharding = None
 
     @classmethod
     def from_params(cls, config: EncoderConfig, params, tokenizer_path: str = "",
@@ -114,12 +116,32 @@ class DenseEmbedder:
     def dim(self) -> int:
         return self.config.hidden_size
 
+    def data_parallel(self, mesh, axis: str = "shard") -> "DenseEmbedder":
+        """Run encode batches data-parallel over ``mesh``: params replicated,
+        batch rows split over ``axis`` — GSPMD splits the forward, so one
+        ingestion batch uses every chip's MXU. Batches whose row count
+        doesn't divide the axis stay single-placement (queries are B=1)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
+        self._mesh = mesh
+        self._batch_sharding = NamedSharding(mesh, P(axis, None))
+        self._dp_rows = mesh.shape[axis]
+        return self
+
+    def _place(self, ids: np.ndarray, mask: np.ndarray):
+        ids_j, mask_j = jnp.asarray(ids), jnp.asarray(mask)
+        if self._batch_sharding is not None and ids.shape[0] % self._dp_rows == 0:
+            ids_j = jax.device_put(ids_j, self._batch_sharding)
+            mask_j = jax.device_put(mask_j, self._batch_sharding)
+        return ids_j, mask_j
+
     def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
         """Embed up to batch_size texts (single forward)."""
         ids, mask = self.tokenizer.encode_batch(texts, self.max_length)
         real_len = int(mask.sum(axis=1).max()) if len(texts) else 1
         length = _bucket_length(real_len, self.max_length)
-        ids_j, mask_j = jnp.asarray(ids[:, :length]), jnp.asarray(mask[:, :length])
+        ids_j, mask_j = self._place(ids[:, :length], mask[:, :length])
         if self.mode == "lexical":
             out = self._lexical(ids_j, mask_j)
         else:

@@ -48,20 +48,33 @@ class ColBERTEncoder:
             return self.model.apply({"params": params}, input_ids, attention_mask)
 
         self._forward = jax.jit(_forward)
+        self._batch_sharding = None
 
     @property
     def dim(self) -> int:
         return self.config.hidden_size
 
+    def data_parallel(self, mesh, axis: str = "shard") -> "ColBERTEncoder":
+        """Split encode batches over the mesh (params replicated, rows over
+        ``axis``) — same scheme as ``DenseEmbedder.data_parallel``."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
+        self._batch_sharding = NamedSharding(mesh, P(axis, None))
+        self._dp_rows = mesh.shape[axis]
+        return self
+
     def _encode(self, texts: Sequence[str], max_length: int) -> Tuple[np.ndarray, np.ndarray]:
         ids, mask = self.tokenizer.encode_batch(texts, max_length)
         out = []
         for i in range(0, len(texts), self.batch_size):
-            hidden = self._forward(
-                self.params,
-                jnp.asarray(ids[i : i + self.batch_size]),
-                jnp.asarray(mask[i : i + self.batch_size]),
-            )
+            ids_j = jnp.asarray(ids[i : i + self.batch_size])
+            mask_j = jnp.asarray(mask[i : i + self.batch_size])
+            if (self._batch_sharding is not None
+                    and ids_j.shape[0] % self._dp_rows == 0):
+                ids_j = jax.device_put(ids_j, self._batch_sharding)
+                mask_j = jax.device_put(mask_j, self._batch_sharding)
+            hidden = self._forward(self.params, ids_j, mask_j)
             out.append(np.asarray(hidden, np.float32))
         return np.concatenate(out, axis=0), mask
 

@@ -222,3 +222,34 @@ def test_native_tokenizer_speedup():
         python.encode_batch([text], 512)
     t_python = time.perf_counter() - t0
     assert t_native < t_python  # the C loop must actually be faster
+
+
+def test_encoder_data_parallel_matches_single_device():
+    """DP-placed encoders must produce identical embeddings (params are
+    replicated; only batch placement changes)."""
+    import jax
+
+    from automative_rag_tpu.models.bge_m3 import DenseEmbedder
+    from automative_rag_tpu.models.colbert import ColBERTEncoder
+    from automative_rag_tpu.models.encoder import EncoderConfig
+    from automative_rag_tpu.parallel import make_mesh
+
+    cfg = EncoderConfig.tiny()
+    texts = [f"宝马X{i} 测试文本内容 {i}" for i in range(16)]
+
+    plain = DenseEmbedder(config=cfg, mode="transformer", seed=3)
+    dp = DenseEmbedder(config=cfg, mode="transformer", seed=3)
+    dp.data_parallel(make_mesh(8))
+    np.testing.assert_allclose(dp.embed_texts(texts), plain.embed_texts(texts),
+                               rtol=1e-5, atol=1e-6)
+    # B=1 (not divisible by 8) falls back to unsharded placement
+    np.testing.assert_allclose(dp.embed_query(texts[0]), plain.embed_query(texts[0]),
+                               rtol=1e-5, atol=1e-6)
+
+    cb_plain = ColBERTEncoder(config=cfg, max_query_length=16, max_doc_length=32)
+    cb_dp = ColBERTEncoder(config=cfg, max_query_length=16, max_doc_length=32)
+    cb_dp.data_parallel(make_mesh(8))
+    a, am = cb_plain.encode_documents(texts)
+    b, bm = cb_dp.encode_documents(texts)
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(bm, am)
