@@ -142,6 +142,26 @@ class JaxCausalLM:
                    if t != self.model.config.eos_token]
         return self.tokenizer.decode(new_ids, skip_special_tokens=True)
 
+    def generate_batch(self, prompts, params: Dict[str, Any]) -> List[str]:
+        """Batched generation over ragged prompts: one prefill + one shared
+        decode loop for the whole batch."""
+        ids = [self.tokenizer(p)["input_ids"] for p in prompts]
+        outs = self.model.generate_ragged(
+            ids,
+            max_new_tokens=params.get("max_tokens", 512),
+            temperature=params.get("temperature", 0.0),
+            top_p=params.get("top_p", 0.85),
+            repetition_penalty=params.get("repetition_penalty", 1.0),
+        )
+        eos = self.model.config.eos_token
+        return [
+            self.tokenizer.decode(
+                [t for t in out[len(i):].tolist() if t != eos],
+                skip_special_tokens=True,
+            )
+            for i, out in zip(ids, outs)
+        ]
+
 
 def load_llm(model_path: str = "", weight_bits: int = 0) -> LLMBackend:
     """weight_bits=8 → int8 weight-only quantization on the jax backend

@@ -84,12 +84,15 @@ class Qwen2Config:
 
 
 def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
-    """HF-style rotary embedding: x [..., T, H, D], positions [T]."""
+    """HF-style rotary embedding: x [B, T, H, D]; positions [T] (shared) or
+    [B, T] (per-row, for ragged batches whose rope offsets differ)."""
     d = x.shape[-1]
     inv_freq = 1.0 / (theta ** (np.arange(0, d, 2, dtype=np.float32) / d))
-    angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [T, D/2]
-    cos = jnp.cos(angles)[None, :, None, :]  # [1, T, 1, D/2]
-    sin = jnp.sin(angles)[None, :, None, :]
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [(B,)T, D/2]
+    if angles.ndim == 2:  # shared positions
+        angles = angles[None]
+    cos = jnp.cos(angles)[:, :, None, :]  # [B|1, T, 1, D/2]
+    sin = jnp.sin(angles)[:, :, None, :]
     x1, x2 = x[..., : d // 2], x[..., d // 2 :]
     xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
     return jnp.concatenate(
@@ -164,7 +167,8 @@ class _Attention(nn.Module):
         return q, k, v
 
     def _attend(self, q, k, v, mask):
-        """q [B,Tq,H,D]; k/v [B,Tk,Hkv,D]; mask [Tq,Tk] or None."""
+        """q [B,Tq,H,D]; k/v [B,Tk,Hkv,D]; mask broadcastable to
+        [B,H,Tq,Tk] or None."""
         cfg = self.config
         groups = cfg.num_heads // cfg.num_kv_heads
         k = jnp.repeat(k, groups, axis=2)
@@ -173,7 +177,7 @@ class _Attention(nn.Module):
             "bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
         ) / np.sqrt(cfg.head_dim)
         if mask is not None:
-            scores = jnp.where(mask[None, None], scores, -1e30)
+            scores = jnp.where(mask, scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
         return self.o_proj(out.reshape(*out.shape[:2], -1))
@@ -181,17 +185,18 @@ class _Attention(nn.Module):
     def __call__(self, x, positions):
         t = x.shape[1]
         q, k, v = self._qkv(x, positions)
-        causal = jnp.tril(jnp.ones((t, t), bool))
+        causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
         return self._attend(q, k, v, causal)
 
     def step(self, x_t, slot, rope_pos, valid, cache_k, cache_v):
         """x_t [B,1,D]; caches [B, max, Hkv, hd] (rope-applied). ``slot`` is
-        the cache position, ``rope_pos`` the rotary position (they diverge
-        after a bucketed prefill), ``valid`` [1, max] masks live cache cols."""
-        q, k, v = self._qkv(x_t, rope_pos[None])
+        the cache position, ``rope_pos`` [B] the rotary positions (they
+        diverge after a bucketed prefill and differ per row on ragged
+        batches), ``valid`` [B|1, max] masks live cache cols."""
+        q, k, v = self._qkv(x_t, rope_pos[:, None])
         cache_k = jax.lax.dynamic_update_slice(cache_k, k, (0, slot, 0, 0))
         cache_v = jax.lax.dynamic_update_slice(cache_v, v, (0, slot, 0, 0))
-        out = self._attend(q, cache_k, cache_v, valid)
+        out = self._attend(q, cache_k, cache_v, valid[:, None, None, :])
         return out, cache_k, cache_v
 
     def prefill(self, x, positions):
@@ -200,7 +205,7 @@ class _Attention(nn.Module):
         sequential steps."""
         t = x.shape[1]
         q, k, v = self._qkv(x, positions)
-        causal = jnp.tril(jnp.ones((t, t), bool))
+        causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
         return self._attend(q, k, v, causal), k, v
 
 
@@ -334,15 +339,17 @@ class Qwen2Model:
 
         def _generate(params, prompt, plen, max_tokens, key, temperature,
                       top_p, penalty):
-            """prompt [B, P] (eos-padded past ``plen``; P is a static bucket),
-            plen: traced scalar prompt length (uniform — prompts arrive as a
-            rectangle). One prefill forward fills cache slots [0, P), then the
-            decode loop runs from slot P with rope positions continuing at
-            ``plen`` (cache slot and rotary position diverge across the
-            bucket-padding gap; the validity mask hides the pad slots)."""
+            """prompt [B, P] (eos-padded past each row's ``plen``; P is a
+            static bucket), plen [B]: per-row prompt lengths (ragged batches
+            supported). One prefill forward fills cache slots [0, P), then
+            the decode loop runs from slot P with per-row rope positions
+            continuing at ``plen`` (cache slot and rotary position diverge
+            across each row's padding gap; the validity mask hides pad
+            slots)."""
             cfg = self.config
             dparams = {"params": params}
             b, p_bucket = prompt.shape
+            plen = plen.astype(jnp.int32)
 
             logits_all, kvs = self.decoder.apply(dparams, prompt, method="prefill")
             caches = []
@@ -359,12 +366,10 @@ class Qwen2Model:
             vocab = logits_all.shape[-1]
             # tokens already in the (real) prompt, for repetition penalty
             rows = jnp.arange(b)[:, None]
-            prompt_mask = jnp.broadcast_to(
-                (jnp.arange(p_bucket) < plen)[None, :], (b, p_bucket)
-            )
+            prompt_mask = jnp.arange(p_bucket)[None, :] < plen[:, None]
             seen = jnp.zeros((b, vocab), bool).at[rows, prompt].max(prompt_mask)
-            logits0 = jax.lax.dynamic_slice(
-                logits_all, (0, plen - 1, 0), (b, 1, vocab)
+            logits0 = jnp.take_along_axis(
+                logits_all, (plen - 1)[:, None, None], axis=1
             )[:, 0]
             logits0 = _apply_repetition_penalty(logits0, seen, penalty)
             key, sub = jax.random.split(jnp.asarray(key))
@@ -381,8 +386,10 @@ class Qwen2Model:
             def body(state):
                 t, tokens, caches, key, finished, seen = state
                 token_t = jax.lax.dynamic_slice(tokens, (0, t), (b, 1))
-                rope_pos = plen + (t - p_bucket)
-                valid = ((iota < plen) | ((iota >= p_bucket) & (iota <= t)))[None, :]
+                rope_pos = plen + (t - p_bucket)  # [B]
+                valid = (iota[None, :] < plen[:, None]) | (
+                    (iota >= p_bucket) & (iota <= t)
+                )[None, :]
                 logits, caches = self.decoder.apply(
                     dparams, token_t, t, rope_pos, valid, caches, method="step"
                 )
@@ -426,13 +433,42 @@ class Qwen2Model:
         padded = np.full((b, bucket), cfg.eos_token, np.int32)
         padded[:, :plen] = prompt_ids
         out = np.asarray(self._generate(
-            self.params, jnp.asarray(padded), jnp.int32(plen),
+            self.params, jnp.asarray(padded), jnp.full((b,), plen, jnp.int32),
             bucket + n_new, jax.random.PRNGKey(seed),
             jnp.float32(temperature), jnp.float32(top_p),
             jnp.float32(repetition_penalty),
         ))
         # splice out the bucket-padding gap between prompt and generation
         return np.concatenate([out[:, :plen], out[:, bucket:]], axis=1)
+
+    def generate_ragged(self, prompts, max_new_tokens: int = 256,
+                        temperature: float = 0.0, top_p: float = 0.85,
+                        repetition_penalty: float = 1.0,
+                        seed: int = 0) -> list:
+        """Batched generation over prompts of different lengths (one prefill
+        + one shared decode loop for the whole batch; per-row rope offsets).
+        → list of [plen_i + n_new] id arrays."""
+        cfg = self.config
+        prompts = [np.asarray(p, np.int32)[-(cfg.max_positions - 1):]
+                   for p in prompts]
+        lengths = np.array([len(p) for p in prompts], np.int32)
+        b = len(prompts)
+        longest = int(lengths.max())
+        n_new = max(1, min(max_new_tokens, cfg.max_positions - longest))
+        bucket = min(-(-longest // self.PROMPT_BUCKET) * self.PROMPT_BUCKET,
+                     cfg.max_positions)
+        bucket = max(bucket, longest)
+        padded = np.full((b, bucket), cfg.eos_token, np.int32)
+        for i, p in enumerate(prompts):
+            padded[i, : len(p)] = p
+        out = np.asarray(self._generate(
+            self.params, jnp.asarray(padded), jnp.asarray(lengths),
+            bucket + n_new, jax.random.PRNGKey(seed),
+            jnp.float32(temperature), jnp.float32(top_p),
+            jnp.float32(repetition_penalty),
+        ))
+        return [np.concatenate([prompts[i], out[i, bucket:]])
+                for i in range(b)]
 
 
 # --------------------------------------------------------------------------

@@ -316,3 +316,47 @@ def test_repetition_penalty(tiny):
     a = tiny.generate_tokens(prompt, max_new_tokens=6)
     b = tiny.generate_tokens(prompt, max_new_tokens=6, repetition_penalty=1.0)
     np.testing.assert_array_equal(a, b)
+
+
+def test_ragged_batch_generation(tiny):
+    """Ragged prompts share one prefill + decode loop; every row must still
+    satisfy the full-forward argmax oracle, and row order must not matter."""
+    cfg = tiny.config
+    rng = np.random.default_rng(21)
+    p_short = rng.integers(3, cfg.vocab_size, size=5).astype(np.int32)
+    p_long = rng.integers(3, cfg.vocab_size, size=9).astype(np.int32)
+
+    outs = tiny.generate_ragged([p_short, p_long], max_new_tokens=6)
+    assert [len(o) for o in outs] == [11, 15]
+    np.testing.assert_array_equal(outs[0][:5], p_short)
+    np.testing.assert_array_equal(outs[1][:9], p_long)
+
+    for out, plen in zip(outs, (5, 9)):
+        logits = np.asarray(tiny.decoder.apply(
+            {"params": tiny.params}, jnp.asarray(out[None, :])))
+        for t in range(plen, len(out)):
+            if cfg.eos_token in out[plen:t]:
+                break
+            assert int(out[t]) == int(np.argmax(logits[0, t - 1])), (plen, t)
+
+    swapped = tiny.generate_ragged([p_long, p_short], max_new_tokens=6)
+    np.testing.assert_array_equal(swapped[1], outs[0])
+    np.testing.assert_array_equal(swapped[0], outs[1])
+
+
+def test_generate_batch_backend():
+    from automative_rag_tpu.generation.llm import JaxCausalLM
+
+    class FakeTok:
+        def __call__(self, text):
+            return {"input_ids": [3 + (ord(c) % 200) for c in text]}
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(97 + (t % 26)) for t in ids)
+
+    llm = JaxCausalLM("", config=Qwen2Config.tiny_test(), tokenizer=FakeTok())
+    texts = llm.generate_batch(["短", "长一点的提示词"], {"max_tokens": 5})
+    assert len(texts) == 2 and all(isinstance(t, str) for t in texts)
+    # batched result matches the one-at-a-time path (greedy)
+    solo = llm.generate("短", {"max_tokens": 5})
+    assert texts[0] == solo
