@@ -198,10 +198,9 @@ def build_api(app: RAGApplication) -> HTTPApi:
             [str(q) for q in queries], mode=mode,
             metadata_filter=body.get("metadata_filter"),
         )
-        answers = [
-            app.generator.answer(query, ranked, mode=mode)
-            for query, ranked in zip(queries, ranked_lists)
-        ]
+        answers = app.generator.answer_batch(
+            [str(q) for q in queries], ranked_lists, mode=mode
+        )
         return {"answers": answers, "timings": app.engine.last_timings}
 
     def _job_result(job_id: str) -> dict:

@@ -206,6 +206,40 @@ class AnswerGenerator:
         if isinstance(self.llm, StubLLM):
             self.llm.bind(ordered, query)
         raw = self.llm.generate(prompt, llm_params)
+        return self._finalize(raw, documents, ordered, context, mode, ctx_params, t0)
+
+    def answer_batch(
+        self,
+        queries: List[str],
+        documents_lists: List[List[Tuple[Document, float]]],
+        mode: QueryMode | str = QueryMode.FACTS,
+    ) -> List[Dict[str, Any]]:
+        """Answer several queries in one batched LLM generation when the
+        backend supports it (jax backend: one prefill + shared decode loop
+        over ragged prompts); falls back to per-query answers otherwise."""
+        mode = QueryMode.parse(mode)
+        if not hasattr(self.llm, "generate_batch"):
+            return [self.answer(q, d, mode) for q, d in zip(queries, documents_lists)]
+        t0 = time.perf_counter()
+        llm_params = mode_config.get_llm_params(mode)
+        ctx_params = mode_config.get_context_params(mode)
+        ordereds, prompts, contexts = [], [], []
+        for query, documents in zip(queries, documents_lists):
+            context = format_documents_with_relevance_scores(
+                documents, max_token_budget=ctx_params["max_context_tokens"]
+            )
+            contexts.append(context)
+            ordereds.append(documents_in_context_order(documents))
+            prompts.append(build_prompt(mode, context, query))
+        raws = self.llm.generate_batch(prompts, llm_params)
+        return [
+            self._finalize(raw, documents, ordered, context, mode, ctx_params, t0)
+            for raw, documents, ordered, context in zip(
+                raws, documents_lists, ordereds, contexts
+            )
+        ]
+
+    def _finalize(self, raw, documents, ordered, context, mode, ctx_params, t0):
         answer = _THINK_RE.sub("", raw).strip()
 
         check = self.fact_checker.simple_quality_check(answer, context)

@@ -99,3 +99,40 @@ def test_think_tag_stripping():
     out = gen.answer("q", [_doc("内容", 0.9)], mode="facts")
     assert out["answer"] == "最终答案【来源：DOC_1】"
     assert "musing" not in out["answer"]
+
+
+def test_answer_batch_stub_fallback():
+    """answer_batch over the stub backend (no generate_batch) must match
+    per-query answers."""
+    from automative_rag_tpu.generation.llm import AnswerGenerator
+
+    gen = AnswerGenerator()
+    docs_a = [(Document(page_content="2023款宝马X5的百公里加速是5.5秒。"), 0.9)]
+    docs_b = [(Document(page_content="特斯拉Model Y的续航是660公里。"), 0.8)]
+    batch = gen.answer_batch(["宝马X5加速是多少", "Model Y续航多少"],
+                             [docs_a, docs_b], mode="facts")
+    solo = [gen.answer("宝马X5加速是多少", docs_a, mode="facts"),
+            gen.answer("Model Y续航多少", docs_b, mode="facts")]
+    assert [b["answer"] for b in batch] == [s["answer"] for s in solo]
+    assert all("来源" in b["answer"] for b in batch)
+
+
+def test_answer_batch_jax_backend():
+    """answer_batch routes through the jax backend's batched generation."""
+    from automative_rag_tpu.generation.llm import AnswerGenerator, JaxCausalLM
+    from automative_rag_tpu.models.qwen2 import Qwen2Config
+
+    class FakeTok:
+        def __call__(self, text):
+            return {"input_ids": [3 + (ord(c) % 200) for c in text[:48]]}
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "答案" + "".join(chr(97 + (t % 26)) for t in ids)
+
+    gen = AnswerGenerator(JaxCausalLM("", config=Qwen2Config.tiny_test(),
+                                      tokenizer=FakeTok()))
+    docs = [(Document(page_content="文档内容。"), 0.9)]
+    out = gen.answer_batch(["问题一", "问题二"], [docs, docs], mode="facts")
+    assert len(out) == 2
+    assert all(o["llm"].startswith("jax-qwen2") for o in out)
+    assert all(isinstance(o["answer"], str) and o["answer"] for o in out)
