@@ -42,10 +42,11 @@ class Qwen2Config:
     tie_embeddings: bool = False
     eos_token: int = 151643
     dtype: Any = jnp.bfloat16
-    # 16 = bf16 kernels; 8 = symmetric int8 weight-only quantization
+    # 16 = bf16 kernels; 8/4 = symmetric weight-only quantization
     # (the reference squeezes its 7B model onto a T4 with BitsAndBytes
     # 4/8-bit, settings.py:195-214 — autoregressive decode reads every
-    # weight per token, so int8 halves the HBM traffic that bounds it)
+    # weight per token, so int8 halves / int4 quarters the HBM traffic
+    # that bounds it)
     weight_bits: int = 16
 
     @property
@@ -101,27 +102,40 @@ def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
 
 
 class QuantDense(nn.Module):
-    """Symmetric int8 weight-only linear: int8 kernel + per-output-channel
-    f32 scale live in HBM (half the bytes of bf16); the cast to bf16 happens
-    in registers on the way into the MXU."""
+    """Weight-only quantized linear. ``bits=8``: int8 kernel + per-output-
+    channel f32 scale (half the HBM bytes of bf16); ``bits=4``: two nibbles
+    packed per uint8 along the input dim (quarter the bytes). Unpack/cast
+    happens in registers on the way into the MXU — HBM only ever sees the
+    compressed weights, which is what bounds autoregressive decode."""
 
     features: int
     use_bias: bool = False
+    bits: int = 8
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         in_features = x.shape[-1]
-        kernel_q = self.param(
-            "kernel_q",
-            lambda key, shape: jax.random.randint(key, shape, -127, 128, jnp.int8),
-            (in_features, self.features),
-        )
+        if self.bits == 4:
+            packed = self.param(
+                "kernel_q",
+                lambda key, shape: jax.random.randint(key, shape, 0, 256, jnp.uint8),
+                (in_features // 2, self.features),
+            )
+            low = (packed & 0xF).astype(jnp.int8) - 8
+            high = (packed >> 4).astype(jnp.int8) - 8
+            kernel = jnp.stack([low, high], axis=1).reshape(in_features, self.features)
+        else:
+            kernel = self.param(
+                "kernel_q",
+                lambda key, shape: jax.random.randint(key, shape, -127, 128, jnp.int8),
+                (in_features, self.features),
+            )
         scale = self.param(
             "scale", lambda key, shape: jnp.full(shape, 0.01, jnp.float32),
             (self.features,),
         )
-        y = jnp.dot(x.astype(self.dtype), kernel_q.astype(self.dtype))
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
         y = y * scale.astype(self.dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -129,8 +143,16 @@ class QuantDense(nn.Module):
         return y
 
 
-def quantize_kernel(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """f32 kernel [in, out] → (int8 kernel, per-out-channel f32 scales)."""
+def quantize_kernel(kernel: np.ndarray, bits: int = 8) -> Tuple[np.ndarray, np.ndarray]:
+    """f32 kernel [in, out] → (quantized kernel, per-out-channel f32 scales).
+    bits=8 → int8 [in, out]; bits=4 → packed uint8 [in/2, out] (rows 2i, 2i+1
+    in the low/high nibbles, offset-8 encoding)."""
+    if bits == 4:
+        scale = np.abs(kernel).max(axis=0) / 7.0
+        safe = np.maximum(scale, 1e-12)
+        q = np.clip(np.round(kernel / safe[None, :]), -8, 7).astype(np.int8) + 8
+        low, high = q[0::2].astype(np.uint8), q[1::2].astype(np.uint8)
+        return (low | (high << 4)), scale.astype(np.float32)
     scale = np.abs(kernel).max(axis=0) / 127.0
     safe = np.maximum(scale, 1e-12)
     q = np.clip(np.round(kernel / safe[None, :]), -127, 127).astype(np.int8)
@@ -138,8 +160,9 @@ def quantize_kernel(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def _dense(cfg: Qwen2Config, features: int, use_bias: bool = False):
-    if cfg.weight_bits == 8:
-        return QuantDense(features, use_bias=use_bias, dtype=cfg.dtype)
+    if cfg.weight_bits in (4, 8):
+        return QuantDense(features, use_bias=use_bias, bits=cfg.weight_bits,
+                          dtype=cfg.dtype)
     return nn.Dense(features, use_bias=use_bias, dtype=cfg.dtype)
 
 
@@ -524,9 +547,9 @@ def load_hf_qwen2(config: Qwen2Config, path: str) -> Optional[Dict]:
         value = state[hf_key]
         if dest[-1] == "kernel":
             value = np.asarray(value, np.float32).T  # torch [out,in] → flax [in,out]
-            if config.weight_bits == 8:
-                q, scale = quantize_kernel(value)
-                put(dest[:-1] + ("kernel_q",), q, jnp.int8)
+            if config.weight_bits in (4, 8):
+                q, scale = quantize_kernel(value, bits=config.weight_bits)
+                put(dest[:-1] + ("kernel_q",), q, q.dtype)
                 put(dest[:-1] + ("scale",), scale, jnp.float32)
                 continue
         put(dest, value, config.dtype)
@@ -534,15 +557,17 @@ def load_hf_qwen2(config: Qwen2Config, path: str) -> Optional[Dict]:
 
 
 def quantize_qwen2_params(params: Dict, config: Qwen2Config) -> Dict:
-    """bf16/f32 params tree → the int8 weight-only tree QuantDense expects
-    (train or load full precision, serve quantized)."""
+    """bf16/f32 params tree → the weight-only quantized tree QuantDense
+    expects at ``config.weight_bits`` (train or load full precision, serve
+    quantized)."""
 
     def walk(tree):
         out = {}
         for key, value in tree.items():
             if isinstance(value, dict):
                 if "kernel" in value and key != "embed_tokens":
-                    q, scale = quantize_kernel(np.asarray(value["kernel"], np.float32))
+                    q, scale = quantize_kernel(np.asarray(value["kernel"], np.float32),
+                                               bits=config.weight_bits)
                     leaf = {"kernel_q": jnp.asarray(q), "scale": jnp.asarray(scale)}
                     if "bias" in value:
                         leaf["bias"] = jnp.asarray(value["bias"], config.dtype)

@@ -35,7 +35,7 @@ def qwen2_partition_specs(config: Qwen2Config) -> Dict:
     ``kernel_q`` and the per-output-channel ``scale`` follows the output
     split: sharded for column-parallel layers, replicated for row-parallel.
     """
-    q8 = config.weight_bits == 8
+    q8 = config.weight_bits in (4, 8)
 
     def linear(spec, out_sharded, with_bias=False):
         if q8:

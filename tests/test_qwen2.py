@@ -360,3 +360,48 @@ def test_generate_batch_backend():
     # batched result matches the one-at-a-time path (greedy)
     solo = llm.generate("短", {"max_tokens": 5})
     assert texts[0] == solo
+
+
+def test_int4_weight_only_quantization():
+    """weight_bits=4: packed nibbles quarter the kernel bytes; logits stay
+    correlated with full precision and generation runs."""
+    import dataclasses
+
+    from automative_rag_tpu.models.qwen2 import quantize_qwen2_params
+
+    cfg = Qwen2Config.tiny_test()
+    base = Qwen2Model(cfg, seed=23)
+    qcfg = dataclasses.replace(cfg, weight_bits=4)
+    quant = Qwen2Model(qcfg, seed=23)
+    quant.params = quantize_qwen2_params(base.params, qcfg)
+
+    leaf = quant.params["layer_0"]["attn"]["q_proj"]
+    assert leaf["kernel_q"].dtype == jnp.uint8
+    assert leaf["kernel_q"].shape == (32, 64)  # packed: in/2 rows
+
+    rng = np.random.default_rng(23)
+    prompt = rng.integers(3, cfg.vocab_size, size=(1, 6)).astype(np.int32)
+    want = np.asarray(base.decoder.apply({"params": base.params},
+                                         jnp.asarray(prompt))).ravel()
+    got = np.asarray(quant.decoder.apply({"params": quant.params},
+                                         jnp.asarray(prompt))).ravel()
+    corr = np.corrcoef(got, want)[0, 1]
+    assert corr > 0.95, corr
+    out = quant.generate_tokens(prompt, max_new_tokens=5)
+    assert out.shape == (1, 11)
+
+
+def test_int4_pack_unpack_roundtrip():
+    """quantize_kernel(bits=4) packing must invert exactly inside QuantDense's
+    unpack (offset-8 nibbles, input-dim pairs)."""
+    from automative_rag_tpu.models.qwen2 import quantize_kernel
+
+    rng = np.random.default_rng(5)
+    kernel = rng.normal(size=(16, 8)).astype(np.float32)
+    packed, scale = quantize_kernel(kernel, bits=4)
+    assert packed.shape == (8, 8) and packed.dtype == np.uint8
+    low = (packed & 0xF).astype(np.int8) - 8
+    high = (packed >> 4).astype(np.int8) - 8
+    unpacked = np.stack([low, high], axis=1).reshape(16, 8).astype(np.float32)
+    recon = unpacked * scale[None, :]
+    assert np.abs(recon - kernel).max() <= scale.max() * 0.5 + 1e-6
