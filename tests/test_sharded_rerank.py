@@ -218,3 +218,42 @@ def test_sharded_residual_compress_matches_single_device(colbert, corpus, mesh):
     sharded.append(embs[:1], masks[:1])
     after = sharded.maxsim(q_emb, q_mask, [40, 0])
     np.testing.assert_allclose(after[0, 0], after[0, 1], rtol=1e-4)
+
+
+def test_app_save_load_rehosts_sharded_store(tmp_path, mesh):
+    """save_index/load_index round-trips the token store back onto the mesh
+    when TOKEN_STORE_SHARDED is on."""
+    import time as _time
+
+    from automative_rag_tpu.app import RAGApplication
+    from automative_rag_tpu.config.settings import Settings
+
+    def _wait(app, jid):
+        deadline = _time.time() + 60
+        while app.tracker.get_job(jid)["status"] not in ("completed", "failed"):
+            assert _time.time() < deadline
+            _time.sleep(0.05)
+
+    settings = Settings()
+    settings.index_kind = "sharded"
+    settings.token_store_sharded = True
+    app = RAGApplication(settings=settings, tiny=True)
+    try:
+        _wait(app, app.ingest_text("2023款蔚来ES6的续航是610公里。"))
+        rows_before = app.token_store.rows
+        app.save_index(str(tmp_path))
+    finally:
+        app.shutdown()
+
+    app2 = RAGApplication(settings=settings, tiny=True)
+    try:
+        assert app2.load_index(str(tmp_path)) == 1
+        assert isinstance(app2.token_store, ShardedTokenStore)
+        assert app2.token_store.rows == rows_before
+        result = app2.query_sync("蔚来ES6续航", timeout=60)
+        assert result["status"] == "completed"
+        assert "610" in result["result"]["answer"]
+    finally:
+        app2.shutdown()
+        settings.index_kind = "flat"
+        settings.token_store_sharded = False
