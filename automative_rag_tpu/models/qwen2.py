@@ -431,6 +431,10 @@ class Qwen2Model:
             return tokens
 
         self._generate = jax.jit(_generate, static_argnames=("max_tokens",))
+        # set by parallel.tp_llm.shard_qwen2_model(dp_axis=...): batch rows
+        # split over the dp mesh axis (weights already tp-sharded)
+        self._batch_sharding = None
+        self._dp_rows = 1
 
     #: prompt lengths round up to this bucket so serving traffic with varied
     #: prompt sizes reuses a small set of compiled prefill shapes
@@ -456,13 +460,19 @@ class Qwen2Model:
         padded = np.full((b, bucket), cfg.eos_token, np.int32)
         padded[:, :plen] = prompt_ids
         out = np.asarray(self._generate(
-            self.params, jnp.asarray(padded), jnp.full((b,), plen, jnp.int32),
+            self.params, self._place_prompt(padded), jnp.full((b,), plen, jnp.int32),
             bucket + n_new, jax.random.PRNGKey(seed),
             jnp.float32(temperature), jnp.float32(top_p),
             jnp.float32(repetition_penalty),
         ))
         # splice out the bucket-padding gap between prompt and generation
         return np.concatenate([out[:, :plen], out[:, bucket:]], axis=1)
+
+    def _place_prompt(self, padded: np.ndarray):
+        arr = jnp.asarray(padded)
+        if self._batch_sharding is not None and padded.shape[0] % self._dp_rows == 0:
+            return jax.device_put(arr, self._batch_sharding)
+        return arr
 
     def generate_ragged(self, prompts, max_new_tokens: int = 256,
                         temperature: float = 0.0, top_p: float = 0.85,
@@ -485,7 +495,7 @@ class Qwen2Model:
         for i, p in enumerate(prompts):
             padded[i, : len(p)] = p
         out = np.asarray(self._generate(
-            self.params, jnp.asarray(padded), jnp.asarray(lengths),
+            self.params, self._place_prompt(padded), jnp.asarray(lengths),
             bucket + n_new, jax.random.PRNGKey(seed),
             jnp.float32(temperature), jnp.float32(top_p),
             jnp.float32(repetition_penalty),

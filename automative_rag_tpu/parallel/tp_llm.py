@@ -70,11 +70,15 @@ def qwen2_partition_specs(config: Qwen2Config) -> Dict:
     return specs
 
 
-def shard_qwen2_model(model: Qwen2Model, mesh: Mesh, axis: str = "tp") -> Qwen2Model:
+def shard_qwen2_model(model: Qwen2Model, mesh: Mesh, axis: str = "tp",
+                      dp_axis: str = "") -> Qwen2Model:
     """Re-place ``model.params`` with tensor-parallel shardings (in place).
 
     The jitted generate loop picks the placement up from its arguments, so
-    every subsequent ``generate_tokens`` call runs tensor-parallel.
+    every subsequent ``generate_tokens`` call runs tensor-parallel. Pass a
+    2D mesh and ``dp_axis`` to additionally split batch rows data-parallel
+    (dp×tp serving: each tp group serves a slice of the batch); batches whose
+    row count doesn't divide dp keep single placement.
     """
     tp = mesh.shape[axis]
     cfg = model.config
@@ -97,4 +101,7 @@ def shard_qwen2_model(model: Qwen2Model, mesh: Mesh, axis: str = "tp") -> Qwen2M
         return out
 
     model.params = place(specs, model.params)
+    if dp_axis:
+        model._batch_sharding = NamedSharding(mesh, P(dp_axis, None))
+        model._dp_rows = mesh.shape[dp_axis]
     return model

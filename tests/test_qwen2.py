@@ -405,3 +405,27 @@ def test_int4_pack_unpack_roundtrip():
     unpacked = np.stack([low, high], axis=1).reshape(16, 8).astype(np.float32)
     recon = unpacked * scale[None, :]
     assert np.abs(recon - kernel).max() <= scale.max() * 0.5 + 1e-6
+
+
+def test_dp_tp_generation_matches_single_device():
+    """dp×tp serving: batch rows over dp, weights over tp — tokens must
+    match single-device generation."""
+    import jax
+    from automative_rag_tpu.parallel import shard_qwen2_model
+    from automative_rag_tpu.parallel.mesh import make_mesh_2d
+
+    cfg = Qwen2Config.tiny_test()
+    base = Qwen2Model(cfg, seed=29)
+    rng = np.random.default_rng(29)
+    prompts = rng.integers(3, cfg.vocab_size, size=(4, 6)).astype(np.int32)
+    want = base.generate_tokens(prompts, max_new_tokens=5)
+
+    mesh = make_mesh_2d(2, 2, axis_names=("dp", "tp"),
+                        devices=jax.devices()[:4])
+    sharded = Qwen2Model(cfg, seed=29)
+    shard_qwen2_model(sharded, mesh, axis="tp", dp_axis="dp")
+    got = sharded.generate_tokens(prompts, max_new_tokens=5)
+    np.testing.assert_array_equal(got, want)
+    # non-divisible batch falls back cleanly
+    got3 = sharded.generate_tokens(prompts[:3], max_new_tokens=5)
+    np.testing.assert_array_equal(got3, want[:3])
