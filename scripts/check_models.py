@@ -44,7 +44,16 @@ def main():
             continue
         exists = Path(path).exists()
         has_weights = bool(list(Path(path).glob("*.safetensors"))) if exists else False
-        print(f"  {name:10s}: {path} exists={exists} safetensors={has_weights}")
+        note = ""
+        if name == "llm" and exists:
+            from automative_rag_tpu.models.qwen2 import Qwen2Config
+
+            cfg = Qwen2Config.from_hf(path)
+            note = (
+                "  → jax-qwen2 backend (TPU-native)" if cfg and has_weights
+                else "  → torch fallback (non-qwen2 or no safetensors)"
+            )
+        print(f"  {name:10s}: {path} exists={exists} safetensors={has_weights}{note}")
 
     import jax
 
