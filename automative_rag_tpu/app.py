@@ -105,7 +105,8 @@ class RAGApplication:
         from .generation.llm import JaxCausalLM
 
         llm = load_llm(self.settings.llm_model_path,
-                       weight_bits=self.settings.llm_weight_bits)
+                       weight_bits=self.settings.llm_weight_bits,
+                       kv_bits=self.settings.llm_kv_bits)
         if self.settings.llm_tensor_parallel > 1 and isinstance(llm, JaxCausalLM):
             import jax as _jax
             import numpy as _np

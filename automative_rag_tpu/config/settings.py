@@ -162,6 +162,8 @@ class Settings:
     # 0/16 = bf16 weights; 8 = int8 weight-only quantization (BitsAndBytes
     # parity; halves LLM HBM footprint and decode weight traffic)
     llm_weight_bits: int = field(default_factory=lambda: _env("LLM_WEIGHT_BITS", 0))
+    # 0/16 = bf16 KV caches; 8 = per-token int8 KV caches
+    llm_kv_bits: int = field(default_factory=lambda: _env("LLM_KV_BITS", 0))
     # split encoder batches data-parallel over the sharded index's mesh
     encoder_data_parallel: bool = field(
         default_factory=lambda: _env("ENCODER_DP", False, bool)

@@ -107,16 +107,20 @@ class JaxCausalLM:
     """TPU-native causal LM: Flax Qwen2 decoder + jitted generation."""
 
     def __init__(self, model_path: str, config=None, tokenizer=None,
-                 weight_bits: int = 0):
+                 weight_bits: int = 0, kv_bits: int = 0):
         from ..models.qwen2 import Qwen2Config, Qwen2Model
 
         config = config or Qwen2Config.from_hf(model_path)
         if config is None:
             raise ValueError(f"no qwen2-family config.json under {model_path!r}")
-        if weight_bits and weight_bits != config.weight_bits:
+        if weight_bits or kv_bits:
             import dataclasses
 
-            config = dataclasses.replace(config, weight_bits=weight_bits)
+            config = dataclasses.replace(
+                config,
+                weight_bits=weight_bits or config.weight_bits,
+                kv_cache_bits=kv_bits or config.kv_cache_bits,
+            )
         self.model = Qwen2Model(config, weights_path=model_path)
         if not self.model.pretrained and model_path:
             raise ValueError(f"no loadable safetensors under {model_path!r}")
@@ -163,13 +167,16 @@ class JaxCausalLM:
         ]
 
 
-def load_llm(model_path: str = "", weight_bits: int = 0) -> LLMBackend:
-    """weight_bits=8 → int8 weight-only quantization on the jax backend
-    (reference BitsAndBytes 4/8-bit analog, settings.py:195-214)."""
+def load_llm(model_path: str = "", weight_bits: int = 0,
+             kv_bits: int = 0) -> LLMBackend:
+    """weight_bits=8|4 → weight-only quantization, kv_bits=8 → int8 KV
+    caches, both on the jax backend (reference BitsAndBytes analog,
+    settings.py:195-214)."""
     if model_path:
         # TPU-native decoder first (qwen2/llama checkpoints), torch fallback
         try:
-            return JaxCausalLM(model_path, weight_bits=weight_bits)
+            return JaxCausalLM(model_path, weight_bits=weight_bits,
+                               kv_bits=kv_bits)
         except Exception:
             pass
         try:

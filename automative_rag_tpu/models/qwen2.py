@@ -48,6 +48,10 @@ class Qwen2Config:
     # weight per token, so int8 halves / int4 quarters the HBM traffic
     # that bounds it)
     weight_bits: int = 16
+    # 16 = bf16 KV caches; 8 = per-token int8 (halves the cache HBM reads
+    # each decode step re-scans — the other bandwidth term at batch×long
+    # contexts — and doubles the context that fits HBM)
+    kv_cache_bits: int = 16
 
     @property
     def head_dim(self) -> int:
@@ -159,6 +163,20 @@ def quantize_kernel(kernel: np.ndarray, bits: int = 8) -> Tuple[np.ndarray, np.n
     return q, scale.astype(np.float32)
 
 
+def _quant_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, T, H, D] → (int8 values, per-token f32 scales [B, T])."""
+    scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(2, 3)) / 127.0
+    safe = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / safe[:, :, None, None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def _dequant_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
+    return q.astype(dtype) * scale[:, :, None, None].astype(dtype)
+
+
 def _dense(cfg: Qwen2Config, features: int, use_bias: bool = False):
     if cfg.weight_bits in (4, 8):
         return QuantDense(features, use_bias=use_bias, bits=cfg.weight_bits,
@@ -215,8 +233,25 @@ class _Attention(nn.Module):
         """x_t [B,1,D]; caches [B, max, Hkv, hd] (rope-applied). ``slot`` is
         the cache position, ``rope_pos`` [B] the rotary positions (they
         diverge after a bucketed prefill and differ per row on ragged
-        batches), ``valid`` [B|1, max] masks live cache cols."""
+        batches), ``valid`` [B|1, max] masks live cache cols. With
+        ``kv_cache_bits=8`` each cache is an (int8 values, per-token scales)
+        pair — HBM holds half the bytes; dequant happens in registers."""
+        cfg = self.config
         q, k, v = self._qkv(x_t, rope_pos[:, None])
+        if cfg.kv_cache_bits == 8:
+            k_q, k_s = cache_k
+            v_q, v_s = cache_v
+            kq_new, ks_new = _quant_kv(k)
+            vq_new, vs_new = _quant_kv(v)
+            k_q = jax.lax.dynamic_update_slice(k_q, kq_new, (0, slot, 0, 0))
+            k_s = jax.lax.dynamic_update_slice(k_s, ks_new, (0, slot))
+            v_q = jax.lax.dynamic_update_slice(v_q, vq_new, (0, slot, 0, 0))
+            v_s = jax.lax.dynamic_update_slice(v_s, vs_new, (0, slot))
+            out = self._attend(
+                q, _dequant_kv(k_q, k_s, cfg.dtype), _dequant_kv(v_q, v_s, cfg.dtype),
+                valid[:, None, None, :],
+            )
+            return out, (k_q, k_s), (v_q, v_s)
         cache_k = jax.lax.dynamic_update_slice(cache_k, k, (0, slot, 0, 0))
         cache_v = jax.lax.dynamic_update_slice(cache_v, v, (0, slot, 0, 0))
         out = self._attend(q, cache_k, cache_v, valid[:, None, None, :])
@@ -377,6 +412,20 @@ class Qwen2Model:
             logits_all, kvs = self.decoder.apply(dparams, prompt, method="prefill")
             caches = []
             for k, v in kvs:
+                if cfg.kv_cache_bits == 8:
+                    entry = []
+                    for full in (k, v):
+                        quant, scales = _quant_kv(full)
+                        cq = jnp.zeros(
+                            (b, max_tokens, cfg.num_kv_heads, cfg.head_dim), jnp.int8
+                        )
+                        cs = jnp.zeros((b, max_tokens), jnp.float32)
+                        entry.append((
+                            jax.lax.dynamic_update_slice(cq, quant, (0, 0, 0, 0)),
+                            jax.lax.dynamic_update_slice(cs, scales, (0, 0)),
+                        ))
+                    caches.append(tuple(entry))
+                    continue
                 ck = jnp.zeros((b, max_tokens, cfg.num_kv_heads, cfg.head_dim), cfg.dtype)
                 cv = jnp.zeros_like(ck)
                 caches.append((

@@ -429,3 +429,33 @@ def test_dp_tp_generation_matches_single_device():
     # non-divisible batch falls back cleanly
     got3 = sharded.generate_tokens(prompts[:3], max_new_tokens=5)
     np.testing.assert_array_equal(got3, want[:3])
+
+
+def test_int8_kv_cache():
+    """kv_cache_bits=8: first generated token identical to bf16 caches (it
+    comes from the unquantized prefill logits); later tokens mostly agree;
+    works combined with weight quantization and ragged batches."""
+    import dataclasses
+
+    cfg = Qwen2Config.tiny_test()
+    base = Qwen2Model(cfg, seed=31)
+    kv8 = Qwen2Model(dataclasses.replace(cfg, kv_cache_bits=8), seed=31)
+
+    rng = np.random.default_rng(31)
+    prompt = rng.integers(3, cfg.vocab_size, size=(2, 6)).astype(np.int32)
+    want = base.generate_tokens(prompt, max_new_tokens=8)
+    got = kv8.generate_tokens(prompt, max_new_tokens=8)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got[:, 6], want[:, 6])  # prefill-sourced
+    agree = (got[:, 6:] == want[:, 6:]).mean()
+    assert agree >= 0.75, agree
+
+    # composes with int4 weights + ragged batching
+    q48 = Qwen2Model(dataclasses.replace(cfg, weight_bits=4, kv_cache_bits=8),
+                     seed=31)
+    from automative_rag_tpu.models.qwen2 import quantize_qwen2_params
+
+    q48.params = quantize_qwen2_params(
+        base.params, dataclasses.replace(cfg, weight_bits=4))
+    outs = q48.generate_ragged([prompt[0, :4], prompt[1]], max_new_tokens=4)
+    assert [len(o) for o in outs] == [8, 10]
