@@ -60,7 +60,12 @@ class DenseEmbedder:
         params = load_hf_weights(self.config, weights_path) if weights_path else None
         self.pretrained = params is not None
         self.mode = mode or ("transformer" if self.pretrained else "lexical")
-        self.params = params if params is not None else init_encoder_params(self.config, seed)
+        if params is None and self.mode == "transformer":
+            params = init_encoder_params(self.config, seed)
+        # lexical mode never touches the transformer: skip the full-size
+        # random init (a bge-m3-geometry init costs minutes + ~2 GB on a
+        # weightless CPU boot)
+        self.params = params
         self.tokenizer = load_tokenizer(tokenizer_path, vocab_size=self.config.vocab_size)
 
         def _forward(params, input_ids, attention_mask):
@@ -123,7 +128,8 @@ class DenseEmbedder:
         doesn't divide the axis stay single-placement (queries are B=1)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
+        if self.params is not None:
+            self.params = jax.device_put(self.params, NamedSharding(mesh, P()))
         self._mesh = mesh
         self._batch_sharding = NamedSharding(mesh, P(axis, None))
         self._dp_rows = mesh.shape[axis]
