@@ -42,18 +42,23 @@ class CrossEncoderScorer:
         self.tokenizer = load_tokenizer(tokenizer_path or weights_path,
                                         vocab_size=self.config.vocab_size)
 
-        def _forward(params, head_kernel, head_bias, input_ids, attention_mask):
+        def _forward(params, head, input_ids, attention_mask):
             hidden = self.model.apply({"params": params}, input_ids, attention_mask)
             cls = hidden[:, 0, :]
-            return (cls @ head_kernel + head_bias)[:, 0]
+            if "dense_kernel" in head:
+                # RobertaClassificationHead (the real bge-reranker head,
+                # XLMRobertaForSequenceClassification): dense → tanh → out_proj
+                cls = jnp.tanh(cls @ head["dense_kernel"] + head["dense_bias"])
+            return (cls @ head["kernel"] + head["bias"])[:, 0]
 
         self._forward = jax.jit(_forward)
 
     def _load_head(self, weights_path: str):
-        """classifier head [H, 1] + [1]; HF names: classifier.dense/out_proj
-        (roberta) or classifier.weight/bias (simple head)."""
-        kernel = None
-        bias = None
+        """Classification head. HF names: ``classifier.dense`` + tanh +
+        ``classifier.out_proj`` (RobertaClassificationHead — what
+        bge-reranker-base ships) or a bare ``classifier.weight``/``bias``
+        linear. Returned as a dict of f32 arrays."""
+        head = None
         if weights_path and Path(weights_path).exists():
             try:
                 from safetensors.numpy import load_file
@@ -63,16 +68,28 @@ class CrossEncoderScorer:
                     state.update(load_file(str(f)))
                 for key in ("classifier.weight", "classifier.out_proj.weight"):
                     if key in state and state[key].shape[0] == 1:
-                        kernel = state[key].T
-                        bias = state.get(key.replace("weight", "bias"), np.zeros(1))
+                        head = {
+                            "kernel": state[key].T,
+                            "bias": state.get(key.replace("weight", "bias"),
+                                              np.zeros(1)),
+                        }
+                        if key.startswith("classifier.out_proj") and \
+                                "classifier.dense.weight" in state:
+                            head["dense_kernel"] = state["classifier.dense.weight"].T
+                            head["dense_bias"] = state.get(
+                                "classifier.dense.bias",
+                                np.zeros(self.config.hidden_size),
+                            )
                         break
             except Exception:
-                kernel = None
-        if kernel is None:
+                head = None
+        if head is None:
             rng = np.random.default_rng(3)
-            kernel = rng.normal(scale=0.02, size=(self.config.hidden_size, 1))
-            bias = np.zeros(1)
-        return (jnp.asarray(kernel, jnp.float32), jnp.asarray(bias, jnp.float32))
+            head = {
+                "kernel": rng.normal(scale=0.02, size=(self.config.hidden_size, 1)),
+                "bias": np.zeros(1),
+            }
+        return {k: jnp.asarray(v, jnp.float32) for k, v in head.items()}
 
     def __call__(self, query: str, texts: Sequence[str]) -> np.ndarray:
         """SecondScorer interface: (query, docs) → scores [n_docs]."""
@@ -81,7 +98,7 @@ class CrossEncoderScorer:
         for i in range(0, len(pairs), self.batch_size):
             ids, mask = self.tokenizer.encode_batch(pairs[i : i + self.batch_size],
                                                     self.max_length)
-            out = self._forward(self.params, *self.head,
+            out = self._forward(self.params, self.head,
                                 jnp.asarray(ids), jnp.asarray(mask))
             scores.append(np.asarray(out, np.float64))
         return np.concatenate(scores)

@@ -91,8 +91,8 @@ def test_cross_encoder_head_loading(tmp_path):
 
     scorer = CrossEncoderScorer(config=config, weights_path=str(tmp_path), max_length=16)
     assert scorer.pretrained
-    np.testing.assert_allclose(np.asarray(scorer.head[0]), head.T, rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(scorer.head[1]), [0.5])
+    np.testing.assert_allclose(np.asarray(scorer.head["kernel"]), head.T, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(scorer.head["bias"]), [0.5])
     scores = scorer("查询", ["文本一", "文本二"])
     assert scores.shape == (2,)
 
