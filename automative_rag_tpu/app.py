@@ -342,13 +342,8 @@ class RAGApplication:
             target = payload.get("contribution_job_id")
             if not target:
                 return {}
-            deadline = time.time() + 120
-            while time.time() < deadline:
-                job = self.tracker.get_job(target)
-                if job is None or job["status"] in ("completed", "failed", "timeout"):
-                    return {"contribution_status": (job or {}).get("status", "missing")}
-                time.sleep(0.1)
-            return {"contribution_status": "timeout"}
+            status = self.tracker.wait_for_terminal(target, timeout=120)
+            return {"contribution_status": status or "timeout"}
 
         @router.task("llm_inference")
         def llm_inference(job_id, payload):
@@ -478,6 +473,11 @@ class RAGApplication:
             for attr in ("_vectors", "_docs", "_ids", "_row_of_id", "_deleted", "columns"):
                 setattr(fresh, attr, getattr(loaded, attr))
             fresh._device = None
+            # sharded-ivf: re-attach the saved build artifacts (otherwise a
+            # restored deployment silently degrades to exact search until a
+            # manual rebuild — VERDICT r1 #5)
+            if hasattr(fresh, "restore_build"):
+                fresh.restore_build(directory)
             self.index = fresh
         self.engine.index = self.index
         if self.token_store is not None:
@@ -520,6 +520,10 @@ class RAGApplication:
         else:
             self.engine.retrieve("预热查询", mode="facts")
             steps.append("retrieve")
+        if hasattr(self.index, "precompile_ladder"):
+            levels = self.index.precompile_ladder(k=self.settings.retriever_top_k)
+            if levels:
+                steps.append(f"ivf-ladder{levels}")
         return {"warmed": steps, "seconds": round(time.time() - t0, 2)}
 
     def health(self) -> Dict[str, Any]:

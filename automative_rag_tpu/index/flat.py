@@ -331,6 +331,7 @@ class FlatIndex:
     def stats(self) -> Dict[str, Any]:
         state = self._device_state()
         return {
+            "kind": "flat",
             "count": self.count,
             "total_rows": self.total_rows,
             "capacity": state["capacity"],

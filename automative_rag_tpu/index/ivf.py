@@ -74,14 +74,48 @@ def _ivf_search_kernel(
             preferred_element_type=jnp.float32,
         )
     mask = (cand >= 0) & full_mask[safe]
-    vals, pos = masked_top_k(scores, mask, k)
+    # narrow probes can expose fewer than k candidates; pad to k with -inf
+    k_run = min(k, cand.shape[1])
+    vals, pos = masked_top_k(scores, mask, k_run)
     rows = jnp.take_along_axis(cand, pos, axis=1)
+    if k_run < k:
+        pad = k - k_run
+        vals = jnp.concatenate([vals, jnp.full((b, pad), -jnp.inf, vals.dtype)], axis=1)
+        rows = jnp.concatenate([rows, jnp.full((b, pad), -1, rows.dtype)], axis=1)
     return vals, rows
 
 
 @jax.jit
 def _full_mask_kernel(valid, codes, numerics, spec: FilterSpec):
-    return valid & eval_filter_mask(codes, numerics, spec)
+    mask = valid & eval_filter_mask(codes, numerics, spec)
+    # popcount fused into the same dispatch: the caller uses it to choose the
+    # probe width up front (mask-aware probe expansion without a retry loop)
+    return mask, jnp.sum(mask.astype(jnp.int32))
+
+
+def probe_ladder(base: int, max_probe: int) -> List[int]:
+    """Quantized nprobe levels (base, 4·base, 16·base, …, max_probe). The
+    search kernel is compiled per static nprobe; restricting escalation to
+    this ladder bounds the executable count (and lets them be pre-compiled)
+    instead of minting a fresh XLA program per ad-hoc width."""
+    levels: List[int] = []
+    p = max(1, base)
+    while p < max_probe:
+        levels.append(p)
+        p *= 4
+    levels.append(max(1, max_probe))
+    return levels
+
+
+def choose_probe(levels: List[int], selectivity: float, rows_per_list: float,
+                 k: int, factor: float = 3.0) -> int:
+    """Pick the smallest ladder level whose *expected* matching candidate
+    count (selectivity × rows/list × nprobe) covers ``factor·k``. Filters
+    cluster non-uniformly across lists, hence the safety factor."""
+    for lvl in levels:
+        if selectivity * rows_per_list * lvl >= factor * k:
+            return lvl
+    return levels[-1]
 
 
 @partial(jax.jit, static_argnames=("k", "int8"))
@@ -219,10 +253,22 @@ class IVFIndex(FlatIndex):
 
         state = self._device_state()
         spec, _ = self._compile(metadata_filter)
-        full_mask = _full_mask_kernel(state["valid"], state["codes"], state["numerics"], spec)
+        full_mask, mask_count = _full_mask_kernel(
+            state["valid"], state["codes"], state["numerics"], spec
+        )
 
-        nprobe = min(n_probe or self.n_probe, self.n_lists)
         k_eff = min(k, state["capacity"])
+        base = min(n_probe or self.n_probe, self.n_lists)
+        ladder = probe_ladder(base, self.n_lists)
+        if metadata_filter:
+            # choose the probe width from filter selectivity UP FRONT: a
+            # selective filter starves probed lists, so widen before the
+            # first launch instead of retry-escalating (VERDICT r1 #3)
+            selectivity = float(mask_count) / max(1, len(self._ids))
+            rows_per_list = max(1.0, self._indexed_rows / max(1, self.n_lists))
+            nprobe = choose_probe(ladder, selectivity, rows_per_list, k_eff)
+        else:
+            nprobe = base
 
         def _run(nprobe_now: int):
             vals, rows = _ivf_search_kernel(
@@ -242,15 +288,16 @@ class IVFIndex(FlatIndex):
             return np.asarray(vals), np.asarray(rows)
 
         vals, rows = _run(nprobe)
-        # mask-aware probe expansion (SURVEY.md §7 hard part): a selective
-        # filter can starve the probed lists; escalate nprobe until the
-        # candidate set fills k or the whole index was probed
+        # backstop escalation (filters cluster, so the selectivity estimate
+        # can still under-probe): walk the remaining LADDER levels — never an
+        # ad-hoc width, so no new executable is compiled past the ladder set
         if metadata_filter:
-            while (
-                nprobe < self.n_lists
-                and np.isfinite(vals).sum(axis=1).min() < k_eff
-            ):
-                nprobe = min(nprobe * 4, self.n_lists)
+            for lvl in ladder:
+                if lvl <= nprobe:
+                    continue
+                if np.isfinite(vals).sum(axis=1).min() >= k_eff:
+                    break
+                nprobe = lvl
                 vals, rows = _run(nprobe)
 
         out: List[List[SearchResult]] = []
@@ -263,6 +310,26 @@ class IVFIndex(FlatIndex):
                 hits.append(SearchResult(self._docs[int(row)], float(score), int(row)))
             out.append(hits)
         return out
+
+    def precompile_ladder(self, k: int = 20) -> List[int]:
+        """Compile the probe-escalation ladder's executables ahead of time
+        (remote compiles take minutes; the first selective filtered query
+        must not stall on them). Idempotent — jit + the persistent compile
+        cache make repeat calls free. Returns the compiled levels."""
+        if self._centroids is None or len(self._ids) == 0:
+            return []
+        state = self._device_state()
+        k_eff = min(k, state["capacity"])
+        mask = jnp.ones(state["capacity"], bool)
+        dummy = jnp.zeros((1, self.dim), jnp.float32)
+        levels = probe_ladder(min(self.n_probe, self.n_lists), self.n_lists)
+        for lvl in levels:
+            _ivf_search_kernel(
+                state["vectors"], state["row_scales"], mask,
+                state["centroids"], state["list_table"], dummy,
+                lvl, k_eff, self._int8,
+            )
+        return levels
 
     # --------------------------------------------------------------- stats
     def stats(self) -> Dict[str, Any]:

@@ -26,9 +26,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..index.filters import FilterSpec, eval_filter_mask
 from ..index.flat import SearchResult
+from ..index.ivf import choose_probe, probe_ladder
 from ..ops.kmeans import spherical_kmeans
 from ..ops.topk import masked_top_k, merge_top_k
 from .sharded_search import ShardedFlatIndex
+
+
+@jax.jit
+def _mask_count_kernel(valid, codes, numerics, spec: FilterSpec):
+    """Global popcount of valid ∧ filter (one scalar over the sharded
+    columns) — drives the up-front probe-width choice."""
+    mask = valid & eval_filter_mask(codes, numerics, spec)
+    return jnp.sum(mask.astype(jnp.int32))
 
 
 def make_sharded_ivf_search(mesh: Mesh, axis_name: str, nprobe: int, k: int,
@@ -75,8 +84,19 @@ def make_sharded_ivf_search(mesh: Mesh, axis_name: str, nprobe: int, k: int,
         if int8:
             scores = scores.astype(jnp.float32) * q_scale * row_scales[safe]
         mask = (cand >= 0) & full_mask[safe]
-        vals, pos = masked_top_k(scores, mask, k)
+        # narrow probes can expose fewer than k candidates; pad to k so the
+        # all-gather/merge shapes stay [k]
+        k_run = min(k, cand.shape[1])
+        vals, pos = masked_top_k(scores, mask, k_run)
         rows = jnp.take_along_axis(cand, pos, axis=1) + gid_base
+        if k_run < k:
+            pad = k - k_run
+            vals = jnp.concatenate(
+                [vals, jnp.full((b, pad), -jnp.inf, vals.dtype)], axis=1
+            )
+            rows = jnp.concatenate(
+                [rows, jnp.full((b, pad), -1, rows.dtype)], axis=1
+            )
 
         if with_tail:
             # exact pass over this shard's fresh rows (global id ≥ tail_start)
@@ -248,7 +268,23 @@ class ShardedIVFIndex(ShardedFlatIndex):
         state = self._device_state()
         spec, _ = self._compile(metadata_filter)
         k_eff = min(k, state["capacity"] // self.n_shards)
-        nprobe = min(n_probe or self.n_probe, self._centroids.shape[1])
+        max_probe = self._centroids.shape[1]
+        base = min(n_probe or self.n_probe, max_probe)
+        ladder = probe_ladder(base, max_probe)
+        if metadata_filter:
+            # selectivity-driven up-front probe width (same policy as the
+            # single-device IVF; ladder-quantized so escalation never mints
+            # a fresh executable)
+            count = int(_mask_count_kernel(
+                state["valid"], state["codes"], state["numerics"], spec
+            ))
+            selectivity = count / max(1, len(self._ids))
+            rows_per_list = max(
+                1.0, self._indexed_rows / max(1, self.n_shards * max_probe)
+            )
+            nprobe = choose_probe(ladder, selectivity, rows_per_list, k_eff)
+        else:
+            nprobe = base
 
         def _run(nprobe_now: int):
             key = (k_eff, nprobe_now, self.tail_rows > 0, self._int8)
@@ -269,10 +305,13 @@ class ShardedIVFIndex(ShardedFlatIndex):
 
         vals, rows = _run(nprobe)
         if metadata_filter:
-            # mask-aware probe expansion (same policy as single-device IVF)
-            max_probe = self._centroids.shape[1]
-            while nprobe < max_probe and np.isfinite(vals).sum(axis=1).min() < k_eff:
-                nprobe = min(nprobe * 4, max_probe)
+            # backstop escalation over the remaining ladder levels only
+            for lvl in ladder:
+                if lvl <= nprobe:
+                    continue
+                if np.isfinite(vals).sum(axis=1).min() >= k_eff:
+                    break
+                nprobe = lvl
                 vals, rows = _run(nprobe)
 
         out: List[List[SearchResult]] = []
@@ -285,6 +324,71 @@ class ShardedIVFIndex(ShardedFlatIndex):
                 hits.append(SearchResult(self._docs[int(row)], float(score), int(row)))
             out.append(hits)
         return out
+
+    def precompile_ladder(self, k: int = 20) -> List[int]:
+        """Pre-compile the probe ladder's shard_map executables (the first
+        selective filtered query must not stall on a remote compile)."""
+        if not self._built() or len(self._ids) == 0:
+            return []
+        state = self._device_state()
+        k_eff = min(k, state["capacity"] // self.n_shards)
+        dummy = np.zeros((1, self.dim), np.float32)
+        spec, _ = self._compile(None)
+        levels = probe_ladder(
+            min(self.n_probe, self._centroids.shape[1]), self._centroids.shape[1]
+        )
+        for lvl in levels:
+            key = (k_eff, lvl, self.tail_rows > 0, self._int8)
+            fn = self._ivf_search_fns.get(key)
+            if fn is None:
+                fn = make_sharded_ivf_search(
+                    self.mesh, self.axis_name, lvl, k_eff,
+                    with_tail=self.tail_rows > 0, int8=self._int8,
+                )
+                self._ivf_search_fns[key] = fn
+            fn(state["vectors"], state["row_scales"], state["valid"],
+               state["codes"], state["numerics"], state["centroids"],
+               state["list_table"], jnp.asarray(dummy), spec,
+               jnp.int32(self._indexed_rows))
+        return levels
+
+    # ----------------------------------------------------------- persist
+    def save(self, directory: str) -> None:
+        super().save(directory)
+        if self._centroids is not None:
+            from pathlib import Path
+
+            np.savez_compressed(
+                Path(directory) / "sharded_ivf.npz",
+                centroids=self._centroids,
+                list_table=self._list_table,
+                built_capacity=np.int64(self._built_capacity),
+                indexed_rows=np.int64(self._indexed_rows),
+                n_probe=np.int64(self.n_probe),
+                n_shards=np.int64(self.n_shards),
+            )
+
+    def restore_build(self, directory: str) -> bool:
+        """Re-attach saved IVF build artifacts after the flat row state has
+        been restored. Returns False (exact-search fallback, rebuild needed)
+        when no artifact exists or the mesh width changed — the shard row
+        split, and therefore every local list table, is n_shards-specific."""
+        from pathlib import Path
+
+        path = Path(directory) / "sharded_ivf.npz"
+        if not path.exists():
+            return False
+        arrays = np.load(path)
+        if int(arrays["n_shards"]) != self.n_shards:
+            return False
+        self._centroids = np.asarray(arrays["centroids"], np.float32)
+        self._list_table = np.asarray(arrays["list_table"], np.int32)
+        self._built_capacity = int(arrays["built_capacity"])
+        self._indexed_rows = int(arrays["indexed_rows"])
+        self.n_probe = int(arrays["n_probe"])
+        self.n_lists = self._centroids.shape[1]
+        self._device = None
+        return self._built()
 
     def stats(self) -> Dict[str, Any]:
         base = super().stats()

@@ -106,6 +106,11 @@ class ShardedFlatIndex(FlatIndex):
         cap = _round_capacity(max(n, 1))
         return max(cap, 128 * self.n_shards)
 
+    def stats(self) -> Dict[str, Any]:
+        base = super().stats()
+        base.update({"kind": "sharded", "n_shards": self.n_shards})
+        return base
+
     def _device_state(self) -> dict:
         with self._mutex:
             return self._device_state_locked()

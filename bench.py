@@ -164,9 +164,11 @@ def main():
         except RuntimeError:
             pass
     p50_ms, on_tpu = bench_maxsim()
+    side = {}
     for dtype in ("bfloat16", "int8"):
         try:
             qps = bench_flat_search(dtype=dtype)
+            side[f"flat_search_100k_{dtype}_qps"] = round(qps, 1)
             print(
                 f"[side] flat filtered search @100K×1024 {dtype}: {qps:.0f} QPS "
                 f"(batch 8, k=20)",
@@ -174,6 +176,15 @@ def main():
             )
         except Exception as exc:  # noqa: BLE001 — side metric only
             print(f"[side] flat search bench ({dtype}) failed: {exc}", file=sys.stderr)
+    # fold committed scale/recall results (scripts/bench_scale.py) into the
+    # parsed output so the driver artifact carries QPS + recall, not just the
+    # headline latency
+    for scale_file in ("BENCH_SCALE.json",):
+        try:
+            with open(os.path.join(os.path.dirname(__file__) or ".", scale_file)) as fh:
+                side["scale"] = json.load(fh)
+        except Exception:  # noqa: BLE001 — optional artifact
+            pass
 
     print(
         json.dumps(
@@ -191,14 +202,15 @@ def main():
                     "backend": "pallas" if on_tpu else "xla-cpu",
                     "target_ms": target_ms,
                     "timing": f"lax.scan x{REPS}, serialized carry, host-fetch sync",
+                    **side,
                     **(
                         {}
                         if on_tpu
                         else {
                             "note": (
                                 "CPU fallback (accelerator tunnel unresponsive); "
-                                "last measurement on the real v5e chip was "
-                                "2.67 ms p50 — see STATUS.md"
+                                "last driver-captured measurement on the real "
+                                "v5e chip was 3.07 ms p50"
                             )
                         }
                     ),

@@ -82,6 +82,48 @@ def test_index_checkpoint_roundtrip(app, tmp_path):
     assert app.index.count == count_before
 
 
+@pytest.mark.parametrize("kind", ["flat", "ivf", "sharded", "sharded-ivf"])
+def test_checkpoint_roundtrip_every_index_kind(kind, tmp_path):
+    """Every INDEX_KIND must survive save → load with its kind AND its build
+    artifacts intact (VERDICT r1 #5: sharded-ivf silently degraded to exact
+    search after restore)."""
+    from automative_rag_tpu.config.settings import Settings
+
+    settings = Settings()
+    settings.index_kind = kind
+    app = RAGApplication(settings=settings, tiny=True)
+    try:
+        for text in CORPUS:
+            assert _wait(app, app.ingest_text(text))["status"] == "completed"
+        if hasattr(app.index, "rebuild"):
+            app.index.rebuild()
+        query = "宝马5系 加速时间"
+        before = app.engine.retrieve(query, mode="facts", rerank=False)
+        directory = str(tmp_path / "ckpt")
+        app.save_index(directory)
+
+        app.index = app._make_index()  # wipe, then restore through the app path
+        app.engine.index = app.index
+        app.load_index(directory)
+
+        stats = app.index.stats()
+        assert stats["kind"] == kind
+        if kind == "ivf":
+            assert stats["n_lists"] > 0 and stats["rows_indexed"] > 0
+        if kind == "sharded-ivf":
+            assert stats["built"], "restored sharded-ivf must keep its build"
+            assert stats["rows_indexed"] > 0
+        after = app.engine.retrieve(query, mode="facts", rerank=False)
+        assert [d.metadata.get("model") for d, _ in after] == [
+            d.metadata.get("model") for d, _ in before
+        ]
+        for (_, s_before), (_, s_after) in zip(before, after):
+            assert abs(s_before - s_after) < 1e-3
+    finally:
+        app.shutdown()
+        settings.index_kind = "flat"
+
+
 def test_reset_index():
     app = RAGApplication(tiny=True)
     try:

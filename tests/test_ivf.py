@@ -181,3 +181,59 @@ def test_int8_ivf_recall(built):
         got = {r.row for r in quant.search(q, 10, n_probe=64)[0]}
         overlap += len(got & want) / 10
     assert overlap / 10 >= 0.8, overlap / 10
+
+
+def test_probe_ladder_and_choice():
+    from automative_rag_tpu.index.ivf import choose_probe, probe_ladder
+
+    ladder = probe_ladder(8, 256)
+    assert ladder == [8, 32, 128, 256]
+    assert probe_ladder(8, 8) == [8]
+    assert probe_ladder(300, 256) == [256]
+    # permissive filter → base level; selective filter → widened up front
+    assert choose_probe(ladder, selectivity=1.0, rows_per_list=100, k=10) == 8
+    assert choose_probe(ladder, selectivity=0.01, rows_per_list=100, k=10) == 32
+    assert choose_probe(ladder, selectivity=0.001, rows_per_list=100, k=10) == 256
+    # nothing matches → widest level (the backstop loop then stops cleanly)
+    assert choose_probe(ladder, selectivity=0.0, rows_per_list=100, k=10) == 256
+
+
+def test_selective_filter_chooses_wide_probe_upfront(built, monkeypatch):
+    """The selectivity-driven choice must widen the FIRST launch, not
+    retry-escalate: count kernel launches per nprobe value."""
+    import automative_rag_tpu.index.ivf as ivf_mod
+
+    index, vectors, docs = built[:3]
+    launches = []
+    real_kernel = ivf_mod._ivf_search_kernel
+
+    def spy(*args, **kwargs):
+        launches.append(args[6] if len(args) > 6 else kwargs.get("nprobe"))
+        return real_kernel(*args, **kwargs)
+
+    monkeypatch.setattr(ivf_mod, "_ivf_search_kernel", spy)
+    # manufacturer ∧ year keeps 1/40 of rows — selective enough that nprobe=1
+    # would starve the candidate set
+    flt = {
+        "manufacturer": docs[7].metadata["manufacturer"],
+        "year": docs[7].metadata["year"],
+    }
+    q = vectors[7]
+    hits = index.search(q, 5, flt, n_probe=1)[0]
+    assert hits and all(
+        h.document.metadata["manufacturer"] == flt["manufacturer"] for h in hits
+    )
+    # first launch already ran wider than the requested nprobe=1
+    assert launches[0] > 1
+    # and any escalation stayed on the ladder for nprobe=1
+    from automative_rag_tpu.index.ivf import probe_ladder
+
+    assert set(launches) <= set(probe_ladder(1, index.n_lists))
+
+
+def test_precompile_ladder(built):
+    index = built[0]
+    levels = index.precompile_ladder(k=10)
+    from automative_rag_tpu.index.ivf import probe_ladder
+
+    assert levels == probe_ladder(min(index.n_probe, index.n_lists), index.n_lists)

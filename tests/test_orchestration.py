@@ -281,3 +281,34 @@ def test_chain_persistence_and_resume(tmp_path):
     job = _wait_status(tracker2, job_id, {JobStatus.COMPLETED.value})
     assert job["result"]["answer"] == "resumed"
     qm2.shutdown()
+
+
+def test_wait_for_terminal_event_driven():
+    """wait_for_terminal wakes on the status-change broadcast (no polling)
+    and reports terminal status / missing / timeout correctly."""
+    import threading
+    import time as _time
+
+    from automative_rag_tpu.orchestration.job_tracker import JobStatus, JobTracker
+
+    tracker = JobTracker()
+    job_id = tracker.create_job("test")
+
+    results = {}
+
+    def waiter():
+        t0 = _time.time()
+        results["status"] = tracker.wait_for_terminal(job_id, timeout=10)
+        results["elapsed"] = _time.time() - t0
+
+    thread = threading.Thread(target=waiter)
+    thread.start()
+    _time.sleep(0.15)
+    tracker.update_job_status(job_id, JobStatus.COMPLETED)
+    thread.join(timeout=5)
+    assert results["status"] == "completed"
+    assert results["elapsed"] < 5  # woke on notify, not timeout
+
+    assert tracker.wait_for_terminal("no-such-job", timeout=0.1) == "missing"
+    pending = tracker.create_job("test")
+    assert tracker.wait_for_terminal(pending, timeout=0.1) is None
