@@ -194,9 +194,16 @@ def build_api(app: RAGApplication) -> HTTPApi:
         if len(queries) > 64:
             raise HTTPError(422, "at most 64 queries per batch")
         mode = body.get("mode", "facts")
+        filters = body.get("metadata_filters")
+        if filters is not None and (
+            not isinstance(filters, list) or len(filters) != len(queries)
+        ):
+            raise HTTPError(422, "metadata_filters must align with queries")
         ranked_lists = app.engine.retrieve_batch(
             [str(q) for q in queries], mode=mode,
             metadata_filter=body.get("metadata_filter"),
+            metadata_filters=filters,
+            final_k=body.get("final_k"),
         )
         answers = app.generator.answer_batch(
             [str(q) for q in queries], ranked_lists, mode=mode

@@ -116,51 +116,90 @@ class RetrievalEngine:
         queries: List[str],
         mode: QueryMode | str = QueryMode.FACTS,
         metadata_filter: Optional[Dict[str, Any]] = None,
+        metadata_filters: Optional[List[Optional[Dict[str, Any]]]] = None,
+        retrieval_k: Optional[int] = None,
+        final_k: Optional[int] = None,
         rerank: bool = True,
     ) -> List[List[Tuple[Document, float]]]:
-        """Batched retrieval: one encoder forward and one search launch for
-        all queries; rerank gathers each query's own candidates from the
-        token store. This is the serving-throughput path — per-query cost
-        amortizes every matmul over the batch."""
+        """Batched retrieval: one encoder forward, one search launch per
+        distinct filter group, ONE MaxSim launch + one batched cross-encoder
+        pass for the whole batch. This is the serving-throughput path —
+        per-query cost amortizes every matmul over the batch.
+
+        ``metadata_filters`` (per-query) overrides ``metadata_filter``
+        (shared); queries sharing a filter share a search launch."""
         if not queries:
             return []
         mode = QueryMode.parse(mode)
         params = mode_config.get_retrieval_params(mode)
-        k1, k2 = params["retrieval_k"], params["final_k"]
+        k1 = retrieval_k or params["retrieval_k"]
+        k2 = final_k or params["final_k"]
 
         t0 = time.perf_counter()
         qvecs = self.embedder.embed_texts(queries)
         t1 = time.perf_counter()
-        per_query_hits = self.index.search(qvecs, k1, metadata_filter)
+        if metadata_filters is not None:
+            # group queries by filter so each distinct filter is one launch
+            per_query_hits: List[Any] = [None] * len(queries)
+            groups: Dict[str, Tuple[Optional[Dict[str, Any]], List[int]]] = {}
+            import json as _json
+
+            for i, flt in enumerate(metadata_filters):
+                key = _json.dumps(flt, sort_keys=True, ensure_ascii=False)
+                groups.setdefault(key, (flt, []))[1].append(i)
+            for flt, rows in groups.values():
+                hits = self.index.search(qvecs[rows], k1, flt)
+                for i, h in zip(rows, hits):
+                    per_query_hits[i] = h
+        else:
+            per_query_hits = self.index.search(qvecs, k1, metadata_filter)
         t2 = time.perf_counter()
 
+        docs_per_query = [[h.document for h in hits] for hits in per_query_hits]
+        rows_per_query = [[h.row for h in hits] for hits in per_query_hits]
+        all_rows = [r for rows in rows_per_query for r in rows]
+
+        if (
+            rerank
+            and self.reranker is not None
+            and any(docs_per_query)
+            and self.token_store is not None
+            and all_rows
+            and max(all_rows) < self.token_store.rows
+        ):
+            ranked_per_query = self.reranker.rerank_rows_batch(
+                queries, docs_per_query, rows_per_query, self.token_store, top_k=k2
+            )
+        elif rerank and self.reranker is not None and any(docs_per_query):
+            # no token store coverage: per-query encode-and-rerank fallback
+            ranked_per_query = [
+                self.reranker.rerank(q, docs, top_k=k2) if docs else []
+                for q, docs in zip(queries, docs_per_query)
+            ]
+        else:
+            ranked_per_query = [
+                [(h.document, h.score) for h in hits[:k2]] for hits in per_query_hits
+            ]
+            rerank = False
+
         out: List[List[Tuple[Document, float]]] = []
-        for query, hits in zip(queries, per_query_hits):
-            candidates = [h.document for h in hits]
-            if rerank and self.reranker is not None and candidates:
-                rows = [h.row for h in hits]
-                if self.token_store is not None and max(rows) < self.token_store.rows:
-                    ranked = self.reranker.rerank_rows(
-                        query, candidates, rows, self.token_store, top_k=k2
-                    )
-                else:
-                    ranked = self.reranker.rerank(query, candidates, top_k=k2)
-                if ranked:
-                    scores = np.array([s for _, s in ranked], np.float64)
-                    lo, hi = scores.min(), scores.max()
-                    norm = (
-                        0.2 + 0.8 * (scores - lo) / (hi - lo)
-                        if hi > lo else np.ones_like(scores)
-                    )
-                    ranked = [(d, float(s)) for (d, _), s in zip(ranked, norm)]
-            else:
-                ranked = [(h.document, h.score) for h in hits[:k2]]
+        for ranked in ranked_per_query:
+            if rerank and ranked:
+                scores = np.array([s for _, s in ranked], np.float64)
+                lo, hi = scores.min(), scores.max()
+                norm = (
+                    0.2 + 0.8 * (scores - lo) / (hi - lo)
+                    if hi > lo else np.ones_like(scores)
+                )
+                ranked = [(d, float(s)) for (d, _), s in zip(ranked, norm)]
             out.append(trim_documents_by_tokens(ranked, mode))
         self.last_timings = {
             "embed_s": t1 - t0,
             "search_s": t2 - t1,
             "rerank_s": time.perf_counter() - t2,
             "batch": len(queries),
+            "retrieval_k": k1,
+            "final_k": k2,
         }
         return out
 

@@ -91,14 +91,22 @@ class CrossEncoderScorer:
             }
         return {k: jnp.asarray(v, jnp.float32) for k, v in head.items()}
 
-    def __call__(self, query: str, texts: Sequence[str]) -> np.ndarray:
-        """SecondScorer interface: (query, docs) → scores [n_docs]."""
-        pairs = [f"{query} [SEP] {t}" for t in texts]
+    def _score_texts(self, packed: Sequence[str]) -> np.ndarray:
         scores = []
-        for i in range(0, len(pairs), self.batch_size):
-            ids, mask = self.tokenizer.encode_batch(pairs[i : i + self.batch_size],
+        for i in range(0, len(packed), self.batch_size):
+            ids, mask = self.tokenizer.encode_batch(packed[i : i + self.batch_size],
                                                     self.max_length)
             out = self._forward(self.params, self.head,
                                 jnp.asarray(ids), jnp.asarray(mask))
             scores.append(np.asarray(out, np.float64))
         return np.concatenate(scores)
+
+    def __call__(self, query: str, texts: Sequence[str]) -> np.ndarray:
+        """SecondScorer interface: (query, docs) → scores [n_docs]."""
+        return self._score_texts([f"{query} [SEP] {t}" for t in texts])
+
+    def score_pairs(self, pairs: Sequence[tuple]) -> np.ndarray:
+        """Batched pair scoring: [(query, text), ...] → scores [n_pairs] in
+        one internally-batched forward stream (the multi-query rerank path
+        feeds every query's candidates through a single call)."""
+        return self._score_texts([f"{q} [SEP] {t}" for q, t in pairs])
