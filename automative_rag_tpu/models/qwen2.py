@@ -88,6 +88,21 @@ class Qwen2Config:
         )
 
 
+def _flash_prefill_enabled(t: int, head_dim: int) -> bool:
+    """Use the Pallas flash-attention kernel for prefill? Defaults to on for
+    TPU with MXU-aligned heads and prompts long enough that the O(T²) score
+    matrix matters; ``LLM_FLASH_PREFILL=0|1`` overrides (1 runs interpret
+    mode off-TPU, for tests)."""
+    import os
+
+    env = os.environ.get("LLM_FLASH_PREFILL", "auto")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return jax.default_backend() == "tpu" and t >= 256 and head_dim % 128 == 0
+
+
 def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
     """HF-style rotary embedding: x [B, T, H, D]; positions [T] (shared) or
     [B, T] (per-row, for ragged batches whose rope offsets differ)."""
@@ -260,9 +275,19 @@ class _Attention(nn.Module):
     def prefill(self, x, positions):
         """Full-sequence pass that also returns rope-applied k/v for the
         caches — the whole prompt costs one MXU matmul set instead of T
-        sequential steps."""
-        t = x.shape[1]
+        sequential steps. Long prompts route through the Pallas flash
+        kernel (blockwise online softmax, O(T) live memory) instead of the
+        XLA full-matrix path."""
+        b, t = x.shape[:2]
         q, k, v = self._qkv(x, positions)
+        if _flash_prefill_enabled(t, self.config.head_dim):
+            from ..ops.flash_attention import flash_attention
+
+            out = flash_attention(
+                q, k, v, causal=True,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return self.o_proj(out.reshape(b, t, -1)), k, v
         causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
         return self._attend(q, k, v, causal), k, v
 

@@ -459,3 +459,23 @@ def test_int8_kv_cache():
         base.params, dataclasses.replace(cfg, weight_bits=4))
     outs = q48.generate_ragged([prompt[0, :4], prompt[1]], max_new_tokens=4)
     assert [len(o) for o in outs] == [8, 10]
+
+
+def test_flash_prefill_generates_identically(monkeypatch):
+    """Prefill through the Pallas flash kernel (interpret mode on CPU) must
+    produce the same greedy tokens as the XLA full-matrix prefill."""
+    import numpy as np
+
+    from automative_rag_tpu.models.qwen2 import Qwen2Config, Qwen2Model
+
+    cfg = Qwen2Config.tiny_test()
+    prompt = np.arange(3, 40, dtype=np.int32) % 250 + 3
+
+    monkeypatch.setenv("LLM_FLASH_PREFILL", "0")
+    base = Qwen2Model(cfg, seed=11)
+    want = base.generate_tokens(prompt, max_new_tokens=8, temperature=0.0)
+
+    monkeypatch.setenv("LLM_FLASH_PREFILL", "1")
+    flash = Qwen2Model(cfg, seed=11)
+    got = flash.generate_tokens(prompt, max_new_tokens=8, temperature=0.0)
+    np.testing.assert_array_equal(got, want)
