@@ -28,8 +28,23 @@ from ..app import RAGApplication
 from ..config.mode_config import QueryMode, mode_config
 from ..ingestion.metadata import known_manufacturers, known_models
 from ..ingestion.video_processor import validate_video_url
+from ..schemas.models import (
+    AuthTokenRequest,
+    BatchVideoIngestRequest,
+    CleanupJobsRequest,
+    CompressTokenStoreRequest,
+    ContributeRequest,
+    DebugRetrievalRequest,
+    EnhancedQueryRequest,
+    ProfileRequest,
+    QueryBatchRequest,
+    TextIngestRequest,
+    UserChoiceRequest,
+    ValidateQueryRequest,
+    VideoIngestRequest,
+)
 from .auth import issue_token
-from .http import HTTPApi, HTTPError, Request, Router
+from .http import HTTPApi, HTTPError, Request, Router, parse_body
 
 _MODE_INFO = {
     QueryMode.FACTS: {"name": "车辆规格查询", "icon": "📌", "time_estimate": "~10秒"},
@@ -160,10 +175,8 @@ def build_api(app: RAGApplication) -> HTTPApi:
     # ------------------------------------------------------------- auth
     @router.post("/auth/token")
     def auth_token(req: Request):
-        body = req.json()
-        token = issue_token(
-            body.get("username", ""), body.get("password", ""), app.settings.api_key
-        )
+        body = parse_body(req, AuthTokenRequest)
+        token = issue_token(body.username, body.password, app.settings.api_key)
         if token is None:
             raise HTTPError(401, "invalid credentials")
         return {"access_token": token, "token_type": "bearer"}
@@ -171,43 +184,35 @@ def build_api(app: RAGApplication) -> HTTPApi:
     # ------------------------------------------------------------ query
     @router.post("/query")
     def submit_query(req: Request):
-        body = req.json()
-        query = (body.get("query") or "").strip()
-        if not query:
-            raise HTTPError(422, "query must be a non-empty string")
-        mode = body.get("mode", "facts")
-        validation = body.get("validation", False)
+        body = parse_body(req, EnhancedQueryRequest)
+        mode = body.mode.value
+        validation = body.validation
         if not isinstance(validation, str):  # true → basic, "guided" passes through
             validation = bool(validation)
         job_id = app.submit_query(
-            query, mode, body.get("metadata_filter"), validation=validation
+            body.query, mode,
+            body.metadata_filter.compact() if body.metadata_filter else None,
+            validation=validation,
         )
         return {"job_id": job_id, "status": "pending", "mode": mode}
 
     @router.post("/query/batch")
     def query_batch(req: Request):
         """Synchronous batched retrieval+answer (serving-throughput path)."""
-        body = req.json()
-        queries = body.get("queries") or []
-        if not isinstance(queries, list) or not queries:
-            raise HTTPError(422, "queries must be a non-empty list")
-        if len(queries) > 64:
-            raise HTTPError(422, "at most 64 queries per batch")
-        mode = body.get("mode", "facts")
-        filters = body.get("metadata_filters")
-        if filters is not None and (
-            not isinstance(filters, list) or len(filters) != len(queries)
-        ):
+        body = parse_body(req, QueryBatchRequest)
+        if body.metadata_filters is not None and len(body.metadata_filters) != len(body.queries):
             raise HTTPError(422, "metadata_filters must align with queries")
+        mode = body.mode.value
         ranked_lists = app.engine.retrieve_batch(
-            [str(q) for q in queries], mode=mode,
-            metadata_filter=body.get("metadata_filter"),
-            metadata_filters=filters,
-            final_k=body.get("final_k"),
+            body.queries, mode=mode,
+            metadata_filter=body.metadata_filter.compact() if body.metadata_filter else None,
+            metadata_filters=(
+                [f.compact() if f else None for f in body.metadata_filters]
+                if body.metadata_filters is not None else None
+            ),
+            final_k=body.final_k,
         )
-        answers = app.generator.answer_batch(
-            [str(q) for q in queries], ranked_lists, mode=mode
-        )
+        answers = app.generator.answer_batch(body.queries, ranked_lists, mode=mode)
         return {"answers": answers, "timings": app.engine.last_timings}
 
     def _job_result(job_id: str) -> dict:
@@ -240,7 +245,8 @@ def build_api(app: RAGApplication) -> HTTPApi:
     @router.post("/query/{job_id}/user-choice")
     def user_choice(req: Request):
         job_id = req.params["job_id"]
-        if not app.job_chain.resume_from_user_input(job_id, req.json()):
+        body = parse_body(req, UserChoiceRequest)
+        if not app.job_chain.resume_from_user_input(job_id, body.model_dump()):
             raise HTTPError(409, "job is not waiting for user input")
         return {"job_id": job_id, "resumed": True}
 
@@ -250,12 +256,9 @@ def build_api(app: RAGApplication) -> HTTPApi:
         inference_tasks.py:205-278): ingest the contributed evidence, then
         resume the paused workflow."""
         job_id = req.params["job_id"]
-        body = req.json()
-        kind = body.get("type", "text_input")
-        content = (body.get("content") or "").strip()
-        if not content:
-            raise HTTPError(422, "content must be non-empty")
-        contribution = {"type": kind, "contributed_by": body.get("user", "anonymous")}
+        body = parse_body(req, ContributeRequest)
+        content = body.content
+        contribution = {"type": body.type, "contributed_by": body.user}
         ingest_job = app.ingest_text(
             content, metadata={"source": "manual", **contribution}
         )
@@ -320,16 +323,15 @@ def build_api(app: RAGApplication) -> HTTPApi:
 
     @router.post("/query/validate")
     def validate_query(req: Request):
-        body = req.json()
-        query = (body.get("query") or "").strip()
+        body = parse_body(req, ValidateQueryRequest)
+        query = body.query.strip()
         issues = []
         if not query:
             issues.append("query is empty")
         if len(query) > 512:
             issues.append("query too long (max 512 chars)")
-        mode = body.get("mode", "facts")
-        if mode not in {m.value for m in QueryMode}:
-            issues.append(f"unknown mode {mode!r}")
+        if body.mode not in {m.value for m in QueryMode}:
+            issues.append(f"unknown mode {body.mode!r}")
         return {"valid": not issues, "issues": issues}
 
     @router.get("/query/manufacturers")
@@ -361,18 +363,15 @@ def build_api(app: RAGApplication) -> HTTPApi:
 
     @router.post("/query/debug-retrieval")
     def debug_retrieval(req: Request):
-        body = req.json()
-        query = (body.get("query") or "").strip()
-        if not query:
-            raise HTTPError(422, "query must be a non-empty string")
+        body = parse_body(req, DebugRetrievalRequest)
         ranked = app.engine.retrieve(
-            query,
-            mode=body.get("mode", "facts"),
-            metadata_filter=body.get("metadata_filter"),
-            rerank=body.get("rerank", True),
+            body.query,
+            mode=body.mode.value,
+            metadata_filter=body.metadata_filter.compact() if body.metadata_filter else None,
+            rerank=body.rerank,
         )
         return {
-            "query": query,
+            "query": body.query,
             "count": len(ranked),
             "timings": app.engine.last_timings,
             "documents": [
@@ -389,29 +388,22 @@ def build_api(app: RAGApplication) -> HTTPApi:
     # ----------------------------------------------------------- ingest
     @router.post("/ingest/text")
     def ingest_text(req: Request):
-        body = req.json()
-        content = (body.get("content") or "").strip()
-        if not content:
-            raise HTTPError(422, "content must be a non-empty string")
-        job_id = app.ingest_text(content, body.get("metadata"))
+        body = parse_body(req, TextIngestRequest)
+        job_id = app.ingest_text(body.content, body.metadata or None)
         return {"job_id": job_id, "status": "pending"}
 
     @router.post("/ingest/video")
     def ingest_video(req: Request):
-        body = req.json()
-        url = body.get("url", "")
-        ok, reason = validate_video_url(url)
+        body = parse_body(req, VideoIngestRequest)
+        ok, reason = validate_video_url(body.url)
         if not ok:
             raise HTTPError(422, f"invalid video url: {reason}")
-        job_id = app.ingest_video(url, body.get("metadata"))
+        job_id = app.ingest_video(body.url, body.metadata or None)
         return {"job_id": job_id, "status": "pending"}
 
     @router.post("/ingest/batch-videos")
     def ingest_batch(req: Request):
-        body = req.json()
-        urls = body.get("urls") or []
-        if not isinstance(urls, list) or not urls:
-            raise HTTPError(422, "urls must be a non-empty list")
+        urls = parse_body(req, BatchVideoIngestRequest).urls
         accepted, rejected = [], []
         for url in urls:
             ok, reason = validate_video_url(url)
@@ -431,8 +423,10 @@ def build_api(app: RAGApplication) -> HTTPApi:
             with open(path, "wb") as f:
                 f.write(req.body)
         else:
-            path = req.json().get("path", "")
-            if not path or not os.path.exists(path):
+            from ..schemas.models import PDFIngestRequest
+
+            path = parse_body(req, PDFIngestRequest).path
+            if not os.path.exists(path):
                 raise HTTPError(422, "provide a PDF body or an existing 'path'")
         job_id = app.ingest_pdf(path)
         return {"job_id": job_id, "status": "pending", "path": path}
@@ -471,11 +465,8 @@ def build_api(app: RAGApplication) -> HTTPApi:
         """PLAID-style token-store compression (rerank/residual_codec.py)."""
         if app.token_store is None:
             raise HTTPError(409, "token store is disabled")
-        body = req.json()
-        return app.token_store.compress(
-            k_centroids=int(body.get("k_centroids", 256)),
-            bits=int(body.get("bits", 4)),
-        )
+        body = parse_body(req, CompressTokenStoreRequest)
+        return app.token_store.compress(k_centroids=body.k_centroids, bits=body.bits)
 
     @router.get("/ingest/jobs")
     def list_jobs(req: Request):
@@ -581,15 +572,12 @@ def build_api(app: RAGApplication) -> HTTPApi:
         """Run one retrieval under a jax.profiler device trace."""
         from ..utils.profiling import profile_retrieval
 
-        body = req.json()
-        query = (body.get("query") or "").strip()
-        if not query:
-            raise HTTPError(422, "query must be a non-empty string")
-        trace_dir = body.get("trace_dir") or os.path.join(
+        body = parse_body(req, ProfileRequest)
+        trace_dir = body.trace_dir or os.path.join(
             app.settings.data_dir, "traces", str(int(time.time()))
         )
         return profile_retrieval(
-            app.engine, query, trace_dir=trace_dir, mode=body.get("mode", "facts")
+            app.engine, body.query, trace_dir=trace_dir, mode=body.mode.value
         )
 
     @router.post("/system/rebuild-index")
@@ -620,7 +608,11 @@ def build_api(app: RAGApplication) -> HTTPApi:
 
     @router.post("/system/cleanup-jobs")
     def cleanup_jobs(req: Request):
-        removed = app.tracker.cleanup_old_jobs(app.settings.job_retention_days)
+        body = parse_body(req, CleanupJobsRequest)
+        removed = app.tracker.cleanup_old_jobs(
+            body.max_age_days if body.max_age_days is not None
+            else app.settings.job_retention_days
+        )
         stalled = app.tracker.mark_stalled_jobs()
         return {"removed": removed, "marked_stalled": stalled}
 
@@ -681,7 +673,10 @@ def build_api(app: RAGApplication) -> HTTPApi:
 
     @router.post("/model/update-config")
     def update_config(req: Request):
-        applied = app.settings.update(req.json())
+        from ..schemas.models import SystemConfigUpdate
+
+        body = parse_body(req, SystemConfigUpdate)
+        applied = app.settings.update(body.model_dump())
         # reference persists config updates to a JSON file
         # (src/config/utils.py:17-90 via /model/update-config)
         saved_to = app.settings.save() if applied else None

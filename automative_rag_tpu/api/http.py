@@ -39,10 +39,34 @@ class Request:
 
 
 class HTTPError(Exception):
-    def __init__(self, status: int, detail: str):
-        super().__init__(detail)
+    def __init__(self, status: int, detail):
+        super().__init__(str(detail))
         self.status = status
         self.detail = detail
+
+
+def parse_body(req: "Request", model_cls):
+    """Validate the JSON body against a pydantic request model.
+
+    Returns the validated model; raises HTTPError 422 with structured
+    per-field errors on any mismatch (the reference gets this from
+    FastAPI+pydantic for free — ~2000 L of contracts in src/models/;
+    here the same contracts guard the stdlib router)."""
+    from pydantic import ValidationError
+
+    data = req.json()
+    if not isinstance(data, dict):
+        raise HTTPError(422, [{"field": "<root>", "error": "body must be a JSON object"}])
+    try:
+        return model_cls.model_validate(data)
+    except ValidationError as exc:
+        raise HTTPError(422, [
+            {
+                "field": ".".join(str(p) for p in e["loc"]) or "<root>",
+                "error": e["msg"],
+            }
+            for e in exc.errors()
+        ]) from exc
 
 
 class RawResponse:

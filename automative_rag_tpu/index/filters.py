@@ -178,6 +178,24 @@ def compile_filter(
     for name, value in metadata_filter.items():
         if value is None:
             continue
+        if isinstance(value, dict):
+            # explicit numeric range {"gte": a, "lte": b} (reference Qdrant
+            # Range semantics, vectorstore.py:252-262); open ends default to
+            # the int32 extremes
+            if name not in _NUM_INDEX:
+                raise FilterError(f"field {name!r} does not support range filters")
+            unknown = set(value) - {"gte", "lte"}
+            if unknown:
+                raise FilterError(f"unsupported range keys {sorted(unknown)}")
+            if c >= MAX_CONDITIONS:
+                raise FilterError(f"filter has more than {MAX_CONDITIONS} conditions")
+            kind[c] = KIND_NUMERIC_RANGE
+            field_idx[c] = _NUM_INDEX[name]
+            gte, lte = value.get("gte"), value.get("lte")  # explicit null = open
+            lo[c] = int(gte) if gte is not None else -(2**31) + 1
+            hi[c] = int(lte) if lte is not None else 2**31 - 1
+            c += 1
+            continue
         if isinstance(value, list):
             values: List[Any] = [v for v in value if v is not None]
             if not values:

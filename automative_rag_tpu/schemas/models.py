@@ -17,26 +17,118 @@ from .enums import QueryMode
 
 # ------------------------------------------------------------------- query
 
+class YearRange(BaseModel):
+    """Qdrant-style numeric range (reference vectorstore.py:252-262)."""
+
+    gte: Optional[int] = None
+    lte: Optional[int] = None
+
+    model_config = {"extra": "forbid"}
+
+
 class MetadataFilter(BaseModel):
     manufacturer: Optional[Union[str, List[str]]] = None
     model: Optional[Union[str, List[str]]] = None
-    year: Optional[Union[int, List[int]]] = None
+    year: Optional[Union[int, List[int], YearRange]] = None
     category: Optional[Union[str, List[str]]] = None
     engine_type: Optional[Union[str, List[str]]] = None
     transmission: Optional[Union[str, List[str]]] = None
     source: Optional[Union[str, List[str]]] = None
     source_id: Optional[Union[str, List[str]]] = None
 
+    model_config = {"extra": "forbid"}  # unknown fields are 422, not silence
+
     def compact(self) -> Dict[str, Any]:
-        return {k: v for k, v in self.model_dump().items() if v is not None}
+        return self.model_dump(exclude_none=True)
 
 
 class EnhancedQueryRequest(BaseModel):
     query: str = Field(min_length=1, max_length=512)
     mode: QueryMode = QueryMode.FACTS
     metadata_filter: Optional[MetadataFilter] = None
-    validation: bool = False
+    validation: Union[bool, str] = False  # True → basic, "guided" passes through
     top_k: Optional[int] = Field(default=None, ge=1, le=100)
+
+    @field_validator("query")
+    @classmethod
+    def _strip(cls, v: str) -> str:
+        v = v.strip()
+        if not v:
+            raise ValueError("query must not be blank")
+        return v
+
+
+class QueryBatchRequest(BaseModel):
+    queries: List[str] = Field(min_length=1, max_length=64)
+    mode: QueryMode = QueryMode.FACTS
+    metadata_filter: Optional[MetadataFilter] = None
+    metadata_filters: Optional[List[Optional[MetadataFilter]]] = None
+    final_k: Optional[int] = Field(default=None, ge=1, le=100)
+
+    @field_validator("queries")
+    @classmethod
+    def _non_blank(cls, v: List[str]) -> List[str]:
+        out = [q.strip() for q in v]
+        if any(not q for q in out):
+            raise ValueError("queries must not contain blank entries")
+        return out
+
+
+class ValidateQueryRequest(BaseModel):
+    query: str = ""
+    mode: str = "facts"
+
+
+class DebugRetrievalRequest(BaseModel):
+    query: str = Field(min_length=1, max_length=512)
+    mode: QueryMode = QueryMode.FACTS
+    metadata_filter: Optional[MetadataFilter] = None
+    rerank: bool = True
+
+    @field_validator("query")
+    @classmethod
+    def _strip(cls, v: str) -> str:
+        v = v.strip()
+        if not v:
+            raise ValueError("query must not be blank")
+        return v
+
+
+class ContributeRequest(BaseModel):
+    content: str = Field(min_length=1)
+    type: str = "text_input"
+    user: str = "anonymous"
+
+    @field_validator("content")
+    @classmethod
+    def _strip(cls, v: str) -> str:
+        v = v.strip()
+        if not v:
+            raise ValueError("content must not be blank")
+        return v
+
+
+class AuthTokenRequest(BaseModel):
+    username: str = ""
+    password: str = ""
+
+
+class CompressTokenStoreRequest(BaseModel):
+    k_centroids: int = Field(default=256, ge=2, le=65536)
+    bits: int = Field(default=4)
+
+    @field_validator("bits")
+    @classmethod
+    def _bits(cls, v: int) -> int:
+        if v not in (2, 4):
+            raise ValueError("bits must be 2 or 4")
+        return v
+
+
+class ProfileRequest(BaseModel):
+    query: str = Field(min_length=1, max_length=512)
+    mode: QueryMode = QueryMode.FACTS
+    trace_dir: Optional[str] = None
 
     @field_validator("query")
     @classmethod
@@ -72,19 +164,38 @@ class TextIngestRequest(BaseModel):
     content: str = Field(min_length=1)
     metadata: Dict[str, Any] = Field(default_factory=dict)
 
+    @field_validator("content")
+    @classmethod
+    def _strip(cls, v: str) -> str:
+        v = v.strip()
+        if not v:
+            raise ValueError("content must not be blank")
+        return v
+
 
 class VideoIngestRequest(BaseModel):
-    url: str
+    url: str = Field(min_length=1)
     metadata: Dict[str, Any] = Field(default_factory=dict)
 
 
 class BatchVideoIngestRequest(BaseModel):
-    urls: List[str] = Field(min_length=1)
+    urls: List[str] = Field(min_length=1, max_length=100)
 
 
 class PDFIngestRequest(BaseModel):
-    path: str
+    path: str = Field(min_length=1)
     metadata: Dict[str, Any] = Field(default_factory=dict)
+
+
+class UserChoiceRequest(BaseModel):
+    """Free-form resume payload for a paused validation workflow; must at
+    least be a JSON object."""
+
+    model_config = {"extra": "allow"}
+
+
+class CleanupJobsRequest(BaseModel):
+    max_age_days: Optional[float] = Field(default=None, ge=0)
 
 
 class DocumentMetadata(BaseModel):

@@ -103,9 +103,13 @@ def bench_flat_search(n=100_000, dim=1024, k=20, batch=8, trials=3, dtype="bfloa
     q0 = jnp.asarray(rng.normal(size=(batch, dim)),
                      jnp.int8 if int8 else jnp.bfloat16)
     spec = FilterSpec.match_all()
+    if not int8:
+        row_scales = jnp.zeros(1, jnp.float32)
 
+    # corpus passed as an argument — closure constants get baked into the
+    # executable and shipped through the remote compiler
     @jax.jit
-    def many(q):
+    def many(q, vectors, row_scales):
         def body(carry, _):
             scores = jax.lax.dot_general(
                 carry, vectors, (((1,), (1,)), ((), ())),
@@ -121,11 +125,13 @@ def bench_flat_search(n=100_000, dim=1024, k=20, batch=8, trials=3, dtype="bfloa
         _, outs = jax.lax.scan(body, q, None, length=REPS)
         return outs
 
-    np.asarray(many(q0))
+    vectors = jax.device_put(vectors)
+    row_scales = jax.device_put(row_scales)
+    np.asarray(many(q0, vectors, row_scales))
     samples = []
     for _ in range(trials):
         t0 = time.perf_counter()
-        np.asarray(many(q0))
+        np.asarray(many(q0, vectors, row_scales))
         samples.append((time.perf_counter() - t0) / REPS)
     per_call = float(np.percentile(samples, 50))
     return batch / per_call

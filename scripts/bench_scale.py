@@ -54,9 +54,14 @@ def bench_flat(n, dim=1024, k=20, batch=8, dtype="bfloat16", trials=3):
     q0 = jnp.asarray(np.random.default_rng(1).normal(size=(batch, dim)),
                      jnp.int8 if int8 else jnp.bfloat16)
     spec = FilterSpec.match_all()
+    if not int8:
+        row_scales = jnp.zeros(1, jnp.float32)
 
+    # the corpus is an ARGUMENT, not a closure constant: captured constants
+    # get baked into the executable and shipped through the remote compiler
+    # (a 2 GB program broke its transport at 1M×1024 bf16)
     @jax.jit
-    def many(q):
+    def many(q, vectors, row_scales):
         def body(carry, _):
             scores = jax.lax.dot_general(
                 carry, vectors, (((1,), (1,)), ((), ())),
@@ -72,11 +77,13 @@ def bench_flat(n, dim=1024, k=20, batch=8, dtype="bfloat16", trials=3):
         _, outs = jax.lax.scan(body, q, None, length=REPS)
         return outs
 
-    np.asarray(many(q0))
+    vectors = jax.device_put(vectors)
+    row_scales = jax.device_put(row_scales)
+    np.asarray(many(q0, vectors, row_scales))
     samples = []
     for _ in range(trials):
         t0 = time.perf_counter()
-        np.asarray(many(q0))
+        np.asarray(many(q0, vectors, row_scales))
         samples.append((time.perf_counter() - t0) / REPS)
     per_call = float(np.percentile(samples, 50))
     return {

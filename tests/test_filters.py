@@ -184,3 +184,36 @@ def test_randomized_filters_match_python_oracle(rng):
         )[: len(metadatas)]
         want = np.array([python_oracle(md, flt) for md in metadatas])
         np.testing.assert_array_equal(mask, want, err_msg=str(flt))
+
+
+def test_year_range_dict_filter():
+    """Explicit {gte, lte} range (reference Qdrant Range,
+    vectorstore.py:252-262), incl. open ends and explicit nulls."""
+    import numpy as np
+
+    from automative_rag_tpu.documents import Document
+    from automative_rag_tpu.index.flat import FlatIndex
+    from automative_rag_tpu.index.filters import FilterError, compile_filter
+
+    idx = FlatIndex(dim=8, device_dtype="float32")
+    rng = np.random.default_rng(0)
+    vectors = rng.normal(size=(6, 8)).astype(np.float32)
+    docs = [Document(page_content=f"d{i}", metadata={"year": 2010 + i * 3})
+            for i in range(6)]
+    idx.add(vectors, docs)
+
+    def years(flt):
+        hits = idx.search(vectors[0], 6, flt)[0]
+        return sorted(h.document.metadata["year"] for h in hits)
+
+    assert years({"year": {"gte": 2016, "lte": 2022}}) == [2016, 2019, 2022]
+    assert years({"year": {"gte": 2019}}) == [2019, 2022, 2025]
+    assert years({"year": {"lte": 2013}}) == [2010, 2013]
+    assert years({"year": {"gte": 2019, "lte": None}}) == [2019, 2022, 2025]
+
+    import pytest as _pytest
+
+    with _pytest.raises(FilterError):
+        compile_filter({"year": {"between": (1, 2)}}, idx.columns)
+    with _pytest.raises(FilterError):
+        compile_filter({"manufacturer": {"gte": 1}}, idx.columns)
