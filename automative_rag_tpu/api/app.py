@@ -444,21 +444,79 @@ def build_api(app: RAGApplication) -> HTTPApi:
         year = req.query_param("year")
         if year:
             flt["year"] = int(year)
+        year_gte, year_lte = req.query_param("year_gte"), req.query_param("year_lte")
+        if year_gte or year_lte:
+            flt["year"] = {
+                **({"gte": int(year_gte)} if year_gte else {}),
+                **({"lte": int(year_lte)} if year_lte else {}),
+            }
         limit = int(req.query_param("limit", "50"))
         offset = int(req.query_param("offset", "0"))
         if flt:
-            docs = app.index.metadata_search(flt, limit=limit, offset=offset)
+            docs = app.index.metadata_search(flt, limit=limit + 1, offset=offset)
         else:
             live = [d for d in app.index._docs if d.id in app.index._row_of_id]
-            docs = live[offset : offset + limit]
+            docs = live[offset : offset + limit + 1]
+        has_more = len(docs) > limit
+        docs = docs[:limit]
         return {
             "count": len(docs),
+            "total": app.index.count,
+            "offset": offset,
+            "has_more": has_more,
             "filter": flt,
             "documents": [
                 {"id": d.id, "metadata": d.metadata, "preview": d.page_content[:200]}
                 for d in docs
             ],
         }
+
+    @router.get("/ingest/documents/{doc_id}")
+    def document_detail(req: Request):
+        """Full chunk inspection (reference 文档浏览.py chunk view): complete
+        content, metadata, and sibling chunks from the same source."""
+        doc_id = req.params["doc_id"]
+        row = app.index._row_of_id.get(doc_id)
+        if row is None:
+            raise HTTPError(404, "document not found")
+        doc = app.index._docs[row]
+        source_id = doc.metadata.get("source_id")
+        siblings = []
+        if source_id:
+            siblings = [
+                {
+                    "id": d.id,
+                    "chunk_index": d.metadata.get("chunk_index"),
+                    "preview": d.page_content[:80],
+                }
+                for d in app.index._docs
+                if d.metadata.get("source_id") == source_id
+                and d.id in app.index._row_of_id and d.id != doc_id
+            ][:20]
+        return {
+            "id": doc.id,
+            "content": doc.page_content,
+            "metadata": doc.metadata,
+            "length": len(doc.page_content),
+            "siblings": sorted(
+                siblings, key=lambda s: (s["chunk_index"] is None, s["chunk_index"])
+            ),
+        }
+
+    @router.post("/query/explain")
+    def explain_match(req: Request):
+        """Token-level match explanation for (query, doc) — reference
+        rerankers.py:387-561 explanations, surfaced per document."""
+        from ..schemas.models import ExplainRequest
+
+        body = parse_body(req, ExplainRequest)
+        row = app.index._row_of_id.get(body.doc_id)
+        if row is None:
+            raise HTTPError(404, "document not found")
+        doc = app.index._docs[row]
+        explanation = app.reranker.explain(body.query, doc,
+                                           top_matches=body.top_matches)
+        return {"query": body.query, "doc_id": body.doc_id, **explanation}
 
     @router.post("/system/compress-token-store")
     def compress_token_store(req: Request):

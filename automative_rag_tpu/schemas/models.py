@@ -113,6 +113,12 @@ class AuthTokenRequest(BaseModel):
     password: str = ""
 
 
+class ExplainRequest(BaseModel):
+    query: str = Field(min_length=1, max_length=512)
+    doc_id: str = Field(min_length=1)
+    top_matches: int = Field(default=5, ge=1, le=32)
+
+
 class CompressTokenStoreRequest(BaseModel):
     k_centroids: int = Field(default=256, ge=2, le=65536)
     bits: int = Field(default=4)

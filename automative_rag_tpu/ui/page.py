@@ -150,19 +150,78 @@ label { color:var(--dim); font-size:13px; }
   <div class="card">
     <h2>文档浏览</h2><br>
     <div class="row">
-      <input id="b-query" size="28" placeholder="检索词（调试检索）">
+      <label>模式 <select id="b-mode" onchange="browseModeChanged()">
+        <option value="scroll">按元数据浏览</option>
+        <option value="search">相关度检索</option>
+      </select></label>
+      <input id="b-query" size="24" placeholder="检索词" class="hide">
       <label>品牌 <input id="b-manu" size="8"></label>
-      <button class="primary" onclick="browse()">检索</button>
+      <label>车型 <input id="b-model" size="8"></label>
+      <label>类别 <input id="b-cat" size="6"></label>
+      <label>来源 <select id="b-source"><option value="">全部</option>
+        <option>text</option><option>pdf</option><option>video</option><option>manual</option>
+      </select></label>
+      <label>年款 <input id="b-ygte" size="4" placeholder="从"> – <input id="b-ylte" size="4" placeholder="到"></label>
+      <button class="primary" onclick="browsePage=0;browse()">查询</button>
     </div><br>
     <div id="b-analysis"></div>
     <div id="b-results"></div>
+    <div class="row" style="margin-top:8px">
+      <button class="ghost" onclick="browsePrev()">← 上一页</button>
+      <span id="b-pageinfo" class="badge dim"></span>
+      <button class="ghost" onclick="browseNext()">下一页 →</button>
+    </div>
+  </div>
+  <div class="card hide" id="b-detail">
+    <h3>📄 块详情 <button class="ghost" style="float:right" onclick="$('b-detail').classList.add('hide')">关闭</button></h3>
+    <div id="b-detail-meta"></div>
+    <pre id="b-detail-content" style="white-space:pre-wrap;color:var(--text)"></pre>
+    <div id="b-detail-explain"></div>
+    <div id="b-detail-siblings"></div>
   </div>
 </section>
 
 <section id="tab-jobs" class="hide">
   <div class="card">
-    <h2>后台任务 <button class="ghost" onclick="loadJobs()">刷新</button></h2><br>
+    <h2>后台任务
+      <button class="ghost" onclick="loadJobs()">刷新</button>
+      <label style="margin-left:8px"><input type="checkbox" id="j-auto" onchange="jobsAutoRefresh()"> 自动刷新</label>
+    </h2><br>
+    <div class="grid" id="jobs-counts"></div><br>
+    <div class="row">
+      <label>类型 <select id="j-type" onchange="jobsPage=0;loadJobs()">
+        <option value="">全部</option>
+        <option value="text_processing">文本</option>
+        <option value="pdf_processing">PDF</option>
+        <option value="video_processing">视频</option>
+        <option value="llm_inference">查询</option>
+      </select></label>
+      <label>状态 <select id="j-status" onchange="jobsPage=0;loadJobs()">
+        <option value="">全部</option>
+        <option>pending</option><option>processing</option><option>completed</option>
+        <option>failed</option><option>timeout</option><option>cancelled</option>
+        <option>waiting_user</option>
+      </select></label>
+      <button class="ghost" onclick="cleanupJobs()">清理过期任务</button>
+      <span id="j-cleanup-status"></span>
+    </div><br>
     <div id="jobs-table"></div>
+    <div class="row" style="margin-top:8px">
+      <button class="ghost" onclick="jobsPrev()">← 上一页</button>
+      <span id="j-pageinfo" class="badge dim"></span>
+      <button class="ghost" onclick="jobsNext()">下一页 →</button>
+    </div>
+  </div>
+  <div class="card hide" id="j-detail">
+    <h3>任务详情 <span id="j-detail-id" class="badge dim"></span>
+      <button class="ghost" style="float:right" onclick="$('j-detail').classList.add('hide')">关闭</button></h3><br>
+    <div id="j-detail-chain"></div>
+    <div id="j-detail-validation"></div>
+    <div id="j-detail-analysis"></div>
+    <h4 style="margin-top:10px">进度流</h4>
+    <div id="j-detail-progress"></div>
+    <h4 style="margin-top:10px">结果</h4>
+    <pre id="j-detail-result"></pre>
   </div>
 </section>
 
@@ -198,6 +257,7 @@ function show(tab) {
   });
   if (tab === "home") loadHome();
   if (tab === "query") loadHistory();
+  if (tab === "browse") browse();
   if (tab === "jobs") loadJobs();
   if (tab === "system") loadSystem();
 }
@@ -360,25 +420,180 @@ async function watchJob(jobId, el) {
   }
 }
 
+// ---------------------------------------------------------- 文档浏览
+let browsePage = 0, browseHasMore = false;
+const PAGE = 20;
+
+function browseModeChanged() {
+  $("b-query").classList.toggle("hide", $("b-mode").value !== "search");
+}
+function browsePrev() { if (browsePage > 0) { browsePage--; browse(); } }
+function browseNext() { if (browseHasMore) { browsePage++; browse(); } }
+
+function browseFilterQS() {
+  const p = new URLSearchParams();
+  if ($("b-manu").value) p.set("manufacturer", $("b-manu").value);
+  if ($("b-model").value) p.set("model", $("b-model").value);
+  if ($("b-cat").value) p.set("category", $("b-cat").value);
+  if ($("b-source").value) p.set("source", $("b-source").value);
+  if ($("b-ygte").value) p.set("year_gte", $("b-ygte").value);
+  if ($("b-ylte").value) p.set("year_lte", $("b-ylte").value);
+  return p;
+}
+
 async function browse() {
+  $("b-detail").classList.add("hide");
+  if ($("b-mode").value === "search") return browseSearch();
+  const p = browseFilterQS();
+  p.set("limit", PAGE);
+  p.set("offset", browsePage * PAGE);
+  const r = await api("/ingest/documents?" + p.toString());
+  browseHasMore = r.has_more;
+  $("b-analysis").innerHTML = `<span class="badge dim">索引共 ${r.total} 块 · 本页 ${r.count}</span><br><br>`;
+  $("b-pageinfo").textContent = `第 ${browsePage + 1} 页`;
+  $("b-results").innerHTML = r.documents.map(d =>
+    `<div class="src" style="cursor:pointer" onclick="inspectDoc('${d.id}')">
+     📄 <b>${esc(d.metadata.manufacturer||"?")} ${esc(d.metadata.model||"")}</b>
+     ${d.metadata.year||""} <span class="badge dim">${esc(d.metadata.source||"?")}
+     · 块${d.metadata.chunk_index ?? 0}</span><br>${esc(d.preview)}</div>`).join("")
+    || "<div class='src'>无结果</div>";
+}
+
+async function browseSearch() {
   const body = {query: $("b-query").value || "汽车"};
-  if ($("b-manu").value) body.metadata_filter = {manufacturer: $("b-manu").value};
+  const f = {};
+  if ($("b-manu").value) f.manufacturer = $("b-manu").value;
+  if ($("b-model").value) f.model = $("b-model").value;
+  if ($("b-ygte").value || $("b-ylte").value) {
+    f.year = {};
+    if ($("b-ygte").value) f.year.gte = parseInt($("b-ygte").value);
+    if ($("b-ylte").value) f.year.lte = parseInt($("b-ylte").value);
+  }
+  if (Object.keys(f).length) body.metadata_filter = f;
   const r = await api("/query/debug-retrieval", {method:"POST",
     headers:{"Content-Type":"application/json"}, body: JSON.stringify(body)});
+  browseHasMore = false;
+  $("b-pageinfo").textContent = "";
   $("b-analysis").innerHTML = `<span class="badge dim">${r.count} 结果 ·
     检索 ${(r.timings.search_s*1000).toFixed(1)}ms · 重排 ${(r.timings.rerank_s*1000).toFixed(1)}ms</span><br><br>`;
   $("b-results").innerHTML = r.documents.map(d =>
-    `<div class="src"><b>${(+d.score).toFixed(2)}</b>
+    `<div class="src" style="cursor:pointer" onclick="inspectDoc('${d.id}', '${esc($("b-query").value)}')">
+     <b>${(+d.score).toFixed(2)}</b>
      ${esc(d.metadata.manufacturer||"?")} ${esc(d.metadata.model||"")} ${d.metadata.year||""}
      <br>${esc(d.preview)}</div>`).join("") || "无结果";
 }
 
+async function inspectDoc(docId, query) {
+  const d = await api("/ingest/documents/" + docId);
+  $("b-detail").classList.remove("hide");
+  const m = d.metadata;
+  $("b-detail-meta").innerHTML = ["manufacturer","model","year","category",
+    "engine_type","transmission","source","chunk_index","total_chunks"]
+    .filter(k => m[k] != null)
+    .map(k => `<span class="badge dim" style="margin:2px">${k}: ${esc(m[k])}</span>`).join("")
+    + ` <span class="badge dim">${d.length} 字</span>`;
+  $("b-detail-content").textContent = d.content;
+  $("b-detail-siblings").innerHTML = d.siblings.length
+    ? "<h4 style='margin-top:10px'>同源块</h4>" + d.siblings.map(s =>
+      `<div class="src" style="cursor:pointer" onclick="inspectDoc('${s.id}')">
+       块${s.chunk_index ?? "?"} · ${esc(s.preview)}</div>`).join("")
+    : "";
+  $("b-detail-explain").innerHTML = "";
+  if (query) {
+    const ex = await api("/query/explain", {method:"POST",
+      headers:{"Content-Type":"application/json"},
+      body: JSON.stringify({query, doc_id: docId})});
+    $("b-detail-explain").innerHTML = "<h4 style='margin-top:10px'>词元匹配解释</h4>" +
+      ex.matches.map(x => `<div class="src">「${esc(x.query_token)}」 ↔ 「${esc(x.doc_token)}」
+        · 相似度 ${(+x.similarity).toFixed(3)}</div>`).join("");
+  }
+}
+
+// ---------------------------------------------------------- 后台任务
+let jobsPage = 0, jobsHasMore = false, jobsTimer = null;
+
+function jobsPrev() { if (jobsPage > 0) { jobsPage--; loadJobs(); } }
+function jobsNext() { if (jobsHasMore) { jobsPage++; loadJobs(); } }
+function jobsAutoRefresh() {
+  clearInterval(jobsTimer);
+  if ($("j-auto").checked) jobsTimer = setInterval(loadJobs, 2000);
+}
+
+const COUNT_LABELS = {total:"总数", completed:"完成", processing:"处理中",
+  pending:"等待", failed:"失败", timeout:"超时", cancelled:"取消", waiting_user:"待输入"};
+
 async function loadJobs() {
-  const r = await api("/ingest/jobs?limit=30");
-  $("jobs-table").innerHTML = `<table><tr><th>任务</th><th>类型</th><th>状态</th><th>进度</th></tr>` +
-    r.jobs.map(j => `<tr><td>${j.job_id.slice(0,8)}</td><td>${j.job_type}</td>
-      <td><span class="badge ${j.status==="completed"?"ok":j.status==="failed"?"bad":"warn"}">${j.status}</span></td>
-      <td>${j.progress}%</td></tr>`).join("") + "</table>";
+  const p = new URLSearchParams({limit: PAGE + 1, offset: jobsPage * PAGE});
+  if ($("j-type").value) p.set("job_type", $("j-type").value);
+  if ($("j-status").value) p.set("status", $("j-status").value);
+  const r = await api("/ingest/jobs?" + p.toString());
+  jobsHasMore = r.jobs.length > PAGE;
+  const jobs = r.jobs.slice(0, PAGE);
+  $("j-pageinfo").textContent = `第 ${jobsPage + 1} 页`;
+  $("jobs-counts").innerHTML = Object.entries(r.counts)
+    .filter(([k,v]) => v > 0 || k === "total")
+    .map(([k,v]) => `<div class="stat"><b>${v}</b><span>${COUNT_LABELS[k]||k}</span></div>`).join("");
+  $("jobs-table").innerHTML = `<table><tr><th>任务</th><th>类型</th><th>状态</th>
+    <th>进度</th><th>更新时间</th><th></th></tr>` +
+    jobs.map(j => {
+      const v = ((j.result||{}).validation||{}).status;
+      return `<tr>
+      <td style="cursor:pointer" onclick="jobDetail('${j.job_id}')"><u>${j.job_id.slice(0,8)}</u></td>
+      <td>${esc(j.job_type)}</td>
+      <td><span class="badge ${j.status==="completed"?"ok":j.status==="failed"?"bad":"warn"}">${j.status}</span>
+          ${v ? `<span class="badge ${v==="passed"?"ok":v==="warning"?"warn":"bad"}">验证:${v}</span>` : ""}</td>
+      <td>${j.progress}%</td>
+      <td>${new Date(j.updated_at*1000).toLocaleTimeString()}</td>
+      <td><button class="ghost" onclick="deleteJob('${j.job_id}')">删除</button></td></tr>`;
+    }).join("") + "</table>";
+}
+
+async function jobDetail(jobId) {
+  const j = await api("/ingest/jobs/" + jobId);
+  $("j-detail").classList.remove("hide");
+  $("j-detail-id").textContent = jobId;
+  $("j-detail-result").textContent = JSON.stringify(j.result || {}, null, 2).slice(0, 4000);
+  const v = (j.result||{}).validation;
+  $("j-detail-validation").innerHTML = v ? `<h4>验证摘要
+    <span class="badge ${v.status==="passed"?"ok":v.status==="warning"?"warn":"bad"}">
+    ${v.status} · ${v.confidence ?? ""}</span></h4>` +
+    Object.entries(v.steps || {}).map(([k,s]) =>
+      `<div class="src">${esc(k)}: ${s.score} — ${esc(s.detail)}</div>`).join("") : "";
+  try {
+    const c = await api(`/ingest/jobs/${jobId}/chain`);
+    $("j-detail-chain").innerHTML = "<h4>执行链</h4>" + c.steps.map((s, i) => {
+      const st = c.step_status[s] || (i < c.current ? "completed" : "pending");
+      const t = (c.step_timings||{})[s];
+      return `<span class="badge ${st==="completed"?"ok":st==="failed"?"bad":"dim"}"
+        style="margin:2px">${esc(s)}${t ? ` ${t.toFixed(1)}s` : ""}</span>`;
+    }).join(" → ");
+  } catch (e) { $("j-detail-chain").innerHTML = ""; }
+  try {
+    const pr = await api(`/ingest/jobs/${jobId}/progress`);
+    $("j-detail-progress").innerHTML = pr.messages.slice(-30).map(m =>
+      `<div class="src">${new Date(m.time*1000).toLocaleTimeString()} ·
+       ${m.progress}% ${esc(m.message)}</div>`).join("") || "<div class='src'>无进度记录</div>";
+  } catch (e) { $("j-detail-progress").innerHTML = ""; }
+  try {
+    const a = await api(`/ingest/jobs/${jobId}/analysis`);
+    $("j-detail-analysis").innerHTML = a.chunks ? `<h4>摄取分析</h4>
+      <div class="src">块数 ${a.chunks} · 总字数 ${a.total_chars}
+       · 车辆识别率 ${(a.vehicle_detected_rate*100).toFixed(0)}%</div>
+      <div class="src">元数据覆盖: ${Object.entries(a.metadata_coverage)
+        .map(([k,x]) => `${k} ${(x*100).toFixed(0)}%`).join(" · ")}</div>` : "";
+  } catch (e) { $("j-detail-analysis").innerHTML = ""; }
+}
+
+async function deleteJob(jobId) {
+  await api("/ingest/jobs/" + jobId, {method: "DELETE"});
+  loadJobs();
+}
+
+async function cleanupJobs() {
+  const r = await api("/system/cleanup-jobs", {method:"POST",
+    headers:{"Content-Type":"application/json"}, body: "{}"});
+  $("j-cleanup-status").textContent = `已清理 ${r.removed} · 标记超时 ${r.marked_stalled}`;
+  loadJobs();
 }
 
 let suggestTimer = null;
