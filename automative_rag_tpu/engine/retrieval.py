@@ -86,13 +86,16 @@ class RetrievalEngine:
                 )
             else:
                 ranked = self.reranker.rerank(query, candidates, top_k=k2)
-            # MaxSim/hybrid scores are unbounded; normalize to [0,1] for the
-            # relevance cutoffs that assume cosine-like scores
+            # MaxSim/hybrid scores are unbounded; normalize into [0.35, 1]
+            # — ABOVE the per-mode relevance cutoffs (0.2-0.3): reranked
+            # candidates are already MaxSim-screened, and a floor inside the
+            # cutoff band silently killed the lowest-scoring candidate on
+            # every query (fatal when a selective filter leaves only 2)
             if ranked:
                 scores = np.array([s for _, s in ranked], np.float64)
                 lo, hi = scores.min(), scores.max()
                 if hi > lo:
-                    norm = 0.2 + 0.8 * (scores - lo) / (hi - lo)
+                    norm = 0.35 + 0.65 * (scores - lo) / (hi - lo)
                 else:
                     norm = np.ones_like(scores)
                 ranked = [(doc, float(n)) for (doc, _), n in zip(ranked, norm)]
@@ -188,7 +191,7 @@ class RetrievalEngine:
                 scores = np.array([s for _, s in ranked], np.float64)
                 lo, hi = scores.min(), scores.max()
                 norm = (
-                    0.2 + 0.8 * (scores - lo) / (hi - lo)
+                    0.35 + 0.65 * (scores - lo) / (hi - lo)
                     if hi > lo else np.ones_like(scores)
                 )
                 ranked = [(d, float(s)) for (d, _), s in zip(ranked, norm)]

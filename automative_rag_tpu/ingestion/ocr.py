@@ -1,0 +1,345 @@
+"""From-scratch OCR engine for machine-printed Latin/digit text.
+
+The reference OCRs scanned PDF pages with PaddleOCR
+(``src/core/ingestion/loaders/pdf_loader.py:75-170``); this image ships no
+OCR library, so the default engine is built from first principles and kept
+TPU-friendly where it counts:
+
+1. **Acquire** — embedded page images come straight out of the PDF object
+   table (``pdf_text.extract_pdf_images``; no renderer needed for scans).
+2. **Segment** — Otsu binarization, two-pass connected-component labeling
+   (pure numpy union-find), dot-merge for i/j/é, line grouping by vertical
+   overlap, word breaks from the glyph-gap distribution.
+3. **Classify** — every glyph crop is normalized to a 24×24 patch and scored
+   against a glyph atlas rendered from the system's DejaVu fonts (regular /
+   bold / serif / mono) by ONE cosine-similarity matmul
+   ``[n_glyphs, 576] @ [576, atlas]`` — the classification step is a single
+   MXU-shaped contraction, not a per-glyph loop — plus an aspect-ratio
+   penalty to split lookalikes (l/I, O/0 stay ambiguous in some fonts, as
+   they are for humans).
+
+Coverage: printable ASCII (automotive spec tables, VINs, numbers, units).
+CJK scans still need an injected engine (``PDFProcessor(ocr_engine=...)``)
+— the image ships no CJK font to render an atlas from; the interface is the
+same callable either way.
+"""
+
+from __future__ import annotations
+
+import string
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+PATCH = 24
+_CHARSET = string.ascii_letters + string.digits + ".,:;!?()[]%+-/=*'\"&@#$<>"
+_FONT_DIRS = ("/usr/share/fonts/truetype/dejavu",)
+_FONT_FILES = (
+    "DejaVuSans.ttf", "DejaVuSans-Bold.ttf", "DejaVuSerif.ttf",
+    "DejaVuSansMono.ttf",
+)
+
+
+def _render_glyph(font, char: str) -> Optional[np.ndarray]:
+    from PIL import Image, ImageDraw
+
+    img = Image.new("L", (4 * PATCH, 4 * PATCH), 255)
+    ImageDraw.Draw(img).text((PATCH, PATCH), char, fill=0, font=font)
+    arr = 255 - np.asarray(img)
+    ys, xs = np.nonzero(arr > 32)
+    if ys.size == 0:
+        return None
+    return arr[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+
+
+def _normalize_patch(crop: np.ndarray) -> Tuple[np.ndarray, float]:
+    """Ink crop → (unit-norm 24×24 patch flat vector, aspect ratio h/w)."""
+    from PIL import Image
+
+    h, w = crop.shape
+    aspect = h / max(1, w)
+    img = Image.fromarray(crop.astype(np.uint8)).resize(
+        (PATCH, PATCH), Image.BILINEAR
+    )
+    flat = np.asarray(img, np.float32).ravel()
+    norm = np.linalg.norm(flat)
+    return flat / max(norm, 1e-6), aspect
+
+
+class GlyphAtlasOCR:
+    """Template-matching OCR over a multi-font rendered glyph atlas."""
+
+    def __init__(self, font_sizes: Sequence[int] = (22, 32)):
+        self._atlas: Optional[np.ndarray] = None  # [n_templates, 576]
+        self._labels: List[str] = []
+        self._aspects: Optional[np.ndarray] = None
+        self._font_sizes = font_sizes
+
+    # ------------------------------------------------------------- atlas
+    def _build_atlas(self) -> bool:
+        if self._atlas is not None:
+            return True
+        try:
+            from PIL import ImageFont
+        except ImportError:  # pragma: no cover
+            return False
+        vectors, labels, aspects = [], [], []
+        for directory in _FONT_DIRS:
+            for name in _FONT_FILES:
+                path = Path(directory) / name
+                if not path.exists():
+                    continue
+                for size in self._font_sizes:
+                    font = ImageFont.truetype(str(path), size)
+                    for char in _CHARSET:
+                        crop = _render_glyph(font, char)
+                        if crop is None:
+                            continue
+                        vec, aspect = _normalize_patch(crop)
+                        vectors.append(vec)
+                        labels.append(char)
+                        aspects.append(aspect)
+        if not vectors:
+            return False
+        self._atlas = np.stack(vectors)  # [T, 576]
+        self._labels = labels
+        self._aspects = np.asarray(aspects, np.float32)
+        return True
+
+    # ---------------------------------------------------------- segmenting
+    @staticmethod
+    def _binarize(gray: np.ndarray) -> np.ndarray:
+        """Otsu threshold; returns boolean ink mask (dark-on-light or the
+        inverse, whichever yields the sparser ink)."""
+        hist = np.bincount(gray.ravel().astype(np.int64), minlength=256).astype(np.float64)
+        total = hist.sum()
+        omega = np.cumsum(hist) / total
+        mu = np.cumsum(hist * np.arange(256)) / total
+        mu_t = mu[-1]
+        denom = omega * (1 - omega)
+        denom[denom == 0] = 1e-9
+        sigma = (mu_t * omega - mu) ** 2 / denom
+        threshold = int(np.argmax(sigma))
+        ink = gray < threshold
+        if ink.mean() > 0.5:  # light-on-dark scan
+            ink = ~ink
+        return ink
+
+    @staticmethod
+    def _components(ink: np.ndarray) -> List[Tuple[int, int, int, int]]:
+        """Two-pass union-find labeling → ink bounding boxes (y0,y1,x0,x1)."""
+        h, w = ink.shape
+        labels = np.zeros((h, w), np.int32)
+        parent = [0]
+
+        def find(a: int) -> int:
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        nxt = 1
+        for y in range(h):
+            row = ink[y]
+            for x in np.nonzero(row)[0]:
+                left = labels[y, x - 1] if x > 0 else 0
+                up = labels[y - 1, x] if y > 0 else 0
+                if left and up:
+                    root_l, root_u = find(left), find(up)
+                    labels[y, x] = root_l
+                    if root_l != root_u:
+                        parent[root_u] = root_l
+                elif left or up:
+                    labels[y, x] = left or up
+                else:
+                    labels[y, x] = nxt
+                    parent.append(nxt)
+                    nxt += 1
+        boxes: dict = {}
+        ys, xs = np.nonzero(labels)
+        for y, x in zip(ys, xs):
+            root = find(labels[y, x])
+            b = boxes.get(root)
+            if b is None:
+                boxes[root] = [y, y, x, x]
+            else:
+                b[0] = min(b[0], y); b[1] = max(b[1], y)
+                b[2] = min(b[2], x); b[3] = max(b[3], x)
+        return [tuple(b) for b in boxes.values()]
+
+    @staticmethod
+    def _merge_dots(boxes: List[Tuple[int, int, int, int]]) -> List[Tuple[int, int, int, int]]:
+        """Merge vertically-stacked components that overlap in x (i/j dots,
+        colons stay split — only merge when one part is much smaller)."""
+        boxes = sorted(boxes, key=lambda b: (b[2], b[0]))
+        merged: List[List[int]] = []
+        for y0, y1, x0, x1 in boxes:
+            area = (y1 - y0 + 1) * (x1 - x0 + 1)
+            hit = None
+            for m in merged:
+                ov = min(x1, m[3]) - max(x0, m[2]) + 1
+                if ov > 0.5 * min(x1 - x0 + 1, m[3] - m[2] + 1):
+                    gap = max(y0, m[0]) - min(y1, m[1])
+                    m_area = (m[1] - m[0] + 1) * (m[3] - m[2] + 1)
+                    if gap < 12 and (area < 0.4 * m_area or m_area < 0.4 * area):
+                        hit = m
+                        break
+            if hit is None:
+                merged.append([y0, y1, x0, x1])
+            else:
+                hit[0] = min(hit[0], y0); hit[1] = max(hit[1], y1)
+                hit[2] = min(hit[2], x0); hit[3] = max(hit[3], x1)
+        return [tuple(m) for m in merged]
+
+    @staticmethod
+    def _group_lines(boxes: List[Tuple[int, int, int, int]]) -> List[List[Tuple[int, int, int, int]]]:
+        lines: List[List[Tuple[int, int, int, int]]] = []
+        for box in sorted(boxes, key=lambda b: b[0]):
+            y0, y1 = box[0], box[1]
+            placed = False
+            for line in lines:
+                ly0 = min(b[0] for b in line)
+                ly1 = max(b[1] for b in line)
+                overlap = min(y1, ly1) - max(y0, ly0)
+                if overlap > 0.4 * min(y1 - y0, ly1 - ly0, 10**9) or (
+                    overlap > 0 and (y1 - y0) < 6
+                ):
+                    line.append(box)
+                    placed = True
+                    break
+            if not placed:
+                lines.append([box])
+        for line in lines:
+            line.sort(key=lambda b: b[2])
+        lines.sort(key=lambda l: min(b[0] for b in l))
+        return lines
+
+    # ------------------------------------------------------------ classify
+    def _classify(self, patches: np.ndarray, aspects: np.ndarray) -> List[str]:
+        """One batched cosine-similarity contraction against the atlas."""
+        import jax.numpy as jnp
+
+        scores = np.asarray(
+            jnp.asarray(patches) @ jnp.asarray(self._atlas).T
+        )  # [n, T]
+        # penalize aspect-ratio mismatch (separates . from | from -)
+        ratio = np.minimum(
+            aspects[:, None] / self._aspects[None, :],
+            self._aspects[None, :] / np.maximum(aspects[:, None], 1e-6),
+        )
+        scores = scores * (0.5 + 0.5 * np.clip(ratio, 0, 1))
+        return [self._labels[i] for i in scores.argmax(axis=1)]
+
+    # ------------------------------------------------------- postprocess
+    #: letter pairs whose upper/lower forms differ only in size — the cosine
+    #: match can't split them; the glyph's height relative to the line's cap
+    #: height can
+    _SAME_SHAPE = set("COSUVWXZcosuvwxz")
+
+    @staticmethod
+    def _fix_case(chars: List[str], boxes, cap_h: float) -> List[str]:
+        out = []
+        for ch, (y0, y1, _x0, _x1) in zip(chars, boxes):
+            if ch in GlyphAtlasOCR._SAME_SHAPE and cap_h > 0:
+                ratio = (y1 - y0 + 1) / cap_h
+                ch = ch.upper() if ratio >= 0.82 else ch.lower()
+            out.append(ch)
+        return out
+
+    @staticmethod
+    def _fix_digit_context(text: List[str]) -> List[str]:
+        """O↔0 / l|I↔1 by neighbor context inside digit runs."""
+        swaps_to_digit = {"O": "0", "o": "0", "l": "1", "I": "1"}
+        out = list(text)
+        for i, ch in enumerate(out):
+            if ch not in swaps_to_digit:
+                continue
+            left = out[i - 1] if i > 0 else " "
+            right = out[i + 1] if i + 1 < len(out) else " "
+            if (left.isdigit() and (right.isdigit() or not right.isalnum())) or (
+                right.isdigit() and (left.isdigit() or not left.isalnum())
+            ):
+                out[i] = swaps_to_digit[ch]
+        return out
+
+    @staticmethod
+    def _space_threshold(gaps: List[int], median_w: float) -> float:
+        """1-D Otsu split of the inter-glyph gap distribution: intra-word
+        gaps vs word spaces form two clusters when spaces exist; fall back
+        to a width fraction when they don't separate."""
+        if len(gaps) < 3:
+            return 0.45 * median_w
+        arr = np.sort(np.asarray(gaps, np.float64))
+        best_split, best_score = None, -1.0
+        for i in range(1, len(arr)):
+            a, b = arr[:i], arr[i:]
+            score = len(a) * len(b) * (b.mean() - a.mean()) ** 2
+            if score > best_score:
+                best_score, best_split = score, i
+        a, b = arr[:best_split], arr[best_split:]
+        if a.size and b.size and b.mean() > 1.8 * max(a.mean(), 1.0):
+            return float((a.max() + b.min()) / 2)
+        return 0.45 * median_w
+
+    # ---------------------------------------------------------------- ocr
+    def ocr_image(self, image) -> str:
+        """PIL image (or 2-D uint8 array) → recognized text."""
+        if not self._build_atlas():
+            return ""
+        gray = np.asarray(
+            image.convert("L") if hasattr(image, "convert") else image,
+            np.uint8,
+        )
+        if gray.size == 0:
+            return ""
+        ink = self._binarize(gray)
+        if not ink.any():
+            return ""
+        boxes = self._merge_dots(self._components(ink))
+        boxes = [b for b in boxes
+                 if (b[1] - b[0] + 1) * (b[3] - b[2] + 1) >= 6]
+        if not boxes:
+            return ""
+        lines = self._group_lines(boxes)
+
+        arr = np.where(ink, 255, 0).astype(np.uint8)
+        out_lines = []
+        for line in lines:
+            patches, aspects = [], []
+            for y0, y1, x0, x1 in line:
+                vec, aspect = _normalize_patch(arr[y0 : y1 + 1, x0 : x1 + 1])
+                patches.append(vec)
+                aspects.append(aspect)
+            chars = self._classify(np.stack(patches), np.asarray(aspects, np.float32))
+            heights = [b[1] - b[0] + 1 for b in line]
+            cap_h = float(np.percentile(heights, 90))
+            chars = self._fix_case(chars, line, cap_h)
+            widths = [b[3] - b[2] + 1 for b in line]
+            median_w = float(np.median(widths))
+            gaps = [line[i][2] - line[i - 1][3] for i in range(1, len(line))]
+            space_at = self._space_threshold(gaps, median_w)
+            text = [chars[0]]
+            for i in range(1, len(line)):
+                if gaps[i - 1] > space_at:
+                    text.append(" ")
+                text.append(chars[i])
+            out_lines.append("".join(self._fix_digit_context(text)))
+        return "\n".join(out_lines)
+
+    def ocr_pdf(self, path: str) -> str:
+        """OCR every embedded page image of a scanned PDF (the engine
+        callable ``PDFProcessor`` expects)."""
+        from .pdf_text import extract_pdf_images
+
+        pages = [self.ocr_image(img) for img in extract_pdf_images(path)]
+        return "\n\n".join(p for p in pages if p.strip())
+
+    __call__ = ocr_pdf
+
+
+def default_ocr_engine() -> Optional[GlyphAtlasOCR]:
+    """The built-in engine when fonts + PIL are present; None otherwise
+    (PDFProcessor then skips OCR exactly as before)."""
+    engine = GlyphAtlasOCR()
+    return engine if engine._build_atlas() else None

@@ -28,6 +28,12 @@ class PDFProcessor(BaseIngestionProcessor):
 
     def __init__(self, ocr_engine: Optional[OCREngine] = None, **kwargs):
         super().__init__(**kwargs)
+        if ocr_engine is None:
+            # built-in glyph-atlas engine (Latin/digits; ingestion/ocr.py).
+            # Inject a CJK-capable engine here when one is available.
+            from .ocr import default_ocr_engine
+
+            ocr_engine = default_ocr_engine()
         self.ocr_engine = ocr_engine
 
     def validate_source(self, source: Any) -> Tuple[bool, str]:

@@ -96,6 +96,50 @@ def _parse_objects(data: bytes) -> Dict[int, _Obj]:
     return objects
 
 
+def extract_pdf_images(path: str) -> List[object]:
+    """Embedded raster images (scanned pages), decoded to PIL images.
+
+    Walks the object table for ``/Subtype /Image`` XObjects: DCTDecode
+    streams are JPEG bytes PIL opens directly; FlateDecode streams are raw
+    samples rebuilt from /Width /Height /BitsPerComponent /ColorSpace.
+    Returns images in object order (scanned PDFs carry one per page).
+    Reference OCRs scanned pages via PyMuPDF render + PaddleOCR
+    (pdf_loader.py:75-170); this is the no-dependency acquisition path."""
+    try:
+        from io import BytesIO
+
+        from PIL import Image
+    except ImportError:  # pragma: no cover - PIL ships in this image
+        return []
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    images: List[object] = []
+    for _num, obj in sorted(_parse_objects(data).items()):
+        if obj.stream is None or not re.search(rb"/Subtype\s*/Image", obj.header):
+            continue
+        try:
+            if re.search(rb"/Filter\s*/DCTDecode", obj.header):
+                images.append(Image.open(BytesIO(obj.stream)).convert("L"))
+                continue
+            if re.search(rb"/Filter\s*/FlateDecode", obj.header):
+                raw = _inflate(obj.stream)
+                if raw is None:
+                    continue
+                width = int(re.search(rb"/Width\s+(\d+)", obj.header).group(1))
+                height = int(re.search(rb"/Height\s+(\d+)", obj.header).group(1))
+                gray = re.search(rb"/DeviceGray", obj.header) is not None
+                mode, px = ("L", 1) if gray else ("RGB", 3)
+                if len(raw) < width * height * px:
+                    continue
+                img = Image.frombytes(mode, (width, height),
+                                      raw[: width * height * px])
+                images.append(img.convert("L"))
+        except Exception:  # noqa: BLE001 — skip undecodable images
+            continue
+    return images
+
+
 def _content_streams(objects: Dict[int, _Obj]) -> List[bytes]:
     """Page-order-ish content streams: walk /Page objects' /Contents refs;
     fall back to every Flate stream that yields text operators."""

@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Filtered ANN recall curves (BASELINE config #3 / SURVEY §7 "Filtered ANN
+recall"): recall@10 vs nprobe for unfiltered and selective-filtered queries,
+with and without the selectivity-driven ladder policy.
+
+Recall is hardware-independent — this runs anywhere (CPU included); QPS/
+latency numbers for the same index live in BENCH_SCALE.json (on-chip).
+
+Writes one JSON report: per-nprobe recall for each filter selectivity, plus
+the ladder policy's chosen width and achieved recall at each selectivity.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=100_000)
+    parser.add_argument("--dim", type=int, default=1024)
+    parser.add_argument("--queries", type=int, default=30)
+    parser.add_argument("--k", type=int, default=10)
+    parser.add_argument("--out", default="RECALL_CURVES.json")
+    args = parser.parse_args()
+
+    from automative_rag_tpu.documents import Document
+    from automative_rag_tpu.index.ivf import IVFIndex, choose_probe, probe_ladder
+
+    rng = np.random.default_rng(0)
+    # clustered corpus (realistic embedding geometry; uniform random is the
+    # IVF worst case and nothing like bge-m3 output)
+    centers = rng.normal(size=(512, args.dim)).astype(np.float32) * 2
+    assign = rng.integers(0, 512, size=args.n)
+    vectors = (centers[assign] + rng.normal(size=(args.n, args.dim)).astype(np.float32))
+    vectors = vectors.astype(np.float32)
+
+    # metadata with controlled selectivities: manu (1/5), manu+year (1/40)
+    docs = [
+        Document(page_content=f"d{i}",
+                 metadata={"manufacturer": f"manu-{i % 5}", "year": 2015 + (i % 8)})
+        for i in range(args.n)
+    ]
+
+    index = IVFIndex(dim=args.dim, device_dtype="bfloat16", n_probe=8)
+    index.add(vectors, docs)
+    t0 = time.time()
+    build = index.rebuild()
+    build_s = time.time() - t0
+
+    normalized = vectors / np.linalg.norm(vectors, axis=1, keepdims=True)
+    queries = rng.normal(size=(args.queries, args.dim)).astype(np.float32)
+
+    filters = {
+        "unfiltered": (None, np.ones(args.n, bool)),
+        "manufacturer (20%)": (
+            {"manufacturer": "manu-2"},
+            np.array([d.metadata["manufacturer"] == "manu-2" for d in docs]),
+        ),
+        "manu+year (2.5%)": (
+            {"manufacturer": "manu-2", "year": 2017},
+            np.array([d.metadata["manufacturer"] == "manu-2"
+                      and d.metadata["year"] == 2017 for d in docs]),
+        ),
+        "year range (37.5%)": (
+            {"year": {"gte": 2017, "lte": 2019}},
+            np.array([2017 <= d.metadata["year"] <= 2019 for d in docs]),
+        ),
+    }
+
+    def exact_topk(q, row_mask):
+        scores = normalized @ (q / np.linalg.norm(q))
+        scores = np.where(row_mask, scores, -np.inf)
+        order = np.argsort(-scores)[: args.k]
+        return {int(o) for o in order if np.isfinite(scores[o])}
+
+    ladder = probe_ladder(index.n_probe, index.n_lists)
+    report = {
+        "n": args.n, "dim": args.dim, "k": args.k, "build_s": round(build_s, 1),
+        **build, "ladder": ladder, "curves": {}, "ladder_policy": {},
+    }
+
+    for name, (flt, row_mask) in filters.items():
+        oracle = [exact_topk(q, row_mask) for q in queries]
+        curve = {}
+        for nprobe in ladder:
+            recall = 0.0
+            for q, want in zip(queries, oracle):
+                got = {r.row for r in index.search(q, args.k, flt, n_probe=nprobe)[0]}
+                denom = max(1, min(args.k, len(want)))
+                recall += len(got & want) / denom
+            curve[nprobe] = round(recall / len(queries), 4)
+        report["curves"][name] = curve
+
+        # what the production ladder policy picks for this selectivity
+        selectivity = float(row_mask.mean())
+        rows_per_list = index._indexed_rows / max(1, index.n_lists)
+        chosen = choose_probe(ladder, selectivity, rows_per_list, args.k)
+        report["ladder_policy"][name] = {
+            "selectivity": round(selectivity, 4),
+            "chosen_nprobe": chosen,
+            "recall_at_chosen": curve[chosen],
+        }
+        print(name, "curve:", curve, "policy:", report["ladder_policy"][name],
+              flush=True)
+
+    # headline check (VERDICT r1 #3): filtered recall within 2 pts of
+    # unfiltered at the policy-chosen widths
+    unf = report["ladder_policy"]["unfiltered"]["recall_at_chosen"]
+    worst = min(p["recall_at_chosen"] for p in report["ladder_policy"].values())
+    report["filtered_within_2pts_of_unfiltered"] = bool(worst >= unf - 0.02)
+
+    Path(args.out).write_text(json.dumps(report, indent=2))
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

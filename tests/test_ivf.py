@@ -191,8 +191,11 @@ def test_probe_ladder_and_choice():
     assert probe_ladder(8, 8) == [8]
     assert probe_ladder(300, 256) == [256]
     # permissive filter → base level; selective filter → widened up front
+    # (candidate-count AND 1/sqrt(selectivity) geometric spread; see
+    # RECALL_CURVES.json for the measured recall behind the policy)
     assert choose_probe(ladder, selectivity=1.0, rows_per_list=100, k=10) == 8
-    assert choose_probe(ladder, selectivity=0.01, rows_per_list=100, k=10) == 32
+    assert choose_probe(ladder, selectivity=0.2, rows_per_list=100, k=10) == 32
+    assert choose_probe(ladder, selectivity=0.01, rows_per_list=100, k=10) == 128
     assert choose_probe(ladder, selectivity=0.001, rows_per_list=100, k=10) == 256
     # nothing matches → widest level (the backstop loop then stops cleanly)
     assert choose_probe(ladder, selectivity=0.0, rows_per_list=100, k=10) == 256

@@ -1,0 +1,110 @@
+"""Built-in glyph-atlas OCR engine (ingestion/ocr.py) — the reference's
+scanned-PDF fallback (pdf_loader.py:75-170) rebuilt without PaddleOCR:
+synthetic scanned PDFs (rendered text → JPEG → image XObject) must OCR back
+to the rendered text through the production PDFProcessor path."""
+
+import io
+
+import numpy as np
+import pytest
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image, ImageDraw, ImageFont
+
+from automative_rag_tpu.ingestion.ocr import GlyphAtlasOCR, default_ocr_engine
+from automative_rag_tpu.ingestion.pdf_text import extract_pdf_images
+
+
+def _render_page(lines, size=36, width=1100):
+    font = ImageFont.truetype("/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf", size)
+    img = Image.new("L", (width, 60 + 70 * len(lines)), 255)
+    draw = ImageDraw.Draw(img)
+    for i, line in enumerate(lines):
+        draw.text((40, 30 + 70 * i), line, fill=0, font=font)
+    return img
+
+
+def _scanned_pdf(img: Image.Image) -> bytes:
+    """Minimal one-page scanned PDF: the page is a JPEG image XObject."""
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=95)
+    jpeg = buf.getvalue()
+    content = b"q 612 0 0 792 0 0 cm /Im0 Do Q"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /XObject << /Im0 4 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode "
+        b"/Length %d >>\nstream\n%s\nendstream"
+        % (img.width, img.height, len(jpeg), jpeg),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+    ]
+    out = [b"%PDF-1.4"]
+    for i, body in enumerate(objs, start=1):
+        out.append(b"%d 0 obj\n%s\nendobj" % (i, body))
+    out.append(b"%%EOF")
+    return b"\n".join(out)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    eng = default_ocr_engine()
+    assert eng is not None, "DejaVu fonts + PIL are in this image"
+    return eng
+
+
+def test_ocr_clean_rendered_line(engine):
+    img = _render_page(["BMW X5 2023"])
+    text = engine.ocr_image(img)
+    assert "BMW" in text.replace(" ", "") or "BMW" in text
+    assert "2023" in text
+
+
+def test_ocr_numbers_and_units(engine):
+    img = _render_page(["0-100 kmh 6.9s", "Power 250 kW"])
+    text = engine.ocr_image(img)
+    flat = text.replace(" ", "")
+    assert "6.9" in flat
+    assert "250" in flat
+    assert len(text.splitlines()) == 2  # line grouping held
+
+
+def test_ocr_word_spacing(engine):
+    text = engine.ocr_image(_render_page(["ENGINE TYPE V8"]))
+    # word gaps must be preserved as spaces
+    assert len([w for w in text.split() if w]) >= 3
+
+
+def test_extract_pdf_images_roundtrip(tmp_path):
+    img = _render_page(["TEST 123"])
+    path = tmp_path / "scan.pdf"
+    path.write_bytes(_scanned_pdf(img))
+    images = extract_pdf_images(str(path))
+    assert len(images) == 1
+    got = np.asarray(images[0], np.float32)
+    want = np.asarray(img, np.float32)
+    assert got.shape == want.shape
+    assert np.abs(got - want).mean() < 3.0  # JPEG-lossy but close
+
+
+def test_pdf_processor_ocr_fallback_end_to_end(tmp_path, engine):
+    """A scanned PDF (no text layer) must flow through the OCR fallback in
+    the production processor and yield indexable text."""
+    from automative_rag_tpu.ingestion.pdf_processor import PDFProcessor
+
+    img = _render_page(["BMW 530Li ACCELERATION 6.9s", "TOP SPEED 250 kmh"])
+    path = tmp_path / "scan.pdf"
+    path.write_bytes(_scanned_pdf(img))
+
+    processor = PDFProcessor(ocr_engine=engine)
+    text, metadata = processor.extract_raw_content(str(path))
+    assert metadata["used_ocr"] is True
+    flat = text.replace(" ", "")
+    assert "6.9" in flat and "250" in flat
+
+
+def test_ocr_empty_and_blank_images(engine):
+    blank = Image.new("L", (200, 100), 255)
+    assert engine.ocr_image(blank) == ""
