@@ -135,13 +135,25 @@ class JaxCausalLM:
 
     def generate(self, prompt: str, params: Dict[str, Any]) -> str:
         ids = self.tokenizer(prompt)["input_ids"]
-        out = self.model.generate_tokens(
-            ids,
-            max_new_tokens=params.get("max_tokens", 512),
-            temperature=params.get("temperature", 0.0),
-            top_p=params.get("top_p", 0.85),
-            repetition_penalty=params.get("repetition_penalty", 1.0),
-        )[0]
+        temperature = params.get("temperature", 0.0)
+        if temperature <= 0 and params.get("speculative", True):
+            # greedy single-sequence → prompt-lookup speculative decoding:
+            # token-identical output, up to DRAFT_K+1 tokens per forward
+            # when the answer copies from the retrieved context
+            out, _ = self.model.generate_tokens_spec(
+                ids,
+                max_new_tokens=params.get("max_tokens", 512),
+                repetition_penalty=params.get("repetition_penalty", 1.0),
+            )
+            out = out[0]
+        else:
+            out = self.model.generate_tokens(
+                ids,
+                max_new_tokens=params.get("max_tokens", 512),
+                temperature=temperature,
+                top_p=params.get("top_p", 0.85),
+                repetition_penalty=params.get("repetition_penalty", 1.0),
+            )[0]
         new_ids = [t for t in out[len(ids):].tolist()
                    if t != self.model.config.eos_token]
         return self.tokenizer.decode(new_ids, skip_special_tokens=True)

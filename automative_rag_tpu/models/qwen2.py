@@ -272,6 +272,45 @@ class _Attention(nn.Module):
         out = self._attend(q, cache_k, cache_v, valid[:, None, None, :])
         return out, cache_k, cache_v
 
+    def verify(self, x_s, slot, rope_start, valid_prefix, cache_k, cache_v):
+        """Multi-token decode step for speculative verification: x_s
+        [B, S, D] holds S consecutive candidate tokens written at cache
+        slots [slot, slot+S); ``rope_start`` [B] is the rotary position of
+        the first (per-row, ragged batches keep their own offsets);
+        ``valid_prefix`` [B, max] masks live cache slots BEFORE the
+        segment — intra-segment causal structure is added here. One weight
+        read scores all S candidates, which is the whole point: decode is
+        weight-HBM-bound, so verifying S drafts costs ~the same wall time
+        as generating one token."""
+        cfg = self.config
+        s = x_s.shape[1]
+        positions = rope_start[:, None] + jnp.arange(s)[None, :]  # [B, S]
+        q, k, v = self._qkv(x_s, positions)
+        n_slots = (cache_k[0] if cfg.kv_cache_bits == 8 else cache_k).shape[1]
+        iota = jnp.arange(n_slots)
+        seg = (iota[None, :] >= slot) & (
+            iota[None, :] <= slot + jnp.arange(s)[:, None]
+        )  # [S, max]
+        mask = valid_prefix[:, None, None, :] | seg[None, None, :, :]
+        if cfg.kv_cache_bits == 8:
+            k_q, k_s = cache_k
+            v_q, v_s = cache_v
+            kq_new, ks_new = _quant_kv(k)
+            vq_new, vs_new = _quant_kv(v)
+            k_q = jax.lax.dynamic_update_slice(k_q, kq_new, (0, slot, 0, 0))
+            k_s = jax.lax.dynamic_update_slice(k_s, ks_new, (0, slot))
+            v_q = jax.lax.dynamic_update_slice(v_q, vq_new, (0, slot, 0, 0))
+            v_s = jax.lax.dynamic_update_slice(v_s, vs_new, (0, slot))
+            out = self._attend(
+                q, _dequant_kv(k_q, k_s, cfg.dtype),
+                _dequant_kv(v_q, v_s, cfg.dtype), mask,
+            )
+            return out, (k_q, k_s), (v_q, v_s)
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k, (0, slot, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v, (0, slot, 0, 0))
+        out = self._attend(q, cache_k, cache_v, mask)
+        return out, cache_k, cache_v
+
     def prefill(self, x, positions):
         """Full-sequence pass that also returns rope-applied k/v for the
         caches — the whole prompt costs one MXU matmul set instead of T
@@ -321,6 +360,15 @@ class _Block(nn.Module):
         x_t = x_t + a
         return x_t + self._mlp(self.ln2(x_t).astype(cfg.dtype)), cache_k, cache_v
 
+    def verify(self, x_s, slot, rope_start, valid_prefix, cache_k, cache_v):
+        cfg = self.config
+        a, cache_k, cache_v = self.attn.verify(
+            self.ln1(x_s).astype(cfg.dtype), slot, rope_start, valid_prefix,
+            cache_k, cache_v,
+        )
+        x_s = x_s + a
+        return x_s + self._mlp(self.ln2(x_s).astype(cfg.dtype)), cache_k, cache_v
+
     def prefill(self, x, positions):
         cfg = self.config
         a, k, v = self.attn.prefill(self.ln1(x).astype(cfg.dtype), positions)
@@ -361,6 +409,16 @@ class Qwen2Decoder(nn.Module):
             new_caches.append((ck, cv))
         return self._logits(x)[:, 0], new_caches
 
+    def verify(self, tokens_s, slot, rope_start, valid_prefix, caches):
+        """tokens_s [B, S] (newest accepted token + S-1 drafts) →
+        (logits [B, S, V], caches). One forward scores every draft."""
+        x = self.embed_tokens(tokens_s)
+        new_caches = []
+        for block, (ck, cv) in zip(self.layer, caches):
+            x, ck, cv = block.verify(x, slot, rope_start, valid_prefix, ck, cv)
+            new_caches.append((ck, cv))
+        return self._logits(x), new_caches
+
     def prefill(self, tokens):
         """tokens [B, P] → (logits [B, P, V], [(k, v) each [B, P, Hkv, hd]]).
         One full forward fills every cache slot the prompt needs — the prompt
@@ -372,6 +430,75 @@ class Qwen2Decoder(nn.Module):
             x, k, v = block.prefill(x, positions)
             kvs.append((k, v))
         return self._logits(x), kvs
+
+
+def _init_decode_caches(cfg: Qwen2Config, kvs, b: int, max_tokens: int):
+    """Prefill k/v (list of [B, P, Hkv, hd] pairs) → full-length decode
+    caches [B, max_tokens, ...] with the prompt slots filled."""
+    caches = []
+    for k, v in kvs:
+        if cfg.kv_cache_bits == 8:
+            entry = []
+            for full in (k, v):
+                quant, scales = _quant_kv(full)
+                cq = jnp.zeros(
+                    (b, max_tokens, cfg.num_kv_heads, cfg.head_dim), jnp.int8
+                )
+                cs = jnp.zeros((b, max_tokens), jnp.float32)
+                entry.append((
+                    jax.lax.dynamic_update_slice(cq, quant, (0, 0, 0, 0)),
+                    jax.lax.dynamic_update_slice(cs, scales, (0, 0)),
+                ))
+            caches.append(tuple(entry))
+            continue
+        ck = jnp.zeros((b, max_tokens, cfg.num_kv_heads, cfg.head_dim), cfg.dtype)
+        cv = jnp.zeros_like(ck)
+        caches.append((
+            jax.lax.dynamic_update_slice(ck, k.astype(cfg.dtype), (0, 0, 0, 0)),
+            jax.lax.dynamic_update_slice(cv, v.astype(cfg.dtype), (0, 0, 0, 0)),
+        ))
+    return caches
+
+
+def _pld_draft(tokens, t, plen, p_bucket, draft_k, ngram):
+    """Prompt-lookup drafting: propose the ``draft_k`` tokens that followed
+    the most recent earlier occurrence of the last ``ngram`` tokens.
+
+    RAG answers copy heavily from the retrieved context (citations, spec
+    values, entity names), so the prompt itself is a free draft model —
+    no second network, no extra weights in HBM. tokens [B, L] is the
+    generation buffer (prompt in [0, plen), bucket-padding gap in
+    [plen, p_bucket), generated in [p_bucket, t]); returns drafts
+    [B, draft_k]. When no match exists the drafts are garbage — the verify
+    forward rejects them and decoding degrades to 1 token/forward, never
+    slower in forwards-per-token than plain decode.
+    """
+    b, length = tokens.shape
+    iota = jnp.arange(length)
+    real = (iota[None, :] < plen[:, None]) | (
+        (iota >= p_bucket) & (iota <= t)
+    )[None, :]
+    # candidate window at i covers tokens[i : i+ngram]; target window is
+    # tokens[t-ngram+1 : t+1]. Require the whole candidate window real and
+    # its continuation to start at or before t (excludes the self-match).
+    match = (iota <= t - ngram)[None, :]
+    for j in range(ngram):
+        tgt = jax.lax.dynamic_slice(tokens, (0, t - ngram + 1 + j), (b, 1))
+        shifted_tok = jnp.roll(tokens, -j, axis=1)
+        shifted_real = jnp.roll(real, -j, axis=1)
+        match = match & (shifted_tok == tgt) & shifted_real
+    # two-tier choice: prefer the most recent match whose FULL draft_k
+    # continuation is real (a match just behind the frontier can only
+    # contribute the tokens generated so far); otherwise the most recent
+    # match at all
+    full = match & (iota < length - ngram - draft_k + 1)[None, :]
+    for j in range(draft_k):
+        full = full & jnp.roll(real, -(ngram + j), axis=1)
+    score = match * (iota + 1)[None, :] + full * (iota + 1 + length)[None, :]
+    idx = jnp.argmax(score, axis=1)
+    pos = jnp.minimum(idx[:, None] + ngram + jnp.arange(draft_k)[None, :],
+                      length - 1)
+    return jnp.take_along_axis(tokens, pos, axis=1)
 
 
 def _apply_repetition_penalty(logits, seen, penalty):
@@ -435,28 +562,7 @@ class Qwen2Model:
             plen = plen.astype(jnp.int32)
 
             logits_all, kvs = self.decoder.apply(dparams, prompt, method="prefill")
-            caches = []
-            for k, v in kvs:
-                if cfg.kv_cache_bits == 8:
-                    entry = []
-                    for full in (k, v):
-                        quant, scales = _quant_kv(full)
-                        cq = jnp.zeros(
-                            (b, max_tokens, cfg.num_kv_heads, cfg.head_dim), jnp.int8
-                        )
-                        cs = jnp.zeros((b, max_tokens), jnp.float32)
-                        entry.append((
-                            jax.lax.dynamic_update_slice(cq, quant, (0, 0, 0, 0)),
-                            jax.lax.dynamic_update_slice(cs, scales, (0, 0)),
-                        ))
-                    caches.append(tuple(entry))
-                    continue
-                ck = jnp.zeros((b, max_tokens, cfg.num_kv_heads, cfg.head_dim), cfg.dtype)
-                cv = jnp.zeros_like(ck)
-                caches.append((
-                    jax.lax.dynamic_update_slice(ck, k.astype(cfg.dtype), (0, 0, 0, 0)),
-                    jax.lax.dynamic_update_slice(cv, v.astype(cfg.dtype), (0, 0, 0, 0)),
-                ))
+            caches = _init_decode_caches(cfg, kvs, b, max_tokens)
             tokens = jnp.full((b, max_tokens), cfg.eos_token, jnp.int32)
             tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
 
@@ -505,6 +611,109 @@ class Qwen2Model:
             return tokens
 
         self._generate = jax.jit(_generate, static_argnames=("max_tokens",))
+
+        def _generate_spec(params, prompt, plen, max_tokens, penalty):
+            """Greedy prompt-lookup speculative decoding (B=1): drafts come
+            from n-gram matches against the prompt + generated prefix
+            (`_pld_draft`); ONE `verify` forward scores DRAFT_K drafts, and
+            the accepted prefix plus the model's own correction token land
+            in one loop iteration. Token-identical to `_generate` at
+            temperature 0 (repetition penalty applied sequentially during
+            acceptance, exactly as the step loop would). Decode is
+            weight-HBM-bound, so each accepted draft is a nearly-free
+            token; citation-heavy RAG answers accept a lot. Counterpart of
+            the reference's HF assisted-generation knob
+            (src/core/query/llm/local_llm.py:457-466 hot loop)."""
+            cfg = self.config
+            draft_k, ngram = self.DRAFT_K, self.PLD_NGRAM
+            dparams = {"params": params}
+            b, p_bucket = prompt.shape
+            plen = plen.astype(jnp.int32)
+
+            # +draft_k+1 scratch slots past max_tokens: the last spec
+            # segment may overshoot the output window; overshoot lands in
+            # scratch and is sliced off, so NO single-step tail loop is
+            # needed and every decode forward scores a full segment
+            total = max_tokens + draft_k + 1
+            logits_all, kvs = self.decoder.apply(dparams, prompt, method="prefill")
+            caches = _init_decode_caches(cfg, kvs, b, total)
+            tokens = jnp.full((b, total), cfg.eos_token, jnp.int32)
+            tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
+
+            vocab = logits_all.shape[-1]
+            rows = jnp.arange(b)[:, None]
+            prompt_mask = jnp.arange(p_bucket)[None, :] < plen[:, None]
+            seen = jnp.zeros((b, vocab), bool).at[rows, prompt].max(prompt_mask)
+            logits0 = jnp.take_along_axis(
+                logits_all, (plen - 1)[:, None, None], axis=1
+            )[:, 0]
+            logits0 = _apply_repetition_penalty(logits0, seen, penalty)
+            tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+            seen = seen.at[jnp.arange(b), tok0].set(True)
+            tokens = jax.lax.dynamic_update_slice(tokens, tok0[:, None], (0, p_bucket))
+            finished = tok0 == cfg.eos_token
+            iota = jnp.arange(total)
+
+            def spec_cond(state):
+                t, _tokens, _caches, finished, _seen, _n = state
+                return (t < max_tokens - 1) & ~jnp.all(finished)
+
+            def spec_body(state):
+                t, tokens, caches, finished, seen, n_fwd = state
+                drafts = _pld_draft(tokens, t, plen, p_bucket, draft_k, ngram)
+                cur = jax.lax.dynamic_slice(tokens, (0, t), (b, 1))
+                seg = jnp.concatenate([cur, drafts], axis=1)  # [B, K+1]
+                rope_start = plen + (t - p_bucket)
+                valid_prefix = (iota[None, :] < plen[:, None]) | (
+                    (iota >= p_bucket) & (iota < t)
+                )[None, :]
+                logits, caches = self.decoder.apply(
+                    dparams, seg, t, rope_start, valid_prefix, caches,
+                    method="verify",
+                )  # [B, K+1, V]
+                # pad drafts so position draft_k (the bonus slot) never
+                # extends the accepted run
+                drafts_pad = jnp.concatenate(
+                    [drafts, jnp.full((b, 1), -1, jnp.int32)], axis=1
+                )
+
+                def acc_body(j, acc):
+                    accepting, seen, tokens, finished, count = acc
+                    lj = jax.lax.dynamic_index_in_dim(logits, j, 1, keepdims=False)
+                    lj = _apply_repetition_penalty(lj, seen, penalty)
+                    g = jnp.argmax(lj, axis=-1).astype(jnp.int32)
+                    emit = accepting & ~finished
+                    tok = jnp.where(finished, cfg.eos_token, g)
+                    old = jax.lax.dynamic_slice(tokens, (0, t + 1 + j), (b, 1))
+                    newcol = jnp.where(emit[:, None], tok[:, None], old)
+                    tokens = jax.lax.dynamic_update_slice(
+                        tokens, newcol, (0, t + 1 + j)
+                    )
+                    seen = seen.at[jnp.arange(b), tok].max(emit)
+                    count = count + emit.astype(jnp.int32)
+                    finished = finished | (emit & (tok == cfg.eos_token))
+                    dj = jax.lax.dynamic_index_in_dim(
+                        drafts_pad, j, 1, keepdims=False
+                    )
+                    accepting = accepting & (g == dj)
+                    return accepting, seen, tokens, finished, count
+
+                _, seen, tokens, finished, count = jax.lax.fori_loop(
+                    0, draft_k + 1, acc_body,
+                    (jnp.ones((b,), bool), seen, tokens, finished,
+                     jnp.zeros((b,), jnp.int32)),
+                )
+                return t + count[0], tokens, caches, finished, seen, n_fwd + 1
+
+            _, tokens, _, _, _, n_fwd = jax.lax.while_loop(
+                spec_cond, spec_body,
+                (p_bucket, tokens, caches, finished, seen, jnp.int32(0)),
+            )
+            return tokens[:, :max_tokens], n_fwd
+
+        self._generate_spec = jax.jit(
+            _generate_spec, static_argnames=("max_tokens",)
+        )
         # set by parallel.tp_llm.shard_qwen2_model(dp_axis=...): batch rows
         # split over the dp mesh axis (weights already tp-sharded)
         self._batch_sharding = None
@@ -513,6 +722,43 @@ class Qwen2Model:
     #: prompt lengths round up to this bucket so serving traffic with varied
     #: prompt sizes reuses a small set of compiled prefill shapes
     PROMPT_BUCKET = 64
+    #: speculative decoding: drafts per verify forward / n-gram match width
+    DRAFT_K = 7
+    PLD_NGRAM = 2
+
+    def generate_tokens_spec(self, prompt_ids, max_new_tokens: int = 256,
+                             repetition_penalty: float = 1.0):
+        """Greedy prompt-lookup speculative decoding. Token-identical to
+        ``generate_tokens(..., temperature=0.0)`` but emits up to
+        ``DRAFT_K + 1`` tokens per forward when the answer copies spans
+        from the prompt (citation-heavy RAG answers do). Single sequence
+        only — matches the reference's llm batch size of 1
+        (src/config/settings.py:33-36); batches fall back to the plain
+        loop in the caller. Returns ``(ids [1, plen + n_new], n_forwards)``
+        where n_forwards counts decode forwards (excl. prefill)."""
+        cfg = self.config
+        prompt_ids = np.asarray(prompt_ids, np.int32)
+        if prompt_ids.ndim == 1:
+            prompt_ids = prompt_ids[None, :]
+        if prompt_ids.shape[0] != 1:
+            raise ValueError("speculative decoding is single-sequence (B=1)")
+        b, plen = prompt_ids.shape
+        if plen >= cfg.max_positions:
+            prompt_ids = prompt_ids[:, -(cfg.max_positions - 1):]
+            plen = prompt_ids.shape[1]
+        n_new = max(1, min(max_new_tokens, cfg.max_positions - plen))
+        bucket = min(-(-plen // self.PROMPT_BUCKET) * self.PROMPT_BUCKET,
+                     cfg.max_positions)
+        bucket = max(bucket, plen)
+        padded = np.full((b, bucket), cfg.eos_token, np.int32)
+        padded[:, :plen] = prompt_ids
+        out, n_fwd = self._generate_spec(
+            self.params, jnp.asarray(padded), jnp.full((b,), plen, jnp.int32),
+            bucket + n_new, jnp.float32(repetition_penalty),
+        )
+        out = np.asarray(out)
+        return (np.concatenate([out[:, :plen], out[:, bucket:]], axis=1),
+                int(n_fwd))
 
     def generate_tokens(self, prompt_ids, max_new_tokens: int = 256,
                         temperature: float = 0.0, top_p: float = 0.85,

@@ -479,3 +479,98 @@ def test_flash_prefill_generates_identically(monkeypatch):
     flash = Qwen2Model(cfg, seed=11)
     got = flash.generate_tokens(prompt, max_new_tokens=8, temperature=0.0)
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# Prompt-lookup speculative decoding
+# ---------------------------------------------------------------------------
+
+def test_pld_draft_finds_most_recent_match():
+    """Drafts must be the continuation of the MOST RECENT earlier occurrence
+    of the trailing n-gram, ignoring the bucket-padding gap."""
+    from automative_rag_tpu.models.qwen2 import _pld_draft
+
+    # prompt = [9, 5, 6, 7, 8, 5, 6, 1], gap (eos=2) at slots 8..9,
+    # generated [5, 6] at slots 10..11 → trailing 2-gram (5, 6) matches at
+    # i=1 and i=5. i=5's continuation [1, gap, gap] runs into the padding
+    # gap, i=1's [7, 8, 5] is fully real → the two-tier score picks i=1.
+    buf = np.array([[9, 5, 6, 7, 8, 5, 6, 1, 2, 2, 5, 6, 0, 0, 0, 0]], np.int32)
+    drafts = np.asarray(_pld_draft(
+        jnp.asarray(buf), jnp.int32(11), jnp.full((1,), 8, jnp.int32),
+        10, 3, 2,
+    ))
+    np.testing.assert_array_equal(drafts[0], [7, 8, 5])
+
+    # no match for trailing (6, 1) except... 1 appears once → no 2-gram match
+    buf2 = np.array([[9, 5, 6, 7, 8, 3, 4, 1, 2, 2, 6, 1, 0, 0, 0, 0]], np.int32)
+    drafts2 = np.asarray(_pld_draft(
+        jnp.asarray(buf2), jnp.int32(11), jnp.full((1,), 8, jnp.int32),
+        10, 3, 2,
+    ))
+    # garbage drafts are fine (verify rejects them); just check shape
+    assert drafts2.shape == (1, 3)
+
+
+def _copy_model(seed=21):
+    """Tiny model surgically altered to copy its input: o_proj/down_proj
+    kernels zeroed, so the residual stream is exactly the token embedding
+    and tied-embedding logits peak at the input token (random gaussian
+    embeddings are near-orthogonal). Greedy output = last prompt token
+    repeated — the best case for prompt-lookup drafting."""
+    import jax
+
+    model = Qwen2Model(Qwen2Config.tiny_test(), seed=seed)
+
+    def zero_copy_breakers(path, leaf):
+        keys = [getattr(p, "key", "") for p in path]
+        if "kernel" in keys and ("o_proj" in keys or "down_proj" in keys):
+            return jnp.zeros_like(leaf)
+        return leaf
+
+    model.params = jax.tree_util.tree_map_with_path(zero_copy_breakers, model.params)
+    return model
+
+
+def test_speculative_matches_greedy_on_copy_model():
+    model = _copy_model()
+    prompt = np.array([7, 8, 9, 10, 11], np.int32)
+    want = model.generate_tokens(prompt, max_new_tokens=24, temperature=0.0)
+    got, n_fwd = model.generate_tokens_spec(prompt, max_new_tokens=24)
+    np.testing.assert_array_equal(got, want)
+    # the copy model repeats one token; every draft is accepted, so the
+    # 24 tokens need far fewer than 24 decode forwards
+    assert n_fwd <= 24 // 3, n_fwd
+
+
+def test_speculative_matches_greedy_random_model(tiny):
+    """Token-identical to the plain greedy loop on an arbitrary model, with
+    repetition penalty active (the acceptance loop applies it sequentially,
+    exactly as the step loop would)."""
+    rng = np.random.default_rng(9)
+    for trial in range(3):
+        prompt = rng.integers(3, tiny.config.vocab_size, size=7).astype(np.int32)
+        for penalty in (1.0, 1.3):
+            want = tiny.generate_tokens(prompt, max_new_tokens=12,
+                                        temperature=0.0,
+                                        repetition_penalty=penalty)
+            got, n_fwd = tiny.generate_tokens_spec(
+                prompt, max_new_tokens=12, repetition_penalty=penalty)
+            np.testing.assert_array_equal(got, want)
+            assert 1 <= n_fwd <= 12
+
+
+def test_speculative_int8_kv_matches_plain_int8():
+    import dataclasses
+
+    cfg = dataclasses.replace(Qwen2Config.tiny_test(), kv_cache_bits=8)
+    model = Qwen2Model(cfg, seed=5)
+    prompt = np.array([4, 5, 6, 7], np.int32)
+    want = model.generate_tokens(prompt, max_new_tokens=10, temperature=0.0)
+    got, _ = model.generate_tokens_spec(prompt, max_new_tokens=10)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_speculative_rejects_batches():
+    model = Qwen2Model(Qwen2Config.tiny_test(), seed=0)
+    with pytest.raises(ValueError):
+        model.generate_tokens_spec(np.zeros((2, 4), np.int32))
