@@ -460,6 +460,26 @@ def _init_decode_caches(cfg: Qwen2Config, kvs, b: int, max_tokens: int):
     return caches
 
 
+def _pld_match(tokens, t, plen, p_bucket, ngram):
+    """Candidate-window match mask for prompt-lookup drafting: position i
+    matches when tokens[i : i+ngram] equals the trailing ngram
+    tokens[t-ngram+1 : t+1], the window is entirely real (prompt
+    [0, plen) or generated [p_bucket, t]; never the bucket-padding gap),
+    and its continuation starts at or before t (excludes the self-match).
+    Cheap enough to evaluate inside a while_loop *condition*."""
+    b, length = tokens.shape
+    iota = jnp.arange(length)
+    real = (iota[None, :] < plen[:, None]) | (
+        (iota >= p_bucket) & (iota <= t)
+    )[None, :]
+    match = (iota <= t - ngram)[None, :]
+    for j in range(ngram):
+        tgt = jax.lax.dynamic_slice(tokens, (0, t - ngram + 1 + j), (b, 1))
+        match = match & (jnp.roll(tokens, -j, axis=1) == tgt) \
+            & jnp.roll(real, -j, axis=1)
+    return match, real
+
+
 def _pld_draft(tokens, t, plen, p_bucket, draft_k, ngram):
     """Prompt-lookup drafting: propose the ``draft_k`` tokens that followed
     the most recent earlier occurrence of the last ``ngram`` tokens.
@@ -468,25 +488,12 @@ def _pld_draft(tokens, t, plen, p_bucket, draft_k, ngram):
     values, entity names), so the prompt itself is a free draft model —
     no second network, no extra weights in HBM. tokens [B, L] is the
     generation buffer (prompt in [0, plen), bucket-padding gap in
-    [plen, p_bucket), generated in [p_bucket, t]); returns drafts
-    [B, draft_k]. When no match exists the drafts are garbage — the verify
-    forward rejects them and decoding degrades to 1 token/forward, never
-    slower in forwards-per-token than plain decode.
+    [plen, p_bucket), generated in [p_bucket, t]); returns
+    (drafts [B, draft_k], has_match [B]).
     """
     b, length = tokens.shape
     iota = jnp.arange(length)
-    real = (iota[None, :] < plen[:, None]) | (
-        (iota >= p_bucket) & (iota <= t)
-    )[None, :]
-    # candidate window at i covers tokens[i : i+ngram]; target window is
-    # tokens[t-ngram+1 : t+1]. Require the whole candidate window real and
-    # its continuation to start at or before t (excludes the self-match).
-    match = (iota <= t - ngram)[None, :]
-    for j in range(ngram):
-        tgt = jax.lax.dynamic_slice(tokens, (0, t - ngram + 1 + j), (b, 1))
-        shifted_tok = jnp.roll(tokens, -j, axis=1)
-        shifted_real = jnp.roll(real, -j, axis=1)
-        match = match & (shifted_tok == tgt) & shifted_real
+    match, real = _pld_match(tokens, t, plen, p_bucket, ngram)
     # two-tier choice: prefer the most recent match whose FULL draft_k
     # continuation is real (a match just behind the frontier can only
     # contribute the tokens generated so far); otherwise the most recent
@@ -498,7 +505,7 @@ def _pld_draft(tokens, t, plen, p_bucket, draft_k, ngram):
     idx = jnp.argmax(score, axis=1)
     pos = jnp.minimum(idx[:, None] + ngram + jnp.arange(draft_k)[None, :],
                       length - 1)
-    return jnp.take_along_axis(tokens, pos, axis=1)
+    return jnp.take_along_axis(tokens, pos, axis=1), jnp.any(match, axis=1)
 
 
 def _apply_repetition_penalty(logits, seen, penalty):
@@ -654,19 +661,58 @@ class Qwen2Model:
             finished = tok0 == cfg.eos_token
             iota = jnp.arange(total)
 
-            def spec_cond(state):
+            def live(state):
                 t, _tokens, _caches, finished, _seen, _n = state
                 return (t < max_tokens - 1) & ~jnp.all(finished)
 
-            def spec_body(state):
+            # nested loops instead of a lax.cond on the hot path: a cond
+            # boundary forces the whole KV-cache tree through branch
+            # operands every iteration (no in-place aliasing), which costs
+            # more than the forward itself. The INNER loop runs plain
+            # single-token steps while no n-gram match exists (the match
+            # check lives in the loop condition, ~O(L) elementwise); the
+            # OUTER body then verifies drafts in one K+1-wide forward.
+            def step_cond(state):
+                t, tokens, *_ = state
+                match, _ = _pld_match(tokens, t, plen, p_bucket, ngram)
+                return live(state) & ~jnp.any(match)
+
+            def step_body(state):
                 t, tokens, caches, finished, seen, n_fwd = state
-                drafts = _pld_draft(tokens, t, plen, p_bucket, draft_k, ngram)
-                cur = jax.lax.dynamic_slice(tokens, (0, t), (b, 1))
-                seg = jnp.concatenate([cur, drafts], axis=1)  # [B, K+1]
+                token_t = jax.lax.dynamic_slice(tokens, (0, t), (b, 1))
+                rope_pos = plen + (t - p_bucket)
+                valid = (iota[None, :] < plen[:, None]) | (
+                    (iota >= p_bucket) & (iota <= t)
+                )[None, :]
+                logits, caches = self.decoder.apply(
+                    dparams, token_t, t, rope_pos, valid, caches,
+                    method="step",
+                )
+                logits = _apply_repetition_penalty(logits, seen, penalty)
+                picked = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                new = jnp.where(finished, cfg.eos_token, picked)
+                tokens = jax.lax.dynamic_update_slice(
+                    tokens, new[:, None], (0, t + 1))
+                seen = seen.at[jnp.arange(b), new].set(True)
+                finished = finished | (new == cfg.eos_token)
+                return t + 1, tokens, caches, finished, seen, n_fwd + 1
+
+            def outer_body(state):
+                state = jax.lax.while_loop(step_cond, step_body, state)
+                t, tokens, caches, finished, seen, n_fwd = state
+                # a match exists here (or the loop is ending: then the
+                # acceptance pass emits nothing / into scratch and `live`
+                # exits right after — no wasted semantics, one wasted
+                # forward at most)
+                drafts, _ = _pld_draft(
+                    tokens, t, plen, p_bucket, draft_k, ngram
+                )
                 rope_start = plen + (t - p_bucket)
                 valid_prefix = (iota[None, :] < plen[:, None]) | (
                     (iota >= p_bucket) & (iota < t)
                 )[None, :]
+                cur = jax.lax.dynamic_slice(tokens, (0, t), (b, 1))
+                seg = jnp.concatenate([cur, drafts], axis=1)  # [B, K+1]
                 logits, caches = self.decoder.apply(
                     dparams, seg, t, rope_start, valid_prefix, caches,
                     method="verify",
@@ -679,12 +725,14 @@ class Qwen2Model:
 
                 def acc_body(j, acc):
                     accepting, seen, tokens, finished, count = acc
-                    lj = jax.lax.dynamic_index_in_dim(logits, j, 1, keepdims=False)
+                    lj = jax.lax.dynamic_index_in_dim(
+                        logits, j, 1, keepdims=False)
                     lj = _apply_repetition_penalty(lj, seen, penalty)
                     g = jnp.argmax(lj, axis=-1).astype(jnp.int32)
                     emit = accepting & ~finished
                     tok = jnp.where(finished, cfg.eos_token, g)
-                    old = jax.lax.dynamic_slice(tokens, (0, t + 1 + j), (b, 1))
+                    old = jax.lax.dynamic_slice(
+                        tokens, (0, t + 1 + j), (b, 1))
                     newcol = jnp.where(emit[:, None], tok[:, None], old)
                     tokens = jax.lax.dynamic_update_slice(
                         tokens, newcol, (0, t + 1 + j)
@@ -706,7 +754,7 @@ class Qwen2Model:
                 return t + count[0], tokens, caches, finished, seen, n_fwd + 1
 
             _, tokens, _, _, _, n_fwd = jax.lax.while_loop(
-                spec_cond, spec_body,
+                live, outer_body,
                 (p_bucket, tokens, caches, finished, seen, jnp.int32(0)),
             )
             return tokens[:, :max_tokens], n_fwd
@@ -728,8 +776,11 @@ class Qwen2Model:
 
     def generate_tokens_spec(self, prompt_ids, max_new_tokens: int = 256,
                              repetition_penalty: float = 1.0):
-        """Greedy prompt-lookup speculative decoding. Token-identical to
-        ``generate_tokens(..., temperature=0.0)`` but emits up to
+        """Greedy prompt-lookup speculative decoding. Matches
+        ``generate_tokens(..., temperature=0.0)`` token-for-token up to
+        bf16 argmax near-ties (logit gaps below bf16 resolution can break
+        differently between the 1-wide and K-wide attention paths; either
+        pick satisfies the teacher-forcing oracle), and emits up to
         ``DRAFT_K + 1`` tokens per forward when the answer copies spans
         from the prompt (citation-heavy RAG answers do). Single sequence
         only — matches the reference's llm batch size of 1

@@ -72,6 +72,54 @@ def main():
                 "p50_s": round(p50, 3),
                 "tokens_per_s": round(generated / p50, 1),
             }
+    # --- speculative decoding (B=1 greedy) ------------------------------
+    # Two bounds: a surgically-made copy model (residual = token embedding,
+    # so greedy output repeats and every prompt-lookup draft is accepted —
+    # the upper bound) and the random model (drafts rarely match — shows
+    # the no-regression floor).
+    import jax.numpy as jnp
+
+    def zero_copy_breakers(path, leaf):
+        keys = [getattr(p, "key", "") for p in path]
+        if "kernel" in keys and ("o_proj" in keys or "down_proj" in keys):
+            return jnp.zeros_like(leaf)
+        return leaf
+
+    copy_model = Qwen2Model(cfg, seed=0)
+    copy_model.params = jax.tree_util.tree_map_with_path(
+        zero_copy_breakers, base.params
+    )
+    prompt1 = rng.integers(3, cfg.vocab_size,
+                           size=(1, args.prompt_len)).astype(np.int32)
+    for name, model in (("copy", copy_model), ("random", base)):
+        model.generate_tokens(prompt1, max_new_tokens=args.new_tokens)
+        model.generate_tokens_spec(prompt1, max_new_tokens=args.new_tokens)
+        plain_t, spec_t, n_fwd = [], [], 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = model.generate_tokens(prompt1, max_new_tokens=args.new_tokens)
+            plain_t.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            out_s, n_fwd = model.generate_tokens_spec(
+                prompt1, max_new_tokens=args.new_tokens)
+            spec_t.append(time.perf_counter() - t0)
+        # spec and plain are argmax-identical up to bf16 near-ties (logit
+        # gaps below bf16 resolution break differently between the 1-wide
+        # and K-wide attention paths; both picks satisfy the oracle), so
+        # report the prefix agreement instead of asserting exactness
+        agree = int(np.argmin(out[0] == out_s[0])) or out.shape[1]
+        plain_p50, spec_p50 = sorted(plain_t)[1], sorted(spec_t)[1]
+        n_new = out.shape[1] - args.prompt_len
+        report[f"spec_{name}_b1"] = {
+            "plain_p50_s": round(plain_p50, 3),
+            "spec_p50_s": round(spec_p50, 3),
+            "speedup": round(plain_p50 / spec_p50, 2),
+            "decode_forwards": n_fwd,
+            "tokens": int(n_new),
+            "agree_prefix": agree,
+            "spec_tokens_per_s": round(n_new / spec_p50, 1),
+        }
+
     print(json.dumps(report))
 
 

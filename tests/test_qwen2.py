@@ -495,20 +495,22 @@ def test_pld_draft_finds_most_recent_match():
     # i=1 and i=5. i=5's continuation [1, gap, gap] runs into the padding
     # gap, i=1's [7, 8, 5] is fully real → the two-tier score picks i=1.
     buf = np.array([[9, 5, 6, 7, 8, 5, 6, 1, 2, 2, 5, 6, 0, 0, 0, 0]], np.int32)
-    drafts = np.asarray(_pld_draft(
+    drafts, has_match = _pld_draft(
         jnp.asarray(buf), jnp.int32(11), jnp.full((1,), 8, jnp.int32),
         10, 3, 2,
-    ))
-    np.testing.assert_array_equal(drafts[0], [7, 8, 5])
+    )
+    np.testing.assert_array_equal(np.asarray(drafts)[0], [7, 8, 5])
+    assert bool(np.asarray(has_match)[0])
 
     # no match for trailing (6, 1) except... 1 appears once → no 2-gram match
     buf2 = np.array([[9, 5, 6, 7, 8, 3, 4, 1, 2, 2, 6, 1, 0, 0, 0, 0]], np.int32)
-    drafts2 = np.asarray(_pld_draft(
+    drafts2, has_match2 = _pld_draft(
         jnp.asarray(buf2), jnp.int32(11), jnp.full((1,), 8, jnp.int32),
         10, 3, 2,
-    ))
-    # garbage drafts are fine (verify rejects them); just check shape
-    assert drafts2.shape == (1, 3)
+    )
+    # no match → the spec loop falls back to a plain single step
+    assert not bool(np.asarray(has_match2)[0])
+    assert np.asarray(drafts2).shape == (1, 3)
 
 
 def _copy_model(seed=21):
