@@ -29,6 +29,7 @@ from ..config.mode_config import QueryMode, mode_config
 from ..ingestion.metadata import known_manufacturers, known_models
 from ..ingestion.video_processor import validate_video_url
 from ..schemas.models import (
+    AnalyzeQueryRequest,
     AuthTokenRequest,
     BatchVideoIngestRequest,
     CleanupJobsRequest,
@@ -334,6 +335,35 @@ def build_api(app: RAGApplication) -> HTTPApi:
             issues.append(f"unknown mode {body.mode!r}")
         return {"valid": not issues, "issues": issues}
 
+    @router.get("/query/templates")
+    def query_templates(req: Request):
+        """Query template catalog with suggested modes + examples
+        (reference src/ui/components/query_templates.py:7-60, served
+        instead of UI-embedded so any client gets the same catalog)."""
+        from ..services.query_assist import QUERY_TEMPLATES
+
+        return {"templates": QUERY_TEMPLATES}
+
+    @router.post("/query/analyze")
+    def query_analyze(req: Request):
+        """Query quality score + refinement suggestions + detected
+        filterable entities (reference query_refinement.py:39-72)."""
+        from ..services.query_assist import analyze_query_quality
+
+        body = parse_body(req, AnalyzeQueryRequest)
+        return analyze_query_quality(body.query)
+
+    @router.get("/system/help/{context}")
+    def contextual_help(req: Request):
+        """Contextual help text per UI view (reference
+        contextual_help.py:7-79)."""
+        from ..services.query_assist import CONTEXTUAL_HELP
+
+        ctx = req.params["context"]
+        if ctx not in CONTEXTUAL_HELP:
+            raise HTTPError(404, f"no help for context {ctx!r}")
+        return CONTEXTUAL_HELP[ctx]
+
     @router.get("/query/manufacturers")
     def manufacturers(req: Request):
         indexed = sorted(app.index.columns.vocabs.get("manufacturer", {}))
@@ -637,6 +667,19 @@ def build_api(app: RAGApplication) -> HTTPApi:
         return profile_retrieval(
             app.engine, body.query, trace_dir=trace_dir, mode=body.mode.value
         )
+
+    @router.post("/system/save-index")
+    def save_index(req: Request):
+        """Checkpoint the index (+ token store) to INDEX_DIR — the durable
+        artifact a restarted deployment reloads (INDEX_AUTOLOAD=1 or
+        POST /system/load-index)."""
+        directory = app.save_index()
+        return {"saved_to": directory, "rows": app.index.count}
+
+    @router.post("/system/load-index")
+    def load_index(req: Request):
+        rows = app.load_index()
+        return {"loaded": rows, "kind": app.index.stats()["kind"]}
 
     @router.post("/system/rebuild-index")
     def rebuild_index(req: Request):

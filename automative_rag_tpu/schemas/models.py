@@ -79,6 +79,13 @@ class ValidateQueryRequest(BaseModel):
     mode: str = "facts"
 
 
+class AnalyzeQueryRequest(BaseModel):
+    """POST /query/analyze — quality scoring + refinement suggestions
+    (reference query_refinement.py:39-72, served instead of UI-embedded)."""
+
+    query: str = Field(min_length=1, max_length=512)
+
+
 class DebugRetrievalRequest(BaseModel):
     query: str = Field(min_length=1, max_length=512)
     mode: QueryMode = QueryMode.FACTS

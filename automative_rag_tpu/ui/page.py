@@ -81,10 +81,14 @@ label { color:var(--dim); font-size:13px; }
 
 <section id="tab-query" class="hide">
   <div class="card">
-    <h2>智能查询</h2><br>
+    <h2>智能查询 <button class="ghost" onclick="toggleHelp('query')">ⓘ 帮助</button></h2>
+    <div id="help-query" class="hide src"></div><br>
     <div class="grid" id="mode-picker"></div><br>
+    <div id="mode-examples" class="src"></div>
+    <div class="row" id="q-templates" style="margin:6px 0"></div>
     <input id="q-text" list="q-suggest" style="width:100%" placeholder="例如：宝马X5的百公里加速是多少？" oninput="suggest()">
     <datalist id="q-suggest"></datalist>
+    <div id="q-hints"></div>
     <div class="row" style="margin-top:10px">
       <label>品牌 <input id="f-manu" size="8"></label>
       <label>车型 <input id="f-model" size="8"></label>
@@ -124,6 +128,10 @@ label { color:var(--dim); font-size:13px; }
 
 <section id="tab-ingest" class="hide">
   <div class="card">
+    <h2>数据摄取 <button class="ghost" onclick="toggleHelp('ingest')">ⓘ 帮助</button></h2>
+    <div id="help-ingest" class="hide src"></div>
+  </div>
+  <div class="card">
     <h2>数据摄取 — 文本</h2><br>
     <textarea id="i-text" placeholder="粘贴汽车相关文本…"></textarea>
     <div class="row" style="margin-top:8px">
@@ -136,6 +144,14 @@ label { color:var(--dim); font-size:13px; }
       <input id="i-url" size="50" placeholder="YouTube / Bilibili URL">
       <button class="primary" onclick="ingestVideo()">摄取视频</button><span id="i-video-status"></span>
     </div>
+  </div>
+  <div class="card">
+    <h2>数据摄取 — 批量视频</h2><br>
+    <textarea id="i-batch" placeholder="每行一个视频 URL（最多 100 个）；每个视频是独立任务，单个失败不影响其它"></textarea>
+    <div class="row" style="margin-top:8px">
+      <button class="primary" onclick="ingestBatch()">批量摄取</button><span id="i-batch-status"></span>
+    </div>
+    <div id="i-batch-jobs"></div>
   </div>
   <div class="card">
     <h2>数据摄取 — PDF</h2><br>
@@ -227,10 +243,21 @@ label { color:var(--dim); font-size:13px; }
 
 <section id="tab-system" class="hide">
   <div class="card">
-    <h2>系统信息 <button class="ghost" onclick="loadSystem()">刷新</button></h2><br>
+    <h2>系统信息
+      <button class="ghost" onclick="loadSystem()">刷新</button>
+      <button class="ghost" onclick="sysAction('/system/warmup','预热')">🔥 预热</button>
+      <button class="ghost" onclick="sysAction('/system/rebuild-index','重建索引')">🧱 重建索引</button>
+      <button class="ghost" onclick="toggleHelp('system')">ⓘ 帮助</button>
+      <span id="sys-action-status"></span></h2>
+    <div id="help-system" class="hide src"></div><br>
+    <div class="grid" id="sys-stats"></div><br>
     <div id="sys-workers"></div><br>
     <div id="sys-queues"></div><br>
-    <h4>使用分析</h4><pre id="sys-analytics"></pre><br>
+    <div id="sys-models"></div><br>
+    <div id="sys-disk"></div>
+  </div>
+  <div class="card">
+    <h4>使用分析</h4><div id="sys-analytics"></div><br>
     <h4>配置</h4><pre id="sys-config"></pre>
   </div>
 </section>
@@ -256,7 +283,7 @@ function show(tab) {
     $("nav-"+t).classList.toggle("active", t === tab);
   });
   if (tab === "home") loadHome();
-  if (tab === "query") loadHistory();
+  if (tab === "query") { loadHistory(); loadTemplates(); }
   if (tab === "browse") browse();
   if (tab === "jobs") loadJobs();
   if (tab === "system") loadSystem();
@@ -287,6 +314,57 @@ async function loadHome() {
 function pickMode(m) {
   selMode = m;
   MODES.forEach(x => $("mode-"+x.mode).classList.toggle("sel", x.mode === m));
+  const ex = TEMPLATES.filter(t => t.suggested_mode === m).flatMap(t => t.examples);
+  $("mode-examples").innerHTML = ex.length
+    ? "💡 示例: " + ex.slice(0,2).map(e =>
+      `<a href="#" onclick="$('q-text').value='${esc(e)}';suggest();return false"
+         style="color:var(--accent)">${esc(e)}</a>`).join(" · ")
+    : "";
+}
+
+let TEMPLATES = [];
+async function loadTemplates() {
+  if (TEMPLATES.length) return;
+  TEMPLATES = (await api("/query/templates")).templates;
+  $("q-templates").innerHTML = "<label>快速模板:</label> " + TEMPLATES.map((t,i) =>
+    `<button class="ghost" onclick="useTemplate(${i})">${t.icon} ${esc(t.category)}</button>`).join("");
+}
+function useTemplate(i) {
+  const t = TEMPLATES[i];
+  $("q-text").value = t.template;
+  pickMode(t.suggested_mode);
+}
+
+async function toggleHelp(ctx) {
+  const el = $("help-" + ctx);
+  if (!el.classList.toggle("hide") && !el.innerHTML) {
+    const h = await api("/system/help/" + ctx);
+    el.innerHTML = `<b>${esc(h.title)}</b> — ${esc(h.body)}<br>💡 ${esc(h.tip)}`;
+  }
+}
+
+let analyzeTimer = null;
+function analyzeQuery() {
+  clearTimeout(analyzeTimer);
+  analyzeTimer = setTimeout(async () => {
+    const q = $("q-text").value.trim();
+    if (q.length < 2) { $("q-hints").innerHTML = ""; return; }
+    const a = await api("/query/analyze", {method:"POST",
+      headers:{"Content-Type":"application/json"}, body: JSON.stringify({query:q})});
+    let html = a.strengths.map(s => `<span class="badge ok">✓ ${esc(s)}</span>`).join(" ");
+    if (a.quality_score < 0.7 && a.suggestions.length)
+      html += " " + a.suggestions.map(s => `<span class="badge warn">✨ ${esc(s)}</span>`).join(" ");
+    const d = a.detected || {};
+    if (d.manufacturer || d.model || d.year)
+      html += ` <button class="ghost" onclick='applyDetected(${JSON.stringify(d)})'>应用筛选
+        ${esc(d.manufacturer||"")} ${esc(d.model||"")} ${d.year||""}</button>`;
+    $("q-hints").innerHTML = html ? "<div style='margin-top:6px'>" + html + "</div>" : "";
+  }, 350);
+}
+function applyDetected(d) {
+  if (d.manufacturer) $("f-manu").value = d.manufacturer;
+  if (d.model) $("f-model").value = d.model;
+  if (d.year) $("f-year").value = d.year;
 }
 
 function filterBody() {
@@ -362,10 +440,18 @@ async function pollQuery(jobId, t0) {
     $("q-structured").innerHTML = structuredHtml;
     $("q-conf").textContent = "可信度 " + Math.round(r.confidence) + "/100";
     $("q-conf").className = "badge " + (r.confidence >= 70 ? "ok" : r.confidence >= 40 ? "warn" : "bad");
+    // result quality indicator (reference result_quality.py:7-56): grade
+    // from confidence, source citation coverage, and quality warnings
     const qc = r.quality_check || {};
-    $("q-quality").innerHTML = (qc.warnings || []).length
-      ? "<br>" + qc.warnings.map(w => `<span class="badge warn">⚠️ ${esc(w)}</span>`).join(" ")
-      : "";
+    const srcs = r.sources || [];
+    const cited = srcs.filter(s => s.cited).length;
+    let q = (r.confidence || 0) / 100 * 0.6
+          + (srcs.length ? cited / srcs.length : 0) * 0.3
+          + ((qc.warnings || []).length ? 0 : 0.1);
+    const grade = q >= 0.75 ? ["优秀","ok"] : q >= 0.5 ? ["良好","warn"] : ["需谨慎","bad"];
+    $("q-quality").innerHTML = `<br><span class="badge ${grade[1]}">结果质量: ${grade[0]}
+      (${Math.round(q*100)}/100)</span> <span class="badge dim">引用 ${cited}/${srcs.length} 来源</span> `
+      + (qc.warnings || []).map(w => `<span class="badge warn">⚠️ ${esc(w)}</span>`).join(" ");
     $("q-sources").innerHTML = (r.sources || []).map(s =>
       `<div class="src">${s.cited ? "✅" : "▫️"} <b>${s.doc_id}</b>
        ${esc(s.metadata.manufacturer||"")} ${esc(s.metadata.model||"")}
@@ -397,6 +483,29 @@ async function ingestVideo() {
     watchJob(r.job_id, "i-video-status");
   } catch (e) { $("i-video-status").textContent = "错误: " + e.message; }
 }
+async function ingestBatch() {
+  const urls = $("i-batch").value.split("\\n").map(u => u.trim()).filter(Boolean);
+  if (!urls.length) return;
+  try {
+    const r = await api("/ingest/batch-videos", {method:"POST",
+      headers:{"Content-Type":"application/json"}, body: JSON.stringify({urls})});
+    $("i-batch-status").textContent = `已提交 ${r.accepted} 个任务，拒绝 ${r.rejected.length} 个`;
+    const bad = r.rejected.map(x =>
+      `<div class="src">✗ ${esc(x.url)} <span class="badge bad">${esc(x.reason)}</span></div>`).join("");
+    const render = async () => {
+      const rows = await Promise.all(r.job_ids.map(async id => {
+        const job = await api("/ingest/jobs/" + id);
+        const cls = job.status === "completed" ? "ok" : job.status === "failed" ? "bad" : "warn";
+        return `<div class="src">${id.slice(0,8)} · ${esc((job.metadata||{}).url||"")}
+          <span class="badge ${cls}">${job.status} ${job.progress||0}%</span></div>`;
+      }));
+      $("i-batch-jobs").innerHTML = bad + rows.join("");
+      if (rows.some(x => x.includes("warn"))) setTimeout(render, 1200);
+    };
+    render();
+  } catch (e) { $("i-batch-status").textContent = "错误: " + e.message; }
+}
+
 async function ingestPdf() {
   const file = $("i-pdf").files[0];
   if (!file) return;
@@ -603,6 +712,7 @@ function suggest() {
     const r = await api("/query/suggestions?prefix=" + encodeURIComponent($("q-text").value));
     $("q-suggest").innerHTML = r.suggestions.map(s => `<option value="${esc(s)}">`).join("");
   }, 250);
+  analyzeQuery();
 }
 
 async function loadHistory() {
@@ -613,17 +723,52 @@ async function loadHistory() {
   ).join("") || "<div class='src'>暂无历史</div>";
 }
 
+const fmtBytes = n => n >= 1<<30 ? (n/(1<<30)).toFixed(1)+" GB"
+  : n >= 1<<20 ? (n/(1<<20)).toFixed(1)+" MB" : Math.round(n/1024)+" KB";
+
+async function sysAction(path, label) {
+  $("sys-action-status").textContent = label + "中…";
+  try {
+    await api(path, {method:"POST", headers:{"Content-Type":"application/json"}, body:"{}"});
+    $("sys-action-status").innerHTML = `<span class="badge ok">${label}完成</span>`;
+    loadSystem();
+  } catch (e) { $("sys-action-status").innerHTML = `<span class="badge bad">${label}失败: ${esc(e.message)}</span>`; }
+}
+
 async function loadSystem() {
+  const h = await api("/system/health/detailed");
+  const idx = h.index || {};
+  $("sys-stats").innerHTML = `
+    <div class="stat"><b>${idx.count ?? 0}</b><span>索引文档块 (${esc(idx.kind||"")})</span></div>
+    <div class="stat"><b>${fmtBytes(idx.hbm_bytes||0)}</b><span>索引 HBM 占用 · ${esc(idx.device_dtype||"")}</span></div>
+    <div class="stat"><b>${idx.tail_rows ?? 0}</b><span>未合并新增 (fresh tail)</span></div>
+    <div class="stat"><b>${Math.round(h.uptime_s||0)}s</b><span>运行时间</span></div>`;
   const w = await api("/workers/status");
+  const hb = await api("/system/heartbeats");
   $("sys-workers").innerHTML = "<h4>工作线程</h4>" + Object.entries(w.workers).map(([k,v]) =>
-    `<span class="badge ${v==="healthy"?"ok":v==="stale"?"warn":"bad"}" style="margin-right:6px">${k}: ${v}</span>`).join("");
+    `<span class="badge ${v==="healthy"?"ok":v==="stale"?"warn":"bad"}" style="margin-right:6px">${k}: ${v}
+     ${hb.workers && hb.workers[k] ? `(心跳 ${(+hb.workers[k].last_beat_age_s).toFixed(1)}s)` : ""}</span>`).join("");
   $("sys-queues").innerHTML = `<h4>队列</h4><table><tr><th>队列</th><th>等待</th><th>完成</th><th>失败</th><th>重试</th></tr>` +
     Object.entries(w.queues).map(([k,q]) =>
       `<tr><td>${k}</td><td>${q.pending}</td><td>${q.completed}</td><td>${q.failed}</td><td>${q.retried}</td></tr>`).join("") + "</table>";
+  try {
+    const m = await api("/model/status");
+    $("sys-models").innerHTML = "<h4>模型状态</h4><table><tr><th>模型</th><th>状态</th><th>详情</th></tr>" +
+      Object.entries(m).map(([k,v]) => `<tr><td>${esc(k)}</td>
+        <td><span class="badge ${v.pretrained ? "ok" : "dim"}">${v.pretrained ? "已加载权重" : (v.mode || "内置模式")}</span></td>
+        <td>${esc(v.path || "")} ${v.dim ? "dim="+v.dim : ""} ${v.backend ? esc(v.backend) : ""}</td></tr>`).join("") + "</table>";
+  } catch (e) { $("sys-models").innerHTML = ""; }
+  const du = await api("/system/disk-usage");
+  $("sys-disk").innerHTML = `<h4>磁盘</h4><span class="badge ${du.free > du.total*0.1 ? "ok" : "warn"}">
+    已用 ${fmtBytes(du.used)} / ${fmtBytes(du.total)} · 剩余 ${fmtBytes(du.free)}</span>`;
   const cfg = await api("/system/config");
   $("sys-config").textContent = JSON.stringify(cfg, null, 2);
   const an = await api("/system/analytics");
-  $("sys-analytics").textContent = JSON.stringify(an, null, 2);
+  $("sys-analytics").innerHTML = `<div class="grid">
+    <div class="stat"><b>${an.total_queries ?? 0}</b><span>总查询数</span></div>
+    <div class="stat"><b>${an.avg_latency_s != null ? (an.avg_latency_s*1000).toFixed(0)+"ms" : "—"}</b><span>平均时延</span></div>
+    <div class="stat"><b>${esc(an.top_mode || "—")}</b><span>最常用模式</span></div>
+    <div class="stat"><b>${(an.top_terms||[]).slice(0,3).map(esc).join(" / ") || "—"}</b><span>热门词</span></div></div>`;
 }
 
 $("nav").innerHTML = TABS.map(([t,label]) =>
