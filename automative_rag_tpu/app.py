@@ -159,6 +159,19 @@ class RAGApplication:
         self._register_tasks()
         self._lock = threading.RLock()
 
+        # --- restart resume (compose restart path) ---
+        if self.settings.index_autoload:
+            import os as _os
+
+            manifest = _os.path.join(self.settings.index_dir, "manifest.json")
+            if _os.path.exists(manifest):
+                try:
+                    rows = self.load_index()
+                    print(f"index autoload: {rows} rows from "
+                          f"{self.settings.index_dir}", flush=True)
+                except Exception as exc:  # noqa: BLE001 - boot must survive
+                    print(f"index autoload failed: {exc}", flush=True)
+
     def _make_index(self):
         if self.settings.index_kind == "ivf":
             from .index.ivf import IVFIndex

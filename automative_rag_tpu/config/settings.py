@@ -145,6 +145,11 @@ class Settings:
     chain_persist_path: str = field(
         default_factory=lambda: _env("CHAIN_PERSIST_PATH", "")
     )
+    # reload the last saved index from INDEX_DIR at boot (the compose
+    # restart path: docker-compose.yml engine service)
+    index_autoload: bool = field(
+        default_factory=lambda: _env("INDEX_AUTOLOAD", False, bool)
+    )
 
     # --- ingestion ---
     whisper_model_path: str = field(
