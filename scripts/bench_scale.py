@@ -129,11 +129,106 @@ def bench_ivf_recall(n=100_000, dim=1024, k=10, n_lists=256, probes=(8, 16, 32))
     return out
 
 
+def bench_ivf_scale(n=1_000_000, dim=1024, k=10, n_lists=1024,
+                    probes=(8, 32, 128), batch=8, dtype="bfloat16"):
+    """1M-row IVF: on-chip k-means build, recall@10 vs the exact host
+    oracle, and IN-GRAPH QPS (lax.scan around the product search kernel,
+    serialized carry — the flat-search methodology, so the 26 ms relay
+    round-trip doesn't pollute per-query latency the way the host-driven
+    `.search()` path does)."""
+    import jax
+    import jax.numpy as jnp
+
+    from automative_rag_tpu.documents import Document
+    from automative_rag_tpu.index.ivf import IVFIndex, _ivf_search_kernel
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(4096, dim)).astype(np.float32) * 2
+    assign = rng.integers(0, 4096, size=n)
+    vectors = (centers[assign] + rng.normal(size=(n, dim)).astype(np.float32))
+    del assign
+    docs = [Document(page_content="d", metadata={}) for _ in range(n)]
+
+    index = IVFIndex(dim=dim, device_dtype=dtype, n_lists=n_lists)
+    t0 = time.time()
+    index.add(vectors, docs)
+    add_s = time.time() - t0
+    t0 = time.time()
+    info = index.rebuild()
+    build_s = time.time() - t0
+
+    normalized = vectors / np.maximum(
+        np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
+    del vectors
+    queries = rng.normal(size=(20, dim)).astype(np.float32)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    oracle = [set(np.argsort(-(normalized @ q))[:k].tolist()) for q in qn]
+    del normalized
+
+    state = index._device_state()
+    int8 = dtype == "int8"
+    out = {"n": n, "dtype": dtype, "n_lists": index.n_lists,
+           "add_s": round(add_s, 1), "build_s": round(build_s, 1),
+           "list_cap": info.get("list_cap"), "probes": {}}
+    full_mask = jnp.asarray(np.ones(state["capacity"], bool))
+
+    def make_many(nprobe):
+        # nprobe/k/int8 are static via closure; the corpus tensors are
+        # ARGUMENTS (a captured 2 GB constant breaks the remote compiler)
+        @jax.jit
+        def many(q, vectors, row_scales, centroids, list_table, full_mask):
+            def body(carry, _):
+                vals, _rows = _ivf_search_kernel(
+                    vectors, row_scales, full_mask, centroids, list_table,
+                    carry, nprobe, k, int8,
+                )
+                carry = carry + (vals[0, 0] * 0).astype(carry.dtype)
+                return carry, vals[:, 0]
+
+            _, outs = jax.lax.scan(body, q, None, length=REPS)
+            return outs
+
+        return many
+
+    for nprobe in probes:
+        # recall through the product host path (one batched call)
+        got = index.search(queries, k, n_probe=nprobe)
+        recall = float(np.mean([
+            len({r.row for r in hits} & want) / k
+            for hits, want in zip(got, oracle)
+        ]))
+        # in-graph QPS at serving batch size
+        qb = jnp.asarray(qn[:batch])
+        many = make_many(nprobe)
+        operands = (qb, state["vectors"], state["row_scales"],
+                    state["centroids"], state["list_table"], full_mask)
+        np.asarray(many(*operands))  # compile
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(many(*operands))
+            samples.append((time.perf_counter() - t0) / REPS)
+        per_call = float(np.percentile(samples, 50))
+        out["probes"][nprobe] = {
+            "recall_at_10": round(recall, 4),
+            "latency_ms_per_batch": round(per_call * 1000, 3),
+            "qps": round(batch / per_call, 1),
+        }
+        print("ivf_1m probe", nprobe, out["probes"][nprobe], flush=True)
+    return out
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="BENCH_SCALE.json")
     parser.add_argument("--skip-1m", action="store_true")
     parser.add_argument("--skip-ivf", action="store_true")
+    parser.add_argument("--skip-flat", action="store_true")
+    parser.add_argument("--ivf-1m", action="store_true",
+                        help="1M-row IVF build/recall/QPS (slow: on-chip "
+                             "k-means + 4 GB host oracle)")
+    parser.add_argument("--ivf-1m-dtype", default="bfloat16",
+                        choices=("bfloat16", "int8"))
     args = parser.parse_args()
     _enable_cache()
 
@@ -141,21 +236,28 @@ def main():
 
     report = {"platform": jax.devices()[0].platform,
               "device": str(jax.devices()[0])}
-    for n in (100_000,) + (() if args.skip_1m else (1_000_000,)):
-        for dtype in ("bfloat16", "int8"):
-            key = f"flat_{n}_{dtype}"
-            try:
-                report[key] = bench_flat(n, dtype=dtype)
-                print(key, report[key], flush=True)
-            except Exception as exc:  # noqa: BLE001
-                report[key] = {"error": str(exc)[:200]}
-                print(key, "FAILED", exc, flush=True)
+    if not args.skip_flat:
+        for n in (100_000,) + (() if args.skip_1m else (1_000_000,)):
+            for dtype in ("bfloat16", "int8"):
+                key = f"flat_{n}_{dtype}"
+                try:
+                    report[key] = bench_flat(n, dtype=dtype)
+                    print(key, report[key], flush=True)
+                except Exception as exc:  # noqa: BLE001
+                    report[key] = {"error": str(exc)[:200]}
+                    print(key, "FAILED", exc, flush=True)
     if not args.skip_ivf:
         try:
             report["ivf_100k"] = bench_ivf_recall()
             print("ivf_100k", report["ivf_100k"], flush=True)
         except Exception as exc:  # noqa: BLE001
             report["ivf_100k"] = {"error": str(exc)[:200]}
+    if args.ivf_1m:
+        try:
+            report["ivf_1m"] = bench_ivf_scale(dtype=args.ivf_1m_dtype)
+        except Exception as exc:  # noqa: BLE001
+            report["ivf_1m"] = {"error": str(exc)[:200]}
+            print("ivf_1m FAILED", exc, flush=True)
 
     Path(args.out).write_text(json.dumps(report, indent=2))
     print(f"wrote {args.out}")
