@@ -26,18 +26,65 @@ from ..models.bge_m3 import DenseEmbedder
 from ..rerank.reranker import LateInteractionReranker
 
 
+#: additive bonus (on the [0.35, 1]-normalized rerank score) when a
+#: candidate's metadata exactly matches the entity the query names. The
+#: model bonus exceeds the normalization range on purpose: when the user
+#: literally names a model, its own documents outrank every other model's
+#: (what a hard-filtered search would return) while keeping their rerank
+#: order among themselves — decisive for short CJK model names (汉, 唐)
+#: whose single token carries ~1/30 of a MaxSim score, and for telling 汉
+#: apart from 汉EV. The manufacturer signal is weaker (many models share
+#: one brand) so it only nudges.
+_ENTITY_BONUS = {"model": 1.0, "manufacturer": 0.15}
+
+
+def _apply_entity_bonus(
+    ranked: List[Tuple[Document, float]], detected: Dict[str, Any]
+) -> List[Tuple[Document, float]]:
+    key, val = next(iter(detected.items()))
+    bonus = _ENTITY_BONUS[key]
+    return [
+        (d, s + bonus if d.metadata.get(key) == val else s) for d, s in ranked
+    ]
+
+
+def _query_entities(query: str) -> Optional[Dict[str, Any]]:
+    """Detect a filterable model/manufacturer named in the query (the same
+    catalogs the ingestion extractor indexes by, so detection and the
+    payload index always agree). Used for entity-guided candidate
+    expansion: short CJK model names (汉, 唐) carry almost no dense-vector
+    signal, so the true document can miss the top-k entirely — a hard
+    metadata match is the reliable recall path for them."""
+    from ..ingestion.metadata import MANUFACTURER_ALIASES, MODEL_CATALOG
+
+    lowered = query.lower()
+    for model in sorted(MODEL_CATALOG, key=len, reverse=True):
+        if model.lower() in lowered:
+            return {"model": model}
+    for alias in sorted(MANUFACTURER_ALIASES, key=len, reverse=True):
+        if alias in lowered:
+            return {"manufacturer": MANUFACTURER_ALIASES[alias]}
+    return None
+
+
 class RetrievalEngine:
+    #: extra hard-filtered candidates unioned in when the query names a
+    #: known model/manufacturer and no explicit filter was given
+    ENTITY_EXPAND_K = 5
+
     def __init__(
         self,
         embedder: DenseEmbedder,
         index,
         reranker: Optional[LateInteractionReranker] = None,
         token_store=None,
+        entity_expansion: bool = True,
     ):
         self.embedder = embedder
         self.index = index
         self.reranker = reranker
         self.token_store = token_store
+        self.entity_expansion = entity_expansion
         self.last_timings: Dict[str, float] = {}
 
     # ------------------------------------------------------------ ingest
@@ -75,17 +122,33 @@ class RetrievalEngine:
         qvec = self.embedder.embed_query(query)
         t1 = time.perf_counter()
         hits = self.index.search(np.asarray(qvec), k1, metadata_filter)[0]
+        # entity-guided expansion: when the query names a known model or
+        # brand and the caller didn't filter, union in a few hard-filtered
+        # hits so the entity's own documents are guaranteed a rerank slot;
+        # wrong detections only add candidates, which rerank screens out
+        detected = None
+        if self.entity_expansion and metadata_filter is None:
+            detected = _query_entities(query)
+            if detected:
+                seen_rows = {h.row for h in hits}
+                extra = self.index.search(
+                    np.asarray(qvec), self.ENTITY_EXPAND_K, detected
+                )[0]
+                hits = hits + [h for h in extra if h.row not in seen_rows]
         t2 = time.perf_counter()
 
         candidates = [h.document for h in hits]
         if rerank and self.reranker is not None and candidates:
             rows = [h.row for h in hits]
+            # rerank the FULL candidate set (not top_k): the entity bonus
+            # below must be able to lift a hard-filtered candidate into the
+            # final k
             if self.token_store is not None and max(rows) < self.token_store.rows:
                 ranked = self.reranker.rerank_rows(
-                    query, candidates, rows, self.token_store, top_k=k2
+                    query, candidates, rows, self.token_store, top_k=None
                 )
             else:
-                ranked = self.reranker.rerank(query, candidates, top_k=k2)
+                ranked = self.reranker.rerank(query, candidates, top_k=None)
             # MaxSim/hybrid scores are unbounded; normalize into [0.35, 1]
             # — ABOVE the per-mode relevance cutoffs (0.2-0.3): reranked
             # candidates are already MaxSim-screened, and a floor inside the
@@ -99,6 +162,9 @@ class RetrievalEngine:
                 else:
                     norm = np.ones_like(scores)
                 ranked = [(doc, float(n)) for (doc, _), n in zip(ranked, norm)]
+                if detected:
+                    ranked = _apply_entity_bonus(ranked, detected)
+                ranked = sorted(ranked, key=lambda x: -x[1])[:k2]
         else:
             ranked = [(h.document, h.score) for h in hits[:k2]]
         t3 = time.perf_counter()
@@ -141,12 +207,12 @@ class RetrievalEngine:
         t0 = time.perf_counter()
         qvecs = self.embedder.embed_texts(queries)
         t1 = time.perf_counter()
+        import json as _json
+
         if metadata_filters is not None:
             # group queries by filter so each distinct filter is one launch
             per_query_hits: List[Any] = [None] * len(queries)
             groups: Dict[str, Tuple[Optional[Dict[str, Any]], List[int]]] = {}
-            import json as _json
-
             for i, flt in enumerate(metadata_filters):
                 key = _json.dumps(flt, sort_keys=True, ensure_ascii=False)
                 groups.setdefault(key, (flt, []))[1].append(i)
@@ -155,7 +221,34 @@ class RetrievalEngine:
                 for i, h in zip(rows, hits):
                     per_query_hits[i] = h
         else:
-            per_query_hits = self.index.search(qvecs, k1, metadata_filter)
+            per_query_hits = list(self.index.search(qvecs, k1, metadata_filter))
+
+        # entity-guided expansion, same semantics as the single-query path;
+        # queries naming the same entity share one extra filtered launch
+        detected_per_query: List[Optional[Dict[str, Any]]] = [None] * len(queries)
+        if self.entity_expansion:
+            effective = (
+                metadata_filters if metadata_filters is not None
+                else [metadata_filter] * len(queries)
+            )
+            expand_groups: Dict[str, Tuple[Dict[str, Any], List[int]]] = {}
+            for i, flt in enumerate(effective):
+                if flt is not None:
+                    continue
+                det = _query_entities(queries[i])
+                if det:
+                    detected_per_query[i] = det
+                    key = _json.dumps(det, sort_keys=True, ensure_ascii=False)
+                    expand_groups.setdefault(key, (det, []))[1].append(i)
+            for det, idxs in expand_groups.values():
+                extra_hits = self.index.search(
+                    qvecs[idxs], self.ENTITY_EXPAND_K, det
+                )
+                for i, extra in zip(idxs, extra_hits):
+                    seen = {h.row for h in per_query_hits[i]}
+                    per_query_hits[i] = list(per_query_hits[i]) + [
+                        h for h in extra if h.row not in seen
+                    ]
         t2 = time.perf_counter()
 
         docs_per_query = [[h.document for h in hits] for hits in per_query_hits]
@@ -171,12 +264,13 @@ class RetrievalEngine:
             and max(all_rows) < self.token_store.rows
         ):
             ranked_per_query = self.reranker.rerank_rows_batch(
-                queries, docs_per_query, rows_per_query, self.token_store, top_k=k2
+                queries, docs_per_query, rows_per_query, self.token_store,
+                top_k=None,
             )
         elif rerank and self.reranker is not None and any(docs_per_query):
             # no token store coverage: per-query encode-and-rerank fallback
             ranked_per_query = [
-                self.reranker.rerank(q, docs, top_k=k2) if docs else []
+                self.reranker.rerank(q, docs, top_k=None) if docs else []
                 for q, docs in zip(queries, docs_per_query)
             ]
         else:
@@ -186,7 +280,7 @@ class RetrievalEngine:
             rerank = False
 
         out: List[List[Tuple[Document, float]]] = []
-        for ranked in ranked_per_query:
+        for i, ranked in enumerate(ranked_per_query):
             if rerank and ranked:
                 scores = np.array([s for _, s in ranked], np.float64)
                 lo, hi = scores.min(), scores.max()
@@ -195,6 +289,9 @@ class RetrievalEngine:
                     if hi > lo else np.ones_like(scores)
                 )
                 ranked = [(d, float(s)) for (d, _), s in zip(ranked, norm)]
+                if detected_per_query[i]:
+                    ranked = _apply_entity_bonus(ranked, detected_per_query[i])
+                ranked = sorted(ranked, key=lambda x: -x[1])[:k2]
             out.append(trim_documents_by_tokens(ranked, mode))
         self.last_timings = {
             "embed_s": t1 - t0,

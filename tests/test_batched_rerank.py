@@ -150,3 +150,42 @@ def test_engine_retrieve_batch_per_query_filters(app):
     want = app.engine.retrieve("加速时间", mode="facts",
                                metadata_filter={"manufacturer": "宝马"})
     assert [d.page_content for d, _ in out[0]] == [d.page_content for d, _ in want]
+
+
+# ------------------------------------------------- entity-guided retrieval
+
+def test_entity_expansion_recovers_short_model_names(app):
+    """A query naming a short CJK model (single char) must surface that
+    model's own document first, even when dense search misses it entirely —
+    the hard-filtered expansion + exact-model bonus path."""
+    import time
+
+    docs = [
+        ("汉 2021款 续航里程为660公里。", {}),
+        ("汉EV 2021款 续航里程为680公里。", {}),
+        ("汉兰达 2022款 续航里程为900公里。", {}),
+        ("唐 2023款 最高时速为200公里/小时。", {}),
+    ]
+    jobs = [app.ingest_text(text) for text, _ in docs]
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if all(app.tracker.get_job(j)["status"] in ("completed", "failed")
+               for j in jobs):
+            break
+        time.sleep(0.05)
+
+    ranked = app.engine.retrieve("汉的续航里程是多少？", mode="facts")
+    assert ranked, "no candidates"
+    assert ranked[0][0].metadata.get("model") == "汉", [
+        d.metadata.get("model") for d, _ in ranked]
+
+    # batch path has identical semantics
+    batched = app.engine.retrieve_batch(["汉的续航里程是多少？"], mode="facts")
+    assert [d.id for d, _ in batched[0]] == [d.id for d, _ in ranked]
+
+    # an explicit filter disables expansion (user intent wins)
+    filtered = app.engine.retrieve(
+        "汉的续航里程是多少？", mode="facts",
+        metadata_filter={"manufacturer": "丰田"},
+    )
+    assert all(d.metadata.get("manufacturer") == "丰田" for d, _ in filtered)
