@@ -107,6 +107,42 @@ def _maxsim_kernel(q_ref, qw_ref, d_ref, bias_ref, out_ref, acc_ref):
         out_ref[:] = jnp.sum(acc_ref[:] * qw_ref[:][:, :, None], axis=1)
 
 
+def _maxsim_kernel_q8(q_ref, qw_ref, d_ref, scales_ref, bias_ref, out_ref,
+                      acc_ref):
+    """int8 variant of `_maxsim_kernel`: doc tokens arrive as int8 with a
+    per-(token, doc) f32 scale — HALF the HBM bytes of bf16, which is what
+    bounds this kernel. Dequantization is free: int8 values are exactly
+    representable in bf16, the cast happens in registers on the way into
+    the MXU, and the scale (constant across the contracted dim) factors
+    out of the dot product, so it multiplies the [B·Lq, LDC·ND] similarity
+    AFTER the matmul."""
+    b, lq, dim = q_ref.shape
+    ldc, nd, _ = d_ref.shape
+    j = pl.program_id(1)
+
+    sim = jax.lax.dot_general(
+        q_ref[:].reshape(b * lq, dim),
+        d_ref[:].reshape(ldc * nd, dim).astype(q_ref.dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B*Lq, LDC*ND]
+    sim = sim.reshape(b, lq, ldc, nd)
+    sim = sim * scales_ref[:][None, None, :, :] + bias_ref[:][None, None, :, :]
+    chunk_max = jnp.max(sim, axis=2)  # [B, Lq, ND]
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = chunk_max
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[:] = jnp.maximum(acc_ref[:], chunk_max)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        out_ref[:] = jnp.sum(acc_ref[:] * qw_ref[:][:, :, None], axis=1)
+
+
 def maxsim_scores_pallas(
     q: jax.Array,  # [B, Lq, D] — or [Ld, N, D] when token_major
     q_mask: jax.Array,  # [B, Lq] bool
@@ -116,6 +152,7 @@ def maxsim_scores_pallas(
     vmem_block_bytes: int = 4 * 1024 * 1024,
     interpret: bool = False,
     token_major: bool = False,
+    d_scales: Optional[jax.Array] = None,  # [Ld, N] f32, int8 docs only
 ) -> jax.Array:  # [B, N]
     """Fused Pallas MaxSim over all candidate docs.
 
@@ -127,12 +164,19 @@ def maxsim_scores_pallas(
     ``token_major=True`` means ``docs`` is already [Ld, N, D] (and ``d_mask``
     [N, Ld] still) — encode-time relayout amortizes the 2·|docs| HBM
     transpose across every query that reranks the same candidates.
+
+    ``d_scales`` (token-major [Ld, N] f32, requires int8 ``docs``): scores
+    int8-quantized doc tokens natively — half the HBM traffic of bf16,
+    dequantization fused into the kernel.
     """
     if token_major:
         ld, n, dim = docs.shape
     else:
         n, ld, dim = docs.shape
     b, lq, _ = q.shape
+    int8_docs = d_scales is not None
+    if int8_docs and not token_major:
+        raise ValueError("int8 docs require the token-major layout")
 
     # VMEM budget: sim is [B·Lq, ND·LDC] f32; tile large query batches so a
     # single launch never exceeds ~8 queries (≈4 MB sim at Lq=32, ND=128)
@@ -143,6 +187,7 @@ def maxsim_scores_pallas(
                 q[i : i + max_b], q_mask[i : i + max_b], docs, d_mask,
                 block_docs=block_docs, vmem_block_bytes=vmem_block_bytes,
                 interpret=interpret, token_major=token_major,
+                d_scales=d_scales,
             )
             for i in range(0, b, max_b)
         ]
@@ -170,20 +215,35 @@ def maxsim_scores_pallas(
         d_bias = jnp.pad(
             d_bias, ((0, n_pad - n), (0, ld_pad - ld)), constant_values=NEG_BIAS
         )
+        if int8_docs:
+            d_scales = jnp.pad(
+                d_scales, ((0, ld_pad - ld), (0, n_pad - n))
+            )
     d_bias_t = d_bias.T  # [Ld_pad, N_pad]
 
     grid = (n_pad // block_docs, ld_pad // ld_chunk)
+    common_specs = [
+        pl.BlockSpec((b, lq, dim), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, lq), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (ld_chunk, block_docs, dim), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    bias_spec = pl.BlockSpec(
+        (ld_chunk, block_docs), lambda i, j: (j, i), memory_space=pltpu.VMEM
+    )
+    if int8_docs:
+        kernel = _maxsim_kernel_q8
+        in_specs = common_specs + [bias_spec, bias_spec]
+        operands = (q, qw, docs_t, d_scales, d_bias_t)
+    else:
+        kernel = _maxsim_kernel
+        in_specs = common_specs + [bias_spec]
+        operands = (q, qw, docs_t, d_bias_t)
     out = pl.pallas_call(
-        _maxsim_kernel,
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((b, lq, dim), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, lq), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (ld_chunk, block_docs, dim), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((ld_chunk, block_docs), lambda i, j: (j, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((b, block_docs), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((b, lq, block_docs), jnp.float32)],
@@ -195,7 +255,7 @@ def maxsim_scores_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q, qw, docs_t, d_bias_t)
+    )(*operands)
     return out[:, :n]
 
 
@@ -214,17 +274,23 @@ def maxsim_scores(
     block_docs: int = 128,
     use_pallas: Optional[bool] = None,
     token_major: bool = False,
+    d_scales: Optional[jax.Array] = None,
 ) -> jax.Array:
     """MaxSim scores [B, N]; Pallas kernel on TPU, XLA fallback elsewhere.
 
     ``token_major``: docs are [Ld, N, D] (the production layout — encoders
-    emit it so the hot path never pays a per-query HBM transpose)."""
+    emit it so the hot path never pays a per-query HBM transpose).
+    ``d_scales`` [Ld, N]: docs are int8 with per-token scales; the Pallas
+    kernel dequantizes in registers (half the HBM traffic)."""
     if use_pallas is None:
         use_pallas = _on_tpu()
     if use_pallas:
         return maxsim_scores_pallas(
-            q, q_mask, docs, d_mask, block_docs=block_docs, token_major=token_major
+            q, q_mask, docs, d_mask, block_docs=block_docs,
+            token_major=token_major, d_scales=d_scales,
         )
+    if d_scales is not None:
+        docs = docs.astype(jnp.float32) * d_scales[:, :, None]
     if token_major:
         docs = docs.transpose(1, 0, 2)
     return maxsim_scores_ref(q, q_mask, docs, d_mask)

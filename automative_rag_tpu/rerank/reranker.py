@@ -103,7 +103,13 @@ class LateInteractionReranker:
                 "sharded": True,
             }
             return scores
-        docs_t, d_mask = store.gather(rows)
+        if hasattr(store, "gather_for_maxsim"):
+            # int8 stores stay int8 all the way into the kernel (half the
+            # gather write + half the kernel read); others dequantize
+            docs_t, d_scales, d_mask = store.gather_for_maxsim(rows)
+        else:
+            docs_t, d_mask = store.gather(rows)
+            d_scales = None
         t2 = time.perf_counter()
         scores = np.asarray(
             maxsim_scores(
@@ -114,6 +120,7 @@ class LateInteractionReranker:
                 block_docs=self.block_docs,
                 use_pallas=self.use_pallas,
                 token_major=True,
+                d_scales=d_scales,
             )
         )
         t3 = time.perf_counter()

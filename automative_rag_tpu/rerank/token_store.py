@@ -275,6 +275,34 @@ class TokenStore:
             jnp.asarray(masks[rows]),
         )
 
+    def gather_for_maxsim(
+        self, rows: Sequence[int]
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
+        """→ (docs_t, d_scales | None, masks) for the MaxSim kernel.
+
+        int8 stores return the quantized slab + per-token scales so the
+        kernel dequantizes in registers — the gather writes half the bytes
+        and the kernel reads half the bytes vs dequantizing here. Other
+        quantization modes fall back to the dequantizing ``gather``."""
+        if self.quantize != "int8":
+            docs_t, masks = self.gather(rows)
+            return docs_t, None, masks
+        rows = np.asarray(list(rows), np.int32)
+        with self._mutex:
+            cache = self._device_cache()
+            if cache is None:
+                host = (self._tokens, self._scales, self._masks)
+        if cache is not None:
+            tokens_t, scales_t, masks = cache
+            r = jnp.asarray(rows)
+            return tokens_t[:, r, :], scales_t[:, r], masks[r]
+        tokens, scales, masks = host
+        return (
+            jnp.asarray(tokens[rows].transpose(1, 0, 2)),
+            jnp.asarray(scales[rows].T, jnp.float32),
+            jnp.asarray(masks[rows]),
+        )
+
     # ----------------------------------------------------------- persist
     def save(self, directory: str) -> None:
         path = Path(directory)

@@ -42,7 +42,7 @@ def _enable_compile_cache():
 _enable_compile_cache()
 
 
-def bench_maxsim(n_docs=100, ld=256, lq=32, dim=1024, trials=5):
+def bench_maxsim(n_docs=100, ld=256, lq=32, dim=1024, trials=5, dtype="bfloat16"):
     import jax
     import jax.numpy as jnp
 
@@ -51,14 +51,27 @@ def bench_maxsim(n_docs=100, ld=256, lq=32, dim=1024, trials=5):
     on_tpu = jax.devices()[0].platform != "cpu"
     rng = np.random.default_rng(0)
     q0 = jnp.asarray(rng.normal(size=(1, lq, dim)), jnp.bfloat16)
-    docs_t = jnp.asarray(rng.normal(size=(ld, n_docs, dim)), jnp.bfloat16)
+    raw = rng.normal(size=(ld, n_docs, dim)).astype(np.float32)
     q_mask = jnp.ones((1, lq), bool)
     d_mask = jnp.ones((n_docs, ld), bool)
+    if dtype == "int8":
+        # per-(token, doc) symmetric int8 — the production int8 TokenStore
+        # layout; dequant is fused into the kernel
+        scales = np.abs(raw).max(axis=2) / 127.0
+        docs_t = jnp.asarray(
+            np.clip(np.round(raw / np.maximum(scales, 1e-12)[:, :, None]),
+                    -127, 127), jnp.int8)
+        d_scales = jnp.asarray(scales, jnp.float32)
+    else:
+        docs_t = jnp.asarray(raw, jnp.bfloat16)
+        d_scales = None
 
     if on_tpu:
-        score = lambda q: maxsim_scores_pallas(q, q_mask, docs_t, d_mask, token_major=True)
+        score = lambda q: maxsim_scores_pallas(
+            q, q_mask, docs_t, d_mask, token_major=True, d_scales=d_scales)
     else:
-        docs_std = docs_t.transpose(1, 0, 2)
+        docs_std = (docs_t.astype(jnp.float32) * d_scales[:, :, None]
+                    if d_scales is not None else docs_t).transpose(1, 0, 2)
         score = lambda q: maxsim_scores_ref(q, q_mask, docs_std, d_mask)
 
     @jax.jit
@@ -171,6 +184,13 @@ def main():
             pass
     p50_ms, on_tpu = bench_maxsim()
     side = {}
+    try:
+        int8_ms, _ = bench_maxsim(dtype="int8")
+        side["maxsim_int8_p50_ms"] = round(int8_ms, 4)
+        print(f"[side] MaxSim int8 doc tokens: {int8_ms:.3f} ms p50",
+              file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001 — side metric only
+        print(f"[side] int8 MaxSim bench failed: {exc}", file=sys.stderr)
     for dtype in ("bfloat16", "int8"):
         try:
             qps = bench_flat_search(dtype=dtype)
@@ -185,10 +205,18 @@ def main():
     # fold committed scale/recall results (scripts/bench_scale.py) into the
     # parsed output so the driver artifact carries QPS + recall, not just the
     # headline latency
-    for scale_file in ("BENCH_SCALE.json",):
+    here = os.path.dirname(__file__) or "."
+    for key, scale_file in (
+        ("scale", "BENCH_SCALE_r02.json"),
+        ("scale", "BENCH_SCALE.json"),   # fallback name
+        ("ivf_1m", "BENCH_IVF1M_r02.json"),
+        ("llm", "BENCH_LLM_r02.json"),
+    ):
+        if key in side:
+            continue
         try:
-            with open(os.path.join(os.path.dirname(__file__) or ".", scale_file)) as fh:
-                side["scale"] = json.load(fh)
+            with open(os.path.join(here, scale_file)) as fh:
+                side[key] = json.load(fh)
         except Exception:  # noqa: BLE001 — optional artifact
             pass
 

@@ -145,3 +145,58 @@ def test_pallas_query_batch_tiling(case):
     )
     assert got.shape == (11, docs.shape[0])
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_pallas_int8_matches_dequantized_ref(case):
+    """int8 kernel path: per-token symmetric quantization, dequant fused in
+    the kernel — must match the XLA reference run on dequantized docs."""
+    q, q_mask, docs, d_mask = case
+    scales = np.abs(docs).max(axis=2) / 127.0  # [N, Ld]
+    safe = np.maximum(scales, 1e-12)
+    docs_q = np.clip(np.round(docs / safe[:, :, None]), -127, 127).astype(np.int8)
+    dequant = docs_q.astype(np.float32) * scales[:, :, None]
+
+    want = np.asarray(maxsim_scores_ref(q, q_mask, dequant, d_mask))
+    got = np.asarray(
+        maxsim_scores_pallas(
+            jnp.asarray(q, jnp.bfloat16), jnp.asarray(q_mask),
+            jnp.asarray(docs_q.transpose(1, 0, 2)),  # token-major int8
+            jnp.asarray(d_mask),
+            d_scales=jnp.asarray(scales.T, jnp.float32),
+            block_docs=8, interpret=True, token_major=True,
+        )
+    )
+    # bf16 queries in the kernel vs f32 in the reference
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-1)
+
+
+def test_int8_store_feeds_kernel_quantized(rng):
+    """TokenStore(int8).gather_for_maxsim returns the quantized slab; the
+    reranker path through it matches the dequantizing gather()."""
+    from automative_rag_tpu.ops.maxsim import maxsim_scores
+    from automative_rag_tpu.rerank.token_store import TokenStore
+
+    n, ld, dim = 10, 16, 64
+    embs = rng.normal(size=(n, ld, dim)).astype(np.float32)
+    masks = np.ones((n, ld), bool)
+    masks[:, 12:] = False
+    store = TokenStore(dim=dim, max_doc_length=ld, quantize="int8",
+                       device_dtype="float32")
+    store.append(embs, masks)
+
+    rows = [1, 3, 7]
+    docs_t, d_scales, got_masks = store.gather_for_maxsim(rows)
+    assert docs_t.dtype == jnp.int8 and d_scales is not None
+
+    q = rng.normal(size=(1, 8, dim)).astype(np.float32)
+    q_mask = np.ones((1, 8), bool)
+    via_quant = np.asarray(maxsim_scores(
+        jnp.asarray(q), jnp.asarray(q_mask), docs_t, got_masks,
+        token_major=True, d_scales=d_scales, use_pallas=False,
+    ))
+    dq_docs, dq_masks = store.gather(rows)
+    via_dequant = np.asarray(maxsim_scores(
+        jnp.asarray(q), jnp.asarray(q_mask), dq_docs, dq_masks,
+        token_major=True, use_pallas=False,
+    ))
+    np.testing.assert_allclose(via_quant, via_dequant, rtol=1e-3, atol=1e-2)
