@@ -33,6 +33,14 @@ from .filters import FilterSpec, eval_filter_mask
 from .flat import FlatIndex, SearchResult
 
 
+#: upper bound on gathered candidate rows per probe chunk (per query). The
+#: gather materializes [B, chunk·list_cap, D]; an unchunked gather at high
+#: nprobe on an imbalanced build blew past HBM (23.5 GB requested at
+#: nprobe=128 × list_cap≈5600 × 1M rows) — probes stream through a
+#: lax.scan with a running top-k instead, so memory is flat in nprobe.
+PROBE_GATHER_ROWS = 32_768
+
+
 @partial(jax.jit, static_argnames=("nprobe", "k", "int8"))
 def _ivf_search_kernel(
     vectors,  # [cap, D] (bf16/f32, or int8 when int8=True)
@@ -52,36 +60,72 @@ def _ivf_search_kernel(
     )  # [B, K]
     _, probes = jax.lax.top_k(coarse, nprobe)  # [B, nprobe]
 
-    cand = list_table[probes]  # [B, nprobe, list_cap]
-    b = cand.shape[0]
-    cand = cand.reshape(b, -1)  # [B, M]
-    safe = jnp.maximum(cand, 0)
+    b = queries.shape[0]
+    list_cap = list_table.shape[1]
+    # probes stream in chunks: VMEM/HBM-bounded gather, running top-k merge
+    chunk = max(1, min(nprobe, PROBE_GATHER_ROWS // max(list_cap, 1)))
+    # each chunk must expose ≥ k candidate slots for its masked_top_k
+    while chunk * list_cap < k and chunk < nprobe:
+        chunk += 1
+    n_chunks = -(-nprobe // chunk)
+    pad = n_chunks * chunk - nprobe
+    probe_valid = jnp.arange(n_chunks * chunk) < nprobe  # [n_chunks·chunk]
+    probes = jnp.pad(probes, ((0, 0), (0, pad)))
+    probes_s = probes.reshape(b, n_chunks, chunk).transpose(1, 0, 2)
+    pvalid_s = probe_valid.reshape(n_chunks, chunk)
 
-    cand_vecs = vectors[safe]  # [B, M, D]
+    k_run = min(k, chunk * list_cap)
+    # HIGHEST forces an f32 upconvert of the gathered slab; bf16 operands
+    # should hit the MXU natively
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if (not int8 and vectors.dtype == jnp.float32)
+        else jax.lax.Precision.DEFAULT
+    )
     if int8:
         q_scale = jnp.max(jnp.abs(queries), axis=1, keepdims=True) / 127.0
         q_i8 = jnp.clip(
             jnp.round(queries / jnp.maximum(q_scale, 1e-12)), -127, 127
         ).astype(jnp.int8)
-        raw = jnp.einsum(
-            "bd,bmd->bm", q_i8, cand_vecs, preferred_element_type=jnp.int32
+
+    def body(carry, inp):
+        best_vals, best_rows = carry
+        pr, pv = inp  # [B, chunk], [chunk]
+        cand = jnp.where(pv[None, :, None], list_table[pr], -1)
+        cand = cand.reshape(b, -1)  # [B, chunk·list_cap]
+        safe = jnp.maximum(cand, 0)
+        cand_vecs = vectors[safe]  # [B, M, D]
+        if int8:
+            raw = jnp.einsum(
+                "bd,bmd->bm", q_i8, cand_vecs, preferred_element_type=jnp.int32
+            )
+            scores = raw.astype(jnp.float32) * q_scale * row_scales[safe]
+        else:
+            scores = jnp.einsum(
+                "bd,bmd->bm", queries.astype(vectors.dtype), cand_vecs,
+                precision=precision,
+                preferred_element_type=jnp.float32,
+            )
+        mask = (cand >= 0) & full_mask[safe]
+        vals, pos = masked_top_k(scores, mask, k_run)
+        rows = jnp.take_along_axis(cand, pos, axis=1)
+        # disjoint lists across chunks → no duplicate rows in the merge
+        merged = merge_top_k(
+            jnp.stack([best_vals, vals]), jnp.stack([best_rows, rows]), k_run
         )
-        scores = raw.astype(jnp.float32) * q_scale * row_scales[safe]
-    else:
-        scores = jnp.einsum(
-            "bd,bmd->bm", queries.astype(vectors.dtype), cand_vecs,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-    mask = (cand >= 0) & full_mask[safe]
-    # narrow probes can expose fewer than k candidates; pad to k with -inf
-    k_run = min(k, cand.shape[1])
-    vals, pos = masked_top_k(scores, mask, k_run)
-    rows = jnp.take_along_axis(cand, pos, axis=1)
+        return merged, None
+
+    init = (
+        jnp.full((b, k_run), -jnp.inf, jnp.float32),
+        jnp.full((b, k_run), -1, jnp.int32),
+    )
+    (vals, rows), _ = jax.lax.scan(body, init, (probes_s, pvalid_s))
     if k_run < k:
-        pad = k - k_run
-        vals = jnp.concatenate([vals, jnp.full((b, pad), -jnp.inf, vals.dtype)], axis=1)
-        rows = jnp.concatenate([rows, jnp.full((b, pad), -1, rows.dtype)], axis=1)
+        padk = k - k_run
+        vals = jnp.concatenate(
+            [vals, jnp.full((b, padk), -jnp.inf, vals.dtype)], axis=1)
+        rows = jnp.concatenate(
+            [rows, jnp.full((b, padk), -1, rows.dtype)], axis=1)
     return vals, rows
 
 

@@ -240,3 +240,40 @@ def test_precompile_ladder(built):
     from automative_rag_tpu.index.ivf import probe_ladder
 
     assert levels == probe_ladder(min(index.n_probe, index.n_lists), index.n_lists)
+
+
+def test_probe_chunked_scan_matches_single_gather(rng):
+    """The probe-streaming scan (memory bounded in nprobe) must return the
+    same top-k as a monolithic gather — forced multi-chunk by shrinking the
+    gather budget."""
+    import jax.numpy as jnp
+
+    from automative_rag_tpu.documents import Document
+    from automative_rag_tpu.index import ivf as ivf_mod
+    from automative_rag_tpu.index.ivf import IVFIndex
+
+    n, dim = 4000, 64
+    vectors = rng.normal(size=(n, dim)).astype(np.float32)
+    docs = [Document(page_content=f"d{i}", metadata={}) for i in range(n)]
+    index = IVFIndex(dim=dim, device_dtype="float32", n_lists=32)
+    index.add(vectors, docs)
+    index.rebuild()
+    state = index._device_state()
+    queries = rng.normal(size=(3, dim)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    mask = jnp.ones(state["capacity"], bool)
+
+    kernel = ivf_mod._ivf_search_kernel.__wrapped__  # unjitted: re-reads budget
+    args = (state["vectors"], state["row_scales"], mask,
+            state["centroids"], state["list_table"], jnp.asarray(queries))
+    want_v, want_r = kernel(*args, nprobe=8, k=10, int8=False)
+
+    old = ivf_mod.PROBE_GATHER_ROWS
+    ivf_mod.PROBE_GATHER_ROWS = 1  # chunk = 1 probe per scan step
+    try:
+        got_v, got_r = kernel(*args, nprobe=8, k=10, int8=False)
+    finally:
+        ivf_mod.PROBE_GATHER_ROWS = old
+    np.testing.assert_array_equal(np.asarray(got_r), np.asarray(want_r))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=1e-5)
