@@ -36,3 +36,18 @@ curl -s "$API/model/config" | head -c 300; echo
 
 echo "== pdf upload (raw body) =="
 echo 'curl -X POST "$API/ingest/pdf?filename=spec.pdf" -H "Content-Type: application/pdf" --data-binary @spec.pdf'
+
+echo "== query assist =="
+curl -s "$API/query/templates" | head -c 300; echo
+curl -s -X POST "$API/query/analyze" \
+  -H 'Content-Type: application/json' \
+  -d '{"query": "2023年宝马X5的后备箱容积是多少？"}'; echo
+curl -s "$API/system/help/query" | head -c 200; echo
+
+echo "== index checkpoint / restart resume =="
+curl -s -X POST "$API/system/save-index" -H 'Content-Type: application/json' -d '{}'; echo
+curl -s -X POST "$API/system/load-index" -H 'Content-Type: application/json' -d '{}'; echo
+
+echo "== batch video ingestion =="
+echo 'curl -X POST "$API/ingest/batch-videos" -H "Content-Type: application/json" \
+  -d "{\"urls\": [\"https://www.youtube.com/watch?v=aaa\", \"https://b23.tv/bbb\"]}"'
