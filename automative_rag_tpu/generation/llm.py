@@ -281,15 +281,30 @@ class AnswerGenerator:
         # structured parse for list-shaped modes (UI debate/quotes renderers,
         # reference 智能查询.py two-layer display)
         structured: Dict[str, Any] = {}
+        # two-layer sections (reference 智能查询.py:184-223 reads
+        # analysis_structure["【实证分析】"] etc. — which the reference
+        # service never actually produced; here the complex-mode prompts
+        # request the markers and this parse delivers them)
+        sections = re.split(
+            r"(【(?:实证分析|策略推理|文档支撑|权衡分析|场景推荐)】)", answer)
+        if len(sections) >= 3:
+            layered: Dict[str, str] = {}
+            for head, body in zip(sections[1::2], sections[2::2]):
+                body = body.strip()
+                if body:
+                    layered[head] = body
+            if layered:
+                structured["sections"] = layered
         if mode == QueryMode.TRADEOFFS:
-            structured = {
+            structured.update({
                 "pros": re.findall(r"优点[:：]?\s*(.+)", answer),
                 "cons": re.findall(r"缺点[:：]?\s*(.+)", answer),
-            }
+            })
         elif mode == QueryMode.DEBATE:
-            structured = {"viewpoints": re.findall(r"观点[一二三四五\d]+[:：]?\s*(.+)", answer)}
+            structured.update(
+                {"viewpoints": re.findall(r"观点[一二三四五\d]+[:：]?\s*(.+)", answer)})
         elif mode == QueryMode.QUOTES:
-            structured = {"quotes": re.findall(r"[“\"](.+?)[”\"]", answer)}
+            structured.update({"quotes": re.findall(r"[“\"](.+?)[”\"]", answer)})
 
         return {
             "answer": answer,

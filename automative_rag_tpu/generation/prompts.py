@@ -40,22 +40,29 @@ _TEMPLATES = {
         "documents; clearly separate evidence from your own analysis.\n\n"
         + _BASE_RULES + "\n" + _CITATION_RULES +
         "\nDocument Content:\n{context}\n\nFeature Question:\n{question}\n\n"
-        "IMPORTANT: Respond in Chinese; cite 【来源：DOC_X】 for evidence and "
-        "mark reasoning as 分析."
+        "IMPORTANT: Respond in Chinese. Structure as TWO layers (the UI "
+        "renders them separately): a section headed 【实证分析】 containing "
+        "only document-grounded facts with 【来源：DOC_X】 citations, then a "
+        "section headed 【策略推理】 containing your own analysis (clearly "
+        "marked reasoning, no invented numbers)."
     ),
     QueryMode.TRADEOFFS: (
         "You are an automotive advisor producing a balanced pros/cons "
         "analysis. Every pro and every con must trace to a document.\n\n"
         + _BASE_RULES + "\n" + _CITATION_RULES +
         "\nDocument Content:\n{context}\n\nTrade-off Question:\n{question}\n\n"
-        "IMPORTANT: Respond in Chinese as 优点/缺点 lists with citations."
+        "IMPORTANT: Respond in Chinese as 优点/缺点 lists with citations. "
+        "Open with a 【文档支撑】 section (cited facts only), then a "
+        "【权衡分析】 section with the pros/cons lists."
     ),
     QueryMode.SCENARIOS: (
         "You are an automotive consultant evaluating fit for a usage "
         "scenario. Recommend only what the documents support.\n\n"
         + _BASE_RULES + "\n" + _CITATION_RULES +
         "\nDocument Content:\n{context}\n\nScenario Question:\n{question}\n\n"
-        "IMPORTANT: Respond in Chinese with citations for every factual claim."
+        "IMPORTANT: Respond in Chinese with citations for every factual "
+        "claim. Structure as a 【实证分析】 section (document facts) followed "
+        "by a 【场景推荐】 section (your scenario-fit reasoning)."
     ),
     QueryMode.DEBATE: (
         "You are moderating a multi-perspective debate. Present distinct "

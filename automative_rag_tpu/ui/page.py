@@ -426,15 +426,31 @@ async function pollQuery(jobId, t0) {
     $("q-answer").textContent = r.answer;
     const st = r.structured || {};
     let structuredHtml = "";
+    // two-layer display (reference 智能查询.py:184-223): document-grounded
+    // evidence vs clearly-marked AI reasoning
+    const SECTION_STYLE = {
+      "【实证分析】": ["📊 基于文档的实证分析", "var(--ok)"],
+      "【文档支撑】": ["📋 文档支撑信息", "var(--ok)"],
+      "【策略推理】": ["🧠 专业推理补充（AI推理，请结合实证参考）", "var(--warn)"],
+      "【权衡分析】": ["⚖️ 权衡利弊分析", "var(--warn)"],
+      "【场景推荐】": ["🎯 场景应用推理（AI推理）", "var(--warn)"],
+    };
+    if (st.sections) {
+      for (const [head, body] of Object.entries(st.sections)) {
+        const [label, color] = SECTION_STYLE[head] || [head, "var(--dim)"];
+        structuredHtml += `<div class="answer" style="margin-top:8px;border-left-color:${color}">
+          <b>${label}</b><br>${esc(body)}</div>`;
+      }
+    }
     if ((st.pros||[]).length || (st.cons||[]).length) {
-      structuredHtml = "<br><h4>权衡</h4>" +
+      structuredHtml += "<br><h4>权衡</h4>" +
         (st.pros||[]).map(x => `<div class="src">✅ ${esc(x)}</div>`).join("") +
         (st.cons||[]).map(x => `<div class="src">⚠️ ${esc(x)}</div>`).join("");
     } else if ((st.viewpoints||[]).length) {
-      structuredHtml = "<br><h4>观点</h4>" +
+      structuredHtml += "<br><h4>观点</h4>" +
         st.viewpoints.map((x,i) => `<div class="src">🗣️ 观点${i+1}: ${esc(x)}</div>`).join("");
     } else if ((st.quotes||[]).length) {
-      structuredHtml = "<br><h4>引用</h4>" +
+      structuredHtml += "<br><h4>引用</h4>" +
         st.quotes.map(x => `<div class="src">💬 “${esc(x)}”</div>`).join("");
     }
     $("q-structured").innerHTML = structuredHtml;

@@ -136,3 +136,42 @@ def test_answer_batch_jax_backend():
     assert len(out) == 2
     assert all(o["llm"].startswith("jax-qwen2") for o in out)
     assert all(isinstance(o["answer"], str) and o["answer"] for o in out)
+
+
+def test_two_layer_sections_parsed():
+    """Complex-mode answers with 【实证分析】/【策略推理】 markers split into
+    structured sections (reference 智能查询.py:184-223 two-layer display —
+    whose backend never actually produced the keys; here it does)."""
+    from automative_rag_tpu.documents.schema import Document
+    from automative_rag_tpu.generation.llm import AnswerGenerator
+
+    class SectionLLM:
+        name = "fake"
+
+        def generate(self, prompt, params):
+            return ("【实证分析】X5百公里加速5.5秒【来源：DOC_1】。\n"
+                    "【策略推理】适合追求动力的用户。")
+
+    gen = AnswerGenerator(SectionLLM())
+    doc = Document(page_content="X5百公里加速5.5秒", metadata={})
+    out = gen.answer("X5加速", [(doc, 0.9)], mode="features")
+    sections = out["structured"]["sections"]
+    assert sections["【实证分析】"].startswith("X5百公里加速")
+    assert "推理" not in sections["【实证分析】"]
+    assert sections["【策略推理】"] == "适合追求动力的用户。"
+
+
+def test_sections_absent_without_markers():
+    from automative_rag_tpu.documents.schema import Document
+    from automative_rag_tpu.generation.llm import AnswerGenerator
+
+    class PlainLLM:
+        name = "fake"
+
+        def generate(self, prompt, params):
+            return "X5百公里加速5.5秒【来源：DOC_1】。"
+
+    gen = AnswerGenerator(PlainLLM())
+    doc = Document(page_content="X5百公里加速5.5秒", metadata={})
+    out = gen.answer("X5加速", [(doc, 0.9)], mode="features")
+    assert "sections" not in out["structured"]
