@@ -477,8 +477,14 @@ async function pollQuery(jobId, t0) {
     $("q-validation").innerHTML = v ? `<br><h4>验证管线
       <span class="badge ${v.status==="passed"?"ok":v.status==="warning"?"warn":"bad"}">
       ${v.status} · ${v.confidence}</span></h4>` +
-      Object.entries(v.steps).map(([k,s]) =>
-        `<div class="src">${esc(k)}: ${s.score} — ${esc(s.detail)}</div>`).join("") : "";
+      Object.entries(v.steps).map(([k,s]) => {
+        const pct = Math.round(Math.max(0, Math.min(1, +s.score)) * 100);
+        const color = pct >= 70 ? "var(--ok)" : pct >= 40 ? "var(--warn)" : "var(--bad)";
+        return `<div class="src">${esc(k)} — ${esc(s.detail)}
+          <div style="background:#22263a;border-radius:4px;height:6px;margin-top:4px">
+            <div style="background:${color};width:${pct}%;height:6px;border-radius:4px"></div>
+          </div></div>`;
+      }).join("") : "";
   } else {
     $("q-status").textContent = `处理中 ${job.progress||0}%`;
     setTimeout(() => pollQuery(jobId, t0), 600);
