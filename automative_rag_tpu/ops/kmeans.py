@@ -5,6 +5,14 @@ The TPU replacement for Qdrant's pointer-chasing HNSW build (SURVEY.md §2.2
 both the assignment step (cosine scores) and the update step (one-hot
 aggregation) are MXU matmuls, chunked over rows with a ``lax.scan`` so the
 [N, K] similarity matrix never materializes.
+
+Scale design (measured on a 1M×1024 corpus): a full-corpus Lloyd pass is
+HBM-bound — it re-reads the whole corpus per iteration (4 GB f32, ~100 s at
+the chip's effective bandwidth), so centroids TRAIN on a bounded sample
+(``train_rows_per_cluster``·K rows, the FAISS recipe) and only the final
+assignment pass touches every row; vectors stage on-device as bf16 (half
+the bytes — assignment is an argmax, bf16 similarity is plenty) with f32
+accumulation for the centroid sums.
 """
 
 from __future__ import annotations
@@ -19,7 +27,9 @@ import numpy as np
 
 @partial(jax.jit, static_argnames=("chunk",))
 def _assign_and_accumulate(vectors, centroids, chunk: int):
-    """One Lloyd pass: → (sums [K, D], counts [K], assignments [N])."""
+    """One Lloyd pass over bf16 rows: → (sums [K, D] f32, counts [K],
+    assignments [N], second [N] — each row's second-nearest centroid, used
+    by balanced list construction)."""
     n, dim = vectors.shape
     k = centroids.shape[0]
     n_chunks = n // chunk
@@ -28,23 +38,26 @@ def _assign_and_accumulate(vectors, centroids, chunk: int):
         sums, counts = carry
         block = jax.lax.dynamic_slice(vectors, (idx * chunk, 0), (chunk, dim))
         sim = jax.lax.dot_general(
-            block, centroids, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            block, centroids.astype(block.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [chunk, K]
-        assign = jnp.argmax(sim, axis=1)
-        onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)  # [chunk, K]
+        _, top2 = jax.lax.top_k(sim, 2)
+        assign = top2[:, 0]
+        second = top2[:, 1]
+        onehot = jax.nn.one_hot(assign, k, dtype=block.dtype)  # [chunk, K]
         sums = sums + jax.lax.dot_general(
-            onehot, block.astype(jnp.float32), (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            onehot, block, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        counts = counts + onehot.sum(axis=0)
-        return (sums, counts), assign
+        counts = counts + onehot.sum(axis=0).astype(jnp.float32)
+        return (sums, counts), (assign, second)
 
     init = (jnp.zeros((k, dim), jnp.float32), jnp.zeros((k,), jnp.float32))
-    (sums, counts), assigns = jax.lax.scan(body, init, jnp.arange(n_chunks))
-    return sums, counts, assigns.reshape(n_chunks * chunk)
+    (sums, counts), (assigns, seconds) = jax.lax.scan(
+        body, init, jnp.arange(n_chunks))
+    return (sums, counts,
+            assigns.reshape(n_chunks * chunk),
+            seconds.reshape(n_chunks * chunk))
 
 
 def spherical_kmeans(
@@ -53,12 +66,16 @@ def spherical_kmeans(
     n_iters: int = 10,
     chunk: int = 8192,
     seed: int = 0,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """→ (centroids [K, D] L2-normalized, assignments [N]).
+    train_rows_per_cluster: int = 256,
+    return_second: bool = False,
+):
+    """→ (centroids [K, D] L2-normalized, assignments [N][, second [N]]).
 
-    Vectors must be L2-normalized. Rows pad to the chunk size with zeros
-    (assigned arbitrarily; caller slices assignments back to N). Empty
-    clusters keep their previous centroid.
+    Vectors must be L2-normalized. Centroids train on at most
+    ``train_rows_per_cluster · n_clusters`` sampled rows (full corpus when
+    smaller); a final pass assigns every row. Rows pad to the chunk size
+    with zeros (assigned arbitrarily; caller slices assignments back to N).
+    Empty clusters keep their previous centroid.
     """
     vectors = np.asarray(vectors, np.float32)
     n, dim = vectors.shape
@@ -68,26 +85,51 @@ def spherical_kmeans(
     rng = np.random.default_rng(seed)
     centroids = vectors[rng.choice(n, size=n_clusters, replace=False)].copy()
 
-    chunk = min(chunk, max(128, 1 << (n - 1).bit_length()))
-    n_pad = -(-n // chunk) * chunk
-    padded = np.zeros((n_pad, dim), np.float32)
-    padded[:n] = vectors
-    device_vectors = jnp.asarray(padded)
+    train_n = min(n, max(train_rows_per_cluster * n_clusters, n_clusters))
+    if train_n < n:
+        train_rows = rng.choice(n, size=train_n, replace=False)
+        train = vectors[train_rows]
+    else:
+        train = vectors
 
-    assignments = np.zeros(n, np.int64)
+    def _staged(arr):
+        c = min(chunk, max(128, 1 << (arr.shape[0] - 1).bit_length()))
+        n_pad = -(-arr.shape[0] // c) * c
+        padded = np.zeros((n_pad, dim), np.float32)
+        padded[: arr.shape[0]] = arr
+        return jnp.asarray(padded, jnp.bfloat16), c
+
+    device_train, train_chunk = _staged(train)
     for _ in range(n_iters):
-        sums, counts, assigns = _assign_and_accumulate(
-            device_vectors, jnp.asarray(centroids), chunk
+        sums, counts, assigns, _ = _assign_and_accumulate(
+            device_train, jnp.asarray(centroids), train_chunk
         )
         sums, counts = np.asarray(sums), np.asarray(counts)
-        assignments = np.asarray(assigns)[:n]
-        # padded zero-rows all land in one argmax cluster; remove their pull
-        if n_pad != n:
-            pad_assign = np.asarray(assigns)[n:]
+        if device_train.shape[0] != train.shape[0]:
+            pad_assign = np.asarray(assigns)[train.shape[0]:]
             np.add.at(counts, pad_assign, -1.0)
+            # padded zero-rows contribute zero to sums; only counts need fixing
         nonempty = counts > 0
         new = centroids.copy()
         new[nonempty] = sums[nonempty] / counts[nonempty, None]
         norms = np.linalg.norm(new, axis=1, keepdims=True)
         centroids = new / np.maximum(norms, 1e-12)
-    return centroids.astype(np.float32), assignments
+
+    # final full-corpus assignment (the only pass that reads every row)
+    if train_n < n:
+        device_all, full_chunk = _staged(vectors)
+        _, _, assigns, seconds = _assign_and_accumulate(
+            device_all, jnp.asarray(centroids), full_chunk
+        )
+    else:
+        seconds = None
+        if return_second:
+            _, _, assigns, seconds = _assign_and_accumulate(
+                device_train, jnp.asarray(centroids), train_chunk
+            )
+    assignments = np.asarray(assigns)[:n].astype(np.int64)
+    centroids = centroids.astype(np.float32)
+    if return_second:
+        second = np.asarray(seconds)[:n].astype(np.int64)
+        return centroids, assignments, second
+    return centroids, assignments

@@ -194,9 +194,14 @@ class ShardedIVFIndex(ShardedFlatIndex):
                 per_shard_info.append(0)
                 continue
             k_s = min(k_lists, rows.shape[0])
-            centroids, assign = spherical_kmeans(
-                rows, k_s, n_iters=self.kmeans_iters, seed=seed + s
+            centroids, assign, second = spherical_kmeans(
+                rows, k_s, n_iters=self.kmeans_iters, seed=seed + s,
+                return_second=True,
             )
+            if k_s > 1:
+                from ..index.ivf import balance_assignments
+
+                assign = balance_assignments(assign, second, k_s, 1.25)
             if k_s < k_lists:  # pad centroid count to the common K
                 centroids = np.concatenate(
                     [centroids, np.zeros((k_lists - k_s, self.dim), np.float32)]
@@ -212,10 +217,13 @@ class ShardedIVFIndex(ShardedFlatIndex):
         for s, assign in enumerate(shard_tables):
             if assign is None:
                 continue
-            cursor = np.zeros(k_lists, np.int64)
-            for local_row, cluster in enumerate(assign):
-                tables[s, cluster, cursor[cluster]] = local_row
-                cursor[cluster] += 1
+            # vectorized bucket fill: rank within cluster via stable sort
+            m = assign.shape[0]
+            order = np.argsort(assign, kind="stable").astype(np.int64)
+            sorted_assign = assign[order]
+            starts = np.searchsorted(sorted_assign, np.arange(k_lists))
+            slots = np.arange(m, dtype=np.int64) - starts[sorted_assign]
+            tables[s, sorted_assign, slots] = order.astype(np.int32)
 
         self._centroids = np.stack(shard_centroids)
         self._list_table = tables

@@ -111,7 +111,11 @@ def bench_ivf_recall(n=100_000, dim=1024, k=10, n_lists=256, probes=(8, 16, 32))
     build_s = time.time() - t0
 
     normalized = vectors / np.linalg.norm(vectors, axis=1, keepdims=True)
-    queries = rng.normal(size=(20, dim)).astype(np.float32)
+    # in-distribution queries (drawn from the same cluster mixture): IVF
+    # recall for off-distribution gaussian queries is meaningless — their
+    # true neighbors have no cluster locality
+    queries = (centers[rng.integers(0, centers.shape[0], size=20)]
+               + rng.normal(size=(20, dim))).astype(np.float32)
     out = {"build_s": round(build_s, 1), **info, "probes": {}}
     for nprobe in probes:
         recall, latency = 0.0, []
@@ -147,6 +151,9 @@ def bench_ivf_scale(n=1_000_000, dim=1024, k=10, n_lists=1024,
     assign = rng.integers(0, 4096, size=n)
     vectors = (centers[assign] + rng.normal(size=(n, dim)).astype(np.float32))
     del assign
+    # in-distribution queries (see bench_ivf_recall)
+    queries = (centers[rng.integers(0, 4096, size=20)]
+               + rng.normal(size=(20, dim))).astype(np.float32)
     docs = [Document(page_content="d", metadata={}) for _ in range(n)]
 
     index = IVFIndex(dim=dim, device_dtype=dtype, n_lists=n_lists)
@@ -160,7 +167,6 @@ def bench_ivf_scale(n=1_000_000, dim=1024, k=10, n_lists=1024,
     normalized = vectors / np.maximum(
         np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
     del vectors
-    queries = rng.normal(size=(20, dim)).astype(np.float32)
     qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
     oracle = [set(np.argsort(-(normalized @ q))[:k].tolist()) for q in qn]
     del normalized
