@@ -678,6 +678,14 @@ def build_api(app: RAGApplication) -> HTTPApi:
 
     @router.post("/system/load-index")
     def load_index(req: Request):
+        import os
+
+        if not os.path.exists(
+            os.path.join(app.settings.index_dir, "manifest.json")
+        ):
+            raise HTTPError(
+                404, f"no index checkpoint under {app.settings.index_dir!r} "
+                     "(save one with POST /system/save-index)")
         rows = app.load_index()
         return {"loaded": rows, "kind": app.index.stats()["kind"]}
 

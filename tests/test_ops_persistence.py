@@ -53,3 +53,17 @@ def test_save_endpoint_autoload_roundtrip(tmp_path):
         assert status == 200 and loaded["loaded"] == app.index.count
     finally:
         app2.shutdown()
+
+
+def test_load_index_without_checkpoint_is_404(tmp_path):
+    settings = dataclasses.replace(
+        Settings(), index_dir=str(tmp_path / "empty"), data_dir=str(tmp_path),
+    )
+    app = RAGApplication(settings=settings, tiny=True)
+    try:
+        api = build_api(app)
+        status, out = _call(api, "POST", "/system/load-index")
+        assert status == 404
+        assert "checkpoint" in out["detail"]
+    finally:
+        app.shutdown()
