@@ -29,8 +29,19 @@ def main():
     parser.add_argument("--dim", type=int, default=1024)
     parser.add_argument("--queries", type=int, default=30)
     parser.add_argument("--k", type=int, default=10)
+    parser.add_argument("--tpu", action="store_true",
+                        help="run on the accelerator (default: pin CPU so "
+                             "recall runs never contend for the chip)")
     parser.add_argument("--out", default="RECALL_CURVES.json")
     args = parser.parse_args()
+
+    if not args.tpu:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
 
     from automative_rag_tpu.documents import Document
     from automative_rag_tpu.index.ivf import IVFIndex, choose_probe, probe_ladder
@@ -57,7 +68,10 @@ def main():
     build_s = time.time() - t0
 
     normalized = vectors / np.linalg.norm(vectors, axis=1, keepdims=True)
-    queries = rng.normal(size=(args.queries, args.dim)).astype(np.float32)
+    # in-distribution queries (same mixture as the corpus — recall against
+    # off-distribution gaussians has no cluster locality to exploit)
+    queries = (centers[rng.integers(0, 512, size=args.queries)]
+               + rng.normal(size=(args.queries, args.dim))).astype(np.float32)
 
     filters = {
         "unfiltered": (None, np.ones(args.n, bool)),
