@@ -136,13 +136,16 @@ class JaxCausalLM:
     def generate(self, prompt: str, params: Dict[str, Any]) -> str:
         ids = self.tokenizer(prompt)["input_ids"]
         temperature = params.get("temperature", 0.0)
-        if temperature <= 0 and params.get("speculative", True):
-            # greedy single-sequence → prompt-lookup speculative decoding:
-            # token-identical output, up to DRAFT_K+1 tokens per forward
-            # when the answer copies from the retrieved context
+        if params.get("speculative", True):
+            # single-sequence → prompt-lookup speculative decoding: up to
+            # DRAFT_K+1 tokens per forward when the answer copies from the
+            # retrieved context. Greedy is token-identical to the plain
+            # loop; sampling draws from the exact conditionals.
             out, _ = self.model.generate_tokens_spec(
                 ids,
                 max_new_tokens=params.get("max_tokens", 512),
+                temperature=temperature,
+                top_p=params.get("top_p", 0.85),
                 repetition_penalty=params.get("repetition_penalty", 1.0),
             )
             out = out[0]

@@ -619,17 +619,22 @@ class Qwen2Model:
 
         self._generate = jax.jit(_generate, static_argnames=("max_tokens",))
 
-        def _generate_spec(params, prompt, plen, max_tokens, penalty):
-            """Greedy prompt-lookup speculative decoding (B=1): drafts come
+        def _generate_spec(params, prompt, plen, max_tokens, key,
+                           temperature, top_p, penalty):
+            """Prompt-lookup speculative decoding (B=1): drafts come
             from n-gram matches against the prompt + generated prefix
             (`_pld_draft`); ONE `verify` forward scores DRAFT_K drafts, and
             the accepted prefix plus the model's own correction token land
             in one loop iteration. Token-identical to `_generate` at
             temperature 0 (repetition penalty applied sequentially during
-            acceptance, exactly as the step loop would). Decode is
-            weight-HBM-bound, so each accepted draft is a nearly-free
-            token; citation-heavy RAG answers accept a lot. Counterpart of
-            the reference's HF assisted-generation knob
+            acceptance, exactly as the step loop would). With sampling
+            (temperature > 0) each position's token is DRAWN from the
+            verify logits in prefix order — the conditional distribution is
+            exact while the accepted prefix equals the draft, so the output
+            distribution matches plain sampling; acceptance just becomes
+            stochastic. Decode is weight-HBM-bound, so each accepted draft
+            is a nearly-free token; citation-heavy RAG answers accept a
+            lot. Counterpart of the reference's HF assisted-generation knob
             (src/core/query/llm/local_llm.py:457-466 hot loop)."""
             cfg = self.config
             draft_k, ngram = self.DRAFT_K, self.PLD_NGRAM
@@ -655,14 +660,15 @@ class Qwen2Model:
                 logits_all, (plen - 1)[:, None, None], axis=1
             )[:, 0]
             logits0 = _apply_repetition_penalty(logits0, seen, penalty)
-            tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+            key, sub = jax.random.split(jnp.asarray(key))
+            tok0 = _sample_token(logits0, sub, temperature, top_p)
             seen = seen.at[jnp.arange(b), tok0].set(True)
             tokens = jax.lax.dynamic_update_slice(tokens, tok0[:, None], (0, p_bucket))
             finished = tok0 == cfg.eos_token
             iota = jnp.arange(total)
 
             def live(state):
-                t, _tokens, _caches, finished, _seen, _n = state
+                t, _tokens, _caches, finished, _seen, _key, _n = state
                 return (t < max_tokens - 1) & ~jnp.all(finished)
 
             # nested loops instead of a lax.cond on the hot path: a cond
@@ -678,7 +684,7 @@ class Qwen2Model:
                 return live(state) & ~jnp.any(match)
 
             def step_body(state):
-                t, tokens, caches, finished, seen, n_fwd = state
+                t, tokens, caches, finished, seen, key, n_fwd = state
                 token_t = jax.lax.dynamic_slice(tokens, (0, t), (b, 1))
                 rope_pos = plen + (t - p_bucket)
                 valid = (iota[None, :] < plen[:, None]) | (
@@ -689,17 +695,19 @@ class Qwen2Model:
                     method="step",
                 )
                 logits = _apply_repetition_penalty(logits, seen, penalty)
-                picked = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                key, sub = jax.random.split(key)
+                picked = _sample_token(logits, sub, temperature, top_p)
                 new = jnp.where(finished, cfg.eos_token, picked)
                 tokens = jax.lax.dynamic_update_slice(
                     tokens, new[:, None], (0, t + 1))
                 seen = seen.at[jnp.arange(b), new].set(True)
                 finished = finished | (new == cfg.eos_token)
-                return t + 1, tokens, caches, finished, seen, n_fwd + 1
+                return t + 1, tokens, caches, finished, seen, key, n_fwd + 1
 
             def outer_body(state):
                 state = jax.lax.while_loop(step_cond, step_body, state)
-                t, tokens, caches, finished, seen, n_fwd = state
+                t, tokens, caches, finished, seen, key, n_fwd = state
+                key, acc_key = jax.random.split(key)
                 # a match exists here (or the loop is ending: then the
                 # acceptance pass emits nothing / into scratch and `live`
                 # exits right after — no wasted semantics, one wasted
@@ -728,7 +736,8 @@ class Qwen2Model:
                     lj = jax.lax.dynamic_index_in_dim(
                         logits, j, 1, keepdims=False)
                     lj = _apply_repetition_penalty(lj, seen, penalty)
-                    g = jnp.argmax(lj, axis=-1).astype(jnp.int32)
+                    g = _sample_token(
+                        lj, jax.random.fold_in(acc_key, j), temperature, top_p)
                     emit = accepting & ~finished
                     tok = jnp.where(finished, cfg.eos_token, g)
                     old = jax.lax.dynamic_slice(
@@ -751,11 +760,12 @@ class Qwen2Model:
                     (jnp.ones((b,), bool), seen, tokens, finished,
                      jnp.zeros((b,), jnp.int32)),
                 )
-                return t + count[0], tokens, caches, finished, seen, n_fwd + 1
+                return (t + count[0], tokens, caches, finished, seen, key,
+                        n_fwd + 1)
 
-            _, tokens, _, _, _, n_fwd = jax.lax.while_loop(
+            _, tokens, _, _, _, _, n_fwd = jax.lax.while_loop(
                 live, outer_body,
-                (p_bucket, tokens, caches, finished, seen, jnp.int32(0)),
+                (p_bucket, tokens, caches, finished, seen, key, jnp.int32(0)),
             )
             return tokens[:, :max_tokens], n_fwd
 
@@ -775,15 +785,19 @@ class Qwen2Model:
     PLD_NGRAM = 2
 
     def generate_tokens_spec(self, prompt_ids, max_new_tokens: int = 256,
-                             repetition_penalty: float = 1.0):
-        """Greedy prompt-lookup speculative decoding. Matches
+                             temperature: float = 0.0, top_p: float = 0.85,
+                             repetition_penalty: float = 1.0, seed: int = 0):
+        """Prompt-lookup speculative decoding. At temperature 0, matches
         ``generate_tokens(..., temperature=0.0)`` token-for-token up to
         bf16 argmax near-ties (logit gaps below bf16 resolution can break
         differently between the 1-wide and K-wide attention paths; either
-        pick satisfies the teacher-forcing oracle), and emits up to
-        ``DRAFT_K + 1`` tokens per forward when the answer copies spans
-        from the prompt (citation-heavy RAG answers do). Single sequence
-        only — matches the reference's llm batch size of 1
+        pick satisfies the teacher-forcing oracle). With sampling the
+        OUTPUT DISTRIBUTION matches plain sampling (each position draws
+        from its exact conditional; acceptance is just stochastic), though
+        the realized tokens differ from the step loop's for a given seed.
+        Emits up to ``DRAFT_K + 1`` tokens per forward when the answer
+        copies spans from the prompt (citation-heavy RAG answers do).
+        Single sequence only — matches the reference's llm batch size of 1
         (src/config/settings.py:33-36); batches fall back to the plain
         loop in the caller. Returns ``(ids [1, plen + n_new], n_forwards)``
         where n_forwards counts decode forwards (excl. prefill)."""
@@ -805,7 +819,9 @@ class Qwen2Model:
         padded[:, :plen] = prompt_ids
         out, n_fwd = self._generate_spec(
             self.params, jnp.asarray(padded), jnp.full((b,), plen, jnp.int32),
-            bucket + n_new, jnp.float32(repetition_penalty),
+            bucket + n_new, jax.random.PRNGKey(seed),
+            jnp.float32(temperature), jnp.float32(top_p),
+            jnp.float32(repetition_penalty),
         )
         out = np.asarray(out)
         return (np.concatenate([out[:, :plen], out[:, bucket:]], axis=1),

@@ -576,3 +576,19 @@ def test_speculative_rejects_batches():
     model = Qwen2Model(Qwen2Config.tiny_test(), seed=0)
     with pytest.raises(ValueError):
         model.generate_tokens_spec(np.zeros((2, 4), np.int32))
+
+
+def test_speculative_sampling_deterministic_and_near_greedy(tiny):
+    """Sampling spec decode: same seed → same output; near-zero temperature
+    collapses to the greedy spec output (distribution sanity)."""
+    prompt = np.array([7, 8, 9, 10, 11], np.int32)
+    a, _ = tiny.generate_tokens_spec(prompt, max_new_tokens=10,
+                                     temperature=0.9, seed=3)
+    b2, _ = tiny.generate_tokens_spec(prompt, max_new_tokens=10,
+                                      temperature=0.9, seed=3)
+    np.testing.assert_array_equal(a, b2)
+
+    greedy, _ = tiny.generate_tokens_spec(prompt, max_new_tokens=10)
+    tiny_t, _ = tiny.generate_tokens_spec(prompt, max_new_tokens=10,
+                                          temperature=0.9, top_p=1e-6, seed=5)
+    np.testing.assert_array_equal(tiny_t, greedy)  # top_p→0 keeps argmax only
