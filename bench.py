@@ -211,6 +211,9 @@ def main():
         ("scale", "BENCH_SCALE.json"),   # fallback name
         ("ivf_1m", "BENCH_IVF1M_r02.json"),
         ("llm", "BENCH_LLM_r02.json"),
+        ("asr", "BENCH_ASR_r02.json"),
+        ("capacity_10m", "CAPACITY_10M.json"),
+        ("recall_curves", "RECALL_CURVES.json"),
     ):
         if key in side:
             continue
