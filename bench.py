@@ -150,22 +150,29 @@ def bench_flat_search(n=100_000, dim=1024, k=20, batch=8, trials=3, dtype="bfloa
     return batch / per_call
 
 
-def _probe_device(timeout_s: float = 150.0) -> bool:
+def _probe_device(timeout_s: float = 240.0, attempts: int = 2) -> bool:
     """Can the configured backend run a trivial op? Probed in a subprocess so
-    a wedged device tunnel can't hang the benchmark itself."""
+    a wedged device tunnel can't hang the benchmark itself. Retried once —
+    the relay occasionally times out one probe while settling after a
+    previous session, then answers normally (observed: probe failed at
+    150 s, a direct check 3 min later ran fine)."""
     import subprocess
 
     code = (
         "import jax, jax.numpy as jnp, numpy as np;"
         "print(np.asarray(jnp.ones((8,8)) @ jnp.ones((8,8)))[0,0])"
     )
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, timeout=timeout_s
-        )
-        return proc.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for _ in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                timeout=timeout_s,
+            )
+            if proc.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def main():
