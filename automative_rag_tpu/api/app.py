@@ -887,6 +887,47 @@ def build_api(app: RAGApplication) -> HTTPApi:
             ],
         }
 
+    @router.get("/system/state-analysis")
+    def state_analysis(req: Request):
+        """State-store introspection (reference /system/redis/key-analysis,
+        system.py:351-368 — there the state is Redis keys; here it is the
+        in-proc job tracker, chain registry, and analytics history):
+        per-type/status job breakdowns, payload sizes, and anything that
+        looks stuck."""
+        import json as _json
+        import time as _time
+
+        jobs = app.tracker.get_all_jobs()
+        by_type: dict = {}
+        by_status: dict = {}
+        stuck = []
+        now = _time.time()
+        result_bytes = 0
+        for job in jobs:
+            by_type[job["job_type"]] = by_type.get(job["job_type"], 0) + 1
+            by_status[job["status"]] = by_status.get(job["status"], 0) + 1
+            result_bytes += len(_json.dumps(job.get("result") or {}))
+            if (job["status"] in ("processing", "pending")
+                    and now - job["updated_at"] > 600):
+                stuck.append({"job_id": job["job_id"],
+                              "status": job["status"],
+                              "age_s": round(now - job["updated_at"], 1)})
+        chains = app.job_chain.all_chains()
+        return {
+            "jobs": {
+                "total": len(jobs),
+                "by_type": by_type,
+                "by_status": by_status,
+                "result_payload_bytes": result_bytes,
+            },
+            "chains": {"total": len(chains)},
+            "analytics_history": len(app.analytics.history(10**6)),
+            "possibly_stuck": stuck,
+            "recommendations": (
+                ["run POST /system/cleanup-jobs"] if stuck else []
+            ),
+        }
+
     # registered last so literal /query/* routes match first
     @router.get("/query/{job_id}")
     def query_result_alias(req: Request):

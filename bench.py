@@ -252,9 +252,12 @@ def main():
                         if on_tpu
                         else {
                             "note": (
-                                "CPU fallback (accelerator tunnel unresponsive); "
-                                "last driver-captured measurement on the real "
-                                "v5e chip was 3.07 ms p50"
+                                "CPU fallback (accelerator tunnel "
+                                "unresponsive — it wedges for hours at a "
+                                "time; committed on-chip artifacts above "
+                                "are the chip numbers). Committed on-chip "
+                                "headline: 3.07 ms p50 bf16 / 2.55 ms int8 "
+                                "(BENCH_ONCHIP_r02.json, MAXSIM_TUNE.json)"
                             )
                         }
                     ),

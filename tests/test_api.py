@@ -371,3 +371,10 @@ def test_profile_endpoint(api, app):
     import shutil
 
     shutil.rmtree("/tmp/test_trace_dir", ignore_errors=True)
+
+
+def test_state_analysis(api):
+    status, out = call(api, "GET", "/system/state-analysis")
+    assert status == 200
+    assert out["jobs"]["total"] >= 0 and "by_status" in out["jobs"]
+    assert "possibly_stuck" in out and "chains" in out
