@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Encoder throughput benchmark: tokenizer + XLM-R trunk (bge-m3 geometry)
+dense embedding and ColBERT token-embedding forwards, docs/s at serving
+batch sizes. The ingest pipeline's compute cost is this forward; the
+reference runs the same trunk via torch on a T4 at batch 8
+(src/config/settings.py:33-35).
+
+Random weights (none ship in the image) — architecture/shape timing only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--tpu", action="store_true")
+    parser.add_argument("--batches", type=int, nargs="+", default=[8, 32])
+    parser.add_argument("--doc-tokens", type=int, default=256)
+    args = parser.parse_args()
+
+    import jax
+
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
+    import numpy as np
+
+    from automative_rag_tpu.models.bge_m3 import DenseEmbedder
+    from automative_rag_tpu.models.colbert import ColBERTEncoder
+
+    from automative_rag_tpu.models.encoder import EncoderConfig
+
+    # transformer mode sized like bge-m3 on TPU, tiny on CPU
+    if args.tpu:
+        cfg = EncoderConfig.bge_m3()
+        doc_len = args.doc_tokens
+    else:
+        cfg = EncoderConfig.tiny()
+        doc_len = 64
+    embedder = DenseEmbedder(config=cfg, mode="transformer")
+    colbert = ColBERTEncoder(config=cfg, max_doc_length=doc_len)
+
+    text = ("宝马X5 2023款 xDrive40Li 搭载3.0T直列六缸涡轮增压发动机，"
+            "最大功率280千瓦，百公里加速5.5秒，综合油耗8.9升。" * 4)
+    report = {"backend": jax.devices()[0].platform,
+              "doc_tokens": args.doc_tokens}
+    for b in args.batches:
+        docs = [f"{text} 版本{i}" for i in range(b)]
+        embedder.embed_texts(docs)  # compile
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            embedder.embed_texts(docs)
+            samples.append(time.perf_counter() - t0)
+        p50 = sorted(samples)[1]
+        report[f"dense_b{b}"] = {"p50_s": round(p50, 3),
+                                 "docs_per_s": round(b / p50, 1)}
+        print(f"dense_b{b}", report[f"dense_b{b}"], flush=True)
+
+        colbert.encode_documents(docs)  # compile
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            colbert.encode_documents(docs)
+            samples.append(time.perf_counter() - t0)
+        p50 = sorted(samples)[1]
+        report[f"colbert_b{b}"] = {"p50_s": round(p50, 3),
+                                   "docs_per_s": round(b / p50, 1)}
+        print(f"colbert_b{b}", report[f"colbert_b{b}"], flush=True)
+
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
