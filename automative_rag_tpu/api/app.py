@@ -897,7 +897,7 @@ def build_api(app: RAGApplication) -> HTTPApi:
         import json as _json
         import time as _time
 
-        jobs = app.tracker.get_all_jobs()
+        jobs = app.tracker.get_all_jobs(limit=10**9)
         by_type: dict = {}
         by_status: dict = {}
         stuck = []

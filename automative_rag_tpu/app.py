@@ -298,7 +298,9 @@ class RAGApplication:
                 return {"document_count": 0, "document_ids": []}
             for doc in docs:
                 doc.metadata.setdefault("job_id", job_id)
-            ids = self.engine.add_documents(docs)
+            with self._lock:  # atomic vs save_index: index row + token
+                # store row must land in the same checkpoint
+                ids = self.engine.add_documents(docs)
             self.tracker.update_job_progress(job_id, 90, f"indexed {len(ids)} chunks")
             return {"document_count": len(ids), "document_ids": ids}
 
@@ -469,9 +471,15 @@ class RAGApplication:
 
     def save_index(self, directory: Optional[str] = None) -> str:
         directory = directory or self.settings.index_dir
-        self.index.save(directory)
-        if self.token_store is not None:
-            self.token_store.save(directory)
+        # the app lock serializes this against ingest workers' paired
+        # index.add + token_store.append — otherwise a checkpoint can
+        # capture the index one row ahead of the token store, and after
+        # restore every tail-hitting query silently drops to the
+        # per-candidate encode-and-rerank fallback
+        with self._lock:
+            self.index.save(directory)
+            if self.token_store is not None:
+                self.token_store.save(directory)
         return directory
 
     def load_index(self, directory: Optional[str] = None) -> int:
@@ -525,7 +533,8 @@ class RAGApplication:
             page_content="预热文档 warmup", metadata={"source": "text", "source_id": "warmup"}
         )
         if self.index.count == 0:
-            ids = self.engine.add_documents([doc])
+            with self._lock:
+                ids = self.engine.add_documents([doc])
             steps.append("ingest")
             self.engine.retrieve("预热查询", mode="facts")
             steps.append("retrieve")

@@ -49,21 +49,21 @@ def _apply_entity_bonus(
 
 
 def _query_entities(query: str) -> Optional[Dict[str, Any]]:
-    """Detect a filterable model/manufacturer named in the query (the same
-    catalogs the ingestion extractor indexes by, so detection and the
-    payload index always agree). Used for entity-guided candidate
-    expansion: short CJK model names (汉, 唐) carry almost no dense-vector
-    signal, so the true document can miss the top-k entirely — a hard
-    metadata match is the reliable recall path for them."""
-    from ..ingestion.metadata import MANUFACTURER_ALIASES, MODEL_CATALOG
+    """Detect a filterable model/manufacturer named in the query via the
+    shared boundary-aware matcher (ingestion/metadata.find_query_entities —
+    same catalogs the payload index is built from, so detection and the
+    index always agree; boundary rules keep G6 from matching inside G63
+    and 唐 inside 唐山). Used for entity-guided candidate expansion: short
+    CJK model names (汉, 唐) carry almost no dense-vector signal, so the
+    true document can miss the top-k entirely — a hard metadata match is
+    the reliable recall path for them."""
+    from ..ingestion.metadata import find_query_entities
 
-    lowered = query.lower()
-    for model in sorted(MODEL_CATALOG, key=len, reverse=True):
-        if model.lower() in lowered:
-            return {"model": model}
-    for alias in sorted(MANUFACTURER_ALIASES, key=len, reverse=True):
-        if alias in lowered:
-            return {"manufacturer": MANUFACTURER_ALIASES[alias]}
+    detected = find_query_entities(query)
+    if "model" in detected:
+        return {"model": detected["model"]}
+    if "manufacturer" in detected:
+        return {"manufacturer": detected["manufacturer"]}
     return None
 
 

@@ -225,6 +225,64 @@ class MetadataExtractor:
         return bool(fields.get("manufacturer") or fields.get("model"))
 
 
+_ALNUM_RE = re.compile(r"[0-9a-zA-Z]")
+_CJK_RE = re.compile(r"[一-鿿]")
+#: boundary cues that legitimize a single-CJK-char model match (汉, 唐):
+#: possessives, conjunctions, whitespace, punctuation, "款" — anything that
+#: ends the word. Without one, 唐 inside 唐山 would false-match.
+_SINGLE_CHAR_OK = set("的和与对比款版年 \t，。、？！：;；()（）")
+
+
+def _name_matches_at(text: str, lowered: str, name: str, start: int) -> bool:
+    """Boundary-aware catalog-name match at ``start`` in ``text``.
+
+    Alphanumeric name edges must not continue into more alphanumerics
+    ("G6" must not match inside "G63"; "X5" not inside "X50"). Single-CJK-
+    char names additionally require a word-ending cue after the match
+    (“唐的…” yes, “唐山…” no) — one CJK char alone is too ambiguous."""
+    end = start + len(name)
+    if name and _ALNUM_RE.match(name[0]):
+        if start > 0 and _ALNUM_RE.match(text[start - 1]):
+            return False
+    if name and _ALNUM_RE.match(name[-1]):
+        if end < len(text) and _ALNUM_RE.match(text[end]):
+            return False
+    if len(name) == 1 and _CJK_RE.match(name):
+        if end < len(text) and text[end] not in _SINGLE_CHAR_OK:
+            return False
+    return True
+
+
+def _find_name(text: str, lowered: str, name: str) -> bool:
+    target = name.lower()
+    start = lowered.find(target)
+    while start >= 0:
+        if _name_matches_at(text, lowered, name, start):
+            return True
+        start = lowered.find(target, start + 1)
+    return False
+
+
+def find_query_entities(query: str) -> Dict[str, Any]:
+    """Detect the filterable model/manufacturer a query names — the ONE
+    shared matcher for query-side entity detection (used by the retrieval
+    engine's entity-guided expansion and the /query/analyze assistant, so
+    detection always agrees with the catalogs the payload index is built
+    from). Case-insensitive, longest-name-first, boundary-aware."""
+    lowered = query.lower()
+    out: Dict[str, Any] = {}
+    for model in sorted(MODEL_CATALOG, key=len, reverse=True):
+        if _find_name(query, lowered, model):
+            out["model"] = model
+            out["manufacturer"] = MODEL_CATALOG[model]["manufacturer"]
+            return out
+    for alias in sorted(MANUFACTURER_ALIASES, key=len, reverse=True):
+        if _find_name(query, lowered, alias):
+            out["manufacturer"] = MANUFACTURER_ALIASES[alias]
+            return out
+    return out
+
+
 def known_manufacturers() -> list:
     return sorted(set(MANUFACTURER_ALIASES.values()))
 

@@ -70,25 +70,52 @@ def make_sharded_ivf_search(mesh: Mesh, axis_name: str, nprobe: int, k: int,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )  # [B, K]
-        _, probes = jax.lax.top_k(coarse, min(nprobe, coarse.shape[1]))
-        cand = table_l[probes]  # [B, nprobe, cap] local row ids, -1 pad
-        b = cand.shape[0]
-        cand = cand.reshape(b, -1)
-        safe = jnp.maximum(cand, 0)
-        cand_vecs = vectors[safe]  # [B, M, D]
-        scores = jnp.einsum(
-            "bd,bmd->bm", q, cand_vecs,
-            precision=None if int8 else jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.int32 if int8 else jnp.float32,
+        nprobe_eff = min(nprobe, coarse.shape[1])
+        _, probes = jax.lax.top_k(coarse, nprobe_eff)
+        b = queries.shape[0]
+        list_cap = table_l.shape[1]
+        # probe streaming (same as index/ivf.py): the gather is bounded by
+        # PROBE_GATHER_ROWS per chunk, memory flat in nprobe
+        from ..index.ivf import PROBE_GATHER_ROWS
+
+        chunk = max(1, min(nprobe_eff, PROBE_GATHER_ROWS // max(list_cap, 1)))
+        while chunk * list_cap < k and chunk < nprobe_eff:
+            chunk += 1
+        n_chunks = -(-nprobe_eff // chunk)
+        pad_p = n_chunks * chunk - nprobe_eff
+        probe_valid = jnp.arange(n_chunks * chunk) < nprobe_eff
+        probes_p = jnp.pad(probes, ((0, 0), (0, pad_p)))
+        probes_s = probes_p.reshape(b, n_chunks, chunk).transpose(1, 0, 2)
+        pvalid_s = probe_valid.reshape(n_chunks, chunk)
+        k_run = min(k, chunk * list_cap)
+
+        def probe_body(carry, inp):
+            best_vals, best_rows = carry
+            pr, pv = inp
+            cand = jnp.where(pv[None, :, None], table_l[pr], -1)
+            cand = cand.reshape(b, -1)
+            safe = jnp.maximum(cand, 0)
+            cand_vecs = vectors[safe]  # [B, M, D]
+            scores = jnp.einsum(
+                "bd,bmd->bm", q, cand_vecs,
+                precision=None if int8 else jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.int32 if int8 else jnp.float32,
+            )
+            if int8:
+                scores = scores.astype(jnp.float32) * q_scale * row_scales[safe]
+            mask = (cand >= 0) & full_mask[safe]
+            cv, pos = masked_top_k(scores, mask, k_run)
+            cr = jnp.take_along_axis(cand, pos, axis=1)
+            return merge_top_k(
+                jnp.stack([best_vals, cv]), jnp.stack([best_rows, cr]), k_run
+            ), None
+
+        init = (
+            jnp.full((b, k_run), -jnp.inf, jnp.float32),
+            jnp.full((b, k_run), -1, jnp.int32),
         )
-        if int8:
-            scores = scores.astype(jnp.float32) * q_scale * row_scales[safe]
-        mask = (cand >= 0) & full_mask[safe]
-        # narrow probes can expose fewer than k candidates; pad to k so the
-        # all-gather/merge shapes stay [k]
-        k_run = min(k, cand.shape[1])
-        vals, pos = masked_top_k(scores, mask, k_run)
-        rows = jnp.take_along_axis(cand, pos, axis=1) + gid_base
+        (vals, rows), _ = jax.lax.scan(probe_body, init, (probes_s, pvalid_s))
+        rows = jnp.where(rows >= 0, rows + gid_base, rows)
         if k_run < k:
             pad = k - k_run
             vals = jnp.concatenate(
@@ -146,11 +173,13 @@ def make_sharded_ivf_search(mesh: Mesh, axis_name: str, nprobe: int, k: int,
 class ShardedIVFIndex(ShardedFlatIndex):
     def __init__(self, dim: int, mesh: Mesh, axis_name: str = "shard",
                  device_dtype: str = "bfloat16", n_lists: int = 0,
-                 n_probe: int = 16, kmeans_iters: int = 10):
+                 n_probe: int = 16, kmeans_iters: int = 10,
+                 balance_factor: float = 1.25):
         super().__init__(dim, mesh, axis_name, device_dtype)
         self.n_lists = n_lists
         self.n_probe = n_probe
         self.kmeans_iters = kmeans_iters
+        self.balance_factor = balance_factor
         self._centroids: Optional[np.ndarray] = None  # [S, K, D]
         self._list_table: Optional[np.ndarray] = None  # [S, K, cap] local ids
         self._built_capacity = 0
@@ -198,10 +227,11 @@ class ShardedIVFIndex(ShardedFlatIndex):
                 rows, k_s, n_iters=self.kmeans_iters, seed=seed + s,
                 return_second=True,
             )
-            if k_s > 1:
+            if k_s > 1 and self.balance_factor:
                 from ..index.ivf import balance_assignments
 
-                assign = balance_assignments(assign, second, k_s, 1.25)
+                assign = balance_assignments(
+                    assign, second, k_s, self.balance_factor)
             if k_s < k_lists:  # pad centroid count to the common K
                 centroids = np.concatenate(
                     [centroids, np.zeros((k_lists - k_s, self.dim), np.float32)]

@@ -15,7 +15,7 @@ from __future__ import annotations
 import re
 from typing import Any, Dict, List
 
-from ..ingestion.metadata import MANUFACTURER_ALIASES, MODEL_CATALOG
+from ..ingestion.metadata import find_query_entities
 
 # ---------------------------------------------------------------------------
 # Query templates (reference query_templates.py:7-60)
@@ -138,22 +138,17 @@ def analyze_query_quality(query: str) -> Dict[str, Any]:
         strengths.append("包含具体年份")
         detected["year"] = int(re.search(r"\d{4}", year_match.group()).group())
 
-    for alias in sorted(MANUFACTURER_ALIASES, key=len, reverse=True):
-        if alias in query:
-            score += 0.2
-            strengths.append("包含具体品牌")
-            detected["manufacturer"] = MANUFACTURER_ALIASES[alias]
-            break
-
-    for model in sorted(MODEL_CATALOG, key=len, reverse=True):
-        if model.lower() in query.lower():
-            score += 0.1
-            strengths.append("包含具体车型")
-            detected["model"] = model
-            detected.setdefault(
-                "manufacturer", MODEL_CATALOG[model]["manufacturer"]
-            )
-            break
+    # shared boundary-aware matcher — same detection as the retrieval
+    # engine's entity expansion, case-insensitive
+    entities = find_query_entities(query)
+    if "manufacturer" in entities:
+        score += 0.2
+        strengths.append("包含具体品牌")
+        detected["manufacturer"] = entities["manufacturer"]
+    if "model" in entities:
+        score += 0.1
+        strengths.append("包含具体车型")
+        detected["model"] = entities["model"]
 
     for issue, spec in _ISSUE_PATTERNS.items():
         if any(ind.lower() in query.lower() for ind in spec["indicators"]):

@@ -514,15 +514,19 @@ async function ingestBatch() {
     $("i-batch-status").textContent = `已提交 ${r.accepted} 个任务，拒绝 ${r.rejected.length} 个`;
     const bad = r.rejected.map(x =>
       `<div class="src">✗ ${esc(x.url)} <span class="badge bad">${esc(x.reason)}</span></div>`).join("");
+    const ids = new Set(r.job_ids);
     const render = async () => {
-      const rows = await Promise.all(r.job_ids.map(async id => {
-        const job = await api("/ingest/jobs/" + id);
-        const cls = job.status === "completed" ? "ok" : job.status === "failed" ? "bad" : "warn";
-        return `<div class="src">${id.slice(0,8)} · ${esc((job.metadata||{}).url||"")}
-          <span class="badge ${cls}">${job.status} ${job.progress||0}%</span></div>`;
-      }));
+      // ONE list request per tick (not one per job): /ingest/jobs returns
+      // the newest jobs; filter to this batch client-side
+      const list = await api("/ingest/jobs?job_type=video_processing&limit=" +
+                             Math.max(200, ids.size * 2));
+      const rows = list.jobs.filter(j => ids.has(j.job_id)).map(j => {
+        const cls = j.status === "completed" ? "ok" : j.status === "failed" ? "bad" : "warn";
+        return `<div class="src">${j.job_id.slice(0,8)} · ${esc((j.metadata||{}).url||"")}
+          <span class="badge ${cls}">${j.status} ${j.progress||0}%</span></div>`;
+      });
       $("i-batch-jobs").innerHTML = bad + rows.join("");
-      if (rows.some(x => x.includes("warn"))) setTimeout(render, 1200);
+      if (rows.some(x => x.includes("warn"))) setTimeout(render, 1500);
     };
     render();
   } catch (e) { $("i-batch-status").textContent = "错误: " + e.message; }

@@ -108,3 +108,21 @@ def test_help_endpoint(call):
     assert status == 200 and out["title"]
     status, _ = call("GET", "/system/help/nonsense")
     assert status == 404
+
+
+# -------------------------------------------------- shared entity matcher
+
+def test_entity_matcher_boundaries():
+    """Review findings: G6 must not match inside G63; 唐 must not match
+    inside 唐山; English brand names match case-insensitively."""
+    from automative_rag_tpu.ingestion.metadata import find_query_entities
+
+    assert find_query_entities("奔驰G63的越野能力怎么样").get("model") != "G6"
+    assert find_query_entities("奔驰G63的越野能力怎么样")["manufacturer"] == "奔驰"
+    assert "model" not in find_query_entities("唐山附近哪里有充电站")
+    assert find_query_entities("唐的最高时速是多少")["model"] == "唐"
+    assert find_query_entities("汉的续航里程是多少？")["model"] == "汉"
+    a = analyze_query_quality("Tesla的自动驾驶安全吗")
+    assert a["detected"].get("manufacturer") == "特斯拉"
+    b = analyze_query_quality("BMW X5怎么样")
+    assert b["detected"].get("manufacturer") == "宝马"
