@@ -228,6 +228,13 @@ class AnswerGenerator:
         if isinstance(self.llm, StubLLM):
             self.llm.bind(ordered, query)
         raw = self.llm.generate(prompt, llm_params)
+        # extractive answers are document-grounded by construction — wrap
+        # them in the evidence section marker for the complex modes so the
+        # two-layer UI renders identically with or without an LLM
+        if isinstance(self.llm, StubLLM) and raw and mode in (
+            QueryMode.FEATURES, QueryMode.SCENARIOS
+        ) and not raw.startswith("【"):
+            raw = f"【实证分析】{raw}"
         return self._finalize(raw, documents, ordered, context, mode, ctx_params, t0)
 
     def answer_batch(
