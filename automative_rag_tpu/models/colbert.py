@@ -66,17 +66,30 @@ class ColBERTEncoder:
 
     def _encode(self, texts: Sequence[str], max_length: int) -> Tuple[np.ndarray, np.ndarray]:
         ids, mask = self.tokenizer.encode_batch(texts, max_length)
+        # length bucketing: forward at the smallest 32-multiple covering
+        # the longest real sequence, host-pad back to max_length (zeros,
+        # already mask-False). Short docs skip most of the padded-token
+        # compute AND most of the [B, Ld, H] hidden-state fetch — which
+        # dominates this path at a fixed Ld=256 (the fetch crosses the
+        # device relay; fp16 halves it again, matching the token store's
+        # storage dtype).
+        real = int(np.asarray(mask).sum(axis=1).max()) if len(texts) else 0
+        bucket = min(max_length, max(32, -(-real // 32) * 32))
+        ids_b, mask_b = ids[:, :bucket], mask[:, :bucket]
         out = []
         for i in range(0, len(texts), self.batch_size):
-            ids_j = jnp.asarray(ids[i : i + self.batch_size])
-            mask_j = jnp.asarray(mask[i : i + self.batch_size])
+            ids_j = jnp.asarray(ids_b[i : i + self.batch_size])
+            mask_j = jnp.asarray(mask_b[i : i + self.batch_size])
             if (self._batch_sharding is not None
                     and ids_j.shape[0] % self._dp_rows == 0):
                 ids_j = jax.device_put(ids_j, self._batch_sharding)
                 mask_j = jax.device_put(mask_j, self._batch_sharding)
             hidden = self._forward(self.params, ids_j, mask_j)
-            out.append(np.asarray(hidden, np.float32))
-        return np.concatenate(out, axis=0), mask
+            out.append(np.asarray(hidden.astype(jnp.float16)))
+        emb = np.concatenate(out, axis=0)
+        if bucket < max_length:
+            emb = np.pad(emb, ((0, 0), (0, max_length - bucket), (0, 0)))
+        return emb, mask
 
     def encode_queries(self, queries: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
         """→ (embeddings [B, Lq, H], scoring mask [B, Lq]).
