@@ -522,15 +522,31 @@ def build_api(app: RAGApplication) -> HTTPApi:
                 for d in app.index._docs
                 if d.metadata.get("source_id") == source_id
                 and d.id in app.index._row_of_id and d.id != doc_id
-            ][:20]
+            ]
+            # sort BEFORE capping (capping first in row order could drop
+            # exactly the adjacent chunks this view exists to show), then
+            # keep the 20 nearest to this chunk's index
+            siblings.sort(
+                key=lambda s: (s["chunk_index"] is None, s["chunk_index"])
+            )
+            here = doc.metadata.get("chunk_index")
+            if len(siblings) > 20 and here is not None:
+                siblings.sort(
+                    key=lambda s: (s["chunk_index"] is None,
+                                   abs((s["chunk_index"] or 0) - here))
+                )
+                siblings = sorted(
+                    siblings[:20],
+                    key=lambda s: (s["chunk_index"] is None, s["chunk_index"]),
+                )
+            else:
+                siblings = siblings[:20]
         return {
             "id": doc.id,
             "content": doc.page_content,
             "metadata": doc.metadata,
             "length": len(doc.page_content),
-            "siblings": sorted(
-                siblings, key=lambda s: (s["chunk_index"] is None, s["chunk_index"])
-            ),
+            "siblings": siblings,
         }
 
     @router.post("/query/explain")

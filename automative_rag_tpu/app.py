@@ -543,9 +543,21 @@ class RAGApplication:
             self.engine.retrieve("预热查询", mode="facts")
             steps.append("retrieve")
         if hasattr(self.index, "precompile_ladder"):
-            levels = self.index.precompile_ladder(k=self.settings.retriever_top_k)
+            # warm every retrieval depth live queries actually use: k is a
+            # static jit key, so compiling only retriever_top_k (20) left
+            # 5 of 6 modes (retrieval_k 25-40) to stall minutes on the
+            # first filtered query's remote compile
+            from .config.mode_config import mode_config as _mc
+
+            ks = sorted({self.settings.retriever_top_k} | {
+                _mc.get_retrieval_params(m)["retrieval_k"]
+                for m in _mc.all_modes()
+            })
+            levels = []
+            for k_mode in ks:
+                levels = self.index.precompile_ladder(k=k_mode)
             if levels:
-                steps.append(f"ivf-ladder{levels}")
+                steps.append(f"ivf-ladder{levels}x{len(ks)}k")
         return {"warmed": steps, "seconds": round(time.time() - t0, 2)}
 
     def health(self) -> Dict[str, Any]:

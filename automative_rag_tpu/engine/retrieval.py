@@ -26,6 +26,26 @@ from ..models.bge_m3 import DenseEmbedder
 from ..rerank.reranker import LateInteractionReranker
 
 
+def _normalize_ranked(
+    ranked: List[Tuple[Document, float]]
+) -> List[Tuple[Document, float]]:
+    """MaxSim/hybrid scores are unbounded; normalize into [0.35, 1] — ABOVE
+    the per-mode relevance cutoffs (0.2-0.3): reranked candidates are
+    already MaxSim-screened, and a floor inside the cutoff band silently
+    killed the lowest-scoring candidate on every query (fatal when a
+    selective filter leaves only 2). Shared by the single and batch paths
+    so their scoring can never diverge."""
+    if not ranked:
+        return ranked
+    scores = np.array([s for _, s in ranked], np.float64)
+    lo, hi = scores.min(), scores.max()
+    if hi > lo:
+        norm = 0.35 + 0.65 * (scores - lo) / (hi - lo)
+    else:
+        norm = np.ones_like(scores)
+    return [(doc, float(n)) for (doc, _), n in zip(ranked, norm)]
+
+
 #: additive bonus (on the [0.35, 1]-normalized rerank score) when a
 #: candidate's metadata exactly matches the entity the query names. The
 #: model bonus exceeds the normalization range on purpose: when the user
@@ -149,19 +169,8 @@ class RetrievalEngine:
                 )
             else:
                 ranked = self.reranker.rerank(query, candidates, top_k=None)
-            # MaxSim/hybrid scores are unbounded; normalize into [0.35, 1]
-            # — ABOVE the per-mode relevance cutoffs (0.2-0.3): reranked
-            # candidates are already MaxSim-screened, and a floor inside the
-            # cutoff band silently killed the lowest-scoring candidate on
-            # every query (fatal when a selective filter leaves only 2)
             if ranked:
-                scores = np.array([s for _, s in ranked], np.float64)
-                lo, hi = scores.min(), scores.max()
-                if hi > lo:
-                    norm = 0.35 + 0.65 * (scores - lo) / (hi - lo)
-                else:
-                    norm = np.ones_like(scores)
-                ranked = [(doc, float(n)) for (doc, _), n in zip(ranked, norm)]
+                ranked = _normalize_ranked(ranked)
                 if detected:
                     ranked = _apply_entity_bonus(ranked, detected)
                 ranked = sorted(ranked, key=lambda x: -x[1])[:k2]
@@ -282,13 +291,7 @@ class RetrievalEngine:
         out: List[List[Tuple[Document, float]]] = []
         for i, ranked in enumerate(ranked_per_query):
             if rerank and ranked:
-                scores = np.array([s for _, s in ranked], np.float64)
-                lo, hi = scores.min(), scores.max()
-                norm = (
-                    0.35 + 0.65 * (scores - lo) / (hi - lo)
-                    if hi > lo else np.ones_like(scores)
-                )
-                ranked = [(d, float(s)) for (d, _), s in zip(ranked, norm)]
+                ranked = _normalize_ranked(ranked)
                 if detected_per_query[i]:
                     ranked = _apply_entity_bonus(ranked, detected_per_query[i])
                 ranked = sorted(ranked, key=lambda x: -x[1])[:k2]

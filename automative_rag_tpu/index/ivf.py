@@ -336,7 +336,12 @@ class IVFIndex(FlatIndex):
         metadata_filter: Optional[Dict[str, Any]] = None,
         normalize: bool = True,
         n_probe: Optional[int] = None,
+        pin_probe: bool = False,
     ) -> List[List[SearchResult]]:
+        """``n_probe`` sets the BASE width; filtered searches may widen it
+        via the selectivity policy + ladder backstop (the production
+        semantics). ``pin_probe=True`` disables both — the caller gets
+        exactly ``n_probe`` (latency pinning, recall-vs-nprobe curves)."""
         if self._centroids is None:
             # not built yet → exact
             return super().search(queries, k, metadata_filter, normalize)
@@ -357,7 +362,7 @@ class IVFIndex(FlatIndex):
         k_eff = min(k, state["capacity"])
         base = min(n_probe or self.n_probe, self.n_lists)
         ladder = probe_ladder(base, self.n_lists)
-        if metadata_filter:
+        if metadata_filter and not pin_probe:
             # choose the probe width from filter selectivity UP FRONT: a
             # selective filter starves probed lists, so widen before the
             # first launch instead of retry-escalating (VERDICT r1 #3)
@@ -387,8 +392,9 @@ class IVFIndex(FlatIndex):
         vals, rows = _run(nprobe)
         # backstop escalation (filters cluster, so the selectivity estimate
         # can still under-probe): walk the remaining LADDER levels — never an
-        # ad-hoc width, so no new executable is compiled past the ladder set
-        if metadata_filter:
+        # ad-hoc width, so no new executable is compiled past the ladder set.
+        # Skipped when the caller pinned the width.
+        if metadata_filter and not pin_probe:
             for lvl in ladder:
                 if lvl <= nprobe:
                     continue

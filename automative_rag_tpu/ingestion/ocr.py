@@ -218,10 +218,17 @@ class GlyphAtlasOCR:
     # ------------------------------------------------------------ classify
     def _classify(self, patches: np.ndarray, aspects: np.ndarray) -> List[str]:
         """One batched cosine-similarity contraction against the atlas."""
+        import jax
         import jax.numpy as jnp
 
+        # f32 operands need HIGHEST: the CPU backend's default matmul is
+        # bf16-grade, and lookalike glyph margins (O/0, l/I/1) are smaller
+        # than that error (CLAUDE.md)
         scores = np.asarray(
-            jnp.asarray(patches) @ jnp.asarray(self._atlas).T
+            jnp.matmul(
+                jnp.asarray(patches), jnp.asarray(self._atlas).T,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         )  # [n, T]
         # penalize aspect-ratio mismatch (separates . from | from -)
         ratio = np.minimum(
@@ -338,8 +345,18 @@ class GlyphAtlasOCR:
     __call__ = ocr_pdf
 
 
+_DEFAULT_ENGINE: Optional[GlyphAtlasOCR] = None
+_DEFAULT_ENGINE_READY = False
+
+
 def default_ocr_engine() -> Optional[GlyphAtlasOCR]:
     """The built-in engine when fonts + PIL are present; None otherwise
-    (PDFProcessor then skips OCR exactly as before)."""
-    engine = GlyphAtlasOCR()
-    return engine if engine._build_atlas() else None
+    (PDFProcessor then skips OCR exactly as before). Module-cached: the
+    atlas build (~700 glyph renders across 8 fonts) runs once per process,
+    not once per PDF ingest job."""
+    global _DEFAULT_ENGINE, _DEFAULT_ENGINE_READY
+    if not _DEFAULT_ENGINE_READY:
+        engine = GlyphAtlasOCR()
+        _DEFAULT_ENGINE = engine if engine._build_atlas() else None
+        _DEFAULT_ENGINE_READY = True
+    return _DEFAULT_ENGINE

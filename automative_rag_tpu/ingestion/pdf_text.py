@@ -96,6 +96,47 @@ def _parse_objects(data: bytes) -> Dict[int, _Obj]:
     return objects
 
 
+def _undo_png_predictor(raw: bytes, width: int, height: int,
+                        px: int) -> Optional[bytes]:
+    """Reverse PNG row filters (PDF /Predictor >= 10): each row of
+    ``width·px`` bytes is prefixed by a filter byte (0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth) applied byte-wise with pixel stride ``px``."""
+    stride = width * px
+    if len(raw) < height * (stride + 1):
+        return None
+    out = bytearray(height * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        row = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += stride + 1
+        if ftype == 1:  # Sub
+            for i in range(px, stride):
+                row[i] = (row[i] + row[i - px]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - px] if i >= px else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - px] if i >= px else 0
+                b = p_up = prev[i]
+                c = prev[i - px] if i >= px else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - p_up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        out[y * stride : (y + 1) * stride] = row
+        prev = row
+    return bytes(out)
+
+
 def extract_pdf_images(path: str) -> List[object]:
     """Embedded raster images (scanned pages), decoded to PIL images.
 
@@ -130,6 +171,15 @@ def extract_pdf_images(path: str) -> List[object]:
                 height = int(re.search(rb"/Height\s+(\d+)", obj.header).group(1))
                 gray = re.search(rb"/DeviceGray", obj.header) is not None
                 mode, px = ("L", 1) if gray else ("RGB", 3)
+                pred = re.search(rb"/Predictor\s+(\d+)", obj.header)
+                if pred and int(pred.group(1)) >= 10:
+                    # PNG predictors: each row is prefixed with a filter
+                    # byte; undoing them here instead of skipping prevents
+                    # row-shifted noise being OCR'd into gibberish and
+                    # silently indexed (common output of PDF writers)
+                    raw = _undo_png_predictor(raw, width, height, px)
+                    if raw is None:
+                        continue
                 if len(raw) < width * height * px:
                     continue
                 img = Image.frombytes(mode, (width, height),

@@ -178,6 +178,9 @@ class JobTracker:
             self._progress.pop(job_id, None)
             if removed:
                 self._persist()
+                # wake wait_for_terminal waiters so they return "missing"
+                # immediately instead of sleeping to their full timeout
+                self._status_changed.notify_all()
         return removed
 
     def cleanup_old_jobs(self, max_age_days: float = 7.0) -> int:
@@ -195,6 +198,7 @@ class JobTracker:
                 self._jobs.pop(jid, None)
                 self._progress.pop(jid, None)
             if victims:
+                self._status_changed.notify_all()
                 self._persist()
         return len(victims)
 
@@ -211,6 +215,7 @@ class JobTracker:
                     marked += 1
             if marked:
                 self._persist()
+                self._status_changed.notify_all()
         return marked
 
     # ------------------------------------------------------------ persist

@@ -292,7 +292,10 @@ class ShardedIVFIndex(ShardedFlatIndex):
     def search(self, queries: np.ndarray, k: int,
                metadata_filter: Optional[Dict[str, Any]] = None,
                normalize: bool = True,
-               n_probe: Optional[int] = None) -> List[List[SearchResult]]:
+               n_probe: Optional[int] = None,
+               pin_probe: bool = False) -> List[List[SearchResult]]:
+        """Same ``n_probe``-is-a-base / ``pin_probe`` semantics as
+        ``IVFIndex.search``."""
         if not self._built():
             return super().search(queries, k, metadata_filter, normalize)
 
@@ -309,7 +312,7 @@ class ShardedIVFIndex(ShardedFlatIndex):
         max_probe = self._centroids.shape[1]
         base = min(n_probe or self.n_probe, max_probe)
         ladder = probe_ladder(base, max_probe)
-        if metadata_filter:
+        if metadata_filter and not pin_probe:
             # selectivity-driven up-front probe width (same policy as the
             # single-device IVF; ladder-quantized so escalation never mints
             # a fresh executable)

@@ -274,8 +274,8 @@ const api = async (path, opts) => {
   if (!r.ok) throw new Error((await r.json()).detail || r.status);
   return r.json();
 };
-const esc = s => String(s ?? "").replace(/[&<>"]/g,
-  c => ({"&":"&amp;","<":"&lt;",">":"&gt;",'"':"&quot;"}[c]));
+const esc = s => String(s ?? "").replace(/[&<>"'`]/g,
+  c => ({"&":"&amp;","<":"&lt;",">":"&gt;",'"':"&quot;","'":"&#39;","`":"&#96;"}[c]));
 
 function show(tab) {
   TABS.forEach(([t]) => {
@@ -599,6 +599,8 @@ async function browseSearch() {
   const f = {};
   if ($("b-manu").value) f.manufacturer = $("b-manu").value;
   if ($("b-model").value) f.model = $("b-model").value;
+  if ($("b-cat").value) f.category = $("b-cat").value;
+  if ($("b-source").value) f.source = $("b-source").value;
   if ($("b-ygte").value || $("b-ylte").value) {
     f.year = {};
     if ($("b-ygte").value) f.year.gte = parseInt($("b-ygte").value);
@@ -611,8 +613,12 @@ async function browseSearch() {
   $("b-pageinfo").textContent = "";
   $("b-analysis").innerHTML = `<span class="badge dim">${r.count} 结果 ·
     检索 ${(r.timings.search_s*1000).toFixed(1)}ms · 重排 ${(r.timings.rerank_s*1000).toFixed(1)}ms</span><br><br>`;
+  // query text rides a data attribute (HTML-escaped), never a JS string
+  // literal — apostrophes/backticks in queries must not break or inject
   $("b-results").innerHTML = r.documents.map(d =>
-    `<div class="src" style="cursor:pointer" onclick="inspectDoc('${d.id}', '${esc($("b-query").value)}')">
+    `<div class="src" style="cursor:pointer" data-id="${esc(d.id)}"
+         data-q="${esc($("b-query").value)}"
+         onclick="inspectDoc(this.dataset.id, this.dataset.q)">
      <b>${(+d.score).toFixed(2)}</b>
      ${esc(d.metadata.manufacturer||"?")} ${esc(d.metadata.model||"")} ${d.metadata.year||""}
      <br>${esc(d.preview)}</div>`).join("") || "无结果";
@@ -744,7 +750,8 @@ function suggest() {
 async function loadHistory() {
   const r = await api("/query/history?limit=10");
   $("q-history").innerHTML = r.history.map(h =>
-    `<div class="src" style="cursor:pointer" onclick="$('q-text').value='${esc(h.query)}'">
+    `<div class="src" style="cursor:pointer" data-q="${esc(h.query)}"
+         onclick="$('q-text').value=this.dataset.q">
      ${esc(h.query)} <span class="badge dim">${h.mode} · ${(h.latency_s*1000).toFixed(0)}ms</span></div>`
   ).join("") || "<div class='src'>暂无历史</div>";
 }

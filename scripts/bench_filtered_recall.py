@@ -108,7 +108,8 @@ def main():
         for nprobe in ladder:
             recall = 0.0
             for q, want in zip(queries, oracle):
-                got = {r.row for r in index.search(q, args.k, flt, n_probe=nprobe)[0]}
+                got = {r.row for r in index.search(
+                    q, args.k, flt, n_probe=nprobe, pin_probe=True)[0]}
                 denom = max(1, min(args.k, len(want)))
                 recall += len(got & want) / denom
             curve[nprobe] = round(recall / len(queries), 4)

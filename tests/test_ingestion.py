@@ -238,3 +238,49 @@ def test_pdf_table_extraction(tmp_path):
     assert tables[0]["n_columns"] == 3
     assert tables[0]["rows"][1] == ["acceleration", "5.5", "s"]
     assert tables[1]["rows"] == [["col1", "col2"], ["a", "b"]]
+
+
+def test_png_predictor_roundtrip():
+    """PDF /Predictor>=10 images: undo PNG row filters (Sub/Up/Average/
+    Paeth) — predictored scans previously decoded to row-shifted noise."""
+    import numpy as np
+
+    from automative_rag_tpu.ingestion.pdf_text import _undo_png_predictor
+
+    rng = np.random.default_rng(0)
+    w, h, px = 16, 8, 1
+    img = rng.integers(0, 256, size=(h, w * px), dtype=np.uint8)
+
+    def encode(ftype):
+        out = bytearray()
+        prev = bytearray(w * px)
+        for y in range(h):
+            row = img[y].tolist()
+            enc = list(row)
+            if ftype == 1:
+                for i in range(w * px - 1, px - 1, -1):
+                    enc[i] = (row[i] - row[i - px]) & 0xFF
+            elif ftype == 2:
+                for i in range(w * px):
+                    enc[i] = (row[i] - prev[i]) & 0xFF
+            elif ftype == 3:
+                for i in range(w * px):
+                    left = row[i - px] if i >= px else 0
+                    enc[i] = (row[i] - ((left + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:
+                for i in range(w * px):
+                    a = row[i - px] if i >= px else 0
+                    b = prev[i]
+                    c = prev[i - px] if i >= px else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[i] = (row[i] - pred) & 0xFF
+            out.append(ftype)
+            out.extend(enc)
+            prev = bytearray(row)
+        return bytes(out)
+
+    for ftype in (0, 1, 2, 3, 4):
+        decoded = _undo_png_predictor(encode(ftype), w, h, px)
+        assert decoded == img.tobytes(), f"filter {ftype}"

@@ -277,3 +277,24 @@ def test_probe_chunked_scan_matches_single_gather(rng):
     np.testing.assert_array_equal(np.asarray(got_r), np.asarray(want_r))
     np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
                                rtol=1e-5)
+
+
+def test_pin_probe_disables_policy_and_escalation(built, rng, monkeypatch):
+    """pin_probe=True must run EXACTLY the requested width — no selectivity
+    policy, no ladder backstop (recall-curve / latency-pinning callers)."""
+    from automative_rag_tpu.index import ivf as ivf_mod
+
+    index, vectors, docs, _, _ = built
+    launches = []
+    real_kernel = ivf_mod._ivf_search_kernel
+
+    def spy(*args, **kwargs):
+        launches.append(args[6] if len(args) > 6 else kwargs.get("nprobe"))
+        return real_kernel(*args, **kwargs)
+
+    monkeypatch.setattr(ivf_mod, "_ivf_search_kernel", spy)
+    flt = {"manufacturer": docs[7].metadata["manufacturer"],
+           "year": docs[7].metadata["year"]}
+    q = rng.normal(size=64).astype(np.float32)
+    index.search(q, 5, flt, n_probe=1, pin_probe=True)
+    assert launches == [1], launches
