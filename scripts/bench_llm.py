@@ -27,6 +27,10 @@ def main():
     parser.add_argument("--prompt-len", type=int, default=512)
     parser.add_argument("--new-tokens", type=int, default=128)
     parser.add_argument("--batches", type=int, nargs="+", default=[1, 8])
+    parser.add_argument("--draft-k", type=int, default=0,
+                        help="override Qwen2Model.DRAFT_K for the spec section")
+    parser.add_argument("--spec-only", action="store_true",
+                        help="skip the plain-decode sweeps")
     args = parser.parse_args()
 
     import jax
@@ -56,7 +60,7 @@ def main():
     report = {"d_model": cfg.d_model, "layers": cfg.num_layers,
               "prompt_len": args.prompt_len, "new_tokens": args.new_tokens,
               "backend": jax.devices()[0].platform}
-    for name, model in (("bf16", base), ("int8", quant)):
+    for name, model in () if args.spec_only else (("bf16", base), ("int8", quant)):
         for b in args.batches:
             prompt = rng.integers(3, cfg.vocab_size,
                                   size=(b, args.prompt_len)).astype(np.int32)
@@ -73,6 +77,11 @@ def main():
                 "tokens_per_s": round(generated / p50, 1),
             }
     # --- speculative decoding (B=1 greedy) ------------------------------
+    if args.draft_k:
+        # class attribute: _generate_spec reads DRAFT_K at first trace,
+        # so this applies to every model constructed/used below
+        Qwen2Model.DRAFT_K = args.draft_k
+        report["draft_k"] = args.draft_k
     # Two bounds: a surgically-made copy model (residual = token embedding,
     # so greedy output repeats and every prompt-lookup draft is accepted —
     # the upper bound) and the random model (drafts rarely match — shows
