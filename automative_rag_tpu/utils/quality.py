@@ -45,10 +45,40 @@ def _jieba():
     return _JIEBA or None
 
 
+#: automotive metric synonym lexicon (domain dictionary, the same design
+#: as the ingestion metadata dictionaries — reference
+#: enhanced_transcript_processor.py keeps its own domain tables): maps
+#: colloquial phrasings onto the canonical spec term so paraphrased
+#: questions ("能跑多远", "零百", "极速") still match spec-sheet sentences.
+METRIC_SYNONYMS = {
+    "零百": "百公里加速", "加速时间": "百公里加速", "百公里提速": "百公里加速",
+    "加速成绩": "百公里加速", "提速": "百公里加速",
+    "极速": "最高时速", "最快能开多快": "最高时速", "最高速度": "最高时速",
+    "功率": "马力", "动力多强": "马力", "多少匹": "马力",
+    "能跑多远": "续航里程", "续航": "续航里程", "跑多远": "续航里程",
+    "充一次电能跑": "续航里程",
+    "轴距多长": "轴距", "车身轴距": "轴距",
+    "油耗": "综合油耗", "耗油": "综合油耗", "费油": "综合油耗",
+    "后备箱多大": "后备箱容积", "尾箱容积": "后备箱容积",
+}
+
+
+def expand_metric_terms(query: str, terms: List[str]) -> List[str]:
+    """Append the canonical metric term when the query uses a synonym
+    (matched against the raw query: segmentation may split phrases like
+    能跑多远)."""
+    out = list(terms)
+    for syn, canonical in METRIC_SYNONYMS.items():
+        if syn in query and canonical not in out:
+            out.append(canonical)
+    return out
+
+
 def extract_key_terms(query: str) -> List[str]:
     """Key terms from a query: jieba-segmented CJK words when available
     (regex CJK runs otherwise), latin words, numbers; stopwords and
-    interrogative fragments stripped."""
+    interrogative fragments stripped. Metric synonyms append their
+    canonical spec term (METRIC_SYNONYMS) so paraphrases match."""
     cleaned = _CJK_SPLIT.sub(" ", _CJK_NOISE.sub(" ", query))
     segmenter = _jieba()
     if segmenter is not None:
@@ -60,7 +90,8 @@ def extract_key_terms(query: str) -> List[str]:
                 tokens.append(piece)
     else:
         tokens = re.findall(r"[一-鿿]+|[a-zA-Z][a-zA-Z0-9-]*|\d+(?:\.\d+)?", cleaned)
-    return [t for t in tokens if t.lower() not in _STOPWORDS and len(t) > 1]
+    terms = [t for t in tokens if t.lower() not in _STOPWORDS and len(t) > 1]
+    return expand_metric_terms(query, terms)
 
 
 def term_matches(term: str, text: str) -> bool:

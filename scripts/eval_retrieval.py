@@ -47,6 +47,16 @@ METRICS = [
     ("轴距", lambda r: f"{r.randrange(2600, 3200, 5)}mm"),
 ]
 
+# colloquial phrasings per metric — the paraphrase-robustness split asks
+# the SAME facts without using the spec-sheet term
+PARAPHRASES = {
+    "百公里加速": "{model}零百要几秒？",
+    "最高时速": "{model}极速能到多少？",
+    "马力": "{model}功率有多强？",
+    "续航里程": "{model}充一次电能跑多远？",
+    "轴距": "{model}的轴距多长？",
+}
+
 
 def build_corpus(n_docs: int, seed: int = 7):
     from automative_rag_tpu.ingestion.metadata import MODEL_CATALOG
@@ -123,6 +133,21 @@ def main():
             if fact["value"] in fjob["result"]["answer"]:
                 filtered_ok += 1
 
+        # paraphrase-robustness split: colloquial phrasings of the same
+        # facts (零百/极速/能跑多远 …) — exercises the metric-synonym
+        # lexicon + entity-guided retrieval instead of lexical overlap
+        para_hits = para_answered = 0
+        for fact in sample:
+            pquery = PARAPHRASES[fact["metric"]].format(model=fact["model"])
+            pjob = app.query_sync(pquery, mode="facts", timeout=120)
+            result = pjob["result"]
+            if fact["value"] in result["answer"]:
+                para_answered += 1
+            if fact["model"] in {
+                s["metadata"].get("model") for s in result["sources"]
+            }:
+                para_hits += 1
+
         n = len(sample)
         report = {
             "corpus_docs": len(facts),
@@ -130,6 +155,8 @@ def main():
             "retrieval_hit_rate": round(hits / n, 3),
             "answer_accuracy": round(answered / n, 3),
             "filtered_answer_accuracy": round(filtered_ok / n, 3),
+            "paraphrase_hit_rate": round(para_hits / n, 3),
+            "paraphrase_answer_accuracy": round(para_answered / n, 3),
             "query_p50_s": round(sorted(latencies)[n // 2], 3),
             "ingest_s": round(ingest_s, 1),
             "mode": f"weightless dim={args.dim} (lexical + maxsim + extractive)",

@@ -113,3 +113,18 @@ def test_validation_summary():
     assert summary["garbled_documents"] == 1
     assert summary["documents_with_numerical_data"] >= 1
     assert 0 < summary["quality_ratio"] < 1
+
+
+def test_metric_synonyms_expand_terms():
+    """Colloquial metric phrasings append the canonical spec term so
+    paraphrased questions match spec-sheet sentences (domain lexicon)."""
+    from automative_rag_tpu.utils.quality import extract_key_terms, term_matches
+
+    terms = extract_key_terms("汉充一次电能跑多远？")
+    assert "续航里程" in terms
+    assert any(term_matches(t, "汉 2021款 续航里程为660公里") for t in terms)
+
+    terms = extract_key_terms("Model 3零百要几秒？")
+    assert "百公里加速" in terms
+    # no false expansion without a synonym
+    assert "续航里程" not in extract_key_terms("X5的轴距多少")
