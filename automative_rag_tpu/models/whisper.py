@@ -212,8 +212,12 @@ class WhisperDecoder(nn.Module):
         for block in self.layer:
             x = block(x, enc)
         x = self.final_norm(x)
-        # tied output projection
-        return x @ self.embed_tokens.embedding.T.astype(jnp.float32)  # [B, L, V]
+        # tied output projection (f32 operands need HIGHEST: the CPU
+        # backend's default matmul is bf16-grade — CLAUDE.md)
+        return jnp.matmul(
+            x, self.embed_tokens.embedding.T.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [B, L, V]
 
     # ------------------------------------------------ incremental decoding
     def cross_kvs(self, enc):
@@ -237,7 +241,10 @@ class WhisperDecoder(nn.Module):
             x, cache_k, cache_v = block.step(x, pos, enc_k, enc_v, cache_k, cache_v)
             new_caches.append((cache_k, cache_v))
         x = self.final_norm(x)
-        logits = x[:, 0] @ self.embed_tokens.embedding.T.astype(jnp.float32)
+        logits = jnp.matmul(
+            x[:, 0], self.embed_tokens.embedding.T.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return logits, new_caches  # [B, V], caches
 
 
@@ -255,7 +262,13 @@ class WhisperModel:
             key = jax.random.PRNGKey(seed)
             mel = jnp.zeros((1, 3000, self.config.n_mels))
             enc_params = self.encoder.init(key, mel)["params"]
-            enc_out = self.encoder.apply({"params": enc_params}, mel)
+            # shape only — a real forward would compile+run the whole
+            # encoder just to size the decoder init
+            enc_out = jax.eval_shape(
+                lambda p, m: self.encoder.apply({"params": p}, m),
+                enc_params, mel,
+            )
+            enc_out = jnp.zeros(enc_out.shape, enc_out.dtype)
             dec_params = self.decoder.init(
                 key, jnp.zeros((1, 4), jnp.int32), enc_out
             )["params"]
@@ -568,6 +581,19 @@ def load_hf_whisper(config: WhisperConfig, path: str) -> Optional[Dict]:
     state: Dict[str, np.ndarray] = {}
     for f in files:
         state.update(load_file(str(f)))
+
+    # reject checkpoints with MORE layers than the config: the key map
+    # only references layers [0, n); a whisper-small checkpoint would
+    # otherwise load a silent 6-layer prefix and transcribe garbage
+    import re as _re
+
+    max_layer = -1
+    for key in state:
+        m = _re.search(r"(?:encoder|decoder)\.layers\.(\d+)\.", key)
+        if m:
+            max_layer = max(max_layer, int(m.group(1)))
+    if max_layer + 1 > max(config.encoder_layers, config.decoder_layers):
+        return None
 
     params: Dict = {}
 

@@ -28,6 +28,7 @@ Mosaic's (sublane, 128) tiling.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -117,13 +118,21 @@ def flash_attention(
     """
     b, t, h, d = q.shape
     hkv = k.shape[2]
+    if h % hkv != 0:
+        # a non-divisible ratio would make the kv index map (h // group)
+        # request out-of-range head blocks — garbage output, not an error
+        raise ValueError(f"q heads ({h}) must be a multiple of kv heads ({hkv})")
     group = h // hkv
     scale = 1.0 / np.sqrt(d)
     seq_len = t if seq_len is None else seq_len
 
     bq = min(block_q, max(16, t))
     bk = min(block_k, max(16, t))
-    t_pad = -(-t // max(bq, bk)) * max(bq, bk)
+    # pad to a COMMON multiple of both block sizes: rounding to max(bq, bk)
+    # alone leaves tail blocks the smaller-block grid dimension never
+    # covers (dropped keys / uninitialized output rows)
+    lcm = bq * bk // math.gcd(bq, bk)
+    t_pad = -(-t // lcm) * lcm
     if t_pad != t:
         pad = [(0, 0), (0, t_pad - t), (0, 0), (0, 0)]
         q = jnp.pad(q, pad)
@@ -167,7 +176,8 @@ def attention_ref(q, k, v, causal=True, seq_len=None):
     k = jnp.repeat(k, group, axis=2)
     v = jnp.repeat(v, group, axis=2)
     s = jnp.einsum(
-        "bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+        "bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,  # f32 operands (CLAUDE.md)
     ) / np.sqrt(d)
     mask = jnp.ones((t, t), bool)
     if causal:

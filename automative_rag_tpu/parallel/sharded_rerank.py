@@ -188,6 +188,12 @@ class ShardedTokenStore(TokenStore):
         padded = _round_rows(n, 128 * self.n_shards)
         per_shard = padded // self.n_shards * self.max_doc_length * self._element_bytes
         if per_shard > self.device_budget_bytes:
+            # release the stale sharded cache: once the corpus outgrows the
+            # budget every query takes the host-gather fallback, and a
+            # multi-GB HBM slab nobody reads must not stay referenced (nor
+            # should stats() keep reporting device_resident)
+            self._device = None
+            self._padded_rows = 0
             return None
         if self._device is None or self._padded_rows != padded:
             ld, d = self.max_doc_length, self.dim

@@ -65,3 +65,41 @@ def test_flash_bf16_inputs(rng):
         flash_attention(q, k, v, block_q=64, block_k=64, interpret=True)
     ).astype(np.float32)
     np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
+
+
+def test_mismatched_block_sizes_cover_all_tokens():
+    """Non-dividing block sizes must pad to a common multiple — rounding to
+    max(bq, bk) alone dropped tail key blocks / left output rows
+    uninitialized."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from automative_rag_tpu.ops.flash_attention import (
+        attention_ref,
+        flash_attention,
+    )
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(1, 200, 2, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 200, 2, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 200, 2, 64)), jnp.float32)
+    want = np.asarray(attention_ref(q, k, v, causal=True))
+    got = np.asarray(flash_attention(
+        q, k, v, causal=True, block_q=128, block_k=96, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+    got2 = np.asarray(flash_attention(
+        q, k, v, causal=True, block_q=96, block_k=128, interpret=True))
+    np.testing.assert_allclose(got2, want, rtol=2e-2, atol=2e-2)
+
+
+def test_gqa_ratio_validated():
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+
+    from automative_rag_tpu.ops.flash_attention import flash_attention
+
+    q = jnp.zeros((1, 32, 6, 64))
+    kv = jnp.zeros((1, 32, 4, 64))
+    with pytest.raises(ValueError):
+        flash_attention(q, kv, kv, interpret=True)
