@@ -62,9 +62,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
 
     @pl.when(live)
     def _compute():
-        q = q_ref[0, :, 0, :].astype(jnp.float32)  # [bq, D]
-        k = k_ref[0, :, 0, :].astype(jnp.float32)  # [bk, D]
-        v = v_ref[0, :, 0, :].astype(jnp.float32)  # [bk, D]
+        q = q_ref[0, 0, :, :].astype(jnp.float32)  # [bq, D]
+        k = k_ref[0, 0, :, :].astype(jnp.float32)  # [bk, D]
+        v = v_ref[0, 0, :, :].astype(jnp.float32)  # [bk, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [bq, bk]
@@ -94,7 +94,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     def _finish():
         l = l_scr[:, :1]
         out = jnp.where(l > 0, acc_scr[:] / jnp.maximum(l, 1e-30), 0.0)
-        o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+        o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -139,6 +139,14 @@ def flash_attention(
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
 
+    # Kernel layout is [B, H, T, D] so each block's LAST-TWO dims are
+    # (bq, d) — Mosaic requires (sublane ≥ 8, lane multiple of 128); the
+    # caller-facing [B, T, H, D] layout would put (1, d) there, which does
+    # not compile on real TPU. The transposes fuse into neighbouring ops.
+    q = q.transpose(0, 2, 1, 3)  # [B, H, T, D]
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+
     grid = (b, h, t_pad // bq, t_pad // bk)
     kernel = functools.partial(
         _flash_kernel, scale=scale, block_q=bq, block_k=bk,
@@ -146,17 +154,17 @@ def flash_attention(
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, h, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, 1, d), lambda b_, h_, i, j: (b_, i, h_, 0),
+            pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j: (b_, h_, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, 1, d), lambda b_, h_, i, j: (b_, j, h_ // group, 0),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, i, j: (b_, h_ // group, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, 1, d), lambda b_, h_, i, j: (b_, j, h_ // group, 0),
+            pl.BlockSpec((1, 1, bk, d), lambda b_, h_, i, j: (b_, h_ // group, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, 1, d), lambda b_, h_, i, j: (b_, i, h_, 0),
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda b_, h_, i, j: (b_, h_, i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),  # running max (lane-replicated)
@@ -165,7 +173,7 @@ def flash_attention(
         ],
         interpret=interpret,
     )(q, k, v)
-    return out[:, :t]
+    return out.transpose(0, 2, 1, 3)[:, :t]
 
 
 def attention_ref(q, k, v, causal=True, seq_len=None):
