@@ -472,9 +472,13 @@ def build_api(app: RAGApplication) -> HTTPApi:
             if value:
                 flt[field] = value
         year = req.query_param("year")
+        year_gte, year_lte = req.query_param("year_gte"), req.query_param("year_lte")
+        if year and (year_gte or year_lte):
+            raise HTTPError(
+                422, "'year' cannot be combined with 'year_gte'/'year_lte'"
+            )
         if year:
             flt["year"] = int(year)
-        year_gte, year_lte = req.query_param("year_gte"), req.query_param("year_lte")
         if year_gte or year_lte:
             flt["year"] = {
                 **({"gte": int(year_gte)} if year_gte else {}),

@@ -33,8 +33,10 @@ def _normalize_ranked(
     the per-mode relevance cutoffs (0.2-0.3): reranked candidates are
     already MaxSim-screened, and a floor inside the cutoff band silently
     killed the lowest-scoring candidate on every query (fatal when a
-    selective filter leaves only 2). Shared by the single and batch paths
-    so their scoring can never diverge."""
+    selective filter leaves only 2). This makes the cutoffs intentionally
+    inert for RERANKED results — they still apply to the rerank-off path,
+    whose raw cosine scores can dip below them. Shared by the single and
+    batch paths so their scoring can never diverge."""
     if not ranked:
         return ranked
     scores = np.array([s for _, s in ranked], np.float64)
@@ -54,7 +56,9 @@ def _normalize_ranked(
 #: order among themselves — decisive for short CJK model names (汉, 唐)
 #: whose single token carries ~1/30 of a MaxSim score, and for telling 汉
 #: apart from 汉EV. The manufacturer signal is weaker (many models share
-#: one brand) so it only nudges.
+#: one brand) so it only nudges. The bonus exists for ORDERING only — after
+#: sorting, scores are re-normalized into [0.35, 1] so callers (API/UI
+#: present them cosine-like) never see values above 1.
 _ENTITY_BONUS = {"model": 1.0, "manufacturer": 0.15}
 
 
@@ -174,6 +178,10 @@ class RetrievalEngine:
                 if detected:
                     ranked = _apply_entity_bonus(ranked, detected)
                 ranked = sorted(ranked, key=lambda x: -x[1])[:k2]
+                if detected:
+                    # bonus can push scores past 1; keep the bonus ORDER but
+                    # re-map the returned scores into the documented range
+                    ranked = _normalize_ranked(ranked)
         else:
             ranked = [(h.document, h.score) for h in hits[:k2]]
         t3 = time.perf_counter()
@@ -295,6 +303,8 @@ class RetrievalEngine:
                 if detected_per_query[i]:
                     ranked = _apply_entity_bonus(ranked, detected_per_query[i])
                 ranked = sorted(ranked, key=lambda x: -x[1])[:k2]
+                if detected_per_query[i]:
+                    ranked = _normalize_ranked(ranked)  # see _ENTITY_BONUS
             out.append(trim_documents_by_tokens(ranked, mode))
         self.last_timings = {
             "embed_s": t1 - t0,

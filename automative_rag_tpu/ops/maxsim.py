@@ -275,6 +275,7 @@ def maxsim_scores(
     use_pallas: Optional[bool] = None,
     token_major: bool = False,
     d_scales: Optional[jax.Array] = None,
+    interpret: bool = False,
 ) -> jax.Array:
     """MaxSim scores [B, N]; Pallas kernel on TPU, XLA fallback elsewhere.
 
@@ -285,9 +286,16 @@ def maxsim_scores(
     if use_pallas is None:
         use_pallas = _on_tpu()
     if use_pallas:
+        # fp16 is the host-transfer/storage format only: Mosaic's fp16 MXU
+        # support is unproven vs bf16, and mixed fp16×bf16 dots never run in
+        # any on-chip bench — normalize both operands to bf16 here
+        if q.dtype == jnp.float16:
+            q = q.astype(jnp.bfloat16)
+        if d_scales is None and docs.dtype == jnp.float16:
+            docs = docs.astype(jnp.bfloat16)
         return maxsim_scores_pallas(
             q, q_mask, docs, d_mask, block_docs=block_docs,
-            token_major=token_major, d_scales=d_scales,
+            token_major=token_major, d_scales=d_scales, interpret=interpret,
         )
     if d_scales is not None:
         docs = docs.astype(jnp.float32) * d_scales[:, :, None]

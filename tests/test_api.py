@@ -331,6 +331,14 @@ def test_browse_documents_and_compress_store(api, app):
     assert body["documents"][0]["metadata"]["manufacturer"] == "保时捷"
     status, body = call(api, "GET", "/ingest/documents")
     assert status == 200 and body["count"] >= 1
+    # ambiguous: exact year combined with a range is rejected, not silently
+    # overwritten by the range
+    status, body = call(api, "GET",
+                        "/ingest/documents?year=2023&year_gte=2020")
+    assert status == 422
+    status, body = call(api, "GET",
+                        "/ingest/documents?year_gte=2020&year_lte=2024")
+    assert status == 200
 
     status, body = call(api, "POST", "/system/compress-token-store",
                         {"k_centroids": 16, "bits": 4})

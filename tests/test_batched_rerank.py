@@ -178,6 +178,9 @@ def test_entity_expansion_recovers_short_model_names(app):
     assert ranked, "no candidates"
     assert ranked[0][0].metadata.get("model") == "汉", [
         d.metadata.get("model") for d, _ in ranked]
+    # entity bonus is ordering-only: returned scores stay in the documented
+    # cosine-like range (API/UI present them as [0, 1])
+    assert all(0.0 <= s <= 1.0 for _, s in ranked), [s for _, s in ranked]
 
     # batch path has identical semantics
     batched = app.engine.retrieve_batch(["汉的续航里程是多少？"], mode="facts")

@@ -7,6 +7,7 @@ import jax.numpy as jnp
 
 from automative_rag_tpu.ops.maxsim import (
     maxsim_argmax_ref,
+    maxsim_scores,
     maxsim_scores_pallas,
     maxsim_scores_ref,
     min_max_normalize,
@@ -200,3 +201,27 @@ def test_int8_store_feeds_kernel_quantized(rng):
         token_major=True, use_pallas=False,
     ))
     np.testing.assert_allclose(via_quant, via_dequant, rtol=1e-3, atol=1e-2)
+
+
+def test_fp16_inputs_normalized_to_bf16_on_pallas_path():
+    """Encoders emit fp16 as a host-transfer format; the pallas boundary
+    must cast fp16 operands to bf16 (Mosaic fp16 MXU support is unproven,
+    and mixed fp16×bf16 dots are never exercised on-chip)."""
+    rng = np.random.default_rng(3)
+    b, lq, n, ld, dim = 2, 8, 16, 16, 128
+    q = rng.normal(size=(b, lq, dim)).astype(np.float16)
+    q_mask = np.ones((b, lq), bool)
+    docs_t = rng.normal(size=(ld, n, dim)).astype(np.float16)
+    d_mask = np.ones((n, ld), bool)
+
+    got = np.asarray(maxsim_scores(
+        jnp.asarray(q), jnp.asarray(q_mask), jnp.asarray(docs_t),
+        jnp.asarray(d_mask), block_docs=8, token_major=True,
+        use_pallas=True, interpret=True,
+    ))
+    want = np.asarray(maxsim_scores(
+        jnp.asarray(q, jnp.float32), jnp.asarray(q_mask),
+        jnp.asarray(docs_t, jnp.float32), jnp.asarray(d_mask),
+        token_major=True, use_pallas=False,
+    ))
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.15)
