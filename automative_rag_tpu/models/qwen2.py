@@ -423,13 +423,29 @@ class Qwen2Decoder(nn.Module):
         """tokens [B, P] → (logits [B, P, V], [(k, v) each [B, P, Hkv, hd]]).
         One full forward fills every cache slot the prompt needs — the prompt
         costs one batched MXU pass instead of P sequential decode steps."""
+        x, kvs = self.prefill_hidden(tokens)
+        return self._logits(x), kvs
+
+    def prefill_hidden(self, tokens):
+        """Like ``prefill`` but returns PRE-norm hidden states [B, P, D]
+        instead of logits. Generation only ever reads the logits of ONE
+        position per row (the last real prompt token); materializing the
+        full [B, P, V] f32 logits costs 2.5 GB at (8, 512, 152064) — at 7B
+        scale that transient alone breaks the HBM fit — and a [B·P, D, V]
+        matmul of wasted FLOPs. Callers gather the row they need and put
+        it through ``logits_at``."""
         positions = jnp.arange(tokens.shape[1])
         x = self.embed_tokens(tokens)
         kvs = []
         for block in self.layer:
             x, k, v = block.prefill(x, positions)
             kvs.append((k, v))
-        return self._logits(x), kvs
+        return x, kvs
+
+    def logits_at(self, x):
+        """Pre-norm hidden states [B, T, D] → logits [B, T, V] (the final
+        norm + vocab projection factored out of ``prefill``)."""
+        return self._logits(x)
 
 
 def _init_decode_caches(cfg: Qwen2Config, kvs, b: int, max_tokens: int):
@@ -568,19 +584,24 @@ class Qwen2Model:
             b, p_bucket = prompt.shape
             plen = plen.astype(jnp.int32)
 
-            logits_all, kvs = self.decoder.apply(dparams, prompt, method="prefill")
+            hidden, kvs = self.decoder.apply(
+                dparams, prompt, method="prefill_hidden")
             caches = _init_decode_caches(cfg, kvs, b, max_tokens)
             tokens = jnp.full((b, max_tokens), cfg.eos_token, jnp.int32)
             tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
 
-            vocab = logits_all.shape[-1]
+            vocab = cfg.vocab_size
             # tokens already in the (real) prompt, for repetition penalty
             rows = jnp.arange(b)[:, None]
             prompt_mask = jnp.arange(p_bucket)[None, :] < plen[:, None]
             seen = jnp.zeros((b, vocab), bool).at[rows, prompt].max(prompt_mask)
-            logits0 = jnp.take_along_axis(
-                logits_all, (plen - 1)[:, None, None], axis=1
-            )[:, 0]
+            # logits ONLY at each row's last real prompt token: the full
+            # [B, P, V] f32 tensor is a multi-GB transient at 7B scale
+            hidden_last = jnp.take_along_axis(
+                hidden, (plen - 1)[:, None, None], axis=1
+            )
+            logits0 = self.decoder.apply(
+                dparams, hidden_last, method="logits_at")[:, 0]
             logits0 = _apply_repetition_penalty(logits0, seen, penalty)
             key, sub = jax.random.split(jnp.asarray(key))
             tok0 = _sample_token(logits0, sub, temperature, top_p)
@@ -647,18 +668,21 @@ class Qwen2Model:
             # scratch and is sliced off, so NO single-step tail loop is
             # needed and every decode forward scores a full segment
             total = max_tokens + draft_k + 1
-            logits_all, kvs = self.decoder.apply(dparams, prompt, method="prefill")
+            hidden, kvs = self.decoder.apply(
+                dparams, prompt, method="prefill_hidden")
             caches = _init_decode_caches(cfg, kvs, b, total)
             tokens = jnp.full((b, total), cfg.eos_token, jnp.int32)
             tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
 
-            vocab = logits_all.shape[-1]
+            vocab = cfg.vocab_size
             rows = jnp.arange(b)[:, None]
             prompt_mask = jnp.arange(p_bucket)[None, :] < plen[:, None]
             seen = jnp.zeros((b, vocab), bool).at[rows, prompt].max(prompt_mask)
-            logits0 = jnp.take_along_axis(
-                logits_all, (plen - 1)[:, None, None], axis=1
-            )[:, 0]
+            hidden_last = jnp.take_along_axis(
+                hidden, (plen - 1)[:, None, None], axis=1
+            )
+            logits0 = self.decoder.apply(
+                dparams, hidden_last, method="logits_at")[:, 0]
             logits0 = _apply_repetition_penalty(logits0, seen, penalty)
             key, sub = jax.random.split(jnp.asarray(key))
             tok0 = _sample_token(logits0, sub, temperature, top_p)

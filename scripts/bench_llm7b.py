@@ -1,0 +1,168 @@
+#!/usr/bin/env python3
+"""7B-geometry LLM serving benchmark on one chip.
+
+The reference's actual serving workload is DeepSeek-R1-Distill-Qwen-7B
+(src/core/query/llm/local_llm.py:233-299) squeezed onto a 16 GB T4 with
+BitsAndBytes 4/8-bit (src/config/settings.py:195-214). This bench
+instantiates the SAME geometry (d_model 3584, 28 layers, 28 heads / GQA 4,
+intermediate 18944, vocab 152064) with random-init int8/int4 weights on one
+v5e — bf16 weights alone are 15.2 GB, so quantized serving is the fit story
+on this chip exactly as it is on the T4 — and measures:
+
+- decode tokens/s at b1 and b8 (whole-loop jitted generation),
+- prefill latency at 512- and 1024-token prompts (Pallas flash prefill
+  engages at these shapes: T>=256, head_dim=128),
+- HBM occupancy.
+
+    PYTHONPATH=/root/repo JAX_COMPILATION_CACHE_DIR=/tmp/jax_compile_cache \
+        python scripts/bench_llm7b.py
+
+Emits one JSON object; every remote compile is minutes, so runs append
+per-section progress lines to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def log(msg: str) -> None:
+    print(f"[bench_llm7b] {msg}", file=sys.stderr, flush=True)
+
+
+def hbm_gb() -> float:
+    import jax
+
+    stats = jax.devices()[0].memory_stats() or {}
+    return round(stats.get("bytes_in_use", 0) / 2**30, 2)
+
+
+def build_model(bits: int, kv_bits: int, seed: int = 0):
+    """Random-init 7B-geometry model WITHOUT materializing bf16 weights:
+    QuantDense.init draws int8/packed-uint8 kernels directly, so HBM never
+    holds more than the quantized tree + the f32 embedding (cast below)."""
+    import jax
+    import jax.numpy as jnp
+
+    from automative_rag_tpu.models.qwen2 import Qwen2Config, Qwen2Model
+
+    cfg = Qwen2Config(weight_bits=bits, kv_cache_bits=kv_bits,
+                      max_positions=2048)
+    model = Qwen2Model(cfg, seed=seed)
+
+    def shrink(leaf):
+        # the 545M-element f32 embedding table is the only big f32 leaf;
+        # park it in bf16 (what a real checkpoint load produces anyway)
+        if leaf.dtype == jnp.float32 and leaf.size > 1_000_000:
+            return leaf.astype(jnp.bfloat16)
+        return leaf
+
+    model.params = jax.tree_util.tree_map(shrink, model.params)
+    return model
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--bits", type=int, nargs="+", default=[8, 4])
+    parser.add_argument("--kv-bits", type=int, default=16)
+    parser.add_argument("--batches", type=int, nargs="+", default=[1, 8])
+    parser.add_argument("--prompt-len", type=int, default=512)
+    parser.add_argument("--new-tokens", type=int, default=128)
+    parser.add_argument("--long-prompt", type=int, default=1024,
+                        help="extra b1 prefill measurement (0 = skip)")
+    parser.add_argument("--reps", type=int, default=3)
+    args = parser.parse_args()
+
+    import jax
+    import numpy as np
+
+    # the axon plugin intermittently fails to register when the tunnel is
+    # busy (another process mid-handshake) — retry over a bounded window
+    backend = None
+    for attempt in range(20):
+        try:
+            backend = jax.devices()[0].platform
+            break
+        except RuntimeError as e:
+            log(f"backend probe {attempt}: {e}")
+            time.sleep(30)
+    if backend is None:
+        log("giving up: no backend")
+        sys.exit(2)
+    report = {
+        "geometry": {"d_model": 3584, "layers": 28, "heads": 28,
+                     "kv_heads": 4, "intermediate": 18944, "vocab": 152064,
+                     "head_dim": 128},
+        "backend": backend,
+        "prompt_len": args.prompt_len,
+        "new_tokens": args.new_tokens,
+        "kv_cache_bits": args.kv_bits,
+    }
+    rng = np.random.default_rng(0)
+
+    for bits in args.bits:
+        t0 = time.perf_counter()
+        model = build_model(bits, args.kv_bits)
+        jax.block_until_ready(model.params)
+        log(f"int{bits}: init {time.perf_counter() - t0:.0f}s, "
+            f"HBM {hbm_gb()} GB")
+        report[f"int{bits}_weights_hbm_gb"] = hbm_gb()
+
+        for b in args.batches:
+            prompt = rng.integers(3, 152064,
+                                  size=(b, args.prompt_len)).astype(np.int32)
+            t0 = time.perf_counter()
+            out = model.generate_tokens(prompt, max_new_tokens=args.new_tokens)
+            compile_s = time.perf_counter() - t0
+            log(f"int{bits} b{b}: first call (compile) {compile_s:.0f}s, "
+                f"HBM {hbm_gb()} GB")
+            samples = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                out = model.generate_tokens(prompt,
+                                            max_new_tokens=args.new_tokens)
+                samples.append(time.perf_counter() - t0)
+            p50 = sorted(samples)[len(samples) // 2]
+            n_new = out.shape[1] - args.prompt_len
+            report[f"int{bits}_b{b}"] = {
+                "p50_s": round(p50, 3),
+                "tokens_per_s": round(b * n_new / p50, 1),
+                "compile_s": round(compile_s, 0),
+                "hbm_gb": hbm_gb(),
+            }
+            log(f"int{bits} b{b}: {report[f'int{bits}_b{b}']}")
+
+        # prefill latency, b1: generate 8 tokens; prefill dominates, and the
+        # decode tail subtracts out using the measured decode rate
+        for plen in filter(None, [args.prompt_len, args.long_prompt]):
+            key = f"int{bits}_prefill_{plen}"
+            prompt = rng.integers(3, 152064, size=(1, plen)).astype(np.int32)
+            model.generate_tokens(prompt, max_new_tokens=8)  # compile
+            samples = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                model.generate_tokens(prompt, max_new_tokens=8)
+                samples.append(time.perf_counter() - t0)
+            p50 = sorted(samples)[len(samples) // 2]
+            decode_rate = report[f"int{bits}_b1"]["tokens_per_s"]
+            prefill_s = max(0.0, p50 - 8 / max(decode_rate, 1e-9))
+            report[key] = {
+                "gen8_p50_s": round(p50, 3),
+                "prefill_est_s": round(prefill_s, 3),
+                "flash_prefill": plen >= 256,
+            }
+            log(f"{key}: {report[key]}")
+
+        del model
+
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
