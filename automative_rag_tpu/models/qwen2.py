@@ -281,33 +281,61 @@ class _Attention(nn.Module):
         segment — intra-segment causal structure is added here. One weight
         read scores all S candidates, which is the whole point: decode is
         weight-HBM-bound, so verifying S drafts costs ~the same wall time
-        as generating one token."""
+        as generating one token.
+
+        ``slot`` is a scalar (shared frontier, B=1 path) or [B] (per-row
+        frontiers — batched speculation writes each row's segment at its
+        own cache offset via scatter)."""
         cfg = self.config
-        s = x_s.shape[1]
+        b, s = x_s.shape[:2]
         positions = rope_start[:, None] + jnp.arange(s)[None, :]  # [B, S]
         q, k, v = self._qkv(x_s, positions)
         n_slots = (cache_k[0] if cfg.kv_cache_bits == 8 else cache_k).shape[1]
         iota = jnp.arange(n_slots)
-        seg = (iota[None, :] >= slot) & (
-            iota[None, :] <= slot + jnp.arange(s)[:, None]
-        )  # [S, max]
-        mask = valid_prefix[:, None, None, :] | seg[None, None, :, :]
+        per_row = getattr(slot, "ndim", 0) == 1
+        if per_row:
+            seg = (iota[None, None, :] >= slot[:, None, None]) & (
+                iota[None, None, :]
+                <= slot[:, None, None] + jnp.arange(s)[None, :, None]
+            )  # [B, S, max]
+            mask = valid_prefix[:, None, None, :] | seg[:, None, :, :]
+            rows = jnp.arange(b)[:, None]
+            cols = slot[:, None] + jnp.arange(s)[None, :]  # [B, S]
+
+            def upd(cache, new):  # [B, max, H, D] ← [B, S, H, D]
+                return cache.at[rows, cols].set(new.astype(cache.dtype))
+
+            def upd2(cache, new):  # [B, max] ← [B, S]
+                return cache.at[rows, cols].set(new.astype(cache.dtype))
+        else:
+            seg = (iota[None, :] >= slot) & (
+                iota[None, :] <= slot + jnp.arange(s)[:, None]
+            )  # [S, max]
+            mask = valid_prefix[:, None, None, :] | seg[None, None, :, :]
+
+            def upd(cache, new):
+                return jax.lax.dynamic_update_slice(
+                    cache, new.astype(cache.dtype), (0, slot, 0, 0))
+
+            def upd2(cache, new):
+                return jax.lax.dynamic_update_slice(
+                    cache, new.astype(cache.dtype), (0, slot))
         if cfg.kv_cache_bits == 8:
             k_q, k_s = cache_k
             v_q, v_s = cache_v
             kq_new, ks_new = _quant_kv(k)
             vq_new, vs_new = _quant_kv(v)
-            k_q = jax.lax.dynamic_update_slice(k_q, kq_new, (0, slot, 0, 0))
-            k_s = jax.lax.dynamic_update_slice(k_s, ks_new, (0, slot))
-            v_q = jax.lax.dynamic_update_slice(v_q, vq_new, (0, slot, 0, 0))
-            v_s = jax.lax.dynamic_update_slice(v_s, vs_new, (0, slot))
+            k_q = upd(k_q, kq_new)
+            k_s = upd2(k_s, ks_new)
+            v_q = upd(v_q, vq_new)
+            v_s = upd2(v_s, vs_new)
             out = self._attend(
                 q, _dequant_kv(k_q, k_s, cfg.dtype),
                 _dequant_kv(v_q, v_s, cfg.dtype), mask,
             )
             return out, (k_q, k_s), (v_q, v_s)
-        cache_k = jax.lax.dynamic_update_slice(cache_k, k, (0, slot, 0, 0))
-        cache_v = jax.lax.dynamic_update_slice(cache_v, v, (0, slot, 0, 0))
+        cache_k = upd(cache_k, k)
+        cache_v = upd(cache_v, v)
         out = self._attend(q, cache_k, cache_v, mask)
         return out, cache_k, cache_v
 
@@ -482,9 +510,25 @@ def _pld_match(tokens, t, plen, p_bucket, ngram):
     tokens[t-ngram+1 : t+1], the window is entirely real (prompt
     [0, plen) or generated [p_bucket, t]; never the bucket-padding gap),
     and its continuation starts at or before t (excludes the self-match).
-    Cheap enough to evaluate inside a while_loop *condition*."""
+    Cheap enough to evaluate inside a while_loop *condition*.
+
+    ``t`` is the generation frontier: a scalar (shared, the B=1 nested-loop
+    path) or [B] (per-row frontiers, the batched path — rows diverge as
+    they accept different draft lengths)."""
     b, length = tokens.shape
     iota = jnp.arange(length)
+    if getattr(t, "ndim", 0) == 1:
+        real = (iota[None, :] < plen[:, None]) | (
+            (iota[None, :] >= p_bucket) & (iota[None, :] <= t[:, None])
+        )
+        match = iota[None, :] <= (t[:, None] - ngram)
+        for j in range(ngram):
+            tgt = jnp.take_along_axis(
+                tokens, (t - ngram + 1 + j)[:, None], axis=1
+            )  # [B, 1]
+            match = match & (jnp.roll(tokens, -j, axis=1) == tgt) \
+                & jnp.roll(real, -j, axis=1)
+        return match, real
     real = (iota[None, :] < plen[:, None]) | (
         (iota >= p_bucket) & (iota <= t)
     )[None, :]
@@ -796,6 +840,121 @@ class Qwen2Model:
         self._generate_spec = jax.jit(
             _generate_spec, static_argnames=("max_tokens",)
         )
+
+        def _generate_spec_batch(params, prompt, plen, max_tokens, key,
+                                 temperature, top_p, penalty):
+            """Batched prompt-lookup speculative decoding (any B, ragged
+            plen): per-row n-gram drafts, ONE (K+1)-wide verify forward per
+            iteration, per-row accept lengths advancing per-row frontiers.
+
+            Unlike the B=1 path there is no inner plain-step loop: decode
+            is weight-HBM-bound, so a (K+1)-wide verify costs ~the same
+            wall time as a 1-wide step — rows whose drafts miss simply
+            advance by the one guaranteed correction token while matching
+            rows advance by up to K+1. Frontiers diverge across rows, so
+            cache segments and token columns are written by scatter at
+            per-row offsets (the `verify` per-row slot path). Serving runs
+            facts-mode at temperature 0 with batch 8, which makes this the
+            direct QPS lever (reference hot loop local_llm.py:457-466 is
+            b1-only HF generate)."""
+            cfg = self.config
+            draft_k, ngram = self.DRAFT_K, self.PLD_NGRAM
+            dparams = {"params": params}
+            b, p_bucket = prompt.shape
+            plen = plen.astype(jnp.int32)
+            rows = jnp.arange(b)
+
+            total = max_tokens + draft_k + 1
+            hidden, kvs = self.decoder.apply(
+                dparams, prompt, method="prefill_hidden")
+            caches = _init_decode_caches(cfg, kvs, b, total)
+            tokens = jnp.full((b, total), cfg.eos_token, jnp.int32)
+            tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
+
+            vocab = cfg.vocab_size
+            prompt_mask = jnp.arange(p_bucket)[None, :] < plen[:, None]
+            seen = jnp.zeros((b, vocab), bool).at[
+                rows[:, None], prompt].max(prompt_mask)
+            hidden_last = jnp.take_along_axis(
+                hidden, (plen - 1)[:, None, None], axis=1
+            )
+            logits0 = self.decoder.apply(
+                dparams, hidden_last, method="logits_at")[:, 0]
+            logits0 = _apply_repetition_penalty(logits0, seen, penalty)
+            key, sub = jax.random.split(jnp.asarray(key))
+            tok0 = _sample_token(logits0, sub, temperature, top_p)
+            seen = seen.at[rows, tok0].set(True)
+            tokens = jax.lax.dynamic_update_slice(
+                tokens, tok0[:, None], (0, p_bucket))
+            finished = (tok0 == cfg.eos_token) | (max_tokens - 1 <= p_bucket)
+            iota = jnp.arange(total)
+
+            def live(state):
+                _t, _tokens, _caches, finished, _seen, _key, _n = state
+                return ~jnp.all(finished)
+
+            def body(state):
+                t, tokens, caches, finished, seen, key, n_fwd = state
+                key, acc_key = jax.random.split(key)
+                drafts, _ = _pld_draft(
+                    tokens, t, plen, p_bucket, draft_k, ngram
+                )
+                rope_start = plen + (t - p_bucket)  # [B]
+                valid_prefix = (iota[None, :] < plen[:, None]) | (
+                    (iota[None, :] >= p_bucket) & (iota[None, :] < t[:, None])
+                )
+                cur = jnp.take_along_axis(tokens, t[:, None], axis=1)
+                seg = jnp.concatenate([cur, drafts], axis=1)  # [B, K+1]
+                logits, caches = self.decoder.apply(
+                    dparams, seg, t, rope_start, valid_prefix, caches,
+                    method="verify",
+                )  # [B, K+1, V]
+                drafts_pad = jnp.concatenate(
+                    [drafts, jnp.full((b, 1), -1, jnp.int32)], axis=1
+                )
+
+                def acc_body(j, acc):
+                    accepting, seen, tokens, finished, count = acc
+                    lj = jax.lax.dynamic_index_in_dim(
+                        logits, j, 1, keepdims=False)
+                    lj = _apply_repetition_penalty(lj, seen, penalty)
+                    g = _sample_token(
+                        lj, jax.random.fold_in(acc_key, j), temperature,
+                        top_p)
+                    emit = accepting & ~finished
+                    tok = jnp.where(finished, cfg.eos_token, g)
+                    col = t + 1 + j  # [B]
+                    old = jnp.take_along_axis(
+                        tokens, col[:, None], axis=1)[:, 0]
+                    tokens = tokens.at[rows, col].set(
+                        jnp.where(emit, tok, old))
+                    seen = seen.at[rows, tok].max(emit)
+                    count = count + emit.astype(jnp.int32)
+                    finished = finished | (emit & (tok == cfg.eos_token))
+                    dj = jax.lax.dynamic_index_in_dim(
+                        drafts_pad, j, 1, keepdims=False)
+                    accepting = accepting & (g == dj)
+                    return accepting, seen, tokens, finished, count
+
+                _, seen, tokens, finished, count = jax.lax.fori_loop(
+                    0, draft_k + 1, acc_body,
+                    (jnp.ones((b,), bool), seen, tokens, finished,
+                     jnp.zeros((b,), jnp.int32)),
+                )
+                t = t + count
+                finished = finished | (t >= max_tokens - 1)
+                return t, tokens, caches, finished, seen, key, n_fwd + 1
+
+            t0v = jnp.full((b,), p_bucket, jnp.int32)
+            _, tokens, _, _, _, _, n_fwd = jax.lax.while_loop(
+                live, body,
+                (t0v, tokens, caches, finished, seen, key, jnp.int32(0)),
+            )
+            return tokens[:, :max_tokens], n_fwd
+
+        self._generate_spec_batch = jax.jit(
+            _generate_spec_batch, static_argnames=("max_tokens",)
+        )
         # set by parallel.tp_llm.shard_qwen2_model(dp_axis=...): batch rows
         # split over the dp mesh axis (weights already tp-sharded)
         self._batch_sharding = None
@@ -821,16 +980,16 @@ class Qwen2Model:
         the realized tokens differ from the step loop's for a given seed.
         Emits up to ``DRAFT_K + 1`` tokens per forward when the answer
         copies spans from the prompt (citation-heavy RAG answers do).
-        Single sequence only — matches the reference's llm batch size of 1
-        (src/config/settings.py:33-36); batches fall back to the plain
-        loop in the caller. Returns ``(ids [1, plen + n_new], n_forwards)``
+        B=1 runs the nested-loop path (plain steps while no n-gram match);
+        B>1 runs the batched path (one (K+1)-wide verify per iteration,
+        per-row accept lengths — the reference's llm is b1-only,
+        src/config/settings.py:33-36, so this is beyond-parity serving
+        throughput). Returns ``(ids [B, plen + n_new], n_forwards)``
         where n_forwards counts decode forwards (excl. prefill)."""
         cfg = self.config
         prompt_ids = np.asarray(prompt_ids, np.int32)
         if prompt_ids.ndim == 1:
             prompt_ids = prompt_ids[None, :]
-        if prompt_ids.shape[0] != 1:
-            raise ValueError("speculative decoding is single-sequence (B=1)")
         b, plen = prompt_ids.shape
         if plen >= cfg.max_positions:
             prompt_ids = prompt_ids[:, -(cfg.max_positions - 1):]
@@ -841,8 +1000,10 @@ class Qwen2Model:
         bucket = max(bucket, plen)
         padded = np.full((b, bucket), cfg.eos_token, np.int32)
         padded[:, :plen] = prompt_ids
-        out, n_fwd = self._generate_spec(
-            self.params, jnp.asarray(padded), jnp.full((b,), plen, jnp.int32),
+        fn = self._generate_spec if b == 1 else self._generate_spec_batch
+        out, n_fwd = fn(
+            self.params, self._place_prompt(padded),
+            jnp.full((b,), plen, jnp.int32),
             bucket + n_new, jax.random.PRNGKey(seed),
             jnp.float32(temperature), jnp.float32(top_p),
             jnp.float32(repetition_penalty),
@@ -850,6 +1011,37 @@ class Qwen2Model:
         out = np.asarray(out)
         return (np.concatenate([out[:, :plen], out[:, bucket:]], axis=1),
                 int(n_fwd))
+
+    def generate_ragged_spec(self, prompts, max_new_tokens: int = 256,
+                             temperature: float = 0.0, top_p: float = 0.85,
+                             repetition_penalty: float = 1.0,
+                             seed: int = 0):
+        """Batched speculative decoding over ragged prompts (per-row plen,
+        per-row frontiers — the serving batch path with the spec speedup).
+        → (list of [plen_i + n_new] id arrays, n_forwards)."""
+        cfg = self.config
+        prompts = [np.asarray(p, np.int32)[-(cfg.max_positions - 1):]
+                   for p in prompts]
+        lengths = np.array([len(p) for p in prompts], np.int32)
+        b = len(prompts)
+        longest = int(lengths.max())
+        n_new = max(1, min(max_new_tokens, cfg.max_positions - longest))
+        bucket = min(-(-longest // self.PROMPT_BUCKET) * self.PROMPT_BUCKET,
+                     cfg.max_positions)
+        bucket = max(bucket, longest)
+        padded = np.full((b, bucket), cfg.eos_token, np.int32)
+        for i, p in enumerate(prompts):
+            padded[i, : len(p)] = p
+        fn = self._generate_spec if b == 1 else self._generate_spec_batch
+        out, n_fwd = fn(
+            self.params, self._place_prompt(padded), jnp.asarray(lengths),
+            bucket + n_new, jax.random.PRNGKey(seed),
+            jnp.float32(temperature), jnp.float32(top_p),
+            jnp.float32(repetition_penalty),
+        )
+        out = np.asarray(out)
+        return ([np.concatenate([prompts[i], out[i, bucket:]])
+                 for i in range(b)], int(n_fwd))
 
     def generate_tokens(self, prompt_ids, max_new_tokens: int = 256,
                         temperature: float = 0.0, top_p: float = 0.85,

@@ -82,18 +82,13 @@ def main():
     import jax
     import numpy as np
 
-    # the axon plugin intermittently fails to register when the tunnel is
-    # busy (another process mid-handshake) — retry over a bounded window
-    backend = None
-    for attempt in range(20):
-        try:
-            backend = jax.devices()[0].platform
-            break
-        except RuntimeError as e:
-            log(f"backend probe {attempt}: {e}")
-            time.sleep(30)
-    if backend is None:
-        log("giving up: no backend")
+    # the axon plugin intermittently fails to register (tunnel busy /
+    # mid-handshake); jax caches the failure per-process, so retrying here
+    # is useless — exit fast and let the caller retry the whole process
+    try:
+        backend = jax.devices()[0].platform
+    except RuntimeError as e:
+        log(f"no backend: {e}")
         sys.exit(2)
     report = {
         "geometry": {"d_model": 3584, "layers": 28, "heads": 28,

@@ -572,10 +572,60 @@ def test_speculative_int8_kv_matches_plain_int8():
     np.testing.assert_array_equal(got, want)
 
 
-def test_speculative_rejects_batches():
-    model = Qwen2Model(Qwen2Config.tiny_test(), seed=0)
-    with pytest.raises(ValueError):
-        model.generate_tokens_spec(np.zeros((2, 4), np.int32))
+def test_batched_spec_matches_plain_batch(tiny):
+    """B>1 routes through the batched spec path (per-row frontiers, one
+    (K+1)-wide verify per iteration) and stays token-identical to the
+    plain batched greedy loop, repetition penalty included."""
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(3, tiny.config.vocab_size, size=(3, 7)).astype(np.int32)
+    for penalty in (1.0, 1.3):
+        want = tiny.generate_tokens(prompt, max_new_tokens=12,
+                                    temperature=0.0,
+                                    repetition_penalty=penalty)
+        got, n_fwd = tiny.generate_tokens_spec(
+            prompt, max_new_tokens=12, repetition_penalty=penalty)
+        np.testing.assert_array_equal(got, want)
+        assert 1 <= n_fwd <= 12
+
+
+def test_batched_spec_copy_model_fewer_forwards():
+    """Copy-heavy batch: every row accepts full drafts, so B×24 tokens
+    cost far fewer verify forwards than tokens per row."""
+    model = _copy_model()
+    prompt = np.tile(np.array([7, 8, 9, 10, 11], np.int32), (4, 1))
+    want = model.generate_tokens(prompt, max_new_tokens=24, temperature=0.0)
+    got, n_fwd = model.generate_tokens_spec(prompt, max_new_tokens=24)
+    np.testing.assert_array_equal(got, want)
+    assert n_fwd <= 24 // 3, n_fwd
+
+
+def test_batched_spec_ragged_matches_plain():
+    """Ragged batched spec: per-row plen + per-row frontiers, identical to
+    the plain ragged loop row for row. Rows of very different lengths make
+    frontier divergence certain (short row finishes while long row runs)."""
+    model = Qwen2Model(Qwen2Config.tiny_test(), seed=13)
+    rng = np.random.default_rng(5)
+    prompts = [
+        rng.integers(3, model.config.vocab_size, size=n).astype(np.int32)
+        for n in (4, 11, 7)
+    ]
+    want = model.generate_ragged(prompts, max_new_tokens=10, temperature=0.0)
+    got, n_fwd = model.generate_ragged_spec(prompts, max_new_tokens=10)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    assert n_fwd >= 1
+
+
+def test_batched_spec_int8_kv_matches_plain():
+    import dataclasses
+
+    cfg = dataclasses.replace(Qwen2Config.tiny_test(), kv_cache_bits=8)
+    model = Qwen2Model(cfg, seed=5)
+    prompt = np.tile(np.array([4, 5, 6, 7], np.int32), (2, 1))
+    want = model.generate_tokens(prompt, max_new_tokens=10, temperature=0.0)
+    got, _ = model.generate_tokens_spec(prompt, max_new_tokens=10)
+    np.testing.assert_array_equal(got, want)
 
 
 def test_speculative_sampling_deterministic_and_near_greedy(tiny):
