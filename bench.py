@@ -150,19 +150,24 @@ def bench_flat_search(n=100_000, dim=1024, k=20, batch=8, trials=3, dtype="bfloa
     return batch / per_call
 
 
-def _probe_device(timeout_s: float = 240.0, attempts: int = 2) -> bool:
+def _probe_device(timeout_s: float = 240.0, attempts: int = 4,
+                  sleep_s: float = 90.0) -> bool:
     """Can the configured backend run a trivial op? Probed in a subprocess so
-    a wedged device tunnel can't hang the benchmark itself. Retried once —
-    the relay occasionally times out one probe while settling after a
-    previous session, then answers normally (observed: probe failed at
-    150 s, a direct check 3 min later ran fine)."""
+    a wedged device tunnel can't hang the benchmark itself, and because jax
+    caches a failed backend init per-process (an in-process retry can never
+    recover). Retried over a bounded ~20 min window with sleeps between —
+    the relay settles after a previous session's exit (observed: probe
+    failed at 150 s, a direct check 3 min later ran fine). Override with
+    BENCH_PROBE_ATTEMPTS / BENCH_PROBE_TIMEOUT_S."""
     import subprocess
 
+    attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", attempts))
+    timeout_s = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", timeout_s))
     code = (
         "import jax, jax.numpy as jnp, numpy as np;"
         "print(np.asarray(jnp.ones((8,8)) @ jnp.ones((8,8)))[0,0])"
     )
-    for _ in range(attempts):
+    for attempt in range(attempts):
         try:
             proc = subprocess.run(
                 [sys.executable, "-c", code], capture_output=True,
@@ -170,8 +175,14 @@ def _probe_device(timeout_s: float = 240.0, attempts: int = 2) -> bool:
             )
             if proc.returncode == 0:
                 return True
+            print(f"[probe] attempt {attempt + 1}/{attempts} failed: "
+                  f"{proc.stderr.decode(errors='replace')[-200:]}",
+                  file=sys.stderr)
         except subprocess.TimeoutExpired:
-            pass
+            print(f"[probe] attempt {attempt + 1}/{attempts} timed out "
+                  f"({timeout_s:.0f}s)", file=sys.stderr)
+        if attempt + 1 < attempts:
+            time.sleep(sleep_s)
     return False
 
 
@@ -213,24 +224,28 @@ def main():
     # parsed output so the driver artifact carries QPS + recall, not just the
     # headline latency
     here = os.path.dirname(__file__) or "."
-    for key, scale_file in (
-        ("scale", "BENCH_SCALE_r02.json"),
-        ("scale", "BENCH_SCALE.json"),   # fallback name
-        ("ivf_1m", "BENCH_IVF1M_r02.json"),
-        ("llm", "BENCH_LLM_r02.json"),
-        ("asr", "BENCH_ASR_r02.json"),
-        ("capacity_10m", "CAPACITY_10M.json"),
-        ("recall_curves", "RECALL_CURVES.json"),
+    for key, scale_files in (
+        ("scale", ("BENCH_SCALE_r03.json", "BENCH_SCALE_r02.json",
+                   "BENCH_SCALE.json")),
+        ("ivf_1m", ("BENCH_IVF1M_r03.json", "BENCH_IVF1M_r02.json")),
+        ("llm", ("BENCH_LLM_r03.json", "BENCH_LLM_r02.json")),
+        ("llm_7b", ("BENCH_LLM7B_r03.json",)),
+        ("asr", ("BENCH_ASR_r03.json", "BENCH_ASR_r02.json")),
+        ("encode", ("BENCH_ENCODE_r03.json",)),
+        ("capacity_10m", ("CAPACITY_10M.json",)),
+        ("recall_curves", ("RECALL_CURVES.json",)),
     ):
         if key in side:
             continue
-        try:
-            with open(os.path.join(here, scale_file)) as fh:
-                side[key] = json.load(fh)
-        except Exception:  # noqa: BLE001 — optional artifact
-            pass
+        for scale_file in scale_files:
+            try:
+                with open(os.path.join(here, scale_file)) as fh:
+                    side[key] = json.load(fh)
+                break
+            except Exception:  # noqa: BLE001 — optional artifact
+                pass
 
-    print(
+    return (
         json.dumps(
             {
                 "metric": "colbert_top100_maxsim_rerank_p50",
@@ -254,10 +269,9 @@ def main():
                             "note": (
                                 "CPU fallback (accelerator tunnel "
                                 "unresponsive — it wedges for hours at a "
-                                "time; committed on-chip artifacts above "
-                                "are the chip numbers). Committed on-chip "
-                                "headline: 3.07 ms p50 bf16 / 2.55 ms int8 "
-                                "(BENCH_ONCHIP_r02.json, MAXSIM_TUNE.json)"
+                                "time; committed on-chip artifacts folded "
+                                "in above are the chip numbers, newest "
+                                "BENCH_ONCHIP_r*.json is the headline)"
                             )
                         }
                     ),
@@ -268,4 +282,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # stdout contract: the driver parses the LAST stdout line as JSON.
+    # Libraries (absl, jax plugins) occasionally print to stdout, so run
+    # everything with stdout aliased to stderr and emit exactly one JSON
+    # line on the real stdout at the end.
+    real_stdout = sys.stdout
+    sys.stdout = sys.stderr
+    try:
+        line = main()
+    finally:
+        sys.stdout = real_stdout
+    print(line)
