@@ -18,14 +18,24 @@ TPU-friendly where it counts:
    penalty to split lookalikes (l/I, O/0 stay ambiguous in some fonts, as
    they are for humans).
 
-Coverage: printable ASCII (automotive spec tables, VINs, numbers, units).
-CJK scans still need an injected engine (``PDFProcessor(ocr_engine=...)``)
-— the image ships no CJK font to render an atlas from; the interface is the
-same callable either way.
+Coverage: printable ASCII (automotive spec tables, VINs, numbers, units)
+out of the box, plus **CJK when a glyph atlas is installed**
+(``data/cjk_atlas.npz``, built by ``scripts/build_cjk_atlas.py`` from any
+CJK font — the Dockerfile fetches Noto Sans SC and builds it at image
+build time; this container ships no CJK font, checked exhaustively). With
+the atlas loaded, pages go through a mixed-script pipeline: lines come
+from the horizontal ink-projection profile (a hanzi like 三 is several
+components that never overlap vertically — component grouping can't see
+the line), characters from x-overlap stacks merged by a dynamic program
+that picks the segmentation whose cells score best against the combined
+Latin+CJK atlas (classic over-segment-and-lattice OCR, with the lattice
+scored by ONE batched cosine matmul per line). An injected engine
+(``PDFProcessor(ocr_engine=...)``) still overrides everything.
 """
 
 from __future__ import annotations
 
+import os
 import string
 from pathlib import Path
 from typing import List, Optional, Sequence, Tuple
@@ -33,18 +43,25 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 PATCH = 24
+#: CJK templates use a finer grid — 24px blurs dense many-stroke glyphs
+CJK_PATCH = 32
 _CHARSET = string.ascii_letters + string.digits + ".,:;!?()[]%+-/=*'\"&@#$<>"
 _FONT_DIRS = ("/usr/share/fonts/truetype/dejavu",)
 _FONT_FILES = (
     "DejaVuSans.ttf", "DejaVuSans-Bold.ttf", "DejaVuSerif.ttf",
     "DejaVuSansMono.ttf",
 )
+#: where default_ocr_engine looks for a CJK atlas (first hit wins);
+#: CJK_ATLAS_PATH overrides
+_CJK_ATLAS_CANDIDATES = ("data/cjk_atlas.npz", "models/cjk_atlas.npz")
 
 
 def _render_glyph(font, char: str) -> Optional[np.ndarray]:
     from PIL import Image, ImageDraw
 
-    img = Image.new("L", (4 * PATCH, 4 * PATCH), 255)
+    size = getattr(font, "size", PATCH * 2)
+    canvas = max(4 * PATCH, 2 * size + PATCH)
+    img = Image.new("L", (canvas, canvas), 255)
     ImageDraw.Draw(img).text((PATCH, PATCH), char, fill=0, font=font)
     arr = 255 - np.asarray(img)
     ys, xs = np.nonzero(arr > 32)
@@ -53,14 +70,14 @@ def _render_glyph(font, char: str) -> Optional[np.ndarray]:
     return arr[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
 
 
-def _normalize_patch(crop: np.ndarray) -> Tuple[np.ndarray, float]:
-    """Ink crop → (unit-norm 24×24 patch flat vector, aspect ratio h/w)."""
+def _normalize_patch(crop: np.ndarray, patch: int = PATCH) -> Tuple[np.ndarray, float]:
+    """Ink crop → (unit-norm patch×patch flat vector, aspect ratio h/w)."""
     from PIL import Image
 
     h, w = crop.shape
     aspect = h / max(1, w)
     img = Image.fromarray(crop.astype(np.uint8)).resize(
-        (PATCH, PATCH), Image.BILINEAR
+        (patch, patch), Image.BILINEAR
     )
     flat = np.asarray(img, np.float32).ravel()
     norm = np.linalg.norm(flat)
@@ -70,11 +87,36 @@ def _normalize_patch(crop: np.ndarray) -> Tuple[np.ndarray, float]:
 class GlyphAtlasOCR:
     """Template-matching OCR over a multi-font rendered glyph atlas."""
 
-    def __init__(self, font_sizes: Sequence[int] = (22, 32)):
+    def __init__(self, font_sizes: Sequence[int] = (22, 32),
+                 cjk_atlas_path: Optional[str] = None):
         self._atlas: Optional[np.ndarray] = None  # [n_templates, 576]
         self._labels: List[str] = []
         self._aspects: Optional[np.ndarray] = None
         self._font_sizes = font_sizes
+        self._cjk: Optional[dict] = None  # {patches, labels, aspects}
+        if cjk_atlas_path:
+            self.load_cjk_atlas(cjk_atlas_path)
+
+    def load_cjk_atlas(self, path: str) -> bool:
+        """Install a CJK template atlas (scripts/build_cjk_atlas.py output);
+        enables the mixed-script pipeline."""
+        try:
+            data = np.load(path, allow_pickle=False)
+            patches = np.asarray(data["patches"], np.float32)
+            if int(data["patch"]) != CJK_PATCH or patches.ndim != 2:
+                return False
+            self._cjk = {
+                "patches": patches,
+                "labels": [str(c) for c in data["labels"]],
+                "aspects": np.asarray(data["aspects"], np.float32),
+            }
+            return True
+        except Exception:  # noqa: BLE001 — atlas is optional
+            return False
+
+    @property
+    def cjk_enabled(self) -> bool:
+        return self._cjk is not None
 
     # ------------------------------------------------------------- atlas
     def _build_atlas(self) -> bool:
@@ -289,6 +331,195 @@ class GlyphAtlasOCR:
             return float((a.max() + b.min()) / 2)
         return 0.45 * median_w
 
+    # ------------------------------------------------- mixed-script (CJK)
+    @staticmethod
+    def _projection_lines(ink: np.ndarray, min_gap: int = 3):
+        """Text lines from the horizontal ink-projection profile: maximal
+        row runs with ink, separated by >= min_gap empty rows. Component
+        grouping can't find CJK lines (三's bars never overlap in y)."""
+        rows = ink.sum(axis=1) > 0
+        lines = []
+        y = 0
+        h = len(rows)
+        while y < h:
+            if not rows[y]:
+                y += 1
+                continue
+            y0 = y
+            gap = 0
+            y1 = y
+            while y < h and gap < min_gap:
+                if rows[y]:
+                    y1 = y
+                    gap = 0
+                else:
+                    gap += 1
+                y += 1
+            lines.append((y0, y1))
+        return lines
+
+    @staticmethod
+    def _stack_by_x(boxes: List[Tuple[int, int, int, int]]):
+        """Merge components whose x-intervals overlap (氵's dots, 三's bars,
+        i's dot all stack into one unit); returns boxes sorted by x."""
+        stacks: List[List[int]] = []
+        for y0, y1, x0, x1 in sorted(boxes, key=lambda b: b[2]):
+            hit = None
+            for m in stacks:
+                ov = min(x1, m[3]) - max(x0, m[2]) + 1
+                if ov > 0.3 * min(x1 - x0 + 1, m[3] - m[2] + 1):
+                    hit = m
+                    break
+            if hit is None:
+                stacks.append([y0, y1, x0, x1])
+            else:
+                hit[0] = min(hit[0], y0); hit[1] = max(hit[1], y1)
+                hit[2] = min(hit[2], x0); hit[3] = max(hit[3], x1)
+        return sorted((tuple(m) for m in stacks), key=lambda b: b[2])
+
+    def _score_candidates(self, crops: List[np.ndarray]):
+        """Each ink crop → (best char, best combined score, is_cjk), scored
+        against BOTH atlases in two batched matmuls (aspect factor as in
+        ``_classify``)."""
+        import jax
+        import jax.numpy as jnp
+
+        def scored(patch_size, atlas, aspects_t):
+            vecs, aspects = zip(*(_normalize_patch(c, patch_size) for c in crops))
+            sims = np.asarray(jnp.matmul(
+                jnp.asarray(np.stack(vecs)), jnp.asarray(atlas).T,
+                precision=jax.lax.Precision.HIGHEST,
+            ))
+            asp = np.asarray(aspects, np.float32)
+            ratio = np.minimum(
+                asp[:, None] / aspects_t[None, :],
+                aspects_t[None, :] / np.maximum(asp[:, None], 1e-6),
+            )
+            sims = sims * (0.5 + 0.5 * np.clip(ratio, 0, 1))
+            best = sims.argmax(axis=1)
+            return best, sims[np.arange(len(crops)), best]
+
+        lat_idx, lat_s = scored(PATCH, self._atlas, self._aspects)
+        cjk_idx, cjk_s = scored(CJK_PATCH, self._cjk["patches"],
+                                self._cjk["aspects"])
+        out = []
+        for i in range(len(crops)):
+            if cjk_s[i] >= lat_s[i]:
+                out.append((self._cjk["labels"][cjk_idx[i]],
+                            float(cjk_s[i]), True))
+            else:
+                out.append((self._labels[lat_idx[i]], float(lat_s[i]), False))
+        return out
+
+    def _ocr_line_mixed(self, arr: np.ndarray, boxes) -> str:
+        """One text line, mixed CJK/Latin: over-segment into x-stacks, then
+        a dynamic program picks the cell partition whose members score best
+        (width-weighted) against the combined atlas — so 汉's 氵+又 merge
+        into one cell while `3.9` stays three. One batched matmul scores
+        every candidate cell of the line."""
+        stacks = self._stack_by_x(boxes)
+        if not stacks:
+            return ""
+        heights = [b[1] - b[0] + 1 for b in stacks]
+        line_h = float(np.percentile(heights, 90))
+        n = len(stacks)
+        max_w = 1.35 * line_h
+        max_gap = 0.35 * line_h
+
+        # candidate cells: consecutive stack spans within width/gap budget
+        cells = {}  # (i, j) → union box, span stacks [i, j)
+        crops = []
+        order = []
+        for i in range(n):
+            y0, y1, x0, x1 = stacks[i]
+            for j in range(i + 1, n + 1):
+                if j > i + 1:
+                    prev = stacks[j - 2]
+                    nxt = stacks[j - 1]
+                    if nxt[2] - prev[3] - 1 > max_gap:
+                        break
+                    y0 = min(y0, nxt[0]); y1 = max(y1, nxt[1])
+                    x1 = max(x1, nxt[3])
+                    if x1 - x0 + 1 > max_w:
+                        break
+                cells[(i, j)] = (y0, y1, x0, x1)
+                crops.append(arr[y0 : y1 + 1, x0 : x1 + 1])
+                order.append((i, j))
+        scores = self._score_candidates(crops)
+        scored = {ij: s for ij, s in zip(order, scores)}
+
+        # DP over stack boundaries, maximizing sum(score × cell width)
+        NEG = -1e18
+        best = [NEG] * (n + 1)
+        best[0] = 0.0
+        back = [None] * (n + 1)
+        for j in range(1, n + 1):
+            for i in range(j - 1, -1, -1):
+                if (i, j) not in scored:
+                    break
+                _, _, x0, x1 = cells[(i, j)]
+                value = best[i] + scored[(i, j)][1] * (x1 - x0 + 1)
+                if value > best[j]:
+                    best[j] = value
+                    back[j] = i
+        # reconstruct
+        parts = []
+        j = n
+        while j > 0:
+            i = back[j]
+            if i is None:  # no feasible cell ending here (isolated overwide)
+                i = j - 1
+                scored.setdefault((i, j), ("?", 0.0, False))
+                cells.setdefault((i, j), stacks[i])
+            parts.append((i, j))
+            j = i
+        parts.reverse()
+
+        chars = [scored[ij][0] for ij in parts]
+        kinds = [scored[ij][2] for ij in parts]
+        cell_boxes = [cells[ij] for ij in parts]
+
+        # Latin-only post-fixes on the Latin cells
+        lat_pos = [k for k, cjk in enumerate(kinds) if not cjk]
+        if lat_pos:
+            cap_h = float(np.percentile(
+                [cell_boxes[k][1] - cell_boxes[k][0] + 1 for k in lat_pos], 90))
+            fixed = self._fix_case([chars[k] for k in lat_pos],
+                                   [cell_boxes[k] for k in lat_pos], cap_h)
+            for k, ch in zip(lat_pos, fixed):
+                chars[k] = ch
+
+        # spaces only between consecutive non-CJK cells (CJK has none)
+        gaps = [cell_boxes[k][2] - cell_boxes[k - 1][3]
+                for k in range(1, len(parts))]
+        lat_gaps = [gaps[k - 1] for k in range(1, len(parts))
+                    if not kinds[k] and not kinds[k - 1]]
+        median_w = float(np.median([b[3] - b[2] + 1 for b in cell_boxes]))
+        space_at = self._space_threshold(lat_gaps, median_w)
+        text = [chars[0]]
+        for k in range(1, len(parts)):
+            if not kinds[k] and not kinds[k - 1] and gaps[k - 1] > space_at:
+                text.append(" ")
+            text.append(chars[k])
+        return "".join(self._fix_digit_context(text))
+
+    def _ocr_image_mixed(self, ink: np.ndarray) -> str:
+        arr = np.where(ink, 255, 0).astype(np.uint8)
+        out_lines = []
+        for y0, y1 in self._projection_lines(ink):
+            band = ink[y0 : y1 + 1]
+            boxes = [
+                (by0 + y0, by1 + y0, bx0, bx1)
+                for by0, by1, bx0, bx1 in self._components(band)
+                if (by1 - by0 + 1) * (bx1 - bx0 + 1) >= 6
+            ]
+            if not boxes:
+                continue
+            line = self._ocr_line_mixed(arr, boxes)
+            if line:
+                out_lines.append(line)
+        return "\n".join(out_lines)
+
     # ---------------------------------------------------------------- ocr
     def ocr_image(self, image) -> str:
         """PIL image (or 2-D uint8 array) → recognized text."""
@@ -303,6 +534,8 @@ class GlyphAtlasOCR:
         ink = self._binarize(gray)
         if not ink.any():
             return ""
+        if self._cjk is not None:
+            return self._ocr_image_mixed(ink)
         boxes = self._merge_dots(self._components(ink))
         boxes = [b for b in boxes
                  if (b[1] - b[0] + 1) * (b[3] - b[2] + 1) >= 6]
@@ -353,10 +586,20 @@ def default_ocr_engine() -> Optional[GlyphAtlasOCR]:
     """The built-in engine when fonts + PIL are present; None otherwise
     (PDFProcessor then skips OCR exactly as before). Module-cached: the
     atlas build (~700 glyph renders across 8 fonts) runs once per process,
-    not once per PDF ingest job."""
+    not once per PDF ingest job. A CJK atlas (CJK_ATLAS_PATH env or
+    ``data/cjk_atlas.npz`` / ``models/cjk_atlas.npz``) enables the
+    mixed-script pipeline for scanned Chinese spec sheets."""
     global _DEFAULT_ENGINE, _DEFAULT_ENGINE_READY
     if not _DEFAULT_ENGINE_READY:
         engine = GlyphAtlasOCR()
-        _DEFAULT_ENGINE = engine if engine._build_atlas() else None
+        if engine._build_atlas():
+            explicit = os.environ.get("CJK_ATLAS_PATH")
+            for candidate in ((explicit,) if explicit else _CJK_ATLAS_CANDIDATES):
+                if candidate and Path(candidate).exists():
+                    if engine.load_cjk_atlas(candidate):
+                        break
+            _DEFAULT_ENGINE = engine
+        else:
+            _DEFAULT_ENGINE = None
         _DEFAULT_ENGINE_READY = True
     return _DEFAULT_ENGINE
