@@ -118,8 +118,17 @@ class RetrievalEngine:
         ids = self.index.add(vectors, documents)
         if self.token_store is not None and self.reranker is not None:
             # token embeddings row-aligned with the index (rerank-from-store)
-            token_embs, masks = self.reranker.encoder.encode_documents(texts)
-            self.token_store.append(token_embs, masks)
+            encoder = self.reranker.encoder
+            if (getattr(self.token_store, "quantize", "none") == "int8"
+                    and hasattr(encoder, "encode_documents_int8")):
+                # int8 store: quantize on-device so the ingest fetch moves
+                # int8 bytes instead of fp16 (the fetch bounds ColBERT
+                # ingest on the chip)
+                quant, scales, masks = encoder.encode_documents_int8(texts)
+                self.token_store.append_quantized(quant, scales, masks)
+            else:
+                token_embs, masks = encoder.encode_documents(texts)
+                self.token_store.append(token_embs, masks)
         return ids
 
     # ----------------------------------------------------------- retrieve

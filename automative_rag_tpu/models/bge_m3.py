@@ -136,23 +136,34 @@ class DenseEmbedder:
         return self
 
     def _place(self, ids: np.ndarray, mask: np.ndarray):
+        """Shard the batch rows over the dp mesh axis. Rows pad up to a
+        multiple of the axis size (the pad is sliced off by the caller via
+        the returned count) — without the pad, every ragged tail batch
+        silently fell back to single-placement and ingest lost the mesh."""
+        pad = 0
+        if self._batch_sharding is not None and ids.shape[0] > 1:
+            pad = -ids.shape[0] % self._dp_rows
+            if pad:
+                ids = np.concatenate([ids, np.repeat(ids[-1:], pad, 0)])
+                mask = np.concatenate([mask, np.repeat(mask[-1:], pad, 0)])
         ids_j, mask_j = jnp.asarray(ids), jnp.asarray(mask)
         if self._batch_sharding is not None and ids.shape[0] % self._dp_rows == 0:
             ids_j = jax.device_put(ids_j, self._batch_sharding)
             mask_j = jax.device_put(mask_j, self._batch_sharding)
-        return ids_j, mask_j
+        return ids_j, mask_j, pad
 
     def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
         """Embed up to batch_size texts (single forward)."""
         ids, mask = self.tokenizer.encode_batch(texts, self.max_length)
         real_len = int(mask.sum(axis=1).max()) if len(texts) else 1
         length = _bucket_length(real_len, self.max_length)
-        ids_j, mask_j = self._place(ids[:, :length], mask[:, :length])
+        ids_j, mask_j, pad = self._place(ids[:, :length], mask[:, :length])
         if self.mode == "lexical":
             out = self._lexical(ids_j, mask_j)
         else:
             out = self._forward(self.params, ids_j, mask_j)
-        return np.asarray(out, np.float32)
+        out = np.asarray(out, np.float32)
+        return out[: len(texts)] if pad else out
 
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
         """Embed any number of texts, batching internally."""

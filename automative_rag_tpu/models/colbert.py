@@ -48,6 +48,22 @@ class ColBERTEncoder:
             return self.model.apply({"params": params}, input_ids, attention_mask)
 
         self._forward = jax.jit(_forward)
+
+        def _forward_q8(params, input_ids, attention_mask):
+            """Forward + ON-DEVICE symmetric per-token int8 quantization
+            (same formula as TokenStore's host path: absmax/127). The int8
+            values + fp16 scales are what cross the device→host relay —
+            HALF the fp16 hidden-state bytes, and that fetch dominates
+            ColBERT ingest on the chip (BENCH_ENCODE_r02)."""
+            hidden = self.model.apply({"params": params}, input_ids,
+                                      attention_mask)
+            h32 = hidden.astype(jnp.float32)
+            scales = jnp.max(jnp.abs(h32), axis=2) / 127.0  # [B, Ld]
+            safe = jnp.maximum(scales, 1e-8)[:, :, None]
+            q = jnp.clip(jnp.round(h32 / safe), -127, 127).astype(jnp.int8)
+            return q, scales.astype(jnp.float16)
+
+        self._forward_q8 = jax.jit(_forward_q8)
         self._batch_sharding = None
 
     @property
@@ -78,14 +94,24 @@ class ColBERTEncoder:
         ids_b, mask_b = ids[:, :bucket], mask[:, :bucket]
         out = []
         for i in range(0, len(texts), self.batch_size):
-            ids_j = jnp.asarray(ids_b[i : i + self.batch_size])
-            mask_j = jnp.asarray(mask_b[i : i + self.batch_size])
+            ids_i = ids_b[i : i + self.batch_size]
+            mask_i = mask_b[i : i + self.batch_size]
+            # pad rows to a dp-axis multiple so mesh sharding engages on
+            # ragged tail batches too (pad rows sliced off below)
+            pad = 0
+            if self._batch_sharding is not None and ids_i.shape[0] > 1:
+                pad = -ids_i.shape[0] % self._dp_rows
+                if pad:
+                    ids_i = np.concatenate([ids_i, np.repeat(ids_i[-1:], pad, 0)])
+                    mask_i = np.concatenate([mask_i, np.repeat(mask_i[-1:], pad, 0)])
+            ids_j, mask_j = jnp.asarray(ids_i), jnp.asarray(mask_i)
             if (self._batch_sharding is not None
                     and ids_j.shape[0] % self._dp_rows == 0):
                 ids_j = jax.device_put(ids_j, self._batch_sharding)
                 mask_j = jax.device_put(mask_j, self._batch_sharding)
             hidden = self._forward(self.params, ids_j, mask_j)
-            out.append(np.asarray(hidden.astype(jnp.float16)))
+            fetched = np.asarray(hidden.astype(jnp.float16))
+            out.append(fetched[: len(fetched) - pad] if pad else fetched)
         emb = np.concatenate(out, axis=0)
         if bucket < max_length:
             emb = np.pad(emb, ((0, 0), (0, max_length - bucket), (0, 0)))
@@ -109,6 +135,49 @@ class ColBERTEncoder:
         """→ (embeddings [N, Ld, H], real-token mask [N, Ld])."""
         emb, mask = self._encode(texts, self.max_doc_length)
         return emb, mask.astype(bool)
+
+    def encode_documents_int8(
+        self, texts: Sequence[str]
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """→ (int8 tokens [N, Ld, H], fp16 scales [N, Ld], mask [N, Ld]):
+        quantization runs ON-DEVICE (``_forward_q8``) so the host fetch
+        moves int8 bytes — half of fp16, and the fetch bounds ColBERT
+        ingest throughput on the chip. Same symmetric per-token formula as
+        ``TokenStore._append_locked``; feed straight into
+        ``TokenStore.append_quantized``."""
+        max_length = self.max_doc_length
+        ids, mask = self.tokenizer.encode_batch(texts, max_length)
+        real = int(np.asarray(mask).sum(axis=1).max()) if len(texts) else 0
+        bucket = min(max_length, max(32, -(-real // 32) * 32))
+        ids_b, mask_b = ids[:, :bucket], mask[:, :bucket]
+        q_out, s_out = [], []
+        for i in range(0, len(texts), self.batch_size):
+            ids_i = ids_b[i : i + self.batch_size]
+            mask_i = mask_b[i : i + self.batch_size]
+            pad = 0
+            if self._batch_sharding is not None and ids_i.shape[0] > 1:
+                pad = -ids_i.shape[0] % self._dp_rows
+                if pad:
+                    ids_i = np.concatenate([ids_i, np.repeat(ids_i[-1:], pad, 0)])
+                    mask_i = np.concatenate([mask_i, np.repeat(mask_i[-1:], pad, 0)])
+            ids_j, mask_j = jnp.asarray(ids_i), jnp.asarray(mask_i)
+            if (self._batch_sharding is not None
+                    and ids_j.shape[0] % self._dp_rows == 0):
+                ids_j = jax.device_put(ids_j, self._batch_sharding)
+                mask_j = jax.device_put(mask_j, self._batch_sharding)
+            q, s = self._forward_q8(self.params, ids_j, mask_j)
+            q = np.asarray(q)
+            s = np.asarray(s)
+            if pad:
+                q, s = q[: len(q) - pad], s[: len(s) - pad]
+            q_out.append(q)
+            s_out.append(s)
+        quant = np.concatenate(q_out, axis=0)
+        scales = np.concatenate(s_out, axis=0)
+        if bucket < max_length:
+            quant = np.pad(quant, ((0, 0), (0, max_length - bucket), (0, 0)))
+            scales = np.pad(scales, ((0, 0), (0, max_length - bucket)))
+        return quant, scales, mask.astype(bool)
 
     def tokenize_for_display(self, text: str, max_length: int) -> list:
         """Token strings for match explanations (best-effort)."""

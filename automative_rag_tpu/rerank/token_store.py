@@ -102,6 +102,26 @@ class TokenStore:
         self._masks = np.concatenate([self._masks, masks])
         self._device = None
 
+    def append_quantized(self, quant: np.ndarray, scales: np.ndarray,
+                         masks: np.ndarray) -> None:
+        """Append rows already quantized ON-DEVICE
+        (``ColBERTEncoder.encode_documents_int8`` — same symmetric
+        per-token formula as ``_append_locked``); the host never sees the
+        fp16 hidden states, halving the ingest fetch."""
+        if self.quantize != "int8":
+            raise ValueError("append_quantized requires an int8 store")
+        with self._mutex:
+            quant = np.asarray(quant, np.int8)
+            if quant.shape[1:] != (self.max_doc_length, self.dim):
+                raise ValueError(
+                    f"expected [N, {self.max_doc_length}, {self.dim}], "
+                    f"got {quant.shape}")
+            self._tokens = np.concatenate([self._tokens, quant])
+            self._scales = np.concatenate(
+                [self._scales, np.asarray(scales, np.float16)])
+            self._masks = np.concatenate([self._masks, np.asarray(masks, bool)])
+            self._device = None
+
     @property
     def rows(self) -> int:
         if self.quantize == "residual2":

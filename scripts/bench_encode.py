@@ -24,12 +24,18 @@ def main():
     parser.add_argument("--tpu", action="store_true")
     parser.add_argument("--batches", type=int, nargs="+", default=[8, 32])
     parser.add_argument("--doc-tokens", type=int, default=256)
+    parser.add_argument("--mesh", type=int, default=0,
+                        help="data-parallel encode over an N-device mesh "
+                             "(CPU: virtual devices; the ingest-at-mesh-"
+                             "speed path, SURVEY §2.8)")
     args = parser.parse_args()
 
     import jax
 
     if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
+        if args.mesh:
+            jax.config.update("jax_num_cpu_devices", args.mesh)
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -51,11 +57,19 @@ def main():
         doc_len = 64
     embedder = DenseEmbedder(config=cfg, mode="transformer")
     colbert = ColBERTEncoder(config=cfg, max_doc_length=doc_len)
+    if args.mesh:
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        mesh = Mesh(_np.array(jax.devices()[: args.mesh]), ("shard",))
+        embedder.data_parallel(mesh, "shard")
+        colbert.data_parallel(mesh, "shard")
 
     text = ("宝马X5 2023款 xDrive40Li 搭载3.0T直列六缸涡轮增压发动机，"
             "最大功率280千瓦，百公里加速5.5秒，综合油耗8.9升。" * 4)
     report = {"backend": jax.devices()[0].platform,
-              "doc_tokens": args.doc_tokens}
+              "doc_tokens": args.doc_tokens,
+              "mesh_devices": args.mesh or 1}
     for b in args.batches:
         docs = [f"{text} 版本{i}" for i in range(b)]
         embedder.embed_texts(docs)  # compile
@@ -79,6 +93,19 @@ def main():
         report[f"colbert_b{b}"] = {"p50_s": round(p50, 3),
                                    "docs_per_s": round(b / p50, 1)}
         print(f"colbert_b{b}", report[f"colbert_b{b}"], flush=True)
+
+        # int8-store ingest path: quantization on-device, int8 fetch (half
+        # the device→host bytes; the fetch bounds this path on the chip)
+        colbert.encode_documents_int8(docs)  # compile
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            colbert.encode_documents_int8(docs)
+            samples.append(time.perf_counter() - t0)
+        p50 = sorted(samples)[1]
+        report[f"colbert_int8_b{b}"] = {"p50_s": round(p50, 3),
+                                        "docs_per_s": round(b / p50, 1)}
+        print(f"colbert_int8_b{b}", report[f"colbert_int8_b{b}"], flush=True)
 
     print(json.dumps(report))
 

@@ -170,3 +170,54 @@ def test_residual2_save_load(tmp_path, colbert):
     assert restored.quantize == "residual2" and restored.rows == 2
     after = restored.gather([0, 1])[0]
     np.testing.assert_allclose(np.asarray(before), np.asarray(after), rtol=1e-3)
+
+
+def test_on_device_int8_encode_matches_host_quantization():
+    """encode_documents_int8 (on-device quantization, int8 fetch) must
+    reproduce the host path (fp16 fetch → TokenStore int8 quantization)
+    closely enough that MaxSim scores agree."""
+    import jax.numpy as jnp
+
+    from automative_rag_tpu.models import ColBERTEncoder, EncoderConfig
+    from automative_rag_tpu.ops.maxsim import maxsim_scores
+
+    enc = ColBERTEncoder(config=EncoderConfig.tiny(), max_query_length=16,
+                         max_doc_length=32)
+    texts = ["宝马X5 中大型SUV", "特斯拉Model 3 续航606公里", "丰田凯美瑞"]
+
+    host = TokenStore(dim=enc.dim, max_doc_length=32, quantize="int8",
+                      device_dtype="float32")
+    embs, masks = enc.encode_documents(texts)
+    host.append(embs, masks)
+
+    dev = TokenStore(dim=enc.dim, max_doc_length=32, quantize="int8",
+                     device_dtype="float32")
+    quant, scales, masks2 = enc.encode_documents_int8(texts)
+    dev.append_quantized(quant, scales, masks2)
+
+    assert dev.rows == host.rows
+    np.testing.assert_array_equal(dev._masks, host._masks)
+    # int8 codes match up to rounding ties of the fp16 round-trip
+    mismatch = (dev._tokens != host._tokens).mean()
+    assert mismatch < 0.02, mismatch
+
+    q_emb, q_mask = enc.encode_queries(["SUV 续航"])
+    rows = [0, 1, 2]
+    s_host = maxsim_scores(
+        jnp.asarray(q_emb, jnp.float32), jnp.asarray(q_mask),
+        *(lambda d, m: (jnp.asarray(d), m))(*host.gather(rows)),
+        token_major=True, use_pallas=False)
+    s_dev = maxsim_scores(
+        jnp.asarray(q_emb, jnp.float32), jnp.asarray(q_mask),
+        *(lambda d, m: (jnp.asarray(d), m))(*dev.gather(rows)),
+        token_major=True, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(s_dev), np.asarray(s_host),
+                               rtol=0.02, atol=0.05)
+
+
+def test_append_quantized_requires_int8_store():
+    store = TokenStore(dim=16, max_doc_length=8)
+    with pytest.raises(ValueError):
+        store.append_quantized(np.zeros((1, 8, 16), np.int8),
+                               np.zeros((1, 8), np.float16),
+                               np.ones((1, 8), bool))
