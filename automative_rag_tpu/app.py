@@ -146,7 +146,8 @@ class RAGApplication:
                 )
 
         # --- orchestration ---
-        self.tracker = JobTracker()
+        self.tracker = JobTracker(
+            persist_path=self.settings.tracker_persist_path or None)
         self.queue_manager = QueueManager(
             time_limit_s=self.settings.task_time_limit_s, start=start_workers
         )

