@@ -103,6 +103,21 @@ def _flash_prefill_enabled(t: int, head_dim: int) -> bool:
     return jax.default_backend() == "tpu" and t >= 256 and head_dim % 128 == 0
 
 
+def _w4_kernel_enabled() -> bool:
+    """Route int4 matmuls through the fused Pallas w4a16 kernel? On by
+    default on TPU (the XLA unpack path is ~14× slower at 7B decode);
+    ``W4_KERNEL=0|1`` overrides (1 runs interpret mode off-TPU, for
+    tests)."""
+    import os
+
+    env = os.environ.get("W4_KERNEL", "auto")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
     """HF-style rotary embedding: x [B, T, H, D]; positions [T] (shared) or
     [B, T] (per-row, for ragged batches whose rope offsets differ)."""
@@ -135,27 +150,42 @@ class QuantDense(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_features = x.shape[-1]
+        scale = self.param(
+            "scale", lambda key, shape: jnp.full(shape, 0.01, jnp.float32),
+            (self.features,),
+        )
         if self.bits == 4:
             packed = self.param(
                 "kernel_q",
                 lambda key, shape: jax.random.randint(key, shape, 0, 256, jnp.uint8),
                 (in_features // 2, self.features),
             )
-            low = (packed & 0xF).astype(jnp.int8) - 8
-            high = (packed >> 4).astype(jnp.int8) - 8
-            kernel = jnp.stack([low, high], axis=1).reshape(in_features, self.features)
+            if _w4_kernel_enabled():
+                # fused Pallas w4a16: packed nibbles unpack in registers on
+                # the way into the MXU — HBM sees only packed bytes. The
+                # XLA unpack materializes full bf16 weights per call, which
+                # collapses decode to ~7 tok/s at 7B (BENCH_LLM7B_r03)
+                from ..ops.quant_matmul import w4_matmul
+
+                lead = x.shape[:-1]
+                y = w4_matmul(
+                    x.reshape(-1, in_features).astype(self.dtype), packed,
+                    scale, interpret=jax.default_backend() != "tpu",
+                ).reshape(*lead, self.features)
+            else:
+                from ..ops.quant_matmul import unpack_w4
+
+                kernel = unpack_w4(packed, self.dtype)
+                y = jnp.dot(x.astype(self.dtype), kernel)
+                y = y * scale.astype(self.dtype)
         else:
             kernel = self.param(
                 "kernel_q",
                 lambda key, shape: jax.random.randint(key, shape, -127, 128, jnp.int8),
                 (in_features, self.features),
             )
-        scale = self.param(
-            "scale", lambda key, shape: jnp.full(shape, 0.01, jnp.float32),
-            (self.features,),
-        )
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
-        y = y * scale.astype(self.dtype)
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+            y = y * scale.astype(self.dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(self.dtype)
@@ -164,14 +194,13 @@ class QuantDense(nn.Module):
 
 def quantize_kernel(kernel: np.ndarray, bits: int = 8) -> Tuple[np.ndarray, np.ndarray]:
     """f32 kernel [in, out] → (quantized kernel, per-out-channel f32 scales).
-    bits=8 → int8 [in, out]; bits=4 → packed uint8 [in/2, out] (rows 2i, 2i+1
-    in the low/high nibbles, offset-8 encoding)."""
+    bits=8 → int8 [in, out]; bits=4 → packed uint8 [in/2, out] in the
+    HALF-SPLIT layout (nibble pair = rows i and i+in/2 — contiguous x
+    slices for the fused Pallas kernel; see ops/quant_matmul.pack_w4)."""
     if bits == 4:
-        scale = np.abs(kernel).max(axis=0) / 7.0
-        safe = np.maximum(scale, 1e-12)
-        q = np.clip(np.round(kernel / safe[None, :]), -8, 7).astype(np.int8) + 8
-        low, high = q[0::2].astype(np.uint8), q[1::2].astype(np.uint8)
-        return (low | (high << 4)), scale.astype(np.float32)
+        from ..ops.quant_matmul import pack_w4
+
+        return pack_w4(np.asarray(kernel, np.float32))
     scale = np.abs(kernel).max(axis=0) / 127.0
     safe = np.maximum(scale, 1e-12)
     q = np.clip(np.round(kernel / safe[None, :]), -127, 127).astype(np.int8)

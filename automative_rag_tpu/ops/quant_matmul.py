@@ -1,0 +1,144 @@
+"""Fused w4a16 matmul — Pallas TPU kernel for int4 weight-only serving.
+
+The reference serves its 7B model 4-bit via BitsAndBytes fused CUDA kernels
+(src/config/settings.py:195-214). The XLA path for packed-nibble weights is
+catastrophic for decode: the unpack (`&0xF` / `>>4` → stack/concat) cannot
+fuse into a dot (MXU operands must be materialized), so EVERY decode step
+writes + reads the full bf16 weight tensor in HBM — measured 6.7 tok/s for
+the 7B geometry on one v5e vs 92.8 tok/s int8 (BENCH_LLM7B_r03.json).
+
+This kernel keeps packed uint8 in HBM/VMEM and unpacks per-tile in
+registers on the way into the MXU, so HBM traffic per token is the PACKED
+bytes (~3.6 GB for 7B) — the int4 point lands where it should: faster than
+int8, not 14× slower.
+
+Packing layout (``pack_w4``): nibble pairs span the input dim's HALVES,
+not adjacent rows — P[i] = W[i] | (W[i + K/2] << 4) — so the kernel reads
+x's two halves as CONTIGUOUS slices (a stride-2 lane access or a lane-dim
+reshape would violate Mosaic layout rules; see CLAUDE.md):
+
+    y = x_lo @ (P & 0xF − 8) + x_hi @ (P >> 4 − 8), scaled per out-channel
+
+Grid is (M-blocks, N-blocks, K-blocks), K innermost, f32 accumulator in
+VMEM scratch; the per-out-channel scale multiplies once on the last K step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pack_w4(kernel: np.ndarray):
+    """f32 kernel [K, N] → (packed uint8 [K/2, N], f32 scales [N]).
+
+    Symmetric per-out-channel int4 ([-8, 7], offset-8 stored); nibble pairs
+    are (row i, row i + K/2) so the matmul kernel slices x contiguously."""
+    k_dim = kernel.shape[0]
+    if k_dim % 2:
+        raise ValueError(f"input dim must be even for int4 packing, got {k_dim}")
+    scale = np.abs(kernel).max(axis=0) / 7.0
+    safe = np.maximum(scale, 1e-12)
+    q = np.clip(np.round(kernel / safe[None, :]), -8, 7).astype(np.int8) + 8
+    low, high = q[: k_dim // 2].astype(np.uint8), q[k_dim // 2 :].astype(np.uint8)
+    return (low | (high << 4)), scale.astype(np.float32)
+
+
+def unpack_w4(packed: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[K/2, N] packed → [K, N] dequantized-to-integer values (×scale is the
+    caller's job). XLA fallback path — materializes the tensor, fine for
+    prefill-sized reuse or CPU, ruinous per decode step (see module doc)."""
+    low = (packed & 0xF).astype(jnp.int8) - 8
+    high = (packed >> 4).astype(jnp.int8) - 8
+    return jnp.concatenate([low, high], axis=0).astype(dtype)
+
+
+def _w4_kernel(xlo_ref, xhi_ref, p_ref, scale_ref, o_ref, acc_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p = p_ref[:]  # [bk, bn] uint8
+    low = ((p & 0xF).astype(jnp.int8) - 8).astype(xlo_ref.dtype)
+    high = ((p >> 4).astype(jnp.int8) - 8).astype(xlo_ref.dtype)
+    acc_ref[:] += jax.lax.dot_general(
+        xlo_ref[:], low, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        xhi_ref[:], high, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _finish():
+        o_ref[:] = (acc_ref[:] * scale_ref[0, :].astype(jnp.float32)
+                    ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_n", "block_k", "interpret")
+)
+def w4_matmul(
+    x: jnp.ndarray,       # [M, K] bf16/f32 activations
+    packed: jnp.ndarray,  # [K/2, N] uint8 (pack_w4 layout)
+    scale: jnp.ndarray,   # [N] f32 per-out-channel
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 512,   # of the K/2 packed rows per step
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x @ dequant(packed) * scale → [M, N] in x.dtype."""
+    m, k_dim = x.shape
+    k2, n = packed.shape
+    if k2 * 2 != k_dim:
+        raise ValueError(f"packed rows {k2} must be half of x's K {k_dim}")
+    x_lo, x_hi = x[:, :k2], x[:, k2:]
+
+    # bf16 tiles need ≥16 sublanes unless the block spans the whole dim —
+    # padding M up keeps both true for decode-sized batches
+    bm = min(block_m, max(16 if x.dtype != jnp.float32 else 8, m))
+    bn = min(block_n, n)
+    bk = min(block_k, k2)
+    m_pad = -(-m // bm) * bm
+    n_pad = -(-n // bn) * bn
+    k_pad = -(-k2 // bk) * bk
+    if m_pad != m or k_pad != k2:
+        x_lo = jnp.pad(x_lo, ((0, m_pad - m), (0, k_pad - k2)))
+        x_hi = jnp.pad(x_hi, ((0, m_pad - m), (0, k_pad - k2)))
+    if k_pad != k2 or n_pad != n:
+        # pad value 0x88 decodes to (−8+8)=0 in both nibbles... 0x88 low
+        # nibble is 8 → 8−8=0, high nibble 8 → 0: zero contribution
+        packed = jnp.pad(packed, ((0, k_pad - k2), (0, n_pad - n)),
+                         constant_values=0x88)
+    if n_pad != n:
+        scale = jnp.pad(scale, (0, n_pad - n))
+    scale2 = scale.reshape(1, -1)
+
+    grid = (m_pad // bm, n_pad // bn, k_pad // bk)
+    out = pl.pallas_call(
+        _w4_kernel,
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=interpret,
+    )(x_lo, x_hi, packed, scale2)
+    return out[:m, :n]

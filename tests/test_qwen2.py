@@ -392,19 +392,67 @@ def test_int4_weight_only_quantization():
 
 
 def test_int4_pack_unpack_roundtrip():
-    """quantize_kernel(bits=4) packing must invert exactly inside QuantDense's
-    unpack (offset-8 nibbles, input-dim pairs)."""
+    """quantize_kernel(bits=4) packing must invert exactly inside
+    unpack_w4 (offset-8 nibbles, half-split input-dim layout)."""
     from automative_rag_tpu.models.qwen2 import quantize_kernel
+    from automative_rag_tpu.ops.quant_matmul import unpack_w4
 
     rng = np.random.default_rng(5)
     kernel = rng.normal(size=(16, 8)).astype(np.float32)
     packed, scale = quantize_kernel(kernel, bits=4)
     assert packed.shape == (8, 8) and packed.dtype == np.uint8
-    low = (packed & 0xF).astype(np.int8) - 8
-    high = (packed >> 4).astype(np.int8) - 8
-    unpacked = np.stack([low, high], axis=1).reshape(16, 8).astype(np.float32)
+    unpacked = np.asarray(unpack_w4(jnp.asarray(packed), jnp.float32))
     recon = unpacked * scale[None, :]
     assert np.abs(recon - kernel).max() <= scale.max() * 0.5 + 1e-6
+
+
+def test_w4_matmul_kernel_matches_xla_unpack():
+    """Fused Pallas w4a16 kernel (interpret mode) ≡ the XLA unpack path,
+    across shapes that exercise M/N/K padding and multi-block grids."""
+    from automative_rag_tpu.ops.quant_matmul import pack_w4, unpack_w4, w4_matmul
+
+    rng = np.random.default_rng(7)
+    for m, k, n in ((1, 128, 96), (8, 256, 256), (23, 512, 130), (130, 640, 384)):
+        w = rng.normal(size=(k, n)).astype(np.float32)
+        packed, scale = pack_w4(w)
+        x = rng.normal(size=(m, k)).astype(np.float32)
+        got = np.asarray(w4_matmul(
+            jnp.asarray(x), jnp.asarray(packed), jnp.asarray(scale),
+            block_m=16, block_n=128, block_k=128, interpret=True,
+        ))
+        import jax as _jax
+
+        want = np.asarray(
+            jnp.dot(jnp.asarray(x), unpack_w4(jnp.asarray(packed), jnp.float32),
+                    precision=_jax.lax.Precision.HIGHEST) * scale[None, :]
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_int4_generation_with_w4_kernel(monkeypatch):
+    """QuantDense routed through the fused kernel (interpret) generates the
+    SAME tokens as the XLA unpack path."""
+    import dataclasses
+
+    from automative_rag_tpu.models.qwen2 import quantize_qwen2_params
+
+    cfg = Qwen2Config.tiny_test()
+    base = Qwen2Model(cfg, seed=31)
+    qcfg = dataclasses.replace(cfg, weight_bits=4)
+
+    rng = np.random.default_rng(31)
+    prompt = rng.integers(3, cfg.vocab_size, size=(1, 6)).astype(np.int32)
+
+    monkeypatch.setenv("W4_KERNEL", "0")
+    plain = Qwen2Model(qcfg, seed=31)
+    plain.params = quantize_qwen2_params(base.params, qcfg)
+    want = plain.generate_tokens(prompt, max_new_tokens=6)
+
+    monkeypatch.setenv("W4_KERNEL", "1")
+    fused = Qwen2Model(qcfg, seed=31)
+    fused.params = plain.params
+    got = fused.generate_tokens(prompt, max_new_tokens=6)
+    np.testing.assert_array_equal(got, want)
 
 
 def test_dp_tp_generation_matches_single_device():
