@@ -65,9 +65,11 @@ def _w4_kernel(xlo_ref, xhi_ref, p_ref, scale_ref, o_ref, acc_ref):
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    p = p_ref[:]  # [bk, bn] uint8
-    low = ((p & 0xF).astype(jnp.int8) - 8).astype(xlo_ref.dtype)
-    high = ((p >> 4).astype(jnp.int8) - 8).astype(xlo_ref.dtype)
+    # nibble arithmetic in int32: Mosaic does not legalize int8 subi on the
+    # VPU (observed: "failed to legalize operation 'arith.subi'")
+    p = p_ref[:].astype(jnp.int32)  # [bk, bn]
+    low = ((p & 0xF) - 8).astype(xlo_ref.dtype)
+    high = ((p >> 4) - 8).astype(xlo_ref.dtype)
     acc_ref[:] += jax.lax.dot_general(
         xlo_ref[:], low, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

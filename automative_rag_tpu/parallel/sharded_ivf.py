@@ -231,7 +231,8 @@ class ShardedIVFIndex(ShardedFlatIndex):
                 from ..index.ivf import balance_assignments
 
                 assign = balance_assignments(
-                    assign, second, k_s, self.balance_factor)
+                    assign, second, k_s, self.balance_factor,
+                    normalized=rows, centroids=centroids)
             if k_s < k_lists:  # pad centroid count to the common K
                 centroids = np.concatenate(
                     [centroids, np.zeros((k_lists - k_s, self.dim), np.float32)]

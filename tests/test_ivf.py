@@ -298,3 +298,86 @@ def test_pin_probe_disables_policy_and_escalation(built, rng, monkeypatch):
     q = rng.normal(size=64).astype(np.float32)
     index.search(q, 5, flt, n_probe=1, pin_probe=True)
     assert launches == [1], launches
+
+
+def test_strict_balance_caps_every_list():
+    """Capacity-aware balancing (VERDICT r2 weak #4: fill_ratio 0.59):
+    every list lands <= ceil(balance_factor * mean) even on a pathological
+    skewed corpus, so fill_ratio >= ~1/balance_factor and the per-probe
+    gather stops paying for the worst list's padding."""
+    rng = np.random.default_rng(3)
+    dim = 64
+    n = 20_000
+    # skewed cluster sizes (zipf-ish): the realistic imbalance source
+    vectors, docs = _corpus(rng, n, dim, clusters=16)
+    index = IVFIndex(dim=dim, n_lists=128, balance_factor=1.2)
+    index.add(vectors, docs)
+    info = index.rebuild()
+    cap = int(np.ceil(1.2 * n / 128))
+    assert info["max_list"] <= -(-cap // 8) * 8, info
+    assert info["fill_ratio"] >= 0.8, info
+
+    # spilled rows stay findable: recall vs the exact oracle holds
+    hits = 0
+    for _ in range(20):
+        q = vectors[rng.integers(0, n)] + 0.01 * rng.normal(size=dim).astype(np.float32)
+        want = set(_exact_topk(vectors, q, 10))
+        got = {h.row for h in index.search(q, 10, n_probe=16, pin_probe=True)[0]}
+        hits += len(want & got)
+    assert hits / 200 >= 0.9, hits / 200
+
+
+def test_refined_far_probes_hold_recall():
+    """Coarse-then-refine: wide probing through the partial-dim screen +
+    exact shortlist rescore must match full wide probing's recall on a
+    clustered corpus."""
+    rng = np.random.default_rng(11)
+    dim = 128
+    vectors, docs = _corpus(rng, 20_000, dim)
+    full = IVFIndex(dim=dim, n_lists=128, n_probe=4)
+    full.add(vectors, docs)
+    full.rebuild()
+    refined = IVFIndex(dim=dim, n_lists=128, n_probe=4,
+                       refine_dims=dim // 4, refine_shortlist=512)
+    refined.add(vectors, docs)
+    refined.rebuild(seed=0)
+
+    recall_full = recall_refined = 0
+    queries = 25
+    for _ in range(queries):
+        q = vectors[rng.integers(0, len(vectors))] + \
+            0.05 * rng.normal(size=dim).astype(np.float32)
+        want = set(_exact_topk(vectors, q, 10))
+        got_f = {h.row for h in full.search(q, 10, n_probe=32, pin_probe=True)[0]}
+        got_r = {h.row for h in refined.search(q, 10, n_probe=32, pin_probe=True)[0]}
+        recall_full += len(want & got_f)
+        recall_refined += len(want & got_r)
+    # the refined path may lose only a little recall vs full wide probing
+    assert recall_refined >= recall_full - 0.03 * queries * 10, (
+        recall_refined, recall_full)
+    # and must beat the narrow base probe alone
+    recall_base = 0
+    for _ in range(queries):
+        q = vectors[rng.integers(0, len(vectors))] + \
+            0.05 * rng.normal(size=dim).astype(np.float32)
+        want = set(_exact_topk(vectors, q, 10))
+        got_b = {h.row for h in refined.search(q, 10, n_probe=4, pin_probe=True)[0]}
+        recall_base += len(want & got_b)
+    assert recall_refined / queries > recall_base / queries + 0.3
+
+
+def test_refined_int8_path():
+    rng = np.random.default_rng(13)
+    dim = 128
+    vectors, docs = _corpus(rng, 8_000, dim)
+    index = IVFIndex(dim=dim, device_dtype="int8", n_lists=64, n_probe=4,
+                     refine_dims=dim // 4, refine_shortlist=256)
+    index.add(vectors, docs)
+    index.rebuild()
+    hits = 0
+    for _ in range(15):
+        q = vectors[rng.integers(0, len(vectors))]
+        want = set(_exact_topk(vectors, q, 10))
+        got = {h.row for h in index.search(q, 10, n_probe=16, pin_probe=True)[0]}
+        hits += len(want & got)
+    assert hits / 150 >= 0.85, hits / 150
