@@ -527,15 +527,20 @@ class IVFIndex(FlatIndex):
         else:
             nprobe = base
 
+        # in refined mode, the index's configured n_probe is the EXACT-stage
+        # width; any wider request (policy, escalation, or a pinned curve
+        # point) sends the extra probes through the partial-dim screen
+        split = min(self.n_probe, self.n_lists)
+
         def _run(nprobe_now: int):
-            # refined mode: beyond the base width, extra probes go through
+            # refined mode: beyond the split width, extra probes go through
             # the cheap partial-dim screen + exact shortlist rescore — wide
             # (high-recall) probing stops costing linear-in-nprobe
-            if self.refine_dims and nprobe_now > base:
+            if self.refine_dims and nprobe_now > split:
                 vals, rows = _ivf_search_refined_kernel(
                     state["vectors"], state["row_scales"], full_mask,
                     state["centroids"], state["list_table"],
-                    jnp.asarray(queries), base, nprobe_now - base,
+                    jnp.asarray(queries), split, nprobe_now - split,
                     min(self.refine_dims, self.dim),
                     self.refine_shortlist, k_eff, self._int8,
                 )

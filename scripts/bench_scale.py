@@ -196,31 +196,78 @@ def bench_ivf_scale(n=1_000_000, dim=1024, k=10, n_lists=1024,
 
         return many
 
-    for nprobe in probes:
-        # recall through the product host path (one batched call)
-        got = index.search(queries, k, n_probe=nprobe)
-        recall = float(np.mean([
-            len({r.row for r in hits} & want) / k
-            for hits, want in zip(got, oracle)
-        ]))
-        # in-graph QPS at serving batch size
-        qb = jnp.asarray(qn[:batch])
-        many = make_many(nprobe)
-        operands = (qb, state["vectors"], state["row_scales"],
-                    state["centroids"], state["list_table"], full_mask)
+    def make_many_refined(split, far, refine_dims, shortlist):
+        from automative_rag_tpu.index.ivf import _ivf_search_refined_kernel
+
+        @jax.jit
+        def many(q, vectors, row_scales, centroids, list_table, full_mask):
+            def body(carry, _):
+                vals, _rows = _ivf_search_refined_kernel(
+                    vectors, row_scales, full_mask, centroids, list_table,
+                    carry, split, far, refine_dims, shortlist, k, int8,
+                )
+                carry = carry + (vals[0, 0] * 0).astype(carry.dtype)
+                return carry, vals[:, 0]
+
+            _, outs = jax.lax.scan(body, q, None, length=REPS)
+            return outs
+
+        return many
+
+    def time_many(many, operands):
         np.asarray(many(*operands))  # compile
         samples = []
         for _ in range(3):
             t0 = time.perf_counter()
             np.asarray(many(*operands))
             samples.append((time.perf_counter() - t0) / REPS)
-        per_call = float(np.percentile(samples, 50))
+        return float(np.percentile(samples, 50))
+
+    qb = jnp.asarray(qn[:batch])
+    operands = (qb, state["vectors"], state["row_scales"],
+                state["centroids"], state["list_table"], full_mask)
+    split, refine_dims, shortlist = probes[0], max(64, dim // 4), 2048
+    for nprobe in probes:
+        # recall through the product host path (one batched call)
+        index.refine_dims = 0
+        got = index.search(queries, k, n_probe=nprobe, pin_probe=True)
+        recall = float(np.mean([
+            len({r.row for r in hits} & want) / k
+            for hits, want in zip(got, oracle)
+        ]))
+        per_call = time_many(make_many(nprobe), operands)
         out["probes"][nprobe] = {
             "recall_at_10": round(recall, 4),
             "latency_ms_per_batch": round(per_call * 1000, 3),
             "qps": round(batch / per_call, 1),
         }
         print("ivf_1m probe", nprobe, out["probes"][nprobe], flush=True)
+
+        # coarse-then-refine: same probe width, far probes screened on
+        # refine_dims dims + exact shortlist rescore (high-recall points
+        # stop costing linear-in-nprobe)
+        if nprobe > split:
+            index.refine_dims = refine_dims
+            index.refine_shortlist = shortlist
+            index.n_probe = split
+            got = index.search(queries, k, n_probe=nprobe, pin_probe=True)
+            recall_r = float(np.mean([
+                len({r.row for r in hits} & want) / k
+                for hits, want in zip(got, oracle)
+            ]))
+            per_call = time_many(
+                make_many_refined(split, nprobe - split, refine_dims,
+                                  shortlist), operands)
+            out["probes"][f"{nprobe}_refined"] = {
+                "recall_at_10": round(recall_r, 4),
+                "latency_ms_per_batch": round(per_call * 1000, 3),
+                "qps": round(batch / per_call, 1),
+                "split": split, "refine_dims": refine_dims,
+                "shortlist": shortlist,
+            }
+            print("ivf_1m probe refined", nprobe,
+                  out["probes"][f"{nprobe}_refined"], flush=True)
+    out["fill_ratio"] = info.get("fill_ratio")
     return out
 
 
