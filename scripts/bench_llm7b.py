@@ -77,6 +77,9 @@ def main():
     parser.add_argument("--long-prompt", type=int, default=1024,
                         help="extra b1 prefill measurement (0 = skip)")
     parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument("--spec", action="store_true",
+                        help="batched speculative decoding section only "
+                             "(int8 weights, b1 + b8, copy-heavy + random)")
     args = parser.parse_args()
 
     import jax
@@ -100,6 +103,62 @@ def main():
         "kv_cache_bits": args.kv_bits,
     }
     rng = np.random.default_rng(0)
+
+    if args.spec:
+        # batched speculative decoding at 7B (VERDICT r2 next #3): per-row
+        # drafts + one (K+1)-wide verify; facts-mode serving runs greedy
+        # b8, so this is the direct QPS lever. Copy model (o/down zeroed →
+        # output repeats → all drafts accepted) bounds the best case;
+        # random weights bound the no-match floor.
+        import jax.numpy as jnp
+
+        model = build_model(8, args.kv_bits)
+        report["spec"] = {}
+
+        def zero_copy_breakers(path, leaf):
+            keys = [getattr(p, "key", "") for p in path]
+            if "kernel_q" in keys and ("o_proj" in keys or "down_proj" in keys):
+                return jnp.zeros_like(leaf)
+            return leaf
+
+        copy_params = jax.tree_util.tree_map_with_path(
+            zero_copy_breakers, model.params)
+        plain_params = model.params
+        for name, params in (("copy", copy_params), ("random", plain_params)):
+            model.params = params
+            for b in args.batches:
+                prompt = rng.integers(3, 152064,
+                                      size=(b, args.prompt_len)).astype(np.int32)
+                model.generate_tokens(prompt, max_new_tokens=args.new_tokens)
+                model.generate_tokens_spec(prompt,
+                                           max_new_tokens=args.new_tokens)
+                log(f"spec {name} b{b}: compiled")
+                plain_t, spec_t, n_fwd = [], [], 0
+                for _ in range(args.reps):
+                    t0 = time.perf_counter()
+                    out = model.generate_tokens(
+                        prompt, max_new_tokens=args.new_tokens)
+                    plain_t.append(time.perf_counter() - t0)
+                    t0 = time.perf_counter()
+                    out_s, n_fwd = model.generate_tokens_spec(
+                        prompt, max_new_tokens=args.new_tokens)
+                    spec_t.append(time.perf_counter() - t0)
+                plain_p50 = sorted(plain_t)[len(plain_t) // 2]
+                spec_p50 = sorted(spec_t)[len(spec_t) // 2]
+                n_new = out.shape[1] - args.prompt_len
+                agree = float(np.mean(out == out_s))
+                report["spec"][f"{name}_b{b}"] = {
+                    "plain_p50_s": round(plain_p50, 3),
+                    "spec_p50_s": round(spec_p50, 3),
+                    "speedup": round(plain_p50 / spec_p50, 2),
+                    "decode_forwards": n_fwd,
+                    "tokens_per_row": int(n_new),
+                    "spec_tokens_per_s": round(b * n_new / spec_p50, 1),
+                    "token_agreement": round(agree, 4),
+                }
+                log(f"spec {name} b{b}: {report['spec'][f'{name}_b{b}']}")
+        print(json.dumps(report))
+        return
 
     for bits in args.bits:
         t0 = time.perf_counter()
