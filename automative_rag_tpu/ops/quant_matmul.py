@@ -58,30 +58,41 @@ def unpack_w4(packed: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     return jnp.concatenate([low, high], axis=0).astype(dtype)
 
 
-def _w4_kernel(xlo_ref, xhi_ref, p_ref, scale_ref, o_ref, acc_ref):
+def _w4_kernel(xlo_ref, xhi_ref, p_ref, scale_ref, o_ref, acc_ref, sum_ref):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        sum_ref[:] = jnp.zeros_like(sum_ref)
 
-    # nibble arithmetic in int32: Mosaic does not legalize int8 subi on the
-    # VPU (observed: "failed to legalize operation 'arith.subi'")
+    # Offset trick: matmul against the RAW nibbles (0..15) and fold the −8
+    # zero-point out of the elementwise path — W = nib − 8 means
+    # y = x@nib − 8·rowsum(x), and rowsum(x) is one cheap reduction per
+    # tile instead of a per-weight-element subtract. Halves the VPU unpack
+    # arithmetic, which is what bounds decode (M is tiny, the MXU idles).
+    # Nibble ops in int32: Mosaic does not legalize int8 subi on the VPU.
     p = p_ref[:].astype(jnp.int32)  # [bk, bn]
-    low = ((p & 0xF) - 8).astype(xlo_ref.dtype)
-    high = ((p >> 4) - 8).astype(xlo_ref.dtype)
+    low = (p & 0xF).astype(xlo_ref.dtype)
+    high = (p >> 4).astype(xlo_ref.dtype)
+    xlo = xlo_ref[:]
+    xhi = xhi_ref[:]
     acc_ref[:] += jax.lax.dot_general(
-        xlo_ref[:], low, (((1,), (0,)), ((), ())),
+        xlo, low, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + jax.lax.dot_general(
-        xhi_ref[:], high, (((1,), (0,)), ((), ())),
+        xhi, high, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    sum_ref[:] += jnp.sum(
+        xlo.astype(jnp.float32) + xhi.astype(jnp.float32),
+        axis=1, keepdims=True,
+    )  # [bm, 1] broadcast into the lane-replicated [bm, 128] scratch
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _finish():
-        o_ref[:] = (acc_ref[:] * scale_ref[0, :].astype(jnp.float32)
-                    ).astype(o_ref.dtype)
+        o_ref[:] = ((acc_ref[:] - 8.0 * sum_ref[:, :1])
+                    * scale_ref[0, :].astype(jnp.float32)).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -140,7 +151,8 @@ def w4_matmul(
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32),
+                        pltpu.VMEM((bm, 128), jnp.float32)],
         interpret=interpret,
     )(x_lo, x_hi, packed, scale2)
     return out[:m, :n]
