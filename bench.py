@@ -23,7 +23,15 @@ import time
 
 import numpy as np
 
-REPS = 10
+# Reps inside the jitted lax.scan. The relay's ~26 ms PER-DISPATCH round
+# trip divides by REPS in every per-rep number: at REPS=10 a 0.1 ms kernel
+# reads as 2.7 ms (this exact mistake produced the r02 "3.05 ms" MaxSim
+# headline — the kernel was at its bandwidth floor all along, see
+# MAXSIM_TUNE_r03.json). 200 reps push the amortized overhead to ~0.13 ms;
+# the dispatch-free kernel time is additionally resolved by a two-point
+# linear fit (slope between REPS=50 and REPS=200 totals).
+REPS = 200
+REPS_LO = 50
 
 
 def _enable_compile_cache():
@@ -66,32 +74,56 @@ def bench_maxsim(n_docs=100, ld=256, lq=32, dim=1024, trials=5, dtype="bfloat16"
         docs_t = jnp.asarray(raw, jnp.bfloat16)
         d_scales = None
 
-    if on_tpu:
-        score = lambda q: maxsim_scores_pallas(
-            q, q_mask, docs_t, d_mask, token_major=True, d_scales=d_scales)
-    else:
-        docs_std = (docs_t.astype(jnp.float32) * d_scales[:, :, None]
-                    if d_scales is not None else docs_t).transpose(1, 0, 2)
-        score = lambda q: maxsim_scores_ref(q, q_mask, docs_std, d_mask)
+    if not on_tpu:
+        docs_t = (docs_t.astype(jnp.float32) * d_scales[:, :, None]
+                  if d_scales is not None
+                  else docs_t.astype(jnp.float32)).transpose(1, 0, 2)
 
-    @jax.jit
-    def many(q):
-        def body(carry, _):
-            out = score(carry)
-            # serialize reps: next query depends on this output
-            carry = carry + (out[0, 0] * 0).astype(carry.dtype)
-            return carry, out[0, 0]
+    # doc slab as an ARGUMENT (device buffer), scan reps serialized by a
+    # carry dependency; per-rep time measured at two scan lengths so the
+    # per-dispatch relay overhead can be fit out (see REPS note above)
+    def make_many(reps):
+        @jax.jit
+        def many(q, docs_arg, scales_arg):
+            def body(carry, _):
+                if on_tpu:
+                    out = maxsim_scores_pallas(
+                        carry, q_mask, docs_arg, d_mask, token_major=True,
+                        d_scales=scales_arg if dtype == "int8" else None)
+                else:
+                    out = maxsim_scores_ref(carry, q_mask, docs_arg, d_mask)
+                # serialize reps: next query depends on this output
+                carry = carry + (out[0, 0] * 0).astype(carry.dtype)
+                return carry, out[0, 0]
 
-        _, outs = jax.lax.scan(body, q, None, length=REPS)
-        return outs
+            _, outs = jax.lax.scan(body, q, None, length=reps)
+            return outs
 
-    np.asarray(many(q0))  # compile + warm
-    samples = []
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        np.asarray(many(q0))
-        samples.append((time.perf_counter() - t0) * 1000.0 / REPS)
-    return float(np.percentile(samples, 50)), on_tpu
+        return many
+
+    docs_dev = jax.device_put(docs_t)
+    scales_dev = jax.device_put(
+        d_scales if d_scales is not None else jnp.zeros(1, jnp.float32))
+
+    def p50_total(reps):
+        many = make_many(reps)
+        np.asarray(many(q0, docs_dev, scales_dev))  # compile + warm
+        samples = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            np.asarray(many(q0, docs_dev, scales_dev))
+            samples.append((time.perf_counter() - t0) * 1000.0)
+        return float(np.percentile(samples, 50))
+
+    # the CPU fallback kernel runs ~500 ms/rep — long scans are pointless
+    # there (no relay dispatch to amortize either)
+    reps_hi, reps_lo = (REPS, REPS_LO) if on_tpu else (4, 2)
+    total_hi = p50_total(reps_hi)
+    total_lo = p50_total(reps_lo)
+    per_rep = total_hi / reps_hi
+    kernel_ms = max(0.0, (total_hi - total_lo) / (reps_hi - reps_lo))
+    dispatch_ms = max(0.0, total_hi - kernel_ms * reps_hi)
+    return per_rep, on_tpu, kernel_ms, dispatch_ms
 
 
 def bench_flat_search(n=100_000, dim=1024, k=20, batch=8, trials=3, dtype="bfloat16"):
@@ -121,6 +153,8 @@ def bench_flat_search(n=100_000, dim=1024, k=20, batch=8, trials=3, dtype="bfloa
 
     # corpus passed as an argument — closure constants get baked into the
     # executable and shipped through the remote compiler
+    reps = REPS if jax.devices()[0].platform != "cpu" else 3
+
     @jax.jit
     def many(q, vectors, row_scales):
         def body(carry, _):
@@ -135,7 +169,7 @@ def bench_flat_search(n=100_000, dim=1024, k=20, batch=8, trials=3, dtype="bfloa
             carry = carry + (vals[0, 0] * 0).astype(carry.dtype)
             return carry, vals[:, 0]
 
-        _, outs = jax.lax.scan(body, q, None, length=REPS)
+        _, outs = jax.lax.scan(body, q, None, length=reps)
         return outs
 
     vectors = jax.device_put(vectors)
@@ -145,7 +179,7 @@ def bench_flat_search(n=100_000, dim=1024, k=20, batch=8, trials=3, dtype="bfloa
     for _ in range(trials):
         t0 = time.perf_counter()
         np.asarray(many(q0, vectors, row_scales))
-        samples.append((time.perf_counter() - t0) / REPS)
+        samples.append((time.perf_counter() - t0) / reps)
     per_call = float(np.percentile(samples, 50))
     return batch / per_call
 
@@ -200,13 +234,17 @@ def main():
             jax.config.update("jax_platforms", "cpu")
         except RuntimeError:
             pass
-    p50_ms, on_tpu = bench_maxsim()
-    side = {}
+    p50_ms, on_tpu, kernel_ms, dispatch_ms = bench_maxsim()
+    side = {
+        "maxsim_kernel_fit_ms": round(kernel_ms, 4),
+        "maxsim_dispatch_overhead_ms": round(dispatch_ms, 2),
+    }
     try:
-        int8_ms, _ = bench_maxsim(dtype="int8")
+        int8_ms, _, int8_kernel_ms, _ = bench_maxsim(dtype="int8")
         side["maxsim_int8_p50_ms"] = round(int8_ms, 4)
-        print(f"[side] MaxSim int8 doc tokens: {int8_ms:.3f} ms p50",
-              file=sys.stderr)
+        side["maxsim_int8_kernel_fit_ms"] = round(int8_kernel_ms, 4)
+        print(f"[side] MaxSim int8 doc tokens: {int8_ms:.3f} ms p50 "
+              f"({int8_kernel_ms:.3f} ms dispatch-free)", file=sys.stderr)
     except Exception as exc:  # noqa: BLE001 — side metric only
         print(f"[side] int8 MaxSim bench failed: {exc}", file=sys.stderr)
     for dtype in ("bfloat16", "int8"):
@@ -260,7 +298,13 @@ def main():
                     "dtype": "bfloat16",
                     "backend": "pallas" if on_tpu else "xla-cpu",
                     "target_ms": target_ms,
-                    "timing": f"lax.scan x{REPS}, serialized carry, host-fetch sync",
+                    "timing": (
+                        f"lax.scan x{REPS}, serialized carry, host-fetch "
+                        f"sync; per-rep includes ~26ms relay dispatch /"
+                        f"{REPS}; maxsim_kernel_fit_ms is the dispatch-free "
+                        f"two-length fit (r02 headline 3.05ms was this "
+                        f"overhead at x10)"
+                    ),
                     **side,
                     **(
                         {}

@@ -147,11 +147,10 @@ def main():
         report["xla_ref"] = f"FAILED: {str(exc)[:120]}"
     print("xla_ref", report["xla_ref"], file=sys.stderr, flush=True)
 
-    # --- pallas variants ---
+    # --- pallas variants (docs captured as a closure CONSTANT) ---
     for name, kwargs in (
         ("pallas_vmem4", dict(vmem_block_bytes=4 << 20)),
         ("pallas_vmem6", dict(vmem_block_bytes=6 << 20)),
-        ("pallas_bd256", dict(block_docs=256)),
     ):
         def pfn(q, kw=kwargs):
             return maxsim_scores_pallas(
@@ -162,6 +161,85 @@ def main():
         except Exception as exc:  # noqa: BLE001
             report[name] = f"FAILED: {str(exc)[:120]}"
         print(name, report[name], file=sys.stderr, flush=True)
+
+    # --- docs as a jitted ARGUMENT (device-resident buffer) ---
+    # Every ~3 ms row above shares one suspicious property: the doc slab is
+    # a closure-captured constant. bench_flat_search learned in r02 that
+    # captured constants go through the remote-compile transport; if they
+    # also live host-side at RUN time, every "HBM read" is actually a relay
+    # transfer (~20-40 GB/s) — which would explain a read-only kernel, the
+    # XLA path, and the pallas kernel all pinning at ~3 ms for a 64 MB slab
+    # while the 7B decode streams real HBM at ~657 GB/s.
+    def make_args_variant(use_pallas):
+        @jax.jit
+        def many(q, docs_arg, d_mask_arg):
+            def body(carry, _):
+                if use_pallas:
+                    out = maxsim_scores_pallas(
+                        carry, q_mask, docs_arg, d_mask_arg,
+                        token_major=True)
+                else:
+                    out = maxsim_scores_ref(
+                        carry, q_mask,
+                        jnp.transpose(docs_arg, (1, 0, 2)), d_mask_arg)
+                carry = carry + (out.ravel()[0] * 0).astype(carry.dtype)
+                return carry, out.ravel()[0]
+
+            _, outs = jax.lax.scan(body, q, None, length=REPS)
+            return outs
+
+        return many
+
+    docs_dev = jax.device_put(docs_t)
+    mask_dev = jax.device_put(d_mask)
+    for name, use_pallas in (("pallas_args", True), ("xla_args", False)):
+        try:
+            many = make_args_variant(use_pallas)
+            np.asarray(many(q0, docs_dev, mask_dev))
+            samples = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                np.asarray(many(q0, docs_dev, mask_dev))
+                samples.append((time.perf_counter() - t0) * 1e3 / REPS)
+            report[name] = {"p50_ms": round(float(np.percentile(samples, 50)), 3)}
+        except Exception as exc:  # noqa: BLE001
+            report[name] = f"FAILED: {str(exc)[:160]}"
+        print(name, report[name], file=sys.stderr, flush=True)
+
+    # int8 docs as argument
+    scales = np.abs(raw).max(axis=2) / 127.0
+    docs_i8 = jnp.asarray(np.clip(
+        np.round(raw / np.maximum(scales, 1e-12)[:, :, None]), -127, 127),
+        jnp.int8)
+    d_scales = jnp.asarray(scales, jnp.float32)
+
+    @jax.jit
+    def many_i8(q, docs_arg, scales_arg, d_mask_arg):
+        def body(carry, _):
+            out = maxsim_scores_pallas(
+                carry, q_mask, docs_arg, d_mask_arg, token_major=True,
+                d_scales=scales_arg)
+            carry = carry + (out.ravel()[0] * 0).astype(carry.dtype)
+            return carry, out.ravel()[0]
+
+        _, outs = jax.lax.scan(body, q, None, length=REPS)
+        return outs
+
+    try:
+        operands = (q0, jax.device_put(docs_i8), jax.device_put(d_scales),
+                    mask_dev)
+        np.asarray(many_i8(*operands))
+        samples = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(many_i8(*operands))
+            samples.append((time.perf_counter() - t0) * 1e3 / REPS)
+        report["pallas_int8_args"] = {
+            "p50_ms": round(float(np.percentile(samples, 50)), 3)}
+    except Exception as exc:  # noqa: BLE001
+        report["pallas_int8_args"] = f"FAILED: {str(exc)[:160]}"
+    print("pallas_int8_args", report["pallas_int8_args"], file=sys.stderr,
+          flush=True)
 
     print(json.dumps(report))
 
