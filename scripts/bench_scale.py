@@ -18,7 +18,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
-REPS = 10
+# 50 reps amortize the relay's ~26 ms per-dispatch round trip to ~0.5 ms
+# per rep (REPS=10 added 2.6 ms to every number — see MAXSIM_TUNE_r03.json)
+REPS = 50
 
 
 def _enable_cache():

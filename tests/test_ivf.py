@@ -381,3 +381,27 @@ def test_refined_int8_path():
         got = {h.row for h in index.search(q, 10, n_probe=16, pin_probe=True)[0]}
         hits += len(want & got)
     assert hits / 150 >= 0.85, hits / 150
+
+
+def test_refined_path_respects_filters():
+    """The probe-widening policy routes through the refined kernel when
+    refine_dims is set — the partial-dim screen must respect the filter
+    bitmask in both stages."""
+    rng = np.random.default_rng(17)
+    dim = 128
+    vectors, docs = _corpus(rng, 10_000, dim)
+    index = IVFIndex(dim=dim, n_lists=64, n_probe=4, refine_dims=32,
+                     refine_shortlist=512)
+    index.add(vectors, docs)
+    index.rebuild()
+    flt = {"manufacturer": "manu-2"}
+    mask = np.array([d.metadata["manufacturer"] == "manu-2" for d in docs])
+    hits = 0
+    for _ in range(15):
+        q = vectors[rng.integers(0, len(vectors))] + \
+            0.05 * rng.normal(size=dim).astype(np.float32)
+        want = set(_exact_topk(vectors, q, 10, row_mask=mask))
+        got = {h.row for h in index.search(q, 10, metadata_filter=flt)[0]}
+        assert all(docs[r].metadata["manufacturer"] == "manu-2" for r in got)
+        hits += len(want & got)
+    assert hits / 150 >= 0.85, hits / 150

@@ -690,3 +690,20 @@ def test_speculative_sampling_deterministic_and_near_greedy(tiny):
     tiny_t, _ = tiny.generate_tokens_spec(prompt, max_new_tokens=10,
                                           temperature=0.9, top_p=1e-6, seed=5)
     np.testing.assert_array_equal(tiny_t, greedy)  # top_p→0 keeps argmax only
+
+
+def test_batched_spec_overshoot_near_window_end():
+    """Copy-heavy + ragged + tiny output windows: accepted runs overshoot
+    into the scratch slots while other rows finish — output must still be
+    identical to the plain ragged loop for every window size."""
+    model = _copy_model(seed=21)
+    rng = np.random.default_rng(3)
+    for n_new in (3, 5, 9, 17):
+        prompts = [rng.integers(3, 256, size=n).astype(np.int32)
+                   for n in (3, 9, 6)]
+        want = model.generate_ragged(prompts, max_new_tokens=n_new,
+                                     temperature=0.0)
+        got, n_fwd = model.generate_ragged_spec(prompts, max_new_tokens=n_new)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+        assert n_fwd <= n_new
