@@ -354,29 +354,46 @@ def balance_assignments(
         overflow_rows = sim_order[ranks_sim >= cap]
     else:
         overflow_rows = order[ranks >= cap]
-    homeless = []
-    for row in overflow_rows:
-        dst = second[row]
-        if counts[dst] < cap:
-            counts[assignments[row]] -= 1
-            counts[dst] += 1
-            assignments[row] = dst
-        else:
-            homeless.append(row)
-    if homeless and normalized is not None and centroids is not None:
-        homeless = np.asarray(homeless)
-        # device matmul: affinity of each homeless row to every centroid
+
+    def accept_per_dest(rows, dests):
+        """Vectorized capacity-aware acceptance (a Python per-row loop here
+        is 20+ minutes at 1M rows): for each destination list, the first
+        (cap − count) candidate rows in order are taken."""
+        take_order = np.argsort(dests, kind="stable")
+        sorted_dest = dests[take_order]
+        dest_starts = np.searchsorted(sorted_dest, np.arange(n_lists))
+        rank_within = (np.arange(len(rows), dtype=np.int64)
+                       - dest_starts[sorted_dest])
+        ok_sorted = rank_within < (cap - counts)[sorted_dest]
+        accepted = np.zeros(len(rows), bool)
+        accepted[take_order] = ok_sorted
+        return accepted
+
+    def move(rows, dests):
+        np.subtract.at(counts, assignments[rows], 1)
+        np.add.at(counts, dests, 1)
+        assignments[rows] = dests
+
+    sec = second[overflow_rows]
+    ok = accept_per_dest(overflow_rows, sec)
+    move(overflow_rows[ok], sec[ok])
+    homeless = overflow_rows[~ok]
+    if homeless.size and normalized is not None and centroids is not None:
+        # device matmul: affinity of each homeless row to every centroid;
+        # then round-based vectorized placement — round r offers every
+        # still-homeless row its r-th choice, capacity-gated
         affinity = np.asarray(jnp.asarray(
             normalized[homeless], jnp.float32
         ) @ jnp.asarray(centroids, jnp.float32).T)
         pref = np.argsort(-affinity, axis=1)
-        for i, row in enumerate(homeless):
-            for dst in pref[i]:
-                if counts[dst] < cap:
-                    counts[assignments[row]] -= 1
-                    counts[dst] += 1
-                    assignments[row] = dst
-                    break
+        alive = np.arange(homeless.shape[0])
+        for r in range(n_lists):
+            if alive.size == 0:
+                break
+            dests = pref[alive, r]
+            ok = accept_per_dest(homeless[alive], dests)
+            move(homeless[alive][ok], dests[ok])
+            alive = alive[~ok]
     return assignments
 
 
