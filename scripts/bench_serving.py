@@ -1,0 +1,192 @@
+"""Continuous-batching serving bench: slot-pool engine vs static batches.
+
+Workload: requests with bucketed prompts arriving over time (Poisson), each
+decoding to ``--new`` tokens. Two servers:
+
+- ``static``: accumulate up to 8 requests, run one ``generate_ragged``
+  batch, repeat — every request in a batch waits for the slowest, and
+  arrivals during a batch wait for the next one (the reference's serving
+  model is the degenerate b1 version of this,
+  ``src/core/query/llm/local_llm.py:457-466``).
+- ``continuous``: ``serving.ServingEngine`` — admissions between decode
+  bursts; a request starts prefill at the next burst boundary.
+
+Reports aggregate tok/s, TTFT (submit → first token) and end-to-end
+latency p50/p95 for both, as JSON on the last stdout line.
+
+CPU (tiny config, wiring check):
+    python scripts/bench_serving.py
+On-chip 7B geometry:
+    python scripts/bench_serving.py --tpu [--rate 2.0 --n 24]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tpu", action="store_true",
+                    help="7B geometry int8 on the accelerator")
+    ap.add_argument("--n", type=int, default=16, help="number of requests")
+    ap.add_argument("--rate", type=float, default=0.0,
+                    help="arrival rate req/s (0 = all at t=0)")
+    ap.add_argument("--prompt", type=int, default=0,
+                    help="prompt length (default: geometry-dependent)")
+    ap.add_argument("--new", type=int, default=0,
+                    help="tokens to generate per request")
+    ap.add_argument("--burst", type=int, default=16)
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--skip-static", action="store_true")
+    args = ap.parse_args()
+
+    if not args.tpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        os.environ.setdefault(
+            "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+    import jax
+    import numpy as np
+
+    from automative_rag_tpu.models.qwen2 import Qwen2Config, Qwen2Model
+    from automative_rag_tpu.serving import ServingEngine
+
+    on_tpu = jax.default_backend() == "tpu"
+    if args.tpu and not on_tpu:
+        print("accelerator unavailable", file=sys.stderr)
+
+    if args.tpu and on_tpu:
+        cfg = Qwen2Config(weight_bits=8)  # 7B serving geometry, int8
+        prompt_len = args.prompt or 512
+        new_tokens = args.new or 128
+        max_len = 1024
+        buckets = (512,) if prompt_len <= 512 else (1024,)
+    else:
+        cfg = Qwen2Config.tiny_test()
+        prompt_len = args.prompt or 24
+        new_tokens = args.new or 32
+        max_len = 128
+        buckets = (32,)
+
+    t0 = time.time()
+    model = Qwen2Model(cfg, seed=1)
+    print(f"model built in {time.time()-t0:.1f}s "
+          f"(backend={jax.default_backend()})", file=sys.stderr)
+
+    rng = np.random.default_rng(args.seed)
+    prompts = [rng.integers(10, min(cfg.vocab_size - 10, 50_000),
+                            size=prompt_len).astype(np.int32)
+               for _ in range(args.n)]
+    if args.rate > 0:
+        gaps = rng.exponential(1.0 / args.rate, size=args.n)
+        arrivals = np.cumsum(gaps)
+        arrivals -= arrivals[0]
+    else:
+        arrivals = np.zeros(args.n)
+
+    def pct(xs, q):
+        return float(np.percentile(np.asarray(xs), q)) if len(xs) else 0.0
+
+    # ---------------------------------------------------- continuous
+    eng = ServingEngine(model, max_slots=args.slots, max_len=max_len,
+                        prompt_buckets=buckets, burst=args.burst)
+    # warm compiles outside the timed window
+    w = eng.submit(prompts[0], max_new_tokens=max(args.burst + 2, 4))
+    eng.run_until_idle()
+    w.result()
+    print("continuous: compiled", file=sys.stderr)
+
+    ttft, e2e = [], []
+    start = time.time()
+    reqs = []
+    next_i = 0
+    while len(e2e) < args.n:
+        now = time.time() - start
+        while next_i < args.n and arrivals[next_i] <= now:
+            reqs.append(eng.submit(prompts[next_i],
+                                   max_new_tokens=new_tokens))
+            next_i += 1
+        if next_i < args.n and not any(eng._slots) and not eng._pending:
+            time.sleep(min(0.005, arrivals[next_i] - now))
+            continue
+        eng.step()
+        done = [r for r in reqs if r.finished]
+        for r in done:
+            ttft.append(r.started_at - r.submitted_at)
+            e2e.append(r.finished_at - r.submitted_at)
+            reqs.remove(r)
+    cont_wall = time.time() - start
+    total_tokens = args.n * new_tokens
+    continuous = {
+        "wall_s": round(cont_wall, 3),
+        "tokens_per_s": round(total_tokens / cont_wall, 1),
+        "ttft_p50_s": round(pct(ttft, 50), 3),
+        "ttft_p95_s": round(pct(ttft, 95), 3),
+        "e2e_p50_s": round(pct(e2e, 50), 3),
+        "e2e_p95_s": round(pct(e2e, 95), 3),
+        "bursts": eng.stats["bursts"],
+    }
+    print(f"continuous: {continuous}", file=sys.stderr)
+
+    # ------------------------------------------------------- static b8
+    static = None
+    if not args.skip_static:
+        warm = model.generate_ragged(
+            [p for p in prompts[: args.slots]],
+            max_new_tokens=new_tokens)
+        del warm
+        print("static: compiled", file=sys.stderr)
+        sub_t = list(arrivals)
+        done_t, start_t = {}, {}
+        start = time.time()
+        i = 0
+        while i < args.n:
+            batch = []
+            # wait for at least one arrival
+            while not batch:
+                now = time.time() - start
+                batch = [j for j in range(i, args.n) if sub_t[j] <= now]
+                if not batch:
+                    time.sleep(0.002)
+            batch = batch[: args.slots]
+            for j in batch:
+                start_t[j] = time.time() - start
+            model.generate_ragged([prompts[j] for j in batch],
+                                  max_new_tokens=new_tokens)
+            for j in batch:
+                done_t[j] = time.time() - start
+            i = batch[-1] + 1
+        stat_wall = time.time() - start
+        lat = [done_t[j] - sub_t[j] for j in range(args.n)]
+        static = {
+            "wall_s": round(stat_wall, 3),
+            "tokens_per_s": round(total_tokens / stat_wall, 1),
+            "e2e_p50_s": round(pct(lat, 50), 3),
+            "e2e_p95_s": round(pct(lat, 95), 3),
+        }
+        print(f"static: {static}", file=sys.stderr)
+
+    out = {
+        "bench": "serving_continuous_batching",
+        "backend": jax.default_backend(),
+        "geometry": {"d_model": cfg.d_model, "layers": cfg.num_layers,
+                     "weight_bits": cfg.weight_bits},
+        "n_requests": args.n, "prompt_len": prompt_len,
+        "new_tokens": new_tokens, "rate_req_s": args.rate,
+        "slots": args.slots, "burst": args.burst,
+        "continuous": continuous, "static_b8": static,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Continuous-batching serving engine (serving/engine.py).
+
+The core invariant: a request's token stream through the slot-pool engine
+is identical to running that request alone through
+``Qwen2Model.generate_tokens`` (greedy) — continuous batching changes
+scheduling, never tokens. Mirrors the reference's serving contract
+(``src/core/query/llm/local_llm.py:457-466`` generates per-request; this
+engine batches without altering per-request output)."""
+
+import numpy as np
+import pytest
+
+from automative_rag_tpu.models.qwen2 import Qwen2Config, Qwen2Model
+from automative_rag_tpu.serving import ServingEngine
+
+
+@pytest.fixture(scope="module")
+def model():
+    return Qwen2Model(Qwen2Config.tiny_test(), seed=3)
+
+
+def _solo(model, prompt, max_new, **kw):
+    """Oracle: batch-1 whole-loop generation, truncated at first EOS."""
+    out = model.generate_tokens(np.asarray(prompt), max_new_tokens=max_new,
+                                **kw)[0]
+    gen = out[len(prompt):]
+    eos = np.where(gen == model.config.eos_token)[0]
+    if eos.size:
+        gen = gen[: eos[0]]
+    return [int(t) for t in gen]
+
+
+def _engine(model, **kw):
+    kw.setdefault("max_slots", 4)
+    kw.setdefault("max_len", 96)
+    kw.setdefault("prompt_buckets", (8, 16, 32))
+    kw.setdefault("burst", 4)
+    return ServingEngine(model, **kw)
+
+
+def test_single_request_matches_solo_generation(model):
+    eng = _engine(model)
+    prompt = [5, 9, 14, 3, 7]
+    req = eng.submit(prompt, max_new_tokens=12)
+    eng.run_until_idle()
+    assert req.finished
+    assert req.result() == _solo(model, prompt, 12)
+
+
+def test_staggered_admissions_are_token_identical(model):
+    """Requests joining mid-stream must not perturb in-flight rows."""
+    eng = _engine(model)
+    prompts = [[5, 9, 14, 3, 7], [21, 8], [2, 4, 6, 8, 10, 12, 14, 16, 18],
+               [100, 101, 102], [7, 7, 7, 7]]
+    reqs = [eng.submit(prompts[0], max_new_tokens=10),
+            eng.submit(prompts[1], max_new_tokens=14)]
+    eng.step()  # admit + first burst
+    reqs.append(eng.submit(prompts[2], max_new_tokens=8))
+    eng.step()
+    reqs += [eng.submit(prompts[3], max_new_tokens=12),
+             eng.submit(prompts[4], max_new_tokens=10)]
+    eng.run_until_idle()
+    for prompt, req, n in zip(prompts, reqs, (10, 14, 8, 12, 10)):
+        assert req.result() == _solo(model, prompt, n), prompt
+
+
+def test_more_requests_than_slots_all_complete(model):
+    eng = _engine(model, max_slots=2)
+    prompts = [[i + 1, i + 2, i + 3] for i in range(6)]
+    reqs = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    eng.run_until_idle()
+    for prompt, req in zip(prompts, reqs):
+        assert req.result() == _solo(model, prompt, 6), prompt
+    assert eng.stats["requests_completed"] == 6
+    assert all(s is None for s in eng._slots)
+
+
+def test_eos_frees_slot_early(model):
+    """Build a sibling model whose EOS is a token greedy decoding actually
+    emits — generation must stop there and release the slot."""
+    prompt = [5, 9, 14, 3, 7]
+    base = _solo(model, prompt, 8)
+    assert len(base) == 8
+    eos_tok = base[3]
+    cfg = Qwen2Config.tiny_test()
+    cfg = Qwen2Config(**{**cfg.__dict__, "eos_token": int(eos_tok)})
+    sibling = Qwen2Model(cfg, seed=3)  # same seed → same weights
+    eng = _engine(sibling)
+    req = eng.submit(prompt, max_new_tokens=20)
+    eng.run_until_idle()
+    assert req.result() == base[:3]
+    assert all(s is None for s in eng._slots)
+
+
+def test_max_new_tokens_enforced(model):
+    eng = _engine(model)
+    req = eng.submit([4, 5, 6], max_new_tokens=5)
+    eng.run_until_idle()
+    assert len(req.result()) <= 5
+    assert req.result() == _solo(model, [4, 5, 6], 5)
+
+
+def test_mixed_sampling_batch_keeps_greedy_rows_exact(model):
+    """A sampled row sharing the batch must not perturb greedy rows."""
+    eng = _engine(model)
+    greedy = eng.submit([5, 9, 14, 3, 7], max_new_tokens=10)
+    eng.submit([8, 1, 5], max_new_tokens=10, temperature=0.9, top_p=0.9)
+    eng.run_until_idle()
+    assert greedy.result() == _solo(model, [5, 9, 14, 3, 7], 10)
+
+
+def test_streaming_callback_sees_every_token_in_order(model):
+    eng = _engine(model, burst=3)
+    seen = []
+    req = eng.submit([11, 12, 13], max_new_tokens=9,
+                     on_token=lambda toks: seen.extend(toks))
+    eng.run_until_idle()
+    want = req.result()
+    assert seen[: len(want)] == want
+
+
+def test_int8_kv_cache_serving(model):
+    cfg = Qwen2Config(**{**Qwen2Config.tiny_test().__dict__,
+                         "kv_cache_bits": 8})
+    m8 = Qwen2Model(cfg, seed=3)
+    eng = _engine(m8)
+    prompts = [[5, 9, 14, 3, 7], [21, 8, 4]]
+    reqs = [eng.submit(p, max_new_tokens=8) for p in prompts]
+    eng.run_until_idle()
+    for prompt, req in zip(prompts, reqs):
+        out = m8.generate_tokens(np.asarray(prompt), max_new_tokens=8)[0]
+        gen = out[len(prompt):]
+        eos = np.where(gen == cfg.eos_token)[0]
+        if eos.size:
+            gen = gen[: eos[0]]
+        assert req.result() == [int(t) for t in gen]
+
+
+def test_background_thread_drains_queue(model):
+    eng = _engine(model)
+    eng.start()
+    try:
+        reqs = [eng.submit([i + 2, i + 9], max_new_tokens=6)
+                for i in range(5)]
+        outs = [r.result(timeout=120) for r in reqs]
+    finally:
+        eng.stop()
+    for i, out in enumerate(outs):
+        assert out == _solo(model, [i + 2, i + 9], 6)
+
+
+def test_repetition_penalty_rows_match_solo(model):
+    eng = _engine(model)
+    prompt = [5, 9, 14, 3, 7, 9, 5]
+    req = eng.submit(prompt, max_new_tokens=10, repetition_penalty=1.3)
+    eng.run_until_idle()
+    assert req.result() == _solo(model, prompt, 10, repetition_penalty=1.3)
