@@ -120,6 +120,14 @@ class RAGApplication:
                     llm.model,
                     _jax.sharding.Mesh(_np.array(devices[:tp]), ("tp",)),
                 )
+        if self.settings.llm_concurrency > 1 and isinstance(llm, JaxCausalLM):
+            # N llm-queue workers feed one continuous-batching engine:
+            # concurrent queries share decode bursts (serving/engine.py)
+            llm.enable_serving(
+                max_slots=max(self.settings.llm_concurrency, 2),
+                max_len=self.settings.llm_serving_max_len,
+                burst=self.settings.llm_serving_burst,
+            )
         self.generator = AnswerGenerator(llm)
         self.validation_engine = ValidationEngine()
         self.analytics = AnalyticsService()
@@ -149,7 +157,8 @@ class RAGApplication:
         self.tracker = JobTracker(
             persist_path=self.settings.tracker_persist_path or None)
         self.queue_manager = QueueManager(
-            time_limit_s=self.settings.task_time_limit_s, start=start_workers
+            time_limit_s=self.settings.task_time_limit_s, start=start_workers,
+            concurrency={"llm_tasks": self.settings.llm_concurrency},
         )
         self.task_router = TaskRouter(self.queue_manager)
         self.job_chain = JobChain(

@@ -175,6 +175,15 @@ class Settings:
     llm_weight_bits: int = field(default_factory=lambda: _env("LLM_WEIGHT_BITS", 0))
     # 0/16 = bf16 KV caches; 8 = per-token int8 KV caches
     llm_kv_bits: int = field(default_factory=lambda: _env("LLM_KV_BITS", 0))
+    # >1 runs N llm-queue workers whose generations share decode bursts
+    # through the continuous-batching serving engine (serving/engine.py);
+    # 1 = the reference's serialized one-at-a-time generation
+    llm_concurrency: int = field(default_factory=lambda: _env("LLM_CONCURRENCY", 1))
+    # serving-engine knobs (used when llm_concurrency > 1)
+    llm_serving_max_len: int = field(
+        default_factory=lambda: _env("LLM_SERVING_MAX_LEN", 2048))
+    llm_serving_burst: int = field(
+        default_factory=lambda: _env("LLM_SERVING_BURST", 16))
     # split encoder batches data-parallel over the sharded index's mesh
     encoder_data_parallel: bool = field(
         default_factory=lambda: _env("ENCODER_DP", False, bool)

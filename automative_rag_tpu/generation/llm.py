@@ -132,10 +132,36 @@ class JaxCausalLM:
                 model_path, local_files_only=True
             )
         self.name = f"jax-qwen2:{model_path or 'random-init'}"
+        self._serving = None
+
+    def enable_serving(self, max_slots: int = 8, max_len: int = 2048,
+                       burst: int = 16):
+        """Route ``generate`` through the continuous-batching engine:
+        concurrent callers (N llm-queue workers, ``QueueManager``
+        concurrency) share decode bursts instead of serializing. Greedy
+        outputs stay token-identical to the direct path."""
+        if self._serving is None:
+            from ..serving import ServingEngine
+
+            self._serving = ServingEngine(
+                self.model, max_slots=max_slots, max_len=max_len,
+                burst=burst)
+            self._serving.start()
+        return self._serving
 
     def generate(self, prompt: str, params: Dict[str, Any]) -> str:
         ids = self.tokenizer(prompt)["input_ids"]
         temperature = params.get("temperature", 0.0)
+        if self._serving is not None:
+            req = self._serving.submit(
+                ids,
+                max_new_tokens=params.get("max_tokens", 512),
+                temperature=temperature,
+                top_p=params.get("top_p", 0.85),
+                repetition_penalty=params.get("repetition_penalty", 1.0),
+            )
+            return self.tokenizer.decode(
+                req.result(timeout=600), skip_special_tokens=True)
         if params.get("speculative", True):
             # single-sequence → prompt-lookup speculative decoding: up to
             # DRAFT_K+1 tokens per forward when the answer copies from the

@@ -67,9 +67,17 @@ class _Task:
 
 
 class QueueManager:
-    """Named queues, each drained by one serialized worker thread."""
+    """Named queues, each drained by one serialized worker thread.
 
-    def __init__(self, time_limit_s: float = 300.0, start: bool = True):
+    ``concurrency`` overrides the worker count per queue (default 1 —
+    the reference's one-model-owning serialized worker). The llm queue
+    is the intended user: with the continuous-batching serving engine
+    (``serving/engine.py``) N in-flight generation tasks share decode
+    bursts, so ``{"llm_tasks": N}`` turns concurrent queries into one
+    batched decode instead of a serial line."""
+
+    def __init__(self, time_limit_s: float = 300.0, start: bool = True,
+                 concurrency: Optional[Dict[str, int]] = None):
         self.time_limit_s = time_limit_s
         # fault injection hook (tests/chaos): called with the task name
         # before execution; raising simulates a worker fault. The reference
@@ -78,9 +86,15 @@ class QueueManager:
         self._queues: Dict[str, queue.Queue] = {
             name: queue.Queue() for name in QueueNames.all_queues()
         }
-        self._workers: Dict[str, threading.Thread] = {}
-        self._busy: Dict[str, Optional[str]] = {name: None for name in self._queues}
-        self._busy_since: Dict[str, Optional[float]] = {name: None for name in self._queues}
+        self._concurrency = {name: 1 for name in self._queues}
+        for name, n in (concurrency or {}).items():
+            if name in self._concurrency:
+                self._concurrency[name] = max(1, int(n))
+        self._workers: Dict[str, List[threading.Thread]] = {}
+        # task-name → start time, per queue (supports N in-flight tasks)
+        self._in_flight: Dict[str, Dict[int, tuple]] = {
+            name: {} for name in self._queues
+        }
         self._heartbeats: Dict[str, float] = {}
         self._stats: Dict[str, Dict[str, int]] = {
             name: {"enqueued": 0, "completed": 0, "failed": 0, "retried": 0}
@@ -94,16 +108,17 @@ class QueueManager:
     # ------------------------------------------------------------ workers
     def start_workers(self) -> None:
         for name in self._queues:
-            if name in self._workers and self._workers[name].is_alive():
-                continue
-            worker = threading.Thread(
-                target=self._worker_loop, args=(name,), daemon=True,
-                name=f"worker-{name}",
-            )
-            self._workers[name] = worker
-            worker.start()
+            threads = [t for t in self._workers.get(name, []) if t.is_alive()]
+            for i in range(len(threads), self._concurrency[name]):
+                worker = threading.Thread(
+                    target=self._worker_loop, args=(name, i), daemon=True,
+                    name=f"worker-{name}-{i}",
+                )
+                threads.append(worker)
+                worker.start()
+            self._workers[name] = threads
 
-    def _worker_loop(self, queue_name: str) -> None:
+    def _worker_loop(self, queue_name: str, worker_idx: int = 0) -> None:
         q = self._queues[queue_name]
         policy = RETRY_POLICIES.get(queue_name, RetryPolicy())
         while not self._shutdown.is_set():
@@ -113,8 +128,7 @@ class QueueManager:
             except queue.Empty:
                 continue
             with self._lock:
-                self._busy[queue_name] = task.name
-                self._busy_since[queue_name] = time.time()
+                self._in_flight[queue_name][worker_idx] = (task.name, time.time())
             try:
                 if self.fault_injector is not None:
                     self.fault_injector(task.name)
@@ -131,8 +145,7 @@ class QueueManager:
                     traceback.print_exc()
             finally:
                 with self._lock:
-                    self._busy[queue_name] = None
-                    self._busy_since[queue_name] = None
+                    self._in_flight[queue_name].pop(worker_idx, None)
                 q.task_done()
 
     # ------------------------------------------------------------ enqueue
@@ -145,7 +158,7 @@ class QueueManager:
     # ------------------------------------------------------------- status
     def is_queue_busy(self, queue_name: str) -> bool:
         with self._lock:
-            return self._busy.get(queue_name) is not None
+            return bool(self._in_flight.get(queue_name))
 
     def queue_length(self, queue_name: str) -> int:
         return self._queues[queue_name].qsize()
@@ -153,21 +166,26 @@ class QueueManager:
     def get_queue_status(self) -> Dict[str, Any]:
         now = time.time()
         with self._lock:
-            return {
-                name: {
+            out = {}
+            for name in self._queues:
+                flights = self._in_flight[name]
+                oldest = min((t for _, t in flights.values()), default=None)
+                out[name] = {
                     "pending": self._queues[name].qsize(),
-                    "busy_with": self._busy[name],
+                    "busy_with": next(
+                        (task for task, _ in flights.values()), None),
+                    "in_flight": len(flights),
+                    "workers": self._concurrency[name],
                     "busy_for_s": (
-                        round(now - self._busy_since[name], 1)
-                        if self._busy_since[name] is not None
-                        else None
+                        round(now - oldest, 1) if oldest is not None else None
                     ),
                     "over_time_limit": (
-                        self._busy_since[name] is not None
-                        and now - self._busy_since[name] > self.time_limit_s
+                        oldest is not None
+                        and now - oldest > self.time_limit_s
                     ),
-                    "worker_alive": self._workers.get(name) is not None
-                    and self._workers[name].is_alive(),
+                    "worker_alive": any(
+                        t.is_alive() for t in self._workers.get(name, [])
+                    ),
                     "heartbeat_age_s": (
                         round(now - self._heartbeats[name], 1)
                         if name in self._heartbeats
@@ -175,8 +193,7 @@ class QueueManager:
                     ),
                     **self._stats[name],
                 }
-                for name in self._queues
-            }
+            return out
 
     def worker_health(self, healthy_s: float = 60.0, stale_s: float = 300.0) -> Dict[str, str]:
         """healthy<60 s / stale<300 s / dead classification (reference
@@ -212,7 +229,7 @@ class QueueManager:
         deadline = time.time() + timeout
         while time.time() < deadline:
             if all(q.qsize() == 0 for q in self._queues.values()) and not any(
-                self._busy[n] for n in self._queues
+                self._in_flight[n] for n in self._queues
             ):
                 return True
             time.sleep(0.02)
@@ -224,9 +241,9 @@ class QueueManager:
         topology)."""
         restarted = {}
         for name in self._queues:
-            worker = self._workers.get(name)
-            dead = worker is None or not worker.is_alive()
-            restarted[name] = dead
+            threads = self._workers.get(name, [])
+            alive = sum(1 for t in threads if t.is_alive())
+            restarted[name] = alive < self._concurrency[name]
         self.start_workers()
         return restarted
 

@@ -107,28 +107,64 @@ def main():
     if args.spec:
         # batched speculative decoding at 7B (VERDICT r2 next #3): per-row
         # drafts + one (K+1)-wide verify; facts-mode serving runs greedy
-        # b8, so this is the direct QPS lever. Copy model (o/down zeroed →
-        # output repeats → all drafts accepted) bounds the best case;
-        # random weights bound the no-match floor.
+        # b8, so this is the direct QPS lever. The "copy" workload is a
+        # CONSTRUCTED copying model: o/down projections zeroed (residual
+        # stream = last token's embedding), alphabet embeddings set to
+        # strong ~orthogonal vectors, and lm_head column σ(i) = embed row
+        # i, so greedy decoding provably walks a 16-token cycle with logit
+        # gaps far above bf16 rounding. Prompts repeat the cycle, so
+        # prompt-lookup drafts are perfect → measures the all-accept
+        # ceiling through the real acceptance path. Random weights bound
+        # the no-match floor (acceptance needs real-text logit structure;
+        # a random-init 7B neither copies nor produces stable argmaxes —
+        # its near-uniform logits tie-break differently between the
+        # [B,S]-shaped verify and [B,1]-shaped step matmuls).
+        import flax
         import jax.numpy as jnp
+
+        from automative_rag_tpu.models.qwen2 import quantize_kernel
 
         model = build_model(8, args.kv_bits)
         report["spec"] = {}
 
-        def zero_copy_breakers(path, leaf):
-            keys = [getattr(p, "key", "") for p in path]
-            if "kernel_q" in keys and ("o_proj" in keys or "down_proj" in keys):
-                return jnp.zeros_like(leaf)
-            return leaf
-
-        copy_params = jax.tree_util.tree_map_with_path(
-            zero_copy_breakers, model.params)
+        period, base = 16, 100
+        alphabet = [base + i for i in range(period)]
+        d_model = 3584
+        U = rng.standard_normal((period, d_model)).astype(np.float32)
+        U /= np.linalg.norm(U, axis=1, keepdims=True)
+        U *= np.sqrt(d_model)
+        flat = flax.traverse_util.flatten_dict(model.params)
+        for k in list(flat):
+            ks = "/".join(str(p) for p in k)
+            if ("o_proj" in ks or "down_proj" in ks) and k[-1] in (
+                    "kernel", "kernel_q"):
+                flat[k] = jnp.zeros_like(flat[k])
+        emb_key = ("embed_tokens", "embedding")
+        emb = np.array(flat[emb_key], np.float32)
+        for i, tok in enumerate(alphabet):
+            emb[tok] = U[i]
+        flat[emb_key] = jnp.asarray(emb, model.params["embed_tokens"]["embedding"].dtype)
+        # lm_head is int8-quantized at weight_bits=8: build the f32 cycle
+        # kernel, then quantize per-output-channel
+        W = rng.standard_normal((d_model, 152064)).astype(np.float32) * 0.001
+        for i, tok in enumerate(alphabet):
+            W[:, alphabet[(i + 1) % period]] = U[i]
+        wq, wscale = quantize_kernel(W, bits=8)
+        flat[("lm_head", "kernel_q")] = jnp.asarray(wq)
+        flat[("lm_head", "scale")] = jnp.asarray(wscale)
+        copy_params = flax.traverse_util.unflatten_dict(flat)
         plain_params = model.params
         for name, params in (("copy", copy_params), ("random", plain_params)):
             model.params = params
             for b in args.batches:
-                prompt = rng.integers(3, 152064,
-                                      size=(b, args.prompt_len)).astype(np.int32)
+                if name == "copy":
+                    row = [alphabet[i % period]
+                           for i in range(args.prompt_len)]
+                    prompt = np.tile(
+                        np.array(row, np.int32), (b, 1))
+                else:
+                    prompt = rng.integers(3, 152064,
+                                          size=(b, args.prompt_len)).astype(np.int32)
                 model.generate_tokens(prompt, max_new_tokens=args.new_tokens)
                 model.generate_tokens_spec(prompt,
                                            max_new_tokens=args.new_tokens)
@@ -156,6 +192,11 @@ def main():
                     "spec_tokens_per_s": round(b * n_new / spec_p50, 1),
                     "token_agreement": round(agree, 4),
                 }
+                if name == "copy":
+                    want = [alphabet[i % period] for i in range(
+                        args.prompt_len, args.prompt_len + n_new)]
+                    report["spec"][f"{name}_b{b}"]["follows_cycle"] = bool(
+                        np.all(out[:, args.prompt_len:] == np.array(want)))
                 log(f"spec {name} b{b}: {report['spec'][f'{name}_b{b}']}")
         print(json.dumps(report))
         return

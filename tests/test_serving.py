@@ -155,3 +155,78 @@ def test_repetition_penalty_rows_match_solo(model):
     req = eng.submit(prompt, max_new_tokens=10, repetition_penalty=1.3)
     eng.run_until_idle()
     assert req.result() == _solo(model, prompt, 10, repetition_penalty=1.3)
+
+
+# ---------------------------------------------------------------- wiring
+
+
+class _IdTokenizer:
+    """Token-id-string tokenizer for wiring tests (no vocab files)."""
+
+    def __call__(self, text):
+        return {"input_ids": [int(t) % 200 + 5 for t in text.split()]}
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(str(int(t)) for t in ids)
+
+
+def test_jax_llm_serving_route_matches_direct(model):
+    """generate() through the engine == generate() direct (greedy)."""
+    import threading
+
+    from automative_rag_tpu.generation.llm import JaxCausalLM
+
+    cfg = model.config
+    direct = JaxCausalLM("", config=cfg, tokenizer=_IdTokenizer())
+    served = JaxCausalLM("", config=cfg, tokenizer=_IdTokenizer())
+    served.model = direct.model  # same weights
+    served.enable_serving(max_slots=4, max_len=96, burst=4)
+    try:
+        prompts = ["5 9 14 3 7", "21 8", "2 4 6 8 10"]
+        params = {"max_tokens": 8, "temperature": 0.0, "speculative": False}
+        want = [direct.generate(p, params) for p in prompts]
+        got = [None] * len(prompts)
+
+        def run(i):
+            got[i] = served.generate(prompts[i], params)
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(prompts))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert got == want
+    finally:
+        served._serving.stop()
+
+
+def test_queue_manager_llm_concurrency():
+    """concurrency={'llm_tasks': 3} → three tasks genuinely in flight."""
+    import threading
+    import time as _time
+
+    from automative_rag_tpu.orchestration.queue_manager import QueueManager
+
+    qm = QueueManager(start=True, concurrency={"llm_tasks": 3})
+    try:
+        barrier = threading.Barrier(3, timeout=20)
+        done = []
+
+        def task(i):
+            barrier.wait()  # only passes if 3 workers run concurrently
+            done.append(i)
+
+        for i in range(3):
+            qm.enqueue("llm_tasks", f"gen-{i}", task, i)
+        deadline = _time.time() + 25
+        while len(done) < 3 and _time.time() < deadline:
+            _time.sleep(0.02)
+        assert sorted(done) == [0, 1, 2]
+        status = qm.get_queue_status()["llm_tasks"]
+        assert status["workers"] == 3
+        assert status["completed"] >= 3
+        # default queues stay serialized (reference parity)
+        assert qm.get_queue_status()["embedding_tasks"]["workers"] == 1
+    finally:
+        qm.shutdown()
