@@ -191,6 +191,8 @@ class RAGApplication:
                 device_dtype=self.settings.index_dtype,
                 n_lists=self.settings.ivf_n_lists,
                 n_probe=self.settings.ivf_n_probe,
+                refine_dims=self.settings.ivf_refine_dims,
+                refine_shortlist=self.settings.ivf_refine_shortlist,
             )
         if self.settings.index_kind == "sharded-ivf":
             from .parallel import ShardedIVFIndex, make_mesh

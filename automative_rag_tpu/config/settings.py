@@ -100,6 +100,12 @@ class Settings:
     index_dtype: str = field(default_factory=lambda: _env("INDEX_DTYPE", "bfloat16"))
     ivf_n_lists: int = field(default_factory=lambda: _env("IVF_N_LISTS", 0))  # 0=auto
     ivf_n_probe: int = field(default_factory=lambda: _env("IVF_N_PROBE", 16))
+    # >0 → probes beyond ivf_n_probe screen on this many head dims, then
+    # exact-rescore a shortlist (coarse-then-refine; cheap high-recall mode)
+    ivf_refine_dims: int = field(
+        default_factory=lambda: _env("IVF_REFINE_DIMS", 0))
+    ivf_refine_shortlist: int = field(
+        default_factory=lambda: _env("IVF_REFINE_SHORTLIST", 2048))
     # store ColBERT token embeddings at ingest (rerank-from-store fast path)
     store_token_embeddings: bool = field(
         default_factory=lambda: _env("STORE_TOKEN_EMBEDDINGS", True, bool)

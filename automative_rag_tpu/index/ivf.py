@@ -132,7 +132,8 @@ def _ivf_search_kernel(
 @partial(jax.jit, static_argnames=(
     "nprobe_full", "nprobe_far", "refine_dims", "shortlist", "k", "int8"))
 def _ivf_search_refined_kernel(
-    vectors, row_scales, full_mask, centroids, list_table, queries,
+    vectors, vectors_head, row_scales, full_mask, centroids, list_table,
+    queries,
     nprobe_full: int, nprobe_far: int, refine_dims: int, shortlist: int,
     k: int, int8: bool,
 ):
@@ -192,7 +193,9 @@ def _ivf_search_refined_kernel(
         cand = jnp.where(pv[None, :, None], list_table[pr], -1)
         cand = cand.reshape(b, -1)
         safe = jnp.maximum(cand, 0)
-        cand_vecs = vectors[safe, :refine_dims]  # partial-dim gather
+        # full-row gather from the contiguous head copy (a combined
+        # row-gather + column-slice hits an XLA:TPU fallback ~30× slower)
+        cand_vecs = vectors_head[safe]
         if int8:
             raw = jnp.einsum(
                 "bd,bmd->bm", q_i8[:, :refine_dims], cand_vecs,
@@ -497,6 +500,16 @@ class IVFIndex(FlatIndex):
             state["list_table"] = jnp.asarray(self._list_table)
         if "row_scales" not in state:
             state["row_scales"] = jnp.zeros(state["capacity"], jnp.float32)
+        if self.refine_dims and self._centroids is not None:
+            # Contiguous [N, refine_dims] copy for the partial-dim screen.
+            # Gathering `vectors[safe, :refine_dims]` (row gather + column
+            # slice in one op) sends XLA:TPU down a catastrophic fallback
+            # (~581 ms/batch at 1M×1024 on-chip vs ~20 ms for the full-row
+            # gather path); a full-row gather from a materialized head array
+            # stays on the fast path. Costs refine_dims/D extra HBM (25% at
+            # 256/1024).
+            rd = min(self.refine_dims, self.dim)
+            state["vectors_head"] = jnp.asarray(state["vectors"][:, :rd])
         self._device = state
         return state
 
@@ -555,7 +568,8 @@ class IVFIndex(FlatIndex):
             # (high-recall) probing stops costing linear-in-nprobe
             if self.refine_dims and nprobe_now > split:
                 vals, rows = _ivf_search_refined_kernel(
-                    state["vectors"], state["row_scales"], full_mask,
+                    state["vectors"], state["vectors_head"],
+                    state["row_scales"], full_mask,
                     state["centroids"], state["list_table"],
                     jnp.asarray(queries), split, nprobe_now - split,
                     min(self.refine_dims, self.dim),

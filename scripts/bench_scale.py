@@ -203,9 +203,11 @@ def bench_ivf_scale(n=1_000_000, dim=1024, k=10, n_lists=1024,
 
         @jax.jit
         def many(q, vectors, row_scales, centroids, list_table, full_mask):
+            vectors_head = vectors[:, :refine_dims] + 0  # materialized copy
             def body(carry, _):
                 vals, _rows = _ivf_search_refined_kernel(
-                    vectors, row_scales, full_mask, centroids, list_table,
+                    vectors, vectors_head, row_scales, full_mask, centroids,
+                    list_table,
                     carry, split, far, refine_dims, shortlist, k, int8,
                 )
                 carry = carry + (vals[0, 0] * 0).astype(carry.dtype)
