@@ -727,7 +727,8 @@ def build_api(app: RAGApplication) -> HTTPApi:
 
         app.index._device = None
         if app.token_store is not None:
-            app.token_store._device = None
+            # syncs device-appended rows to the host copy before releasing
+            app.token_store.drop_device_cache()
         jax.clear_caches()
         return {"cleared": True}
 

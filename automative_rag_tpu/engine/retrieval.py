@@ -120,10 +120,17 @@ class RetrievalEngine:
             # token embeddings row-aligned with the index (rerank-from-store)
             encoder = self.reranker.encoder
             if (getattr(self.token_store, "quantize", "none") == "int8"
+                    and hasattr(encoder, "encode_documents_device")
+                    and hasattr(self.token_store, "append_device")):
+                # int8 store: quantize on-device and append the slab
+                # DEVICE-RESIDENT — the hidden states never cross the
+                # device→host relay (the fetch, not the forward, bounds
+                # ColBERT ingest on-chip); the durable host copy syncs
+                # lazily at save time
+                quant, scales, masks = encoder.encode_documents_device(texts)
+                self.token_store.append_device(quant, scales, masks)
+            elif (getattr(self.token_store, "quantize", "none") == "int8"
                     and hasattr(encoder, "encode_documents_int8")):
-                # int8 store: quantize on-device so the ingest fetch moves
-                # int8 bytes instead of fp16 (the fetch bounds ColBERT
-                # ingest on the chip)
                 quant, scales, masks = encoder.encode_documents_int8(texts)
                 self.token_store.append_quantized(quant, scales, masks)
             else:

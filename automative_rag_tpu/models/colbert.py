@@ -179,6 +179,51 @@ class ColBERTEncoder:
             scales = np.pad(scales, ((0, 0), (0, max_length - bucket)))
         return quant, scales, mask.astype(bool)
 
+    def encode_documents_device(
+        self, texts: Sequence[str]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, np.ndarray]:
+        """→ (int8 tokens [N, Ld, H] ON DEVICE, fp16 scales [N, Ld] ON
+        DEVICE, host mask [N, Ld]).
+
+        Like ``encode_documents_int8`` but the quantized slab never crosses
+        the device→host relay — feed straight into
+        ``TokenStore.append_device``. The relay fetch (not the forward) is
+        what bounds ColBERT ingest on-chip (~15-20 MB/s effective through
+        the relay vs ~310 docs/s for the same forward with a pooled
+        output), so keeping the slab resident makes ingest compute-bound."""
+        max_length = self.max_doc_length
+        ids, mask = self.tokenizer.encode_batch(texts, max_length)
+        real = int(np.asarray(mask).sum(axis=1).max()) if len(texts) else 0
+        bucket = min(max_length, max(32, -(-real // 32) * 32))
+        ids_b, mask_b = ids[:, :bucket], mask[:, :bucket]
+        q_out, s_out = [], []
+        for i in range(0, len(texts), self.batch_size):
+            ids_i = ids_b[i : i + self.batch_size]
+            mask_i = mask_b[i : i + self.batch_size]
+            pad = 0
+            if self._batch_sharding is not None and ids_i.shape[0] > 1:
+                pad = -ids_i.shape[0] % self._dp_rows
+                if pad:
+                    ids_i = np.concatenate([ids_i, np.repeat(ids_i[-1:], pad, 0)])
+                    mask_i = np.concatenate([mask_i, np.repeat(mask_i[-1:], pad, 0)])
+            ids_j, mask_j = jnp.asarray(ids_i), jnp.asarray(mask_i)
+            if (self._batch_sharding is not None
+                    and ids_j.shape[0] % self._dp_rows == 0):
+                ids_j = jax.device_put(ids_j, self._batch_sharding)
+                mask_j = jax.device_put(mask_j, self._batch_sharding)
+            q, s = self._forward_q8(self.params, ids_j, mask_j)
+            if pad:
+                q, s = q[: q.shape[0] - pad], s[: s.shape[0] - pad]
+            q_out.append(q)
+            s_out.append(s)
+        quant = q_out[0] if len(q_out) == 1 else jnp.concatenate(q_out, axis=0)
+        scales = s_out[0] if len(s_out) == 1 else jnp.concatenate(s_out, axis=0)
+        if bucket < max_length:
+            quant = jnp.pad(
+                quant, ((0, 0), (0, max_length - bucket), (0, 0)))
+            scales = jnp.pad(scales, ((0, 0), (0, max_length - bucket)))
+        return quant, scales, mask.astype(bool)
+
     def tokenize_for_display(self, text: str, max_length: int) -> list:
         """Token strings for match explanations (best-effort)."""
         tok = self.tokenizer

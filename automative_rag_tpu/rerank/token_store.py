@@ -7,21 +7,53 @@ stored row-aligned with the vector index; query-time rerank is
 
     gather candidate token slabs → fused MaxSim kernel
 
-with no document forward passes at all. Storage is fp16 host-side (source of
-truth, survives checkpoints) with an optional device-resident token-major
-cache ([Ld, cap, D], the MaxSim fast-path layout) when the corpus fits the
-configured HBM budget. PLAID-style centroid compression is the scaling
-follow-up (PAPERS.md) — this store is exact.
+with no document forward passes at all.
+
+Storage model (int8 / fp16 modes):
+
+- **Device buffer is primary**: a token-major ``[Ld, cap, D]`` HBM buffer
+  with capacity headroom, updated IN PLACE on append (donated
+  ``dynamic_update_slice``) — appends never invalidate/re-upload the cache,
+  and ``append_device`` ingests encoder output without ever fetching the
+  hidden states to the host (the device→host relay fetch is what bounded
+  ColBERT ingest on-chip: 36 docs/s fetched vs ~310 docs/s for the same
+  forward with a pooled 4 KB/doc output).
+- **Host arrays are the durable copy** (survive checkpoints), synced
+  lazily: device-appended slabs queue in ``_pending`` and are fetched only
+  when persistence/compression/host-fallback actually needs host bytes.
+
+When the corpus outgrows ``device_budget_bytes`` the buffer is dropped
+(after syncing) and all paths fall back to host gather + transfer.
+PLAID-style ``residual2`` compression keeps its own host-built cache.
 """
 
 from __future__ import annotations
 
 import threading
+from functools import partial
 from pathlib import Path
-from typing import Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _buf_write(buf, slab, row0):
+    """In-place (donated) write of a token-major slab at row offset."""
+    return jax.lax.dynamic_update_slice(buf, slab, (0, row0, 0))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _buf_write2(buf, slab, row0):
+    """Same for the [Ld, cap] scales buffer."""
+    return jax.lax.dynamic_update_slice(buf, slab, (0, row0))
+
+
+@jax.jit
+def _to_token_major(x):
+    return jnp.swapaxes(x, 0, 1)
 
 
 class TokenStore:
@@ -49,7 +81,17 @@ class TokenStore:
             self._tokens = np.zeros((0, max_doc_length, dim), np.float16)
             self._scales = None
         self._masks = np.zeros((0, max_doc_length), bool)
+        # residual2 tuple cache (host-built); int8/fp16 use the buffer below
         self._device: Optional[Tuple[jnp.ndarray, ...]] = None
+        # device-primary buffer: (tokens_t [Ld, cap, D], scales_t [Ld, cap]|None)
+        self._buf: Optional[Tuple[jnp.ndarray, Optional[jnp.ndarray]]] = None
+        self._buf_rows = 0
+        # device slabs not yet mirrored to the host arrays, in append order
+        self._pending: List[Tuple[jnp.ndarray, Optional[jnp.ndarray]]] = []
+        self._pending_rows = 0
+        # subclasses whose device cache is rebuilt from host arrays
+        # (ShardedTokenStore) keep device appends off
+        self._supports_device_append = type(self)._device_cache is TokenStore._device_cache
         # appends (ingestion worker) can race gathers (direct API search)
         self._mutex = threading.RLock()
         # residual2 (PLAID-style) artifacts — populated by compress()
@@ -95,19 +137,14 @@ class TokenStore:
             scales = np.abs(token_embs).max(axis=2) / 127.0  # [N, Ld]
             safe = np.maximum(scales, 1e-8)[:, :, None]
             quantized = np.clip(np.round(token_embs / safe), -127, 127).astype(np.int8)
-            self._tokens = np.concatenate([self._tokens, quantized])
-            self._scales = np.concatenate([self._scales, scales.astype(np.float16)])
+            self._append_host_locked(quantized, scales.astype(np.float16), masks)
         else:
-            self._tokens = np.concatenate([self._tokens, token_embs.astype(np.float16)])
-        self._masks = np.concatenate([self._masks, masks])
-        self._device = None
+            self._append_host_locked(token_embs.astype(np.float16), None, masks)
 
     def append_quantized(self, quant: np.ndarray, scales: np.ndarray,
                          masks: np.ndarray) -> None:
-        """Append rows already quantized ON-DEVICE
-        (``ColBERTEncoder.encode_documents_int8`` — same symmetric
-        per-token formula as ``_append_locked``); the host never sees the
-        fp16 hidden states, halving the ingest fetch."""
+        """Append rows already quantized (same symmetric per-token formula
+        as ``_append_locked``)."""
         if self.quantize != "int8":
             raise ValueError("append_quantized requires an int8 store")
         with self._mutex:
@@ -116,17 +153,176 @@ class TokenStore:
                 raise ValueError(
                     f"expected [N, {self.max_doc_length}, {self.dim}], "
                     f"got {quant.shape}")
-            self._tokens = np.concatenate([self._tokens, quant])
-            self._scales = np.concatenate(
-                [self._scales, np.asarray(scales, np.float16)])
-            self._masks = np.concatenate([self._masks, np.asarray(masks, bool)])
+            self._append_host_locked(
+                quant, np.asarray(scales, np.float16), np.asarray(masks, bool))
+
+    def _append_host_locked(self, tokens: np.ndarray,
+                            scales: Optional[np.ndarray],
+                            masks: np.ndarray) -> None:
+        """Host-array append + in-place device-buffer update (int8/fp16)."""
+        # host appends must land after any device-appended rows
+        self._sync_host_locked()
+        row0 = self._tokens.shape[0]
+        self._tokens = np.concatenate([self._tokens, tokens])
+        if scales is not None:
+            self._scales = np.concatenate([self._scales, scales])
+        self._masks = np.concatenate([self._masks, masks])
+        # subclasses with host-rebuilt tuple caches (ShardedTokenStore)
+        # invalidate on append; the base buffer updates in place below
+        self._device = None
+        if self._buf is not None:
+            slab_q = jnp.asarray(tokens.transpose(1, 0, 2))
+            slab_s = (jnp.asarray(scales.T, jnp.float32)
+                      if scales is not None else None)
+            if self.quantize != "int8":
+                slab_q = slab_q.astype(self.device_dtype)
+            if self._buf_update_locked(slab_q, slab_s, row0):
+                self._buf_rows = row0 + len(tokens)
+
+    def append_device(self, quant, scales, masks: np.ndarray) -> None:
+        """Append rows whose int8 quantization lives ON DEVICE
+        (``ColBERTEncoder.encode_documents_device``): the hidden states are
+        never fetched to the host on the ingest path — the slab goes
+        straight into the HBM buffer, and the durable host copy syncs
+        lazily (at save/compress/host-fallback time). This removes the
+        device→host relay fetch that bounds ColBERT ingest throughput."""
+        if self.quantize != "int8":
+            raise ValueError("append_device requires an int8 store")
+        with self._mutex:
+            n = int(quant.shape[0])
+            if tuple(quant.shape[1:]) != (self.max_doc_length, self.dim):
+                raise ValueError(
+                    f"expected [N, {self.max_doc_length}, {self.dim}], "
+                    f"got {tuple(quant.shape)}")
+            wanted = (self.rows + n) * self.max_doc_length * self._element_bytes
+            if (not self._supports_device_append
+                    or wanted > self.device_budget_bytes):
+                self.append_quantized(
+                    np.asarray(quant), np.asarray(scales), masks)
+                return
+            row0 = self.rows
+            if self._buf is None:
+                if row0 > 0:
+                    # stage existing host rows before the first device append
+                    self._ensure_buffer_locked(min_extra=n)
+                else:
+                    self._alloc_buffer_locked(capacity=self._grow_cap(n))
+            if self._buf is None:  # staging failed (budget) — host fallback
+                self.append_quantized(
+                    np.asarray(quant), np.asarray(scales), masks)
+                return
+            slab_q = _to_token_major(jnp.asarray(quant, jnp.int8))
+            slab_s = _to_token_major(jnp.asarray(scales).astype(jnp.float32))
+            ok = self._buf_update_locked(slab_q, slab_s, row0)
+            if not ok:  # budget hit during growth — host fallback
+                self.append_quantized(
+                    np.asarray(quant), np.asarray(scales), masks)
+                return
+            self._pending.append((slab_q, slab_s))
+            self._pending_rows += n
+            self._masks = np.concatenate(
+                [self._masks, np.asarray(masks, bool)])
+            self._buf_rows = row0 + n
+
+    # --------------------------------------------------- device buffer mgmt
+    def _grow_cap(self, rows: int) -> int:
+        cap = 1024
+        while cap < rows:
+            cap *= 2
+        max_cap = self.device_budget_bytes // max(
+            1, self.max_doc_length * self._element_bytes)
+        return max(rows, min(cap, max_cap))
+
+    def _buf_bytes(self, capacity: int) -> int:
+        return capacity * self.max_doc_length * self._element_bytes
+
+    def _alloc_buffer_locked(self, capacity: int) -> None:
+        ld, d = self.max_doc_length, self.dim
+        if self.quantize == "int8":
+            self._buf = (jnp.zeros((ld, capacity, d), jnp.int8),
+                         jnp.zeros((ld, capacity), jnp.float32))
+        else:
+            self._buf = (jnp.zeros((ld, capacity, d), self.device_dtype), None)
+
+    def _buf_update_locked(self, slab_q, slab_s, row0: int) -> bool:
+        """Write a token-major slab at ``row0``, growing as needed.
+        Returns False (and drops the buffer) if growth exceeds the budget."""
+        n = slab_q.shape[1]
+        buf_q, buf_s = self._buf
+        cap = buf_q.shape[1]
+        if row0 + n > cap:
+            new_cap = self._grow_cap(row0 + n)
+            if new_cap < row0 + n or self._buf_bytes(new_cap) > self.device_budget_bytes:
+                self._drop_buffer_locked()
+                return False
+            grown_q = jnp.zeros(
+                (buf_q.shape[0], new_cap, buf_q.shape[2]), buf_q.dtype)
+            grown_q = jax.lax.dynamic_update_slice(grown_q, buf_q, (0, 0, 0))
+            if buf_s is not None:
+                grown_s = jnp.zeros((buf_s.shape[0], new_cap), buf_s.dtype)
+                grown_s = jax.lax.dynamic_update_slice(grown_s, buf_s, (0, 0))
+            else:
+                grown_s = None
+            buf_q, buf_s = grown_q, grown_s
+        buf_q = _buf_write(buf_q, slab_q, row0)
+        if buf_s is not None and slab_s is not None:
+            buf_s = _buf_write2(buf_s, slab_s, row0)
+        self._buf = (buf_q, buf_s)
+        return True
+
+    def _ensure_buffer_locked(self, min_extra: int = 0):
+        """Build/refresh the device buffer from host state; None when the
+        corpus exceeds the HBM budget (host-gather fallback)."""
+        n = self.rows
+        wanted = (n + min_extra) * self.max_doc_length * self._element_bytes
+        if n == 0 or wanted > self.device_budget_bytes:
+            self._drop_buffer_locked()
+            return None
+        if self._buf is not None and self._buf_rows == n:
+            return self._buf
+        # (re)build from host truth — requires pending synced
+        self._sync_host_locked()
+        self._alloc_buffer_locked(self._grow_cap(n + min_extra))
+        if self.quantize == "int8":
+            slab_q = jnp.asarray(self._tokens.transpose(1, 0, 2))
+            slab_s = jnp.asarray(self._scales.T, jnp.float32)
+        else:
+            slab_q = jnp.asarray(
+                self._tokens.transpose(1, 0, 2), self.device_dtype)
+            slab_s = None
+        self._buf_update_locked(slab_q, slab_s, 0)
+        self._buf_rows = n
+        return self._buf
+
+    def _drop_buffer_locked(self) -> None:
+        self._sync_host_locked()
+        self._buf = None
+        self._buf_rows = 0
+
+    def drop_device_cache(self) -> None:
+        """Release HBM state (syncing the durable host copy first)."""
+        with self._mutex:
+            self._drop_buffer_locked()
             self._device = None
+
+    # --------------------------------------------------------- host mirror
+    def _sync_host_locked(self) -> None:
+        """Fetch device-appended slabs into the durable host arrays."""
+        if not self._pending:
+            return
+        pending, self._pending = self._pending, []
+        self._pending_rows = 0
+        toks = [np.asarray(_to_token_major(q), np.int8) for q, _ in pending]
+        scls = [np.asarray(_to_token_major(s)).astype(np.float16)
+                for _, s in pending]
+        self._tokens = np.concatenate([self._tokens, *toks])
+        self._scales = np.concatenate([self._scales, *scls])
 
     @property
     def rows(self) -> int:
         if self.quantize == "residual2":
             return self._codes.shape[0]
-        return self._tokens.shape[0]
+        return self._tokens.shape[0] + self._pending_rows
 
     @property
     def nbytes(self) -> int:
@@ -135,7 +331,9 @@ class TokenStore:
                 self._codes.nbytes + self._cids.nbytes
                 + self._res_scales.nbytes + self._centroids.nbytes
             )
-        return self._tokens.nbytes
+        # analytic (host + pending) so stats never force a host sync
+        per_tok = 1 if self.quantize == "int8" else 2
+        return self.rows * self.max_doc_length * self.dim * per_tok
 
     def _dequantized(self) -> np.ndarray:
         """Full-precision reconstruction of every stored token (host)."""
@@ -152,6 +350,8 @@ class TokenStore:
             return (
                 self._centroids[self._cids.reshape(-1)] + flat_res
             ).reshape(n, ld, self.dim)
+        with self._mutex:
+            self._sync_host_locked()
         if self.quantize == "int8":
             return (
                 self._tokens.astype(np.float32)
@@ -162,13 +362,17 @@ class TokenStore:
     # ---------------------------------------------------------- compression
     def compress(self, k_centroids: int = 256, sample: int = 262_144,
                  n_iters: int = 8, seed: int = 0, bits: int = 4) -> dict:
-        """Convert storage to PLAID-style centroid + 2-bit residual codes
+        """Convert storage to PLAID-style centroid + low-bit residual codes
         (~8x smaller than fp16 at D=1024). Later appends encode against the
         trained centroids; call again to retrain on the grown corpus."""
         from .residual_codec import assign_centroids, encode_residuals, train_centroids
 
         if self.rows == 0:
             raise ValueError("cannot compress an empty store")
+        with self._mutex:
+            self._sync_host_locked()
+            self._buf = None
+            self._buf_rows = 0
         before = self.nbytes
         tokens = self._dequantized()
         n, ld, dim = tokens.shape
@@ -204,30 +408,22 @@ class TokenStore:
         return self.dim * (1 if self.quantize == "int8" else self.device_dtype.itemsize)
 
     def _device_cache(self) -> Optional[Tuple[jnp.ndarray, ...]]:
+        """residual2: legacy host-built tuple cache. int8/fp16 stores use
+        the in-place buffer (``_ensure_buffer_locked``)."""
+        if self.quantize != "residual2":
+            return self._ensure_buffer_locked()
         wanted = self.rows * self.max_doc_length * self._element_bytes
         if self.rows == 0 or wanted > self.device_budget_bytes:
             return None
         if self._device is None:
             # token-major [Ld, N, D] — the MaxSim kernel's native layout
-            if self.quantize == "residual2":
-                self._device = (
-                    jnp.asarray(self._codes.transpose(1, 0, 2)),  # [Ld, N, D/4]
-                    jnp.asarray(self._res_scales.T, jnp.float32),  # [Ld, N]
-                    jnp.asarray(self._cids.T),  # [Ld, N]
-                    jnp.asarray(self._centroids),  # [K, D]
-                    jnp.asarray(self._masks),
-                )
-            elif self.quantize == "int8":
-                self._device = (
-                    jnp.asarray(self._tokens.transpose(1, 0, 2)),  # int8
-                    jnp.asarray(self._scales.T, jnp.float32),  # [Ld, N]
-                    jnp.asarray(self._masks),
-                )
-            else:
-                self._device = (
-                    jnp.asarray(self._tokens.transpose(1, 0, 2), self.device_dtype),
-                    jnp.asarray(self._masks),
-                )
+            self._device = (
+                jnp.asarray(self._codes.transpose(1, 0, 2)),  # [Ld, N, D/4]
+                jnp.asarray(self._res_scales.T, jnp.float32),  # [Ld, N]
+                jnp.asarray(self._cids.T),  # [Ld, N]
+                jnp.asarray(self._centroids),  # [K, D]
+                jnp.asarray(self._masks),
+            )
         return self._device
 
     def gather(self, rows: Sequence[int]) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -240,37 +436,41 @@ class TokenStore:
         rows = np.asarray(list(rows), np.int32)
         with self._mutex:
             cache = self._device_cache()
-            if cache is None:
-                # snapshot host arrays so concurrent appends (which replace
-                # the arrays) can't shift under this gather
+            masks_sel = jnp.asarray(self._masks[rows])
+            if cache is not None:
+                # slice while holding the lock: the buffer is donated by
+                # in-place appends, so the gather must be DISPATCHED before
+                # an append can retire the buffer (dispatched ops keep their
+                # operand buffers alive)
                 if self.quantize == "residual2":
-                    host = (self._codes, self._res_scales, self._cids,
-                            self._centroids, self._masks)
-                elif self.quantize == "int8":
-                    host = (self._tokens, self._scales, self._masks)
-                else:
-                    host = (self._tokens, self._masks)
-        if cache is not None:
-            if self.quantize == "residual2":
-                from .residual_codec import decode_tokens
+                    from .residual_codec import decode_tokens
 
-                codes_t, scales_t, cids_t, centroids, masks = cache
-                slab = decode_tokens(
-                    codes_t[:, rows, :], scales_t[:, rows], cids_t[:, rows],
-                    centroids, dtype=self.device_dtype, bits=self._res_bits,
-                )
-                return slab, masks[rows]
-            if self.quantize == "int8":
-                tokens_t, scales_t, masks = cache
-                slab = tokens_t[:, rows, :].astype(jnp.float32)
-                slab = slab * scales_t[:, rows, None]
-                return slab.astype(self.device_dtype), masks[rows]
-            tokens_t, masks = cache
-            return tokens_t[:, rows, :], masks[rows]
+                    codes_t, scales_t, cids_t, centroids = cache[:4]
+                    slab = decode_tokens(
+                        codes_t[:, rows, :], scales_t[:, rows],
+                        cids_t[:, rows],
+                        centroids, dtype=self.device_dtype,
+                        bits=self._res_bits,
+                    )
+                    return slab, masks_sel
+                if self.quantize == "int8":
+                    tokens_t, scales_t = cache[0], cache[1]
+                    r = jnp.asarray(rows)
+                    slab = tokens_t[:, r, :].astype(jnp.float32)
+                    slab = slab * scales_t[:, r, None]
+                    return slab.astype(self.device_dtype), masks_sel
+                return cache[0][:, jnp.asarray(rows), :], masks_sel
+            # snapshot host arrays so concurrent appends (which replace
+            # the arrays) can't shift under this gather
+            if self.quantize == "residual2":
+                host = (self._codes, self._res_scales, self._cids,
+                        self._centroids)
+            else:
+                host = (self._tokens, self._scales)
         if self.quantize == "residual2":
             from .residual_codec import decode_residuals_np
 
-            codes, res_scales, cids, centroids, masks = host
+            codes, res_scales, cids, centroids = host
             n_sel = rows.shape[0]
             flat_res = decode_residuals_np(
                 codes[rows].reshape(n_sel * self.max_doc_length, -1),
@@ -282,17 +482,17 @@ class TokenStore:
                 centroids[cids[rows].reshape(-1)] + flat_res
             ).reshape(n_sel, self.max_doc_length, self.dim)
         elif self.quantize == "int8":
-            tokens, scales, masks = host
+            tokens, scales = host
             slab = (
                 tokens[rows].astype(np.float32)
                 * scales[rows][:, :, None].astype(np.float32)
             )
         else:
-            tokens, masks = host
+            tokens, _ = host
             slab = tokens[rows]
         return (
             jnp.asarray(slab.transpose(1, 0, 2), self.device_dtype),
-            jnp.asarray(masks[rows]),
+            masks_sel,
         )
 
     def gather_for_maxsim(
@@ -310,21 +510,24 @@ class TokenStore:
         rows = np.asarray(list(rows), np.int32)
         with self._mutex:
             cache = self._device_cache()
-            if cache is None:
-                host = (self._tokens, self._scales, self._masks)
-        if cache is not None:
-            tokens_t, scales_t, masks = cache
-            r = jnp.asarray(rows)
-            return tokens_t[:, r, :], scales_t[:, r], masks[r]
-        tokens, scales, masks = host
+            masks_sel = jnp.asarray(self._masks[rows])
+            if cache is not None:
+                # dispatch inside the lock (see gather: donated buffers)
+                tokens_t, scales_t = cache[0], cache[1]
+                r = jnp.asarray(rows)
+                return tokens_t[:, r, :], scales_t[:, r], masks_sel
+            host = (self._tokens, self._scales)
+        tokens, scales = host
         return (
             jnp.asarray(tokens[rows].transpose(1, 0, 2)),
             jnp.asarray(scales[rows].T, jnp.float32),
-            jnp.asarray(masks[rows]),
+            masks_sel,
         )
 
     # ----------------------------------------------------------- persist
     def save(self, directory: str) -> None:
+        with self._mutex:
+            self._sync_host_locked()
         path = Path(directory)
         path.mkdir(parents=True, exist_ok=True)
         arrays = {"tokens": self._tokens, "masks": self._masks,

@@ -221,3 +221,100 @@ def test_append_quantized_requires_int8_store():
         store.append_quantized(np.zeros((1, 8, 16), np.int8),
                                np.zeros((1, 8), np.float16),
                                np.ones((1, 8), bool))
+
+
+def test_append_device_matches_quantized(colbert):
+    """append_device (slab stays in HBM, lazy host sync) must be
+    indistinguishable from append_quantized: gathers, rows, persistence."""
+    import jax.numpy as jnp
+
+    texts = [f"设备驻留测试 {i}" for i in range(5)]
+    quant, scales, masks = colbert.encode_documents_int8(texts)
+    dev_q, dev_s, masks2 = colbert.encode_documents_device(texts)
+    assert isinstance(dev_q, jnp.ndarray)
+    np.testing.assert_array_equal(np.asarray(dev_q), quant)
+
+    ref = TokenStore(dim=colbert.dim, max_doc_length=32, quantize="int8",
+                     device_dtype="float32")
+    ref.append_quantized(quant, scales, masks)
+    dev = TokenStore(dim=colbert.dim, max_doc_length=32, quantize="int8",
+                     device_dtype="float32")
+    dev.append_device(dev_q, dev_s, masks2)
+    assert dev.rows == ref.rows == 5
+    assert dev._pending_rows == 5  # host sync is lazy
+
+    for rows in ([2, 0, 4], [1]):
+        sq, ss, sm = dev.gather_for_maxsim(rows)
+        rq, rs, rm = ref.gather_for_maxsim(rows)
+        np.testing.assert_array_equal(np.asarray(sq), np.asarray(rq))
+        np.testing.assert_allclose(np.asarray(ss), np.asarray(rs), rtol=1e-3)
+        np.testing.assert_array_equal(np.asarray(sm), np.asarray(rm))
+
+
+def test_append_device_then_host_append_order(colbert):
+    """Host appends after device appends must sync first (row order)."""
+    embs, masks = colbert.encode_documents(["先设备", "后主机"])
+    q, s, m = colbert.encode_documents_device(["先设备"])
+
+    store = TokenStore(dim=colbert.dim, max_doc_length=32, quantize="int8",
+                       device_dtype="float32")
+    store.append_device(q, s, m)
+    store.append(embs[1:], masks[1:])  # host path → forces sync, lands row 1
+    assert store.rows == 2 and store._pending_rows == 0
+
+    ref = TokenStore(dim=colbert.dim, max_doc_length=32, quantize="int8",
+                     device_dtype="float32")
+    ref.append(embs, masks)
+    got, _, _ = store.gather_for_maxsim([0, 1])
+    want, _, _ = ref.gather_for_maxsim([0, 1])
+    # row 0 came through the device path (fp16-free), row 1 host: codes can
+    # differ by rounding ties only
+    assert (np.asarray(got) != np.asarray(want)).mean() < 0.02
+
+
+def test_append_device_save_syncs(tmp_path, colbert):
+    q, s, m = colbert.encode_documents_device(["持久化同步", "第二行"])
+    store = TokenStore(dim=colbert.dim, max_doc_length=32, quantize="int8",
+                       device_dtype="float32")
+    store.append_device(q, s, m)
+    assert store._tokens.shape[0] == 0  # nothing on the host yet
+    store.save(str(tmp_path))
+    restored = TokenStore.load(str(tmp_path), dim=colbert.dim,
+                               max_doc_length=32, device_dtype="float32")
+    assert restored.quantize == "int8" and restored.rows == 2
+    np.testing.assert_array_equal(
+        restored._tokens, np.asarray(q).astype(np.int8))
+
+
+def test_append_device_budget_fallback(colbert):
+    """Over-budget stores fall back to the host path transparently."""
+    q, s, m = colbert.encode_documents_device(["预算回退"])
+    store = TokenStore(dim=colbert.dim, max_doc_length=32, quantize="int8",
+                       device_dtype="float32", device_budget_bytes=64)
+    store.append_device(q, s, m)
+    assert store.rows == 1 and store._pending_rows == 0
+    assert store._buf is None and store._tokens.shape[0] == 1
+    docs_t, masks = store.gather([0])
+    assert docs_t.shape == (32, 1, colbert.dim)
+
+
+def test_append_device_buffer_growth(colbert):
+    """Appends past the initial capacity grow the buffer in place."""
+    store = TokenStore(dim=colbert.dim, max_doc_length=32, quantize="int8",
+                       device_dtype="float32")
+    import automative_rag_tpu.rerank.token_store as ts_mod
+
+    orig = TokenStore._grow_cap
+    TokenStore._grow_cap = lambda self, rows: max(rows, 2)  # tiny capacity
+    try:
+        for i in range(4):
+            q, s, m = colbert.encode_documents_device([f"增长 {i}"])
+            store.append_device(q, s, m)
+    finally:
+        TokenStore._grow_cap = orig
+    assert store.rows == 4
+    sq, ss, sm = store.gather_for_maxsim([0, 3])
+    assert np.asarray(sq).shape == (32, 2, colbert.dim)
+    # host sync after growth still reproduces every row in order
+    store.drop_device_cache()
+    assert store._tokens.shape[0] == 4 and store._pending_rows == 0
