@@ -807,6 +807,13 @@ def build_api(app: RAGApplication) -> HTTPApi:
 
         body = parse_body(req, SystemConfigUpdate)
         applied = app.settings.update(body.model_dump())
+        # IVF tunables are runtime-mutable: push them to the live index
+        # (the device-state cache tops up / retires its head-slice copy)
+        for key, attr in (("ivf_n_probe", "n_probe"),
+                          ("ivf_refine_dims", "refine_dims"),
+                          ("ivf_refine_shortlist", "refine_shortlist")):
+            if key in applied and hasattr(app.index, attr):
+                setattr(app.index, attr, applied[key])
         # reference persists config updates to a JSON file
         # (src/config/utils.py:17-90 via /model/update-config)
         saved_to = app.settings.save() if applied else None

@@ -489,7 +489,18 @@ class IVFIndex(FlatIndex):
 
     def _device_state_locked(self) -> dict:
         if self._device is not None:
-            return self._device
+            # refine_dims is runtime-mutable (settings): top up / retire
+            # the head-slice copy when it changed after the cache was built
+            state = self._device
+            if self.refine_dims and self._centroids is not None:
+                rd = min(self.refine_dims, self.dim)
+                head = state.get("vectors_head")
+                if head is None or head.shape[1] != rd:
+                    state["vectors_head"] = jnp.asarray(
+                        state["vectors"][:, :rd])
+            else:
+                state.pop("vectors_head", None)
+            return state
         state = super()._device_state_locked()
         if self._centroids is not None:
             # centroids stay float even for int8 corpora (coarse scoring)

@@ -232,6 +232,7 @@ def bench_ivf_scale(n=1_000_000, dim=1024, k=10, n_lists=1024,
                 state["centroids"], state["list_table"], full_mask)
     split, refine_dims, shortlist = probes[0], max(64, dim // 4), 2048
     for nprobe in probes:
+      try:  # the build+oracle above cost ~30 min — keep partial points
         # recall through the product host path (one batched call)
         index.refine_dims = 0
         got = index.search(queries, k, n_probe=nprobe, pin_probe=True)
@@ -271,6 +272,9 @@ def bench_ivf_scale(n=1_000_000, dim=1024, k=10, n_lists=1024,
             }
             print("ivf_1m probe refined", nprobe,
                   out["probes"][f"{nprobe}_refined"], flush=True)
+      except Exception as exc:  # noqa: BLE001
+        out["probes"][f"{nprobe}_error"] = str(exc)[:200]
+        print("ivf_1m probe", nprobe, "FAILED", exc, flush=True)
     out["fill_ratio"] = info.get("fill_ratio")
     return out
 

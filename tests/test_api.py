@@ -132,6 +132,19 @@ def test_system_and_model_endpoints(api):
     assert body["retrieval"]["retriever_top_k"] == 25
 
 
+def test_update_config_reaches_live_index(api, app):
+    """IVF tunables pushed at runtime must land on the live index object,
+    not just the settings snapshot (flat indexes simply ignore them)."""
+    had = hasattr(app.index, "n_probe")
+    before = getattr(app.index, "n_probe", None)
+    status, body = call(api, "POST", "/model/update-config",
+                        {"ivf_n_probe": 7})
+    assert status == 200 and body["applied"] == {"ivf_n_probe": 7}
+    if had:
+        assert app.index.n_probe == 7
+        app.index.n_probe = before
+
+
 def test_unknown_route(api):
     status, _ = call(api, "GET", "/nope")
     assert status == 404

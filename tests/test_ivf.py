@@ -405,3 +405,29 @@ def test_refined_path_respects_filters():
         assert all(docs[r].metadata["manufacturer"] == "manu-2" for r in got)
         hits += len(want & got)
     assert hits / 150 >= 0.85, hits / 150
+
+
+def test_refine_dims_runtime_toggle():
+    """refine_dims is runtime-mutable (settings /model/update-config): the
+    cached device state must grow/retire its vectors_head copy when the
+    value changes after the first search (regression: toggling refine on
+    a built index raised KeyError('vectors_head'))."""
+    rng = np.random.default_rng(23)
+    dim = 128
+    vectors, docs = _corpus(rng, 5_000, dim)
+    index = IVFIndex(dim=dim, n_lists=64, n_probe=4)
+    index.add(vectors, docs)
+    index.rebuild()
+    q = vectors[7] + 0.05 * rng.normal(size=dim).astype(np.float32)
+    base = {h.row for h in index.search(q, 10, n_probe=32, pin_probe=True)[0]}
+
+    index.refine_dims = dim // 4  # toggle ON after the state cache exists
+    index.refine_shortlist = 512
+    refined = {h.row
+               for h in index.search(q, 10, n_probe=32, pin_probe=True)[0]}
+    assert "vectors_head" in index._device_state()
+    assert len(base & refined) >= 8, (base, refined)
+
+    index.refine_dims = 0  # toggle OFF retires the head copy
+    index.search(q, 10, n_probe=32, pin_probe=True)
+    assert "vectors_head" not in index._device_state()
