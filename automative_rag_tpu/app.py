@@ -127,6 +127,7 @@ class RAGApplication:
                 max_slots=max(self.settings.llm_concurrency, 2),
                 max_len=self.settings.llm_serving_max_len,
                 burst=self.settings.llm_serving_burst,
+                spec=self.settings.llm_serving_spec,
             )
         self.generator = AnswerGenerator(llm)
         self.validation_engine = ValidationEngine()

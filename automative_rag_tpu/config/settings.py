@@ -190,6 +190,11 @@ class Settings:
         default_factory=lambda: _env("LLM_SERVING_MAX_LEN", 2048))
     llm_serving_burst: int = field(
         default_factory=lambda: _env("LLM_SERVING_BURST", 16))
+    # speculative bursts in the serving engine (prompt-lookup drafts +
+    # (K+1)-wide verify; greedy output identical, copy-heavy RAG answers
+    # decode up to K+1 tokens per weight read)
+    llm_serving_spec: bool = field(
+        default_factory=lambda: _env("LLM_SERVING_SPEC", True, bool))
     # split encoder batches data-parallel over the sharded index's mesh
     encoder_data_parallel: bool = field(
         default_factory=lambda: _env("ENCODER_DP", False, bool)

@@ -135,17 +135,20 @@ class JaxCausalLM:
         self._serving = None
 
     def enable_serving(self, max_slots: int = 8, max_len: int = 2048,
-                       burst: int = 16):
+                       burst: int = 16, spec: bool = True):
         """Route ``generate`` through the continuous-batching engine:
         concurrent callers (N llm-queue workers, ``QueueManager``
         concurrency) share decode bursts instead of serializing. Greedy
-        outputs stay token-identical to the direct path."""
+        outputs stay token-identical to the direct path. ``spec`` turns
+        on speculative bursts (per-row prompt-lookup drafts, (K+1)-wide
+        verify) — the no-match floor costs ~nothing, copy-heavy answers
+        decode several tokens per weight read."""
         if self._serving is None:
             from ..serving import ServingEngine
 
             self._serving = ServingEngine(
                 self.model, max_slots=max_slots, max_len=max_len,
-                burst=burst)
+                burst=burst, spec=spec)
             self._serving.start()
         return self._serving
 

@@ -50,6 +50,7 @@ import numpy as np
 from ..models.qwen2 import (
     Qwen2Config,
     Qwen2Model,
+    _pld_draft,
     _quant_kv,
 )
 
@@ -87,9 +88,13 @@ def _sample_rows(logits: jnp.ndarray, key, temps: jnp.ndarray,
     return jnp.where(temps > 0, sampled, greedy)
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)
 class Request:
-    """One generation request; ``tokens`` fills in as bursts complete."""
+    """One generation request; ``tokens`` fills in as bursts complete.
+
+    Identity equality (``eq=False``): the generated dataclass ``__eq__``
+    would compare the ndarray field element-wise, which breaks membership
+    ops (``list.remove``) the moment requests complete out of order."""
 
     prompt_ids: np.ndarray
     max_new_tokens: int
@@ -130,7 +135,7 @@ class ServingEngine:
     def __init__(self, model: Qwen2Model, max_slots: int = 8,
                  max_len: int = 2048,
                  prompt_buckets: Sequence[int] = (64, 128, 256, 512, 1024),
-                 burst: int = 16, seed: int = 0):
+                 burst: int = 16, seed: int = 0, spec: bool = False):
         self.model = model
         self.config: Qwen2Config = model.config
         self.max_slots = int(max_slots)
@@ -140,6 +145,16 @@ class ServingEngine:
         if not self.prompt_buckets:
             raise ValueError("no prompt bucket fits under max_len")
         self.burst = int(burst)
+        # speculative bursts: per-row prompt-lookup drafts, (K+1)-wide
+        # verify steps — up to K+1 tokens/row per step for the cost of ~1
+        # (decode is weight-HBM-bound). Greedy rows stay token-identical
+        # to the plain burst; a miss costs nothing but the draft columns.
+        self.spec = bool(spec)
+        self.draft_k = int(model.DRAFT_K)
+        #: generated tokens live at buf[:, _gen_base:] — prompts (ragged,
+        #: bucket-padded) at buf[:, :plen]; the fixed split lets the
+        #: n-gram matcher mask the padding gap with per-row plen
+        self._gen_base = self.prompt_buckets[-1]
         self._ids = itertools.count(1)
         self._pending: List[Request] = []
         self._slots: List[Optional[Request]] = [None] * self.max_slots
@@ -150,6 +165,7 @@ class ServingEngine:
         self._stop = False
         self._prefill_cache: Dict[int, Any] = {}
         self._burst_cache: Dict[int, Any] = {}
+        self._spec_burst_cache: Dict[int, Any] = {}
         self.stats = {"tokens_generated": 0, "bursts": 0, "prefills": 0,
                       "requests_completed": 0, "busy_s": 0.0}
         self._state = self._init_state(seed)
@@ -178,6 +194,11 @@ class ServingEngine:
         b, v = self.max_slots, self.config.vocab_size
         return {
             "caches": self._empty_caches(),
+            # token history for prompt-lookup drafting: prompt at
+            # [0, plen), generated at [_gen_base, _gen_base + gen_count)
+            "buf": jnp.full((b, self._gen_base + self.max_len),
+                            self.config.eos_token, jnp.int32),
+            "plen": jnp.zeros((b,), jnp.int32),
             "cur": jnp.full((b,), self.config.eos_token, jnp.int32),
             "frontier": jnp.zeros((b,), jnp.int32),
             "seen": jnp.zeros((b, v), bool),
@@ -244,9 +265,14 @@ class ServingEngine:
                 logits0[None], sub, temp[None], top_p[None])[0]
             seen_row = seen_row.at[tok0].set(True)
             done0 = (tok0 == cfg.eos_token) | (max_new <= 1)
+            buf = jax.lax.dynamic_update_slice(
+                state["buf"], prompt, (slot, 0))
+            buf = buf.at[slot, self._gen_base].set(tok0)
             state = {
                 **state,
                 "caches": caches,
+                "buf": buf,
+                "plen": state["plen"].at[slot].set(plen),
                 "cur": state["cur"].at[slot].set(tok0),
                 "frontier": state["frontier"].at[slot].set(plen),
                 "seen": state["seen"].at[slot].set(seen_row),
@@ -272,6 +298,7 @@ class ServingEngine:
         cfg = self.config
         decoder = self.model.decoder
         b = self.max_slots
+        gen_base = self._gen_base
         iota = jnp.arange(self.max_len)
         rows = jnp.arange(b)
 
@@ -293,13 +320,20 @@ class ServingEngine:
                 alive = state["active"] & ~state["finished"]
                 new = jnp.where(alive, picked, cfg.eos_token)
                 seen = state["seen"].at[rows, new].max(alive)
+                # mirror into the draft/history buffer (next position for
+                # an alive row is gen_base + its current gen_count)
+                col = gen_base + state["gen_count"]
+                old = jnp.take_along_axis(
+                    state["buf"], col[:, None], axis=1)[:, 0]
+                buf = state["buf"].at[rows, col].set(
+                    jnp.where(alive, new, old))
                 gen_count = state["gen_count"] + alive
                 finished = state["finished"] | (
                     alive & ((new == cfg.eos_token)
                              | (gen_count >= state["max_new"])))
                 frontier = t + alive.astype(jnp.int32)
                 out = out.at[:, i].set(jnp.where(alive, new, -1))
-                state = {**state, "caches": caches, "cur": new,
+                state = {**state, "caches": caches, "cur": new, "buf": buf,
                          "seen": seen, "finished": finished,
                          "frontier": frontier, "gen_count": gen_count,
                          "key": key}
@@ -310,6 +344,95 @@ class ServingEngine:
 
         fn = jax.jit(_burst, donate_argnums=(1,))
         self._burst_cache[steps] = fn
+        return fn
+
+    def _spec_burst_fn(self, steps: int):
+        """Compile the N-step SPECULATIVE decode burst: each step drafts
+        ``draft_k`` tokens per row by prompt-lookup against that row's own
+        prompt+generated history, then runs ONE (K+1)-wide ``verify``
+        forward for the whole pool — a row whose drafts hit advances by up
+        to K+1 tokens for the wall-time of ~1 (decode is weight-HBM-bound,
+        so segment width is nearly free), a miss advances by the one
+        correction token. Greedy rows remain token-identical to the plain
+        burst: each position is sampled from its exact conditional and
+        acceptance is equality with the draft.
+
+        Returns ``(state, gen_tokens [B, max_len])`` — the generated
+        region of the history buffer; the scheduler slices fresh tokens
+        out of it (per-row counts vary, so there is no fixed [B, steps]
+        output as in the plain burst)."""
+        if steps in self._spec_burst_cache:
+            return self._spec_burst_cache[steps]
+        cfg = self.config
+        decoder = self.model.decoder
+        b = self.max_slots
+        K = self.draft_k
+        ngram = self.model.PLD_NGRAM
+        gen_base = self._gen_base
+        iota = jnp.arange(self.max_len)
+        rows = jnp.arange(b)
+
+        def _burst(params, state):
+            dparams = {"params": params}
+
+            def body(_, state):
+                t_cache = state["frontier"]
+                t_buf = gen_base + state["gen_count"] - 1
+                drafts, _ = _pld_draft(
+                    state["buf"], t_buf, state["plen"], gen_base, K, ngram)
+                valid = iota[None, :] < t_cache[:, None]
+                seg = jnp.concatenate(
+                    [state["cur"][:, None], drafts], axis=1)  # [B, K+1]
+                logits, caches = decoder.apply(
+                    dparams, seg, t_cache, t_cache, valid,
+                    state["caches"], method="verify")  # [B, K+1, V]
+                drafts_pad = jnp.concatenate(
+                    [drafts, jnp.full((b, 1), -1, jnp.int32)], axis=1)
+                key, step_key = jax.random.split(state["key"])
+                alive0 = state["active"] & ~state["finished"]
+
+                def acc(j, carry):
+                    accepting, seen, buf, finished, count, cur = carry
+                    lj = jax.lax.dynamic_index_in_dim(
+                        logits, j, 1, keepdims=False)
+                    lj = _penalize_rows(lj, seen, state["penalty"])
+                    g = _sample_rows(
+                        lj, jax.random.fold_in(step_key, j),
+                        state["temp"], state["top_p"])
+                    emit = accepting & alive0 & ~finished
+                    col = t_buf + 1 + j
+                    old = jnp.take_along_axis(
+                        buf, col[:, None], axis=1)[:, 0]
+                    buf = buf.at[rows, col].set(jnp.where(emit, g, old))
+                    seen = seen.at[rows, g].max(emit)
+                    count = count + emit.astype(jnp.int32)
+                    cur = jnp.where(emit, g, cur)
+                    finished = finished | (emit & (
+                        (g == cfg.eos_token)
+                        | (state["gen_count"] + count
+                           >= state["max_new"])))
+                    dj = jax.lax.dynamic_index_in_dim(
+                        drafts_pad, j, 1, keepdims=False)
+                    accepting = accepting & (g == dj)
+                    return accepting, seen, buf, finished, count, cur
+
+                _, seen, buf, finished, count, cur = jax.lax.fori_loop(
+                    0, K + 1, acc,
+                    (jnp.ones((b,), bool), state["seen"], state["buf"],
+                     state["finished"], jnp.zeros((b,), jnp.int32),
+                     state["cur"]))
+                return {**state, "caches": caches, "cur": cur, "buf": buf,
+                        "seen": seen, "finished": finished,
+                        "frontier": t_cache + count,
+                        "gen_count": state["gen_count"] + count,
+                        "key": key}
+
+            state = jax.lax.fori_loop(0, steps, body, state)
+            return state, jax.lax.dynamic_slice_in_dim(
+                state["buf"], gen_base, self.max_len, axis=1)
+
+        fn = jax.jit(_burst, donate_argnums=(1,))
+        self._spec_burst_cache[steps] = fn
         return fn
 
     # ------------------------------------------------------- scheduling
@@ -342,7 +465,10 @@ class ServingEngine:
         p_bucket = next(b for b in self.prompt_buckets if b >= plen)
         prompt = np.full((1, p_bucket), self.config.eos_token, np.int32)
         prompt[0, :plen] = req.prompt_ids
-        max_new = min(req.max_new_tokens, self.max_len - plen - 1)
+        # spec bursts write a (K+1)-wide verify segment at the cache
+        # frontier — reserve K columns of headroom
+        head = self.draft_k if self.spec else 0
+        max_new = min(req.max_new_tokens, self.max_len - plen - 1 - head)
         max_new = max(max_new, 1)
         fn = self._prefill_fn(p_bucket)
         self._state, tok0 = fn(
@@ -391,17 +517,27 @@ class ServingEngine:
             if admit:
                 self.stats["busy_s"] += time.time() - t0
             return bool(admit)
-        fn = self._burst_fn(self.burst)
-        self._state, out = fn(self.model.params, self._state)
-        out = np.asarray(out)
+        if self.spec:
+            fn = self._spec_burst_fn(self.burst)
+            self._state, gen_buf = fn(self.model.params, self._state)
+            gen_buf = np.asarray(gen_buf)
+        else:
+            fn = self._burst_fn(self.burst)
+            self._state, out = fn(self.model.params, self._state)
+            out = np.asarray(out)
         gen_count = np.asarray(self._state["gen_count"])
         finished = np.asarray(self._state["finished"])
         for slot in active:
             req = self._slots[slot]
             total = int(gen_count[slot])
-            fresh = out[slot, : total - self._taken[slot]]
-            # rows emit -1 once dead; only real tokens surface
-            fresh = [int(t) for t in fresh if t >= 0]
+            if self.spec:
+                # every buffered token in [taken, total) is real
+                fresh = [int(t) for t in gen_buf[slot,
+                                                 self._taken[slot]:total]]
+            else:
+                fresh = out[slot, : total - self._taken[slot]]
+                # rows emit -1 once dead; only real tokens surface
+                fresh = [int(t) for t in fresh if t >= 0]
             if fresh:
                 req.tokens.extend(fresh)
                 self._taken[slot] = total

@@ -45,6 +45,7 @@ def main():
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip-static", action="store_true")
+    ap.add_argument("--skip-spec", action="store_true")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -96,46 +97,61 @@ def main():
     def pct(xs, q):
         return float(np.percentile(np.asarray(xs), q)) if len(xs) else 0.0
 
-    # ---------------------------------------------------- continuous
+    # -------------------------------------------- continuous (+spec)
+    def drive(eng, label):
+        """Timed open-loop run: Poisson arrivals against a live engine."""
+        w = eng.submit(prompts[0], max_new_tokens=max(args.burst + 2, 4))
+        eng.run_until_idle()
+        w.result()
+        print(f"{label}: compiled", file=sys.stderr)
+
+        ttft, e2e = [], []
+        start = time.time()
+        reqs = []
+        next_i = 0
+        while len(e2e) < args.n:
+            now = time.time() - start
+            while next_i < args.n and arrivals[next_i] <= now:
+                reqs.append(eng.submit(prompts[next_i],
+                                       max_new_tokens=new_tokens))
+                next_i += 1
+            if next_i < args.n and not any(eng._slots) and not eng._pending:
+                time.sleep(min(0.005, arrivals[next_i] - now))
+                continue
+            eng.step()
+            done = [r for r in reqs if r.finished]
+            for r in done:
+                ttft.append(r.started_at - r.submitted_at)
+                e2e.append(r.finished_at - r.submitted_at)
+                reqs.remove(r)
+        wall = time.time() - start
+        report = {
+            "wall_s": round(wall, 3),
+            "tokens_per_s": round(args.n * new_tokens / wall, 1),
+            "ttft_p50_s": round(pct(ttft, 50), 3),
+            "ttft_p95_s": round(pct(ttft, 95), 3),
+            "e2e_p50_s": round(pct(e2e, 50), 3),
+            "e2e_p95_s": round(pct(e2e, 95), 3),
+            "bursts": eng.stats["bursts"],
+        }
+        print(f"{label}: {report}", file=sys.stderr)
+        return report
+
     eng = ServingEngine(model, max_slots=args.slots, max_len=max_len,
                         prompt_buckets=buckets, burst=args.burst)
-    # warm compiles outside the timed window
-    w = eng.submit(prompts[0], max_new_tokens=max(args.burst + 2, 4))
-    eng.run_until_idle()
-    w.result()
-    print("continuous: compiled", file=sys.stderr)
-
-    ttft, e2e = [], []
-    start = time.time()
-    reqs = []
-    next_i = 0
-    while len(e2e) < args.n:
-        now = time.time() - start
-        while next_i < args.n and arrivals[next_i] <= now:
-            reqs.append(eng.submit(prompts[next_i],
-                                   max_new_tokens=new_tokens))
-            next_i += 1
-        if next_i < args.n and not any(eng._slots) and not eng._pending:
-            time.sleep(min(0.005, arrivals[next_i] - now))
-            continue
-        eng.step()
-        done = [r for r in reqs if r.finished]
-        for r in done:
-            ttft.append(r.started_at - r.submitted_at)
-            e2e.append(r.finished_at - r.submitted_at)
-            reqs.remove(r)
-    cont_wall = time.time() - start
+    continuous = drive(eng, "continuous")
     total_tokens = args.n * new_tokens
-    continuous = {
-        "wall_s": round(cont_wall, 3),
-        "tokens_per_s": round(total_tokens / cont_wall, 1),
-        "ttft_p50_s": round(pct(ttft, 50), 3),
-        "ttft_p95_s": round(pct(ttft, 95), 3),
-        "e2e_p50_s": round(pct(e2e, 50), 3),
-        "e2e_p95_s": round(pct(e2e, 95), 3),
-        "bursts": eng.stats["bursts"],
-    }
-    print(f"continuous: {continuous}", file=sys.stderr)
+
+    # spec bursts on the same workload: random prompts are the no-match
+    # floor (drafts never accept) — the section certifies spec mode adds
+    # no serving overhead; the accept-path ceiling is measured separately
+    # (bench_llm7b --spec copy workload)
+    spec = None
+    if not args.skip_spec:
+        eng_s = ServingEngine(model, max_slots=args.slots, max_len=max_len,
+                              prompt_buckets=buckets, burst=args.burst,
+                              spec=True)
+        spec = drive(eng_s, "continuous_spec")
 
     # ------------------------------------------------------- static b8
     static = None
@@ -183,7 +199,8 @@ def main():
         "n_requests": args.n, "prompt_len": prompt_len,
         "new_tokens": new_tokens, "rate_req_s": args.rate,
         "slots": args.slots, "burst": args.burst,
-        "continuous": continuous, "static_b8": static,
+        "continuous": continuous, "continuous_spec": spec,
+        "static_b8": static,
     }
     print(json.dumps(out))
 

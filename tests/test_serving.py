@@ -230,3 +230,90 @@ def test_queue_manager_llm_concurrency():
         assert qm.get_queue_status()["embedding_tasks"]["workers"] == 1
     finally:
         qm.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Speculative bursts (spec=True): prompt-lookup drafts + (K+1)-wide verify
+# ---------------------------------------------------------------------------
+
+def test_spec_engine_matches_plain_greedy_staggered(model):
+    """Random weights = the no-match floor: every draft misses, rows
+    advance by their correction token — output must still be identical to
+    the solo oracle, including mid-stream admissions."""
+    eng = _engine(model, spec=True)
+    prompts = [[5, 9, 14, 3, 7], [21, 8],
+               [2, 4, 6, 8, 10, 12, 14, 16, 18], [7, 7, 7, 7]]
+    reqs = [eng.submit(prompts[0], max_new_tokens=10),
+            eng.submit(prompts[1], max_new_tokens=14)]
+    eng.step()
+    reqs.append(eng.submit(prompts[2], max_new_tokens=8))
+    eng.step()
+    reqs.append(eng.submit(prompts[3], max_new_tokens=12))
+    eng.run_until_idle()
+    for prompt, req, n in zip(prompts, reqs, (10, 14, 8, 12)):
+        assert req.result() == _solo(model, prompt, n), prompt
+
+
+def test_spec_engine_copy_model_accepts_drafts():
+    """Copy model (tests/test_qwen2._copy_model): greedy repeats one
+    token, so drafts always hit — the engine must produce identical
+    output in far fewer bursts than the token count implies."""
+    from tests.test_qwen2 import _copy_model
+
+    m = _copy_model()
+    eng = _engine(m, spec=True, burst=2)
+    prompts = [[7, 8, 9, 10, 11], [3, 4, 5]]
+    reqs = [eng.submit(p, max_new_tokens=20) for p in prompts]
+    eng.run_until_idle()
+    for prompt, req in zip(prompts, reqs):
+        assert req.result() == _solo(m, prompt, 20), prompt
+    # 20 tokens/row at burst=2: plain needs >=10 bursts; all-accept spec
+    # covers 20 tokens in ceil(19/(K+1))=3 verifies -> 2 bursts
+    assert eng.stats["bursts"] <= 4, eng.stats
+
+
+def test_spec_engine_max_new_and_streaming(model):
+    eng = _engine(model, spec=True, burst=3)
+    seen = []
+    req = eng.submit([4, 5, 6], max_new_tokens=5,
+                     on_token=lambda toks: seen.extend(toks))
+    eng.run_until_idle()
+    assert len(req.result()) <= 5
+    assert req.result() == _solo(model, [4, 5, 6], 5)
+    assert seen[: len(req.result())] == req.result()
+
+
+def test_spec_engine_mixed_sampling_keeps_greedy_exact(model):
+    eng = _engine(model, spec=True)
+    greedy = eng.submit([5, 9, 14, 3, 7], max_new_tokens=10)
+    eng.submit([8, 1, 5], max_new_tokens=10, temperature=0.9, top_p=0.9)
+    eng.run_until_idle()
+    assert greedy.result() == _solo(model, [5, 9, 14, 3, 7], 10)
+
+
+def test_spec_engine_int8_kv(model):
+    cfg = Qwen2Config(**{**Qwen2Config.tiny_test().__dict__,
+                         "kv_cache_bits": 8})
+    m8 = Qwen2Model(cfg, seed=3)
+    eng = _engine(m8, spec=True)
+    prompts = [[5, 9, 14, 3, 7], [21, 8, 4]]
+    reqs = [eng.submit(p, max_new_tokens=8) for p in prompts]
+    eng.run_until_idle()
+    for prompt, req in zip(prompts, reqs):
+        out = m8.generate_tokens(np.asarray(prompt), max_new_tokens=8)[0]
+        gen = out[len(prompt):]
+        eos = np.where(gen == cfg.eos_token)[0]
+        if eos.size:
+            gen = gen[: eos[0]]
+        assert req.result() == [int(t) for t in gen]
+
+
+def test_spec_engine_slot_reuse_after_completion(model):
+    """A slot freed by a finished request must come back clean for the
+    next admission (stale buf/plen rows would poison its drafts)."""
+    eng = _engine(model, spec=True, max_slots=1)
+    prompts = [[1, 2, 3], [9, 8, 7, 6], [4, 4, 4]]
+    reqs = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    eng.run_until_idle()
+    for prompt, req in zip(prompts, reqs):
+        assert req.result() == _solo(model, prompt, 6), prompt
