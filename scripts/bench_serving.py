@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip-static", action="store_true")
     ap.add_argument("--skip-spec", action="store_true")
+    ap.add_argument("--skip-copy", action="store_true",
+                    help="skip the copy-model all-accept ceiling section")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -191,6 +193,28 @@ def main():
         }
         print(f"static: {static}", file=sys.stderr)
 
+    # copy-model workload: the all-accept ceiling through the serving
+    # acceptance path (every prompt repeats a provable greedy cycle)
+    spec_copy = None
+    if not args.skip_spec and not args.skip_copy:
+        from spec_workload import cycle_prompt, make_copy_model
+
+        alphabet = make_copy_model(model)
+        prompts = [cycle_prompt(alphabet, prompt_len) for _ in range(args.n)]
+        eng_p = ServingEngine(model, max_slots=args.slots, max_len=max_len,
+                              prompt_buckets=buckets, burst=args.burst)
+        copy_plain = drive(eng_p, "continuous_copy_plain")
+        eng_c = ServingEngine(model, max_slots=args.slots, max_len=max_len,
+                              prompt_buckets=buckets, burst=args.burst,
+                              spec=True)
+        spec_copy = drive(eng_c, "continuous_copy_spec")
+        spec_copy["plain_same_workload"] = copy_plain
+        spec_copy["speedup_vs_plain"] = round(
+            copy_plain["wall_s"] / spec_copy["wall_s"], 2)
+        print(f"copy-model spec speedup: {spec_copy['speedup_vs_plain']}x",
+              file=sys.stderr)
+
+
     out = {
         "bench": "serving_continuous_batching",
         "backend": jax.default_backend(),
@@ -200,7 +224,7 @@ def main():
         "new_tokens": new_tokens, "rate_req_s": args.rate,
         "slots": args.slots, "burst": args.burst,
         "continuous": continuous, "continuous_spec": spec,
-        "static_b8": static,
+        "continuous_copy_spec": spec_copy, "static_b8": static,
     }
     print(json.dumps(out))
 
