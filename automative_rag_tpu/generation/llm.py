@@ -30,7 +30,7 @@ from ..documents.schema import Document
 from ..utils.quality import extract_key_terms, term_matches
 from .context import documents_in_context_order, format_documents_with_relevance_scores
 from .fact_check import SimpleFactChecker
-from .prompts import build_prompt
+from .prompts import build_prompt, prompt_header
 
 _THINK_RE = re.compile(r"<think>.*?</think>", re.DOTALL)
 # don't treat a decimal point inside a number (6.9秒, 3.0T) as a boundary
@@ -133,6 +133,7 @@ class JaxCausalLM:
             )
         self.name = f"jax-qwen2:{model_path or 'random-init'}"
         self._serving = None
+        self._prefix_reg: Dict[str, Optional[int]] = {}
 
     def enable_serving(self, max_slots: int = 8, max_len: int = 2048,
                        burst: int = 16, spec: bool = True):
@@ -152,6 +153,29 @@ class JaxCausalLM:
             self._serving.start()
         return self._serving
 
+    def _prefix_for(self, prompt: str, ids: List[int]) -> Optional[int]:
+        """Serving-prefix id for the mode template header this prompt
+        starts with (registered lazily, once per header). Returns None
+        when no header matches, the header is too short to pay for the
+        KV copy, or BPE merges across the header/context boundary (the
+        engine re-verifies token equality per request anyway — this just
+        avoids registering a prefix that can never hit)."""
+        for mode in QueryMode:
+            header = prompt_header(mode)
+            if not prompt.startswith(header):
+                continue
+            if header not in self._prefix_reg:
+                pid = None
+                hid = list(self.tokenizer(header)["input_ids"])
+                if len(hid) >= 16 and list(ids[: len(hid)]) == hid:
+                    try:
+                        pid = self._serving.register_prefix(hid)
+                    except ValueError:
+                        pid = None
+                self._prefix_reg[header] = pid
+            return self._prefix_reg[header]
+        return None
+
     def generate(self, prompt: str, params: Dict[str, Any]) -> str:
         ids = self.tokenizer(prompt)["input_ids"]
         temperature = params.get("temperature", 0.0)
@@ -162,6 +186,7 @@ class JaxCausalLM:
                 temperature=temperature,
                 top_p=params.get("top_p", 0.85),
                 repetition_penalty=params.get("repetition_penalty", 1.0),
+                prefix_id=self._prefix_for(prompt, ids),
             )
             return self.tokenizer.decode(
                 req.result(timeout=600), skip_special_tokens=True)

@@ -84,3 +84,13 @@ _TEMPLATES = {
 def build_prompt(mode, context: str, question: str) -> str:
     template = _TEMPLATES.get(QueryMode.parse(mode), _TEMPLATES[QueryMode.FACTS])
     return template.format(context=context, question=question)
+
+
+def prompt_header(mode) -> str:
+    """The fixed per-mode template text before the first variable field.
+
+    Every request in a mode shares this prefix verbatim, so the serving
+    engine can cache its KV once (``ServingEngine.register_prefix``)
+    instead of re-prefilling it per request."""
+    template = _TEMPLATES.get(QueryMode.parse(mode), _TEMPLATES[QueryMode.FACTS])
+    return template.split("{context}", 1)[0]

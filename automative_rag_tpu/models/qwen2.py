@@ -167,10 +167,13 @@ class QuantDense(nn.Module):
                 # collapses decode to ~7 tok/s at 7B (BENCH_LLM7B_r03)
                 from ..ops.quant_matmul import w4_matmul
 
+                import os
+
                 lead = x.shape[:-1]
                 y = w4_matmul(
                     x.reshape(-1, in_features).astype(self.dtype), packed,
                     scale, interpret=jax.default_backend() != "tpu",
+                    unpack=os.environ.get("W4_UNPACK", "i32"),
                 ).reshape(*lead, self.features)
             else:
                 from ..ops.quant_matmul import unpack_w4
@@ -475,6 +478,20 @@ class Qwen2Decoder(nn.Module):
             x, ck, cv = block.verify(x, slot, rope_start, valid_prefix, ck, cv)
             new_caches.append((ck, cv))
         return self._logits(x), new_caches
+
+    def verify_hidden(self, tokens_s, slot, rope_start, valid_prefix, caches):
+        """``verify`` returning PRE-norm hidden states [B, S, D] instead of
+        logits — the suffix-prefill path (prefix KV cache reuse,
+        ``serving/engine.py``) only reads logits at ONE position, and
+        materializing [B, S, V] f32 at S=512 costs ~0.3 GB + a wasted
+        [B·S, D, V] matmul. Callers slice the row they need and put it
+        through ``logits_at``."""
+        x = self.embed_tokens(tokens_s)
+        new_caches = []
+        for block, (ck, cv) in zip(self.layer, caches):
+            x, ck, cv = block.verify(x, slot, rope_start, valid_prefix, ck, cv)
+            new_caches.append((ck, cv))
+        return x, new_caches
 
     def prefill(self, tokens):
         """tokens [B, P] → (logits [B, P, V], [(k, v) each [B, P, Hkv, hd]]).

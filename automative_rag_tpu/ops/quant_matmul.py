@@ -58,7 +58,8 @@ def unpack_w4(packed: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     return jnp.concatenate([low, high], axis=0).astype(dtype)
 
 
-def _w4_kernel(xlo_ref, xhi_ref, p_ref, scale_ref, o_ref, acc_ref, sum_ref):
+def _w4_kernel(xlo_ref, xhi_ref, p_ref, scale_ref, o_ref, acc_ref, sum_ref,
+               *, unpack: str):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
@@ -71,12 +72,31 @@ def _w4_kernel(xlo_ref, xhi_ref, p_ref, scale_ref, o_ref, acc_ref, sum_ref):
     # y = x@nib − 8·rowsum(x), and rowsum(x) is one cheap reduction per
     # tile instead of a per-weight-element subtract. Halves the VPU unpack
     # arithmetic, which is what bounds decode (M is tiny, the MXU idles).
-    # Nibble ops in int32: Mosaic does not legalize int8 subi on the VPU.
-    p = p_ref[:].astype(jnp.int32)  # [bk, bn]
-    low = (p & 0xF).astype(xlo_ref.dtype)
-    high = (p >> 4).astype(xlo_ref.dtype)
     xlo = xlo_ref[:]
     xhi = xhi_ref[:]
+    if unpack == "i32":
+        # nibble ops in int32: Mosaic does not legalize int8 subi; i32 is
+        # the safe width (but processes 4× fewer bytes per vector op)
+        p = p_ref[:].astype(jnp.int32)  # [bk, bn]
+        low = (p & 0xF).astype(xlo_ref.dtype)
+        high = (p >> 4).astype(xlo_ref.dtype)
+    elif unpack == "u8":
+        # bitwise mask/shift in native uint8 lanes: 4× more elements per
+        # VPU op than the i32 widen, and one direct u8→bf16 convert each
+        p = p_ref[:]
+        low = (p & jnp.uint8(0xF)).astype(xlo_ref.dtype)
+        high = (p >> jnp.uint8(4)).astype(xlo_ref.dtype)
+    else:  # "merged": one mask on the big tile; raw bytes feed the MXU.
+        # p = low + 16·high ⇒ x_hi@high = (x_hi/16)@p − (x_hi/16)@low, so
+        #   y = (x_lo − x_hi/16)@low + (x_hi/16)@p − 8·rowsum(x)
+        # p ≤ 255 and nibbles ≤ 15 are exact in bf16; the only new
+        # rounding is the bf16 combine of the two x tiles (tiny vs the
+        # int4 quantization error itself).
+        p = p_ref[:].astype(jnp.int32)
+        low = (p & 0xF).astype(xlo_ref.dtype)
+        high = p.astype(xlo_ref.dtype)  # raw bytes (= low + 16·high)
+        xhi = (xhi * 0.0625).astype(xlo_ref.dtype)
+        xlo = (xlo - xhi).astype(xlo_ref.dtype)
     acc_ref[:] += jax.lax.dot_general(
         xlo, low, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -85,7 +105,7 @@ def _w4_kernel(xlo_ref, xhi_ref, p_ref, scale_ref, o_ref, acc_ref, sum_ref):
         preferred_element_type=jnp.float32,
     )
     sum_ref[:] += jnp.sum(
-        xlo.astype(jnp.float32) + xhi.astype(jnp.float32),
+        xlo_ref[:].astype(jnp.float32) + xhi_ref[:].astype(jnp.float32),
         axis=1, keepdims=True,
     )  # [bm, 1] broadcast into the lane-replicated [bm, 128] scratch
 
@@ -96,7 +116,8 @@ def _w4_kernel(xlo_ref, xhi_ref, p_ref, scale_ref, o_ref, acc_ref, sum_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_m", "block_n", "block_k", "interpret")
+    jax.jit, static_argnames=("block_m", "block_n", "block_k", "interpret",
+                              "unpack")
 )
 def w4_matmul(
     x: jnp.ndarray,       # [M, K] bf16/f32 activations
@@ -106,6 +127,7 @@ def w4_matmul(
     block_n: int = 512,
     block_k: int = 512,   # of the K/2 packed rows per step
     interpret: bool = False,
+    unpack: str = "i32",  # "i32" | "u8" | "merged" (see _w4_kernel)
 ) -> jnp.ndarray:
     """x @ dequant(packed) * scale → [M, N] in x.dtype."""
     m, k_dim = x.shape
@@ -136,7 +158,7 @@ def w4_matmul(
 
     grid = (m_pad // bm, n_pad // bn, k_pad // bk)
     out = pl.pallas_call(
-        _w4_kernel,
+        functools.partial(_w4_kernel, unpack=unpack),
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), x.dtype),
         grid=grid,
         in_specs=[

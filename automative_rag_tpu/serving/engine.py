@@ -103,6 +103,7 @@ class Request:
     repetition_penalty: float = 1.0
     on_token: Optional[Callable[[List[int]], None]] = None
     request_id: int = 0
+    prefix_id: Optional[int] = None
     tokens: List[int] = dataclasses.field(default_factory=list)
     submitted_at: float = 0.0
     started_at: float = 0.0
@@ -166,8 +167,14 @@ class ServingEngine:
         self._prefill_cache: Dict[int, Any] = {}
         self._burst_cache: Dict[int, Any] = {}
         self._spec_burst_cache: Dict[int, Any] = {}
+        # prefix KV cache: id → {tokens [1,Pb], plen, blobs (per-layer KV)}
+        self._prefixes: Dict[int, Dict[str, Any]] = {}
+        self._prefix_ids = itertools.count(1)
+        self._prefix_encode_cache: Dict[int, Any] = {}
+        self._prefix_admit_cache: Dict[int, Any] = {}
         self.stats = {"tokens_generated": 0, "bursts": 0, "prefills": 0,
-                      "requests_completed": 0, "busy_s": 0.0}
+                      "requests_completed": 0, "busy_s": 0.0,
+                      "prefix_admits": 0, "prefix_misses": 0}
         self._state = self._init_state(seed)
 
     # ---------------------------------------------------------- state
@@ -289,6 +296,171 @@ class ServingEngine:
 
         fn = jax.jit(_prefill, donate_argnums=(1,))
         self._prefill_cache[p_bucket] = fn
+        return fn
+
+    # ------------------------------------------------- prefix KV caching
+
+    def _prefix_encode_fn(self, p_bucket: int):
+        """Compile the prefix → reusable KV-blob encoder (per bucket)."""
+        if p_bucket in self._prefix_encode_cache:
+            return self._prefix_encode_cache[p_bucket]
+        cfg = self.config
+        decoder = self.model.decoder
+
+        def _encode(params, prompt):
+            _, kvs = decoder.apply(
+                {"params": params}, prompt, method="prefill_hidden")
+            blobs = []
+            for k, v in kvs:
+                if cfg.kv_cache_bits == 8:
+                    blobs.append(tuple(_quant_kv(f) for f in (k, v)))
+                else:
+                    blobs.append(
+                        (k.astype(cfg.dtype), v.astype(cfg.dtype)))
+            return blobs
+
+        fn = jax.jit(_encode)
+        self._prefix_encode_cache[p_bucket] = fn
+        return fn
+
+    def register_prefix(self, prefix_ids) -> int:
+        """Prefill ``prefix_ids`` ONCE and keep the rope-applied KV
+        resident in HBM; a request submitted with the returned id skips
+        recomputing that prefix — admission copies the cached KV into the
+        slot row and prefills only the suffix. In RAG serving every
+        request shares the mode's system-prompt/template header
+        (``generation/prompts.py``; reference builds the same fixed header
+        per request, ``src/core/query/llm/local_llm.py:301-403``), so the
+        header's prefill FLOPs are paid once per process instead of once
+        per request. Token streams are unchanged: rope positions and
+        attention masks are identical to a full prefill."""
+        ids = np.asarray(prefix_ids, np.int32).reshape(-1)
+        if ids.size == 0:
+            raise ValueError("empty prefix")
+        fitting = [b for b in self.prompt_buckets if b >= ids.size]
+        if not fitting or ids.size >= self._gen_base:
+            raise ValueError(
+                f"prefix of {ids.size} tokens does not fit the prompt "
+                f"buckets {self.prompt_buckets}")
+        p_bucket = fitting[0]
+        padded = np.full((1, p_bucket), self.config.eos_token, np.int32)
+        padded[0, : ids.size] = ids
+        padded = jnp.asarray(padded)
+        blobs = self._prefix_encode_fn(p_bucket)(self.model.params, padded)
+        pid = next(self._prefix_ids)
+        self._prefixes[pid] = {
+            "tokens": ids, "padded": padded, "plen": int(ids.size),
+            "blobs": blobs}
+        return pid
+
+    def _prefix_admit_fn(self, s_bucket: int):
+        """Compile the prefixed admission: cached prefix KV → slot row,
+        then ONE ``verify_hidden`` pass over the suffix (a multi-token
+        decode step against the prefix KV — same math as prefill, but the
+        prefix costs a copy instead of 28 layers of matmuls)."""
+        if s_bucket in self._prefix_admit_cache:
+            return self._prefix_admit_cache[s_bucket]
+        cfg = self.config
+        decoder = self.model.decoder
+        max_len = self.max_len
+        gen_base = self._gen_base
+        kv8 = cfg.kv_cache_bits == 8
+
+        def _admit(params, state, blobs, pre_tokens, p_len, suffix, slen,
+                   slot, temp, top_p, penalty, max_new):
+            """pre_tokens [1, Pb] (eos-padded registered prefix), suffix
+            [1, Sb]; scalar p_len/slen/slot. Columns ≥ the frontier hold
+            junk by engine invariant, so blob padding needs no masking."""
+            dparams = {"params": params}
+            # slot-row caches: prefix KV at columns [0, Pb), zeros beyond
+            row_caches = []
+            for blob in blobs:
+                if kv8:
+                    entry = []
+                    for bq, bs in blob:
+                        rq = jnp.zeros((1, max_len) + bq.shape[2:],
+                                       bq.dtype)
+                        rs = jnp.zeros((1, max_len), bs.dtype)
+                        entry.append((
+                            jax.lax.dynamic_update_slice(
+                                rq, bq, (0, 0, 0, 0)),
+                            jax.lax.dynamic_update_slice(rs, bs, (0, 0)),
+                        ))
+                    row_caches.append(tuple(entry))
+                else:
+                    bk, bv = blob
+                    rk = jnp.zeros((1, max_len) + bk.shape[2:], bk.dtype)
+                    row_caches.append((
+                        jax.lax.dynamic_update_slice(rk, bk, (0, 0, 0, 0)),
+                        jax.lax.dynamic_update_slice(
+                            jnp.zeros_like(rk), bv, (0, 0, 0, 0)),
+                    ))
+            # suffix prefill: rope starts at p_len, attends to the prefix
+            valid = (jnp.arange(max_len) < p_len)[None, :]
+            hidden, row_caches = decoder.apply(
+                dparams, suffix, p_len,
+                jnp.full((1,), p_len, jnp.int32), valid, row_caches,
+                method="verify_hidden")
+            hidden_last = jax.lax.dynamic_slice(
+                hidden, (0, slen - 1, 0), (1, 1, hidden.shape[2]))
+            logits0 = decoder.apply(
+                dparams, hidden_last, method="logits_at")[0, 0]
+            pb = pre_tokens.shape[1]
+            seen_row = jnp.zeros((cfg.vocab_size,), bool)
+            seen_row = seen_row.at[pre_tokens[0]].max(
+                jnp.arange(pb) < p_len)
+            seen_row = seen_row.at[suffix[0]].max(
+                jnp.arange(s_bucket) < slen)
+            logits0 = _penalize_rows(
+                logits0[None], seen_row[None], penalty[None])[0]
+            key, sub = jax.random.split(state["key"])
+            tok0 = _sample_rows(
+                logits0[None], sub, temp[None], top_p[None])[0]
+            seen_row = seen_row.at[tok0].set(True)
+            total = p_len + slen
+            done0 = (tok0 == cfg.eos_token) | (max_new <= 1)
+            # scatter the finished row back into the pool caches
+            caches = []
+            for entry, row in zip(state["caches"], row_caches):
+                if kv8:
+                    caches.append(tuple(
+                        (jax.lax.dynamic_update_slice(
+                            cq, rq, (slot, 0, 0, 0)),
+                         jax.lax.dynamic_update_slice(cs, rs, (slot, 0)))
+                        for (cq, cs), (rq, rs) in zip(entry, row)))
+                else:
+                    (ck, cv), (rk, rv) = entry, row
+                    caches.append((
+                        jax.lax.dynamic_update_slice(
+                            ck, rk, (slot, 0, 0, 0)),
+                        jax.lax.dynamic_update_slice(
+                            cv, rv, (slot, 0, 0, 0)),
+                    ))
+            buf = jax.lax.dynamic_update_slice(
+                state["buf"], pre_tokens, (slot, 0))
+            buf = jax.lax.dynamic_update_slice(buf, suffix, (slot, p_len))
+            buf = buf.at[slot, gen_base].set(tok0)
+            state = {
+                **state,
+                "caches": caches,
+                "buf": buf,
+                "plen": state["plen"].at[slot].set(total),
+                "cur": state["cur"].at[slot].set(tok0),
+                "frontier": state["frontier"].at[slot].set(total),
+                "seen": state["seen"].at[slot].set(seen_row),
+                "finished": state["finished"].at[slot].set(done0),
+                "active": state["active"].at[slot].set(True),
+                "gen_count": state["gen_count"].at[slot].set(1),
+                "max_new": state["max_new"].at[slot].set(max_new),
+                "temp": state["temp"].at[slot].set(temp),
+                "top_p": state["top_p"].at[slot].set(top_p),
+                "penalty": state["penalty"].at[slot].set(penalty),
+                "key": key,
+            }
+            return state, tok0
+
+        fn = jax.jit(_admit, donate_argnums=(1,))
+        self._prefix_admit_cache[s_bucket] = fn
         return fn
 
     def _burst_fn(self, steps: int):
@@ -440,18 +612,25 @@ class ServingEngine:
     def submit(self, prompt_ids, max_new_tokens: int = 256,
                temperature: float = 0.0, top_p: float = 1.0,
                repetition_penalty: float = 1.0,
-               on_token: Optional[Callable] = None) -> Request:
+               on_token: Optional[Callable] = None,
+               prefix_id: Optional[int] = None) -> Request:
         prompt_ids = np.asarray(prompt_ids, np.int32).reshape(-1)
         if prompt_ids.size == 0:
             raise ValueError("empty prompt")
         if prompt_ids.size > self.prompt_buckets[-1]:
             prompt_ids = prompt_ids[-self.prompt_buckets[-1]:]
+        if prefix_id is not None and not self._prefix_usable(
+                prefix_id, prompt_ids):
+            # the prefix is an optimization: a mismatch (wrong tokens,
+            # truncated prompt, no suffix room) falls back to full prefill
+            self.stats["prefix_misses"] += 1
+            prefix_id = None
         req = Request(
             prompt_ids=prompt_ids, max_new_tokens=int(max_new_tokens),
             temperature=float(temperature), top_p=float(top_p),
             repetition_penalty=float(repetition_penalty),
             on_token=on_token, request_id=next(self._ids),
-            submitted_at=time.time())
+            prefix_id=prefix_id, submitted_at=time.time())
         with self._lock:
             self._pending.append(req)
         self._wake.set()
@@ -460,7 +639,26 @@ class ServingEngine:
     def _free_slots(self) -> List[int]:
         return [i for i, r in enumerate(self._slots) if r is None]
 
+    def _prefix_usable(self, prefix_id: int, prompt_ids: np.ndarray) -> bool:
+        pre = self._prefixes.get(prefix_id)
+        if pre is None:
+            return False
+        p_len = pre["plen"]
+        slen = prompt_ids.size - p_len
+        if slen < 1:
+            return False
+        if not np.array_equal(prompt_ids[:p_len], pre["tokens"]):
+            return False
+        head = self.draft_k if self.spec else 0
+        if p_len + slen + 1 + head > self.max_len:
+            return False
+        # a suffix bucket must fit next to the prefix in the prompt buffer
+        return any(b >= slen and p_len + b <= self._gen_base
+                   for b in self.prompt_buckets)
+
     def _admit(self, req: Request, slot: int) -> None:
+        if req.prefix_id is not None:
+            return self._admit_prefixed(req, slot)
         plen = int(req.prompt_ids.size)
         p_bucket = next(b for b in self.prompt_buckets if b >= plen)
         prompt = np.full((1, p_bucket), self.config.eos_token, np.int32)
@@ -476,7 +674,33 @@ class ServingEngine:
             jnp.int32(plen), jnp.int32(slot),
             jnp.float32(req.temperature), jnp.float32(req.top_p),
             jnp.float32(req.repetition_penalty), jnp.int32(max_new))
-        tok0 = int(tok0)
+        self._post_admit(req, slot, int(tok0), max_new)
+
+    def _admit_prefixed(self, req: Request, slot: int) -> None:
+        pre = self._prefixes[req.prefix_id]
+        p_len = pre["plen"]
+        suffix_ids = req.prompt_ids[p_len:]
+        slen = int(suffix_ids.size)
+        s_bucket = next(b for b in self.prompt_buckets
+                        if b >= slen and p_len + b <= self._gen_base)
+        suffix = np.full((1, s_bucket), self.config.eos_token, np.int32)
+        suffix[0, :slen] = suffix_ids
+        head = self.draft_k if self.spec else 0
+        total = p_len + slen
+        max_new = min(req.max_new_tokens, self.max_len - total - 1 - head)
+        max_new = max(max_new, 1)
+        fn = self._prefix_admit_fn(s_bucket)
+        self._state, tok0 = fn(
+            self.model.params, self._state, pre["blobs"], pre["padded"],
+            jnp.int32(p_len), jnp.asarray(suffix), jnp.int32(slen),
+            jnp.int32(slot), jnp.float32(req.temperature),
+            jnp.float32(req.top_p), jnp.float32(req.repetition_penalty),
+            jnp.int32(max_new))
+        self.stats["prefix_admits"] += 1
+        self._post_admit(req, slot, int(tok0), max_new)
+
+    def _post_admit(self, req: Request, slot: int, tok0: int,
+                    max_new: int) -> None:
         req.started_at = time.time()
         req.tokens.append(tok0)
         self.stats["prefills"] += 1

@@ -48,6 +48,8 @@ def main():
     ap.add_argument("--skip-spec", action="store_true")
     ap.add_argument("--skip-copy", action="store_true",
                     help="skip the copy-model all-accept ceiling section")
+    ap.add_argument("--skip-prefix", action="store_true",
+                    help="skip the prefix-KV-cache section")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -100,9 +102,10 @@ def main():
         return float(np.percentile(np.asarray(xs), q)) if len(xs) else 0.0
 
     # -------------------------------------------- continuous (+spec)
-    def drive(eng, label):
+    def drive(eng, label, prefix_id=None):
         """Timed open-loop run: Poisson arrivals against a live engine."""
-        w = eng.submit(prompts[0], max_new_tokens=max(args.burst + 2, 4))
+        w = eng.submit(prompts[0], max_new_tokens=max(args.burst + 2, 4),
+                       prefix_id=prefix_id)
         eng.run_until_idle()
         w.result()
         print(f"{label}: compiled", file=sys.stderr)
@@ -115,7 +118,8 @@ def main():
             now = time.time() - start
             while next_i < args.n and arrivals[next_i] <= now:
                 reqs.append(eng.submit(prompts[next_i],
-                                       max_new_tokens=new_tokens))
+                                       max_new_tokens=new_tokens,
+                                       prefix_id=prefix_id))
                 next_i += 1
             if next_i < args.n and not any(eng._slots) and not eng._pending:
                 time.sleep(min(0.005, arrivals[next_i] - now))
@@ -215,6 +219,41 @@ def main():
               file=sys.stderr)
 
 
+    # prefix-KV-cache workload: 3/4 of every prompt is a shared prefix
+    # (the RAG mode header + template boilerplate); admission copies its
+    # cached KV instead of re-prefilling it per request
+    prefix = None
+    if not args.skip_prefix:
+        pre_len = (prompt_len * 3) // 4
+        suf_len = prompt_len - pre_len
+        pre_ids = rng.integers(10, min(cfg.vocab_size - 10, 50_000),
+                               size=pre_len).astype(np.int32)
+        prompts = [np.concatenate([
+            pre_ids,
+            rng.integers(10, min(cfg.vocab_size - 10, 50_000),
+                         size=suf_len).astype(np.int32)])
+            for _ in range(args.n)]
+        pb = tuple(sorted({suf_len, *buckets}))
+        eng_np = ServingEngine(model, max_slots=args.slots,
+                               max_len=max_len, prompt_buckets=pb,
+                               burst=args.burst)
+        plain_pref = drive(eng_np, "prefix_workload_plain")
+        eng_pf = ServingEngine(model, max_slots=args.slots,
+                               max_len=max_len, prompt_buckets=pb,
+                               burst=args.burst)
+        pid = eng_pf.register_prefix(pre_ids)
+        cached = drive(eng_pf, "prefix_workload_cached", prefix_id=pid)
+        assert eng_pf.stats["prefix_misses"] == 0, eng_pf.stats
+        prefix = {
+            "prefix_len": pre_len, "suffix_len": suf_len,
+            "plain": plain_pref, "cached": cached,
+            "ttft_p50_speedup": round(
+                plain_pref["ttft_p50_s"] / max(cached["ttft_p50_s"], 1e-9),
+                2),
+        }
+        print(f"prefix TTFT p50 speedup: {prefix['ttft_p50_speedup']}x",
+              file=sys.stderr)
+
     out = {
         "bench": "serving_continuous_batching",
         "backend": jax.default_backend(),
@@ -225,6 +264,7 @@ def main():
         "slots": args.slots, "burst": args.burst,
         "continuous": continuous, "continuous_spec": spec,
         "continuous_copy_spec": spec_copy, "static_b8": static,
+        "prefix_cache": prefix,
     }
     print(json.dumps(out))
 

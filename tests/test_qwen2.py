@@ -416,17 +416,20 @@ def test_w4_matmul_kernel_matches_xla_unpack():
         w = rng.normal(size=(k, n)).astype(np.float32)
         packed, scale = pack_w4(w)
         x = rng.normal(size=(m, k)).astype(np.float32)
-        got = np.asarray(w4_matmul(
-            jnp.asarray(x), jnp.asarray(packed), jnp.asarray(scale),
-            block_m=16, block_n=128, block_k=128, interpret=True,
-        ))
         import jax as _jax
 
         want = np.asarray(
             jnp.dot(jnp.asarray(x), unpack_w4(jnp.asarray(packed), jnp.float32),
                     precision=_jax.lax.Precision.HIGHEST) * scale[None, :]
         )
-        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+        for unpack in ("i32", "u8", "merged"):
+            got = np.asarray(w4_matmul(
+                jnp.asarray(x), jnp.asarray(packed), jnp.asarray(scale),
+                block_m=16, block_n=128, block_k=128, interpret=True,
+                unpack=unpack,
+            ))
+            np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2,
+                                       err_msg=unpack)
 
 
 def test_int4_generation_with_w4_kernel(monkeypatch):

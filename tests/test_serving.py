@@ -317,3 +317,160 @@ def test_spec_engine_slot_reuse_after_completion(model):
     eng.run_until_idle()
     for prompt, req in zip(prompts, reqs):
         assert req.result() == _solo(model, prompt, 6), prompt
+
+
+# ---------------------------------------------------------------------------
+# Prefix KV caching: register_prefix + submit(prefix_id=...) must be
+# token-identical to full prefill — the cached-prefix admission changes
+# where the prefix KV comes from, never the math (rope positions and
+# attention masks are the same).
+# ---------------------------------------------------------------------------
+
+def test_prefix_admission_matches_full_prefill(model):
+    eng = _engine(model)
+    prefix = [5, 9, 14, 3, 7, 21, 8]
+    pid = eng.register_prefix(prefix)
+    for suffix in ([11, 12], [100, 101, 102, 103], [2]):
+        full = prefix + suffix
+        via_prefix = eng.submit(full, max_new_tokens=10, prefix_id=pid)
+        plain = eng.submit(full, max_new_tokens=10)
+        eng.run_until_idle()
+        assert via_prefix.result() == plain.result() == _solo(
+            model, full, 10), suffix
+    assert eng.stats["prefix_admits"] == 3
+    assert eng.stats["prefix_misses"] == 0
+
+
+def test_prefix_admission_int8_kv():
+    cfg = Qwen2Config(**{**Qwen2Config.tiny_test().__dict__,
+                         "kv_cache_bits": 8})
+    m8 = Qwen2Model(cfg, seed=3)
+    eng = _engine(m8)
+    prefix = [5, 9, 14, 3, 7]
+    pid = eng.register_prefix(prefix)
+    full = prefix + [11, 12, 13]
+    via_prefix = eng.submit(full, max_new_tokens=8, prefix_id=pid)
+    plain = eng.submit(full, max_new_tokens=8)
+    eng.run_until_idle()
+    assert via_prefix.result() == plain.result()
+    assert eng.stats["prefix_admits"] == 1
+
+
+def test_prefix_with_repetition_penalty_and_sampling(model):
+    """The seen-set must include prefix AND suffix tokens; sampled rows
+    draw from exact conditionals (same state key order as plain path is
+    NOT guaranteed, so compare penalized greedy only)."""
+    eng = _engine(model)
+    prefix = [5, 9, 14, 3, 7, 9, 5]
+    pid = eng.register_prefix(prefix)
+    full = prefix + [9, 5, 4]
+    req = eng.submit(full, max_new_tokens=10, repetition_penalty=1.3,
+                     prefix_id=pid)
+    eng.run_until_idle()
+    assert req.result() == _solo(model, full, 10, repetition_penalty=1.3)
+
+
+def test_prefix_mismatch_falls_back_to_full_prefill(model):
+    eng = _engine(model)
+    pid = eng.register_prefix([5, 9, 14])
+    # wrong prefix tokens → miss, but generation still correct
+    req = eng.submit([6, 6, 6, 11], max_new_tokens=8, prefix_id=pid)
+    # unknown id → miss
+    req2 = eng.submit([5, 9, 14, 11], max_new_tokens=8, prefix_id=999)
+    # prompt == prefix (no suffix) → miss
+    req3 = eng.submit([5, 9, 14], max_new_tokens=8, prefix_id=pid)
+    eng.run_until_idle()
+    assert req.result() == _solo(model, [6, 6, 6, 11], 8)
+    assert req2.result() == _solo(model, [5, 9, 14, 11], 8)
+    assert req3.result() == _solo(model, [5, 9, 14], 8)
+    assert eng.stats["prefix_misses"] == 3
+    assert eng.stats["prefix_admits"] == 0
+
+
+def test_prefix_admission_under_spec_bursts(model):
+    """Prefix rows must draft correctly: buf holds prefix+suffix at
+    [0, plen) so the n-gram matcher sees the whole prompt."""
+    eng = _engine(model, spec=True)
+    prefix = [5, 9, 14, 3, 7]
+    pid = eng.register_prefix(prefix)
+    full = prefix + [11, 12, 13, 14]
+    req = eng.submit(full, max_new_tokens=10, prefix_id=pid)
+    eng.run_until_idle()
+    assert req.result() == _solo(model, full, 10)
+
+
+def test_prefix_spec_copy_model_accepts_drafts():
+    from tests.test_qwen2 import _copy_model
+
+    m = _copy_model()
+    eng = _engine(m, spec=True, burst=2)
+    prefix = [7, 8, 9, 10]
+    pid = eng.register_prefix(prefix)
+    full = prefix + [11, 3]
+    req = eng.submit(full, max_new_tokens=20, prefix_id=pid)
+    eng.run_until_idle()
+    assert req.result() == _solo(m, full, 20)
+    assert eng.stats["bursts"] <= 4, eng.stats
+
+
+def test_prefix_slot_reuse_and_mixed_batch(model):
+    """Prefixed and plain requests share the pool; freed slots come back
+    clean for either admission path."""
+    eng = _engine(model, max_slots=2)
+    prefix = [5, 9, 14, 3]
+    pid = eng.register_prefix(prefix)
+    specs = [(prefix + [11], pid), ([21, 8, 4], None),
+             (prefix + [12, 13], pid), ([1, 2, 3], None),
+             (prefix + [14], pid)]
+    reqs = [eng.submit(p, max_new_tokens=6, prefix_id=i) for p, i in specs]
+    eng.run_until_idle()
+    for (p, _), req in zip(specs, reqs):
+        assert req.result() == _solo(model, p, 6), p
+
+
+def test_register_prefix_rejects_oversize(model):
+    eng = _engine(model)  # buckets (8, 16, 32), gen_base 32
+    with pytest.raises(ValueError):
+        eng.register_prefix(list(range(3, 40)))  # > largest bucket
+    with pytest.raises(ValueError):
+        eng.register_prefix([])
+
+
+class _WordTokenizer:
+    """Per-word ids — whitespace-delimited, so the mode header's tokens
+    are a prefix of every full prompt's tokens (the real-tokenizer
+    boundary condition ``_prefix_for`` checks)."""
+
+    def __call__(self, text):
+        return {"input_ids": [sum(ord(c) for c in w) % 200 + 5
+                              for w in text.split()]}
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(str(int(t)) for t in ids)
+
+
+def test_jax_llm_auto_prefix_header_matches_direct():
+    """Serving route auto-registers the mode template header as a KV
+    prefix; output must equal the direct (non-serving) path."""
+    from automative_rag_tpu.generation.llm import JaxCausalLM
+    from automative_rag_tpu.generation.prompts import build_prompt
+
+    # facts header ≈ 90 word-tokens; tiny_test max_positions=128 would
+    # truncate the direct oracle, so widen positions for this test
+    cfg = Qwen2Config(**{**Qwen2Config.tiny_test().__dict__,
+                         "max_positions": 512})
+    direct = JaxCausalLM("", config=cfg, tokenizer=_WordTokenizer())
+    served = JaxCausalLM("", config=cfg, tokenizer=_WordTokenizer())
+    served.model = direct.model  # same weights
+    eng = served.enable_serving(max_slots=2, max_len=512, burst=4)
+    try:
+        params = {"max_tokens": 6, "temperature": 0.0, "speculative": False}
+        prompts = [build_prompt("facts", "ctx A", "q1"),
+                   build_prompt("facts", "ctx B longer", "q2")]
+        want = [direct.generate(p, params) for p in prompts]
+        got = [served.generate(p, params) for p in prompts]
+        assert got == want
+        assert eng.stats["prefix_admits"] == 2
+        assert eng.stats["prefix_misses"] == 0
+    finally:
+        eng.stop()
