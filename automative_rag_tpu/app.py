@@ -128,6 +128,7 @@ class RAGApplication:
                 max_len=self.settings.llm_serving_max_len,
                 burst=self.settings.llm_serving_burst,
                 spec=self.settings.llm_serving_spec,
+                prefill_chunk=self.settings.llm_prefill_chunk,
             )
         self.generator = AnswerGenerator(llm)
         self.validation_engine = ValidationEngine()

@@ -195,6 +195,11 @@ class Settings:
     # decode up to K+1 tokens per weight read)
     llm_serving_spec: bool = field(
         default_factory=lambda: _env("LLM_SERVING_SPEC", True, bool))
+    # chunked prefill (Sarathi-style): long admissions fill KV in chunks
+    # of this many tokens with decode bursts between chunks, bounding the
+    # stall a long prompt imposes on in-flight streams; 0 = monolithic
+    llm_prefill_chunk: int = field(
+        default_factory=lambda: _env("LLM_PREFILL_CHUNK", 0))
     # split encoder batches data-parallel over the sharded index's mesh
     encoder_data_parallel: bool = field(
         default_factory=lambda: _env("ENCODER_DP", False, bool)

@@ -136,7 +136,8 @@ class JaxCausalLM:
         self._prefix_reg: Dict[str, Optional[int]] = {}
 
     def enable_serving(self, max_slots: int = 8, max_len: int = 2048,
-                       burst: int = 16, spec: bool = True):
+                       burst: int = 16, spec: bool = True,
+                       prefill_chunk: int = 0):
         """Route ``generate`` through the continuous-batching engine:
         concurrent callers (N llm-queue workers, ``QueueManager``
         concurrency) share decode bursts instead of serializing. Greedy
@@ -149,7 +150,7 @@ class JaxCausalLM:
 
             self._serving = ServingEngine(
                 self.model, max_slots=max_slots, max_len=max_len,
-                burst=burst, spec=spec)
+                burst=burst, spec=spec, prefill_chunk=prefill_chunk)
             self._serving.start()
         return self._serving
 

@@ -136,7 +136,8 @@ class ServingEngine:
     def __init__(self, model: Qwen2Model, max_slots: int = 8,
                  max_len: int = 2048,
                  prompt_buckets: Sequence[int] = (64, 128, 256, 512, 1024),
-                 burst: int = 16, seed: int = 0, spec: bool = False):
+                 burst: int = 16, seed: int = 0, spec: bool = False,
+                 prefill_chunk: int = 0, chunk_burst: int = 0):
         self.model = model
         self.config: Qwen2Config = model.config
         self.max_slots = int(max_slots)
@@ -152,6 +153,13 @@ class ServingEngine:
         # to the plain burst; a miss costs nothing but the draft columns.
         self.spec = bool(spec)
         self.draft_k = int(model.DRAFT_K)
+        # chunked prefill (Sarathi-style): admissions longer than
+        # ``prefill_chunk`` tokens fill the slot's KV in chunk-sized
+        # pieces, with a short decode burst between chunks — the stall a
+        # long prompt imposes on in-flight streams drops from the whole
+        # prefill (~137 ms at 7B/1024) to one chunk. 0 disables.
+        self.prefill_chunk = int(prefill_chunk)
+        self.chunk_burst = int(chunk_burst) or max(1, int(burst) // 4)
         #: generated tokens live at buf[:, _gen_base:] — prompts (ragged,
         #: bucket-padded) at buf[:, :plen]; the fixed split lets the
         #: n-gram matcher mask the padding gap with per-row plen
@@ -172,9 +180,12 @@ class ServingEngine:
         self._prefix_ids = itertools.count(1)
         self._prefix_encode_cache: Dict[int, Any] = {}
         self._prefix_admit_cache: Dict[int, Any] = {}
+        self._chunk_fill_cache: Dict[Any, Any] = {}
+        self._chunk_last_cache: Dict[int, Any] = {}
         self.stats = {"tokens_generated": 0, "bursts": 0, "prefills": 0,
                       "requests_completed": 0, "busy_s": 0.0,
-                      "prefix_admits": 0, "prefix_misses": 0}
+                      "prefix_admits": 0, "prefix_misses": 0,
+                      "chunked_admits": 0}
         self._state = self._init_state(seed)
 
     # ---------------------------------------------------------- state
@@ -463,6 +474,157 @@ class ServingEngine:
         self._prefix_admit_cache[s_bucket] = fn
         return fn
 
+    # --------------------------------------------------- chunked prefill
+
+    def _row_cache_ops(self):
+        """(slice, scatter) for one slot row of the pool caches."""
+        kv8 = self.config.kv_cache_bits == 8
+        max_len = self.max_len
+
+        def _slice_one(c, slot):
+            if c.ndim == 2:  # int8 scale planes [B, max_len]
+                return jax.lax.dynamic_slice(
+                    c, (slot, 0), (1, max_len))
+            return jax.lax.dynamic_slice(
+                c, (slot, 0, 0, 0), (1, max_len) + c.shape[2:])
+
+        def _scatter_one(c, r, slot):
+            start = (slot, 0) if c.ndim == 2 else (slot, 0, 0, 0)
+            return jax.lax.dynamic_update_slice(c, r, start)
+
+        def row_slice(caches, slot):
+            out = []
+            for entry in caches:
+                if kv8:
+                    out.append(tuple(
+                        (_slice_one(cq, slot), _slice_one(cs, slot))
+                        for cq, cs in entry))
+                else:
+                    ck, cv = entry
+                    out.append((_slice_one(ck, slot), _slice_one(cv, slot)))
+            return out
+
+        def row_scatter(caches, rows, slot):
+            out = []
+            for entry, row in zip(caches, rows):
+                if kv8:
+                    out.append(tuple(
+                        (_scatter_one(cq, rq, slot),
+                         _scatter_one(cs, rs, slot))
+                        for (cq, cs), (rq, rs) in zip(entry, row)))
+                else:
+                    (ck, cv), (rk, rv) = entry, row
+                    out.append((_scatter_one(ck, rk, slot),
+                                _scatter_one(cv, rv, slot)))
+            return out
+
+        return row_slice, row_scatter
+
+    def _chunk_fill_fn(self, c_bucket: int, first: bool):
+        """Compile one NON-final prefill chunk: write the chunk's KV into
+        the slot row at ``offset`` (a ``verify_hidden`` segment pass — the
+        chunk attends to the already-filled columns) and extend the seen
+        set / history buffer. The row stays inactive; ``frontier`` tracks
+        the fill position so that decode-burst cache writes for this
+        (masked-out) row land exactly where the NEXT chunk will overwrite
+        them. ``first`` resets the seen row (slot reuse)."""
+        key = (c_bucket, first)
+        if key in self._chunk_fill_cache:
+            return self._chunk_fill_cache[key]
+        cfg = self.config
+        decoder = self.model.decoder
+        max_len = self.max_len
+        row_slice, row_scatter = self._row_cache_ops()
+
+        def _fill(params, state, chunk, clen, offset, slot):
+            """chunk [1, Cb] (eos-padded), scalar clen/offset/slot."""
+            row = row_slice(state["caches"], slot)
+            valid = (jnp.arange(max_len) < offset)[None, :]
+            _, row = decoder.apply(
+                {"params": params}, chunk, offset,
+                jnp.full((1,), offset, jnp.int32), valid, row,
+                method="verify_hidden")
+            caches = row_scatter(state["caches"], row, slot)
+            base = (jnp.zeros((cfg.vocab_size,), bool) if first
+                    else state["seen"][slot])
+            row_seen = base.at[chunk[0]].max(jnp.arange(c_bucket) < clen)
+            buf = jax.lax.dynamic_update_slice(
+                state["buf"], chunk, (slot, offset))
+            return {
+                **state,
+                "caches": caches,
+                "buf": buf,
+                "seen": state["seen"].at[slot].set(row_seen),
+                "frontier": state["frontier"].at[slot].set(offset + clen),
+            }
+
+        fn = jax.jit(_fill, donate_argnums=(1,))
+        self._chunk_fill_cache[key] = fn
+        return fn
+
+    def _chunk_last_fn(self, c_bucket: int):
+        """Compile the FINAL prefill chunk: one more segment pass, then
+        sample token 0 and activate the row (mirrors the tail of
+        ``_prefill_fn``). Never the first chunk — monolithic admission
+        handles prompts that fit one chunk."""
+        if c_bucket in self._chunk_last_cache:
+            return self._chunk_last_cache[c_bucket]
+        cfg = self.config
+        decoder = self.model.decoder
+        max_len = self.max_len
+        gen_base = self._gen_base
+        row_slice, row_scatter = self._row_cache_ops()
+
+        def _last(params, state, chunk, clen, offset, slot, temp, top_p,
+                  penalty, max_new):
+            dparams = {"params": params}
+            row = row_slice(state["caches"], slot)
+            valid = (jnp.arange(max_len) < offset)[None, :]
+            hidden, row = decoder.apply(
+                dparams, chunk, offset,
+                jnp.full((1,), offset, jnp.int32), valid, row,
+                method="verify_hidden")
+            caches = row_scatter(state["caches"], row, slot)
+            hidden_last = jax.lax.dynamic_slice(
+                hidden, (0, clen - 1, 0), (1, 1, hidden.shape[2]))
+            logits0 = decoder.apply(
+                dparams, hidden_last, method="logits_at")[0, 0]
+            seen_row = state["seen"][slot].at[chunk[0]].max(
+                jnp.arange(c_bucket) < clen)
+            logits0 = _penalize_rows(
+                logits0[None], seen_row[None], penalty[None])[0]
+            key, sub = jax.random.split(state["key"])
+            tok0 = _sample_rows(
+                logits0[None], sub, temp[None], top_p[None])[0]
+            seen_row = seen_row.at[tok0].set(True)
+            total = offset + clen
+            done0 = (tok0 == cfg.eos_token) | (max_new <= 1)
+            buf = jax.lax.dynamic_update_slice(
+                state["buf"], chunk, (slot, offset))
+            buf = buf.at[slot, gen_base].set(tok0)
+            state = {
+                **state,
+                "caches": caches,
+                "buf": buf,
+                "plen": state["plen"].at[slot].set(total),
+                "cur": state["cur"].at[slot].set(tok0),
+                "frontier": state["frontier"].at[slot].set(total),
+                "seen": state["seen"].at[slot].set(seen_row),
+                "finished": state["finished"].at[slot].set(done0),
+                "active": state["active"].at[slot].set(True),
+                "gen_count": state["gen_count"].at[slot].set(1),
+                "max_new": state["max_new"].at[slot].set(max_new),
+                "temp": state["temp"].at[slot].set(temp),
+                "top_p": state["top_p"].at[slot].set(top_p),
+                "penalty": state["penalty"].at[slot].set(penalty),
+                "key": key,
+            }
+            return state, tok0
+
+        fn = jax.jit(_last, donate_argnums=(1,))
+        self._chunk_last_cache[c_bucket] = fn
+        return fn
+
     def _burst_fn(self, steps: int):
         """Compile the N-step decode burst (one dispatch, N tokens/slot)."""
         if steps in self._burst_cache:
@@ -660,6 +822,9 @@ class ServingEngine:
         if req.prefix_id is not None:
             return self._admit_prefixed(req, slot)
         plen = int(req.prompt_ids.size)
+        if self.prefill_chunk and plen > self.prefill_chunk \
+                and self._chunk_last_bucket(plen) is not None:
+            return self._admit_chunked(req, slot)
         p_bucket = next(b for b in self.prompt_buckets if b >= plen)
         prompt = np.full((1, p_bucket), self.config.eos_token, np.int32)
         prompt[0, :plen] = req.prompt_ids
@@ -699,6 +864,52 @@ class ServingEngine:
         self.stats["prefix_admits"] += 1
         self._post_admit(req, slot, int(tok0), max_new)
 
+    def _chunk_last_bucket(self, plen: int) -> Optional[int]:
+        """Bucket for the final chunk — its padded segment write must stay
+        inside ``max_len`` (dynamic_update_slice clamps out-of-range
+        starts, which would silently shift the write)."""
+        C = self.prefill_chunk
+        off = ((plen - 1) // C) * C
+        lsize = plen - off
+        fit = [b for b in (*self.prompt_buckets, C)
+               if b >= lsize and off + b <= self.max_len]
+        return min(fit) if fit else None
+
+    def _admit_chunked(self, req: Request, slot: int) -> None:
+        """Admission in ``prefill_chunk``-sized pieces, with a short
+        decode burst between pieces so in-flight streams keep moving —
+        the classic chunked-prefill trade (Sarathi / vLLM): the arriving
+        request's TTFT stretches a little, every running request's
+        inter-token stall shrinks to one chunk."""
+        ids = req.prompt_ids
+        plen = int(ids.size)
+        C = self.prefill_chunk
+        n_full = (plen - 1) // C  # final chunk is 1..C tokens
+        off = 0
+        for i in range(n_full):
+            chunk = np.asarray(ids[off:off + C], np.int32)[None, :]
+            fn = self._chunk_fill_fn(C, first=(i == 0))
+            self._state = fn(
+                self.model.params, self._state, jnp.asarray(chunk),
+                jnp.int32(C), jnp.int32(off), jnp.int32(slot))
+            off += C
+            self._run_burst(self.chunk_burst)
+        lsize = plen - off
+        cb = self._chunk_last_bucket(plen)
+        chunk = np.full((1, cb), self.config.eos_token, np.int32)
+        chunk[0, :lsize] = ids[off:]
+        head = self.draft_k if self.spec else 0
+        max_new = min(req.max_new_tokens, self.max_len - plen - 1 - head)
+        max_new = max(max_new, 1)
+        fn = self._chunk_last_fn(cb)
+        self._state, tok0 = fn(
+            self.model.params, self._state, jnp.asarray(chunk),
+            jnp.int32(lsize), jnp.int32(off), jnp.int32(slot),
+            jnp.float32(req.temperature), jnp.float32(req.top_p),
+            jnp.float32(req.repetition_penalty), jnp.int32(max_new))
+        self.stats["chunked_admits"] += 1
+        self._post_admit(req, slot, int(tok0), max_new)
+
     def _post_admit(self, req: Request, slot: int, tok0: int,
                     max_new: int) -> None:
         req.started_at = time.time()
@@ -722,31 +933,21 @@ class ServingEngine:
             self._slots[slot] = None
         req._done.set()
 
-    def step(self) -> bool:
-        """One scheduler iteration: admissions, then one decode burst.
-        Returns True if any work was done."""
-        t0 = time.time()
-        with self._lock:
-            pending, self._pending = self._pending, []
-        # re-queue what we cannot admit yet (preserve arrival order)
-        free = self._free_slots()
-        admit, overflow = pending[:len(free)], pending[len(free):]
-        if overflow:
-            with self._lock:
-                self._pending = overflow + self._pending
-        for req, slot in zip(admit, free):
-            self._admit(req, slot)
+    def _run_burst(self, steps: Optional[int] = None) -> bool:
+        """One decode burst for the occupied slots; surfaces fresh tokens
+        and completions. Safe with partially-filled (inactive) rows: their
+        masked-out cache writes land at the fill frontier, which the next
+        chunk overwrites."""
+        steps = steps or self.burst
         active = [i for i, r in enumerate(self._slots) if r is not None]
         if not active:
-            if admit:
-                self.stats["busy_s"] += time.time() - t0
-            return bool(admit)
+            return False
         if self.spec:
-            fn = self._spec_burst_fn(self.burst)
+            fn = self._spec_burst_fn(steps)
             self._state, gen_buf = fn(self.model.params, self._state)
             gen_buf = np.asarray(gen_buf)
         else:
-            fn = self._burst_fn(self.burst)
+            fn = self._burst_fn(steps)
             self._state, out = fn(self.model.params, self._state)
             out = np.asarray(out)
         gen_count = np.asarray(self._state["gen_count"])
@@ -771,8 +972,26 @@ class ServingEngine:
             if bool(finished[slot]):
                 self._complete(req, slot)
         self.stats["bursts"] += 1
-        self.stats["busy_s"] += time.time() - t0
         return True
+
+    def step(self) -> bool:
+        """One scheduler iteration: admissions, then one decode burst.
+        Returns True if any work was done."""
+        t0 = time.time()
+        with self._lock:
+            pending, self._pending = self._pending, []
+        # re-queue what we cannot admit yet (preserve arrival order)
+        free = self._free_slots()
+        admit, overflow = pending[:len(free)], pending[len(free):]
+        if overflow:
+            with self._lock:
+                self._pending = overflow + self._pending
+        for req, slot in zip(admit, free):
+            self._admit(req, slot)
+        ran = self._run_burst()
+        if ran or admit:
+            self.stats["busy_s"] += time.time() - t0
+        return ran or bool(admit)
 
     def run_until_idle(self, max_steps: int = 10_000) -> None:
         for _ in range(max_steps):

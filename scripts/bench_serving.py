@@ -50,6 +50,8 @@ def main():
                     help="skip the copy-model all-accept ceiling section")
     ap.add_argument("--skip-prefix", action="store_true",
                     help="skip the prefix-KV-cache section")
+    ap.add_argument("--skip-chunk", action="store_true",
+                    help="skip the chunked-prefill stall section")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -254,6 +256,76 @@ def main():
         print(f"prefix TTFT p50 speedup: {prefix['ttft_p50_speedup']}x",
               file=sys.stderr)
 
+    # chunked-prefill stall section: live decode streams observe the
+    # stall each long admission imposes; chunking bounds it to one chunk
+    # (+ the interleaved short burst) instead of the whole prefill
+    chunked = None
+    if not args.skip_chunk:
+        lp = buckets[-1]
+        n_long = max(2, args.slots - 2)
+        long_prompts = [rng.integers(10, min(cfg.vocab_size - 10, 50_000),
+                                     size=lp).astype(np.int32)
+                        for _ in range(n_long)]
+        stream_prompt = rng.integers(
+            10, min(cfg.vocab_size - 10, 50_000),
+            size=min(prompt_len, buckets[0])).astype(np.int32)
+        chunk_size = max(lp // 4, 8)
+
+        def stall_drive(prefill_chunk, label):
+            eng = ServingEngine(
+                model, max_slots=args.slots, max_len=max_len,
+                prompt_buckets=buckets, burst=args.burst,
+                prefill_chunk=prefill_chunk)
+            # streamer must still be decoding during the long admission,
+            # or the interleave burst (burst=chunk_burst) never compiles
+            s0 = eng.submit(stream_prompt, max_new_tokens=args.burst * 3)
+            eng.step()
+            w0 = eng.submit(long_prompts[0], max_new_tokens=6)
+            eng.run_until_idle()
+            s0.result(), w0.result()
+            print(f"{label}: compiled", file=sys.stderr)
+            tick_lists = [[], []]
+            start = time.time()
+            streamers = [
+                eng.submit(stream_prompt, max_new_tokens=new_tokens * 3,
+                           on_token=(lambda lst: lambda _t:
+                                     lst.append(time.time()))(lst))
+                for lst in tick_lists]
+            eng.step()
+            longs = [eng.submit(p, max_new_tokens=new_tokens)
+                     for p in long_prompts]
+            eng.run_until_idle()
+            wall = time.time() - start
+            for r in streamers + longs:
+                r.result()
+            gaps = np.concatenate(
+                [np.diff(np.asarray(l)) for l in tick_lists
+                 if len(l) > 1]) * 1000.0
+            ttft = [r.started_at - r.submitted_at for r in longs]
+            report = {
+                "stall_p50_ms": round(pct(gaps, 50), 1),
+                "stall_p95_ms": round(pct(gaps, 95), 1),
+                "stall_max_ms": round(float(gaps.max()), 1),
+                "ttft_long_p50_s": round(pct(ttft, 50), 3),
+                "ttft_long_p95_s": round(pct(ttft, 95), 3),
+                "wall_s": round(wall, 3),
+                "chunked_admits": eng.stats["chunked_admits"],
+            }
+            print(f"{label}: {report}", file=sys.stderr)
+            return report
+
+        mono = stall_drive(0, "stall_monolithic")
+        chk = stall_drive(chunk_size, "stall_chunked")
+        chunked = {
+            "long_prompt_len": lp, "chunk": chunk_size,
+            "n_long_admissions": n_long,
+            "monolithic": mono, "chunked": chk,
+            "stall_max_improvement": round(
+                mono["stall_max_ms"] / max(chk["stall_max_ms"], 1e-9), 2),
+        }
+        print(f"chunked-prefill max-stall improvement: "
+              f"{chunked['stall_max_improvement']}x", file=sys.stderr)
+
     out = {
         "bench": "serving_continuous_batching",
         "backend": jax.default_backend(),
@@ -264,7 +336,7 @@ def main():
         "slots": args.slots, "burst": args.burst,
         "continuous": continuous, "continuous_spec": spec,
         "continuous_copy_spec": spec_copy, "static_b8": static,
-        "prefix_cache": prefix,
+        "prefix_cache": prefix, "chunked_prefill": chunked,
     }
     print(json.dumps(out))
 

@@ -474,3 +474,129 @@ def test_jax_llm_auto_prefix_header_matches_direct():
         assert eng.stats["prefix_misses"] == 0
     finally:
         eng.stop()
+
+
+# ---------------------------------------------------------------------------
+# Chunked prefill: admissions longer than ``prefill_chunk`` fill the slot
+# KV in pieces with decode bursts in between. The chunk schedule changes
+# WHEN work happens, never tokens — every stream must stay identical to
+# solo generation, including the in-flight streams the chunks interleave
+# with.
+# ---------------------------------------------------------------------------
+
+def test_chunked_prefill_matches_solo(model):
+    eng = _engine(model, prefill_chunk=8)
+    rng = np.random.default_rng(7)
+    # lengths straddling chunk boundaries: 2 chunks ragged, exact
+    # multiple, 3 chunks ragged, 4 chunks with 1-token tail
+    for plen in (9, 16, 17, 31, 25):
+        prompt = [int(t) for t in rng.integers(3, 200, size=plen)]
+        req = eng.submit(prompt, max_new_tokens=10)
+        eng.run_until_idle()
+        assert req.result() == _solo(model, prompt, 10), plen
+    assert eng.stats["chunked_admits"] == 5
+
+
+def test_chunked_prefill_short_prompts_stay_monolithic(model):
+    eng = _engine(model, prefill_chunk=8)
+    req = eng.submit([5, 9, 14, 3, 7], max_new_tokens=8)
+    eng.run_until_idle()
+    assert req.result() == _solo(model, [5, 9, 14, 3, 7], 8)
+    assert eng.stats["chunked_admits"] == 0
+
+
+def test_chunked_prefill_with_inflight_decodes(model):
+    """Chunks interleave with decode bursts for occupied slots; neither
+    stream may perturb the other (burst cache writes for the filling row
+    are masked and land where the next chunk overwrites them)."""
+    eng = _engine(model, prefill_chunk=8, max_slots=3)
+    runners = [[21, 8, 4], [1, 2, 3, 4, 5]]
+    r_reqs = [eng.submit(p, max_new_tokens=24) for p in runners]
+    eng.step()  # admit runners, first burst
+    long_prompt = [int(t) for t in
+                   np.random.default_rng(11).integers(3, 200, size=29)]
+    c_req = eng.submit(long_prompt, max_new_tokens=10)
+    eng.run_until_idle()
+    assert eng.stats["chunked_admits"] == 1
+    assert c_req.result() == _solo(model, long_prompt, 10)
+    for p, req in zip(runners, r_reqs):
+        assert req.result() == _solo(model, p, 24), p
+
+
+def test_chunked_prefill_int8_kv():
+    cfg = Qwen2Config(**{**Qwen2Config.tiny_test().__dict__,
+                         "kv_cache_bits": 8})
+    m8 = Qwen2Model(cfg, seed=3)
+    eng = _engine(m8, prefill_chunk=8, max_slots=2)
+    runner = eng.submit([21, 8, 4], max_new_tokens=20)
+    eng.step()
+    prompt = [int(t) for t in
+              np.random.default_rng(13).integers(3, 200, size=19)]
+    req = eng.submit(prompt, max_new_tokens=8)
+    eng.run_until_idle()
+    assert eng.stats["chunked_admits"] == 1
+    assert req.result() == _solo(m8, prompt, 8)
+    assert runner.result() == _solo(m8, [21, 8, 4], 20)
+
+
+def test_chunked_prefill_under_spec_bursts(model):
+    """Spec bursts write (K+1)-wide masked segments at the filling row's
+    frontier; chunk overwrites must keep the final stream exact, and the
+    chunked row's own drafting must see the full prompt in buf."""
+    eng = _engine(model, prefill_chunk=8, spec=True, max_slots=3)
+    runner = eng.submit([7, 7, 7, 7], max_new_tokens=20)
+    eng.step()
+    prompt = [int(t) for t in
+              np.random.default_rng(17).integers(3, 200, size=23)]
+    req = eng.submit(prompt, max_new_tokens=12)
+    eng.run_until_idle()
+    assert eng.stats["chunked_admits"] == 1
+    assert req.result() == _solo(model, prompt, 12)
+    assert runner.result() == _solo(model, [7, 7, 7, 7], 20)
+
+
+def test_chunked_prefill_repetition_penalty_spans_chunks(model):
+    """The seen set accumulates across chunks — a token from chunk 0 must
+    still be penalized when sampling after the final chunk."""
+    eng = _engine(model, prefill_chunk=8)
+    # repeated motif across every chunk boundary
+    prompt = [5, 9, 5, 9, 5, 9, 5, 9, 14, 3, 14, 3, 14, 3, 14, 3, 7, 21]
+    req = eng.submit(prompt, max_new_tokens=10, repetition_penalty=1.4)
+    eng.run_until_idle()
+    assert req.result() == _solo(model, prompt, 10,
+                                 repetition_penalty=1.4)
+
+
+def test_chunked_prefill_slot_reuse_resets_seen(model):
+    """First chunk must RESET the slot's seen row: a token from the
+    previous occupant's stream may not leak penalty onto the new one."""
+    eng = _engine(model, prefill_chunk=8, max_slots=1)
+    first = eng.submit([50, 51, 52, 50, 51, 52], max_new_tokens=12,
+                       repetition_penalty=1.5)
+    eng.run_until_idle()
+    assert first.result() == _solo(model, [50, 51, 52, 50, 51, 52], 12,
+                                   repetition_penalty=1.5)
+    prompt = [int(t) for t in
+              np.random.default_rng(19).integers(100, 200, size=21)]
+    second = eng.submit(prompt, max_new_tokens=10, repetition_penalty=1.5)
+    eng.run_until_idle()
+    assert eng.stats["chunked_admits"] >= 1
+    assert second.result() == _solo(model, prompt, 10,
+                                    repetition_penalty=1.5)
+
+
+def test_chunked_prefill_mixed_with_prefix_admissions(model):
+    """Prefix-cache admissions and chunked admissions share the pool."""
+    eng = _engine(model, prefill_chunk=8, max_slots=2)
+    pre = [5, 9, 14, 3]
+    pid = eng.register_prefix(pre)
+    full = pre + [11, 12]
+    long_prompt = [int(t) for t in
+                   np.random.default_rng(23).integers(3, 200, size=21)]
+    r1 = eng.submit(full, max_new_tokens=8, prefix_id=pid)
+    r2 = eng.submit(long_prompt, max_new_tokens=8)
+    eng.run_until_idle()
+    assert eng.stats["prefix_admits"] == 1
+    assert eng.stats["chunked_admits"] == 1
+    assert r1.result() == _solo(model, full, 8)
+    assert r2.result() == _solo(model, long_prompt, 8)
