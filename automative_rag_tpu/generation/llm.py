@@ -189,8 +189,15 @@ class JaxCausalLM:
                 repetition_penalty=params.get("repetition_penalty", 1.0),
                 prefix_id=self._prefix_for(prompt, ids),
             )
-            return self.tokenizer.decode(
-                req.result(timeout=600), skip_special_tokens=True)
+            try:
+                out = req.result(timeout=600)
+            except TimeoutError:
+                # free the slot — an abandoned request must not keep
+                # burning burst work (reference's torch pipeline has no
+                # equivalent: each request owns the GPU until done)
+                self._serving.cancel(req)
+                out = req.generated_ids()
+            return self.tokenizer.decode(out, skip_special_tokens=True)
         if params.get("speculative", True):
             # single-sequence → prompt-lookup speculative decoding: up to
             # DRAFT_K+1 tokens per forward when the answer copies from the

@@ -111,6 +111,8 @@ class Request:
     _done: threading.Event = dataclasses.field(
         default_factory=threading.Event, repr=False)
 
+    cancelled: bool = False
+
     def result(self, timeout: Optional[float] = None) -> List[int]:
         """Block until finished; returns generated ids (EOS stripped)."""
         if not self._done.wait(timeout):
@@ -182,6 +184,7 @@ class ServingEngine:
         self._prefix_admit_cache: Dict[int, Any] = {}
         self._chunk_fill_cache: Dict[Any, Any] = {}
         self._chunk_last_cache: Dict[int, Any] = {}
+        self._cancel_ids: set = set()
         self.stats = {"tokens_generated": 0, "bursts": 0, "prefills": 0,
                       "requests_completed": 0, "busy_s": 0.0,
                       "prefix_admits": 0, "prefix_misses": 0,
@@ -798,6 +801,38 @@ class ServingEngine:
         self._wake.set()
         return req
 
+    def cancel(self, req: Request) -> bool:
+        """Stop a request: pending requests never admit; an in-flight one
+        is reaped at the next scheduler iteration (its slot frees and its
+        row stops burning burst work). Tokens already surfaced stay in
+        ``req.tokens``. Returns False if the request already finished.
+        The caller's ``result()`` unblocks — check ``req.cancelled``."""
+        with self._lock:
+            if req.finished:
+                return False
+            req.cancelled = True
+            if req in self._pending:
+                self._pending.remove(req)
+                self._complete(req, slot=None)
+                return True
+            self._cancel_ids.add(req.request_id)
+        self._wake.set()
+        return True
+
+    def _reap_cancelled(self) -> None:
+        """Apply pending cancellations (scheduler thread only): mark the
+        row finished on-device so bursts stop advancing it, then free the
+        slot."""
+        with self._lock:
+            if not self._cancel_ids:
+                return
+            ids, self._cancel_ids = self._cancel_ids, set()
+        for slot, req in enumerate(self._slots):
+            if req is not None and req.request_id in ids:
+                self._state["finished"] = (
+                    self._state["finished"].at[slot].set(True))
+                self._complete(req, slot)
+
     def _free_slots(self) -> List[int]:
         return [i for i, r in enumerate(self._slots) if r is None]
 
@@ -978,6 +1013,7 @@ class ServingEngine:
         """One scheduler iteration: admissions, then one decode burst.
         Returns True if any work was done."""
         t0 = time.time()
+        self._reap_cancelled()
         with self._lock:
             pending, self._pending = self._pending, []
         # re-queue what we cannot admit yet (preserve arrival order)

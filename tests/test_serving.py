@@ -600,3 +600,57 @@ def test_chunked_prefill_mixed_with_prefix_admissions(model):
     assert eng.stats["chunked_admits"] == 1
     assert r1.result() == _solo(model, full, 8)
     assert r2.result() == _solo(model, long_prompt, 8)
+
+
+# ---------------------------------------------------------------------------
+# Request cancellation: pending requests never admit; in-flight requests
+# free their slot at the next scheduler iteration. Other streams must be
+# unaffected.
+# ---------------------------------------------------------------------------
+
+def test_cancel_pending_request(model):
+    eng = _engine(model, max_slots=1)
+    blocker = eng.submit([5, 9, 14], max_new_tokens=16)
+    waiting = eng.submit([21, 8, 4], max_new_tokens=16)
+    assert eng.cancel(waiting) is True
+    eng.run_until_idle()
+    assert waiting.cancelled and waiting.finished
+    assert waiting.result() == []
+    assert blocker.result() == _solo(model, [5, 9, 14], 16)
+
+
+def test_cancel_inflight_frees_slot_and_stops_stream(model):
+    eng = _engine(model, max_slots=2)
+    victim = eng.submit([5, 9, 14, 3, 7], max_new_tokens=64)
+    bystander = eng.submit([21, 8, 4], max_new_tokens=20)
+    eng.step()  # both admitted, one burst
+    assert eng.cancel(victim) is True
+    eng.step()  # reap happens before the burst
+    n_after_reap = len(victim.tokens)
+    assert victim.finished and victim.cancelled
+    # a follow-up request reuses the freed slot and decodes exactly
+    follow = eng.submit([1, 2, 3, 4], max_new_tokens=10)
+    eng.run_until_idle()
+    assert len(victim.tokens) == n_after_reap  # stream stopped
+    assert bystander.result() == _solo(model, [21, 8, 4], 20)
+    assert follow.result() == _solo(model, [1, 2, 3, 4], 10)
+
+
+def test_cancel_finished_request_returns_false(model):
+    eng = _engine(model)
+    req = eng.submit([5, 9, 14], max_new_tokens=4)
+    eng.run_until_idle()
+    assert req.finished
+    assert eng.cancel(req) is False
+    assert not req.cancelled
+
+
+def test_cancel_inflight_under_spec(model):
+    eng = _engine(model, spec=True, max_slots=2)
+    victim = eng.submit([5, 9, 14, 3, 7], max_new_tokens=64)
+    bystander = eng.submit([7, 7, 7, 7], max_new_tokens=20)
+    eng.step()
+    eng.cancel(victim)
+    eng.run_until_idle()
+    assert victim.finished and victim.cancelled
+    assert bystander.result() == _solo(model, [7, 7, 7, 7], 20)
