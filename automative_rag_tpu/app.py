@@ -381,7 +381,12 @@ class RAGApplication:
                 for d in payload.get("documents", [])
             ]
             result = self.generator.answer(
-                payload["query"], docs, mode=payload.get("mode", "facts")
+                payload["query"], docs, mode=payload.get("mode", "facts"),
+                # streaming: partial answer text surfaces through the
+                # polling API (/query/results/{id} .partial_answer) while
+                # the serving engine decodes
+                on_text=lambda text: self.tracker.set_partial_answer(
+                    job_id, text),
             )
             if payload.get("validation"):
                 result["answer_validation"] = self.validation_engine.validate_answer(

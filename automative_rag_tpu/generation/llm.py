@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import re
 import time
-from typing import Any, Dict, List, Optional, Protocol, Tuple
+from typing import Any, Callable, Dict, List, Optional, Protocol, Tuple
 
 from ..config.mode_config import QueryMode, mode_config
 from ..documents.schema import Document
@@ -69,11 +69,18 @@ class StubLLM:
                     (matched, score, -order, f"{sentence}【来源：{doc_id}】")
                 )
         if not candidates:
-            return "根据提供文档，未找到具体的相关数据。"
-        # most matched query terms first, then retrieval relevance
-        candidates.sort(key=lambda c: (c[0], c[1], c[2]), reverse=True)
-        picked = [c[3] for c in candidates[:5]]
-        return "。".join(p.rstrip("。") for p in picked) + "。"
+            text = "根据提供文档，未找到具体的相关数据。"
+        else:
+            # most matched query terms first, then retrieval relevance
+            candidates.sort(key=lambda c: (c[0], c[1], c[2]), reverse=True)
+            picked = [c[3] for c in candidates[:5]]
+            text = "。".join(p.rstrip("。") for p in picked) + "。"
+        on_text = params.get("on_text")
+        if on_text is not None:
+            # extractive answers are one-shot; stream the single update so
+            # the partial-answer plumbing behaves uniformly across backends
+            on_text(text)
+        return text
 
 
 class HFCausalLM:
@@ -181,6 +188,18 @@ class JaxCausalLM:
         ids = self.tokenizer(prompt)["input_ids"]
         temperature = params.get("temperature", 0.0)
         if self._serving is not None:
+            on_text = params.get("on_text")
+            on_token = None
+            if on_text is not None:
+                acc: List[int] = []
+                eos = self.model.config.eos_token
+
+                def on_token(fresh, _acc=acc):
+                    _acc.extend(fresh)
+                    on_text(self.tokenizer.decode(
+                        [t for t in _acc if t != eos],
+                        skip_special_tokens=True))
+
             req = self._serving.submit(
                 ids,
                 max_new_tokens=params.get("max_tokens", 512),
@@ -188,6 +207,7 @@ class JaxCausalLM:
                 top_p=params.get("top_p", 0.85),
                 repetition_penalty=params.get("repetition_penalty", 1.0),
                 prefix_id=self._prefix_for(prompt, ids),
+                on_token=on_token,
             )
             try:
                 out = req.result(timeout=600)
@@ -281,10 +301,15 @@ class AnswerGenerator:
         query: str,
         documents: List[Tuple[Document, float]],
         mode: QueryMode | str = QueryMode.FACTS,
+        on_text: Optional[Callable[[str], None]] = None,
     ) -> Dict[str, Any]:
         t0 = time.perf_counter()
         mode = QueryMode.parse(mode)
         llm_params = mode_config.get_llm_params(mode)
+        if on_text is not None:
+            # streaming: backends that decode incrementally (the serving
+            # engine's on_token bursts) publish growing answer text
+            llm_params = {**llm_params, "on_text": on_text}
         ctx_params = mode_config.get_context_params(mode)
 
         context = format_documents_with_relevance_scores(

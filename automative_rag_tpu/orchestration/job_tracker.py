@@ -138,6 +138,19 @@ class JobTracker:
             if len(self._progress[job_id]) > 200:
                 self._progress[job_id] = self._progress[job_id][-200:]
 
+    def set_partial_answer(self, job_id: str, text: str) -> None:
+        """Streaming partial result: the llm task publishes the answer
+        text as it decodes (serving-engine ``on_token`` bursts), so the
+        polling UI/API show tokens before the job completes. Not
+        persisted — a restart just loses the partial, the final result
+        path is unchanged."""
+        with self._lock:
+            job = self._jobs.get(job_id)
+            if job is None:
+                return
+            job["partial_answer"] = text
+            job["updated_at"] = time.time()
+
     # --------------------------------------------------------------- read
     def get_job(self, job_id: str) -> Optional[Dict[str, Any]]:
         with self._lock:

@@ -487,6 +487,10 @@ async function pollQuery(jobId, t0) {
       }).join("") : "";
   } else {
     $("q-status").textContent = `处理中 ${job.progress||0}%`;
+    if (job.partial_answer) {  // streaming decode: show tokens as they land
+      $("q-result").classList.remove("hide");
+      $("q-answer").textContent = job.partial_answer + " ▌";
+    }
     setTimeout(() => pollQuery(jobId, t0), 600);
   }
 }

@@ -175,3 +175,63 @@ def test_sections_absent_without_markers():
     doc = Document(page_content="X5百公里加速5.5秒", metadata={})
     out = gen.answer("X5加速", [(doc, 0.9)], mode="features")
     assert "sections" not in out["structured"]
+
+
+# ---------------------------------------------------------------------------
+# Streaming partial answers (serving on_token → AnswerGenerator on_text →
+# tracker partial_answer → polling API/UI)
+# ---------------------------------------------------------------------------
+
+def test_stub_llm_streams_single_update():
+    from automative_rag_tpu.documents.schema import Document
+    from automative_rag_tpu.generation.llm import AnswerGenerator
+
+    gen = AnswerGenerator()
+    doc = Document(page_content="2023款宝马X5的百公里加速是5.5秒。")
+    seen = []
+    out = gen.answer("X5加速", [(doc, 0.9)], mode="facts",
+                     on_text=seen.append)
+    assert len(seen) == 1
+    assert seen[0]  # extractive one-shot update
+    assert "5.5秒" in out["answer"]
+
+
+def test_serving_llm_streams_growing_partials():
+    from automative_rag_tpu.documents.schema import Document
+    from automative_rag_tpu.generation.llm import AnswerGenerator, JaxCausalLM
+    from automative_rag_tpu.models.qwen2 import Qwen2Config
+
+    class FakeTok:
+        def __call__(self, text):
+            return {"input_ids": [3 + (ord(c) % 200) for c in text[:48]]}
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(97 + (t % 26)) for t in ids)
+
+    llm = JaxCausalLM("", config=Qwen2Config.tiny_test(),
+                      tokenizer=FakeTok())
+    eng = llm.enable_serving(max_slots=2, max_len=96, burst=4)
+    try:
+        gen = AnswerGenerator(llm)
+        doc = Document(page_content="文档内容。")
+        seen = []
+        out = gen.answer("问题", [(doc, 0.9)], mode="facts",
+                         on_text=seen.append)
+        assert len(seen) >= 2  # admission token + ≥1 burst
+        # each partial is a prefix of the next; the last is the full text
+        for a, b in zip(seen, seen[1:]):
+            assert b.startswith(a)
+        assert out["answer"]  # finalize still works
+    finally:
+        eng.stop()
+
+
+def test_tracker_partial_answer_roundtrip():
+    from automative_rag_tpu.orchestration.job_tracker import JobTracker
+
+    tr = JobTracker(persist_path=None)
+    job_id = tr.create_job("llm_inference")
+    tr.set_partial_answer(job_id, "部分答案")
+    job = tr.get_job(job_id)
+    assert job["partial_answer"] == "部分答案"
+    tr.set_partial_answer("missing-id", "x")  # no-op, no raise
