@@ -22,6 +22,7 @@ Backends:
 from __future__ import annotations
 
 import re
+import threading
 import time
 from typing import Any, Callable, Dict, List, Optional, Protocol, Tuple
 
@@ -141,6 +142,10 @@ class JaxCausalLM:
         self.name = f"jax-qwen2:{model_path or 'random-init'}"
         self._serving = None
         self._prefix_reg: Dict[str, Optional[int]] = {}
+        # registration must be once-per-header: concurrent queue workers
+        # racing here would each prefill and leak a duplicate HBM blob
+        # (the engine has no unregister)
+        self._prefix_lock = threading.Lock()
 
     def enable_serving(self, max_slots: int = 8, max_len: int = 2048,
                        burst: int = 16, spec: bool = True,
@@ -172,16 +177,17 @@ class JaxCausalLM:
             header = prompt_header(mode)
             if not prompt.startswith(header):
                 continue
-            if header not in self._prefix_reg:
-                pid = None
-                hid = list(self.tokenizer(header)["input_ids"])
-                if len(hid) >= 16 and list(ids[: len(hid)]) == hid:
-                    try:
-                        pid = self._serving.register_prefix(hid)
-                    except ValueError:
-                        pid = None
-                self._prefix_reg[header] = pid
-            return self._prefix_reg[header]
+            with self._prefix_lock:
+                if header not in self._prefix_reg:
+                    pid = None
+                    hid = list(self.tokenizer(header)["input_ids"])
+                    if len(hid) >= 16 and list(ids[: len(hid)]) == hid:
+                        try:
+                            pid = self._serving.register_prefix(hid)
+                        except ValueError:
+                            pid = None
+                    self._prefix_reg[header] = pid
+                return self._prefix_reg[header]
         return None
 
     def generate(self, prompt: str, params: Dict[str, Any]) -> str:

@@ -130,6 +130,10 @@ def w4_matmul(
     unpack: str = "i32",  # "i32" | "u8" | "merged" (see _w4_kernel)
 ) -> jnp.ndarray:
     """x @ dequant(packed) * scale → [M, N] in x.dtype."""
+    if unpack not in ("i32", "u8", "merged"):
+        raise ValueError(
+            f"unknown w4 unpack strategy {unpack!r} "
+            "(expected 'i32', 'u8' or 'merged')")
     m, k_dim = x.shape
     k2, n = packed.shape
     if k2 * 2 != k_dim:

@@ -170,7 +170,9 @@ class ServingEngine:
         self._pending: List[Request] = []
         self._slots: List[Optional[Request]] = [None] * self.max_slots
         self._taken = [0] * self.max_slots  # tokens already surfaced
-        self._lock = threading.Lock()
+        # reentrant: cancel() holds it while completing a pending request,
+        # and _complete itself serializes against cancel's finished-check
+        self._lock = threading.RLock()
         self._wake = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._stop = False
@@ -184,7 +186,6 @@ class ServingEngine:
         self._prefix_admit_cache: Dict[int, Any] = {}
         self._chunk_fill_cache: Dict[Any, Any] = {}
         self._chunk_last_cache: Dict[int, Any] = {}
-        self._cancel_ids: set = set()
         self.stats = {"tokens_generated": 0, "bursts": 0, "prefills": 0,
                       "requests_completed": 0, "busy_s": 0.0,
                       "prefix_admits": 0, "prefix_misses": 0,
@@ -235,6 +236,39 @@ class ServingEngine:
 
     # ------------------------------------------------------- jitted fns
 
+    def _activate_row(self, state, caches, buf, slot, logits0, seen_row,
+                      total, temp, top_p, penalty, max_new):
+        """Shared admission tail (traced; used by every admit variant):
+        penalize + sample token 0 against the row's seen set, then write
+        every per-row state field. Any new per-row field needs exactly
+        this one site updated."""
+        cfg = self.config
+        logits0 = _penalize_rows(
+            logits0[None], seen_row[None], penalty[None])[0]
+        key, sub = jax.random.split(state["key"])
+        tok0 = _sample_rows(logits0[None], sub, temp[None], top_p[None])[0]
+        seen_row = seen_row.at[tok0].set(True)
+        done0 = (tok0 == cfg.eos_token) | (max_new <= 1)
+        buf = buf.at[slot, self._gen_base].set(tok0)
+        state = {
+            **state,
+            "caches": caches,
+            "buf": buf,
+            "plen": state["plen"].at[slot].set(total),
+            "cur": state["cur"].at[slot].set(tok0),
+            "frontier": state["frontier"].at[slot].set(total),
+            "seen": state["seen"].at[slot].set(seen_row),
+            "finished": state["finished"].at[slot].set(done0),
+            "active": state["active"].at[slot].set(True),
+            "gen_count": state["gen_count"].at[slot].set(1),
+            "max_new": state["max_new"].at[slot].set(max_new),
+            "temp": state["temp"].at[slot].set(temp),
+            "top_p": state["top_p"].at[slot].set(top_p),
+            "penalty": state["penalty"].at[slot].set(penalty),
+            "key": key,
+        }
+        return state, tok0
+
     def _prefill_fn(self, p_bucket: int):
         """Compile (per prompt bucket) the admit-into-slot program."""
         if p_bucket in self._prefill_cache:
@@ -279,34 +313,11 @@ class ServingEngine:
             prompt_mask = jnp.arange(p_bucket) < plen
             seen_row = jnp.zeros(
                 (cfg.vocab_size,), bool).at[prompt[0]].max(prompt_mask)
-            logits0 = _penalize_rows(
-                logits0[None], seen_row[None], penalty[None])[0]
-            key, sub = jax.random.split(state["key"])
-            tok0 = _sample_rows(
-                logits0[None], sub, temp[None], top_p[None])[0]
-            seen_row = seen_row.at[tok0].set(True)
-            done0 = (tok0 == cfg.eos_token) | (max_new <= 1)
             buf = jax.lax.dynamic_update_slice(
                 state["buf"], prompt, (slot, 0))
-            buf = buf.at[slot, self._gen_base].set(tok0)
-            state = {
-                **state,
-                "caches": caches,
-                "buf": buf,
-                "plen": state["plen"].at[slot].set(plen),
-                "cur": state["cur"].at[slot].set(tok0),
-                "frontier": state["frontier"].at[slot].set(plen),
-                "seen": state["seen"].at[slot].set(seen_row),
-                "finished": state["finished"].at[slot].set(done0),
-                "active": state["active"].at[slot].set(True),
-                "gen_count": state["gen_count"].at[slot].set(1),
-                "max_new": state["max_new"].at[slot].set(max_new),
-                "temp": state["temp"].at[slot].set(temp),
-                "top_p": state["top_p"].at[slot].set(top_p),
-                "penalty": state["penalty"].at[slot].set(penalty),
-                "key": key,
-            }
-            return state, tok0
+            return self._activate_row(
+                state, caches, buf, slot, logits0, seen_row, plen,
+                temp, top_p, penalty, max_new)
 
         fn = jax.jit(_prefill, donate_argnums=(1,))
         self._prefill_cache[p_bucket] = fn
@@ -425,14 +436,7 @@ class ServingEngine:
                 jnp.arange(pb) < p_len)
             seen_row = seen_row.at[suffix[0]].max(
                 jnp.arange(s_bucket) < slen)
-            logits0 = _penalize_rows(
-                logits0[None], seen_row[None], penalty[None])[0]
-            key, sub = jax.random.split(state["key"])
-            tok0 = _sample_rows(
-                logits0[None], sub, temp[None], top_p[None])[0]
-            seen_row = seen_row.at[tok0].set(True)
             total = p_len + slen
-            done0 = (tok0 == cfg.eos_token) | (max_new <= 1)
             # scatter the finished row back into the pool caches
             caches = []
             for entry, row in zip(state["caches"], row_caches):
@@ -453,25 +457,9 @@ class ServingEngine:
             buf = jax.lax.dynamic_update_slice(
                 state["buf"], pre_tokens, (slot, 0))
             buf = jax.lax.dynamic_update_slice(buf, suffix, (slot, p_len))
-            buf = buf.at[slot, gen_base].set(tok0)
-            state = {
-                **state,
-                "caches": caches,
-                "buf": buf,
-                "plen": state["plen"].at[slot].set(total),
-                "cur": state["cur"].at[slot].set(tok0),
-                "frontier": state["frontier"].at[slot].set(total),
-                "seen": state["seen"].at[slot].set(seen_row),
-                "finished": state["finished"].at[slot].set(done0),
-                "active": state["active"].at[slot].set(True),
-                "gen_count": state["gen_count"].at[slot].set(1),
-                "max_new": state["max_new"].at[slot].set(max_new),
-                "temp": state["temp"].at[slot].set(temp),
-                "top_p": state["top_p"].at[slot].set(top_p),
-                "penalty": state["penalty"].at[slot].set(penalty),
-                "key": key,
-            }
-            return state, tok0
+            return self._activate_row(
+                state, caches, buf, slot, logits0, seen_row, total,
+                temp, top_p, penalty, max_new)
 
         fn = jax.jit(_admit, donate_argnums=(1,))
         self._prefix_admit_cache[s_bucket] = fn
@@ -594,35 +582,11 @@ class ServingEngine:
                 dparams, hidden_last, method="logits_at")[0, 0]
             seen_row = state["seen"][slot].at[chunk[0]].max(
                 jnp.arange(c_bucket) < clen)
-            logits0 = _penalize_rows(
-                logits0[None], seen_row[None], penalty[None])[0]
-            key, sub = jax.random.split(state["key"])
-            tok0 = _sample_rows(
-                logits0[None], sub, temp[None], top_p[None])[0]
-            seen_row = seen_row.at[tok0].set(True)
-            total = offset + clen
-            done0 = (tok0 == cfg.eos_token) | (max_new <= 1)
             buf = jax.lax.dynamic_update_slice(
                 state["buf"], chunk, (slot, offset))
-            buf = buf.at[slot, gen_base].set(tok0)
-            state = {
-                **state,
-                "caches": caches,
-                "buf": buf,
-                "plen": state["plen"].at[slot].set(total),
-                "cur": state["cur"].at[slot].set(tok0),
-                "frontier": state["frontier"].at[slot].set(total),
-                "seen": state["seen"].at[slot].set(seen_row),
-                "finished": state["finished"].at[slot].set(done0),
-                "active": state["active"].at[slot].set(True),
-                "gen_count": state["gen_count"].at[slot].set(1),
-                "max_new": state["max_new"].at[slot].set(max_new),
-                "temp": state["temp"].at[slot].set(temp),
-                "top_p": state["top_p"].at[slot].set(top_p),
-                "penalty": state["penalty"].at[slot].set(penalty),
-                "key": key,
-            }
-            return state, tok0
+            return self._activate_row(
+                state, caches, buf, slot, logits0, seen_row, offset + clen,
+                temp, top_p, penalty, max_new)
 
         fn = jax.jit(_last, donate_argnums=(1,))
         self._chunk_last_cache[c_bucket] = fn
@@ -806,7 +770,11 @@ class ServingEngine:
         is reaped at the next scheduler iteration (its slot frees and its
         row stops burning burst work). Tokens already surfaced stay in
         ``req.tokens``. Returns False if the request already finished.
-        The caller's ``result()`` unblocks — check ``req.cancelled``."""
+        The caller's ``result()`` unblocks — check ``req.cancelled``.
+
+        The flag travels WITH the request (not a side id-set), so a
+        cancellation survives any scheduler state: pending, mid-swap
+        overflow in ``step()``, or occupying a slot."""
         with self._lock:
             if req.finished:
                 return False
@@ -814,21 +782,14 @@ class ServingEngine:
             if req in self._pending:
                 self._pending.remove(req)
                 self._complete(req, slot=None)
-                return True
-            self._cancel_ids.add(req.request_id)
         self._wake.set()
         return True
 
     def _reap_cancelled(self) -> None:
-        """Apply pending cancellations (scheduler thread only): mark the
-        row finished on-device so bursts stop advancing it, then free the
-        slot."""
-        with self._lock:
-            if not self._cancel_ids:
-                return
-            ids, self._cancel_ids = self._cancel_ids, set()
+        """Free slots whose request was cancelled (scheduler thread only):
+        mark the row finished on-device so bursts stop advancing it."""
         for slot, req in enumerate(self._slots):
-            if req is not None and req.request_id in ids:
+            if req is not None and req.cancelled:
                 self._state["finished"] = (
                     self._state["finished"].at[slot].set(True))
                 self._complete(req, slot)
@@ -960,13 +921,18 @@ class ServingEngine:
             self._taken[slot] = 1
 
     def _complete(self, req: Request, slot: Optional[int]) -> None:
-        if req.tokens and req.tokens[-1] == self.config.eos_token:
-            req.tokens.pop()
-        req.finished_at = time.time()
-        self.stats["requests_completed"] += 1
-        if slot is not None:
-            self._slots[slot] = None
-        req._done.set()
+        # under the (reentrant) lock so cancel()'s finished-check can
+        # never interleave with a completion in flight
+        with self._lock:
+            if req.finished:
+                return
+            if req.tokens and req.tokens[-1] == self.config.eos_token:
+                req.tokens.pop()
+            req.finished_at = time.time()
+            self.stats["requests_completed"] += 1
+            if slot is not None:
+                self._slots[slot] = None
+            req._done.set()
 
     def _run_burst(self, steps: Optional[int] = None) -> bool:
         """One decode burst for the occupied slots; surfaces fresh tokens
@@ -1023,6 +989,9 @@ class ServingEngine:
             with self._lock:
                 self._pending = overflow + self._pending
         for req, slot in zip(admit, free):
+            if req.cancelled:  # cancelled while overflowed/mid-swap
+                self._complete(req, slot=None)
+                continue
             self._admit(req, slot)
         ran = self._run_burst()
         if ran or admit:

@@ -654,3 +654,34 @@ def test_cancel_inflight_under_spec(model):
     eng.run_until_idle()
     assert victim.finished and victim.cancelled
     assert bystander.result() == _solo(model, [7, 7, 7, 7], 20)
+
+
+def test_cancel_flag_survives_overflow_requeue(model):
+    """A cancellation that lands while the request is outside _pending
+    (mid-swap overflow in step()) must still prevent admission — the
+    flag travels with the request, not a side id-set."""
+    eng = _engine(model, max_slots=1)
+    blocker = eng.submit([5, 9, 14], max_new_tokens=30)
+    victim = eng.submit([21, 8, 4], max_new_tokens=30)
+    # simulate the mid-swap window: flag directly, as cancel() would when
+    # the request is in neither _pending nor a slot
+    victim.cancelled = True
+    eng.run_until_idle()
+    assert victim.finished
+    assert victim.result() == []  # never admitted, never decoded
+    assert blocker.result() == _solo(model, [5, 9, 14], 30)
+
+
+def test_w4_matmul_rejects_unknown_unpack():
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from automative_rag_tpu.ops.quant_matmul import pack_w4, w4_matmul
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(128, 128)).astype(np.float32)
+    packed, scale = pack_w4(w)
+    x = jnp.asarray(rng.normal(size=(8, 128)).astype(np.float32))
+    with _pytest.raises(ValueError, match="unpack"):
+        w4_matmul(x, jnp.asarray(packed), jnp.asarray(scale),
+                  interpret=True, unpack="int32")
