@@ -577,9 +577,14 @@ class RAGApplication:
                 levels = self.index.precompile_ladder(k=k_mode)
             if levels:
                 steps.append(f"ivf-ladder{levels}x{len(ks)}k")
+        serving = getattr(self.generator.llm, "_serving", None)
+        if serving is not None:
+            info = serving.warmup()
+            steps.append(f"llm-serving:{info['compiled_buckets']}buckets")
         return {"warmed": steps, "seconds": round(time.time() - t0, 2)}
 
     def health(self) -> Dict[str, Any]:
+        serving = getattr(self.generator.llm, "_serving", None)
         return {
             "status": "healthy",
             "uptime_s": round(time.time() - self.started_at, 1),
@@ -588,6 +593,11 @@ class RAGApplication:
             "workers": self.queue_manager.worker_health(),
             "jobs": self.tracker.get_job_counts(),
             "llm": getattr(self.generator.llm, "name", "unknown"),
+            "llm_serving": None if serving is None else {
+                **serving.stats,
+                "slots_busy": sum(r is not None for r in serving._slots),
+                "pending": len(serving._pending),
+            },
             "default_mode": QueryMode.FACTS.value,
         }
 

@@ -1007,6 +1007,41 @@ class ServingEngine:
             self.step()
         raise RuntimeError("serving engine did not drain")
 
+    def warmup(self) -> Dict[str, Any]:
+        """Compile every admission/burst program at boot instead of on the
+        first live request — through a remote compiler each new executable
+        costs minutes, so a cold serving engine would stall its first
+        requests once per prompt bucket. Drives one throwaway request per
+        bucket (plus a live streamer so the chunked-prefill interleave
+        burst compiles) and cancels the leftovers. Prefix-admission
+        programs compile on ``register_prefix``'s first use instead (they
+        need a registered prefix to be meaningful)."""
+        t0 = time.time()
+        vocab = self.config.vocab_size
+        small = self.prompt_buckets[0]
+        # submit-and-wait (never step() directly): the background
+        # scheduler thread may already be driving the engine
+        streamer = self.submit(
+            [3 + i % 7 for i in range(min(small, 4))],
+            max_new_tokens=self.burst * (len(self.prompt_buckets) + 3))
+        reqs = []
+        for b in self.prompt_buckets:
+            ids = [3 + (7 * i) % (vocab - 10) for i in range(b)]
+            reqs.append(self.submit(ids, max_new_tokens=2))
+        if self._thread is None:
+            self.run_until_idle()
+        for r in reqs:
+            r.result(timeout=600)
+        self.cancel(streamer)
+        if self._thread is None:
+            self.run_until_idle()
+        streamer._done.wait(timeout=60)
+        return {
+            "compiled_buckets": len(self.prompt_buckets),
+            "chunked": bool(self.prefill_chunk),
+            "seconds": round(time.time() - t0, 2),
+        }
+
     # --------------------------------------------------- background mode
 
     def start(self) -> None:

@@ -235,3 +235,43 @@ def test_tracker_partial_answer_roundtrip():
     job = tr.get_job(job_id)
     assert job["partial_answer"] == "部分答案"
     tr.set_partial_answer("missing-id", "x")  # no-op, no raise
+
+
+def test_app_health_reports_serving_stats():
+    """health() exposes engine stats when serving is enabled and None
+    otherwise; app.warmup() warms the engine when present."""
+    from automative_rag_tpu.generation.llm import AnswerGenerator, JaxCausalLM
+    from automative_rag_tpu.models.qwen2 import Qwen2Config
+
+    class FakeTok:
+        def __call__(self, text):
+            return {"input_ids": [3 + (ord(c) % 200) for c in text[:48]]}
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "x" * len(ids)
+
+    class FakeApp:
+        from automative_rag_tpu.app import RAGApplication as _R
+        health = _R.health
+
+        def __init__(self, llm):
+            import time as _t
+            self.started_at = _t.time()
+            self.generator = AnswerGenerator(llm)
+            self.index = type("I", (), {"stats": lambda s: {}})()
+            self.queue_manager = type(
+                "Q", (), {"get_queue_status": lambda s: {},
+                          "worker_health": lambda s: {}})()
+            self.tracker = type("T", (), {"get_job_counts": lambda s: {}})()
+
+    llm = JaxCausalLM("", config=Qwen2Config.tiny_test(),
+                      tokenizer=FakeTok())
+    assert FakeApp(llm).health()["llm_serving"] is None
+    eng = llm.enable_serving(max_slots=2, max_len=96, burst=4)
+    try:
+        eng.warmup()
+        h = FakeApp(llm).health()
+        assert h["llm_serving"]["prefills"] >= 1
+        assert "slots_busy" in h["llm_serving"]
+    finally:
+        eng.stop()

@@ -685,3 +685,37 @@ def test_w4_matmul_rejects_unknown_unpack():
     with _pytest.raises(ValueError, match="unpack"):
         w4_matmul(x, jnp.asarray(packed), jnp.asarray(scale),
                   interpret=True, unpack="int32")
+
+
+def test_warmup_compiles_every_bucket(model):
+    eng = _engine(model)
+    info = eng.warmup()
+    assert info["compiled_buckets"] == 3
+    # every prompt bucket's admission program is resident
+    assert set(eng._prefill_cache) == {8, 16, 32}
+    # engine still serves correctly afterwards
+    req = eng.submit([5, 9, 14, 3, 7], max_new_tokens=8)
+    eng.run_until_idle()
+    assert req.result() == _solo(model, [5, 9, 14, 3, 7], 8)
+
+
+def test_warmup_chunked_compiles_fill_variants(model):
+    eng = _engine(model, prefill_chunk=8)
+    eng.warmup()
+    # buckets 16/32 admit chunked: first and non-first fill variants plus
+    # the final-chunk program and the interleave burst are all compiled
+    assert {(8, True), (8, False)} <= set(eng._chunk_fill_cache)
+    assert 8 in eng._chunk_last_cache
+    assert eng.chunk_burst in eng._burst_cache
+
+
+def test_warmup_with_background_thread(model):
+    eng = _engine(model)
+    eng.start()
+    try:
+        info = eng.warmup()
+        assert info["compiled_buckets"] == 3
+        req = eng.submit([21, 8, 4], max_new_tokens=6)
+        assert req.result(timeout=60) == _solo(model, [21, 8, 4], 6)
+    finally:
+        eng.stop()
