@@ -226,6 +226,50 @@ def build_api(app: RAGApplication) -> HTTPApi:
     def query_results(req: Request):
         return _job_result(req.params["job_id"])
 
+    @router.get("/query/stream/{job_id}")
+    def query_stream(req: Request):
+        """SSE token stream for a query job: ``partial`` events carry the
+        growing answer text (serving-engine decode bursts →
+        ``tracker.partial_answer``), a final ``done`` event carries the
+        finished status+answer. The reference has no push path at all —
+        its Streamlit UI polls (智能查询.py:130); this is the streaming
+        surface the polling endpoint approximates."""
+        import json as _json
+
+        from .http import StreamingResponse
+
+        job_id = req.params["job_id"]
+        _job_result(job_id)  # 404 for unknown ids before streaming starts
+
+        def events(max_s: float = 300.0):
+            deadline = time.time() + max_s
+            last = None
+            while time.time() < deadline:
+                job = app.tracker.get_job(job_id)
+                if job is None:
+                    yield 'event: error\ndata: {"detail": "job vanished"}\n\n'
+                    return
+                partial = job.get("partial_answer") or ""
+                if partial and partial != last:
+                    yield ("event: partial\ndata: "
+                           + _json.dumps({"text": partial},
+                                         ensure_ascii=False) + "\n\n")
+                    last = partial
+                if job["status"] in app.tracker.TERMINAL:
+                    payload = {
+                        "status": job["status"],
+                        "answer": (job.get("result") or {}).get("answer"),
+                        "error": job.get("error"),
+                    }
+                    yield ("event: done\ndata: "
+                           + _json.dumps(payload, ensure_ascii=False)
+                           + "\n\n")
+                    return
+                time.sleep(0.15)
+            yield "event: timeout\ndata: {}\n\n"
+
+        return StreamingResponse(events())
+
     # --- validation sub-resource (reference query.py:54-89: progress /
     # user-choice / restart / cancel) ---
     @router.get("/query/{job_id}/validation-progress")

@@ -69,6 +69,19 @@ def parse_body(req: "Request", model_cls):
         ]) from exc
 
 
+class StreamingResponse:
+    """Incremental response: ``chunks`` is an iterator of str/bytes that
+    the connection thread writes+flushes as they are produced (SSE and
+    similar). No Content-Length — the stream ends by closing the
+    connection, and a vanished client just closes the generator."""
+
+    def __init__(self, chunks, content_type: str = "text/event-stream",
+                 status: int = 200):
+        self.chunks = chunks
+        self.content_type = content_type
+        self.status = status
+
+
 class RawResponse:
     """Non-JSON handler result (HTML pages, files)."""
 
@@ -171,6 +184,8 @@ class HTTPApi:
         except Exception as exc:  # noqa: BLE001 — API boundary
             return 500, _dump({"detail": f"{type(exc).__name__}: {exc}"}), "application/json"
 
+        if isinstance(result, StreamingResponse):
+            return result
         if isinstance(result, RawResponse):
             return result.status, result.body, result.content_type
         if isinstance(result, tuple):
@@ -193,15 +208,40 @@ class HTTPApi:
                     self.end_headers()
                     return
                 body = self.rfile.read(length) if length else b""
-                status, payload, ctype = api.dispatch(
+                result = api.dispatch(
                     method, self.path, dict(self.headers.items()), body
                 )
+                if isinstance(result, StreamingResponse):
+                    return self._stream(result)
+                status, payload, ctype = result
                 self.send_response(status)
                 self.send_header("Content-Type", ctype + "; charset=utf-8")
                 self.send_header("Content-Length", str(len(payload)))
                 self.send_header("Access-Control-Allow-Origin", "*")
                 self.end_headers()
                 self.wfile.write(payload)
+
+            def _stream(self, resp: StreamingResponse):
+                self.send_response(resp.status)
+                self.send_header(
+                    "Content-Type", resp.content_type + "; charset=utf-8")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Connection", "close")
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.end_headers()
+                chunks = resp.chunks
+                try:
+                    for chunk in chunks:
+                        if isinstance(chunk, str):
+                            chunk = chunk.encode("utf-8")
+                        self.wfile.write(chunk)
+                        self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass  # client went away — close() below stops the source
+                finally:
+                    close = getattr(chunks, "close", None)
+                    if close:
+                        close()
 
             def do_GET(self):
                 self._run("GET")

@@ -51,3 +51,8 @@ curl -s -X POST "$API/system/load-index" -H 'Content-Type: application/json' -d 
 echo "== batch video ingestion =="
 echo 'curl -X POST "$API/ingest/batch-videos" -H "Content-Type: application/json" \
   -d "{\"urls\": [\"https://www.youtube.com/watch?v=aaa\", \"https://b23.tv/bbb\"]}"'
+
+# SSE token streaming for a query job (partial events while the serving
+# engine decodes, then a final done event)
+echo "== stream query answer (SSE) =="
+curl -N -m 30 "$API/query/stream/$QJOB"

@@ -399,3 +399,55 @@ def test_state_analysis(api):
     assert status == 200
     assert out["jobs"]["total"] >= 0 and "by_status" in out["jobs"]
     assert "possibly_stuck" in out and "chains" in out
+
+
+def test_query_stream_sse(api, app):
+    """SSE stream: partial events precede the done event; unknown job
+    404s before any streaming starts."""
+    status, _ = call(api, "GET", "/query/stream/nope")
+    assert status == 404
+
+    job_id = app.tracker.create_job("llm_inference")
+    server = api.serve(host="127.0.0.1", port=0, background=True)
+    port = server.server_address[1]
+    try:
+        import threading
+
+        def finish():
+            time.sleep(0.3)
+            app.tracker.set_partial_answer(job_id, "部分")
+            time.sleep(0.3)
+            app.tracker.set_partial_answer(job_id, "部分答案")
+            time.sleep(0.3)
+            app.tracker.update_job_status(
+                job_id, "completed", result={"answer": "部分答案完整"})
+
+        threading.Thread(target=finish, daemon=True).start()
+        events = []
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/query/stream/{job_id}",
+                timeout=30) as resp:
+            assert resp.headers["Content-Type"].startswith(
+                "text/event-stream")
+            cur = {}
+            for raw in resp:
+                line = raw.decode("utf-8").rstrip("\n")
+                if line.startswith("event: "):
+                    cur["event"] = line[7:]
+                elif line.startswith("data: "):
+                    cur["data"] = json.loads(line[6:])
+                elif not line and cur:
+                    events.append(cur)
+                    cur = {}
+                    if events[-1]["event"] == "done":
+                        break
+        kinds = [e["event"] for e in events]
+        assert kinds[-1] == "done"
+        assert "partial" in kinds[:-1]
+        partials = [e["data"]["text"] for e in events
+                    if e["event"] == "partial"]
+        assert partials[-1] == "部分答案"
+        assert events[-1]["data"]["answer"] == "部分答案完整"
+        assert events[-1]["data"]["status"] == "completed"
+    finally:
+        server.shutdown()
