@@ -244,17 +244,24 @@ def build_api(app: RAGApplication) -> HTTPApi:
         def events(max_s: float = 300.0):
             deadline = time.time() + max_s
             last = None
+            last_emit = time.time()
             while time.time() < deadline:
                 job = app.tracker.get_job(job_id)
                 if job is None:
                     yield 'event: error\ndata: {"detail": "job vanished"}\n\n'
                     return
+                if time.time() - last_emit > 10.0:
+                    # keepalive comment so idle streams survive proxy
+                    # socket timeouts (the gateway's is 120s)
+                    yield ": ping\n\n"
+                    last_emit = time.time()
                 partial = job.get("partial_answer") or ""
                 if partial and partial != last:
                     yield ("event: partial\ndata: "
                            + _json.dumps({"text": partial},
                                          ensure_ascii=False) + "\n\n")
                     last = partial
+                    last_emit = time.time()
                 if job["status"] in app.tracker.TERMINAL:
                     payload = {
                         "status": job["status"],

@@ -146,12 +146,55 @@ def make_handler(gateway: Gateway):
             self.end_headers()
             self.wfile.write(payload)
 
+        def _proxy_stream(self):
+            """Pump an SSE response through without buffering: the
+            buffered path would hold every event until the stream ends
+            (and its GET retry-on-timeout would open a second stream)."""
+            req = urllib.request.Request(
+                gateway.engine_url + self.path, method="GET")
+            for key, value in self.headers.items():
+                if key.lower() not in _HOP_HEADERS:
+                    req.add_header(key, value)
+            try:
+                resp = urllib.request.urlopen(
+                    req, timeout=gateway.timeout_s)
+            except urllib.error.HTTPError as err:
+                self._respond(err.code, dict(err.headers or {}),
+                              err.read())
+                return
+            except (urllib.error.URLError, ConnectionError,
+                    TimeoutError) as err:
+                with gateway._lock:
+                    gateway.stats["unavailable_503"] += 1
+                self._respond(503, {"Content-Type": "application/json"},
+                              json.dumps({"detail": "engine unavailable",
+                                          "error": str(err)}).encode())
+                return
+            with gateway._lock:
+                gateway.stats["proxied"] += 1
+            self.send_response(resp.status)
+            for key, value in resp.headers.items():
+                if key.lower() not in _HOP_HEADERS:
+                    self.send_header(key, value)
+            self.send_header("Connection", "close")
+            self.end_headers()
+            try:
+                for line in resp:
+                    self.wfile.write(line)
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                pass
+            finally:
+                resp.close()
+
         def _proxy(self):
             if self.path == "/gateway/health":
                 payload = json.dumps(gateway.health()).encode()
                 self._respond(200, {"Content-Type": "application/json"},
                               payload)
                 return
+            if self.command == "GET" and "/stream/" in self.path:
+                return self._proxy_stream()
             length = int(self.headers.get("Content-Length") or 0)
             body = self.rfile.read(length) if length else b""
             status, headers, payload = gateway.forward(

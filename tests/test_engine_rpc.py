@@ -173,3 +173,53 @@ def test_gateway_503_when_engine_absent():
         assert body["detail"] == "engine unavailable"
     finally:
         server.shutdown()
+
+
+def test_gateway_streams_sse_incrementally():
+    """SSE through the gateway must pump events as they are produced, not
+    buffer the whole stream (the buffered path would also retry a
+    timed-out stream GET and open a second one)."""
+    import threading
+
+    from automative_rag_tpu.api.http import HTTPApi, Router, StreamingResponse
+
+    first_read = threading.Event()
+
+    router = Router()
+
+    @router.get("/query/stream/{job_id}")
+    def stream(req):
+        def events():
+            yield "event: partial\ndata: {\"text\": \"早\"}\n\n"
+            # wait until the CLIENT saw the first event before emitting
+            # the rest — proves pumping, not end-of-stream buffering
+            assert first_read.wait(timeout=20)
+            yield "event: done\ndata: {\"status\": \"completed\"}\n\n"
+
+        return StreamingResponse(events())
+
+    api = HTTPApi(router)
+    server = api.serve(host="127.0.0.1", port=0, background=True)
+    engine_port = server.server_address[1]
+    try:
+        gw_server, _ = start_gateway_thread(
+            f"http://127.0.0.1:{engine_port}")
+        gw_port = gw_server.server_address[1]
+        got = []
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{gw_port}/query/stream/j1",
+                timeout=30) as resp:
+            assert resp.headers["Content-Type"].startswith(
+                "text/event-stream")
+            for raw in resp:
+                line = raw.decode().rstrip("\n")
+                got.append(line)
+                if line.startswith("event: partial"):
+                    first_read.set()
+                if line.startswith("event: done"):
+                    break
+        assert any(l.startswith("event: partial") for l in got)
+        assert any(l.startswith("event: done") for l in got)
+        gw_server.shutdown()
+    finally:
+        server.shutdown()
