@@ -1198,10 +1198,21 @@ def load_hf_qwen2(config: Qwen2Config, path: str) -> Optional[Dict]:
             node = node.setdefault(part, {})
         node[dest[-1]] = jnp.asarray(value, dtype)
 
+    hd = config.head_dim
+    bias_dims = {"q_proj": config.num_heads * hd,
+                 "k_proj": config.num_kv_heads * hd,
+                 "v_proj": config.num_kv_heads * hd}
     for hf_key, dest in mapping.items():
         if hf_key not in state:
             if hf_key == "lm_head.weight":
                 continue  # some exports tie even when config says otherwise
+            if hf_key.endswith(".bias"):
+                # llama-family checkpoints ship no attention biases
+                # (attention_bias=false); zero bias is the same math, so
+                # the one decoder serves both namings
+                put(dest, np.zeros(bias_dims[dest[-2]], np.float32),
+                    config.dtype)
+                continue
             return None
         value = state[hf_key]
         if dest[-1] == "kernel":

@@ -710,3 +710,66 @@ def test_batched_spec_overshoot_near_window_end():
         for g, w in zip(got, want):
             np.testing.assert_array_equal(g, w)
         assert n_fwd <= n_new
+
+
+def test_llama_checkpoint_without_attention_biases(tmp_path):
+    """Llama-family exports ship no q/k/v biases (attention_bias=false);
+    the loader must fill zeros — token-identical to the same weights with
+    explicit zero biases (reference serves one model family; this decoder
+    serves qwen2 AND llama namings)."""
+    import json as _json
+
+    from safetensors.numpy import save_file
+
+    from automative_rag_tpu.models.qwen2 import _qwen2_key_map, load_hf_qwen2
+
+    cfg = Qwen2Config.tiny_test()
+    base = Qwen2Model(cfg, seed=11)
+    mapping = _qwen2_key_map(cfg)
+    flat = _flatten(base.params)
+    state = {}
+    for hf_key, dest in mapping.items():
+        if cfg.tie_embeddings and hf_key == "lm_head.weight":
+            continue
+        value = np.asarray(flat["/".join(dest)], np.float32)
+        if dest[-1] == "kernel":
+            value = value.T
+        if hf_key.endswith(".bias"):
+            continue  # llama: no attention biases in the export
+        state[hf_key] = np.ascontiguousarray(value)
+    save_file(state, str(tmp_path / "model.safetensors"))
+    (tmp_path / "config.json").write_text(_json.dumps({
+        "model_type": "llama", "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.d_model, "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "intermediate_size": cfg.intermediate_size,
+        "rope_theta": cfg.rope_theta, "eos_token_id": cfg.eos_token,
+        "tie_word_embeddings": cfg.tie_embeddings,
+    }))
+
+    loaded = load_hf_qwen2(cfg, str(tmp_path))
+    assert loaded is not None
+
+    # oracle: the base model with its q/k/v biases zeroed
+    import jax.numpy as jnp
+
+    def zero_biases(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = zero_biases(v)
+            elif k == "bias":
+                out[k] = jnp.zeros_like(v)
+            else:
+                out[k] = v
+        return out
+
+    prompt = np.array([[5, 9, 14, 3]], np.int32)
+    want_model = Qwen2Model(cfg, seed=11)
+    want_model.params = zero_biases(base.params)
+    got_model = Qwen2Model(cfg, seed=0)
+    got_model.params = loaded
+    want = want_model.generate_tokens(prompt, max_new_tokens=6)
+    got = got_model.generate_tokens(prompt, max_new_tokens=6)
+    np.testing.assert_array_equal(got, want)
