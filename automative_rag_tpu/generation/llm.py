@@ -168,11 +168,15 @@ class JaxCausalLM:
 
     def _prefix_for(self, prompt: str, ids: List[int]) -> Optional[int]:
         """Serving-prefix id for the mode template header this prompt
-        starts with (registered lazily, once per header). Returns None
-        when no header matches, the header is too short to pay for the
-        KV copy, or BPE merges across the header/context boundary (the
-        engine re-verifies token equality per request anyway — this just
-        avoids registering a prefix that can never hit)."""
+        starts with (registered lazily, once per header). BPE routinely
+        merges across the header/context boundary, so the registered
+        prefix is the LONGEST token prefix shared between tokenizing the
+        header alone and this prompt — everything left of the boundary
+        token, which is stable for every prompt built on the header
+        (tokenization is deterministic and left-to-right). Returns None
+        when no header matches or the stable prefix is too short to pay
+        for the KV copy; the engine re-verifies token equality per
+        request anyway, so a rare mismatch just falls back."""
         for mode in QueryMode:
             header = prompt_header(mode)
             if not prompt.startswith(header):
@@ -181,9 +185,18 @@ class JaxCausalLM:
                 if header not in self._prefix_reg:
                     pid = None
                     hid = list(self.tokenizer(header)["input_ids"])
-                    if len(hid) >= 16 and list(ids[: len(hid)]) == hid:
+                    stable = 0
+                    for a, b in zip(hid, ids):
+                        if a != b:
+                            break
+                        stable += 1
+                    if stable == len(hid):
+                        # exact: even the boundary token is clean
+                        stable = len(hid)
+                    if stable >= 16:
                         try:
-                            pid = self._serving.register_prefix(hid)
+                            pid = self._serving.register_prefix(
+                                ids[:stable])
                         except ValueError:
                             pid = None
                     self._prefix_reg[header] = pid
