@@ -386,8 +386,26 @@ async function submitQuery() {
       body: JSON.stringify({query:q, mode:selMode, metadata_filter:filterBody(),
                             validation: vmode === "guided" ? "guided" : vmode === "basic"})});
     window._activeJob = sub.job_id;
-    pollQuery(sub.job_id, Date.now());
+    streamAnswer(sub.job_id);   // SSE pushes partial text as it decodes
+    pollQuery(sub.job_id, Date.now());  // polling owns final render/state
   } catch (e) { $("q-status").textContent = "错误: " + e.message; }
+}
+
+function streamAnswer(jobId) {
+  // best-effort: polling still renders everything if SSE is unavailable
+  if (typeof EventSource === "undefined") return;
+  try {
+    const es = new EventSource("/query/stream/" + jobId);
+    es.addEventListener("partial", ev => {
+      if (window._activeJob !== jobId) { es.close(); return; }
+      const d = JSON.parse(ev.data);
+      $("q-result").classList.remove("hide");
+      $("q-answer").textContent = d.text + " ▌";  // textContent: no XSS sink
+    });
+    es.addEventListener("done", () => es.close());
+    es.addEventListener("error", () => es.close());
+    es.onerror = () => es.close();
+  } catch (e) { /* stream is an enhancement only */ }
 }
 
 async function userChoice(choice) {
