@@ -272,7 +272,9 @@ def build_api(app: RAGApplication) -> HTTPApi:
                            + _json.dumps(payload, ensure_ascii=False)
                            + "\n\n")
                     return
-                time.sleep(0.15)
+                # event-driven: woken by any tracker update (status or
+                # partial), capped so keepalives still go out
+                app.tracker.wait_for_update(timeout=2.0)
             yield "event: timeout\ndata: {}\n\n"
 
         return StreamingResponse(events())

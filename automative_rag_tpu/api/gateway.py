@@ -27,6 +27,7 @@ Stdlib only (ThreadingHTTPServer + urllib), matching api/http.py.
 
 from __future__ import annotations
 
+import http.client
 import json
 import threading
 import time
@@ -183,7 +184,18 @@ def make_handler(gateway: Gateway):
                     self.wfile.write(line)
                     self.wfile.flush()
             except (BrokenPipeError, ConnectionResetError):
-                pass
+                pass  # client went away
+            except (OSError, TimeoutError, http.client.HTTPException):
+                # engine died or stalled MID-stream (the restart case):
+                # headers are already sent, so surface an SSE error event
+                # instead of letting the handler crash the connection
+                try:
+                    self.wfile.write(
+                        b'event: error\ndata: '
+                        b'{"detail": "engine connection lost"}\n\n')
+                    self.wfile.flush()
+                except OSError:
+                    pass
             finally:
                 resp.close()
 

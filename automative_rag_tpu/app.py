@@ -388,6 +388,9 @@ class RAGApplication:
                 on_text=lambda text: self.tracker.set_partial_answer(
                     job_id, text),
             )
+            # converge the stream onto the finalized answer so the last
+            # partial a client saw never disagrees with the result
+            self.tracker.set_partial_answer(job_id, result["answer"])
             if payload.get("validation"):
                 result["answer_validation"] = self.validation_engine.validate_answer(
                     result["answer"],

@@ -181,26 +181,33 @@ class JaxCausalLM:
             header = prompt_header(mode)
             if not prompt.startswith(header):
                 continue
+            # never hold the lock across register_prefix: its first use
+            # runs a bucket prefill whose compile can take minutes
+            # remotely, and that would block every concurrent generate().
+            # A "pending" marker makes racers skip the prefix (full
+            # prefill — correct, just unoptimized) instead of waiting.
             with self._prefix_lock:
-                if header not in self._prefix_reg:
-                    pid = None
-                    hid = list(self.tokenizer(header)["input_ids"])
-                    stable = 0
-                    for a, b in zip(hid, ids):
-                        if a != b:
-                            break
-                        stable += 1
-                    if stable == len(hid):
-                        # exact: even the boundary token is clean
-                        stable = len(hid)
-                    if stable >= 16:
-                        try:
-                            pid = self._serving.register_prefix(
-                                ids[:stable])
-                        except ValueError:
-                            pid = None
+                if header in self._prefix_reg:
+                    pid = self._prefix_reg[header]
+                    return None if pid == "pending" else pid
+                self._prefix_reg[header] = "pending"
+            pid = None
+            try:
+                hid = list(self.tokenizer(header)["input_ids"])
+                stable = 0
+                for a, b in zip(hid, ids):
+                    if a != b:
+                        break
+                    stable += 1
+                if stable >= 16:
+                    pid = self._serving.register_prefix(
+                        ids[:stable], warm=True)
+            except ValueError:
+                pid = None
+            finally:
+                with self._prefix_lock:
                     self._prefix_reg[header] = pid
-                return self._prefix_reg[header]
+            return pid
         return None
 
     def generate(self, prompt: str, params: Dict[str, Any]) -> str:
@@ -327,8 +334,19 @@ class AnswerGenerator:
         llm_params = mode_config.get_llm_params(mode)
         if on_text is not None:
             # streaming: backends that decode incrementally (the serving
-            # engine's on_token bursts) publish growing answer text
-            llm_params = {**llm_params, "on_text": on_text}
+            # engine's on_token bursts) publish growing answer text.
+            # Partials get the same <think> hygiene as the final answer —
+            # R1-style models open with chain-of-thought that _finalize
+            # strips, and it must not leak through the stream either.
+            def clean_stream(text, _cb=on_text):
+                text = _THINK_RE.sub("", text)
+                open_think = text.find("<think>")
+                if open_think != -1:  # unclosed block: hold it back
+                    text = text[:open_think]
+                if text.strip():
+                    _cb(text)
+
+            llm_params = {**llm_params, "on_text": clean_stream}
         ctx_params = mode_config.get_context_params(mode)
 
         context = format_documents_with_relevance_scores(

@@ -1202,14 +1202,18 @@ def load_hf_qwen2(config: Qwen2Config, path: str) -> Optional[Dict]:
     bias_dims = {"q_proj": config.num_heads * hd,
                  "k_proj": config.num_kv_heads * hd,
                  "v_proj": config.num_kv_heads * hd}
+    # llama-family checkpoints ship no attention biases at all
+    # (attention_bias=false) — zero bias is the same math, so the one
+    # decoder serves both namings. All-or-nothing: a qwen2 export missing
+    # only SOME bias tensors is a corrupt/partial download and must fail
+    # loudly (return None → caller falls back), not load quietly degraded.
+    bias_keys = [k for k in mapping if k.endswith(".bias")]
+    fill_biases = all(k not in state for k in bias_keys)
     for hf_key, dest in mapping.items():
         if hf_key not in state:
             if hf_key == "lm_head.weight":
                 continue  # some exports tie even when config says otherwise
-            if hf_key.endswith(".bias"):
-                # llama-family checkpoints ship no attention biases
-                # (attention_bias=false); zero bias is the same math, so
-                # the one decoder serves both namings
+            if hf_key.endswith(".bias") and fill_biases:
                 put(dest, np.zeros(bias_dims[dest[-2]], np.float32),
                     config.dtype)
                 continue

@@ -150,6 +150,14 @@ class JobTracker:
                 return
             job["partial_answer"] = text
             job["updated_at"] = time.time()
+            self._status_changed.notify_all()
+
+    def wait_for_update(self, timeout: float) -> None:
+        """Sleep until ANY job update (status or partial answer) or the
+        timeout — SSE streams wait here instead of busy-polling the
+        tracker lock."""
+        with self._status_changed:
+            self._status_changed.wait(timeout)
 
     # --------------------------------------------------------------- read
     def get_job(self, job_id: str) -> Optional[Dict[str, Any]]:

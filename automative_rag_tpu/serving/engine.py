@@ -186,10 +186,12 @@ class ServingEngine:
         self._prefix_admit_cache: Dict[int, Any] = {}
         self._chunk_fill_cache: Dict[Any, Any] = {}
         self._chunk_last_cache: Dict[int, Any] = {}
+        self._warmed: Optional[Dict[str, Any]] = None
         self.stats = {"tokens_generated": 0, "bursts": 0, "prefills": 0,
                       "requests_completed": 0, "busy_s": 0.0,
                       "prefix_admits": 0, "prefix_misses": 0,
-                      "chunked_admits": 0}
+                      "chunked_admits": 0, "scheduler_errors": 0}
+        self.last_error: Optional[str] = None
         self._state = self._init_state(seed)
 
     # ---------------------------------------------------------- state
@@ -348,7 +350,7 @@ class ServingEngine:
         self._prefix_encode_cache[p_bucket] = fn
         return fn
 
-    def register_prefix(self, prefix_ids) -> int:
+    def register_prefix(self, prefix_ids, warm: bool = False) -> int:
         """Prefill ``prefix_ids`` ONCE and keep the rope-applied KV
         resident in HBM; a request submitted with the returned id skips
         recomputing that prefix — admission copies the cached KV into the
@@ -376,6 +378,17 @@ class ServingEngine:
         self._prefixes[pid] = {
             "tokens": ids, "padded": padded, "plen": int(ids.size),
             "blobs": blobs}
+        if warm:
+            # compile the prefixed-admission program for every suffix
+            # bucket this prefix can use — otherwise each bucket's first
+            # live request pays the (remotely, minutes-long) compile
+            for b in self.prompt_buckets:
+                if int(ids.size) + b <= self._gen_base:
+                    suffix = [3 + i % 11 for i in range(b)]
+                    self.submit(list(ids) + suffix, max_new_tokens=2,
+                                prefix_id=pid)
+            if self._thread is None:
+                self.run_until_idle()
         return pid
 
     def _prefix_admit_fn(self, s_bucket: int):
@@ -787,7 +800,17 @@ class ServingEngine:
 
     def _reap_cancelled(self) -> None:
         """Free slots whose request was cancelled (scheduler thread only):
-        mark the row finished on-device so bursts stop advancing it."""
+        mark the row finished on-device so bursts stop advancing it. Also
+        sweeps ``_pending`` — a cancel() that lands in step()'s swap
+        window re-queues the flagged request, and with zero free slots it
+        would otherwise sit there (blocking its caller) until a slot
+        opened."""
+        with self._lock:
+            requeued = [r for r in self._pending if r.cancelled]
+            for r in requeued:
+                self._pending.remove(r)
+        for r in requeued:
+            self._complete(r, slot=None)
         for slot, req in enumerate(self._slots):
             if req is not None and req.cancelled:
                 self._state["finished"] = (
@@ -906,14 +929,24 @@ class ServingEngine:
         self.stats["chunked_admits"] += 1
         self._post_admit(req, slot, int(tok0), max_new)
 
+    def _notify(self, req: Request, fresh: List[int]) -> None:
+        """on_token is external code running on the scheduler thread — a
+        raising callback must cost that request its stream, never the
+        engine."""
+        if not req.on_token:
+            return
+        try:
+            req.on_token(fresh)
+        except Exception:  # noqa: BLE001 — callback fault isolation
+            req.on_token = None
+
     def _post_admit(self, req: Request, slot: int, tok0: int,
                     max_new: int) -> None:
         req.started_at = time.time()
         req.tokens.append(tok0)
         self.stats["prefills"] += 1
         self.stats["tokens_generated"] += 1
-        if req.on_token:
-            req.on_token([tok0])
+        self._notify(req, [tok0])
         if tok0 == self.config.eos_token or max_new <= 1:
             self._complete(req, slot=None)
         else:
@@ -968,8 +1001,7 @@ class ServingEngine:
                 req.tokens.extend(fresh)
                 self._taken[slot] = total
                 self.stats["tokens_generated"] += len(fresh)
-                if req.on_token:
-                    req.on_token(fresh)
+                self._notify(req, fresh)
             if bool(finished[slot]):
                 self._complete(req, slot)
         self.stats["bursts"] += 1
@@ -1016,17 +1048,36 @@ class ServingEngine:
         burst compiles) and cancels the leftovers. Prefix-admission
         programs compile on ``register_prefix``'s first use instead (they
         need a registered prefix to be meaningful)."""
+        if self._warmed is not None:
+            return self._warmed  # idempotent: repeat /system/warmup calls
+            # must not burn accelerator time on throwaway generations
         t0 = time.time()
         vocab = self.config.vocab_size
         small = self.prompt_buckets[0]
+        # one prompt per bucket; with chunking, extra lengths so every
+        # reachable FINAL-chunk bucket compiles too (a bucket-length
+        # prompt always has final chunk == prefill_chunk, which would
+        # leave short-tail admissions to stall on a live compile)
+        plans = list(self.prompt_buckets)
+        if self.prefill_chunk:
+            C = self.prefill_chunk
+            covered = {self._chunk_last_bucket(b)
+                       for b in self.prompt_buckets if b > C}
+            for cb in sorted({x for x in (*self.prompt_buckets, C)
+                              if x <= C}):
+                plen = C + cb
+                if cb not in covered and plen <= self.prompt_buckets[-1] \
+                        and self._chunk_last_bucket(plen) == cb:
+                    plans.append(plen)
+                    covered.add(cb)
         # submit-and-wait (never step() directly): the background
         # scheduler thread may already be driving the engine
         streamer = self.submit(
             [3 + i % 7 for i in range(min(small, 4))],
-            max_new_tokens=self.burst * (len(self.prompt_buckets) + 3))
+            max_new_tokens=self.burst * (len(plans) + 3))
         reqs = []
-        for b in self.prompt_buckets:
-            ids = [3 + (7 * i) % (vocab - 10) for i in range(b)]
+        for plen in plans:
+            ids = [3 + (7 * i) % (vocab - 10) for i in range(plen)]
             reqs.append(self.submit(ids, max_new_tokens=2))
         if self._thread is None:
             self.run_until_idle()
@@ -1036,11 +1087,13 @@ class ServingEngine:
         if self._thread is None:
             self.run_until_idle()
         streamer._done.wait(timeout=60)
-        return {
+        self._warmed = {
             "compiled_buckets": len(self.prompt_buckets),
+            "prompt_lengths": plans,
             "chunked": bool(self.prefill_chunk),
             "seconds": round(time.time() - t0, 2),
         }
+        return self._warmed
 
     # --------------------------------------------------- background mode
 
@@ -1051,13 +1104,21 @@ class ServingEngine:
 
         def loop():
             while not self._stop:
-                with self._lock:
-                    has_pending = bool(self._pending)
-                if has_pending or any(self._slots):
-                    self.step()
-                else:
-                    self._wake.wait(timeout=0.05)
-                    self._wake.clear()
+                try:
+                    with self._lock:
+                        has_pending = bool(self._pending)
+                    if has_pending or any(self._slots):
+                        self.step()
+                    else:
+                        self._wake.wait(timeout=0.05)
+                        self._wake.clear()
+                except Exception as exc:  # noqa: BLE001 — keep serving
+                    # a dying scheduler thread would strand every slot and
+                    # hang all future requests; record, back off, continue
+                    self.last_error = f"{type(exc).__name__}: {exc}"
+                    self.stats["scheduler_errors"] = (
+                        self.stats.get("scheduler_errors", 0) + 1)
+                    time.sleep(0.1)
 
         self._thread = threading.Thread(
             target=loop, name="serving-engine", daemon=True)

@@ -773,3 +773,32 @@ def test_llama_checkpoint_without_attention_biases(tmp_path):
     want = want_model.generate_tokens(prompt, max_new_tokens=6)
     got = got_model.generate_tokens(prompt, max_new_tokens=6)
     np.testing.assert_array_equal(got, want)
+
+
+def test_partial_bias_checkpoint_rejected(tmp_path):
+    """A qwen2 export missing only SOME attention biases is corruption,
+    not a llama export — the loader must fail loudly, not zero-fill."""
+    import json as _json
+
+    from safetensors.numpy import save_file
+
+    from automative_rag_tpu.models.qwen2 import _qwen2_key_map, load_hf_qwen2
+
+    cfg = Qwen2Config.tiny_test()
+    base = Qwen2Model(cfg, seed=13)
+    mapping = _qwen2_key_map(cfg)
+    flat = _flatten(base.params)
+    state = {}
+    dropped = False
+    for hf_key, dest in mapping.items():
+        if cfg.tie_embeddings and hf_key == "lm_head.weight":
+            continue
+        value = np.asarray(flat["/".join(dest)], np.float32)
+        if dest[-1] == "kernel":
+            value = value.T
+        if not dropped and hf_key.endswith("q_proj.bias"):
+            dropped = True  # one missing bias = partial download
+            continue
+        state[hf_key] = np.ascontiguousarray(value)
+    save_file(state, str(tmp_path / "model.safetensors"))
+    assert load_hf_qwen2(cfg, str(tmp_path)) is None

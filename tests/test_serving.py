@@ -470,7 +470,8 @@ def test_jax_llm_auto_prefix_header_matches_direct():
         want = [direct.generate(p, params) for p in prompts]
         got = [served.generate(p, params) for p in prompts]
         assert got == want
-        assert eng.stats["prefix_admits"] == 2
+        # 2 live requests + the register-time suffix-bucket warm passes
+        assert eng.stats["prefix_admits"] >= 2
         assert eng.stats["prefix_misses"] == 0
     finally:
         eng.stop()
@@ -719,3 +720,44 @@ def test_warmup_with_background_thread(model):
         assert req.result(timeout=60) == _solo(model, [21, 8, 4], 6)
     finally:
         eng.stop()
+
+
+def test_raising_on_token_callback_does_not_kill_engine(model):
+    """on_token is external code on the scheduler thread — a raising
+    callback loses its own stream, never the engine."""
+    eng = _engine(model, max_slots=2)
+    eng.start()
+    try:
+        def boom(_toks):
+            raise RuntimeError("client code exploded")
+
+        bad = eng.submit([5, 9, 14], max_new_tokens=8, on_token=boom)
+        good = eng.submit([21, 8, 4], max_new_tokens=8)
+        assert good.result(timeout=120) == _solo(model, [21, 8, 4], 8)
+        assert bad.result(timeout=120) == _solo(model, [5, 9, 14], 8)
+        # engine thread alive and serving
+        again = eng.submit([1, 2, 3], max_new_tokens=4)
+        assert again.result(timeout=120) == _solo(model, [1, 2, 3], 4)
+    finally:
+        eng.stop()
+
+
+def test_warmup_is_idempotent(model):
+    eng = _engine(model)
+    first = eng.warmup()
+    before = dict(eng.stats)
+    second = eng.warmup()
+    assert second is first
+    assert eng.stats["prefills"] == before["prefills"]  # no new traffic
+
+
+def test_register_prefix_warm_compiles_suffix_buckets(model):
+    eng = _engine(model)
+    pid = eng.register_prefix([5, 9, 14, 3, 7], warm=True)
+    # every usable suffix bucket's admission program is resident
+    usable = [b for b in eng.prompt_buckets if 5 + b <= eng._gen_base]
+    assert usable and set(usable) <= set(eng._prefix_admit_cache)
+    req = eng.submit([5, 9, 14, 3, 7, 11], max_new_tokens=6,
+                     prefix_id=pid)
+    eng.run_until_idle()
+    assert req.result() == _solo(model, [5, 9, 14, 3, 7, 11], 6)
