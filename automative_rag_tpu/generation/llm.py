@@ -274,7 +274,34 @@ class JaxCausalLM:
         decode loop for the whole batch. With ``speculative`` (default),
         the loop is the batched prompt-lookup spec path — per-row drafts,
         one (K+1)-wide verify per iteration — which is the serving QPS
-        lever for citation-heavy facts-mode answers."""
+        lever for citation-heavy facts-mode answers.
+
+        With the serving engine enabled the batch JOINS continuous
+        batching instead: a separate static ragged batch would contend
+        with the engine's bursts for the same chip, and engine admissions
+        also get the prefix-cache/chunked-prefill path."""
+        if self._serving is not None:
+            reqs = []
+            for p in prompts:
+                ids_p = self.tokenizer(p)["input_ids"]
+                reqs.append(self._serving.submit(
+                    ids_p,
+                    max_new_tokens=params.get("max_tokens", 512),
+                    temperature=params.get("temperature", 0.0),
+                    top_p=params.get("top_p", 0.85),
+                    repetition_penalty=params.get(
+                        "repetition_penalty", 1.0),
+                    prefix_id=self._prefix_for(p, ids_p),
+                ))
+            outs = []
+            for req in reqs:
+                try:
+                    outs.append(req.result(timeout=600))
+                except TimeoutError:
+                    self._serving.cancel(req)
+                    outs.append(req.generated_ids())
+            return [self.tokenizer.decode(o, skip_special_tokens=True)
+                    for o in outs]
         ids = [self.tokenizer(p)["input_ids"] for p in prompts]
         kwargs = dict(
             max_new_tokens=params.get("max_tokens", 512),

@@ -275,3 +275,40 @@ def test_app_health_reports_serving_stats():
         assert "slots_busy" in h["llm_serving"]
     finally:
         eng.stop()
+
+
+def test_answer_batch_routes_through_serving_engine():
+    """With serving enabled, batch answers join continuous batching (and
+    stay identical to the non-serving ragged path)."""
+    from automative_rag_tpu.documents.schema import Document
+    from automative_rag_tpu.generation.llm import AnswerGenerator, JaxCausalLM
+    from automative_rag_tpu.models.qwen2 import Qwen2Config
+
+    class FakeTok:
+        def __call__(self, text):
+            return {"input_ids": [3 + (ord(c) % 200) for c in text[:48]]}
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(97 + (t % 26)) for t in ids)
+
+    import dataclasses
+
+    # both paths must share one generation budget: the plain path runs to
+    # max_positions, the engine to its pool length
+    cfg = dataclasses.replace(Qwen2Config.tiny_test(), max_positions=4096)
+    plain = JaxCausalLM("", config=cfg, tokenizer=FakeTok())
+    served = JaxCausalLM("", config=cfg, tokenizer=FakeTok())
+    served.model = plain.model  # same weights
+    eng = served.enable_serving(max_slots=4, max_len=1024, burst=8)
+    try:
+        docs = [(Document(page_content="文档内容。"), 0.9)]
+        queries = ["问题一", "问题二", "问题三"]
+        want = AnswerGenerator(plain).answer_batch(
+            queries, [docs] * 3, mode="facts")
+        before = eng.stats["requests_completed"]
+        got = AnswerGenerator(served).answer_batch(
+            queries, [docs] * 3, mode="facts")
+        assert eng.stats["requests_completed"] >= before + 3
+        assert [g["answer"] for g in got] == [w["answer"] for w in want]
+    finally:
+        eng.stop()
