@@ -619,8 +619,8 @@ class ServingEngine:
         def _burst(params, state):
             dparams = {"params": params}
 
-            def body(i, carry):
-                state, out = carry
+            def body(carry):
+                i, state, out = carry
                 t = state["frontier"]
                 valid = iota[None, :] < t[:, None]
                 logits, caches = decoder.apply(
@@ -651,10 +651,20 @@ class ServingEngine:
                          "seen": seen, "finished": finished,
                          "frontier": frontier, "gen_count": gen_count,
                          "key": key}
-                return state, out
+                return i + 1, state, out
+
+            def cond(carry):
+                i, state, _ = carry
+                # early exit once no row is still decoding: a request
+                # finishing at step 2 must not pay the other 14 steps,
+                # and pending admissions get their slot a burst sooner
+                alive = state["active"] & ~state["finished"]
+                return (i < steps) & jnp.any(alive)
 
             out = jnp.full((b, steps), -1, jnp.int32)
-            return jax.lax.fori_loop(0, steps, body, (state, out))
+            _, state, out = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), state, out))
+            return state, out
 
         fn = jax.jit(_burst, donate_argnums=(1,))
         self._burst_cache[steps] = fn
@@ -689,7 +699,8 @@ class ServingEngine:
         def _burst(params, state):
             dparams = {"params": params}
 
-            def body(_, state):
+            def body(carry):
+                i, state = carry
                 t_cache = state["frontier"]
                 t_buf = gen_base + state["gen_count"] - 1
                 drafts, _ = _pld_draft(
@@ -735,13 +746,20 @@ class ServingEngine:
                     (jnp.ones((b,), bool), state["seen"], state["buf"],
                      state["finished"], jnp.zeros((b,), jnp.int32),
                      state["cur"]))
-                return {**state, "caches": caches, "cur": cur, "buf": buf,
-                        "seen": seen, "finished": finished,
-                        "frontier": t_cache + count,
-                        "gen_count": state["gen_count"] + count,
-                        "key": key}
+                return i + 1, {**state, "caches": caches, "cur": cur,
+                               "buf": buf, "seen": seen,
+                               "finished": finished,
+                               "frontier": t_cache + count,
+                               "gen_count": state["gen_count"] + count,
+                               "key": key}
 
-            state = jax.lax.fori_loop(0, steps, body, state)
+            def cond(carry):
+                i, state = carry
+                alive = state["active"] & ~state["finished"]
+                return (i < steps) & jnp.any(alive)
+
+            _, state = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), state))
             return state, jax.lax.dynamic_slice_in_dim(
                 state["buf"], gen_base, self.max_len, axis=1)
 
