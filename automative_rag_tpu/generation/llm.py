@@ -210,10 +210,39 @@ class JaxCausalLM:
             return pid
         return None
 
+    def _serving_fits(self, ids: List[int]) -> bool:
+        """Can the serving engine take this prompt WITHOUT truncation?
+        Prompts beyond the largest bucket silently lose their head (the
+        system header + most context — the worst loss for RAG) if
+        submitted, so they route to the whole-loop path instead."""
+        return len(ids) <= self._serving.prompt_buckets[-1]
+
+    def _submit_serving(self, prompt: str, ids, params: Dict[str, Any],
+                        on_token=None):
+        return self._serving.submit(
+            ids,
+            max_new_tokens=params.get("max_tokens", 512),
+            temperature=params.get("temperature", 0.0),
+            top_p=params.get("top_p", 0.85),
+            repetition_penalty=params.get("repetition_penalty", 1.0),
+            prefix_id=self._prefix_for(prompt, ids),
+            on_token=on_token,
+        )
+
+    def _collect_serving(self, req) -> List[int]:
+        try:
+            return req.result(timeout=600)
+        except TimeoutError:
+            # free the slot — an abandoned request must not keep burning
+            # burst work (reference's torch pipeline has no equivalent:
+            # each request owns the GPU until done)
+            self._serving.cancel(req)
+            return req.generated_ids()
+
     def generate(self, prompt: str, params: Dict[str, Any]) -> str:
         ids = self.tokenizer(prompt)["input_ids"]
         temperature = params.get("temperature", 0.0)
-        if self._serving is not None:
+        if self._serving is not None and self._serving_fits(ids):
             on_text = params.get("on_text")
             on_token = None
             if on_text is not None:
@@ -226,23 +255,8 @@ class JaxCausalLM:
                         [t for t in _acc if t != eos],
                         skip_special_tokens=True))
 
-            req = self._serving.submit(
-                ids,
-                max_new_tokens=params.get("max_tokens", 512),
-                temperature=temperature,
-                top_p=params.get("top_p", 0.85),
-                repetition_penalty=params.get("repetition_penalty", 1.0),
-                prefix_id=self._prefix_for(prompt, ids),
-                on_token=on_token,
-            )
-            try:
-                out = req.result(timeout=600)
-            except TimeoutError:
-                # free the slot — an abandoned request must not keep
-                # burning burst work (reference's torch pipeline has no
-                # equivalent: each request owns the GPU until done)
-                self._serving.cancel(req)
-                out = req.generated_ids()
+            req = self._submit_serving(prompt, ids, params, on_token)
+            out = self._collect_serving(req)
             return self.tokenizer.decode(out, skip_special_tokens=True)
         if params.get("speculative", True):
             # single-sequence → prompt-lookup speculative decoding: up to
@@ -281,28 +295,41 @@ class JaxCausalLM:
         with the engine's bursts for the same chip, and engine admissions
         also get the prefix-cache/chunked-prefill path."""
         if self._serving is not None:
-            reqs = []
-            for p in prompts:
-                ids_p = self.tokenizer(p)["input_ids"]
-                reqs.append(self._serving.submit(
-                    ids_p,
-                    max_new_tokens=params.get("max_tokens", 512),
-                    temperature=params.get("temperature", 0.0),
-                    top_p=params.get("top_p", 0.85),
-                    repetition_penalty=params.get(
-                        "repetition_penalty", 1.0),
-                    prefix_id=self._prefix_for(p, ids_p),
-                ))
-            outs = []
-            for req in reqs:
+            all_ids = [self.tokenizer(p)["input_ids"] for p in prompts]
+            # rows too long for the buckets keep the ragged whole-loop
+            # path (full max_positions budget) instead of truncating
+            fit = [i for i, ids_p in enumerate(all_ids)
+                   if self._serving_fits(ids_p)]
+            if fit:
+                results: Dict[int, str] = {}
+                reqs = []
                 try:
-                    outs.append(req.result(timeout=600))
-                except TimeoutError:
-                    self._serving.cancel(req)
-                    outs.append(req.generated_ids())
-            return [self.tokenizer.decode(o, skip_special_tokens=True)
-                    for o in outs]
+                    for i in fit:
+                        reqs.append((i, self._submit_serving(
+                            prompts[i], all_ids[i], params)))
+                finally:
+                    if len(reqs) < len(fit):
+                        # a failing submit mid-loop must not orphan the
+                        # rows already decoding
+                        for _, req in reqs:
+                            self._serving.cancel(req)
+                        raise
+                for i, req in reqs:
+                    results[i] = self.tokenizer.decode(
+                        self._collect_serving(req),
+                        skip_special_tokens=True)
+                overflow = [i for i in range(len(prompts))
+                            if i not in results]
+                if overflow:
+                    texts = self._ragged_batch(
+                        [all_ids[i] for i in overflow], params)
+                    results.update(zip(overflow, texts))
+                return [results[i] for i in range(len(prompts))]
         ids = [self.tokenizer(p)["input_ids"] for p in prompts]
+        return self._ragged_batch(ids, params)
+
+    def _ragged_batch(self, ids: List[List[int]],
+                      params: Dict[str, Any]) -> List[str]:
         kwargs = dict(
             max_new_tokens=params.get("max_tokens", 512),
             temperature=params.get("temperature", 0.0),

@@ -137,7 +137,8 @@ class ServingEngine:
 
     def __init__(self, model: Qwen2Model, max_slots: int = 8,
                  max_len: int = 2048,
-                 prompt_buckets: Sequence[int] = (64, 128, 256, 512, 1024),
+                 prompt_buckets: Sequence[int] = (64, 128, 256, 512, 1024,
+                                                  2048),
                  burst: int = 16, seed: int = 0, spec: bool = False,
                  prefill_chunk: int = 0, chunk_burst: int = 0):
         self.model = model

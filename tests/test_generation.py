@@ -312,3 +312,40 @@ def test_answer_batch_routes_through_serving_engine():
         assert [g["answer"] for g in got] == [w["answer"] for w in want]
     finally:
         eng.stop()
+
+
+def test_long_prompts_bypass_serving_instead_of_truncating():
+    """Prompts beyond the largest serving bucket must keep the whole-loop
+    path's full budget — silent head-truncation would drop the system
+    header and most retrieved context."""
+    from automative_rag_tpu.generation.llm import JaxCausalLM
+    from automative_rag_tpu.models.qwen2 import Qwen2Config
+
+    class LongTok:
+        def __call__(self, text):
+            return {"input_ids": [3 + (ord(c) % 200) for c in text]}
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(97 + (t % 26)) for t in ids)
+
+    cfg = Qwen2Config.tiny_test()
+    plain = JaxCausalLM("", config=cfg, tokenizer=LongTok())
+    served = JaxCausalLM("", config=cfg, tokenizer=LongTok())
+    served.model = plain.model
+    eng = served.enable_serving(max_slots=2, max_len=96,
+                                burst=4)  # buckets (64,)
+    try:
+        long_prompt = "x" * 70  # 70 tokens > bucket 64
+        short_prompt = "y" * 10
+        params = {"max_tokens": 6, "temperature": 0.0,
+                  "speculative": False}
+        assert served.generate(long_prompt, params) == plain.generate(
+            long_prompt, params)
+        assert eng.stats["requests_completed"] == 0  # bypassed
+        # mixed batch: long row keeps ragged path, short row joins engine
+        got = served.generate_batch([long_prompt, short_prompt], params)
+        want = plain.generate_batch([long_prompt, short_prompt], params)
+        assert got == want
+        assert eng.stats["requests_completed"] == 1
+    finally:
+        eng.stop()
