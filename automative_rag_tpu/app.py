@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import threading
 import time
+from pathlib import Path
 from typing import Any, Dict, List, Optional
 
 from .config.mode_config import QueryMode
@@ -52,6 +53,19 @@ class RAGApplication:
     ):
         self.settings = settings or default_settings
         self.started_at = time.time()
+
+        if self.settings.jax_compile_cache_dir:
+            # before any jit: executables compiled this process persist
+            # for the next one (restart/resume path)
+            import jax as _jax
+
+            try:
+                Path(self.settings.jax_compile_cache_dir).mkdir(
+                    parents=True, exist_ok=True)
+                _jax.config.update("jax_compilation_cache_dir",
+                                   self.settings.jax_compile_cache_dir)
+            except (RuntimeError, OSError):
+                pass  # cache is an optimization, never a boot failure
 
         if tiny:
             encoder_config = EncoderConfig.tiny(hidden_size=tiny_dim)

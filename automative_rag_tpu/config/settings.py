@@ -95,6 +95,14 @@ class Settings:
     chunk_size: int = field(default_factory=lambda: _env("CHUNK_SIZE", 1000))
     chunk_overlap: int = field(default_factory=lambda: _env("CHUNK_OVERLAP", 200))
 
+    # persistent XLA compilation cache: a restart (or the docker-compose
+    # resume path) reloads compiled executables instead of re-paying
+    # every compile — material when compiles go through a remote
+    # compiler at minutes per executable. Empty string disables.
+    jax_compile_cache_dir: str = field(
+        default_factory=lambda: _env("JAX_COMPILE_CACHE_DIR",
+                                     "data/jax_cache"))
+
     # --- index engine ---
     index_kind: str = field(default_factory=lambda: _env("INDEX_KIND", "flat"))
     index_dtype: str = field(default_factory=lambda: _env("INDEX_DTYPE", "bfloat16"))

@@ -451,3 +451,16 @@ def test_query_stream_sse(api, app):
         assert events[-1]["data"]["status"] == "completed"
     finally:
         server.shutdown()
+
+
+def test_compile_cache_config_applied(app):
+    """RAGApplication points XLA's persistent compilation cache at the
+    configured dir (restart resumes warm instead of re-paying remote
+    compiles)."""
+    import jax
+
+    assert jax.config.jax_compilation_cache_dir == \
+        app.settings.jax_compile_cache_dir
+    import os
+
+    assert os.path.isdir(app.settings.jax_compile_cache_dir)
