@@ -794,6 +794,13 @@ class ServingEngine:
             prefix_id=prefix_id, submitted_at=time.time())
         with self._lock:
             self._pending.append(req)
+        if (self._thread is not None and not self._thread.is_alive()
+                and not self._stop):
+            # scheduler thread died (should be impossible — loop() is
+            # exception-isolated — but a hung caller is the worst failure
+            # mode, so self-heal instead of trusting that)
+            self._thread = None
+            self.start()
         self._wake.set()
         return req
 

@@ -761,3 +761,25 @@ def test_register_prefix_warm_compiles_suffix_buckets(model):
                      prefix_id=pid)
     eng.run_until_idle()
     assert req.result() == _solo(model, [5, 9, 14, 3, 7, 11], 6)
+
+
+def test_submit_restarts_dead_scheduler_thread(model):
+    """If the scheduler thread ever dies, submit() self-heals instead of
+    letting callers block until their 600s timeout."""
+    import threading
+
+    eng = _engine(model)
+    eng.start()
+    try:
+        dead = threading.Thread(target=lambda: None)
+        dead.start()
+        dead.join()
+        eng._stop = True           # stop the real loop
+        eng._wake.set()
+        eng._thread.join(timeout=10)
+        eng._stop = False
+        eng._thread = dead         # simulate a dead scheduler
+        req = eng.submit([5, 9, 14], max_new_tokens=6)
+        assert req.result(timeout=120) == _solo(model, [5, 9, 14], 6)
+    finally:
+        eng.stop()
