@@ -41,6 +41,28 @@ from .services.analytics import AnalyticsService
 from .validation.engine import ValidationEngine
 
 
+def serving_geometry(llm_serving_max_len: int = 0):
+    """(max_len, prompt_buckets) for the LLM serving engine, auto-sized
+    from the mode table so EVERY mode's full prompt (context budget +
+    template header + question) fits a bucket — prompts beyond the
+    largest bucket bypass continuous batching entirely (whole-loop
+    fallback in ``generation/llm.py``), and the longest modes run 4000
+    context tokens."""
+    from .config.mode_config import mode_config as _mc
+
+    max_prompt = max(
+        _mc.get_context_params(m)["max_context_tokens"]
+        for m in _mc.all_modes()
+    ) + 512  # template header + question + estimator slack
+    max_gen = max(_mc.get_llm_params(m)["max_tokens"]
+                  for m in _mc.all_modes())
+    max_len = llm_serving_max_len or (max_prompt + max_gen + 64)
+    buckets = tuple(
+        b for b in (64, 128, 256, 512, 1024, 2048, 4096) if b < max_prompt
+    ) + (max_prompt,)
+    return max_len, buckets
+
+
 class RAGApplication:
     def __init__(
         self,
@@ -137,9 +159,12 @@ class RAGApplication:
         if self.settings.llm_concurrency > 1 and isinstance(llm, JaxCausalLM):
             # N llm-queue workers feed one continuous-batching engine:
             # concurrent queries share decode bursts (serving/engine.py)
+            serving_len, buckets = serving_geometry(
+                self.settings.llm_serving_max_len)
             llm.enable_serving(
                 max_slots=max(self.settings.llm_concurrency, 2),
-                max_len=self.settings.llm_serving_max_len,
+                max_len=serving_len,
+                prompt_buckets=buckets,
                 burst=self.settings.llm_serving_burst,
                 spec=self.settings.llm_serving_spec,
                 prefill_chunk=self.settings.llm_prefill_chunk,

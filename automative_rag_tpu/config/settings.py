@@ -193,13 +193,13 @@ class Settings:
     # through the continuous-batching serving engine (serving/engine.py);
     # 1 = the reference's serialized one-at-a-time generation
     llm_concurrency: int = field(default_factory=lambda: _env("LLM_CONCURRENCY", 1))
-    # serving-engine knobs (used when llm_concurrency > 1). Pool length
-    # must cover mode context budgets (2000-4000 context tokens,
-    # mode_config.py) PLUS generation room — prompts longer than the
-    # largest prompt bucket (max_len/2) fall back to the non-batched
-    # whole-loop path rather than truncating.
+    # serving-engine knobs (used when llm_concurrency > 1). 0 = auto-size
+    # the pool from the mode table (largest context budget + header +
+    # generation room, app.py), so every mode's full prompt fits a
+    # bucket; prompts beyond the largest bucket fall back to the
+    # non-batched whole-loop path rather than truncating.
     llm_serving_max_len: int = field(
-        default_factory=lambda: _env("LLM_SERVING_MAX_LEN", 4096))
+        default_factory=lambda: _env("LLM_SERVING_MAX_LEN", 0))
     llm_serving_burst: int = field(
         default_factory=lambda: _env("LLM_SERVING_BURST", 16))
     # speculative bursts in the serving engine (prompt-lookup drafts +

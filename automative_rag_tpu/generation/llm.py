@@ -149,7 +149,8 @@ class JaxCausalLM:
 
     def enable_serving(self, max_slots: int = 8, max_len: int = 2048,
                        burst: int = 16, spec: bool = True,
-                       prefill_chunk: int = 0):
+                       prefill_chunk: int = 0,
+                       prompt_buckets=None):
         """Route ``generate`` through the continuous-batching engine:
         concurrent callers (N llm-queue workers, ``QueueManager``
         concurrency) share decode bursts instead of serializing. Greedy
@@ -160,9 +161,12 @@ class JaxCausalLM:
         if self._serving is None:
             from ..serving import ServingEngine
 
+            kwargs = {} if prompt_buckets is None else {
+                "prompt_buckets": tuple(prompt_buckets)}
             self._serving = ServingEngine(
                 self.model, max_slots=max_slots, max_len=max_len,
-                burst=burst, spec=spec, prefill_chunk=prefill_chunk)
+                burst=burst, spec=spec, prefill_chunk=prefill_chunk,
+                **kwargs)
             self._serving.start()
         return self._serving
 
@@ -281,7 +285,14 @@ class JaxCausalLM:
             )[0]
         new_ids = [t for t in out[len(ids):].tolist()
                    if t != self.model.config.eos_token]
-        return self.tokenizer.decode(new_ids, skip_special_tokens=True)
+        text = self.tokenizer.decode(new_ids, skip_special_tokens=True)
+        on_text = params.get("on_text")
+        if on_text is not None:
+            # whole-jitted loops can't stream mid-flight; emit the one
+            # final update so long-prompt fallbacks don't leave SSE
+            # clients silent until the job completes
+            on_text(text)
+        return text
 
     def generate_batch(self, prompts, params: Dict[str, Any]) -> List[str]:
         """Batched generation over ragged prompts: one prefill + one shared
@@ -300,31 +311,30 @@ class JaxCausalLM:
             # path (full max_positions budget) instead of truncating
             fit = [i for i, ids_p in enumerate(all_ids)
                    if self._serving_fits(ids_p)]
-            if fit:
-                results: Dict[int, str] = {}
-                reqs = []
-                try:
-                    for i in fit:
-                        reqs.append((i, self._submit_serving(
-                            prompts[i], all_ids[i], params)))
-                finally:
-                    if len(reqs) < len(fit):
-                        # a failing submit mid-loop must not orphan the
-                        # rows already decoding
-                        for _, req in reqs:
-                            self._serving.cancel(req)
-                        raise
+            results: Dict[int, str] = {}
+            reqs = []
+            try:
+                for i in fit:
+                    reqs.append((i, self._submit_serving(
+                        prompts[i], all_ids[i], params)))
                 for i, req in reqs:
                     results[i] = self.tokenizer.decode(
                         self._collect_serving(req),
                         skip_special_tokens=True)
-                overflow = [i for i in range(len(prompts))
-                            if i not in results]
-                if overflow:
-                    texts = self._ragged_batch(
-                        [all_ids[i] for i in overflow], params)
-                    results.update(zip(overflow, texts))
-                return [results[i] for i in range(len(prompts))]
+            except BaseException:
+                # a failure during submit OR collect must not orphan the
+                # rows still decoding (they'd burn bursts to max_tokens)
+                for _, req in reqs:
+                    if not req.finished:
+                        self._serving.cancel(req)
+                raise
+            overflow = [i for i in range(len(prompts))
+                        if i not in results]
+            if overflow:
+                texts = self._ragged_batch(
+                    [all_ids[i] for i in overflow], params)
+                results.update(zip(overflow, texts))
+            return [results[i] for i in range(len(prompts))]
         ids = [self.tokenizer(p)["input_ids"] for p in prompts]
         return self._ragged_batch(ids, params)
 

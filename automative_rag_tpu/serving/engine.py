@@ -792,14 +792,22 @@ class ServingEngine:
             repetition_penalty=float(repetition_penalty),
             on_token=on_token, request_id=next(self._ids),
             prefix_id=prefix_id, submitted_at=time.time())
+        restart = False
         with self._lock:
+            if self._stop:
+                # fail fast: after stop() nothing will ever serve this —
+                # blocking the caller into its 600s timeout is worse
+                raise RuntimeError("serving engine is stopped")
             self._pending.append(req)
-        if (self._thread is not None and not self._thread.is_alive()
-                and not self._stop):
-            # scheduler thread died (should be impossible — loop() is
-            # exception-isolated — but a hung caller is the worst failure
-            # mode, so self-heal instead of trusting that)
-            self._thread = None
+            if self._thread is not None and not self._thread.is_alive():
+                # scheduler thread died (should be impossible — loop() is
+                # exception-isolated — but a hung caller is the worst
+                # failure mode, so self-heal instead of trusting that).
+                # Under the lock: concurrent submits must not each spawn
+                # a loop (two loops = donated-state corruption).
+                self._thread = None
+                restart = True
+        if restart:
             self.start()
         self._wake.set()
         return req
@@ -1124,35 +1132,39 @@ class ServingEngine:
     # --------------------------------------------------- background mode
 
     def start(self) -> None:
-        if self._thread is not None:
-            return
-        self._stop = False
+        with self._lock:
+            if self._thread is not None:
+                return
+            self._stop = False
+            self._thread = thread = threading.Thread(
+                target=self._loop_holder, name="serving-engine",
+                daemon=True)
+        thread.start()
 
-        def loop():
-            while not self._stop:
-                try:
-                    with self._lock:
-                        has_pending = bool(self._pending)
-                    if has_pending or any(self._slots):
-                        self.step()
-                    else:
-                        self._wake.wait(timeout=0.05)
-                        self._wake.clear()
-                except Exception as exc:  # noqa: BLE001 — keep serving
-                    # a dying scheduler thread would strand every slot and
-                    # hang all future requests; record, back off, continue
-                    self.last_error = f"{type(exc).__name__}: {exc}"
-                    self.stats["scheduler_errors"] = (
-                        self.stats.get("scheduler_errors", 0) + 1)
-                    time.sleep(0.1)
-
-        self._thread = threading.Thread(
-            target=loop, name="serving-engine", daemon=True)
-        self._thread.start()
+    def _loop_holder(self) -> None:
+        while not self._stop:
+            try:
+                with self._lock:
+                    has_pending = bool(self._pending)
+                if has_pending or any(self._slots):
+                    self.step()
+                else:
+                    self._wake.wait(timeout=0.05)
+                    self._wake.clear()
+            except Exception as exc:  # noqa: BLE001 — keep serving
+                # a dying scheduler thread would strand every slot and
+                # hang all future requests; record, back off, continue
+                self.last_error = f"{type(exc).__name__}: {exc}"
+                self.stats["scheduler_errors"] = (
+                    self.stats.get("scheduler_errors", 0) + 1)
+                time.sleep(0.1)
 
     def stop(self) -> None:
-        self._stop = True
+        with self._lock:
+            self._stop = True
+            thread = self._thread
         self._wake.set()
-        if self._thread is not None:
-            self._thread.join(timeout=10)
-            self._thread = None
+        if thread is not None:
+            thread.join(timeout=10)
+            with self._lock:
+                self._thread = None

@@ -349,3 +349,21 @@ def test_long_prompts_bypass_serving_instead_of_truncating():
         assert eng.stats["requests_completed"] == 1
     finally:
         eng.stop()
+
+
+def test_serving_geometry_covers_every_mode():
+    """Auto-sized serving geometry: every mode's full prompt (context
+    budget + header + question) fits a bucket, with generation room."""
+    from automative_rag_tpu.app import serving_geometry
+    from automative_rag_tpu.config.mode_config import mode_config
+
+    max_len, buckets = serving_geometry(0)
+    for m in mode_config.all_modes():
+        need = mode_config.get_context_params(m)["max_context_tokens"] + 400
+        assert any(b >= need for b in buckets), (m, need, buckets)
+        # room to generate the mode's answer after the largest prompt
+        assert max_len - max(buckets) >= \
+            mode_config.get_llm_params(m)["max_tokens"]
+    # explicit override respected
+    max_len2, _ = serving_geometry(2048)
+    assert max_len2 == 2048
