@@ -137,8 +137,7 @@ class ServingEngine:
 
     def __init__(self, model: Qwen2Model, max_slots: int = 8,
                  max_len: int = 2048,
-                 prompt_buckets: Sequence[int] = (64, 128, 256, 512, 1024,
-                                                  2048),
+                 prompt_buckets: Sequence[int] = (64, 128, 256, 512, 1024),
                  burst: int = 16, seed: int = 0, spec: bool = False,
                  prefill_chunk: int = 0, chunk_burst: int = 0):
         self.model = model
@@ -191,8 +190,11 @@ class ServingEngine:
         self.stats = {"tokens_generated": 0, "bursts": 0, "prefills": 0,
                       "requests_completed": 0, "busy_s": 0.0,
                       "prefix_admits": 0, "prefix_misses": 0,
-                      "chunked_admits": 0, "scheduler_errors": 0}
+                      "chunked_admits": 0, "scheduler_errors": 0,
+                      "engine_resets": 0, "truncated_prompts": 0}
         self.last_error: Optional[str] = None
+        self._seed = seed
+        self._warm_lock = threading.Lock()
         self._state = self._init_state(seed)
 
     # ---------------------------------------------------------- state
@@ -370,6 +372,12 @@ class ServingEngine:
             raise ValueError(
                 f"prefix of {ids.size} tokens does not fit the prompt "
                 f"buckets {self.prompt_buckets}")
+        if ids.size + self.prompt_buckets[0] > self._gen_base:
+            # no suffix could ever sit next to this prefix — registering
+            # would leak a permanently-unusable KV blob in HBM
+            raise ValueError(
+                f"prefix of {ids.size} tokens leaves no room for any "
+                f"suffix bucket under {self._gen_base}")
         p_bucket = fitting[0]
         padded = np.full((1, p_bucket), self.config.eos_token, np.int32)
         padded[0, : ids.size] = ids
@@ -477,6 +485,66 @@ class ServingEngine:
 
         fn = jax.jit(_admit, donate_argnums=(1,))
         self._prefix_admit_cache[s_bucket] = fn
+        return fn
+
+    def _prefix_seed_fn(self):
+        """Compile the chunked-prefix seeder: cached prefix KV → slot row
+        (copies only, no model forward), seen/buf/frontier initialized to
+        the prefix so suffix CHUNKS can follow (``_fill_chunks`` with
+        ``first=False``)."""
+        if "seed" in self._prefix_admit_cache:
+            return self._prefix_admit_cache["seed"]
+        cfg = self.config
+        max_len = self.max_len
+        kv8 = cfg.kv_cache_bits == 8
+
+        def _seed(state, blobs, pre_tokens, p_len, slot):
+            caches = []
+            for entry, blob in zip(state["caches"], blobs):
+                if kv8:
+                    new_entry = []
+                    for (cq, cs), (bq, bs) in zip(entry, blob):
+                        rq = jnp.zeros((1, max_len) + bq.shape[2:],
+                                       bq.dtype)
+                        rq = jax.lax.dynamic_update_slice(
+                            rq, bq, (0, 0, 0, 0))
+                        rs = jax.lax.dynamic_update_slice(
+                            jnp.zeros((1, max_len), bs.dtype), bs, (0, 0))
+                        new_entry.append((
+                            jax.lax.dynamic_update_slice(
+                                cq, rq, (slot, 0, 0, 0)),
+                            jax.lax.dynamic_update_slice(
+                                cs, rs, (slot, 0)),
+                        ))
+                    caches.append(tuple(new_entry))
+                else:
+                    (ck, cv), (bk, bv) = entry, blob
+                    rk = jnp.zeros((1, max_len) + bk.shape[2:], bk.dtype)
+                    caches.append((
+                        jax.lax.dynamic_update_slice(
+                            ck, jax.lax.dynamic_update_slice(
+                                rk, bk, (0, 0, 0, 0)), (slot, 0, 0, 0)),
+                        jax.lax.dynamic_update_slice(
+                            cv, jax.lax.dynamic_update_slice(
+                                jnp.zeros_like(rk), bv, (0, 0, 0, 0)),
+                            (slot, 0, 0, 0)),
+                    ))
+            pb = pre_tokens.shape[1]
+            seen_row = jnp.zeros((cfg.vocab_size,), bool)
+            seen_row = seen_row.at[pre_tokens[0]].max(
+                jnp.arange(pb) < p_len)
+            buf = jax.lax.dynamic_update_slice(
+                state["buf"], pre_tokens, (slot, 0))
+            return {
+                **state,
+                "caches": caches,
+                "buf": buf,
+                "seen": state["seen"].at[slot].set(seen_row),
+                "frontier": state["frontier"].at[slot].set(p_len),
+            }
+
+        fn = jax.jit(_seed, donate_argnums=(0,))
+        self._prefix_admit_cache["seed"] = fn
         return fn
 
     # --------------------------------------------------- chunked prefill
@@ -779,6 +847,10 @@ class ServingEngine:
         if prompt_ids.size == 0:
             raise ValueError("empty prompt")
         if prompt_ids.size > self.prompt_buckets[-1]:
+            # token-level contract for direct engine users; the app layer
+            # (generation/llm.py) routes over-long prompts to the
+            # whole-loop path instead of ever hitting this
+            self.stats["truncated_prompts"] += 1
             prompt_ids = prompt_ids[-self.prompt_buckets[-1]:]
         if prefix_id is not None and not self._prefix_usable(
                 prefix_id, prompt_ids):
@@ -867,16 +939,20 @@ class ServingEngine:
         head = self.draft_k if self.spec else 0
         if p_len + slen + 1 + head > self.max_len:
             return False
-        # a suffix bucket must fit next to the prefix in the prompt buffer
-        return any(b >= slen and p_len + b <= self._gen_base
-                   for b in self.prompt_buckets)
+        # a suffix bucket must fit next to the prefix in the prompt
+        # buffer — or the suffix must be chunkable
+        if any(b >= slen and p_len + b <= self._gen_base
+               for b in self.prompt_buckets):
+            return True
+        return bool(self.prefill_chunk and slen > self.prefill_chunk
+                    and self._chunk_plan(p_len, slen) is not None)
 
     def _admit(self, req: Request, slot: int) -> None:
         if req.prefix_id is not None:
             return self._admit_prefixed(req, slot)
         plen = int(req.prompt_ids.size)
         if self.prefill_chunk and plen > self.prefill_chunk \
-                and self._chunk_last_bucket(plen) is not None:
+                and self._chunk_plan(0, plen) is not None:
             return self._admit_chunked(req, slot)
         p_bucket = next(b for b in self.prompt_buckets if b >= plen)
         prompt = np.full((1, p_bucket), self.config.eos_token, np.int32)
@@ -899,6 +975,24 @@ class ServingEngine:
         p_len = pre["plen"]
         suffix_ids = req.prompt_ids[p_len:]
         slen = int(suffix_ids.size)
+        if self.prefill_chunk and slen > self.prefill_chunk:
+            plan = self._chunk_plan(p_len, slen)
+            if plan is not None:
+                # long suffix: seed the row with the cached prefix KV
+                # (copies only), then chunk the suffix — otherwise a
+                # prefixed admission would re-introduce the monolithic
+                # stall chunked prefill exists to bound
+                n_full, last_off, lsize, cb = plan
+                self._state = self._prefix_seed_fn()(
+                    self._state, pre["blobs"], pre["padded"],
+                    jnp.int32(p_len), jnp.int32(slot))
+                self._fill_chunks(
+                    np.asarray(suffix_ids, np.int32), slot, p_len,
+                    False, n_full)
+                self.stats["prefix_admits"] += 1
+                return self._finish_chunked(
+                    req, slot, np.asarray(suffix_ids, np.int32),
+                    p_len + slen, last_off, lsize, cb)
         s_bucket = next(b for b in self.prompt_buckets
                         if b >= slen and p_len + b <= self._gen_base)
         suffix = np.full((1, s_bucket), self.config.eos_token, np.int32)
@@ -917,16 +1011,56 @@ class ServingEngine:
         self.stats["prefix_admits"] += 1
         self._post_admit(req, slot, int(tok0), max_new)
 
-    def _chunk_last_bucket(self, plen: int) -> Optional[int]:
-        """Bucket for the final chunk — its padded segment write must stay
-        inside ``max_len`` (dynamic_update_slice clamps out-of-range
-        starts, which would silently shift the write)."""
+    def _chunk_plan(self, base: int, n: int) -> Optional[tuple]:
+        """Plan a chunked fill of ``n`` tokens starting at column ``base``:
+        (n_full, last_off, lsize, last_bucket), or None when no bucket
+        fits the final chunk — its padded segment write must stay inside
+        ``max_len`` (dynamic_update_slice clamps out-of-range starts,
+        which would silently shift the write)."""
         C = self.prefill_chunk
-        off = ((plen - 1) // C) * C
-        lsize = plen - off
+        n_full = (n - 1) // C  # final chunk is 1..C tokens
+        last_off = base + n_full * C
+        lsize = n - n_full * C
         fit = [b for b in (*self.prompt_buckets, C)
-               if b >= lsize and off + b <= self.max_len]
-        return min(fit) if fit else None
+               if b >= lsize and last_off + b <= self.max_len]
+        if not fit:
+            return None
+        return n_full, last_off, lsize, min(fit)
+
+    def _fill_chunks(self, ids: np.ndarray, slot: int, base: int,
+                     first: bool, n_full: int) -> None:
+        """Write ``n_full`` full chunks of ``ids`` into row ``slot``
+        starting at column ``base``, a decode burst between chunks so
+        in-flight streams keep moving. The caller runs the final
+        (sampling) chunk."""
+        C = self.prefill_chunk
+        off = base
+        for i in range(n_full):
+            j = i * C
+            chunk = np.asarray(ids[j:j + C], np.int32)[None, :]
+            fn = self._chunk_fill_fn(C, first=(first and i == 0))
+            self._state = fn(
+                self.model.params, self._state, jnp.asarray(chunk),
+                jnp.int32(C), jnp.int32(off), jnp.int32(slot))
+            off += C
+            self._run_burst(self.chunk_burst)
+
+    def _finish_chunked(self, req: Request, slot: int, ids: np.ndarray,
+                        total: int, last_off: int, lsize: int,
+                        cb: int) -> None:
+        chunk = np.full((1, cb), self.config.eos_token, np.int32)
+        chunk[0, :lsize] = ids[len(ids) - lsize:]
+        head = self.draft_k if self.spec else 0
+        max_new = min(req.max_new_tokens, self.max_len - total - 1 - head)
+        max_new = max(max_new, 1)
+        fn = self._chunk_last_fn(cb)
+        self._state, tok0 = fn(
+            self.model.params, self._state, jnp.asarray(chunk),
+            jnp.int32(lsize), jnp.int32(last_off), jnp.int32(slot),
+            jnp.float32(req.temperature), jnp.float32(req.top_p),
+            jnp.float32(req.repetition_penalty), jnp.int32(max_new))
+        self.stats["chunked_admits"] += 1
+        self._post_admit(req, slot, int(tok0), max_new)
 
     def _admit_chunked(self, req: Request, slot: int) -> None:
         """Admission in ``prefill_chunk``-sized pieces, with a short
@@ -936,32 +1070,9 @@ class ServingEngine:
         inter-token stall shrinks to one chunk."""
         ids = req.prompt_ids
         plen = int(ids.size)
-        C = self.prefill_chunk
-        n_full = (plen - 1) // C  # final chunk is 1..C tokens
-        off = 0
-        for i in range(n_full):
-            chunk = np.asarray(ids[off:off + C], np.int32)[None, :]
-            fn = self._chunk_fill_fn(C, first=(i == 0))
-            self._state = fn(
-                self.model.params, self._state, jnp.asarray(chunk),
-                jnp.int32(C), jnp.int32(off), jnp.int32(slot))
-            off += C
-            self._run_burst(self.chunk_burst)
-        lsize = plen - off
-        cb = self._chunk_last_bucket(plen)
-        chunk = np.full((1, cb), self.config.eos_token, np.int32)
-        chunk[0, :lsize] = ids[off:]
-        head = self.draft_k if self.spec else 0
-        max_new = min(req.max_new_tokens, self.max_len - plen - 1 - head)
-        max_new = max(max_new, 1)
-        fn = self._chunk_last_fn(cb)
-        self._state, tok0 = fn(
-            self.model.params, self._state, jnp.asarray(chunk),
-            jnp.int32(lsize), jnp.int32(off), jnp.int32(slot),
-            jnp.float32(req.temperature), jnp.float32(req.top_p),
-            jnp.float32(req.repetition_penalty), jnp.int32(max_new))
-        self.stats["chunked_admits"] += 1
-        self._post_admit(req, slot, int(tok0), max_new)
+        n_full, last_off, lsize, cb = self._chunk_plan(0, plen)
+        self._fill_chunks(ids, slot, 0, True, n_full)
+        self._finish_chunked(req, slot, ids, plen, last_off, lsize, cb)
 
     def _notify(self, req: Request, fresh: List[int]) -> None:
         """on_token is external code running on the scheduler thread — a
@@ -1041,9 +1152,34 @@ class ServingEngine:
         self.stats["bursts"] += 1
         return True
 
+    def _recover_state(self) -> None:
+        """A jitted dispatch failed mid-flight: every state fn donates
+        ``self._state``, so its buffers may already be invalidated — the
+        next touch would raise 'Array has been deleted' forever. Fail the
+        in-flight requests (their KV rows are gone), rebuild a clean
+        state, and KEEP pending requests (they never touched device
+        state). The engine serves again on the next step."""
+        for slot, req in enumerate(self._slots):
+            if req is not None:
+                req.cancelled = True
+                self._complete(req, slot)
+        self._taken = [0] * self.max_slots
+        self._state = self._init_state(self._seed)
+        self.stats["engine_resets"] += 1
+
     def step(self) -> bool:
         """One scheduler iteration: admissions, then one decode burst.
-        Returns True if any work was done."""
+        Returns True if any work was done. On a dispatch failure the
+        engine state is rebuilt before the exception propagates, so the
+        caller (the exception-isolated scheduler loop, or run_until_idle)
+        resumes from a servable engine."""
+        try:
+            return self._step_inner()
+        except Exception:
+            self._recover_state()
+            raise
+
+    def _step_inner(self) -> bool:
         t0 = time.time()
         self._reap_cancelled()
         with self._lock:
@@ -1054,11 +1190,20 @@ class ServingEngine:
         if overflow:
             with self._lock:
                 self._pending = overflow + self._pending
-        for req, slot in zip(admit, free):
+        for idx, (req, slot) in enumerate(zip(admit, free)):
             if req.cancelled:  # cancelled while overflowed/mid-swap
                 self._complete(req, slot=None)
                 continue
-            self._admit(req, slot)
+            try:
+                self._admit(req, slot)
+            except Exception:
+                # the raiser fails fast; the rest of the swapped-out batch
+                # goes back to pending instead of vanishing un-admitted
+                with self._lock:
+                    self._pending = list(admit[idx + 1:]) + self._pending
+                req.cancelled = True
+                self._complete(req, slot=None)
+                raise
         ran = self._run_burst()
         if ran or admit:
             self.stats["busy_s"] += time.time() - t0
@@ -1082,9 +1227,18 @@ class ServingEngine:
         burst compiles) and cancels the leftovers. Prefix-admission
         programs compile on ``register_prefix``'s first use instead (they
         need a registered prefix to be meaningful)."""
+        with self._warm_lock:
+            return self._warmup_locked()
+
+    def _warmup_locked(self) -> Dict[str, Any]:
         if self._warmed is not None:
             return self._warmed  # idempotent: repeat /system/warmup calls
             # must not burn accelerator time on throwaway generations
+
+        def last_cb(plen):
+            plan = self._chunk_plan(0, plen)
+            return plan[3] if plan else None
+
         t0 = time.time()
         vocab = self.config.vocab_size
         small = self.prompt_buckets[0]
@@ -1095,13 +1249,13 @@ class ServingEngine:
         plans = list(self.prompt_buckets)
         if self.prefill_chunk:
             C = self.prefill_chunk
-            covered = {self._chunk_last_bucket(b)
+            covered = {last_cb(b)
                        for b in self.prompt_buckets if b > C}
             for cb in sorted({x for x in (*self.prompt_buckets, C)
                               if x <= C}):
                 plen = C + cb
                 if cb not in covered and plen <= self.prompt_buckets[-1] \
-                        and self._chunk_last_bucket(plen) == cb:
+                        and last_cb(plen) == cb:
                     plans.append(plen)
                     covered.add(cb)
         # submit-and-wait (never step() directly): the background
@@ -1166,5 +1320,11 @@ class ServingEngine:
         self._wake.set()
         if thread is not None:
             thread.join(timeout=10)
+            if thread.is_alive():
+                # still inside a (potentially minutes-long remote-compile)
+                # dispatch; it exits when the dispatch returns because
+                # _stop is set. Leave _thread in place so start() refuses
+                # to spawn a second loop alongside it.
+                return
             with self._lock:
                 self._thread = None

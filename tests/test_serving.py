@@ -783,3 +783,72 @@ def test_submit_restarts_dead_scheduler_thread(model):
         assert req.result(timeout=120) == _solo(model, [5, 9, 14], 6)
     finally:
         eng.stop()
+
+
+def test_prefixed_long_suffix_is_chunked(model):
+    """A prefixed admission with a long suffix chunks the suffix (prefix
+    KV seeded by copies) instead of one monolithic segment pass — and
+    stays token-identical."""
+    eng = _engine(model, prefill_chunk=8, max_slots=2)
+    prefix = [5, 9, 14, 3]
+    pid = eng.register_prefix(prefix)
+    runner = eng.submit([21, 8, 4], max_new_tokens=24)
+    eng.step()
+    suffix = [int(t) for t in
+              np.random.default_rng(29).integers(3, 200, size=17)]
+    full = prefix + suffix
+    req = eng.submit(full, max_new_tokens=8, prefix_id=pid)
+    eng.run_until_idle()
+    assert eng.stats["prefix_admits"] == 1
+    assert eng.stats["chunked_admits"] == 1  # the suffix went chunked
+    assert req.result() == _solo(model, full, 8)
+    assert runner.result() == _solo(model, [21, 8, 4], 24)
+
+
+def test_step_failure_recovers_engine_and_requeues(model):
+    """A dispatch failure mid-step must not brick the engine: donated
+    state rebuilds, in-flight requests fail fast (cancelled), pending
+    requests survive and serve on the next step."""
+    eng = _engine(model, max_slots=1)  # queued stays in overflow
+    inflight = eng.submit([5, 9, 14], max_new_tokens=40)
+    eng.step()
+    assert not inflight.finished
+    queued = eng.submit([21, 8, 4], max_new_tokens=6)
+
+    real_burst = eng._run_burst
+    calls = {"n": 0}
+
+    def boom(steps=None):
+        calls["n"] += 1
+        raise RuntimeError("simulated relay failure")
+
+    eng._run_burst = boom
+    with pytest.raises(RuntimeError):
+        eng.step()
+    eng._run_burst = real_burst
+    assert eng.stats["engine_resets"] == 1
+    # in-flight row lost its KV → failed fast, result unblocks
+    assert inflight.finished and inflight.cancelled
+    # pending request survived the reset and completes exactly
+    eng.run_until_idle()
+    assert queued.result() == _solo(model, [21, 8, 4], 6)
+    # engine fully serviceable afterwards
+    again = eng.submit([1, 2, 3], max_new_tokens=5)
+    eng.run_until_idle()
+    assert again.result() == _solo(model, [1, 2, 3], 5)
+
+
+def test_register_prefix_rejects_unusable_prefix(model):
+    """A prefix leaving no room for any suffix bucket must not register
+    (the blob would leak in HBM with every submit missing forever)."""
+    eng = _engine(model)  # buckets (8,16,32), gen_base 32
+    with pytest.raises(ValueError, match="suffix"):
+        eng.register_prefix(list(range(3, 31)))  # 28 + 8 > 32
+
+
+def test_truncated_prompts_stat(model):
+    eng = _engine(model)
+    req = eng.submit(list(range(3, 3 + 40)), max_new_tokens=4)  # > 32
+    eng.run_until_idle()
+    req.result()
+    assert eng.stats["truncated_prompts"] == 1
