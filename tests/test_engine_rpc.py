@@ -223,3 +223,47 @@ def test_gateway_streams_sse_incrementally():
         gw_server.shutdown()
     finally:
         server.shutdown()
+
+
+def test_gateway_sse_engine_stall_mid_stream_yields_error_event():
+    """An engine stalling mid-stream past the gateway's socket timeout
+    (wedged process — the case its keepalives normally prevent) must
+    surface an SSE error event through the gateway, not a dropped
+    connection."""
+    import threading
+    import time as _time
+
+    from automative_rag_tpu.api.http import HTTPApi, Router, StreamingResponse
+
+    router = Router()
+
+    @router.get("/query/stream/{job_id}")
+    def stream(req):
+        def events():
+            yield "event: partial\ndata: {\"text\": \"a\"}\n\n"
+            _time.sleep(10)  # stall well past the gateway read timeout
+            yield "event: done\ndata: {}\n\n"
+
+        return StreamingResponse(events())
+
+    api = HTTPApi(router)
+    server = api.serve(host="127.0.0.1", port=0, background=True)
+    try:
+        gw_server, _ = start_gateway_thread(
+            f"http://127.0.0.1:{server.server_address[1]}")
+        gw_server.gateway.timeout_s = 2.0  # read timeout per socket op
+        gw_port = gw_server.server_address[1]
+        lines = []
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{gw_port}/query/stream/j1",
+                timeout=30) as resp:
+            for raw in resp:
+                line = raw.decode().rstrip("\n")
+                lines.append(line)
+                if line.startswith("event: error"):
+                    break
+        assert any(l.startswith("event: partial") for l in lines)
+        assert any(l.startswith("event: error") for l in lines), lines
+        gw_server.shutdown()
+    finally:
+        server.shutdown()

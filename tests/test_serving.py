@@ -852,3 +852,20 @@ def test_truncated_prompts_stat(model):
     eng.run_until_idle()
     req.result()
     assert eng.stats["truncated_prompts"] == 1
+
+
+def test_prefixed_chunked_int8_kv():
+    cfg = Qwen2Config(**{**Qwen2Config.tiny_test().__dict__,
+                         "kv_cache_bits": 8})
+    m8 = Qwen2Model(cfg, seed=3)
+    eng = _engine(m8, prefill_chunk=8, max_slots=2)
+    prefix = [5, 9, 14, 3]
+    pid = eng.register_prefix(prefix)
+    suffix = [int(t) for t in
+              np.random.default_rng(31).integers(3, 200, size=13)]
+    full = prefix + suffix
+    req = eng.submit(full, max_new_tokens=8, prefix_id=pid)
+    eng.run_until_idle()
+    assert eng.stats["prefix_admits"] == 1
+    assert eng.stats["chunked_admits"] == 1
+    assert req.result() == _solo(m8, full, 8)
