@@ -161,8 +161,14 @@ class JaxCausalLM:
         if self._serving is None:
             from ..serving import ServingEngine
 
+            # the pool may never outrun the model's rope table: cache
+            # columns ≥ max_positions would rotate with garbage angles
+            max_len = min(max_len, self.model.config.max_positions)
             kwargs = {} if prompt_buckets is None else {
-                "prompt_buckets": tuple(prompt_buckets)}
+                "prompt_buckets": tuple(
+                    b for b in prompt_buckets if b < max_len) or None}
+            if kwargs.get("prompt_buckets") is None:
+                kwargs = {}
             self._serving = ServingEngine(
                 self.model, max_slots=max_slots, max_len=max_len,
                 burst=burst, spec=spec, prefill_chunk=prefill_chunk,

@@ -367,3 +367,29 @@ def test_serving_geometry_covers_every_mode():
     # explicit override respected
     max_len2, _ = serving_geometry(2048)
     assert max_len2 == 2048
+
+
+def test_enable_serving_clamps_to_model_positions():
+    """Pool length may never outrun the rope table — cache columns past
+    max_positions would rotate with garbage angles."""
+    from automative_rag_tpu.generation.llm import JaxCausalLM
+    from automative_rag_tpu.models.qwen2 import Qwen2Config
+
+    class Tok:
+        def __call__(self, text):
+            return {"input_ids": [5, 6, 7]}
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "x"
+
+    llm = JaxCausalLM("", config=Qwen2Config.tiny_test(),  # positions 128
+                      tokenizer=Tok())
+    eng = llm.enable_serving(max_slots=2, max_len=5376,
+                             prompt_buckets=(64, 128, 256, 512, 4512))
+    try:
+        assert eng.max_len == 128
+        assert eng.prompt_buckets[-1] < 128
+        req = eng.submit([5, 6, 7], max_new_tokens=4)
+        assert req.result(timeout=60)
+    finally:
+        eng.stop()
