@@ -108,7 +108,13 @@ class HFCausalLM:
                 repetition_penalty=params.get("repetition_penalty", 1.1),
             )
         text = self.tokenizer.decode(output[0], skip_special_tokens=True)
-        return text[len(prompt):] if text.startswith(prompt) else text
+        text = text[len(prompt):] if text.startswith(prompt) else text
+        on_text = params.get("on_text")
+        if on_text is not None:
+            # torch path can't stream mid-generate; one final update keeps
+            # the partial-answer plumbing uniform across backends
+            on_text(text)
+        return text
 
 
 class JaxCausalLM:
@@ -158,23 +164,24 @@ class JaxCausalLM:
         on speculative bursts (per-row prompt-lookup drafts, (K+1)-wide
         verify) — the no-match floor costs ~nothing, copy-heavy answers
         decode several tokens per weight read."""
-        if self._serving is None:
-            from ..serving import ServingEngine
+        with self._prefix_lock:  # two racers must not build two engines
+            if self._serving is None:
+                from ..serving import ServingEngine
 
-            # the pool may never outrun the model's rope table: cache
-            # columns ≥ max_positions would rotate with garbage angles
-            max_len = min(max_len, self.model.config.max_positions)
-            kwargs = {} if prompt_buckets is None else {
-                "prompt_buckets": tuple(
-                    b for b in prompt_buckets if b < max_len) or None}
-            if kwargs.get("prompt_buckets") is None:
-                kwargs = {}
-            self._serving = ServingEngine(
-                self.model, max_slots=max_slots, max_len=max_len,
-                burst=burst, spec=spec, prefill_chunk=prefill_chunk,
-                **kwargs)
-            self._serving.start()
-        return self._serving
+                # the pool may never outrun the model's rope table: cache
+                # columns ≥ max_positions would rotate with garbage angles
+                max_len = min(max_len, self.model.config.max_positions)
+                kwargs = {} if prompt_buckets is None else {
+                    "prompt_buckets": tuple(
+                        b for b in prompt_buckets if b < max_len) or None}
+                if kwargs.get("prompt_buckets") is None:
+                    kwargs = {}
+                self._serving = ServingEngine(
+                    self.model, max_slots=max_slots, max_len=max_len,
+                    burst=burst, spec=spec, prefill_chunk=prefill_chunk,
+                    **kwargs)
+                self._serving.start()
+            return self._serving
 
     def _prefix_for(self, prompt: str, ids: List[int]) -> Optional[int]:
         """Serving-prefix id for the mode template header this prompt
@@ -212,7 +219,10 @@ class JaxCausalLM:
                 if stable >= 16:
                     pid = self._serving.register_prefix(
                         ids[:stable], warm=True)
-            except ValueError:
+            except Exception:  # noqa: BLE001 — prefix is pure optimization
+                # a failed registration (bucket misfit, compile error
+                # through the relay) must cost nothing: this request and
+                # all future ones for the header just run full prefills
                 pid = None
             finally:
                 with self._prefix_lock:
@@ -251,6 +261,13 @@ class JaxCausalLM:
 
     def generate(self, prompt: str, params: Dict[str, Any]) -> str:
         ids = self.tokenizer(prompt)["input_ids"]
+        # mirror the model's own rope-table clamp so the generated-token
+        # slice below uses the REAL prompt length (the model truncates
+        # internally to max_positions-1; slicing with the stale longer
+        # length would return an empty answer)
+        cap = self.model.config.max_positions - 1
+        if len(ids) > cap:
+            ids = list(ids)[-cap:]
         temperature = params.get("temperature", 0.0)
         if self._serving is not None and self._serving_fits(ids):
             on_text = params.get("on_text")
@@ -346,6 +363,8 @@ class JaxCausalLM:
 
     def _ragged_batch(self, ids: List[List[int]],
                       params: Dict[str, Any]) -> List[str]:
+        cap = self.model.config.max_positions - 1
+        ids = [list(i)[-cap:] if len(i) > cap else i for i in ids]
         kwargs = dict(
             max_new_tokens=params.get("max_tokens", 512),
             temperature=params.get("temperature", 0.0),
@@ -372,16 +391,21 @@ def load_llm(model_path: str = "", weight_bits: int = 0,
     caches, both on the jax backend (reference BitsAndBytes analog,
     settings.py:195-214)."""
     if model_path:
+        import sys
+
         # TPU-native decoder first (qwen2/llama checkpoints), torch fallback
         try:
             return JaxCausalLM(model_path, weight_bits=weight_bits,
                                kv_bits=kv_bits)
-        except Exception:
-            pass
+        except Exception as exc:  # noqa: BLE001 — degrade, but loudly
+            print(f"[load_llm] jax backend failed for {model_path!r}: "
+                  f"{type(exc).__name__}: {exc}", file=sys.stderr)
         try:
             return HFCausalLM(model_path)
-        except Exception:
-            pass
+        except Exception as exc:  # noqa: BLE001
+            print(f"[load_llm] torch backend failed for {model_path!r}: "
+                  f"{type(exc).__name__}: {exc} — falling back to the "
+                  f"extractive stub", file=sys.stderr)
     return StubLLM()
 
 
@@ -461,8 +485,13 @@ class AnswerGenerator:
             ordereds.append(documents_in_context_order(documents))
             prompts.append(build_prompt(mode, context, query))
         raws = self.llm.generate_batch(prompts, llm_params)
+        # amortized per-item time: one shared t0 would report the full
+        # batch wall per item, inflating latency analytics N×
+        wall = time.perf_counter() - t0
+        t0_amortized = time.perf_counter() - wall / max(len(queries), 1)
         return [
-            self._finalize(raw, documents, ordered, context, mode, ctx_params, t0)
+            self._finalize(raw, documents, ordered, context, mode,
+                           ctx_params, t0_amortized)
             for raw, documents, ordered, context in zip(
                 raws, documents_lists, ordereds, contexts
             )
@@ -476,7 +505,10 @@ class AnswerGenerator:
         confidence = min(100.0, avg_rel * 50 + check["quality_score"] * 0.5)
 
         cited = set(re.findall(r"【来源：([^】]+)】", answer))
-        cited_ids = {c.strip() for group in cited for c in group.split(",")}
+        # zh-output models routinely normalize to full-width punctuation:
+        # 【来源：DOC_1，DOC_2】 must credit both sources
+        cited_ids = {c.strip() for group in cited
+                     for c in re.split(r"[,，、]", group)}
         sources = [
             {
                 "doc_id": doc_id,

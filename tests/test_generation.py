@@ -393,3 +393,42 @@ def test_enable_serving_clamps_to_model_positions():
         assert req.result(timeout=60)
     finally:
         eng.stop()
+
+
+def test_overlong_prompt_whole_loop_returns_nonempty_answer():
+    """Prompts beyond max_positions tail-truncate (rope-table reality)
+    but must still produce generated tokens — not an empty slice from a
+    stale pre-truncation length."""
+    from automative_rag_tpu.generation.llm import JaxCausalLM
+    from automative_rag_tpu.models.qwen2 import Qwen2Config
+
+    class LongTok:
+        def __call__(self, text):
+            return {"input_ids": [3 + (ord(c) % 200) for c in text]}
+
+        def decode(self, ids, skip_special_tokens=True):
+            return "".join(chr(97 + (t % 26)) for t in ids)
+
+    llm = JaxCausalLM("", config=Qwen2Config.tiny_test(),  # positions 128
+                      tokenizer=LongTok())
+    params = {"max_tokens": 6, "temperature": 0.0, "speculative": False}
+    out = llm.generate("x" * 300, params)  # 300 tokens >> 128
+    assert out  # previously empty: out[len(ids):] with stale len(ids)
+    outs = llm.generate_batch(["y" * 300, "z" * 10], params)
+    assert all(o for o in outs)
+
+
+def test_fullwidth_comma_citations_credit_all_sources():
+    from automative_rag_tpu.documents.schema import Document
+    from automative_rag_tpu.generation.llm import AnswerGenerator
+
+    class TwoSourceLLM:
+        name = "fake"
+
+        def generate(self, prompt, params):
+            return "加速时间为5.5秒【来源：DOC_1，DOC_2】。"
+
+    docs = [(Document(page_content="a"), 0.9),
+            (Document(page_content="b"), 0.8)]
+    out = AnswerGenerator(TwoSourceLLM()).answer("q", docs, mode="facts")
+    assert all(s["cited"] for s in out["sources"]), out["sources"]
