@@ -103,12 +103,19 @@ class GlyphAtlasOCR:
         try:
             data = np.load(path, allow_pickle=False)
             patches = np.asarray(data["patches"], np.float32)
-            if int(data["patch"]) != CJK_PATCH or patches.ndim != 2:
+            labels = [str(c) for c in data["labels"]]
+            aspects = np.asarray(data["aspects"], np.float32)
+            # a truncated/stale atlas must fail HERE, not crash the first
+            # ingest job mid-matmul
+            if (int(data["patch"]) != CJK_PATCH or patches.ndim != 2
+                    or patches.shape[1] != CJK_PATCH * CJK_PATCH
+                    or len(labels) != patches.shape[0]
+                    or aspects.shape != (patches.shape[0],)):
                 return False
             self._cjk = {
                 "patches": patches,
-                "labels": [str(c) for c in data["labels"]],
-                "aspects": np.asarray(data["aspects"], np.float32),
+                "labels": labels,
+                "aspects": aspects,
             }
             return True
         except Exception:  # noqa: BLE001 — atlas is optional
@@ -163,7 +170,10 @@ class GlyphAtlasOCR:
         denom[denom == 0] = 1e-9
         sigma = (mu_t * omega - mu) ** 2 / denom
         threshold = int(np.argmax(sigma))
-        ink = gray < threshold
+        # inclusive: Otsu's class0 is values <= k, and perfectly bitonal
+        # {0, 255} scans put the split AT 0 — `<` would yield an empty
+        # ink mask and silently drop the page
+        ink = gray <= threshold
         if ink.mean() > 0.5:  # light-on-dark scan
             ink = ~ink
         return ink
@@ -220,8 +230,15 @@ class GlyphAtlasOCR:
             area = (y1 - y0 + 1) * (x1 - x0 + 1)
             hit = None
             for m in merged:
+                w_self = x1 - x0 + 1
+                w_m = m[3] - m[2] + 1
                 ov = min(x1, m[3]) - max(x0, m[2]) + 1
-                if ov > 0.5 * min(x1 - x0 + 1, m[3] - m[2] + 1):
+                # widths must be comparable: an i-dot is narrow like its
+                # stem, while a page-wide table rule x-overlaps EVERY
+                # glyph above it — without this check a rule swallows the
+                # whole text line into one component
+                if ov > 0.5 * min(w_self, w_m) \
+                        and min(w_self, w_m) > 0.25 * max(w_self, w_m):
                     gap = max(y0, m[0]) - min(y1, m[1])
                     m_area = (m[1] - m[0] + 1) * (m[3] - m[2] + 1)
                     if gap < 12 and (area < 0.4 * m_area or m_area < 0.4 * area):
@@ -288,9 +305,17 @@ class GlyphAtlasOCR:
 
     @staticmethod
     def _fix_case(chars: List[str], boxes, cap_h: float) -> List[str]:
+        # height-based casing needs EVIDENCE of two height classes: a line
+        # whose tallest-decile glyphs are x-height (no ascenders/digits)
+        # has cap_h == x-height and would force every c/o/s/… uppercase
+        heights = [y1 - y0 + 1 for y0, y1, _x0, _x1 in boxes]
+        if not heights or cap_h <= 0:
+            return list(chars)
+        if cap_h < 1.12 * float(np.median(heights)):
+            return list(chars)  # unimodal heights → keep atlas casing
         out = []
         for ch, (y0, y1, _x0, _x1) in zip(chars, boxes):
-            if ch in GlyphAtlasOCR._SAME_SHAPE and cap_h > 0:
+            if ch in GlyphAtlasOCR._SAME_SHAPE:
                 ratio = (y1 - y0 + 1) / cap_h
                 ch = ch.upper() if ratio >= 0.82 else ch.lower()
             out.append(ch)
@@ -336,7 +361,12 @@ class GlyphAtlasOCR:
     def _projection_lines(ink: np.ndarray, min_gap: int = 3):
         """Text lines from the horizontal ink-projection profile: maximal
         row runs with ink, separated by >= min_gap empty rows. Component
-        grouping can't find CJK lines (三's bars never overlap in y)."""
+        grouping can't find CJK lines (三's bars never overlap in y).
+        Known limitation: a line containing ONLY horizontally-banded
+        glyphs (a heading that is just 三/二) splits at its stroke gaps
+        once those exceed min_gap — in real text the neighboring
+        full-height glyphs bridge the profile, and any global re-merge
+        heuristic we tried mis-joins tightly-set body lines instead."""
         rows = ink.sum(axis=1) > 0
         lines = []
         y = 0
@@ -467,10 +497,9 @@ class GlyphAtlasOCR:
         j = n
         while j > 0:
             i = back[j]
-            if i is None:  # no feasible cell ending here (isolated overwide)
-                i = j - 1
-                scored.setdefault((i, j), ("?", 0.0, False))
-                cells.setdefault((i, j), stacks[i])
+            # (j-1, j) is always a scored cell and scores are ≥ 0, so
+            # every back[j] is set — unreachable None means the DP broke
+            assert i is not None, "segmentation DP lost a boundary"
             parts.append((i, j))
             j = i
         parts.reverse()
@@ -508,9 +537,12 @@ class GlyphAtlasOCR:
         out_lines = []
         for y0, y1 in self._projection_lines(ink):
             band = ink[y0 : y1 + 1]
+            components = self._components(band)
+            if len(components) > 2000:
+                continue  # noise band — see the cap in ocr_image
             boxes = [
                 (by0 + y0, by1 + y0, bx0, bx1)
-                for by0, by1, bx0, bx1 in self._components(band)
+                for by0, by1, bx0, bx1 in components
                 if (by1 - by0 + 1) * (bx1 - bx0 + 1) >= 6
             ]
             if not boxes:
@@ -531,12 +563,24 @@ class GlyphAtlasOCR:
         )
         if gray.size == 0:
             return ""
+        # bound the per-page work: component labeling is per-ink-pixel
+        # Python, so one hostile 10000×10000 noise image would stall an
+        # ingest worker for hours; legit scans at 300 dpi A4 ≈ 8.7 Mpx
+        # stay readable after one 2× decimation
+        while gray.size > 4_000_000:
+            gray = gray[::2, ::2]
         ink = self._binarize(gray)
         if not ink.any():
             return ""
         if self._cjk is not None:
             return self._ocr_image_mixed(ink)
-        boxes = self._merge_dots(self._components(ink))
+        components = self._components(ink)
+        if len(components) > 5000:
+            # a real text page carries a few thousand glyphs at most; a
+            # halftone/noise page would stall the O(n²) merge and the
+            # per-component classifier for minutes
+            return ""
+        boxes = self._merge_dots(components)
         boxes = [b for b in boxes
                  if (b[1] - b[0] + 1) * (b[3] - b[2] + 1) >= 6]
         if not boxes:
@@ -594,7 +638,24 @@ def default_ocr_engine() -> Optional[GlyphAtlasOCR]:
         engine = GlyphAtlasOCR()
         if engine._build_atlas():
             explicit = os.environ.get("CJK_ATLAS_PATH")
-            for candidate in ((explicit,) if explicit else _CJK_ATLAS_CANDIDATES):
+            if explicit:
+                candidates = (explicit,)
+            else:
+                # anchor on the configured data/models dirs (every other
+                # data file follows DATA_DIR) — bare CWD-relative paths
+                # silently disabled CJK OCR when the server launched from
+                # anywhere but the repo root
+                try:
+                    from ..config.settings import settings as _settings
+
+                    candidates = (
+                        str(Path(_settings.data_dir) / "cjk_atlas.npz"),
+                        str(Path(_settings.models_dir) / "cjk_atlas.npz"),
+                        *_CJK_ATLAS_CANDIDATES,
+                    )
+                except Exception:  # noqa: BLE001 — fall back to relative
+                    candidates = _CJK_ATLAS_CANDIDATES
+            for candidate in candidates:
                 if candidate and Path(candidate).exists():
                     if engine.load_cjk_atlas(candidate):
                         break

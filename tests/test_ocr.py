@@ -108,3 +108,57 @@ def test_pdf_processor_ocr_fallback_end_to_end(tmp_path, engine):
 def test_ocr_empty_and_blank_images(engine):
     blank = Image.new("L", (200, 100), 255)
     assert engine.ocr_image(blank) == ""
+
+
+def test_bitonal_scan_is_not_dropped(engine):
+    """Perfectly clean {0,255} bitonal scans put the Otsu split at 0 —
+    the inclusive mask must keep the ink (was: empty page)."""
+    img = _render_page(["Torque 250 Nm"])
+    arr = np.asarray(img, np.uint8)
+    bitonal = np.where(arr < 128, 0, 255).astype(np.uint8)
+    out = engine.ocr_image(Image.fromarray(bitonal))
+    assert "250" in out, out
+
+
+def test_table_rule_does_not_swallow_text_line(engine):
+    """A horizontal rule under a text line x-overlaps every glyph; the
+    merge step must not collapse the line into the rule."""
+    img = _render_page(["Torque 250"])
+    draw = ImageDraw.Draw(img)
+    y = 78  # a few px under the text baseline
+    draw.line((35, y, 1050, y), fill=0, width=2)
+    out = engine.ocr_image(img)
+    assert "250" in out, out
+
+
+def test_lowercase_line_not_forced_uppercase(engine):
+    """A line whose tallest glyphs are x-height has no casing evidence —
+    same-shape letters must keep their atlas casing."""
+    out = engine.ocr_image(_render_page(["success"]))
+    assert "SUCC" not in out, out
+    assert "success" in out.lower()
+
+
+def test_malformed_cjk_atlas_rejected(tmp_path, engine):
+    bad = tmp_path / "bad_atlas.npz"
+    np.savez(bad, patches=np.zeros((5, 99), np.float32),
+             labels=np.array(list("abcde")),
+             aspects=np.zeros((5,), np.float32), patch=24)
+    probe = GlyphAtlasOCR()
+    assert probe.load_cjk_atlas(str(bad)) is False
+    # label/aspect length mismatch also rejected
+    np.savez(bad, patches=np.zeros((5, 576), np.float32),
+             labels=np.array(list("abc")),
+             aspects=np.zeros((5,), np.float32), patch=24)
+    assert probe.load_cjk_atlas(str(bad)) is False
+
+
+def test_oversized_image_is_bounded(engine):
+    """A huge noise page must decimate instead of stalling the worker."""
+    import time as _time
+
+    rng = np.random.default_rng(0)
+    noise = (rng.random((4000, 4000)) > 0.995).astype(np.uint8) * 255
+    t0 = _time.time()
+    engine.ocr_image(Image.fromarray(255 - noise))
+    assert _time.time() - t0 < 60
