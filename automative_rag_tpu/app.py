@@ -549,6 +549,14 @@ class RAGApplication:
             from .index.ivf import IVFIndex
 
             self.index = IVFIndex.load(directory)
+            # load() restores data + build artifacts with constructor
+            # defaults — re-apply the configured tunables or a restart
+            # silently turns coarse-then-refine (and custom probe widths)
+            # off until the next /model/update-config
+            self.index.n_probe = self.settings.ivf_n_probe
+            self.index.refine_dims = self.settings.ivf_refine_dims
+            self.index.refine_shortlist = self.settings.ivf_refine_shortlist
+            self.index._device = None  # head-slice copy keys off refine
         else:
             loaded = FlatIndex.load(directory)
             fresh = self._make_index()  # honors sharded/auto kinds

@@ -163,6 +163,11 @@ def _ivf_search_refined_kernel(
 
     b = queries.shape[0]
     list_cap = list_table.shape[1]
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if (not int8 and vectors.dtype == jnp.float32)
+        else jax.lax.Precision.DEFAULT
+    )
     if int8:
         q_scale = jnp.max(jnp.abs(queries), axis=1, keepdims=True) / 127.0
         q_i8 = jnp.clip(
@@ -206,7 +211,8 @@ def _ivf_search_refined_kernel(
         else:
             scores = jnp.einsum(
                 "bd,bmd->bm", queries[:, :refine_dims].astype(vectors.dtype),
-                cand_vecs, preferred_element_type=jnp.float32,
+                cand_vecs, precision=precision,
+                preferred_element_type=jnp.float32,
             )
         mask = (cand >= 0) & full_mask[safe]
         svals, pos = masked_top_k(scores, mask, s_run)
@@ -233,11 +239,21 @@ def _ivf_search_refined_kernel(
     else:
         exact = jnp.einsum(
             "bd,bsd->bs", queries.astype(vectors.dtype), short_vecs,
+            precision=precision,
             preferred_element_type=jnp.float32,
         )
     smask = (short_rows >= 0) & full_mask[safe]
-    svals, pos = masked_top_k(exact, smask, k)
+    # the shortlist can be narrower than k (tiny lists / small shortlist
+    # settings) — top-k must not exceed the candidate width
+    k_run = min(k, s_run)
+    svals, pos = masked_top_k(exact, smask, k_run)
     srows = jnp.take_along_axis(short_rows, pos, axis=1)
+    if k_run < k:
+        padk = k - k_run
+        svals = jnp.concatenate(
+            [svals, jnp.full((b, padk), -jnp.inf, svals.dtype)], axis=1)
+        srows = jnp.concatenate(
+            [srows, jnp.full((b, padk), -1, srows.dtype)], axis=1)
     return merge_top_k(jnp.stack([vals, svals]), jnp.stack([rows, srows]), k)
 
 
@@ -287,7 +303,15 @@ def choose_probe(levels: List[int], selectivity: float, rows_per_list: float,
 @partial(jax.jit, static_argnames=("k", "int8"))
 def _tail_search_kernel(vectors, row_scales, full_mask, queries,
                         tail_start: jnp.ndarray, k: int, int8: bool):
-    """Exact search over rows ≥ tail_start (the un-indexed fresh buffer)."""
+    """Exact search over rows ≥ tail_start (the un-indexed fresh buffer).
+
+    KNOWN COST: tail_start is a traced scalar used only to MASK, so the
+    contraction runs over the whole [capacity, D] slab — any nonzero tail
+    adds a full flat scan per query until the next rebuild. Acceptable at
+    the current write rates (rebuild folds the tail); fixing it wants a
+    statically-bucketed tail slice (power-of-two tail capacity, like
+    ``_round_capacity``) so shapes stay compile-stable while reading only
+    tail rows."""
     if int8:
         q_scale = jnp.max(jnp.abs(queries), axis=1, keepdims=True) / 127.0
         q_i8 = jnp.clip(
@@ -428,28 +452,50 @@ class IVFIndex(FlatIndex):
 
     # -------------------------------------------------------------- build
     def rebuild(self, n_lists: Optional[int] = None, seed: int = 0) -> Dict[str, Any]:
-        """(Re)cluster all live rows into IVF lists; empties the tail."""
-        n = len(self._ids)
-        if n == 0:
-            raise ValueError("cannot build an empty index")
+        """(Re)cluster all LIVE rows into IVF lists; empties the tail.
+        Tombstoned rows are excluded up front — clustering them would skew
+        centroids toward stale content and pad every probe gather with
+        dead candidates (heavy-churn corpora tombstone up to half their
+        rows between rebuilds)."""
+        # snapshot under the mutex so a concurrent add can't tear n vs
+        # the mirrors; clustering itself runs lock-free on the snapshot
+        with self._mutex:
+            n = len(self._ids)
+            if n == 0:
+                raise ValueError("cannot build an empty index")
+            live_idx = np.nonzero(~self._deleted[:n])[0].astype(np.int64)
+            vectors = np.array(self._vectors[:n][live_idx])
+        n_live = int(live_idx.size)
+        if n_live == 0:
+            raise ValueError("cannot build an index of tombstones only")
         if n_lists:
             self.n_lists = n_lists
         if not self.n_lists:
-            self.n_lists = max(1, int(round(np.sqrt(n))))
-        self.n_lists = min(self.n_lists, n)
+            self.n_lists = max(1, int(round(np.sqrt(n_live))))
+        self.n_lists = min(self.n_lists, n_live)
 
-        normalized = self._vectors / np.maximum(
-            np.linalg.norm(self._vectors, axis=1, keepdims=True), 1e-12
+        normalized = vectors / np.maximum(
+            np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12
         )
-        centroids, assignments, second = spherical_kmeans(
-            normalized, self.n_lists, n_iters=self.kmeans_iters, seed=seed,
-            return_second=True,
-        )
-        if self.balance_factor:
-            assignments = balance_assignments(
-                assignments, second, self.n_lists, self.balance_factor,
-                normalized=normalized, centroids=centroids,
+        if self.n_lists < 2:
+            # spherical_kmeans needs >= 2 centroids (second-nearest
+            # lookup); a 1-2 row corpus gets one trivial list
+            self.n_lists = 1
+            centroids = normalized.mean(axis=0, keepdims=True)
+            centroids /= np.maximum(
+                np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+            centroids = centroids.astype(np.float32)
+            assignments = np.zeros(n_live, np.int64)
+        else:
+            centroids, assignments, second = spherical_kmeans(
+                normalized, self.n_lists, n_iters=self.kmeans_iters,
+                seed=seed, return_second=True,
             )
+            if self.balance_factor:
+                assignments = balance_assignments(
+                    assignments, second, self.n_lists, self.balance_factor,
+                    normalized=normalized, centroids=centroids,
+                )
 
         counts = np.bincount(assignments, minlength=self.n_lists)
         list_cap = max(8, int(counts.max()))
@@ -462,17 +508,22 @@ class IVFIndex(FlatIndex):
         order = np.argsort(assignments, kind="stable").astype(np.int64)
         sorted_assign = assignments[order]
         starts = np.searchsorted(sorted_assign, np.arange(self.n_lists))
-        slots = np.arange(n, dtype=np.int64) - starts[sorted_assign]
-        table[sorted_assign, slots] = order.astype(np.int32)
+        slots = np.arange(n_live, dtype=np.int64) - starts[sorted_assign]
+        # table entries are ORIGINAL row ids (live subset → corpus rows)
+        table[sorted_assign, slots] = live_idx[order].astype(np.int32)
 
-        self._centroids = centroids
-        self._list_table = table
-        self._indexed_rows = n
-        self._device = None
+        # atomic swap: a concurrent search must never pair new centroids
+        # with the old table (torn probes → wrong/empty results)
+        with self._mutex:
+            self._centroids = centroids
+            self._list_table = table
+            self._indexed_rows = n
+            self._device = None
         return {
             "n_lists": self.n_lists,
             "list_cap": list_cap,
             "rows_indexed": n,
+            "rows_live": n_live,
             "fill_ratio": round(float(counts.sum()) / table.size, 4),
             "max_list": int(counts.max()),
             "min_list": int(counts.min()),
@@ -572,18 +623,24 @@ class IVFIndex(FlatIndex):
         # width; any wider request (policy, escalation, or a pinned curve
         # point) sends the extra probes through the partial-dim screen
         split = min(self.n_probe, self.n_lists)
+        # snapshot BOTH the flag and the head-slice reference:
+        # /model/update-config can flip refine_dims (and pop the shared
+        # state dict's head copy) mid-search — re-reading either in _run
+        # would race
+        vectors_head = state.get("vectors_head")
+        refine_dims = self.refine_dims if vectors_head is not None else 0
 
         def _run(nprobe_now: int):
             # refined mode: beyond the split width, extra probes go through
             # the cheap partial-dim screen + exact shortlist rescore — wide
             # (high-recall) probing stops costing linear-in-nprobe
-            if self.refine_dims and nprobe_now > split:
+            if refine_dims and nprobe_now > split:
                 vals, rows = _ivf_search_refined_kernel(
-                    state["vectors"], state["vectors_head"],
+                    state["vectors"], vectors_head,
                     state["row_scales"], full_mask,
                     state["centroids"], state["list_table"],
                     jnp.asarray(queries), split, nprobe_now - split,
-                    min(self.refine_dims, self.dim),
+                    min(refine_dims, self.dim),
                     self.refine_shortlist, k_eff, self._int8,
                 )
             else:
@@ -612,7 +669,12 @@ class IVFIndex(FlatIndex):
             for lvl in ladder:
                 if lvl <= nprobe:
                     continue
-                if np.isfinite(vals).sum(axis=1).min() >= k_eff:
+                # when the filter matches fewer than k rows, "found them
+                # all" is the stop condition — requiring k_eff would walk
+                # every remaining level (each possibly a cold compile)
+                # for matches that don't exist
+                need = min(k_eff, int(mask_count))
+                if np.isfinite(vals).sum(axis=1).min() >= need:
                     break
                 nprobe = lvl
                 vals, rows = _run(nprobe)
@@ -640,11 +702,30 @@ class IVFIndex(FlatIndex):
         mask = jnp.ones(state["capacity"], bool)
         dummy = jnp.zeros((1, self.dim), jnp.float32)
         levels = probe_ladder(min(self.n_probe, self.n_lists), self.n_lists)
+        split = min(self.n_probe, self.n_lists)
+        vectors_head = state.get("vectors_head")
         for lvl in levels:
-            _ivf_search_kernel(
-                state["vectors"], state["row_scales"], mask,
-                state["centroids"], state["list_table"], dummy,
-                lvl, k_eff, self._int8,
+            if vectors_head is not None and lvl > split:
+                # refined mode routes every wider-than-split level through
+                # the refined kernel — warming the base kernel at those
+                # widths would compile executables search() never runs
+                # while the ones it DOES run stay cold
+                _ivf_search_refined_kernel(
+                    state["vectors"], vectors_head, state["row_scales"],
+                    mask, state["centroids"], state["list_table"], dummy,
+                    split, lvl - split, min(self.refine_dims, self.dim),
+                    self.refine_shortlist, k_eff, self._int8,
+                )
+            else:
+                _ivf_search_kernel(
+                    state["vectors"], state["row_scales"], mask,
+                    state["centroids"], state["list_table"], dummy,
+                    lvl, k_eff, self._int8,
+                )
+        if self.tail_rows > 0:
+            _tail_search_kernel(
+                state["vectors"], state["row_scales"], mask, dummy,
+                jnp.int32(self._indexed_rows), k_eff, self._int8,
             )
         return levels
 

@@ -431,3 +431,73 @@ def test_refine_dims_runtime_toggle():
     index.refine_dims = 0  # toggle OFF retires the head copy
     index.search(q, 10, n_probe=32, pin_probe=True)
     assert "vectors_head" not in index._device_state()
+
+
+def test_refined_search_k_exceeds_shortlist():
+    """Stage-3 rescore must pad, not crash, when k > shortlist width
+    (confirmed repro: ValueError 'k=10 with shape=[1, 4]')."""
+    from automative_rag_tpu.index.ivf import IVFIndex
+
+    rng = np.random.default_rng(0)
+    idx = IVFIndex(dim=32, device_dtype="float32", n_lists=8, n_probe=2,
+                   refine_dims=8, refine_shortlist=4)
+    vecs = rng.normal(size=(64, 32)).astype(np.float32)
+    idx.add(vecs, [Document(page_content=f"d{i}", metadata={})
+                   for i in range(64)])
+    idx.rebuild()
+    hits = idx.search(vecs[7], 10, n_probe=8)[0]
+    assert hits and hits[0].row == 7
+
+
+def test_rebuild_two_row_corpus():
+    """n_lists auto-chooses 1 for 1-2 rows; spherical k-means needs >=2
+    centroids — the degenerate single-list build must not crash
+    (confirmed repro: ValueError 'k=2 with shape=[128, 1]')."""
+    from automative_rag_tpu.index.ivf import IVFIndex
+
+    idx = IVFIndex(dim=16, device_dtype="float32")
+    vecs = np.eye(16, dtype=np.float32)[:2]
+    idx.add(vecs, [Document(page_content=f"d{i}", metadata={})
+                   for i in range(2)])
+    info = idx.rebuild()
+    assert info["n_lists"] == 1
+    hits = idx.search(vecs[1], 1)[0]
+    assert hits and hits[0].row == 1
+
+
+def test_rebuild_excludes_tombstones():
+    """Tombstoned rows must not be clustered into the lists (they skew
+    centroids and pad every gather with dead candidates)."""
+    from automative_rag_tpu.index.ivf import IVFIndex
+
+    rng = np.random.default_rng(1)
+    idx = IVFIndex(dim=16, device_dtype="float32", n_lists=4)
+    vecs = rng.normal(size=(40, 16)).astype(np.float32)
+    docs = [Document(page_content=f"d{i}", metadata={}) for i in range(40)]
+    idx.add(vecs, docs)
+    idx.delete_by_ids([docs[i].id for i in range(0, 40, 2)])  # kill half
+    info = idx.rebuild()
+    assert info["rows_live"] == 20
+    # every live row still findable, no dead rows surfaced
+    for i in range(1, 40, 2):
+        hits = idx.search(vecs[i], 3)[0]
+        assert hits[0].row == i
+        assert all(h.row % 2 == 1 for h in hits)
+
+
+def test_filtered_escalation_stops_when_all_matches_found():
+    """With fewer filter matches than k, the ladder must stop once every
+    match is in hand instead of walking to a full n_lists probe."""
+    from automative_rag_tpu.index.ivf import IVFIndex
+
+    rng = np.random.default_rng(2)
+    idx = IVFIndex(dim=16, device_dtype="float32", n_lists=8, n_probe=2)
+    vecs = rng.normal(size=(128, 16)).astype(np.float32)
+    docs = [Document(page_content=f"d{i}",
+                     metadata={"manufacturer": "rare" if i < 3 else "common"})
+            for i in range(128)]
+    idx.add(vecs, docs)
+    idx.rebuild()
+    hits = idx.search(vecs[0], 20, {"manufacturer": "rare"})[0]
+    assert 1 <= len(hits) <= 3
+    assert all(h.document.metadata["manufacturer"] == "rare" for h in hits)
