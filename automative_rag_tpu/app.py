@@ -580,6 +580,11 @@ class RAGApplication:
                 dim=self.colbert.dim,
                 max_doc_length=self.colbert.max_doc_length,
                 device_dtype=dtype,
+                # _make_token_store honors these; the restore path must
+                # too, or a restart silently reverts to the 4 GiB default
+                # budget (OOM on small chips, host-fallback on big ones)
+                device_budget_bytes=(
+                    self.settings.token_store_device_budget_mb * 1024**2),
             )
             if self.settings.token_store_sharded:
                 sharded = self._make_token_store()

@@ -19,7 +19,8 @@ Storage model (int8 / fp16 modes):
   ColBERT ingest on-chip: 36 docs/s fetched vs ~310 docs/s for the same
   forward with a pooled 4 KB/doc output).
 - **Host arrays are the durable copy** (survive checkpoints), synced
-  lazily: device-appended slabs queue in ``_pending`` and are fetched only
+  lazily: device-appended rows are counted in ``_pending_rows`` and read
+  back out of the buffer only
   when persistence/compression/host-fallback actually needs host bytes.
 
 When the corpus outgrows ``device_budget_bytes`` the buffer is dropped
@@ -87,7 +88,6 @@ class TokenStore:
         self._buf: Optional[Tuple[jnp.ndarray, Optional[jnp.ndarray]]] = None
         self._buf_rows = 0
         # device slabs not yet mirrored to the host arrays, in append order
-        self._pending: List[Tuple[jnp.ndarray, Optional[jnp.ndarray]]] = []
         self._pending_rows = 0
         # subclasses whose device cache is rebuilt from host arrays
         # (ShardedTokenStore) keep device appends off
@@ -218,7 +218,9 @@ class TokenStore:
                 self.append_quantized(
                     np.asarray(quant), np.asarray(scales), masks)
                 return
-            self._pending.append((slab_q, slab_s))
+            # the slab now lives in the buffer — sync reads it back from
+            # there, so nothing else is retained (keeping per-append slab
+            # arrays doubled HBM use against the budget)
             self._pending_rows += n
             self._masks = np.concatenate(
                 [self._masks, np.asarray(masks, bool)])
@@ -307,16 +309,22 @@ class TokenStore:
 
     # --------------------------------------------------------- host mirror
     def _sync_host_locked(self) -> None:
-        """Fetch device-appended slabs into the durable host arrays."""
-        if not self._pending:
+        """Fetch device-appended rows into the durable host arrays by
+        slicing them back OUT of the HBM buffer — the buffer is the only
+        device-resident copy (every caller that can drop the buffer syncs
+        first, so the rows are always still there)."""
+        if not self._pending_rows:
             return
-        pending, self._pending = self._pending, []
+        assert self._buf is not None, "pending rows but no device buffer"
+        buf_q, buf_s = self._buf
+        h = self._tokens.shape[0]
+        n = self._pending_rows
+        slab_q = np.asarray(buf_q[:, h:h + n, :])  # [Ld, n, D] token-major
+        self._tokens = np.concatenate(
+            [self._tokens, slab_q.transpose(1, 0, 2).astype(np.int8)])
+        slab_s = np.asarray(buf_s[:, h:h + n]).astype(np.float16)
+        self._scales = np.concatenate([self._scales, slab_s.T])
         self._pending_rows = 0
-        toks = [np.asarray(_to_token_major(q), np.int8) for q, _ in pending]
-        scls = [np.asarray(_to_token_major(s)).astype(np.float16)
-                for _, s in pending]
-        self._tokens = np.concatenate([self._tokens, *toks])
-        self._scales = np.concatenate([self._scales, *scls])
 
     @property
     def rows(self) -> int:
@@ -365,14 +373,23 @@ class TokenStore:
         """Convert storage to PLAID-style centroid + low-bit residual codes
         (~8x smaller than fp16 at D=1024). Later appends encode against the
         trained centroids; call again to retrain on the grown corpus."""
-        from .residual_codec import assign_centroids, encode_residuals, train_centroids
-
         if self.rows == 0:
             raise ValueError("cannot compress an empty store")
+        # the WHOLE conversion runs under the mutex: gathers racing the
+        # quantize/_tokens swap would read torn state (empty tokens with
+        # quantize still 'int8'), and appends landing mid-codec would be
+        # silently dropped by the swap. Blocking searches for the codec's
+        # few seconds is the acceptable cost for an explicit ops call.
         with self._mutex:
-            self._sync_host_locked()
-            self._buf = None
-            self._buf_rows = 0
+            return self._compress_locked(k_centroids, sample, n_iters,
+                                         seed, bits)
+
+    def _compress_locked(self, k_centroids, sample, n_iters, seed, bits):
+        from .residual_codec import assign_centroids, encode_residuals, train_centroids
+
+        self._sync_host_locked()
+        self._buf = None
+        self._buf_rows = 0
         before = self.nbytes
         tokens = self._dequantized()
         n, ld, dim = tokens.shape
@@ -405,7 +422,12 @@ class TokenStore:
     def _element_bytes(self) -> int:
         if self.quantize == "residual2":
             return self.dim * self._res_bits // 8 + 6  # codes + cid + scale
-        return self.dim * (1 if self.quantize == "int8" else self.device_dtype.itemsize)
+        if self.quantize == "int8":
+            # token plane + the fp32 scale the device buffer ACTUALLY
+            # allocates per token — omitting it made every budget check
+            # admit ~3% more than fits
+            return self.dim + 4
+        return self.dim * self.device_dtype.itemsize
 
     def _device_cache(self) -> Optional[Tuple[jnp.ndarray, ...]]:
         """residual2: legacy host-built tuple cache. int8/fp16 stores use
@@ -526,18 +548,22 @@ class TokenStore:
 
     # ----------------------------------------------------------- persist
     def save(self, directory: str) -> None:
+        # snapshot the array REFERENCES under the mutex (mutators rebind
+        # via concatenate, never write in place) so the persisted npz is
+        # internally consistent; the slow compressed write runs unlocked
         with self._mutex:
             self._sync_host_locked()
+            arrays = {"tokens": self._tokens, "masks": self._masks,
+                      "quantize": np.array(self.quantize)}
+            if self._scales is not None:
+                arrays["scales"] = self._scales
+            if self.quantize == "residual2":
+                arrays.update(codes=self._codes, cids=self._cids,
+                              res_scales=self._res_scales,
+                              centroids=self._centroids,
+                              res_bits=np.int64(self._res_bits))
         path = Path(directory)
         path.mkdir(parents=True, exist_ok=True)
-        arrays = {"tokens": self._tokens, "masks": self._masks,
-                  "quantize": np.array(self.quantize)}
-        if self._scales is not None:
-            arrays["scales"] = self._scales
-        if self.quantize == "residual2":
-            arrays.update(codes=self._codes, cids=self._cids,
-                          res_scales=self._res_scales, centroids=self._centroids,
-                          res_bits=np.int64(self._res_bits))
         np.savez_compressed(path / "token_store.npz", **arrays)
 
     @classmethod
@@ -562,6 +588,18 @@ class TokenStore:
                 )
                 if "scales" in arrays:
                     store._scales = np.asarray(arrays["scales"], np.float16)
+                # fail FAST on geometry drift (e.g. max_doc_length changed
+                # between runs) — a silently mismatched store errors deep
+                # inside the MaxSim kernel instead
+                if store._tokens.size and store._tokens.shape[1:] != (
+                        max_doc_length, dim):
+                    raise ValueError(
+                        f"saved token store is {store._tokens.shape[1:]}, "
+                        f"configured geometry is ({max_doc_length}, {dim})")
             store._masks = np.asarray(arrays["masks"], bool)
+            if len(store._masks) != store.rows:
+                raise ValueError(
+                    f"saved token store is torn: {store.rows} rows vs "
+                    f"{len(store._masks)} masks")
             return store
         return cls(dim=dim, max_doc_length=max_doc_length, **kwargs)

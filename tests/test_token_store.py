@@ -318,3 +318,36 @@ def test_append_device_buffer_growth(colbert):
     # host sync after growth still reproduces every row in order
     store.drop_device_cache()
     assert store._tokens.shape[0] == 4 and store._pending_rows == 0
+
+
+def test_sync_reads_back_from_buffer_without_slab_retention():
+    """Device appends keep ONE HBM copy (the buffer); sync slices rows
+    back out of it and host bytes match a host-side append exactly."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    store = TokenStore(dim=16, max_doc_length=4, quantize="int8")
+    twin = TokenStore(dim=16, max_doc_length=4, quantize="int8")
+    embs = rng.normal(size=(6, 4, 16)).astype(np.float32)
+    masks = np.ones((6, 4), bool)
+    scales = np.abs(embs).max(axis=2) / 127.0
+    quant = np.clip(np.round(embs / np.maximum(scales, 1e-8)[:, :, None]),
+                    -127, 127).astype(np.int8)
+    store.append_device(jnp.asarray(quant), jnp.asarray(scales), masks)
+    twin.append_quantized(quant, scales.astype(np.float16), masks)
+    assert store._pending_rows == 6
+    with store._mutex:
+        store._sync_host_locked()
+    np.testing.assert_array_equal(store._tokens, twin._tokens)
+    np.testing.assert_array_equal(store._scales, twin._scales)
+    assert store._pending_rows == 0
+
+
+def test_load_rejects_geometry_drift(tmp_path):
+    store = TokenStore(dim=8, max_doc_length=4, quantize="int8")
+    embs = np.random.default_rng(0).normal(size=(3, 4, 8)).astype(np.float32)
+    store.append(embs, np.ones((3, 4), bool))
+    store.save(str(tmp_path))
+    with pytest.raises(ValueError, match="geometry"):
+        TokenStore.load(str(tmp_path), dim=8, max_doc_length=6,
+                        quantize="int8")
