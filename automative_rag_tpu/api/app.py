@@ -792,12 +792,19 @@ def build_api(app: RAGApplication) -> HTTPApi:
     @router.post("/system/cleanup-jobs")
     def cleanup_jobs(req: Request):
         body = parse_body(req, CleanupJobsRequest)
-        removed = app.tracker.cleanup_old_jobs(
+        max_age_days = (
             body.max_age_days if body.max_age_days is not None
             else app.settings.job_retention_days
         )
+        removed = app.tracker.cleanup_old_jobs(max_age_days)
         stalled = app.tracker.mark_stalled_jobs()
-        return {"removed": removed, "marked_stalled": stalled}
+        # terminal chain states age out on the reference's 24h-TTL schedule
+        # (or sooner if the job retention window is shorter)
+        pruned = app.job_chain.prune_terminal(
+            min(max_age_days * 86400.0, 86400.0)
+        )
+        return {"removed": removed, "marked_stalled": stalled,
+                "chains_pruned": pruned}
 
     # ------------------------------------------------------------ model
     @router.get("/model/config")

@@ -522,12 +522,17 @@ class RAGApplication:
 
     # ------------------------------------------------------------- admin
     def reset_index(self) -> Dict[str, Any]:
-        before = self.index.count
-        self.index = self._make_index()
-        self.engine.index = self.index
-        if self.token_store is not None:
-            self.token_store = self._make_token_store()
-            self.engine.token_store = self.token_store
+        # the app lock keeps the swap atomic vs ingest workers' paired
+        # index.add + token_store.append (same invariant as save_index) —
+        # unlocked, a concurrent ingest could land its vector row in the old
+        # index and its token rows in the new store
+        with self._lock:
+            before = self.index.count
+            self.index = self._make_index()
+            self.engine.index = self.index
+            if self.token_store is not None:
+                self.token_store = self._make_token_store()
+                self.engine.token_store = self.token_store
         return {"deleted_documents": before}
 
     def save_index(self, directory: Optional[str] = None) -> str:
@@ -544,6 +549,10 @@ class RAGApplication:
         return directory
 
     def load_index(self, directory: Optional[str] = None) -> int:
+        with self._lock:  # atomic swap vs concurrent ingest (see reset_index)
+            return self._load_index_locked(directory)
+
+    def _load_index_locked(self, directory: Optional[str] = None) -> int:
         directory = directory or self.settings.index_dir
         if self.settings.index_kind == "ivf":
             from .index.ivf import IVFIndex

@@ -171,8 +171,16 @@ class JobChain:
             if isinstance(result, dict):
                 chain["data"].update(result)
             chain["current"] += 1
+            paused = chain["paused"]
         if isinstance(result, dict) and result:
-            self.tracker.update_job_status(job_id, JobStatus.PROCESSING, result=result)
+            # a step may pause the chain before returning (guided
+            # validation) — don't overwrite WAITING_USER with PROCESSING,
+            # or the job status lies until the user resumes
+            self.tracker.update_job_status(
+                job_id,
+                JobStatus.WAITING_USER if paused else JobStatus.PROCESSING,
+                result=result,
+            )
         self._persist()
         self._execute_current(job_id)
 
@@ -183,6 +191,11 @@ class JobChain:
                 return
             chain["step_status"][task_name] = TaskStatus.FAILED.value
             chain["failed_at"] = time.time()
+            # terminal: no step will read the payload again — release it
+            # (ingest chains carry every chunk's text in ``data``; keeping
+            # it alive per job is an unbounded leak — reference chain state
+            # expires from Redis after 24h, job_chain.py:651-665)
+            chain["data"] = {}
         self.tracker.update_job_status(job_id, JobStatus.FAILED, error=f"{task_name}: {error}")
         self._persist()
 
@@ -197,6 +210,8 @@ class JobChain:
                 "total_time_s": round(time.time() - chain["started_at"], 4),
                 "steps": chain["steps"],
             }
+            chain["completed_at"] = time.time()
+            chain["data"] = {}  # terminal — see task_failed
         self.tracker.update_job_progress(job_id, 100, "completed")
         self.tracker.update_job_status(job_id, JobStatus.COMPLETED, result={"chain": summary})
         self._persist()
@@ -256,6 +271,26 @@ class JobChain:
             return False
         self.tracker.update_job_status(job_id, JobStatus.CANCELLED)
         return True
+
+    def prune_terminal(self, max_age_s: float = 86400.0) -> int:
+        """Drop terminal (completed/failed) chains older than ``max_age_s``
+        — the in-process equivalent of the reference's 24h Redis TTL on
+        ``job_chain:{id}`` keys (job_chain.py:651-665). Active and paused
+        chains are never touched. Returns the number removed."""
+        cutoff = time.time() - max_age_s
+        with self._lock:
+            victims = [
+                jid for jid, chain in self._chains.items()
+                if (chain.get("completed_at") or chain.get("failed_at") or 0)
+                < cutoff
+                and (chain.get("completed_at") or chain.get("failed_at"))
+                is not None
+            ]
+            for jid in victims:
+                self._chains.pop(jid, None)
+        if victims:
+            self._persist()
+        return len(victims)
 
     # -------------------------------------------------------------- state
     def get_chain_state(self, job_id: str) -> Optional[Dict[str, Any]]:

@@ -312,3 +312,60 @@ def test_wait_for_terminal_event_driven():
     assert tracker.wait_for_terminal("no-such-job", timeout=0.1) == "missing"
     pending = tracker.create_job("test")
     assert tracker.wait_for_terminal(pending, timeout=0.1) is None
+
+
+def test_chain_terminal_retention(stack):
+    """Terminal chains release their payload immediately and age out of the
+    registry (reference: 24h Redis TTL on chain state, job_chain.py:651-665)
+    — without this, every ingest job's full chunk payload stays resident
+    for the life of the process."""
+    tracker, qm, router, chain = stack
+
+    @router.task("retrieve_documents")
+    def retrieve(job_id, payload):
+        return {"documents": ["big payload"] * 10}
+
+    @router.task("llm_inference")
+    def infer(job_id, payload):
+        return {"answer": "ok"}
+
+    done = tracker.create_job(JobType.LLM_INFERENCE.value)
+    chain.start_job_chain(done, JobType.LLM_INFERENCE.value, {"query": "q"})
+    _wait_status(tracker, done, {JobStatus.COMPLETED.value})
+
+    @router.task("process_text")
+    def boom(job_id, payload):
+        raise RuntimeError("nope")
+
+    failed = tracker.create_job(JobType.TEXT_PROCESSING.value)
+    chain.start_job_chain(failed, JobType.TEXT_PROCESSING.value, {"content": "x"})
+    _wait_status(tracker, failed, {JobStatus.FAILED.value}, timeout=30)
+
+    # terminal chains hold no payload
+    assert chain.get_chain_state(done)["data"] == {}
+    assert chain.get_chain_state(failed)["data"] == {}
+
+    # young terminal chains survive the prune; backdated ones age out
+    assert chain.prune_terminal(max_age_s=3600) == 0
+    with chain._lock:
+        chain._chains[done]["completed_at"] -= 7200
+        chain._chains[failed]["failed_at"] -= 7200
+    assert chain.prune_terminal(max_age_s=3600) == 2
+    assert chain.get_chain_state(done) is None
+
+    # active (paused, non-terminal) chains are never pruned, even when old
+    @router.task("retrieve_documents")  # re-register: pause mid-chain
+    def retrieve_and_pause(job_id, payload):
+        chain.wait_for_user_input(job_id, {"question": "?"})
+        return {"documents": []}
+
+    paused = tracker.create_job(JobType.LLM_INFERENCE.value)
+    chain.start_job_chain(paused, JobType.LLM_INFERENCE.value, {"query": "q"})
+    _wait_status(tracker, paused, {JobStatus.WAITING_USER.value})
+    deadline = time.time() + 5
+    while not chain.get_chain_state(paused)["paused"] and time.time() < deadline:
+        time.sleep(0.01)
+    with chain._lock:
+        chain._chains[paused]["started_at"] -= 10 * 86400
+    assert chain.prune_terminal(max_age_s=3600) == 0
+    assert chain.get_chain_state(paused) is not None
