@@ -514,13 +514,11 @@ def build_api(app: RAGApplication) -> HTTPApi:
         job_id = app.ingest_pdf(path)
         return {"job_id": job_id, "status": "pending", "path": path}
 
-    @router.get("/ingest/documents")
-    def browse_documents(req: Request):
-        """Metadata-only scroll over the index (reference Qdrant scroll
-        search, vectorstore.py:278-318 / 文档浏览 page)."""
+    def _doc_filter_from_query(req: Request) -> dict:
+        """Shared query-param → filter-DSL parsing (browse + bulk delete)."""
         flt = {}
         for field in ("manufacturer", "model", "category", "engine_type",
-                      "transmission", "source", "source_id"):
+                      "transmission", "source", "source_id", "job_id"):
             value = req.query_param(field)
             if value:
                 flt[field] = value
@@ -537,6 +535,14 @@ def build_api(app: RAGApplication) -> HTTPApi:
                 **({"gte": int(year_gte)} if year_gte else {}),
                 **({"lte": int(year_lte)} if year_lte else {}),
             }
+        return flt
+
+    @router.get("/ingest/documents")
+    def browse_documents(req: Request):
+        """Metadata-only scroll over the index (reference Qdrant scroll
+        search, vectorstore.py:278-318 / 文档浏览 page)."""
+        flt = _doc_filter_from_query(req)
+        flt.pop("job_id", None)  # browse matches the indexed fields only
         limit = int(req.query_param("limit", "50"))
         offset = int(req.query_param("offset", "0"))
         if flt:
@@ -557,6 +563,44 @@ def build_api(app: RAGApplication) -> HTTPApi:
                 for d in docs
             ],
         }
+
+    @router.delete("/ingest/documents/{doc_id}")
+    def delete_document(req: Request):
+        """Delete one document by id (reference delete-by-ids,
+        vectorstore.py:320-353). Deletes tombstone; reclaim rows with
+        POST /system/compact-index."""
+        doc_id = req.params["doc_id"]
+        if app.index.delete_by_ids([doc_id]) == 0:
+            raise HTTPError(404, "document not found")
+        return {"deleted": 1, "doc_id": doc_id, "remaining": app.index.count}
+
+    @router.delete("/ingest/documents")
+    def delete_documents(req: Request):
+        """Bulk delete by metadata filter or by the ingest job that created
+        the documents (reference delete-by-ids semantics over the filter
+        DSL). Refuses an empty filter — full wipes go through
+        POST /ingest/reset."""
+        flt = _doc_filter_from_query(req)
+        if not flt:
+            raise HTTPError(
+                422, "provide at least one filter (or use POST /ingest/reset)"
+            )
+        job_id = flt.pop("job_id", None)
+        victims: set = set()
+        if job_id is not None:
+            victims.update(
+                d.id for d in app.index._docs
+                if d.metadata.get("job_id") == job_id
+                and d.id in app.index._row_of_id
+            )
+        if flt:
+            matched = {
+                d.id for d in app.index.metadata_search(flt, limit=10**9)
+            }
+            victims = victims & matched if job_id is not None else matched
+        deleted = app.index.delete_by_ids(sorted(victims))
+        return {"deleted": deleted, "filter": {**flt, **({"job_id": job_id} if job_id else {})},
+                "remaining": app.index.count}
 
     @router.get("/ingest/documents/{doc_id}")
     def document_detail(req: Request):
@@ -765,6 +809,12 @@ def build_api(app: RAGApplication) -> HTTPApi:
     @router.post("/system/rebuild-index")
     def rebuild_index(req: Request):
         return app.rebuild_index()
+
+    @router.post("/system/compact-index")
+    def compact_index(req: Request):
+        """Reclaim tombstoned rows (upserts/deletes only tombstone); the
+        row-aligned token store compacts in the same atomic operation."""
+        return app.compact_index()
 
     @router.post("/system/warmup")
     def warmup(req: Request):

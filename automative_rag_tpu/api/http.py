@@ -152,6 +152,16 @@ class HTTPApi:
     # -------------------------------------------------------- dispatching
     def dispatch(self, method: str, path: str, headers: Dict[str, str],
                  body: bytes) -> Tuple[int, bytes, str]:
+        # http.server decodes the request line as latin-1 (RFC-conservative),
+        # so raw UTF-8 bytes in the URL (curl sends CJK unencoded) arrive
+        # mojibake'd — e.g. ?manufacturer=奥迪 matches nothing. Re-decode;
+        # a path that is already real unicode (tests call dispatch directly)
+        # fails the latin-1 encode and is kept as-is. Percent-encoded input
+        # is ASCII and unaffected either way.
+        try:
+            path = path.encode("latin-1").decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            pass
         parsed = urlparse(path)
         handler, params, exists = self.router.match(method, parsed.path)
 

@@ -300,6 +300,29 @@ class RAGApplication:
             return self.index.rebuild()
         return {"kind": "flat", "note": "flat index needs no build"}
 
+    def compact_index(self) -> Dict[str, Any]:
+        """Reclaim tombstoned rows from the index AND the row-aligned token
+        store in one atomic operation (the app lock blocks concurrent
+        ingest appends, whose row alignment this rewrites)."""
+        with self._lock:
+            if (self.token_store is not None
+                    and self.token_store.rows != self.index.total_rows):
+                # should be impossible (appends are paired under this lock)
+                # — refuse rather than mis-align every future rerank
+                return {
+                    "error": "token store rows != index rows; not compacting",
+                    "token_rows": self.token_store.rows,
+                    "index_rows": self.index.total_rows,
+                }
+            info = self.index.compact()
+            live = info.pop("live_order", None)
+            if live is not None and self.token_store is not None:
+                self.token_store.select_rows(live)
+            if info.pop("rebuild_required", False) and self.index.count:
+                # sharded-ivf lists can't survive the row shift — rebuild
+                info["rebuild"] = self.index.rebuild()
+        return info
+
     # ------------------------------------------------------------- tasks
     def _register_tasks(self) -> None:
         router = self.task_router

@@ -124,6 +124,16 @@ class MetadataColumns:
                         pass
             self.count += 1
 
+    def select_rows(self, rows: "np.ndarray") -> None:
+        """Keep only ``rows`` (in the given order) — the columnar half of
+        index compaction. Vocabs are kept as-is (codes stay valid; unused
+        vocab entries are harmless and tiny)."""
+        rows = np.asarray(rows, np.int64)
+        self.codes = np.ascontiguousarray(self.codes[:, rows])
+        self.numerics = np.ascontiguousarray(self.numerics[:, rows])
+        self.capacity = int(rows.size)
+        self.count = int(rows.size)
+
     def lookup_code(self, name: str, value: Any) -> int:
         """Code for a keyword value; -1 if never seen (matches nothing)."""
         return self.vocabs[name].get(str(value), -1)

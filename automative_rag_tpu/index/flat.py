@@ -194,6 +194,38 @@ class FlatIndex:
         rows = self._filter_rows(metadata_filter)
         return self.delete_by_ids([self._ids[r] for r in rows])
 
+    def compact(self) -> Dict[str, Any]:
+        """Reclaim tombstoned rows: rewrite the host mirrors with live rows
+        only (original order preserved) and restage the device state.
+        Upserts/deletes only tombstone (XLA static shapes), so a churn-heavy
+        corpus otherwise scans — and pays HBM for — every row it ever held;
+        Qdrant reclaims this in its optimizer, an HBM-resident index must do
+        it explicitly (``vectorstore.py:320-353`` delete semantics).
+
+        Returns ``live_order`` (old row ids, in surviving order) so callers
+        can realign row-aligned sidecars (the ColBERT token store)."""
+        with self._mutex:
+            return self._compact_locked()
+
+    def _compact_locked(self) -> Dict[str, Any]:
+        n = len(self._ids)
+        live = np.nonzero(~self._deleted[:n])[0]
+        reclaimed = n - int(live.size)
+        if reclaimed == 0:
+            return {"reclaimed_rows": 0, "rows": n, "live_order": None}
+        self._vectors = np.ascontiguousarray(self._vectors[live])
+        self._docs = [self._docs[int(r)] for r in live]
+        self._ids = [self._ids[int(r)] for r in live]
+        self._row_of_id = {doc_id: row for row, doc_id in enumerate(self._ids)}
+        self._deleted = np.zeros(live.size, bool)
+        self.columns.select_rows(live)
+        self._device = None
+        return {
+            "reclaimed_rows": reclaimed,
+            "rows": int(live.size),
+            "live_order": live,
+        }
+
     # ------------------------------------------------------------- device
     @property
     def _int8(self) -> bool:

@@ -529,6 +529,31 @@ class IVFIndex(FlatIndex):
             "min_list": int(counts.min()),
         }
 
+    def _compact_locked(self) -> Dict[str, Any]:
+        """Compaction preserves the IVF build: list-table entries are
+        corpus row ids and compaction keeps live rows in order, so the
+        table remaps in O(table) instead of re-running k-means. Tombstoned
+        entries (deleted after the last rebuild) map to -1 — exactly the
+        empty-slot sentinel the probe scan already skips."""
+        n = len(self._ids)
+        old_indexed = self._indexed_rows
+        info = super()._compact_locked()
+        live = info.get("live_order")
+        if live is None:
+            return info
+        if self._list_table is not None:
+            new_of_old = np.full(n, -1, np.int32)
+            new_of_old[live] = np.arange(live.size, dtype=np.int32)
+            table = self._list_table
+            safe = np.clip(table, 0, max(n - 1, 0))
+            self._list_table = np.where(
+                table >= 0, new_of_old[safe], np.int32(-1)
+            ).astype(np.int32)
+        # rows below the old boundary stay list-covered at their new ids;
+        # the exact-searched fresh tail shifts down with them
+        self._indexed_rows = int((live < old_indexed).sum())
+        return info
+
     @property
     def tail_rows(self) -> int:
         return len(self._ids) - self._indexed_rows

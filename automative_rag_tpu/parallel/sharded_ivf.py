@@ -269,6 +269,20 @@ class ShardedIVFIndex(ShardedFlatIndex):
             "rows_per_shard": per_shard_info,
         }
 
+    def _compact_locked(self) -> Dict[str, Any]:
+        """Compaction shifts rows ACROSS shard boundaries (local ids are
+        relative to fixed per-shard ranges of the built capacity), so the
+        build artifacts can't be remapped like the single-device table —
+        drop them and signal the caller to rebuild."""
+        info = super()._compact_locked()
+        if info.get("live_order") is not None and self._centroids is not None:
+            self._centroids = None
+            self._list_table = None
+            self._built_capacity = 0
+            self._indexed_rows = 0
+            info["rebuild_required"] = True
+        return info
+
     # --------------------------------------------------------------- device
     def _device_state(self) -> dict:
         with self._mutex:

@@ -307,6 +307,27 @@ class TokenStore:
             self._drop_buffer_locked()
             self._device = None
 
+    def select_rows(self, rows) -> None:
+        """Keep only ``rows`` (in the given order) — the token-store half of
+        index compaction: the store is row-aligned with the vector index, so
+        when the index drops its tombstones this must apply the SAME
+        live-row permutation or every post-compaction rerank gathers the
+        wrong documents' tokens."""
+        with self._mutex:
+            self._sync_host_locked()  # pending device rows become host truth
+            self._drop_buffer_locked()
+            rows = np.asarray(rows, np.int64)
+            if self.quantize == "residual2":
+                self._cids = np.ascontiguousarray(self._cids[rows])
+                self._codes = np.ascontiguousarray(self._codes[rows])
+                self._res_scales = np.ascontiguousarray(self._res_scales[rows])
+            else:
+                self._tokens = np.ascontiguousarray(self._tokens[rows])
+                if self._scales is not None:
+                    self._scales = np.ascontiguousarray(self._scales[rows])
+            self._masks = np.ascontiguousarray(self._masks[rows])
+            self._device = None
+
     # --------------------------------------------------------- host mirror
     def _sync_host_locked(self) -> None:
         """Fetch device-appended rows into the durable host arrays by

@@ -192,6 +192,27 @@ def test_real_socket_server(api, app):
         )
         with urllib.request.urlopen(req, timeout=10) as resp:
             assert json.loads(resp.read())["valid"]
+        # CJK query params must survive both raw-UTF-8 URLs (curl sends
+        # them unencoded; http.server hands them over latin-1-decoded) and
+        # percent-encoding — regression for the mojibake'd-filter bug
+        import socket as _socket
+
+        with _socket.create_connection(("127.0.0.1", port), timeout=10) as s:
+            s.sendall(
+                "GET /ingest/documents?manufacturer=奥迪 HTTP/1.1\r\n"
+                "Host: x\r\nConnection: close\r\n\r\n".encode("utf-8")
+            )
+            raw = b""
+            while chunk := s.recv(65536):
+                raw += chunk
+        body = json.loads(raw.split(b"\r\n\r\n", 1)[1])
+        assert body["filter"] == {"manufacturer": "奥迪"}
+        encoded = urllib.parse.quote("奥迪")
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/ingest/documents?manufacturer={encoded}",
+            timeout=10,
+        ) as resp:
+            assert json.loads(resp.read())["filter"] == {"manufacturer": "奥迪"}
     finally:
         api.stop()
 
