@@ -753,6 +753,76 @@ def build_api(app: RAGApplication) -> HTTPApi:
         ]
         return health
 
+    @router.get("/metrics")
+    def metrics(req: Request):
+        """Prometheus text exposition of the live counters (the reference
+        has no scrape surface at all — SURVEY §5 'No Prometheus/OTel'; its
+        numbers only existed as JSON dashboards). Everything here is
+        already tracked; this is the ops-standard rendering of it."""
+        from .http import RawResponse
+
+        lines: list = []
+
+        def emit(name, value, help_text="", labels=None, mtype="gauge"):
+            if help_text:
+                lines.append(f"# HELP {name} {help_text}")
+                lines.append(f"# TYPE {name} {mtype}")
+            label_s = ""
+            if labels:
+                inner = ",".join(f'{k}="{v}"' for k, v in labels.items())
+                label_s = "{" + inner + "}"
+            lines.append(f"{name}{label_s} {value}")
+
+        h = app.health()
+        emit("rag_uptime_seconds", h["uptime_s"], "process uptime")
+        emit("rag_index_rows", h["index"].get("count", 0), "live indexed chunks")
+        emit("rag_index_hbm_bytes", h["index"].get("hbm_bytes", 0),
+             "device bytes held by the vector index")
+        first = True
+        for status, n in h["jobs"].items():
+            if status == "total":
+                continue
+            if first:
+                lines.append("# HELP rag_jobs job count by status")
+                lines.append("# TYPE rag_jobs gauge")
+                first = False
+            emit("rag_jobs", n, labels={"status": status})
+        for metric, help_text, mtype in (
+            ("enqueued", "tasks enqueued", "counter"),
+            ("completed", "tasks completed", "counter"),
+            ("failed", "tasks failed after retries", "counter"),
+            ("retried", "task retry attempts", "counter"),
+            ("pending", "tasks waiting in queue", "gauge"),
+            ("in_flight", "tasks executing now", "gauge"),
+        ):
+            first = True
+            for qname, qs in h["queues"].items():
+                if first:
+                    lines.append(f"# HELP rag_queue_{metric} {help_text}")
+                    lines.append(f"# TYPE rag_queue_{metric} {mtype}")
+                    first = False
+                emit(f"rag_queue_{metric}", qs.get(metric, 0),
+                     labels={"queue": qname})
+        serving = h.get("llm_serving")
+        if serving:
+            for key, value in serving.items():
+                if isinstance(value, (int, float)) and not isinstance(value, bool):
+                    emit(f"rag_llm_serving_{key}", value,
+                         f"serving engine {key}",
+                         mtype="counter" if key.endswith(
+                             ("_requests", "_tokens", "_hits", "_misses",
+                              "errors", "_prefills", "truncated_prompts",
+                              "_cancelled")) else "gauge")
+        usage = app.analytics.usage_summary()
+        emit("rag_queries_total", usage.get("total_queries", 0),
+             "queries answered", mtype="counter")
+        for key in ("latency_p50_s", "latency_p95_s"):
+            if usage.get(key) is not None:
+                emit(f"rag_query_{key.replace('_s', '_seconds')}",
+                     usage[key], f"query generation {key}")
+        return RawResponse("\n".join(lines) + "\n",
+                           content_type="text/plain; version=0.0.4")
+
     @router.get("/system/workers")
     def system_workers(req: Request):
         return {"workers": app.queue_manager.worker_health()}

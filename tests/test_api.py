@@ -485,3 +485,21 @@ def test_compile_cache_config_applied(app):
     import os
 
     assert os.path.isdir(app.settings.jax_compile_cache_dir)
+
+
+def test_metrics_prometheus(api, app):
+    status, payload, ctype = api.dispatch("GET", "/metrics", {}, b"")
+    assert status == 200 and ctype.startswith("text/plain")
+    text = payload.decode()
+    assert "# TYPE rag_jobs gauge" in text
+    assert "# TYPE rag_queue_enqueued counter" in text
+    assert 'rag_queue_pending{queue="llm_tasks"}' in text
+    assert "rag_index_rows" in text and "rag_uptime_seconds" in text
+    # the exposition format is line-oriented: every non-comment line is
+    # "name{labels} value" with a numeric value
+    for line in text.strip().splitlines():
+        if line.startswith("#"):
+            continue
+        name, value = line.rsplit(" ", 1)
+        float(value)
+        assert name and " " not in name.split("{")[0]
