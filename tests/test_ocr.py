@@ -162,3 +162,46 @@ def test_oversized_image_is_bounded(engine):
     t0 = _time.time()
     engine.ocr_image(Image.fromarray(255 - noise))
     assert _time.time() - t0 < 60
+
+
+def test_png_predictor_vectorized_parity():
+    """The vectorized PNG unfiltering must be byte-identical to the scalar
+    reference across every filter type (0-4) and pixel stride — it runs on
+    every FlateDecode scan before OCR, where a wrong byte becomes indexed
+    gibberish."""
+    import numpy as np
+
+    from automative_rag_tpu.ingestion.pdf_text import (
+        _undo_png_predictor,
+        _undo_png_predictor_scalar_row,
+    )
+
+    def scalar_oracle(raw, width, height, px):
+        stride = width * px
+        out = bytearray()
+        prev = bytearray(stride)
+        pos = 0
+        for _ in range(height):
+            ftype = raw[pos]
+            row = bytearray(raw[pos + 1 : pos + 1 + stride])
+            pos += stride + 1
+            if not _undo_png_predictor_scalar_row(row, prev, ftype, px):
+                return None
+            out += row
+            prev = row
+        return bytes(out)
+
+    rng = np.random.default_rng(7)
+    for px, w, h in [(1, 37, 23), (3, 17, 29), (1, 96, 48)]:
+        stride = w * px
+        raw = bytearray()
+        for _ in range(h):
+            raw.append(int(rng.integers(0, 5)))
+            raw.extend(rng.integers(0, 256, stride, dtype=np.uint8).tobytes())
+        got = _undo_png_predictor(bytes(raw), w, h, px)
+        want = scalar_oracle(bytes(raw), w, h, px)
+        assert got == want
+
+    # malformed inputs degrade to None, never raise
+    assert _undo_png_predictor(b"\x09" + b"\x00" * 10, 10, 1, 1) is None
+    assert _undo_png_predictor(b"", 10, 10, 1) is None
