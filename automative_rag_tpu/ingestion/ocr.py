@@ -180,7 +180,26 @@ class GlyphAtlasOCR:
 
     @staticmethod
     def _components(ink: np.ndarray) -> List[Tuple[int, int, int, int]]:
-        """Two-pass union-find labeling → ink bounding boxes (y0,y1,x0,x1)."""
+        """4-connected component labeling → ink bounding boxes (y0,y1,x0,x1).
+
+        ``scipy.ndimage.label`` (C two-pass union-find, same 4-connectivity
+        as the left/up merge the old Python loop did) — the pure-Python
+        labeling cost ~1.1 s on an A4 scan, the C pass runs in ~15 ms.
+        Falls back to the Python implementation if scipy is unavailable."""
+        try:
+            from scipy import ndimage
+        except ImportError:  # pragma: no cover — scipy ships in this image
+            return GlyphAtlasOCR._components_py(ink)
+        labels, n = ndimage.label(ink)  # default structure = 4-connected
+        return [
+            (sl[0].start, sl[0].stop - 1, sl[1].start, sl[1].stop - 1)
+            for sl in ndimage.find_objects(labels, n)
+            if sl is not None
+        ]
+
+    @staticmethod
+    def _components_py(ink: np.ndarray) -> List[Tuple[int, int, int, int]]:
+        """Pure-Python reference labeling (scipy-free fallback + test oracle)."""
         h, w = ink.shape
         labels = np.zeros((h, w), np.int32)
         parent = [0]
@@ -225,50 +244,67 @@ class GlyphAtlasOCR:
         """Merge vertically-stacked components that overlap in x (i/j dots,
         colons stay split — only merge when one part is much smaller)."""
         boxes = sorted(boxes, key=lambda b: (b[2], b[0]))
-        merged: List[List[int]] = []
+        n = len(boxes)
+        # greedy first-hit merge, vectorized per candidate over the merged
+        # set (the per-pair Python loop cost ~2.3 s on a dense A4 scan).
+        # Semantics identical to the scalar loop: same insertion order, same
+        # first-match selection, merged boxes grow and affect later merges.
+        my0 = np.empty(n, np.int64); my1 = np.empty(n, np.int64)
+        mx0 = np.empty(n, np.int64); mx1 = np.empty(n, np.int64)
+        count = 0
         for y0, y1, x0, x1 in boxes:
-            area = (y1 - y0 + 1) * (x1 - x0 + 1)
-            hit = None
-            for m in merged:
+            if count:
+                area = (y1 - y0 + 1) * (x1 - x0 + 1)
                 w_self = x1 - x0 + 1
-                w_m = m[3] - m[2] + 1
-                ov = min(x1, m[3]) - max(x0, m[2]) + 1
+                w_m = mx1[:count] - mx0[:count] + 1
+                ov = np.minimum(x1, mx1[:count]) - np.maximum(x0, mx0[:count]) + 1
+                w_min = np.minimum(w_self, w_m)
                 # widths must be comparable: an i-dot is narrow like its
                 # stem, while a page-wide table rule x-overlaps EVERY
                 # glyph above it — without this check a rule swallows the
                 # whole text line into one component
-                if ov > 0.5 * min(w_self, w_m) \
-                        and min(w_self, w_m) > 0.25 * max(w_self, w_m):
-                    gap = max(y0, m[0]) - min(y1, m[1])
-                    m_area = (m[1] - m[0] + 1) * (m[3] - m[2] + 1)
-                    if gap < 12 and (area < 0.4 * m_area or m_area < 0.4 * area):
-                        hit = m
-                        break
-            if hit is None:
-                merged.append([y0, y1, x0, x1])
-            else:
-                hit[0] = min(hit[0], y0); hit[1] = max(hit[1], y1)
-                hit[2] = min(hit[2], x0); hit[3] = max(hit[3], x1)
-        return [tuple(m) for m in merged]
+                cond = (ov > 0.5 * w_min) & (
+                    w_min > 0.25 * np.maximum(w_self, w_m))
+                gap = np.maximum(y0, my0[:count]) - np.minimum(y1, my1[:count])
+                m_area = (my1[:count] - my0[:count] + 1) * w_m
+                cond &= (gap < 12) & (
+                    (area < 0.4 * m_area) | (m_area < 0.4 * area))
+                hits = np.nonzero(cond)[0]
+                if hits.size:
+                    i = int(hits[0])
+                    my0[i] = min(my0[i], y0); my1[i] = max(my1[i], y1)
+                    mx0[i] = min(mx0[i], x0); mx1[i] = max(mx1[i], x1)
+                    continue
+            my0[count], my1[count] = y0, y1
+            mx0[count], mx1[count] = x0, x1
+            count += 1
+        return [
+            (int(my0[i]), int(my1[i]), int(mx0[i]), int(mx1[i]))
+            for i in range(count)
+        ]
 
     @staticmethod
     def _group_lines(boxes: List[Tuple[int, int, int, int]]) -> List[List[Tuple[int, int, int, int]]]:
         lines: List[List[Tuple[int, int, int, int]]] = []
+        extents: List[List[int]] = []  # running [ly0, ly1] per line — the
+        # per-box min/max genexprs over every line were the hot loop here
         for box in sorted(boxes, key=lambda b: b[0]):
             y0, y1 = box[0], box[1]
             placed = False
-            for line in lines:
-                ly0 = min(b[0] for b in line)
-                ly1 = max(b[1] for b in line)
+            for line, ext in zip(lines, extents):
+                ly0, ly1 = ext
                 overlap = min(y1, ly1) - max(y0, ly0)
                 if overlap > 0.4 * min(y1 - y0, ly1 - ly0, 10**9) or (
                     overlap > 0 and (y1 - y0) < 6
                 ):
                     line.append(box)
+                    ext[0] = min(ly0, y0)
+                    ext[1] = max(ly1, y1)
                     placed = True
                     break
             if not placed:
                 lines.append([box])
+                extents.append([y0, y1])
         for line in lines:
             line.sort(key=lambda b: b[2])
         lines.sort(key=lambda l: min(b[0] for b in l))

@@ -205,3 +205,19 @@ def test_png_predictor_vectorized_parity():
     # malformed inputs degrade to None, never raise
     assert _undo_png_predictor(b"\x09" + b"\x00" * 10, 10, 1, 1) is None
     assert _undo_png_predictor(b"", 10, 10, 1) is None
+
+
+def test_components_scipy_matches_python_oracle():
+    """The C labeling path must produce the same 4-connected boxes as the
+    pure-Python union-find it replaced."""
+    import numpy as np
+
+    from automative_rag_tpu.ingestion.ocr import GlyphAtlasOCR
+
+    rng = np.random.default_rng(11)
+    for shape, density in [((60, 80), 0.2), ((40, 40), 0.5), ((16, 16), 0.05)]:
+        ink = rng.random(shape) < density
+        got = sorted(GlyphAtlasOCR._components(ink))
+        want = sorted(GlyphAtlasOCR._components_py(ink))
+        assert got == want
+    assert GlyphAtlasOCR._components(np.zeros((8, 8), bool)) == []
