@@ -778,15 +778,15 @@ def build_api(app: RAGApplication) -> HTTPApi:
         emit("rag_index_rows", h["index"].get("count", 0), "live indexed chunks")
         emit("rag_index_hbm_bytes", h["index"].get("hbm_bytes", 0),
              "device bytes held by the vector index")
-        first = True
-        for status, n in h["jobs"].items():
-            if status == "total":
-                continue
-            if first:
-                lines.append("# HELP rag_jobs job count by status")
-                lines.append("# TYPE rag_jobs gauge")
-                first = False
-            emit("rag_jobs", n, labels={"status": status})
+        from ..orchestration.job_tracker import JobStatus
+
+        lines.append("# HELP rag_jobs job count by status")
+        lines.append("# TYPE rag_jobs gauge")
+        for status in JobStatus:
+            # every status series exists from scrape one (no gaps when the
+            # first job of a status appears mid-retention-window)
+            emit("rag_jobs", h["jobs"].get(status.value, 0),
+                 labels={"status": status.value})
         for metric, help_text, mtype in (
             ("enqueued", "tasks enqueued", "counter"),
             ("completed", "tasks completed", "counter"),

@@ -64,6 +64,8 @@ class AnalyticsService:
         return {
             "total_queries": len(events),
             "by_mode": dict(modes),
+            "top_mode": modes.most_common(1)[0][0],
+            "avg_latency_s": round(sum(latencies) / len(latencies), 4),
             "latency_p50_s": latencies[len(latencies) // 2],
             "latency_p95_s": latencies[int(len(latencies) * 0.95) - 1],
             "avg_confidence": (

@@ -823,7 +823,7 @@ async function loadSystem() {
     <div class="stat"><b>${an.total_queries ?? 0}</b><span>总查询数</span></div>
     <div class="stat"><b>${an.avg_latency_s != null ? (an.avg_latency_s*1000).toFixed(0)+"ms" : "—"}</b><span>平均时延</span></div>
     <div class="stat"><b>${esc(an.top_mode || "—")}</b><span>最常用模式</span></div>
-    <div class="stat"><b>${(an.top_terms||[]).slice(0,3).map(esc).join(" / ") || "—"}</b><span>热门词</span></div></div>`;
+    <div class="stat"><b>${(an.top_terms||[]).slice(0,3).map(t => esc(t[0])).join(" / ") || "—"}</b><span>热门词</span></div></div>`;
 }
 
 $("nav").innerHTML = TABS.map(([t,label]) =>

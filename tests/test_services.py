@@ -149,6 +149,10 @@ def test_analytics_service(app):
     assert summary["total_queries"] == 2
     assert summary["by_mode"] == {"facts": 1, "features": 1}
     assert summary["avg_confidence"] == 77.5
+    # the UI analytics card binds these directly (使用分析 view)
+    assert summary["avg_latency_s"] == 0.65
+    assert summary["top_mode"] in ("facts", "features")
+    assert all(isinstance(t, tuple) and len(t) == 2 for t in summary["top_terms"])
     assert analytics.history(1)[0]["query"] == "特斯拉续航"
     hits = analytics.suggestions("宝马")
     assert any("宝马" in h for h in hits)
