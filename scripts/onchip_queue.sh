@@ -22,6 +22,9 @@ run() {
   echo "$(date -u +%FT%TZ) END $name rc=$?" >> "$LOG"
 }
 
+# 0. quick: live-insert IVF latency proof (bucketed tail slab)
+run ivf_tail python scripts/bench_ivf_tail.py --out BENCH_IVF_TAIL_r03.json
+
 # 1. w4a16 unpack A/B (decode is VPU-unpack-bound; the lever on int4 tok/s)
 run tune_w4 python scripts/tune_w4.py --out W4_TUNE_r03.json
 

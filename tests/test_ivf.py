@@ -501,3 +501,54 @@ def test_filtered_escalation_stops_when_all_matches_found():
     hits = idx.search(vecs[0], 20, {"manufacturer": "rare"})[0]
     assert 1 <= len(hits) <= 3
     assert all(h.document.metadata["manufacturer"] == "rare" for h in hits)
+
+
+def test_tail_slab_and_built_state_survive_appends(rng):
+    """Appends must NOT invalidate the built device slab (at 1M rows that
+    is a ~2 GB restage per insert) and the fresh tail must be searched from
+    its own bucketed slab, exactly, with filters respected."""
+    import numpy as np
+
+    from automative_rag_tpu.index.ivf import IVFIndex
+    from tests.test_compaction import _mk_docs, _mk_vectors
+
+    index = IVFIndex(dim=64, n_lists=8, n_probe=8)
+    index.add(_mk_vectors(rng, 300), _mk_docs(300))
+    index.rebuild()
+    q = _mk_vectors(rng, 1)
+    index.search(q, 5)  # stage the built slab
+    built_before = index._device
+    assert built_before is not None
+
+    tail_docs = _mk_docs(7, prefix="t")
+    tail_vecs = _mk_vectors(rng, 7)
+    index.add(tail_vecs, tail_docs)
+    assert index._device is built_before  # pure append: built slab survives
+    assert index.tail_rows == 7
+
+    # a tail row must be findable — query exactly its vector
+    hits = index.search(tail_vecs[2:3], 3)[0]
+    assert hits and hits[0].document.id == "t2"
+    # and the tail respects metadata filters
+    want = tail_docs[2].metadata["manufacturer"]
+    hits = index.search(tail_vecs[2:3], 3, {"manufacturer": want})[0]
+    assert hits and hits[0].document.metadata["manufacturer"] == want
+
+    # deleting a tail row drops it from results without touching built rows
+    index.delete_by_ids(["t2"])
+    hits = index.search(tail_vecs[2:3], 3)[0]
+    assert all(h.document.id != "t2" for h in hits)
+
+    # upsert (tombstones a BUILT row) must invalidate the built slab —
+    # a stale validity mask would resurrect the old row in probes
+    index.search(q, 5)
+    built = index._device
+    redo = _mk_docs(1)  # same id "d0" → tombstone + re-append
+    index.add(_mk_vectors(rng, 1), redo)
+    assert index._device is not built
+
+    # rebuild folds the tail
+    index.rebuild()
+    assert index.tail_rows == 0
+    hits = index.search(tail_vecs[3:4], 3)[0]
+    assert hits and hits[0].document.id == "t3"
