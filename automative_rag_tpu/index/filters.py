@@ -284,3 +284,39 @@ def eval_filter_mask(
         )
         mask = mask & cond
     return mask
+
+
+def eval_filter_mask_np(
+    codes: np.ndarray,  # int32 [n_keyword_fields, N]
+    numerics: np.ndarray,  # int32 [n_numeric_fields, N]
+    spec: FilterSpec,
+) -> np.ndarray:
+    """Host (numpy) mirror of ``eval_filter_mask`` — for row sets small
+    enough that a device round-trip costs more than the scan (the IVF
+    fresh tail). Semantics identical by construction; pinned against the
+    jnp version in tests."""
+    kind_a = np.asarray(spec.kind)
+    field_a = np.asarray(spec.field)
+    terms_a = np.asarray(spec.terms)
+    tvalid_a = np.asarray(spec.term_valid)
+    lo_a, hi_a = np.asarray(spec.lo), np.asarray(spec.hi)
+    n = codes.shape[1]
+    mask = np.ones(n, bool)
+    n_kw, n_num = codes.shape[0], numerics.shape[0]
+    for c in range(MAX_CONDITIONS):
+        kind = int(kind_a[c])
+        if kind == KIND_INACTIVE:
+            continue
+        if kind == KIND_KEYWORD_SET:
+            col = codes[min(max(int(field_a[c]), 0), n_kw - 1)]
+            cond = ((col[:, None] == terms_a[c][None, :])
+                    & tvalid_a[c][None, :]).any(-1)
+        elif kind == KIND_NUMERIC_SET:
+            col = numerics[min(max(int(field_a[c]), 0), n_num - 1)]
+            cond = ((col[:, None] == terms_a[c][None, :])
+                    & tvalid_a[c][None, :]).any(-1)
+        else:  # KIND_NUMERIC_RANGE
+            col = numerics[min(max(int(field_a[c]), 0), n_num - 1)]
+            cond = (col >= lo_a[c]) & (col <= hi_a[c])
+        mask &= cond
+    return mask

@@ -24,7 +24,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..index.filters import FilterSpec, eval_filter_mask
+from ..index.filters import FilterSpec, eval_filter_mask, eval_filter_mask_np
 from ..index.flat import SearchResult
 from ..index.ivf import choose_probe, probe_ladder
 from ..ops.kmeans import spherical_kmeans
@@ -190,6 +190,59 @@ class ShardedIVFIndex(ShardedFlatIndex):
     def tail_rows(self) -> int:
         return len(self._ids) - self._indexed_rows
 
+    # ------------------------------------------------------------ mutation
+    def add(self, vectors, documents, normalize: bool = True) -> List[str]:
+        """Pure appends within the built capacity bucket keep the sharded
+        device slab resident (restaging shards the whole corpus across the
+        mesh — multi-GB at scale); the fresh rows are searched on the HOST
+        (``_host_tail_top_k``) so they need no device placement at all.
+        Upserts (which tombstone a built row) still invalidate — a stale
+        validity mask would resurrect the old row in probes."""
+        with self._mutex:
+            built_state = self._device
+            n_before = len(self._ids)
+            deleted_before = int(self._deleted.sum())
+            ids = super().add(vectors, documents, normalize)
+            if (
+                built_state is not None
+                and self._centroids is not None
+                and self._capacity(len(self._ids)) == self._built_capacity
+                and int(self._deleted[:n_before].sum()) == deleted_before
+            ):
+                self._device = built_state
+        return ids
+
+    def _host_tail_top_k(self, queries: np.ndarray, spec, k: int):
+        """Exact top-k over the fresh tail, computed on the host: the tail
+        is small (rebuild folds it), so a numpy dot beats staging a sharded
+        device slab and paying a dispatch per query. Returns (vals, GLOBAL
+        rows) padded to k with -inf/-1, or None when there is no tail."""
+        with self._mutex:
+            start = self._indexed_rows
+            n = len(self._ids)
+            if n <= start:
+                return None
+            vecs = np.array(self._vectors[start:n], np.float32)
+            valid = ~self._deleted[start:n]
+            codes = np.array(self.columns.codes[:, start:n])
+            numerics = np.array(self.columns.numerics[:, start:n])
+        mask = valid & eval_filter_mask_np(codes, numerics, spec)
+        scores = queries.astype(np.float32) @ vecs.T  # [B, t]
+        scores = np.where(mask[None, :], scores, -np.inf)
+        t = scores.shape[1]
+        k_t = min(k, t)
+        idx = np.argpartition(-scores, k_t - 1, axis=1)[:, :k_t]
+        vals = np.take_along_axis(scores, idx, axis=1)
+        order = np.argsort(-vals, axis=1)
+        vals = np.take_along_axis(vals, order, axis=1)
+        rows = (np.take_along_axis(idx, order, axis=1) + start).astype(np.int64)
+        rows = np.where(np.isfinite(vals), rows, -1)
+        if k_t < k:
+            pad = ((0, 0), (0, k - k_t))
+            vals = np.pad(vals, pad, constant_values=-np.inf)
+            rows = np.pad(rows, pad, constant_values=-1)
+        return vals, rows
+
     def _built(self) -> bool:
         if self._centroids is None:
             return False
@@ -342,13 +395,19 @@ class ShardedIVFIndex(ShardedFlatIndex):
         else:
             nprobe = base
 
+        # fresh tail: computed ONCE on the host (no device placement, no
+        # extra dispatch, no with_tail executable fork) and merged into
+        # every probe-width's results below
+        tail = (self._host_tail_top_k(queries, spec, k_eff)
+                if self.tail_rows > 0 else None)
+
         def _run(nprobe_now: int):
-            key = (k_eff, nprobe_now, self.tail_rows > 0, self._int8)
+            key = (k_eff, nprobe_now, self._int8)
             fn = self._ivf_search_fns.get(key)
             if fn is None:
                 fn = make_sharded_ivf_search(
                     self.mesh, self.axis_name, nprobe_now, k_eff,
-                    with_tail=self.tail_rows > 0, int8=self._int8,
+                    with_tail=False, int8=self._int8,
                 )
                 self._ivf_search_fns[key] = fn
             vals, rows = fn(
@@ -357,7 +416,15 @@ class ShardedIVFIndex(ShardedFlatIndex):
                 state["list_table"], jnp.asarray(queries), spec,
                 jnp.int32(self._indexed_rows),
             )
-            return np.asarray(vals), np.asarray(rows)
+            vals, rows = np.asarray(vals), np.asarray(rows)
+            if tail is not None:
+                all_vals = np.concatenate([vals, tail[0]], axis=1)
+                all_rows = np.concatenate([rows.astype(np.int64), tail[1]],
+                                          axis=1)
+                order = np.argsort(-all_vals, axis=1)[:, :k_eff]
+                vals = np.take_along_axis(all_vals, order, axis=1)
+                rows = np.take_along_axis(all_rows, order, axis=1)
+            return vals, rows
 
         vals, rows = _run(nprobe)
         if metadata_filter:

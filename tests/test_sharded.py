@@ -236,3 +236,75 @@ def test_sharded_ivf_int8(rng, mesh):
     assert flt_hits
     for r in flt_hits:
         assert r.document.metadata["manufacturer"] == "manu-2"
+
+
+def test_sharded_ivf_built_slab_survives_appends(rng, mesh):
+    """Pure appends within the capacity bucket must keep the sharded device
+    slab resident (restaging shards the whole corpus across the mesh) and
+    the host-searched tail must respect metadata filters."""
+    from automative_rag_tpu.parallel import ShardedIVFIndex
+
+    n, dim = 1500, 64
+    vectors = rng.normal(size=(n, dim)).astype(np.float32)
+    docs = [Document(page_content=f"d{i}",
+                     metadata={"manufacturer": f"manu-{i % 4}"})
+            for i in range(n)]
+    index = ShardedIVFIndex(dim=dim, mesh=mesh, device_dtype="float32",
+                            n_lists=8, n_probe=8)
+    index.add(vectors, docs)
+    index.rebuild()
+    q = rng.normal(size=(1, dim)).astype(np.float32)
+    index.search(q, 5)
+    built = index._device
+    assert built is not None
+
+    tail_v = rng.normal(size=(3, dim)).astype(np.float32)
+    index.add(tail_v, [
+        Document(page_content=f"t{i}", metadata={"manufacturer": "manu-9"})
+        for i in range(3)
+    ])
+    assert index._device is built  # pure in-bucket append: slab survives
+    assert index.tail_rows == 3
+
+    # tail rows findable, exactly, including under a filter only they match
+    hits = index.search(tail_v[1:2], 3)[0]
+    assert hits[0].document.page_content == "t1"
+    hits = index.search(tail_v[1:2], 3, {"manufacturer": "manu-9"})[0]
+    assert len(hits) == 3
+    assert all(h.document.metadata["manufacturer"] == "manu-9" for h in hits)
+
+    # deleting a tail row removes it from results
+    victim = hits[0].document.id
+    index.delete_by_ids([victim])
+    hits = index.search(tail_v[1:2], 5, {"manufacturer": "manu-9"})[0]
+    assert all(h.document.id != victim for h in hits) and len(hits) == 2
+
+
+def test_filter_mask_np_matches_jnp(rng):
+    """The host filter evaluator (tail path) must agree with the jitted one
+    for every condition kind."""
+    from automative_rag_tpu.index.filters import (
+        MetadataColumns, compile_filter, eval_filter_mask,
+        eval_filter_mask_np,
+    )
+
+    cols = MetadataColumns()
+    metas = [
+        {"manufacturer": f"m{i % 5}", "model": f"x{i % 7}",
+         "year": 2010 + (i % 12), "source": ["pdf", "video"][i % 2]}
+        for i in range(64)
+    ]
+    cols.append_rows(metas, 64)
+    for flt in (
+        {"manufacturer": "m1"},
+        {"manufacturer": ["m1", "m3"], "source": "pdf"},
+        {"year": 2015},
+        {"year": {"gte": 2012, "lte": 2018}},
+        {"year": [2011, 2013], "model": "x2"},
+        {},
+    ):
+        spec = compile_filter(flt, cols)
+        want = np.asarray(eval_filter_mask(
+            jnp.asarray(cols.codes[:, :64]), jnp.asarray(cols.numerics[:, :64]), spec))
+        got = eval_filter_mask_np(cols.codes[:, :64], cols.numerics[:, :64], spec)
+        np.testing.assert_array_equal(got, want, err_msg=str(flt))
