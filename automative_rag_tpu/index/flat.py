@@ -38,6 +38,7 @@ from .filters import (
     MetadataColumns,
     compile_filter,
     eval_filter_mask,
+    eval_filter_mask_np,
 )
 
 
@@ -154,6 +155,7 @@ class FlatIndex:
             doc.stamp_ingestion()
 
         with self._mutex:
+            state = self._device
             start = len(self._ids)
             n_new = len(documents)
             capacity = _round_capacity(start + n_new)
@@ -162,17 +164,39 @@ class FlatIndex:
             self._deleted = np.concatenate([self._deleted, np.zeros(n_new, bool)])
             self.columns.append_rows([d.metadata for d in documents], capacity)
             new_ids = []
+            upserted = False
             for i, doc in enumerate(documents):
                 row = start + i
                 if doc.id in self._row_of_id:
                     # upsert: tombstone the previous row
                     self._deleted[self._row_of_id[doc.id]] = True
+                    upserted = True
                 self._row_of_id[doc.id] = row
                 self._ids.append(doc.id)
                 self._docs.append(doc)
                 new_ids.append(doc.id)
             self._device = None
+            if (
+                state is not None
+                and not upserted
+                and start + n_new - state.get("staged_rows", 0)
+                <= self._tail_fold_threshold(state)
+            ):
+                # pure append under the fold threshold: keep the staged slab
+                # resident (restaging is a full host→HBM transfer of the
+                # corpus — ~2 GB at 1M×1024 bf16); rows ≥ staged_rows are
+                # searched on the host until the tail folds. An upsert
+                # tombstones a STAGED row, whose stale validity would
+                # resurrect it — that path restages.
+                self._device = state
         return new_ids
+
+    @staticmethod
+    def _tail_fold_threshold(state: dict) -> int:
+        """Host-searched tail budget before the next search restages: 1% of
+        the staged corpus, floor 1024 rows — the host exact scan at that
+        size costs less than the restage it defers."""
+        return max(1024, state.get("staged_rows", 0) // 100)
 
     def delete_by_ids(self, ids: Sequence[str]) -> int:
         deleted = 0
@@ -250,6 +274,8 @@ class FlatIndex:
             "codes": jnp.asarray(self.columns.codes[:, :capacity]),
             "numerics": jnp.asarray(self.columns.numerics[:, :capacity]),
             "capacity": capacity,
+            "staged_rows": n,  # rows the slab covers; later appends are
+            # host-searched (see add / _host_tail_top_k) until folded
         }
         if self._int8:
             scales = np.abs(vectors).max(axis=1) / 127.0
@@ -273,6 +299,44 @@ class FlatIndex:
             return compile_filter(metadata_filter, self.columns), True
         except FilterError:
             return FilterSpec.match_all(), False
+
+    def _host_tail_top_k(self, queries: np.ndarray, spec, k: int,
+                         start: int):
+        """Exact top-k over host-only rows [start, n) — the appends since
+        the device slab was staged. Small by construction (``add`` folds
+        the tail past ``_tail_fold_threshold``), so a numpy dot beats
+        restaging the corpus. Returns (vals, rows) padded to k, or None."""
+        with self._mutex:
+            n = len(self._ids)
+            if n <= start:
+                return None
+            vecs = np.array(self._vectors[start:n], np.float32)
+            valid = ~self._deleted[start:n]
+            codes = np.array(self.columns.codes[:, start:n])
+            numerics = np.array(self.columns.numerics[:, start:n])
+        mask = valid & eval_filter_mask_np(codes, numerics, spec)
+        scores = queries.astype(np.float32) @ vecs.T
+        scores = np.where(mask[None, :], scores, -np.inf)
+        k_t = min(k, scores.shape[1])
+        idx = np.argpartition(-scores, k_t - 1, axis=1)[:, :k_t]
+        vals = np.take_along_axis(scores, idx, axis=1)
+        order = np.argsort(-vals, axis=1)
+        vals = np.take_along_axis(vals, order, axis=1)
+        rows = (np.take_along_axis(idx, order, axis=1) + start).astype(np.int64)
+        rows = np.where(np.isfinite(vals), rows, -1)
+        if k_t < k:
+            pad = ((0, 0), (0, k - k_t))
+            vals = np.pad(vals, pad, constant_values=-np.inf)
+            rows = np.pad(rows, pad, constant_values=-1)
+        return vals, rows
+
+    @staticmethod
+    def _merge_host_tail(values, indices, tail, k: int):
+        all_vals = np.concatenate([values, tail[0]], axis=1)
+        all_rows = np.concatenate([indices.astype(np.int64), tail[1]], axis=1)
+        order = np.argsort(-all_vals, axis=1)[:, :k]
+        return (np.take_along_axis(all_vals, order, axis=1),
+                np.take_along_axis(all_rows, order, axis=1))
 
     def search(
         self,
@@ -310,6 +374,10 @@ class FlatIndex:
             )
         values = np.asarray(values)
         indices = np.asarray(indices)
+        tail = self._host_tail_top_k(queries, spec, k_eff,
+                                     state["staged_rows"])
+        if tail is not None:
+            values, indices = self._merge_host_tail(values, indices, tail, k_eff)
 
         out: List[List[SearchResult]] = []
         for b in range(values.shape[0]):
@@ -338,7 +406,19 @@ class FlatIndex:
         if metadata_filter and not ok:
             return []
         mask = np.asarray(_mask_kernel(state["valid"], state["codes"], state["numerics"], spec))
-        return [int(r) for r in np.nonzero(mask)[0]]
+        rows = [int(r) for r in np.nonzero(mask)[0]]
+        # host-only tail rows (appends since staging) scan on the host
+        start = state["staged_rows"]
+        with self._mutex:
+            n = len(self._ids)
+            if n > start:
+                tail_mask = (~self._deleted[start:n]) & eval_filter_mask_np(
+                    np.array(self.columns.codes[:, start:n]),
+                    np.array(self.columns.numerics[:, start:n]),
+                    spec,
+                )
+                rows.extend(int(start + r) for r in np.nonzero(tail_mask)[0])
+        return rows
 
     def metadata_search(
         self,

@@ -24,7 +24,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..index.filters import FilterSpec, eval_filter_mask, eval_filter_mask_np
+from ..index.filters import FilterSpec, eval_filter_mask
 from ..index.flat import SearchResult
 from ..index.ivf import choose_probe, probe_ladder
 from ..ops.kmeans import spherical_kmeans
@@ -212,36 +212,9 @@ class ShardedIVFIndex(ShardedFlatIndex):
                 self._device = built_state
         return ids
 
-    def _host_tail_top_k(self, queries: np.ndarray, spec, k: int):
-        """Exact top-k over the fresh tail, computed on the host: the tail
-        is small (rebuild folds it), so a numpy dot beats staging a sharded
-        device slab and paying a dispatch per query. Returns (vals, GLOBAL
-        rows) padded to k with -inf/-1, or None when there is no tail."""
-        with self._mutex:
-            start = self._indexed_rows
-            n = len(self._ids)
-            if n <= start:
-                return None
-            vecs = np.array(self._vectors[start:n], np.float32)
-            valid = ~self._deleted[start:n]
-            codes = np.array(self.columns.codes[:, start:n])
-            numerics = np.array(self.columns.numerics[:, start:n])
-        mask = valid & eval_filter_mask_np(codes, numerics, spec)
-        scores = queries.astype(np.float32) @ vecs.T  # [B, t]
-        scores = np.where(mask[None, :], scores, -np.inf)
-        t = scores.shape[1]
-        k_t = min(k, t)
-        idx = np.argpartition(-scores, k_t - 1, axis=1)[:, :k_t]
-        vals = np.take_along_axis(scores, idx, axis=1)
-        order = np.argsort(-vals, axis=1)
-        vals = np.take_along_axis(vals, order, axis=1)
-        rows = (np.take_along_axis(idx, order, axis=1) + start).astype(np.int64)
-        rows = np.where(np.isfinite(vals), rows, -1)
-        if k_t < k:
-            pad = ((0, 0), (0, k - k_t))
-            vals = np.pad(vals, pad, constant_values=-np.inf)
-            rows = np.pad(rows, pad, constant_values=-1)
-        return vals, rows
+# the fresh-tail host search itself is FlatIndex._host_tail_top_k
+# (inherited); the IVF path calls it with start=_indexed_rows (the build
+# boundary) while the exact fallback uses the staging watermark.
 
     def _built(self) -> bool:
         if self._centroids is None:
@@ -398,7 +371,8 @@ class ShardedIVFIndex(ShardedFlatIndex):
         # fresh tail: computed ONCE on the host (no device placement, no
         # extra dispatch, no with_tail executable fork) and merged into
         # every probe-width's results below
-        tail = (self._host_tail_top_k(queries, spec, k_eff)
+        tail = (self._host_tail_top_k(queries, spec, k_eff,
+                                      self._indexed_rows)
                 if self.tail_rows > 0 else None)
 
         def _run(nprobe_now: int):

@@ -144,6 +144,8 @@ class ShardedFlatIndex(FlatIndex):
             "codes": jax.device_put(self.columns.codes[:, :capacity], col_sharded),
             "numerics": jax.device_put(self.columns.numerics[:, :capacity], col_sharded),
             "capacity": capacity,
+            "staged_rows": n,  # later pure appends are host-searched until
+            # folded (FlatIndex.add preserve + _host_tail_top_k)
         }
         return self._device
 
@@ -174,6 +176,10 @@ class ShardedFlatIndex(FlatIndex):
             state["codes"], state["numerics"], jnp.asarray(queries), spec,
         )
         values, indices = np.asarray(values), np.asarray(indices)
+        tail = self._host_tail_top_k(queries, spec, k_eff,
+                                     state["staged_rows"])
+        if tail is not None:
+            values, indices = self._merge_host_tail(values, indices, tail, k_eff)
         out: List[List[SearchResult]] = []
         for b in range(values.shape[0]):
             hits = []

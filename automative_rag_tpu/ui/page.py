@@ -496,7 +496,7 @@ async function pollQuery(jobId, t0) {
       <span class="badge ${v.status==="passed"?"ok":v.status==="warning"?"warn":"bad"}">
       ${v.status} · ${v.confidence}</span></h4>` +
       Object.entries(v.steps).map(([k,s]) => {
-        const pct = Math.round(Math.max(0, Math.min(1, +s.score)) * 100);
+        const pct = Math.round(Math.max(0, Math.min(100, +s.score)));  // scores are 0-100
         const color = pct >= 70 ? "var(--ok)" : pct >= 40 ? "var(--warn)" : "var(--bad)";
         return `<div class="src">${esc(k)} — ${esc(s.detail)}
           <div style="background:#22263a;border-radius:4px;height:6px;margin-top:4px">

@@ -191,3 +191,87 @@ def test_int8_filtered_search(rng, corpus):
     assert hits
     for r in hits:
         assert r.document.metadata["manufacturer"] == "manu-1"
+
+
+def test_flat_live_appends_keep_slab_resident(rng):
+    """Pure appends under the fold threshold keep the staged device slab
+    (restaging is a full host->HBM corpus transfer); the fresh rows are
+    host-searched and must honor filters, deletes, and metadata scans."""
+    import numpy as np
+
+    from automative_rag_tpu.documents import Document
+    from automative_rag_tpu.index.flat import FlatIndex
+
+    def mk(n, prefix="d"):
+        v = rng.normal(size=(n, 32)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        docs = [Document(page_content=f"{prefix}{i}",
+                         metadata={"manufacturer": f"m{i % 3}", "year": 2020},
+                         id=f"{prefix}{i}") for i in range(n)]
+        return v, docs
+
+    index = FlatIndex(dim=32)
+    v, docs = mk(200)
+    index.add(v, docs)
+    q = rng.normal(size=(1, 32)).astype(np.float32)
+    index.search(q, 5)  # stage
+    staged = index._device
+    assert staged is not None and staged["staged_rows"] == 200
+
+    tv, tdocs = mk(4, prefix="t")
+    for d in tdocs:
+        d.metadata["manufacturer"] = "m9"
+    index.add(tv, tdocs)
+    assert index._device is staged  # pure append: slab survives
+
+    hits = index.search(tv[1:2], 3)[0]
+    assert hits[0].document.id == "t1"
+    hits = index.search(tv[1:2], 5, {"manufacturer": "m9"})[0]
+    assert len(hits) == 4
+    # metadata scan sees host-tail rows
+    assert {d.id for d in index.metadata_search({"manufacturer": "m9"})} == {
+        "t0", "t1", "t2", "t3"
+    }
+    # delete a tail row
+    index.delete_by_ids(["t1"])
+    hits = index.search(tv[1:2], 5, {"manufacturer": "m9"})[0]
+    assert all(h.document.id != "t1" for h in hits) and len(hits) == 3
+
+    # upsert of a staged row must restage (stale validity would resurrect it)
+    index.search(q, 5)
+    staged = index._device
+    redo_v, redo_docs = mk(1)  # id d0 again
+    index.add(redo_v, redo_docs)
+    assert index._device is not staged
+
+    # exceeding the fold threshold restages on the next search
+    index.search(q, 5)
+    big_v, big_docs = mk(1500, prefix="big")
+    index.add(big_v, big_docs)
+    assert index._device is None  # 1500 > max(1024, staged//100)
+    index.search(q, 5)
+    assert index._device["staged_rows"] == index.total_rows
+
+
+def test_sharded_flat_live_appends(rng):
+    import jax
+    import numpy as np
+    import pytest as _pytest
+
+    from automative_rag_tpu.documents import Document
+    from automative_rag_tpu.parallel import ShardedFlatIndex, make_mesh
+
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs the virtual mesh")
+    v = rng.normal(size=(500, 32)).astype(np.float32)
+    docs = [Document(page_content=f"d{i}", metadata={}) for i in range(500)]
+    index = ShardedFlatIndex(dim=32, mesh=make_mesh(8))
+    index.add(v, docs)
+    q = rng.normal(size=(1, 32)).astype(np.float32)
+    index.search(q, 5)
+    staged = index._device
+    tv = rng.normal(size=(2, 32)).astype(np.float32)
+    index.add(tv, [Document(page_content=f"t{i}", metadata={}) for i in range(2)])
+    assert index._device is staged
+    hits = index.search(tv[0:1], 3)[0]
+    assert hits[0].document.page_content == "t0"
