@@ -918,13 +918,44 @@ def build_api(app: RAGApplication) -> HTTPApi:
         )
         removed = app.tracker.cleanup_old_jobs(max_age_days)
         stalled = app.tracker.mark_stalled_jobs()
+        timeouts = [
+            {"task": i.task_name, "job_id": i.job_id, "instance": i.instance_id}
+            for i in app.task_model.sweep_timeouts()
+        ]
         # terminal chain states age out on the reference's 24h-TTL schedule
         # (or sooner if the job retention window is shorter)
         pruned = app.job_chain.prune_terminal(
             min(max_age_days * 86400.0, 86400.0)
         )
+        tasks_pruned = app.task_model.prune(max_age_days * 86400.0)
         return {"removed": removed, "marked_stalled": stalled,
-                "chains_pruned": pruned}
+                "chains_pruned": pruned, "task_timeouts": timeouts,
+                "task_rows_pruned": tasks_pruned}
+
+    @router.get("/system/tasks")
+    def task_statistics(req: Request):
+        """Task-instance table statistics (reference TaskModel statistics,
+        src/models/task_models.py:140-474): per-status counts and average
+        durations across every executed step, retries included."""
+        return app.task_model.statistics()
+
+    @router.get("/system/tasks/{job_id}")
+    def task_instances(req: Request):
+        """Per-job execution rows — one per attempt, so a flaky step shows
+        its failed tries next to the eventual success."""
+        job_id = req.params["job_id"]
+        rows = [
+            {
+                "instance_id": i.instance_id,
+                "task": i.task_name,
+                "status": i.status,
+                "attempts": i.attempts,
+                "duration_s": round(i.duration_s, 4) if i.duration_s is not None else None,
+                "error": i.error,
+            }
+            for i in app.task_model.for_job(job_id)
+        ]
+        return {"job_id": job_id, "instances": rows}
 
     # ------------------------------------------------------------ model
     @router.get("/model/config")

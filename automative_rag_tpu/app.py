@@ -33,6 +33,7 @@ from .models.encoder import EncoderConfig
 from .orchestration.job_chain import JobChain
 from .orchestration.job_tracker import JobStatus, JobTracker
 from .orchestration.queue_manager import QueueManager
+from .orchestration.task_models import TaskModel
 from .orchestration.task_router import JobType, TaskRouter
 from .rerank.reranker import LateInteractionReranker
 from .rerank.token_store import TokenStore
@@ -202,10 +203,12 @@ class RAGApplication:
             concurrency={"llm_tasks": self.settings.llm_concurrency},
         )
         self.task_router = TaskRouter(self.queue_manager)
+        self.task_model = TaskModel()
         self.job_chain = JobChain(
             self.tracker,
             self.task_router,
             persist_path=self.settings.chain_persist_path or None,
+            task_model=self.task_model,
         )
         self._register_tasks()
         self._lock = threading.RLock()

@@ -17,6 +17,8 @@ from enum import Enum
 from typing import Any, Dict, List, Optional
 
 from .job_tracker import JobStatus, JobTracker
+from .queue_manager import RETRY_POLICIES, RetryPolicy
+from .task_models import TASK_CATALOG, TaskModel
 from .task_router import TaskRouter
 from .workflows import get_workflow_for_job_type
 
@@ -35,9 +37,16 @@ class JobChain:
         job_tracker: JobTracker,
         task_router: TaskRouter,
         persist_path: Optional[str] = None,
+        task_model: Optional[TaskModel] = None,
+        retry_backoff_s: Optional[float] = None,
     ):
         self.tracker = job_tracker
         self.router = task_router
+        # per-execution instance rows (timings, timeout sweep, statistics);
+        # each retry is its own row so the table shows the flakiness
+        self.task_model = task_model
+        # override for tests: None → the step's queue RetryPolicy backoff
+        self.retry_backoff_s = retry_backoff_s
         self._chains: Dict[str, Dict[str, Any]] = {}
         self._lock = threading.RLock()
         self._persist_path = persist_path
@@ -79,13 +88,25 @@ class JobChain:
             self._chains = {}
 
     def resume_incomplete(self) -> int:
-        """Re-execute the current step of every restored unfinished chain
-        (call after restart, once executors are registered)."""
+        """Re-execute the current step of every restored chain that was
+        mid-flight at shutdown (call after restart, once executors are
+        registered). Terminal chains — completed or failed — never resume:
+        a FAILED chain exhausted its retries and released its payload, so
+        re-driving it would only re-fail with a misleading missing-data
+        error on every boot."""
         with self._lock:
-            pending = [
-                jid for jid, chain in self._chains.items()
-                if not chain.get("paused") and chain["current"] < len(chain["steps"])
-            ]
+            pending = []
+            for jid, chain in self._chains.items():
+                if (
+                    chain.get("paused")
+                    or chain["current"] >= len(chain["steps"])
+                    or chain.get("completed_at") or chain.get("failed_at")
+                ):
+                    continue
+                # fresh process, fresh retry budget for the in-flight step
+                step = chain["steps"][chain["current"]]
+                chain.get("step_attempts", {}).pop(step, None)
+                pending.append(jid)
         for job_id in pending:
             self._execute_current(job_id)
         return len(pending)
@@ -132,11 +153,22 @@ class JobChain:
 
         def _run(job_id_, payload_):
             fn = self.router._executors[task_name]
+            inst = (
+                self.task_model.create(task_name, job_id_)
+                if self.task_model is not None else None
+            )
+            if inst is not None:
+                self.task_model.mark_running(inst.instance_id)
             try:
                 result = fn(job_id_, payload_)
             except Exception as exc:  # noqa: BLE001 — chain owns failure policy
-                self.task_failed(job_id_, task_name, f"{type(exc).__name__}: {exc}")
+                error = f"{type(exc).__name__}: {exc}"
+                if inst is not None:
+                    self.task_model.mark_done(inst.instance_id, error=error)
+                self._step_errored(job_id_, task_name, error)
                 return
+            if inst is not None:
+                self.task_model.mark_done(inst.instance_id)
             self.task_completed(job_id_, task_name, result or {})
 
         self.router.queue_manager.enqueue(
@@ -146,6 +178,43 @@ class JobChain:
             job_id,
             payload,
         )
+
+    def _step_errored(self, job_id: str, task_name: str, error: str) -> None:
+        """Failure policy: retry the step up to its catalog budget with the
+        queue's backoff (reference parity: Dramatiq actor retries,
+        queue_manager.py:316-359 / task_models.py:140-474 max_retries);
+        only an exhausted budget fails the job."""
+        spec = TASK_CATALOG.get(task_name)
+        queue_name = self.router.get_queue_for_task(task_name)
+        policy = RETRY_POLICIES.get(queue_name, RetryPolicy())
+        max_retries = spec.max_retries if spec else policy.max_retries
+        with self._lock:
+            chain = self._chains.get(job_id)
+            if chain is None:
+                return
+            attempts = chain.setdefault("step_attempts", {})
+            attempt = attempts.get(task_name, 0)
+            if attempt >= max_retries:
+                total = attempt + 1
+                self.task_failed(
+                    job_id, task_name,
+                    error if total == 1 else f"{error} (after {total} attempts)",
+                )
+                return
+            attempts[task_name] = attempt + 1
+        delay = (
+            self.retry_backoff_s if self.retry_backoff_s is not None
+            else policy.backoff(attempt + 1)
+        )
+        self.tracker.update_job_progress(
+            job_id, None,
+            f"step {task_name} failed ({error}); retry "
+            f"{attempt + 1}/{max_retries} in {delay:.1f}s",
+        )
+        self._persist()
+        timer = threading.Timer(delay, self._execute_current, args=(job_id,))
+        timer.daemon = True
+        timer.start()
 
     # ---------------------------------------------------------- callbacks
     def _skip_step(self, task_name: str, job_id: str, payload: dict) -> None:
@@ -165,6 +234,7 @@ class JobChain:
             if chain is None:
                 return
             chain["step_status"][task_name] = TaskStatus.COMPLETED.value
+            chain.get("step_attempts", {}).pop(task_name, None)
             started = chain.pop("step_started_at", None)
             if started is not None:
                 chain["step_timings"][task_name] = round(time.time() - started, 4)

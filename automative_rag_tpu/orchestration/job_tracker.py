@@ -124,12 +124,17 @@ class JobTracker:
                     return None
                 self._status_changed.wait(remaining)
 
-    def update_job_progress(self, job_id: str, progress: int, message: str = "") -> None:
+    def update_job_progress(
+        self, job_id: str, progress: Optional[int], message: str = ""
+    ) -> None:
+        """``progress=None`` keeps the current percentage and only appends
+        the message to the stream (retry notices, heartbeats)."""
         with self._lock:
             job = self._jobs.get(job_id)
             if job is None:
                 return
-            job["progress"] = max(0, min(100, int(progress)))
+            if progress is not None:
+                job["progress"] = max(0, min(100, int(progress)))
             job["updated_at"] = time.time()
             self._progress.setdefault(job_id, []).append(
                 {"time": time.time(), "progress": job["progress"], "message": message}

@@ -127,3 +127,18 @@ class TaskModel:
     def for_job(self, job_id: str) -> List[TaskInstance]:
         with self._lock:
             return [i for i in self._instances.values() if i.job_id == job_id]
+
+    def prune(self, max_age_s: float) -> int:
+        """Drop terminal instance rows older than ``max_age_s`` (the table is
+        in-memory and one row is written per attempt — without retention it
+        grows for the life of the process)."""
+        cutoff = time.time() - max_age_s
+        with self._lock:
+            stale = [
+                iid for iid, inst in self._instances.items()
+                if inst.status in ("completed", "failed", "timeout")
+                and (inst.finished_at or inst.started_at or cutoff + 1) <= cutoff
+            ]
+            for iid in stale:
+                del self._instances[iid]
+        return len(stale)

@@ -503,3 +503,38 @@ def test_metrics_prometheus(api, app):
         name, value = line.rsplit(" ", 1)
         float(value)
         assert name and " " not in name.split("{")[0]
+
+
+def test_task_instance_endpoints(api, app):
+    """Task-instance table over HTTP (reference TaskModel statistics,
+    src/models/task_models.py:140-474): per-attempt rows for a job and the
+    aggregate statistics/cleanup surfaces."""
+    status, out = call(api, "POST", "/ingest/text",
+                       {"content": "任务实例表统计测试文本，长度足够成一个块。"})
+    assert status == 200
+    job_id = out["job_id"]
+    _wait_job(app, job_id)
+
+    status, rows = call(api, "GET", f"/system/tasks/{job_id}")
+    assert status == 200 and rows["job_id"] == job_id
+    tasks = {r["task"] for r in rows["instances"]}
+    assert "generate_embeddings" in tasks
+    assert all(r["status"] == "completed" for r in rows["instances"])
+    assert all(r["duration_s"] is not None for r in rows["instances"])
+
+    status, stats = call(api, "GET", "/system/tasks")
+    assert status == 200 and stats["total"] >= len(rows["instances"])
+    assert stats["by_status"].get("completed", 0) >= len(rows["instances"])
+    assert "generate_embeddings" in stats["avg_duration_s"]
+
+    # cleanup reports the new retention surfaces
+    status, out = call(api, "POST", "/system/cleanup-jobs", {})
+    assert status == 200
+    assert "task_timeouts" in out and "task_rows_pruned" in out
+
+    # backdated terminal rows age out
+    for inst in app.task_model.for_job(job_id):
+        inst.finished_at -= 10 * 86400
+    status, out = call(api, "POST", "/system/cleanup-jobs", {"max_age_days": 7})
+    assert status == 200 and out["task_rows_pruned"] >= len(rows["instances"])
+    assert app.task_model.for_job(job_id) == []

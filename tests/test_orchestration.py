@@ -21,7 +21,9 @@ def stack():
     tracker = JobTracker()
     qm = QueueManager(start=True)
     router = TaskRouter(qm)
-    chain = JobChain(tracker, router)
+    # retry_backoff_s=0.02: exercise the per-step retry policy without the
+    # production exponential backoff (seconds per attempt) in the suite
+    chain = JobChain(tracker, router, retry_backoff_s=0.02)
     yield tracker, qm, router, chain
     qm.shutdown()
 
@@ -227,26 +229,33 @@ def test_fault_injection(stack):
 
 
 def test_chain_persistence_and_resume(tmp_path):
-    """Chain state survives a restart; resume_incomplete re-drives the
-    current step (reference parity: Redis chain state, job_chain.py:651-665)."""
+    """Chain state survives a restart; resume_incomplete re-drives the step
+    that was in flight when the process died (reference parity: Redis chain
+    state, job_chain.py:651-665). The crash is simulated by snapshotting the
+    persist file while step 1 is mid-execution — exactly what disk shows
+    after a hard kill."""
     import json
+    import shutil
+    import threading
 
     from automative_rag_tpu.orchestration.job_chain import JobChain
 
     persist = str(tmp_path / "chains.json")
+    snapshot = str(tmp_path / "chains_at_crash.json")
     tracker = JobTracker()
     qm = QueueManager(start=True)
     router = TaskRouter(qm)
-    chain = JobChain(tracker, router, persist_path=persist)
+    chain = JobChain(tracker, router, persist_path=persist, retry_backoff_s=0.02)
 
-    gate = {"open": False}
+    in_step = threading.Event()
+    release = threading.Event()
     done = []
 
     @router.task("retrieve_documents")
     def retrieve(job_id, payload):
-        if not gate["open"]:
-            raise RuntimeError("simulated crash")
-        return {"documents": ["x"]}
+        in_step.set()
+        release.wait(10)
+        raise RuntimeError("simulated crash")
 
     @router.task("llm_inference")
     def infer(job_id, payload):
@@ -255,10 +264,14 @@ def test_chain_persistence_and_resume(tmp_path):
 
     job_id = tracker.create_job(JobType.LLM_INFERENCE.value)
     chain.start_job_chain(job_id, JobType.LLM_INFERENCE.value, {"query": "q"})
+    assert in_step.wait(10)
+    shutil.copy(persist, snapshot)  # disk state while the step is in flight
+    release.set()
     _wait_status(tracker, job_id, {JobStatus.FAILED.value})
     qm.shutdown()
 
-    # "restart": new queue/router/chain restored from disk
+    # "restart": new queue/router/chain restored from the crash snapshot
+    shutil.copy(snapshot, persist)
     state = json.loads(open(persist).read())
     assert job_id in state
 
@@ -369,3 +382,89 @@ def test_chain_terminal_retention(stack):
         chain._chains[paused]["started_at"] -= 10 * 86400
     assert chain.prune_terminal(max_age_s=3600) == 0
     assert chain.get_chain_state(paused) is not None
+
+
+def test_step_retry_then_success(stack):
+    """A flaky step retries within its catalog budget (reference parity:
+    Dramatiq actor retries, queue_manager.py:316-359) and the chain still
+    completes; the task-instance table shows one row per attempt."""
+    from automative_rag_tpu.orchestration.task_models import TaskModel
+
+    tracker, qm, router, chain = stack
+    chain.task_model = TaskModel()
+    attempts = []
+
+    @router.task("retrieve_documents")
+    def retrieve(job_id, payload):
+        attempts.append(1)
+        if len(attempts) < 3:
+            raise ValueError("transient")
+        return {"documents": ["d"]}
+
+    @router.task("llm_inference")
+    def infer(job_id, payload):
+        return {"answer": "ok"}
+
+    job_id = tracker.create_job(JobType.LLM_INFERENCE.value)
+    chain.start_job_chain(job_id, JobType.LLM_INFERENCE.value, {"query": "q"})
+    job = _wait_status(tracker, job_id, {JobStatus.COMPLETED.value})
+    assert len(attempts) == 3  # retrieve_documents budget = 2 retries
+    assert job["result"]["answer"] == "ok"
+
+    by_task = {}
+    for row in chain.task_model.for_job(job_id):
+        by_task.setdefault(row.task_name, []).append(row.status)
+    assert sorted(by_task["retrieve_documents"]) == ["completed", "failed", "failed"]
+    assert by_task["llm_inference"] == ["completed"]
+    stats = chain.task_model.statistics()
+    assert stats["by_status"]["failed"] == 2
+    assert stats["by_status"]["completed"] == 2
+
+
+def test_step_retry_exhausted_fails_job(stack):
+    """Only an exhausted retry budget fails the job, and the error says how
+    many attempts were burned."""
+    tracker, qm, router, chain = stack
+    attempts = []
+
+    @router.task("llm_inference")
+    def infer(job_id, payload):
+        attempts.append(1)
+        raise RuntimeError("hard down")
+
+    job_id = tracker.create_job(JobType.LLM_INFERENCE.value)
+    chain.start_job_chain(job_id, JobType.LLM_INFERENCE.value, {})
+    job = _wait_status(tracker, job_id, {JobStatus.FAILED.value})
+    assert len(attempts) == 2  # llm_inference budget = 1 retry
+    assert "after 2 attempts" in job["error"]
+    assert "hard down" in job["error"]
+
+
+def test_failed_chain_not_resumed(tmp_path):
+    """A chain that exhausted its retries is terminal: resume_incomplete
+    must NOT re-drive it on the next boot (it released its payload, so a
+    re-run would fail again with a misleading missing-data error)."""
+    from automative_rag_tpu.orchestration.job_chain import JobChain
+
+    persist = str(tmp_path / "chains.json")
+    tracker = JobTracker()
+    qm = QueueManager(start=True)
+    router = TaskRouter(qm)
+    chain = JobChain(tracker, router, persist_path=persist, retry_backoff_s=0.02)
+
+    @router.task("llm_inference")
+    def infer(job_id, payload):
+        raise RuntimeError("down")
+
+    job_id = tracker.create_job(JobType.LLM_INFERENCE.value)
+    chain.start_job_chain(job_id, JobType.LLM_INFERENCE.value, {})
+    _wait_status(tracker, job_id, {JobStatus.FAILED.value})
+    qm.shutdown()
+
+    qm2 = QueueManager(start=True)
+    router2 = TaskRouter(qm2)
+    tracker2 = JobTracker()
+    tracker2.create_job(JobType.LLM_INFERENCE.value, job_id=job_id)
+    chain2 = JobChain(tracker2, router2, persist_path=persist)
+    assert chain2.resume_incomplete() == 0
+    qm2.shutdown()
