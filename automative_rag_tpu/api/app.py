@@ -1025,6 +1025,10 @@ def build_api(app: RAGApplication) -> HTTPApi:
                           ("ivf_refine_shortlist", "refine_shortlist")):
             if key in applied and hasattr(app.index, attr):
                 setattr(app.index, attr, applied[key])
+        # sparse-arm tunables are live on the engine
+        for key in ("sparse_k", "sparse_weight"):
+            if key in applied:
+                setattr(app.engine, key, applied[key])
         # reference persists config updates to a JSON file
         # (src/config/utils.py:17-90 via /model/update-config)
         saved_to = app.settings.save() if applied else None

@@ -136,8 +136,25 @@ class RAGApplication:
         self.token_store = (
             self._make_token_store() if self.settings.store_token_embeddings else None
         )
+        self.sparse_encoder = None
+        self.sparse_index = None
+        if self.settings.sparse_enabled:
+            from .index.sparse import SparseIndex
+            from .models.sparse import SparseEncoder
+
+            self.sparse_encoder = SparseEncoder(
+                self.embedder,
+                top_terms=self.settings.sparse_top_terms,
+                query_terms=self.settings.sparse_query_terms,
+            )
+            self.sparse_index = self._make_sparse_index()
         self.engine = RetrievalEngine(
-            self.embedder, self.index, self.reranker, token_store=self.token_store
+            self.embedder, self.index, self.reranker,
+            token_store=self.token_store,
+            sparse_index=self.sparse_index,
+            sparse_encoder=self.sparse_encoder,
+            sparse_k=self.settings.sparse_k,
+            sparse_weight=self.settings.sparse_weight,
         )
         from .generation.llm import JaxCausalLM
 
@@ -288,6 +305,11 @@ class RAGApplication:
             )
         return TokenStore(**common)
 
+    def _make_sparse_index(self):
+        from .index.sparse import SparseIndex
+
+        return SparseIndex(top_terms=self.settings.sparse_top_terms)
+
     @staticmethod
     def _n_devices() -> int:
         import jax
@@ -317,10 +339,20 @@ class RAGApplication:
                     "token_rows": self.token_store.rows,
                     "index_rows": self.index.total_rows,
                 }
+            if (self.sparse_index is not None
+                    and self.sparse_index.rows != self.index.total_rows):
+                return {
+                    "error": "sparse index rows != index rows; not compacting",
+                    "sparse_rows": self.sparse_index.rows,
+                    "index_rows": self.index.total_rows,
+                }
             info = self.index.compact()
             live = info.pop("live_order", None)
-            if live is not None and self.token_store is not None:
-                self.token_store.select_rows(live)
+            if live is not None:
+                if self.token_store is not None:
+                    self.token_store.select_rows(live)
+                if self.sparse_index is not None:
+                    self.sparse_index.select_rows(live)
             if info.pop("rebuild_required", False) and self.index.count:
                 # sharded-ivf lists can't survive the row shift — rebuild
                 info["rebuild"] = self.index.rebuild()
@@ -559,6 +591,9 @@ class RAGApplication:
             if self.token_store is not None:
                 self.token_store = self._make_token_store()
                 self.engine.token_store = self.token_store
+            if self.sparse_index is not None:
+                self.sparse_index = self._make_sparse_index()
+                self.engine.sparse_index = self.sparse_index
         return {"deleted_documents": before}
 
     def save_index(self, directory: Optional[str] = None) -> str:
@@ -572,6 +607,8 @@ class RAGApplication:
             self.index.save(directory)
             if self.token_store is not None:
                 self.token_store.save(directory)
+            if self.sparse_index is not None:
+                self.sparse_index.save(directory)
         return directory
 
     def load_index(self, directory: Optional[str] = None) -> int:
@@ -630,6 +667,14 @@ class RAGApplication:
                 restored = sharded
             self.token_store = restored
             self.engine.token_store = self.token_store
+        if self.sparse_index is not None:
+            from .index.sparse import SparseIndex
+
+            self.sparse_index = SparseIndex.load(
+                directory, top_terms=self.settings.sparse_top_terms)
+            self.engine.sparse_index = self.sparse_index
+            # a checkpoint from a sparse-off deployment has no sparse rows;
+            # the engine's alignment guard keeps the arm disengaged then
         return self.index.count
 
     def warmup(self) -> Dict[str, Any]:
@@ -682,6 +727,8 @@ class RAGApplication:
             "queues": self.queue_manager.get_queue_status(),
             "workers": self.queue_manager.worker_health(),
             "jobs": self.tracker.get_job_counts(),
+            "sparse": (None if self.sparse_index is None
+                       else self.sparse_index.stats()),
             "llm": getattr(self.generator.llm, "name", "unknown"),
             "llm_serving": None if serving is None else {
                 **serving.stats,

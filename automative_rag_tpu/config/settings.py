@@ -130,6 +130,26 @@ class Settings:
         default_factory=lambda: _env("TOKEN_STORE_SHARDED", False, bool)
     )
 
+    # --- sparse (lexical) retrieval arm — bge-m3's third head ---
+    # exact-term top-k unioned into the dense candidates pre-rerank
+    # (models/sparse.py, index/sparse.py); weightless deploys get
+    # idf-weighted lexical matching, real checkpoints the learned head
+    sparse_enabled: bool = field(
+        default_factory=lambda: _env("SPARSE_ENABLED", True, bool)
+    )
+    sparse_top_terms: int = field(
+        default_factory=lambda: _env("SPARSE_TOP_TERMS", 48)
+    )
+    sparse_query_terms: int = field(
+        default_factory=lambda: _env("SPARSE_QUERY_TERMS", 32)
+    )
+    # lexical candidates unioned per query / fusion weight on the
+    # rerank-off path (min-max combine, reference rerankers.py idiom)
+    sparse_k: int = field(default_factory=lambda: _env("SPARSE_K", 10))
+    sparse_weight: float = field(
+        default_factory=lambda: _env("SPARSE_WEIGHT", 0.3)
+    )
+
     # --- mesh / parallel layout ---
     mesh_data_axis: int = field(default_factory=lambda: _env("MESH_DATA_AXIS", 0))
     mesh_shard_axis_name: str = field(

@@ -22,8 +22,17 @@ import numpy as np
 
 from ..config.mode_config import QueryMode, mode_config, trim_documents_by_tokens
 from ..documents.schema import Document
+from ..index.flat import SearchResult
 from ..models.bge_m3 import DenseEmbedder
 from ..rerank.reranker import LateInteractionReranker
+
+
+def _minmax(scores: np.ndarray) -> np.ndarray:
+    scores = np.asarray(scores, np.float64)
+    lo, hi = scores.min(), scores.max()
+    if hi > lo:
+        return (scores - lo) / (hi - lo)
+    return np.ones_like(scores)
 
 
 def _normalize_ranked(
@@ -103,12 +112,24 @@ class RetrievalEngine:
         reranker: Optional[LateInteractionReranker] = None,
         token_store=None,
         entity_expansion: bool = True,
+        sparse_index=None,
+        sparse_encoder=None,
+        sparse_k: int = 10,
+        sparse_weight: float = 0.3,
     ):
         self.embedder = embedder
         self.index = index
         self.reranker = reranker
         self.token_store = token_store
         self.entity_expansion = entity_expansion
+        # bge-m3 sparse arm: lexical top-k unioned into the candidate set
+        # (exact-term recall; models/sparse.py). sparse_weight only matters
+        # on the rerank-off path — with rerank on, MaxSim re-scores the
+        # union and the arm is purely a recall source.
+        self.sparse_index = sparse_index
+        self.sparse_encoder = sparse_encoder
+        self.sparse_k = sparse_k
+        self.sparse_weight = sparse_weight
         self.last_timings: Dict[str, float] = {}
 
     # ------------------------------------------------------------ ingest
@@ -136,7 +157,74 @@ class RetrievalEngine:
             else:
                 token_embs, masks = encoder.encode_documents(texts)
                 self.token_store.append(token_embs, masks)
+        if self.sparse_index is not None and self.sparse_encoder is not None:
+            # sparse term rows, row-aligned with the index (same pairing
+            # invariant as the token store — callers hold the app lock)
+            term_ids, term_w = self.sparse_encoder.encode_documents(texts)
+            self.sparse_index.append(term_ids, term_w)
         return ids
+
+    # -------------------------------------------------------- sparse arm
+    def _sparse_union(
+        self,
+        query: str,
+        qvec: np.ndarray,
+        hits: List[SearchResult],
+        metadata_filter: Optional[Dict[str, Any]],
+    ):
+        """Union the lexical top-k into the dense candidate set. Returns
+        ``(hits, q_terms, n_extra)`` — q_terms ``(ids, weights)`` for fusion
+        scoring, or None when the arm is inactive. The lexical candidates are
+        post-filtered on the host (tombstones + metadata) through
+        ``index.rows_match`` so the arm never couples to the device filter
+        state; unioned hits carry their host cosine as the dense score."""
+        sp, enc = self.sparse_index, self.sparse_encoder
+        if sp is None or enc is None or sp.rows == 0:
+            return hits, None, 0
+        if (
+            sp.rows != self.index.total_rows
+            or not hasattr(self.index, "rows_match")
+            or not hasattr(self.index, "host_scores")
+        ):
+            # misaligned rows (should be impossible — appends are paired)
+            # or an index kind without the host helpers: disengage rather
+            # than risk returning the wrong documents
+            return hits, None, 0
+        q_ids, q_w = enc.encode_query(query)
+        if enc.use_idf:
+            q_w = q_w * sp.idf(q_ids)
+        # slack above sparse_k so tombstoned/filtered rows don't starve it
+        cand = sp.search(q_ids, q_w, k=self.sparse_k + 8)
+        extra = []
+        if cand:
+            rows = [r for r, _ in cand]
+            ok = self.index.rows_match(rows, metadata_filter)
+            seen = {h.row for h in hits}
+            extra = [r for r, o in zip(rows, ok) if o and r not in seen]
+            extra = extra[: self.sparse_k]
+            if extra:
+                dense_scores = self.index.host_scores(extra, qvec)
+                hits = list(hits) + [
+                    SearchResult(self.index.document_at(r), float(s), r)
+                    for r, s in zip(extra, dense_scores)
+                ]
+        return hits, (q_ids, q_w), len(extra)
+
+    def _fuse_scores(
+        self, hits: List[SearchResult], q_terms
+    ) -> List[Tuple[Document, float]]:
+        """Rerank-off scoring: min-max-normalized weighted sum of the dense
+        and sparse arms over the candidate union (the reference's 0.8/0.2
+        min-max combine idiom, ``rerankers.py:302-333``, applied to
+        dense+sparse instead of ColBERT+cross-encoder)."""
+        dense = np.array([h.score for h in hits], np.float64)
+        sparse = self.sparse_index.score_rows([h.row for h in hits], *q_terms)
+        w = self.sparse_weight
+        fused = (1.0 - w) * _minmax(dense) + w * _minmax(sparse)
+        ranked = sorted(
+            zip((h.document for h in hits), fused), key=lambda x: -x[1]
+        )
+        return [(d, float(s)) for d, s in ranked]
 
     # ----------------------------------------------------------- retrieve
     def retrieve(
@@ -176,6 +264,9 @@ class RetrievalEngine:
                 )[0]
                 hits = hits + [h for h in extra if h.row not in seen_rows]
         t2 = time.perf_counter()
+        hits, q_terms, n_sparse = self._sparse_union(
+            query, np.asarray(qvec), hits, metadata_filter)
+        t2s = time.perf_counter()
 
         candidates = [h.document for h in hits]
         if rerank and self.reranker is not None and candidates:
@@ -198,6 +289,9 @@ class RetrievalEngine:
                     # bonus can push scores past 1; keep the bonus ORDER but
                     # re-map the returned scores into the documented range
                     ranked = _normalize_ranked(ranked)
+        elif q_terms is not None and hits:
+            # no rerank stage: fuse the two arms' scores over the union
+            ranked = self._fuse_scores(hits, q_terms)[:k2]
         else:
             ranked = [(h.document, h.score) for h in hits[:k2]]
         t3 = time.perf_counter()
@@ -206,11 +300,14 @@ class RetrievalEngine:
         self.last_timings = {
             "embed_s": t1 - t0,
             "search_s": t2 - t1,
-            "rerank_s": t3 - t2,
+            "rerank_s": t3 - t2s,
             "retrieval_k": k1,
             "final_k": k2,
             "candidates": len(candidates),
         }
+        if q_terms is not None:
+            self.last_timings["sparse_s"] = t2s - t2
+            self.last_timings["sparse_candidates"] = n_sparse
         return trimmed
 
     def retrieve_batch(
@@ -282,6 +379,16 @@ class RetrievalEngine:
                     per_query_hits[i] = list(per_query_hits[i]) + [
                         h for h in extra if h.row not in seen
                     ]
+
+        # sparse lexical arm, same semantics as the single-query path
+        q_terms_per_query: List[Optional[Tuple]] = [None] * len(queries)
+        n_sparse = 0
+        for i, q in enumerate(queries):
+            flt = (metadata_filters[i] if metadata_filters is not None
+                   else metadata_filter)
+            per_query_hits[i], q_terms_per_query[i], n = self._sparse_union(
+                q, qvecs[i], per_query_hits[i], flt)
+            n_sparse += n
         t2 = time.perf_counter()
 
         docs_per_query = [[h.document for h in hits] for hits in per_query_hits]
@@ -308,7 +415,9 @@ class RetrievalEngine:
             ]
         else:
             ranked_per_query = [
-                [(h.document, h.score) for h in hits[:k2]] for hits in per_query_hits
+                (self._fuse_scores(hits, qt)[:k2] if qt is not None and hits
+                 else [(h.document, h.score) for h in hits[:k2]])
+                for hits, qt in zip(per_query_hits, q_terms_per_query)
             ]
             rerank = False
 

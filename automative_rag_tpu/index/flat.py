@@ -420,6 +420,40 @@ class FlatIndex:
                 rows.extend(int(start + r) for r in np.nonzero(tail_mask)[0])
         return rows
 
+    def rows_match(self, rows: Sequence[int],
+                   metadata_filter: Optional[Dict[str, Any]] = None
+                   ) -> np.ndarray:
+        """Host-side tombstone + filter check for an explicit small row set
+        (the sparse arm post-filters its lexical top-k through this instead
+        of coupling to the device filter state)."""
+        rows = np.asarray(list(rows), np.int64)
+        if len(rows) == 0:
+            return np.zeros(0, bool)
+        spec, ok_spec = self._compile(metadata_filter)
+        if metadata_filter and not ok_spec:
+            return np.zeros(len(rows), bool)
+        with self._mutex:
+            ok = ~self._deleted[rows]
+            if metadata_filter:
+                codes = np.array(self.columns.codes[:, rows])
+                numerics = np.array(self.columns.numerics[:, rows])
+                ok &= eval_filter_mask_np(codes, numerics, spec)
+        return ok
+
+    def host_scores(self, rows: Sequence[int], query_vec: np.ndarray
+                    ) -> np.ndarray:
+        """Cosine scores for an explicit row set against one query vector
+        (stored vectors are unit-normalized at add time)."""
+        rows = np.asarray(list(rows), np.int64)
+        if len(rows) == 0:
+            return np.zeros(0, np.float32)
+        with self._mutex:
+            vecs = self._vectors[rows]
+        return (vecs @ np.asarray(query_vec, np.float32)).astype(np.float32)
+
+    def document_at(self, row: int) -> Document:
+        return self._docs[int(row)]
+
     def metadata_search(
         self,
         metadata_filter: Dict[str, Any],

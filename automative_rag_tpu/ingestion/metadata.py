@@ -232,6 +232,22 @@ _CJK_RE = re.compile(r"[一-鿿]")
 #: ends the word. Without one, 唐 inside 唐山 would false-match.
 _SINGLE_CHAR_OK = set("的和与对比款版年 \t，。、？！：;；()（）")
 
+_METRIC_STARTERS: Optional[tuple] = None
+
+
+def _metric_starters() -> tuple:
+    """Metric phrases (canonical + synonyms, utils/quality.py lexicon) that
+    can directly follow a single-CJK model name: “汉充一次电能跑多远”,
+    “唐极速能到多少” are model mentions even without a particle, while
+    “唐山” stays blocked (山 starts no metric phrase). Longest-first."""
+    global _METRIC_STARTERS
+    if _METRIC_STARTERS is None:
+        from ..utils.quality import METRIC_SYNONYMS
+
+        terms = set(METRIC_SYNONYMS) | set(METRIC_SYNONYMS.values())
+        _METRIC_STARTERS = tuple(sorted(terms, key=len, reverse=True))
+    return _METRIC_STARTERS
+
 
 def _name_matches_at(text: str, lowered: str, name: str, start: int) -> bool:
     """Boundary-aware catalog-name match at ``start`` in ``text``.
@@ -248,7 +264,11 @@ def _name_matches_at(text: str, lowered: str, name: str, start: int) -> bool:
         if end < len(text) and _ALNUM_RE.match(text[end]):
             return False
     if len(name) == 1 and _CJK_RE.match(name):
-        if end < len(text) and text[end] not in _SINGLE_CHAR_OK:
+        if (
+            end < len(text)
+            and text[end] not in _SINGLE_CHAR_OK
+            and not text[end:].startswith(_metric_starters())
+        ):
             return False
     return True
 

@@ -59,6 +59,9 @@ class DenseEmbedder:
         self.model = TransformerEncoder(self.config)
         params = load_hf_weights(self.config, weights_path) if weights_path else None
         self.pretrained = params is not None
+        # retained so sibling heads (SparseEncoder) can find checkpoint-
+        # adjacent artifacts like sparse_linear.pt
+        self.weights_path = weights_path
         self.mode = mode or ("transformer" if self.pretrained else "lexical")
         if params is None and self.mode == "transformer":
             params = init_encoder_params(self.config, seed)

@@ -263,6 +263,7 @@ def test_app_health_reports_serving_stats():
                 "Q", (), {"get_queue_status": lambda s: {},
                           "worker_health": lambda s: {}})()
             self.tracker = type("T", (), {"get_job_counts": lambda s: {}})()
+            self.sparse_index = None
 
     llm = JaxCausalLM("", config=Qwen2Config.tiny_test(),
                       tokenizer=FakeTok())

@@ -1,0 +1,303 @@
+"""Sparse (lexical) retrieval arm — encoder, index kernel vs numpy oracle,
+idf, persistence, compaction alignment, and engine integration.
+
+The arm covers bge-m3's sparse head (the reference deploys only the dense
+head — this is a capability the flagship encoder family has that the
+reference leaves on the table)."""
+
+import numpy as np
+import pytest
+
+from automative_rag_tpu.config.settings import Settings
+from automative_rag_tpu.documents.schema import Document
+from automative_rag_tpu.engine.retrieval import RetrievalEngine
+from automative_rag_tpu.index.flat import FlatIndex
+from automative_rag_tpu.index.sparse import SparseIndex, _score_rows_np
+from automative_rag_tpu.models.bge_m3 import DenseEmbedder
+from automative_rag_tpu.models.encoder import EncoderConfig
+from automative_rag_tpu.models.sparse import SPARSE_PAD, SparseEncoder
+
+
+@pytest.fixture(scope="module")
+def dense():
+    return DenseEmbedder(config=EncoderConfig.tiny(hidden_size=64))
+
+
+@pytest.fixture(scope="module")
+def encoder(dense):
+    return SparseEncoder(dense, top_terms=16, query_terms=8)
+
+
+# --------------------------------------------------------------- encoder
+
+def test_encoder_lexical_mode_and_shapes(encoder):
+    assert encoder.mode == "lexical" and encoder.use_idf
+    ids, w = encoder.encode_documents(["宝马X5的油耗是8.9升", "hello world"])
+    assert ids.shape == (2, 16) and w.shape == (2, 16)
+    assert ids.dtype == np.int32 and w.dtype == np.float32
+    # padded tail: id SPARSE_PAD carries zero weight
+    assert ((ids == SPARSE_PAD) == (w == 0.0)).all()
+    # real terms are non-negative token ids with positive weights
+    assert (ids[ids != SPARSE_PAD] >= 0).all()
+    assert (w[ids != SPARSE_PAD] > 0).all()
+
+
+def test_encoder_tf_weighting(encoder):
+    # a repeated term outweighs a single occurrence (sqrt-tf)
+    ids1, w1 = encoder.encode_query("油耗 油耗 油耗 价格")
+    by_id = dict(zip(ids1.tolist(), w1.tolist()))
+    ids_a, _ = encoder.encode_query("油耗")
+    ids_b, _ = encoder.encode_query("价格")
+    t_a = [t for t in ids_a if t != SPARSE_PAD]
+    t_b = [t for t in ids_b if t != SPARSE_PAD]
+    # unigram ids for 油耗 appear among the query's terms with higher weight
+    assert max(by_id.get(t, 0.0) for t in t_a) > max(
+        by_id.get(t, 0.0) for t in t_b)
+
+
+def test_encoder_excludes_special_tokens(encoder):
+    ids, w = encoder.encode_documents([""])
+    assert (ids[0] == SPARSE_PAD).all() and (w[0] == 0.0).all()
+
+
+def test_encoder_shared_terms_match(encoder):
+    """Query and document containing the same rare string share term ids —
+    the whole point of the lexical arm."""
+    d_ids, _ = encoder.encode_documents(["型号 xDrive40i 的配置"])
+    q_ids, _ = encoder.encode_query("xDrive40i")
+    doc_terms = set(d_ids[0][d_ids[0] != SPARSE_PAD].tolist())
+    q_terms = set(q_ids[q_ids != SPARSE_PAD].tolist())
+    assert doc_terms & q_terms
+
+
+# ----------------------------------------------------------------- index
+
+def _random_corpus(encoder, n=40, seed=0):
+    rng = np.random.default_rng(seed)
+    vocab_words = ["油耗", "功率", "扭矩", "加速", "价格", "内饰", "座椅",
+                   "安全", "辅助", "驾驶", "续航", "充电", "电池", "悬挂"]
+    texts = [
+        " ".join(rng.choice(vocab_words, size=rng.integers(3, 9)))
+        for _ in range(n)
+    ]
+    return texts, encoder.encode_documents(texts)
+
+
+def test_index_search_matches_numpy_oracle(encoder):
+    texts, (ids, w) = _random_corpus(encoder, n=40)
+    idx = SparseIndex(top_terms=encoder.top_terms)
+    idx.append(ids, w)
+    q_ids, q_w = encoder.encode_query("油耗 功率 扭矩")
+    got = idx.search(q_ids, q_w, k=10)
+    oracle = _score_rows_np(ids, w, q_ids, q_w)
+    want = sorted(
+        [(int(r), float(s)) for r, s in enumerate(oracle) if s > 0],
+        key=lambda x: -x[1],
+    )[:10]
+    assert [r for r, _ in got] == [r for r, _ in want]
+    np.testing.assert_allclose(
+        [s for _, s in got], [s for _, s in want], rtol=2e-2)
+
+
+def test_index_live_append_tail(encoder):
+    """Rows appended after the slab stages still rank (host tail merge)."""
+    texts, (ids, w) = _random_corpus(encoder, n=20)
+    idx = SparseIndex(top_terms=encoder.top_terms)
+    idx.append(ids, w)
+    q_ids, q_w = encoder.encode_query("独特词汇测试")
+    idx.search(q_ids, q_w, k=5)  # stages the slab
+    assert idx.stats()["staged_rows"] == 20
+    t_ids, t_w = encoder.encode_documents(["独特词汇测试 独特词汇测试"])
+    idx.append(t_ids, t_w)
+    got = idx.search(q_ids, q_w, k=3)
+    assert got and got[0][0] == 20  # the fresh row wins
+    assert idx.stats()["staged_rows"] == 20  # slab survived the append
+
+
+def test_index_idf_favors_rare_terms(encoder):
+    idx = SparseIndex(top_terms=encoder.top_terms)
+    common = ["油耗 测试"] * 30 + ["罕见词 出现"]
+    ids, w = encoder.encode_documents(common)
+    idx.append(ids, w)
+    q_ids, _ = encoder.encode_query("油耗 罕见词")
+    idf = idx.idf(q_ids)
+    terms = {int(t): float(v) for t, v in zip(q_ids, idf) if t != SPARSE_PAD}
+    rare_ids, _ = encoder.encode_query("罕见词")
+    common_ids, _ = encoder.encode_query("油耗")
+    rare = [terms[int(t)] for t in rare_ids if int(t) in terms]
+    freq = [terms[int(t)] for t in common_ids if int(t) in terms]
+    assert min(rare) > max(freq)
+
+
+def test_index_save_load_select_rows(tmp_path, encoder):
+    texts, (ids, w) = _random_corpus(encoder, n=12)
+    idx = SparseIndex(top_terms=encoder.top_terms)
+    idx.append(ids, w)
+    idx.save(str(tmp_path))
+    restored = SparseIndex.load(str(tmp_path))
+    assert restored.rows == 12 and restored.top_terms == encoder.top_terms
+    assert restored._df == idx._df
+    q_ids, q_w = encoder.encode_query(texts[3])
+    assert [r for r, _ in restored.search(q_ids, q_w, k=3)] == \
+        [r for r, _ in idx.search(q_ids, q_w, k=3)]
+    # compaction-style reorder
+    keep = [5, 3, 11]
+    restored.select_rows(keep)
+    assert restored.rows == 3
+    np.testing.assert_array_equal(restored._ids, idx._ids[keep])
+    got = restored.search(q_ids, q_w, k=1)
+    assert got and got[0][0] == 1  # texts[3] now at row 1
+
+
+# ---------------------------------------------------------------- engine
+
+@pytest.fixture()
+def engine_with_sparse(dense):
+    enc = SparseEncoder(dense, top_terms=24, query_terms=12)
+    index = FlatIndex(dim=dense.dim)
+    sparse = SparseIndex(top_terms=24)
+    eng = RetrievalEngine(
+        dense, index, reranker=None,
+        sparse_index=sparse, sparse_encoder=enc, sparse_k=5,
+    )
+    docs = [
+        Document(page_content="宝马X5 xDrive40i 的百公里油耗是8.9升",
+                 metadata={"manufacturer": "宝马", "model": "X5", "year": 2023}),
+        Document(page_content="奔驰GLE 450 的百公里油耗是9.3升",
+                 metadata={"manufacturer": "奔驰", "model": "GLE", "year": 2022}),
+        Document(page_content="奥迪Q7 55TFSI 的最大功率250千瓦",
+                 metadata={"manufacturer": "奥迪", "model": "Q7", "year": 2023}),
+        Document(page_content="比亚迪汉EV 的续航里程605公里",
+                 metadata={"manufacturer": "比亚迪", "model": "汉", "year": 2023}),
+    ]
+    ids = eng.add_documents(docs)
+    return eng, docs, ids
+
+
+def test_engine_appends_sparse_rows(engine_with_sparse):
+    eng, docs, ids = engine_with_sparse
+    assert eng.sparse_index.rows == eng.index.total_rows == 4
+
+
+def test_engine_sparse_recall_exact_term(engine_with_sparse):
+    """An exact rare designation reaches the candidates through the sparse
+    arm even when the dense arm is weak (tiny-dim hashed dense)."""
+    eng, docs, ids = engine_with_sparse
+    ranked = eng.retrieve("xDrive40i 多少油耗", rerank=False)
+    assert ranked
+    assert any("xDrive40i" in d.page_content for d, _ in ranked)
+    # fused scores stay in the cosine-like presentation range
+    assert all(-1.0 <= s <= 1.0 + 1e-6 for _, s in ranked)
+    assert "sparse_s" in eng.last_timings
+
+
+def test_engine_sparse_respects_filter(engine_with_sparse):
+    eng, docs, ids = engine_with_sparse
+    ranked = eng.retrieve(
+        "xDrive40i 油耗", metadata_filter={"manufacturer": "奔驰"},
+        rerank=False,
+    )
+    assert all(d.metadata["manufacturer"] == "奔驰" for d, _ in ranked)
+
+
+def test_engine_sparse_skips_deleted(engine_with_sparse):
+    eng, docs, ids = engine_with_sparse
+    eng.index.delete_by_ids([ids[0]])  # the xDrive40i doc
+    ranked = eng.retrieve("xDrive40i 油耗", rerank=False)
+    assert all("xDrive40i" not in d.page_content for d, _ in ranked)
+
+
+def test_engine_sparse_misalignment_disables(engine_with_sparse):
+    """Rows out of alignment (should be impossible) → the arm disengages
+    rather than returning wrong documents."""
+    eng, docs, ids = engine_with_sparse
+    eng.sparse_index.append(
+        np.full((1, 24), -1, np.int32), np.zeros((1, 24), np.float32))
+    ranked = eng.retrieve("油耗", rerank=False)
+    assert ranked  # dense arm still answers
+    assert eng.last_timings.get("sparse_candidates") is None
+
+
+# ------------------------------------------------------------- app level
+
+def test_app_sparse_roundtrip_and_compaction(tmp_path):
+    """Full-stack invariants: ingest pairs sparse rows with index rows,
+    save/load restores them, compaction keeps alignment, and an exact-term
+    query rides the arm end to end."""
+    from automative_rag_tpu.app import RAGApplication
+
+    settings = Settings(
+        index_kind="flat",
+        data_dir=str(tmp_path),
+        index_dir=str(tmp_path / "index"),
+        sparse_enabled=True,
+    )
+    app = RAGApplication(settings=settings, tiny=True, tiny_dim=64)
+    try:
+        jobs = [
+            app.ingest_text("宝马X5 xDrive40i 的油耗是8.9升",
+                            {"manufacturer": "宝马", "model": "X5"}),
+            app.ingest_text("奔驰GLE 450 的油耗是9.3升",
+                            {"manufacturer": "奔驰", "model": "GLE"}),
+            app.ingest_text("奥迪Q7 55TFSI 的功率250千瓦",
+                            {"manufacturer": "奥迪", "model": "Q7"}),
+        ]
+        for j in jobs:
+            assert app.tracker.wait_for_terminal(j, timeout=60) == "completed"
+        assert app.sparse_index.rows == app.index.total_rows == 3
+        assert app.health()["sparse"]["rows"] == 3
+
+        ranked = app.engine.retrieve("xDrive40i 油耗", rerank=False)
+        assert any("xDrive40i" in d.page_content for d, _ in ranked)
+
+        # save → fresh app → the arm still answers
+        app.save_index()
+        app.shutdown()
+        app2 = RAGApplication(settings=settings, tiny=True, tiny_dim=64)
+        try:
+            app2.load_index()
+            assert app2.sparse_index.rows == app2.index.total_rows == 3
+            ranked = app2.engine.retrieve("55TFSI 功率", rerank=False)
+            assert any("55TFSI" in d.page_content for d, _ in ranked)
+
+            # delete + compact: alignment survives, query still exact
+            app2.index.delete_by_filter({"manufacturer": "奔驰"})
+            info = app2.compact_index()
+            assert "error" not in info
+            assert app2.sparse_index.rows == app2.index.total_rows == 2
+            ranked = app2.engine.retrieve("xDrive40i", rerank=False)
+            assert any("xDrive40i" in d.page_content for d, _ in ranked)
+            assert all("GLE" not in d.page_content for d, _ in ranked)
+        finally:
+            app2.shutdown()
+    finally:
+        try:
+            app.shutdown()
+        except Exception:
+            pass
+
+
+def test_engine_sparse_with_sharded_index(dense):
+    """The arm works on sharded index kinds too — rows_match/host_scores
+    come from the FlatIndex host mirrors that sharded kinds inherit."""
+    from automative_rag_tpu.parallel import ShardedFlatIndex, make_mesh
+
+    enc = SparseEncoder(dense, top_terms=24, query_terms=12)
+    index = ShardedFlatIndex(dim=dense.dim, mesh=make_mesh(), axis_name="shard")
+    sparse = SparseIndex(top_terms=24)
+    eng = RetrievalEngine(
+        dense, index, reranker=None,
+        sparse_index=sparse, sparse_encoder=enc, sparse_k=4,
+    )
+    docs = [
+        Document(page_content=f"第{i}号文档 常规内容 油耗数据",
+                 metadata={"manufacturer": "宝马"})
+        for i in range(15)
+    ] + [
+        Document(page_content="特殊型号 xDrive40i 的规格说明",
+                 metadata={"manufacturer": "宝马"}),
+    ]
+    eng.add_documents(docs)
+    assert sparse.rows == index.total_rows == 16
+    ranked = eng.retrieve("xDrive40i 规格", rerank=False)
+    assert any("xDrive40i" in d.page_content for d, _ in ranked)
