@@ -674,7 +674,14 @@ class RAGApplication:
                 directory, top_terms=self.settings.sparse_top_terms)
             self.engine.sparse_index = self.sparse_index
             # a checkpoint from a sparse-off deployment has no sparse rows;
-            # the engine's alignment guard keeps the arm disengaged then
+            # the engine's alignment guard keeps the arm disengaged then.
+            # A checkpoint saved at a different SPARSE_TOP_TERMS width wins:
+            # the encoder follows it so post-restore appends stay row-shaped
+            if (self.sparse_index.rows
+                    and self.sparse_encoder is not None
+                    and self.sparse_encoder.top_terms
+                    != self.sparse_index.top_terms):
+                self.sparse_encoder.top_terms = self.sparse_index.top_terms
         return self.index.count
 
     def warmup(self) -> Dict[str, Any]:

@@ -433,10 +433,14 @@ class FlatIndex:
         if metadata_filter and not ok_spec:
             return np.zeros(len(rows), bool)
         with self._mutex:
-            ok = ~self._deleted[rows]
+            # rows may be a snapshot from before a concurrent compaction
+            # shrank the table — out-of-range rows are simply not live
+            in_range = rows < len(self._deleted)
+            safe = np.where(in_range, rows, 0)
+            ok = in_range & ~self._deleted[safe]
             if metadata_filter:
-                codes = np.array(self.columns.codes[:, rows])
-                numerics = np.array(self.columns.numerics[:, rows])
+                codes = np.array(self.columns.codes[:, safe])
+                numerics = np.array(self.columns.numerics[:, safe])
                 ok &= eval_filter_mask_np(codes, numerics, spec)
         return ok
 

@@ -169,9 +169,17 @@ class SparseEncoder:
 
             self._token_weights_fn = jax.jit(_weights)
 
-        ids, mask = self.tokenizer.encode_batch(list(texts), self.max_length)
-        token_w = np.asarray(
-            self._token_weights_fn(self.dense.params, ids, mask), np.float32)
+        bs = max(int(getattr(self.dense, "batch_size", 32)), 1)
+        ids_parts, w_parts = [], []
+        for i in range(0, len(texts), bs):
+            part_ids, part_mask = self.tokenizer.encode_batch(
+                list(texts[i: i + bs]), self.max_length)
+            ids_parts.append(part_ids)
+            w_parts.append(np.asarray(
+                self._token_weights_fn(self.dense.params, part_ids, part_mask),
+                np.float32))
+        ids = np.concatenate(ids_parts)
+        token_w = np.concatenate(w_parts)
         specials = set(self._special_ids())
         out = []
         for row_ids, row_w in zip(ids, token_w):

@@ -301,3 +301,97 @@ def test_engine_sparse_with_sharded_index(dense):
     assert sparse.rows == index.total_rows == 16
     ranked = eng.retrieve("xDrive40i 规格", rerank=False)
     assert any("xDrive40i" in d.page_content for d, _ in ranked)
+
+
+def test_rows_match_bounds_stale_rows(dense):
+    """rows_match treats rows beyond the (possibly just-compacted) table as
+    not-live instead of raising — a sparse search snapshot can race a
+    concurrent compaction."""
+    index = FlatIndex(dim=dense.dim)
+    vecs = np.random.default_rng(0).normal(size=(3, dense.dim)).astype(np.float32)
+    docs = [Document(page_content=f"d{i}", metadata={"manufacturer": "宝马"})
+            for i in range(3)]
+    index.add(vecs, docs)
+    ok = index.rows_match([0, 2, 7, 100], {"manufacturer": "宝马"})
+    assert ok.tolist() == [True, True, False, False]
+
+
+def test_load_syncs_encoder_width(tmp_path, dense):
+    """A checkpoint saved at a different SPARSE_TOP_TERMS keeps appends
+    row-shaped: the encoder follows the restored width."""
+    from automative_rag_tpu.app import RAGApplication
+
+    settings = Settings(
+        index_kind="flat", data_dir=str(tmp_path),
+        index_dir=str(tmp_path / "index"),
+        sparse_enabled=True, sparse_top_terms=16,
+    )
+    app = RAGApplication(settings=settings, tiny=True, tiny_dim=64)
+    try:
+        j = app.ingest_text("宝马X5 xDrive40i 油耗8.9升", {"manufacturer": "宝马"})
+        assert app.tracker.wait_for_terminal(j, timeout=60) == "completed"
+        app.save_index()
+    finally:
+        app.shutdown()
+
+    import dataclasses
+    settings2 = dataclasses.replace(settings, sparse_top_terms=48)
+    app2 = RAGApplication(settings=settings2, tiny=True, tiny_dim=64)
+    try:
+        app2.load_index()
+        assert app2.sparse_index.top_terms == 16
+        assert app2.sparse_encoder.top_terms == 16
+        # post-restore ingest appends at the restored width
+        j = app2.ingest_text("奔驰GLE 油耗9.3升", {"manufacturer": "奔驰"})
+        assert app2.tracker.wait_for_terminal(j, timeout=60) == "completed"
+        assert app2.sparse_index.rows == app2.index.total_rows == 2
+    finally:
+        app2.shutdown()
+
+
+def test_transformer_mode_with_sparse_head(tmp_path):
+    """With an encoder checkpoint + a sparse_linear head on disk, the
+    encoder switches to the learned bge-m3 path: per-token relu weights,
+    max-aggregated per term id, specials excluded, idf off."""
+    import jax.numpy as jnp
+    from safetensors.numpy import save_file
+
+    from test_weight_loading import _synthesize_encoder_ckpt
+
+    config = EncoderConfig.tiny()
+    _synthesize_encoder_ckpt(tmp_path, config)
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=(config.hidden_size,)).astype(np.float32)
+    save_file({"sparse_linear.weight": w[None, :],
+               "sparse_linear.bias": np.zeros(1, np.float32)},
+              str(tmp_path / "sparse_linear.safetensors"))
+
+    d = DenseEmbedder(config=config, weights_path=str(tmp_path), max_length=16)
+    assert d.pretrained
+    enc = SparseEncoder(d, top_terms=8, query_terms=8)
+    assert enc.mode == "transformer" and not enc.use_idf
+
+    text = "测试 测试 油耗"
+    ids, weights = enc.encode_documents([text])
+    live = ids[0] != SPARSE_PAD
+    assert live.any() and (weights[0][live] > 0).all()
+
+    # oracle: the per-token weights from the same jitted head (the CPU
+    # backend's low-precision matmul flips near-zero relu signs between
+    # jit and eager, so an eager re-forward is not a stable reference);
+    # what's under test is the term extraction/aggregation on top
+    tok_ids, tok_mask = d.tokenizer.encode_batch([text], enc.max_length)
+    token_w = np.asarray(
+        enc._token_weights_fn(d.params, tok_ids, tok_mask), np.float32)[0]
+    specials = {d.tokenizer.pad_token_id, d.tokenizer.cls_token_id,
+                d.tokenizer.sep_token_id}
+    want = {}
+    for t, tw in zip(tok_ids[0], token_w):
+        t = int(t)
+        if tw > 0 and t not in specials:
+            want[t] = max(want.get(t, 0.0), float(tw))
+    got = {int(t): float(v) for t, v in zip(ids[0][live], weights[0][live])}
+    top = dict(sorted(want.items(), key=lambda kv: -kv[1])[:8])
+    assert set(got) == set(top)
+    for t in got:
+        np.testing.assert_allclose(got[t], top[t], rtol=1e-4)
