@@ -1,0 +1,175 @@
+"""Sparse lexical-arm scan bench: the equality-match top-k kernel
+(`index/sparse.py`) at corpus scale, plus end-to-end SparseIndex.search.
+
+Methodology per CLAUDE.md: the kernel is timed with an in-graph
+`lax.scan` whose carry serializes reps (the ~26 ms relay dispatch
+amortizes over REPS; REPS>=200 or the number reads 10x high), corpus
+passed as an argument (closure constants ship through the remote
+compiler). Recall sanity: device top-k must equal the numpy oracle.
+
+Run on-chip (queued for tunnel recovery) or on CPU with --cpu for wiring
+checks (CPU absolute numbers are meaningless).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=1_000_000)
+    parser.add_argument("--top-terms", type=int, default=48)
+    parser.add_argument("--q-terms", type=int, default=32)
+    parser.add_argument("--k", type=int, default=18)
+    parser.add_argument("--reps", type=int, default=200)
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--out", default="")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from automative_rag_tpu.index.sparse import (
+        _BLOCK, SparseIndex, _score_rows_np)
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr, flush=True)
+
+    rng = np.random.default_rng(0)
+    n, t, q = args.n, args.top_terms, args.q_terms
+    # zipf-ish vocabulary: a realistic df skew so idf/top-k are non-trivial
+    vocab = 250_000
+    ids = (rng.zipf(1.3, size=(n, t)).astype(np.int64) % vocab).astype(np.int32)
+    weights = np.abs(rng.normal(0.8, 0.4, size=(n, t))).astype(np.float32)
+
+    idx = SparseIndex(top_terms=t)
+    idx.append(ids, weights)
+
+    # query shares some terms with the corpus head rows
+    q_ids = np.concatenate([ids[0, : q // 2], ids[1, : q - q // 2]]).astype(np.int32)
+    q_w = np.abs(rng.normal(1.0, 0.3, size=q)).astype(np.float32)
+
+    # correctness vs oracle (on a slice: the full-n numpy oracle is O(n*t*q))
+    got = idx.search(q_ids, q_w, k=args.k)
+    sample = slice(0, min(n, 100_000))
+    oracle = _score_rows_np(ids[sample], weights[sample], q_ids, q_w)
+    want_top = set(np.argsort(-oracle)[: args.k].tolist())
+    got_rows_in_sample = [r for r, _ in got if r < sample.stop]
+    overlap = len(set(got_rows_in_sample) & want_top)
+    print(f"oracle overlap (sample): {overlap}/{len(got_rows_in_sample)}",
+          file=sys.stderr, flush=True)
+
+    # kernel timing: in-graph scan, corpus as argument; A/B the three
+    # scoring formulations (blocked fori = production kernel)
+    state = idx._device_state()
+    ids_slab, w_slab, staged = state
+    k = min(args.k, staged)
+    reps = args.reps
+    cap = ids_slab.shape[0]
+
+    def make_many(variant):
+        @jax.jit
+        def many(qi, qw, islab, wslab):
+            def body(carry, _):
+                qi_c, qw_c = carry
+                bi = islab.reshape(cap // _BLOCK, _BLOCK, t)
+                bw = wslab.reshape(cap // _BLOCK, _BLOCK, t)
+                if variant == "broadcast":
+                    def bs(blk):
+                        bids, bws = blk
+                        m = bids[:, :, None] == qi_c[None, None, :]
+                        return jnp.sum(
+                            jnp.where(m, bws[:, :, None].astype(jnp.float32)
+                                      * qw_c[None, None, :], 0.0),
+                            axis=(1, 2))
+
+                    scores = jax.lax.map(bs, (bi, bw)).reshape(cap)
+                elif variant == "blocked_fori":
+                    def bs(blk):
+                        bids, bws = blk
+
+                        def qstep(i, acc):
+                            hit = jnp.where(bids == qi_c[i],
+                                            bws.astype(jnp.float32), 0.0)
+                            return acc + qw_c[i] * jnp.sum(hit, axis=1)
+
+                        return jax.lax.fori_loop(
+                            0, q, qstep, jnp.zeros(_BLOCK, jnp.float32))
+
+                    scores = jax.lax.map(bs, (bi, bw)).reshape(cap)
+                else:  # flat_fori
+                    def qstep(i, acc):
+                        hit = jnp.where(islab == qi_c[i],
+                                        wslab.astype(jnp.float32), 0.0)
+                        return acc + qw_c[i] * jnp.sum(hit, axis=1)
+
+                    scores = jax.lax.fori_loop(
+                        0, q, qstep, jnp.zeros(cap, jnp.float32))
+                scores = jnp.where(jnp.arange(cap) < staged, scores, -jnp.inf)
+                vals, rows = jax.lax.top_k(scores, k)
+                # serialize reps through the carry so XLA can't hoist/CSE
+                qw_c = qw_c + (vals[0] * 0).astype(qw_c.dtype)
+                return (qi_c, qw_c), vals[0]
+
+            _, outs = jax.lax.scan(body, (qi, qw), None, length=reps)
+            return outs
+
+        return many
+
+    qi_d = jnp.asarray(q_ids)
+    qw_d = jnp.asarray(q_w)
+    variants = {}
+    for variant in ("blocked_fori", "flat_fori", "broadcast"):
+        many = make_many(variant)
+        np.asarray(many(qi_d, qw_d, ids_slab, w_slab))  # compile
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(many(qi_d, qw_d, ids_slab, w_slab))
+            samples.append((time.perf_counter() - t0) / reps)
+        variants[variant] = float(np.percentile(samples, 50))
+        print(f"{variant}: {variants[variant] * 1e3:.3f} ms",
+              file=sys.stderr, flush=True)
+    per_call = variants["blocked_fori"]  # the production kernel
+
+    bytes_read = staged * t * (4 + w_slab.dtype.itemsize)
+    result = {
+        "bench": "sparse_scan",
+        "device": str(dev.platform),
+        "n": n, "top_terms": t, "query_terms": q, "k": k,
+        "reps": reps,
+        "kernel_ms": round(per_call * 1e3, 4),
+        "kernel_ms_variants": {
+            name: round(v * 1e3, 4) for name, v in variants.items()},
+        "corpus_mb": round(bytes_read / 1e6, 1),
+        "effective_gbps": round(bytes_read / per_call / 1e9, 1),
+        "oracle_overlap": f"{overlap}/{len(got_rows_in_sample)}",
+        "end_to_end_search_ms": None,
+    }
+
+    # end-to-end host call (includes idf-free query prep + host merge)
+    idx.search(q_ids, q_w, k=args.k)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        idx.search(q_ids, q_w, k=args.k)
+    result["end_to_end_search_ms"] = round((time.perf_counter() - t0) / 20 * 1e3, 3)
+
+    line = json.dumps(result, ensure_ascii=False)
+    if args.out:
+        Path(args.out).write_text(line)
+    print(line, flush=True)
+
+
+if __name__ == "__main__":
+    main()

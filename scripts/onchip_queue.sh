@@ -55,3 +55,9 @@ run_json serving_s32 BENCH_SERVING_TPU_S32_r03.json \
 
 echo "$(date -u +%FT%TZ) queue complete" >> "$LOG"
 touch /tmp/onchip_queue_done
+
+# 4. sparse lexical-arm scan at 1M (kernel + e2e; appended while queue waits)
+run_json sparse_1m BENCH_SPARSE_r03.json \
+    python scripts/bench_sparse.py --n 1000000 --reps 200
+
+echo "$(date -u +%FT%TZ) queue complete (incl. sparse)" >> "$LOG"
