@@ -306,6 +306,18 @@ class RAGApplication:
         return TokenStore(**common)
 
     def _make_sparse_index(self):
+        # the lexical arm rides the main index's mesh when there is one, so
+        # all three bge-m3 heads (dense / multi-vector / sparse) share the
+        # same row-sharded device layout
+        mesh = getattr(self.index, "mesh", None)
+        if mesh is not None:
+            from .parallel import ShardedSparseIndex
+
+            return ShardedSparseIndex(
+                top_terms=self.settings.sparse_top_terms,
+                mesh=mesh,
+                axis_name=self.settings.mesh_shard_axis_name,
+            )
         from .index.sparse import SparseIndex
 
         return SparseIndex(top_terms=self.settings.sparse_top_terms)
@@ -670,8 +682,20 @@ class RAGApplication:
         if self.sparse_index is not None:
             from .index.sparse import SparseIndex
 
-            self.sparse_index = SparseIndex.load(
+            restored_sparse = SparseIndex.load(
                 directory, top_terms=self.settings.sparse_top_terms)
+            fresh_sparse = self._make_sparse_index()
+            if type(fresh_sparse) is not SparseIndex:
+                # sharded deployment: transplant the restored host arrays
+                # into the mesh-backed index (same pattern as the sharded
+                # token store above); placement happens lazily on first use
+                fresh_sparse.top_terms = restored_sparse.top_terms
+                fresh_sparse.device_dtype = restored_sparse.device_dtype
+                fresh_sparse._ids = restored_sparse._ids
+                fresh_sparse._weights = restored_sparse._weights
+                fresh_sparse._recount_df_locked()
+                restored_sparse = fresh_sparse
+            self.sparse_index = restored_sparse
             self.engine.sparse_index = self.sparse_index
             # a checkpoint from a sparse-off deployment has no sparse rows;
             # the engine's alignment guard keeps the arm disengaged then.

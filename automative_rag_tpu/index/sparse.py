@@ -167,6 +167,15 @@ class SparseIndex:
                 )
             return self._device
 
+    def _device_topk(self, state, q_ids: np.ndarray, q_w: np.ndarray,
+                     k: int):
+        """Device top-k over the staged slab; the mesh-sharded subclass
+        (``parallel/sharded_sparse.py``) overrides this with a per-shard
+        scan + all-gather merge."""
+        ids_slab, w_slab, staged = state
+        return _sparse_topk_kernel(
+            ids_slab, w_slab, staged, jnp.asarray(q_ids), jnp.asarray(q_w), k)
+
     def search(self, q_ids: np.ndarray, q_w: np.ndarray, k: int
                ) -> List[Tuple[int, float]]:
         """Top-k (row, score) by lexical match score; scores ≤ 0 dropped
@@ -177,11 +186,9 @@ class SparseIndex:
         q_ids = np.asarray(q_ids, np.int32)
         q_w = np.asarray(q_w, np.float32)
         k_eff = min(k, self.rows)
-        ids_slab, w_slab, staged = state
-        values, rows = _sparse_topk_kernel(
-            ids_slab, w_slab, staged, jnp.asarray(q_ids), jnp.asarray(q_w),
-            min(k_eff, staged),
-        )
+        staged = state[2]
+        values, rows = self._device_topk(
+            state, q_ids, q_w, min(k_eff, staged))
         values = np.asarray(values)
         rows = np.asarray(rows)
         with self._mutex:

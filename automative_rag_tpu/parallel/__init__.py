@@ -2,6 +2,7 @@ from .mesh import make_mesh, shard_axis_size
 from .sharded_search import ShardedFlatIndex, make_sharded_search
 from .sharded_ivf import ShardedIVFIndex
 from .sharded_rerank import ShardedTokenStore, make_sharded_maxsim
+from .sharded_sparse import ShardedSparseIndex, make_sharded_sparse_topk
 from .tp_llm import qwen2_partition_specs, shard_qwen2_model
 
 __all__ = [
@@ -12,6 +13,8 @@ __all__ = [
     "make_sharded_search",
     "ShardedTokenStore",
     "make_sharded_maxsim",
+    "ShardedSparseIndex",
+    "make_sharded_sparse_topk",
     "qwen2_partition_specs",
     "shard_qwen2_model",
 ]
