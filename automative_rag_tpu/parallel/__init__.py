@@ -4,6 +4,7 @@ from .sharded_ivf import ShardedIVFIndex
 from .sharded_rerank import ShardedTokenStore, make_sharded_maxsim
 from .sharded_sparse import ShardedSparseIndex, make_sharded_sparse_topk
 from .tp_llm import qwen2_partition_specs, shard_qwen2_model
+from .pp_llm import make_pp_forward, stack_layer_params
 
 __all__ = [
     "make_mesh",
@@ -17,4 +18,6 @@ __all__ = [
     "make_sharded_sparse_topk",
     "qwen2_partition_specs",
     "shard_qwen2_model",
+    "make_pp_forward",
+    "stack_layer_params",
 ]

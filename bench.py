@@ -270,6 +270,10 @@ def main():
         ("llm_7b", ("BENCH_LLM7B_r03.json",)),
         ("asr", ("BENCH_ASR_r03.json", "BENCH_ASR_r02.json")),
         ("encode", ("BENCH_ENCODE_r03.json",)),
+        ("serving", ("BENCH_SERVING_TPU_r03.json", "BENCH_SERVING_r03.json")),
+        ("ivf_tail", ("BENCH_IVF_TAIL_r03.json",)),
+        ("w4_tune", ("W4_TUNE_r03.json",)),
+        ("sparse", ("BENCH_SPARSE_r03.json",)),
         ("capacity_10m", ("CAPACITY_10M.json",)),
         ("recall_curves", ("RECALL_CURVES.json",)),
     ):
