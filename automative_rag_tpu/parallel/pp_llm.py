@@ -72,6 +72,9 @@ def make_pp_forward(model: Qwen2Model, mesh: Mesh, axis: str = "pp",
     def _local(stacked_local, embed_tab, tokens):
         stage = jax.lax.axis_index(axis)
         b, t = tokens.shape
+        if b % n_micro:
+            raise ValueError(
+                f"batch {b} must divide into n_micro={n_micro} microbatches")
         mb = b // n_micro
         micro_tokens = tokens.reshape(n_micro, mb, t)
         positions = jnp.arange(t)
