@@ -178,9 +178,18 @@ class RetrievalEngine:
         post-filtered on the host (tombstones + metadata) through
         ``index.rows_match`` so the arm never couples to the device filter
         state; unioned hits carry their host cosine as the dense score."""
+        if not self._sparse_active():
+            return hits, None, 0
+        q_ids, q_w = self._sparse_terms(query)
+        # slack above sparse_k so tombstoned/filtered rows don't starve it
+        cand = self.sparse_index.search(q_ids, q_w, k=self.sparse_k + 8)
+        hits, n_extra = self._sparse_merge(qvec, hits, metadata_filter, cand)
+        return hits, (q_ids, q_w), n_extra
+
+    def _sparse_active(self) -> bool:
         sp, enc = self.sparse_index, self.sparse_encoder
         if sp is None or enc is None or sp.rows == 0:
-            return hits, None, 0
+            return False
         if (
             sp.rows != self.index.total_rows
             or not hasattr(self.index, "rows_match")
@@ -189,12 +198,20 @@ class RetrievalEngine:
             # misaligned rows (should be impossible — appends are paired)
             # or an index kind without the host helpers: disengage rather
             # than risk returning the wrong documents
-            return hits, None, 0
+            return False
+        return True
+
+    def _sparse_terms(self, query: str):
+        sp, enc = self.sparse_index, self.sparse_encoder
         q_ids, q_w = enc.encode_query(query)
         if enc.use_idf:
             q_w = q_w * sp.idf(q_ids)
-        # slack above sparse_k so tombstoned/filtered rows don't starve it
-        cand = sp.search(q_ids, q_w, k=self.sparse_k + 8)
+        return q_ids, q_w
+
+    def _sparse_merge(self, qvec, hits, metadata_filter, cand):
+        """Union lexical candidates into the dense hit list (host-filtered
+        through ``index.rows_match``; unioned hits carry their host cosine
+        as the dense score)."""
         extra = []
         if cand:
             rows = [r for r, _ in cand]
@@ -208,7 +225,7 @@ class RetrievalEngine:
                     SearchResult(self.index.document_at(r), float(s), r)
                     for r, s in zip(extra, dense_scores)
                 ]
-        return hits, (q_ids, q_w), len(extra)
+        return hits, len(extra)
 
     def _fuse_scores(
         self, hits: List[SearchResult], q_terms
@@ -380,15 +397,24 @@ class RetrievalEngine:
                         h for h in extra if h.row not in seen
                     ]
 
-        # sparse lexical arm, same semantics as the single-query path
+        # sparse lexical arm, same semantics as the single-query path but
+        # ONE batched device dispatch for the whole query set
         q_terms_per_query: List[Optional[Tuple]] = [None] * len(queries)
         n_sparse = 0
-        for i, q in enumerate(queries):
-            flt = (metadata_filters[i] if metadata_filters is not None
-                   else metadata_filter)
-            per_query_hits[i], q_terms_per_query[i], n = self._sparse_union(
-                q, qvecs[i], per_query_hits[i], flt)
-            n_sparse += n
+        if self._sparse_active():
+            terms = [self._sparse_terms(q) for q in queries]
+            cand_b = self.sparse_index.search_batch(
+                np.stack([t[0] for t in terms]),
+                np.stack([t[1] for t in terms]),
+                k=self.sparse_k + 8,
+            )
+            for i in range(len(queries)):
+                flt = (metadata_filters[i] if metadata_filters is not None
+                       else metadata_filter)
+                per_query_hits[i], n = self._sparse_merge(
+                    qvecs[i], per_query_hits[i], flt, cand_b[i])
+                q_terms_per_query[i] = terms[i]
+                n_sparse += n
         t2 = time.perf_counter()
 
         docs_per_query = [[h.document for h in hits] for hits in per_query_hits]

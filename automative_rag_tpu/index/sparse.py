@@ -72,6 +72,34 @@ def _sparse_topk_kernel(ids, weights, n_rows, q_ids, q_w, k):
     return jax.lax.top_k(scores, k)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _sparse_topk_batch_kernel(ids, weights, n_rows, q_ids, q_w, k):
+    """Batched variant: q_ids [B, Q] int32, q_w [B, Q] f32 →
+    (values [B, k], rows [B, k]). One dispatch scores every query against
+    the corpus — the serving-throughput path (engine ``retrieve_batch``)."""
+    cap, t = ids.shape
+    blocks_i = ids.reshape(cap // _BLOCK, _BLOCK, t)
+    blocks_w = weights.reshape(cap // _BLOCK, _BLOCK, t)
+    b, n_q = q_ids.shape
+
+    def block_scores(blk):
+        bids, bw = blk
+
+        def qstep(i, acc):
+            hit = bids[None, :, :] == q_ids[:, i][:, None, None]
+            contrib = jnp.where(
+                hit, bw.astype(jnp.float32)[None], 0.0).sum(axis=2)
+            return acc + q_w[:, i][:, None] * contrib
+
+        return jax.lax.fori_loop(
+            0, n_q, qstep, jnp.zeros((b, _BLOCK), jnp.float32))
+
+    scores = jax.lax.map(block_scores, (blocks_i, blocks_w))  # [nb, B, blk]
+    scores = jnp.moveaxis(scores, 0, 1).reshape(b, cap)
+    scores = jnp.where(jnp.arange(cap)[None, :] < n_rows, scores, -jnp.inf)
+    return jax.lax.top_k(scores, k)
+
+
 def _score_rows_np(ids: np.ndarray, weights: np.ndarray,
                    q_ids: np.ndarray, q_w: np.ndarray) -> np.ndarray:
     """Host oracle / tail scorer: same reduction in numpy."""
@@ -205,6 +233,49 @@ class SparseIndex:
         return [
             (int(r), float(v)) for v, r in zip(values, rows) if v > 0.0
         ]
+
+    def _device_topk_batch(self, state, q_ids: np.ndarray,
+                           q_w: np.ndarray, k: int):
+        ids_slab, w_slab, staged = state
+        return _sparse_topk_batch_kernel(
+            ids_slab, w_slab, staged, jnp.asarray(q_ids), jnp.asarray(q_w), k)
+
+    def search_batch(self, q_ids: np.ndarray, q_w: np.ndarray, k: int
+                     ) -> List[List[Tuple[int, float]]]:
+        """Batched ``search``: q_ids/q_w [B, Q] (fixed query width, pad id
+        −1 / weight 0) → per-query top-k (row, score) lists, one device
+        dispatch for the whole batch. Tail rows merge per query on the
+        host, same as the single-query path."""
+        q_ids = np.asarray(q_ids, np.int32)
+        q_w = np.asarray(q_w, np.float32)
+        b = q_ids.shape[0]
+        if self.rows == 0 or k <= 0 or b == 0:
+            return [[] for _ in range(b)]
+        state = self._device_state()
+        staged = state[2]
+        k_eff = min(k, self.rows)
+        values, rows = self._device_topk_batch(
+            state, q_ids, q_w, min(k_eff, staged))
+        values = np.asarray(values)
+        rows = np.asarray(rows)
+        with self._mutex:
+            tail_ids = self._ids[staged:]
+            tail_w = self._weights[staged:]
+        out: List[List[Tuple[int, float]]] = []
+        for i in range(b):
+            v, r = values[i], rows[i]
+            if len(tail_ids):
+                tail_scores = _score_rows_np(
+                    tail_ids, tail_w, q_ids[i], q_w[i])
+                v = np.concatenate([v, tail_scores])
+                r = np.concatenate(
+                    [r, np.arange(staged, staged + len(tail_ids))])
+                order = np.argsort(-v)[:k_eff]
+                v, r = v[order], r[order]
+            out.append([
+                (int(rr), float(vv)) for vv, rr in zip(v, r) if vv > 0.0
+            ])
+        return out
 
     def score_rows(self, rows: Sequence[int], q_ids: np.ndarray,
                    q_w: np.ndarray) -> np.ndarray:

@@ -80,6 +80,54 @@ def make_sharded_sparse_topk(mesh: Mesh, axis_name: str, k: int):
     return jax.jit(sharded)
 
 
+def make_sharded_sparse_topk_batch(mesh: Mesh, axis_name: str, k: int):
+    """Batched sharded executable: q_ids/q_w [B, Q] → (values [B, k],
+    rows [B, k]) global row indices, one collective merge for the batch."""
+
+    def _local(ids, weights, staged, q_ids, q_w):
+        local_cap, t = ids.shape
+        b, n_q = q_ids.shape
+        blocks_i = ids.reshape(local_cap // _BLOCK, _BLOCK, t)
+        blocks_w = weights.reshape(local_cap // _BLOCK, _BLOCK, t)
+
+        def block_scores(blk):
+            bids, bw = blk
+
+            def qstep(i, acc):
+                hit = bids[None, :, :] == q_ids[:, i][:, None, None]
+                contrib = jnp.where(
+                    hit, bw.astype(jnp.float32)[None], 0.0).sum(axis=2)
+                return acc + q_w[:, i][:, None] * contrib
+
+            return jax.lax.fori_loop(
+                0, n_q, qstep, jnp.zeros((b, _BLOCK), jnp.float32))
+
+        scores = jax.lax.map(block_scores, (blocks_i, blocks_w))
+        scores = jnp.moveaxis(scores, 0, 1).reshape(b, local_cap)
+        shard = jax.lax.axis_index(axis_name)
+        base = shard * local_cap
+        scores = jnp.where(
+            jnp.arange(local_cap)[None, :] + base < staged, scores, -jnp.inf)
+        vals, idx = jax.lax.top_k(scores, k)          # [B, k] local
+        gidx = idx + base
+        all_vals = jax.lax.all_gather(vals, axis_name)  # [S, B, k]
+        all_idx = jax.lax.all_gather(gidx, axis_name)
+        n_shards = all_vals.shape[0]
+        flat_v = jnp.moveaxis(all_vals, 0, 1).reshape(b, n_shards * k)
+        flat_i = jnp.moveaxis(all_idx, 0, 1).reshape(b, n_shards * k)
+        mvals, pos = jax.lax.top_k(flat_v, k)
+        return mvals, jnp.take_along_axis(flat_i, pos, axis=1)
+
+    sharded = shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name, None), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 class ShardedSparseIndex(SparseIndex):
     """SparseIndex whose device slab is row-sharded over a mesh.
 
@@ -124,6 +172,17 @@ class ShardedSparseIndex(SparseIndex):
         if fn is None:
             fn = make_sharded_sparse_topk(self.mesh, self.axis_name, k)
             self._search_fns[k] = fn
+        return fn(ids_slab, w_slab, jnp.asarray(staged, jnp.int32),
+                  jnp.asarray(q_ids), jnp.asarray(q_w))
+
+    def _device_topk_batch(self, state, q_ids: np.ndarray,
+                           q_w: np.ndarray, k: int):
+        ids_slab, w_slab, staged = state
+        key = ("batch", k)
+        fn = self._search_fns.get(key)
+        if fn is None:
+            fn = make_sharded_sparse_topk_batch(self.mesh, self.axis_name, k)
+            self._search_fns[key] = fn
         return fn(ids_slab, w_slab, jnp.asarray(staged, jnp.int32),
                   jnp.asarray(q_ids), jnp.asarray(q_w))
 

@@ -143,6 +143,35 @@ def main():
               file=sys.stderr, flush=True)
     per_call = variants["blocked_fori"]  # the production kernel
 
+    # batched-kernel amortization (the retrieve_batch serving path): one
+    # dispatch scores B queries against the corpus
+    from automative_rag_tpu.index.sparse import _sparse_topk_batch_kernel
+
+    b8_ids = jnp.asarray(np.stack([q_ids] * 8))
+    b8_w = jnp.asarray(np.stack([q_w] * 8))
+
+    @jax.jit
+    def many_b8(qi, qw, islab, wslab):
+        def body(carry, _):
+            qi_c, qw_c = carry
+            vals, rows = _sparse_topk_batch_kernel(
+                islab, wslab, staged, qi_c, qw_c, k)
+            qw_c = qw_c + (vals[0, 0] * 0).astype(qw_c.dtype)
+            return (qi_c, qw_c), vals[0, 0]
+
+        _, outs = jax.lax.scan(body, (qi, qw), None, length=reps)
+        return outs
+
+    np.asarray(many_b8(b8_ids, b8_w, ids_slab, w_slab))  # compile
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(many_b8(b8_ids, b8_w, ids_slab, w_slab))
+        samples.append((time.perf_counter() - t0) / reps)
+    b8_ms = float(np.percentile(samples, 50)) * 1e3
+    print(f"batch8 kernel: {b8_ms:.3f} ms ({b8_ms / 8:.3f} ms/query)",
+          file=sys.stderr, flush=True)
+
     bytes_read = staged * t * (4 + w_slab.dtype.itemsize)
     result = {
         "bench": "sparse_scan",
@@ -152,6 +181,8 @@ def main():
         "kernel_ms": round(per_call * 1e3, 4),
         "kernel_ms_variants": {
             name: round(v * 1e3, 4) for name, v in variants.items()},
+        "kernel_batch8_ms": round(b8_ms, 4),
+        "kernel_batch8_per_query_ms": round(b8_ms / 8, 4),
         "corpus_mb": round(bytes_read / 1e6, 1),
         "effective_gbps": round(bytes_read / per_call / 1e9, 1),
         "oracle_overlap": f"{overlap}/{len(got_rows_in_sample)}",

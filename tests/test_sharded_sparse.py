@@ -107,3 +107,16 @@ def test_save_load_roundtrip_into_sharded(tmp_path, mesh):
     assert hits and hits[0][0] == 3
     assert fresh.stats()["kind"] == "sharded"
     assert fresh.stats()["n_shards"] == 8
+
+
+def test_sharded_batch_matches_single(mesh):
+    rng = np.random.default_rng(5)
+    single, sharded, ids, _ = _build_pair(rng, mesh, n=400)
+    qs = [_query(rng, ids, rows=(r, r + 1)) for r in (3, 40, 200)]
+    got = sharded.search_batch(
+        np.stack([q for q, _ in qs]), np.stack([w for _, w in qs]), k=9)
+    for (q_ids, q_w), batch_hits in zip(qs, got):
+        want = single.search(q_ids, q_w, k=9)
+        assert [r for r, _ in batch_hits] == [r for r, _ in want]
+        np.testing.assert_allclose(
+            [v for _, v in batch_hits], [v for _, v in want], rtol=1e-5)

@@ -395,3 +395,50 @@ def test_transformer_mode_with_sparse_head(tmp_path):
     assert set(got) == set(top)
     for t in got:
         np.testing.assert_allclose(got[t], top[t], rtol=1e-4)
+
+
+# ------------------------------------------------------------ batch path
+
+def test_index_search_batch_matches_single(encoder):
+    """One batched dispatch must return exactly the per-query results,
+    including host-tail merging."""
+    rng = np.random.default_rng(7)
+    t = encoder.top_terms
+    ids = rng.integers(0, 300, size=(120, t)).astype(np.int32)
+    weights = np.abs(rng.normal(0.8, 0.4, size=(120, t))).astype(np.float32)
+    idx = SparseIndex(top_terms=t, device_dtype="float32")
+    idx.append(ids, weights)
+    queries = []
+    for r in (2, 17, 44, 80):
+        q_ids = ids[r, :10].astype(np.int32)
+        q_w = np.abs(rng.normal(1.0, 0.3, size=10)).astype(np.float32)
+        queries.append((q_ids, q_w))
+    # stage the slab, then append a live tail so both paths must merge it
+    idx.search(*queries[0], k=3)
+    tail_ids = rng.integers(0, 300, size=(9, t)).astype(np.int32)
+    tail_w = np.abs(rng.normal(0.8, 0.4, size=(9, t))).astype(np.float32)
+    idx.append(tail_ids, tail_w)
+    assert idx._device is not None
+    got = idx.search_batch(
+        np.stack([q for q, _ in queries]),
+        np.stack([w for _, w in queries]), k=8)
+    for (q_ids, q_w), batch_hits in zip(queries, got):
+        single = idx.search(q_ids, q_w, k=8)
+        assert [r for r, _ in batch_hits] == [r for r, _ in single]
+        np.testing.assert_allclose(
+            [v for _, v in batch_hits], [v for _, v in single], rtol=1e-5)
+
+
+def test_engine_retrieve_batch_uses_one_sparse_dispatch(engine_with_sparse):
+    """retrieve_batch must produce the same candidates as per-query
+    retrieve with the sparse arm engaged (batched kernel parity), and the
+    exact-term union must survive the batch path."""
+    eng, docs, ids = engine_with_sparse
+    queries = ["xDrive40i 多少油耗", "比亚迪汉EV续航", "最大功率多少千瓦"]
+    batch = eng.retrieve_batch(queries, rerank=False)
+    assert len(batch) == 3
+    singles = [eng.retrieve(q, rerank=False) for q in queries]
+    for got, want in zip(batch, singles):
+        assert [d.page_content for d, _ in got] == \
+            [d.page_content for d, _ in want]
+    assert any("xDrive40i" in d.page_content for d, _ in batch[0])
