@@ -1026,7 +1026,7 @@ def build_api(app: RAGApplication) -> HTTPApi:
             if key in applied and hasattr(app.index, attr):
                 setattr(app.index, attr, applied[key])
         # sparse-arm tunables are live on the engine
-        for key in ("sparse_k", "sparse_weight"):
+        for key in ("sparse_k", "sparse_weight", "sparse_rerank_weight"):
             if key in applied:
                 setattr(app.engine, key, applied[key])
         # reference persists config updates to a JSON file

@@ -155,6 +155,7 @@ class RAGApplication:
             sparse_encoder=self.sparse_encoder,
             sparse_k=self.settings.sparse_k,
             sparse_weight=self.settings.sparse_weight,
+            sparse_rerank_weight=self.settings.sparse_rerank_weight,
         )
         from .generation.llm import JaxCausalLM
 

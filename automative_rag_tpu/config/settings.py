@@ -149,6 +149,13 @@ class Settings:
     sparse_weight: float = field(
         default_factory=lambda: _env("SPARSE_WEIGHT", 0.3)
     )
+    # share of the FINAL reranked combine carried by the lexical score
+    # (bge-m3 hybrid idiom: dense/sparse/multi-vector weighted sum, sparse
+    # ≈ 0.2 — exact-term matches lift near-duplicate trims/spec codes the
+    # contextual MaxSim blurs)
+    sparse_rerank_weight: float = field(
+        default_factory=lambda: _env("SPARSE_RERANK_WEIGHT", 0.2)
+    )
 
     # --- mesh / parallel layout ---
     mesh_data_axis: int = field(default_factory=lambda: _env("MESH_DATA_AXIS", 0))

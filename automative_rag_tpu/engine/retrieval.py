@@ -116,6 +116,7 @@ class RetrievalEngine:
         sparse_encoder=None,
         sparse_k: int = 10,
         sparse_weight: float = 0.3,
+        sparse_rerank_weight: float = 0.2,
     ):
         self.embedder = embedder
         self.index = index
@@ -123,13 +124,16 @@ class RetrievalEngine:
         self.token_store = token_store
         self.entity_expansion = entity_expansion
         # bge-m3 sparse arm: lexical top-k unioned into the candidate set
-        # (exact-term recall; models/sparse.py). sparse_weight only matters
-        # on the rerank-off path — with rerank on, MaxSim re-scores the
-        # union and the arm is purely a recall source.
+        # (exact-term recall; models/sparse.py). sparse_weight governs the
+        # rerank-OFF fusion; sparse_rerank_weight folds the lexical score
+        # into the reranked combine too (bge-m3 hybrid: dense/sparse/
+        # multi-vector weighted sum) so exact-term matches can lift
+        # near-duplicate trims the contextual MaxSim blurs.
         self.sparse_index = sparse_index
         self.sparse_encoder = sparse_encoder
         self.sparse_k = sparse_k
         self.sparse_weight = sparse_weight
+        self.sparse_rerank_weight = sparse_rerank_weight
         self.last_timings: Dict[str, float] = {}
 
     # ------------------------------------------------------------ ingest
@@ -243,6 +247,29 @@ class RetrievalEngine:
         )
         return [(d, float(s)) for d, s in ranked]
 
+    def _blend_sparse(
+        self,
+        ranked: List[Tuple[Document, float]],
+        q_terms,
+        row_by_doc_id: Dict[str, int],
+    ) -> List[Tuple[Document, float]]:
+        """Fold the lexical arm into a NORMALIZED reranked list: the
+        multi-vector (MaxSim) score carries (1−w), the min-max-normalized
+        sparse match w (``sparse_rerank_weight``). Docs the union didn't
+        cover keep sparse score 0 after min-max, so the blend only ever
+        promotes lexical evidence."""
+        w = self.sparse_rerank_weight
+        if (not ranked or q_terms is None or w <= 0.0
+                or self.sparse_index is None):
+            return ranked
+        rows = [row_by_doc_id.get(doc.id, -1) for doc, _ in ranked]
+        if any(r < 0 for r in rows):
+            return ranked
+        sparse = self.sparse_index.score_rows(rows, *q_terms)
+        blended = (1.0 - w) * np.array([s for _, s in ranked], np.float64) \
+            + w * _minmax(sparse)
+        return [(doc, float(s)) for (doc, _), s in zip(ranked, blended)]
+
     # ----------------------------------------------------------- retrieve
     def retrieve(
         self,
@@ -299,6 +326,8 @@ class RetrievalEngine:
                 ranked = self.reranker.rerank(query, candidates, top_k=None)
             if ranked:
                 ranked = _normalize_ranked(ranked)
+                ranked = self._blend_sparse(
+                    ranked, q_terms, {h.document.id: h.row for h in hits})
                 if detected:
                     ranked = _apply_entity_bonus(ranked, detected)
                 ranked = sorted(ranked, key=lambda x: -x[1])[:k2]
@@ -451,6 +480,9 @@ class RetrievalEngine:
         for i, ranked in enumerate(ranked_per_query):
             if rerank and ranked:
                 ranked = _normalize_ranked(ranked)
+                ranked = self._blend_sparse(
+                    ranked, q_terms_per_query[i],
+                    {h.document.id: h.row for h in per_query_hits[i]})
                 if detected_per_query[i]:
                     ranked = _apply_entity_bonus(ranked, detected_per_query[i])
                 ranked = sorted(ranked, key=lambda x: -x[1])[:k2]

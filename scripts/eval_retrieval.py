@@ -85,6 +85,70 @@ def build_corpus(n_docs: int, seed: int = 7):
     return facts
 
 
+def build_trim_corpus(n_trims: int, seed: int = 23):
+    """Near-duplicate trim documents: same models and metric, only the
+    alphanumeric trim code (and its value) differs — the disambiguation
+    case the sparse lexical arm exists for (SURVEY §2.2: 'xDrive40i' vs
+    'xDrive30d' blur under dense vectors)."""
+    from automative_rag_tpu.ingestion.metadata import MODEL_CATALOG
+
+    rng = random.Random(seed)
+    models = list(MODEL_CATALOG)[:8]
+    letters = "ABCDEFGHJKLMNPRSTUVWXYZ"
+    # globally unique range values so value-in-answer identifies the trim
+    values = rng.sample(range(401, 999), n_trims)
+    trims = []
+    used = set()
+    while len(trims) < n_trims:
+        code = (rng.choice(letters) + rng.choice(letters)
+                + str(rng.randrange(20, 80)) + rng.choice("iLhdt"))
+        if code in used:
+            continue
+        used.add(code)
+        model = models[len(trims) % len(models)]
+        value = f"{values[len(trims)]}公里"
+        trims.append({
+            "model": model,
+            "manufacturer": MODEL_CATALOG[model]["manufacturer"],
+            "code": code,
+            "value": value,
+            "text": f"{model} {code}版 续航里程为{value}。",
+        })
+    return trims
+
+
+def eval_spec_codes(app, trims, n_queries, rng):
+    """Hit/answer rates on code-only queries, with the sparse arm engaged
+    vs disengaged on the SAME app — isolates the lexical arm's recall."""
+    sample = rng.sample(trims, min(n_queries, len(trims)))
+
+    def run():
+        answered = 0
+        for trim in sample:
+            query = f"{trim['code']}版的续航里程是多少？"
+            job = app.query_sync(query, mode="facts", timeout=120)
+            # the extractive answerer quotes retrieved content, so the
+            # (globally unique) value in the answer ⇔ the right trim doc
+            # was retrieved and selected
+            if trim["value"] in job["result"]["answer"]:
+                answered += 1
+        return round(answered / len(sample), 3)
+
+    sparse_ans = run()
+    saved = app.engine.sparse_index
+    app.engine.sparse_index = None
+    try:
+        dense_ans = run()
+    finally:
+        app.engine.sparse_index = saved
+    return {
+        "trim_docs": len(trims),
+        "queries": len(sample),
+        "sparse_answer_accuracy": sparse_ans,
+        "dense_only_answer_accuracy": dense_ans,
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=120)
@@ -93,6 +157,9 @@ def main():
     parser.add_argument("--dim", type=int, default=256,
                         help="embedding dim for the weightless lexical encoder")
     parser.add_argument("--json", action="store_true", help="print one JSON line")
+    parser.add_argument("--no-spec-codes", dest="spec_codes",
+                        action="store_false", default=True,
+                        help="skip the sparse-arm trim-code disambiguation split")
     parser.add_argument("--trained", default="",
                         help="directory from scripts/train_encoder.py — swap "
                              "the lexical embedder for the TRAINED dense "
@@ -179,6 +246,19 @@ def main():
             }:
                 para_hits += 1
 
+        # spec-code disambiguation split: near-duplicate trim docs where
+        # only the alphanumeric code differs — the sparse arm's raison
+        # d'être (exact-term recall dense vectors blur)
+        spec_report = None
+        if args.spec_codes and app.engine.sparse_index is not None:
+            trims = build_trim_corpus(40)
+            for trim in trims:
+                job = app.ingest_text(trim["text"])
+                while app.tracker.get_job(job)["status"] not in (
+                        "completed", "failed"):
+                    time.sleep(0.02)
+            spec_report = eval_spec_codes(app, trims, 20, random.Random(31))
+
         n = len(sample)
         report = {
             "corpus_docs": len(facts),
@@ -192,6 +272,8 @@ def main():
             "ingest_s": round(ingest_s, 1),
             "mode": mode_note,
         }
+        if spec_report is not None:
+            report["spec_code_split"] = spec_report
         if args.json:
             print(json.dumps(report, ensure_ascii=False))
         else:
