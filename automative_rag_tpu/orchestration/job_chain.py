@@ -49,6 +49,7 @@ class JobChain:
         self.retry_backoff_s = retry_backoff_s
         self._chains: Dict[str, Dict[str, Any]] = {}
         self._lock = threading.RLock()
+        self._persist_lock = threading.Lock()
         self._persist_path = persist_path
         if persist_path:
             self._restore()
@@ -68,10 +69,19 @@ class JobChain:
                     jid: {k: v for k, v in chain.items() if k != "step_started_at"}
                     for jid, chain in self._chains.items()
                 }
-            Path(self._persist_path).parent.mkdir(parents=True, exist_ok=True)
-            Path(self._persist_path).write_text(
-                json.dumps(snapshot, ensure_ascii=False, default=str), encoding="utf-8"
-            )
+            path = Path(self._persist_path)
+            path.parent.mkdir(parents=True, exist_ok=True)
+            # atomic replace under a dedicated lock: two steps completing on
+            # different queue workers persist concurrently, and interleaved
+            # writes to the same file would tear the JSON (restore would
+            # then drop EVERY chain on the next boot)
+            with self._persist_lock:
+                tmp = path.with_suffix(".tmp")
+                tmp.write_text(
+                    json.dumps(snapshot, ensure_ascii=False, default=str),
+                    encoding="utf-8",
+                )
+                tmp.replace(path)
         except (OSError, TypeError):
             pass
 
@@ -233,6 +243,14 @@ class JobChain:
             chain = self._chains.get(job_id)
             if chain is None:
                 return
+            # stale-completion guard: a retry timer racing a user resume can
+            # double-enqueue the same step; the first completion advances
+            # the chain, and an unguarded second would advance it AGAIN —
+            # silently skipping the next step (at-least-once execution is
+            # acceptable; skipping a step is not)
+            if (chain["current"] >= len(chain["steps"])
+                    or chain["steps"][chain["current"]] != task_name):
+                return
             chain["step_status"][task_name] = TaskStatus.COMPLETED.value
             chain.get("step_attempts", {}).pop(task_name, None)
             started = chain.pop("step_started_at", None)
@@ -258,6 +276,11 @@ class JobChain:
         with self._lock:
             chain = self._chains.get(job_id)
             if chain is None:
+                return
+            # same stale guard as task_completed: never fail the chain for
+            # a step it already moved past
+            if (chain["current"] >= len(chain["steps"])
+                    or chain["steps"][chain["current"]] != task_name):
                 return
             chain["step_status"][task_name] = TaskStatus.FAILED.value
             chain["failed_at"] = time.time()

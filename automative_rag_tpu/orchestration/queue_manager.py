@@ -133,15 +133,18 @@ class QueueManager:
                 if self.fault_injector is not None:
                     self.fault_injector(task.name)
                 task.fn(*task.args, **task.kwargs)
-                self._stats[queue_name]["completed"] += 1
+                self._bump(queue_name, "completed")
             except Exception:
                 if task.attempt < policy.max_retries:
                     task.attempt += 1
-                    self._stats[queue_name]["retried"] += 1
+                    self._bump(queue_name, "retried")
                     delay = policy.backoff(task.attempt)
-                    threading.Timer(delay, lambda t=task: q.put(t)).start()
+                    timer = threading.Timer(delay, lambda t=task: q.put(t))
+                    # a pending 30 s backoff must never block process exit
+                    timer.daemon = True
+                    timer.start()
                 else:
-                    self._stats[queue_name]["failed"] += 1
+                    self._bump(queue_name, "failed")
                     traceback.print_exc()
             finally:
                 with self._lock:
@@ -153,7 +156,13 @@ class QueueManager:
         if queue_name not in self._queues:
             raise KeyError(f"unknown queue {queue_name!r}")
         self._queues[queue_name].put(_Task(name=name, fn=fn, args=args, kwargs=kwargs))
-        self._stats[queue_name]["enqueued"] += 1
+        self._bump(queue_name, "enqueued")
+
+    def _bump(self, queue_name: str, key: str) -> None:
+        # counter writes are read-modify-write; racing workers lose counts
+        # without the lock
+        with self._lock:
+            self._stats[queue_name][key] += 1
 
     # ------------------------------------------------------------- status
     def is_queue_busy(self, queue_name: str) -> bool:

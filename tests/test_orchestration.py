@@ -468,3 +468,62 @@ def test_failed_chain_not_resumed(tmp_path):
     chain2 = JobChain(tracker2, router2, persist_path=persist)
     assert chain2.resume_incomplete() == 0
     qm2.shutdown()
+
+
+def test_stale_completion_never_skips_a_step(stack):
+    """A duplicated completion callback for an already-advanced step (retry
+    timer racing a resume can double-execute) must not advance the chain a
+    second time — that would silently skip the next step."""
+    tracker, qm, router, chain = stack
+    calls = []
+
+    @router.task("retrieve_documents")
+    def retrieve(job_id, payload):
+        calls.append("retrieve")
+        return {"documents": ["d"]}
+
+    @router.task("llm_inference")
+    def infer(job_id, payload):
+        calls.append("infer")
+        # stale duplicate for the PREVIOUS step arrives mid-chain
+        chain.task_completed(job_id, "retrieve_documents", {"documents": ["dup"]})
+        return {"answer": "ok"}
+
+    job_id = tracker.create_job(JobType.LLM_INFERENCE.value)
+    chain.start_job_chain(job_id, JobType.LLM_INFERENCE.value, {"query": "q"})
+    job = _wait_status(tracker, job_id, {JobStatus.COMPLETED.value})
+    assert calls == ["retrieve", "infer"]
+    assert job["result"]["answer"] == "ok"
+    # a stale FAILURE for a passed step must not fail the completed chain
+    chain.task_failed(job_id, "retrieve_documents", "stale timeout")
+    assert tracker.get_job(job_id)["status"] == JobStatus.COMPLETED.value
+
+
+def test_persist_is_atomic_under_concurrency(tmp_path):
+    """Concurrent _persist calls must never leave a torn snapshot (restore
+    drops every chain on a JSON parse error)."""
+    import json
+    import threading
+
+    tracker = JobTracker()
+    qm = QueueManager(start=True)
+    try:
+        router = TaskRouter(qm)
+        persist = str(tmp_path / "chains.json")
+        chain = JobChain(tracker, router, persist_path=persist)
+        for i in range(20):
+            chain._chains[f"job-{i}"] = {
+                "job_id": f"job-{i}", "job_type": "t", "steps": ["s"],
+                "current": 0, "data": {"blob": "x" * 2000},
+                "step_status": {"s": "pending"}, "step_timings": {},
+                "started_at": time.time(), "paused": False,
+            }
+        threads = [threading.Thread(target=chain._persist) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        data = json.loads((tmp_path / "chains.json").read_text("utf-8"))
+        assert len(data) == 20
+    finally:
+        qm.shutdown()
