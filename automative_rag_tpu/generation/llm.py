@@ -52,13 +52,21 @@ class StubLLM:
         self._question = ""
 
     def bind(self, ordered_docs, question: str) -> None:
+        # legacy single-threaded path; concurrent callers must pass the
+        # context via params (see generate) — instance state races across
+        # llm-queue workers
         self._context = ordered_docs
         self._question = question
 
     def generate(self, prompt: str, params: Dict[str, Any]) -> str:
-        terms = extract_key_terms(self._question)
+        # context rides in params so N concurrent llm-queue workers
+        # (QueueManager concurrency) can share this instance without one
+        # query answering from another's documents
+        context = params.get("_stub_context", self._context)
+        question = params.get("_stub_question", self._question)
+        terms = extract_key_terms(question)
         candidates: List[tuple] = []  # (n_matched, relevance, order, cited)
-        for order, (doc_id, doc, score) in enumerate(self._context):
+        for order, (doc_id, doc, score) in enumerate(context):
             for sentence in _SENTENCE_SPLIT.split(doc.page_content):
                 sentence = sentence.strip()
                 if not sentence:
@@ -451,6 +459,8 @@ class AnswerGenerator:
 
         if isinstance(self.llm, StubLLM):
             self.llm.bind(ordered, query)
+            llm_params = {**llm_params, "_stub_context": ordered,
+                          "_stub_question": query}
         raw = self.llm.generate(prompt, llm_params)
         # extractive answers are document-grounded by construction — wrap
         # them in the evidence section marker for the complex modes so the

@@ -433,3 +433,34 @@ def test_fullwidth_comma_citations_credit_all_sources():
             (Document(page_content="b"), 0.8)]
     out = AnswerGenerator(TwoSourceLLM()).answer("q", docs, mode="facts")
     assert all(s["cited"] for s in out["sources"]), out["sources"]
+
+
+def test_stub_llm_concurrent_queries_keep_their_own_context():
+    """N llm-queue workers share one AnswerGenerator; a query must never
+    answer from another query's documents (StubLLM context rides in
+    params, not instance state)."""
+    import threading
+
+    gen = AnswerGenerator(StubLLM())
+    docs_a = [(Document(page_content="宝马X5的百公里油耗是8.9升",
+                        metadata={"model": "X5"}), 0.9)]
+    docs_b = [(Document(page_content="奔驰GLE的百公里油耗是9.3升",
+                        metadata={"model": "GLE"}), 0.9)]
+    errors = []
+
+    def worker(query, docs, expect, reps=30):
+        for _ in range(reps):
+            out = gen.answer(query, docs, QueryMode.FACTS)
+            if expect not in out["answer"]:
+                errors.append(out["answer"])
+                return
+
+    threads = [
+        threading.Thread(target=worker, args=("宝马X5油耗多少？", docs_a, "8.9升")),
+        threading.Thread(target=worker, args=("奔驰GLE油耗多少？", docs_b, "9.3升")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:2]
