@@ -208,6 +208,10 @@ def make_handler(gateway: Gateway):
             if self.command == "GET" and "/stream/" in self.path:
                 return self._proxy_stream()
             length = int(self.headers.get("Content-Length") or 0)
+            if length > 256 * 1024 * 1024:  # engine's own upload cap
+                self._respond(413, {"Content-Type": "application/json"},
+                              b'{"detail": "body too large"}')
+                return
             body = self.rfile.read(length) if length else b""
             status, headers, payload = gateway.forward(
                 self.command, self.path, body, dict(self.headers))
