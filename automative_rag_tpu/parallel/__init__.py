@@ -5,6 +5,7 @@ from .sharded_rerank import ShardedTokenStore, make_sharded_maxsim
 from .sharded_sparse import ShardedSparseIndex, make_sharded_sparse_topk
 from .tp_llm import qwen2_partition_specs, shard_qwen2_model
 from .pp_llm import make_pp_forward, stack_layer_params
+from .sp_llm import make_sp_forward
 
 __all__ = [
     "make_mesh",
@@ -20,4 +21,5 @@ __all__ = [
     "shard_qwen2_model",
     "make_pp_forward",
     "stack_layer_params",
+    "make_sp_forward",
 ]
