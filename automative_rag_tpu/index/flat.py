@@ -470,12 +470,14 @@ class FlatIndex:
         return [self._docs[r] for r in rows[offset : offset + limit]]
 
     def get_document(self, doc_id: str) -> Optional[Document]:
-        row = self._row_of_id.get(doc_id)
-        return self._docs[row] if row is not None else None
+        with self._mutex:  # a concurrent compact() remaps rows
+            row = self._row_of_id.get(doc_id)
+            return self._docs[row] if row is not None else None
 
     def get_embedding_by_id(self, doc_id: str) -> Optional[np.ndarray]:
-        row = self._row_of_id.get(doc_id)
-        return None if row is None else self._vectors[row].copy()
+        with self._mutex:
+            row = self._row_of_id.get(doc_id)
+            return None if row is None else self._vectors[row].copy()
 
     # --------------------------------------------------------------- stats
     def stats(self) -> Dict[str, Any]:
@@ -497,22 +499,35 @@ class FlatIndex:
         owns persistence; here the HBM index is a first-class artifact)."""
         path = Path(directory)
         path.mkdir(parents=True, exist_ok=True)
+        with self._mutex:
+            # snapshot under the mutex: the app lock already serializes the
+            # product path, but a direct-library caller saving during an
+            # add would otherwise capture vectors/columns/docs at different
+            # lengths — a torn checkpoint that misaligns on load
+            n = len(self._ids)
+            vectors = np.array(self._vectors[:n])
+            deleted = np.array(self._deleted[:n])
+            codes = np.array(self.columns.codes[:, :n])
+            numerics = np.array(self.columns.numerics[:, :n])
+            ids = list(self._ids)
+            docs = [d.to_dict() for d in self._docs]
+            vocabs = {k: dict(v) for k, v in self.columns.vocabs.items()}
         np.savez_compressed(
             path / "arrays.npz",
-            vectors=self._vectors,
-            deleted=self._deleted,
-            codes=self.columns.codes[:, : len(self._ids)],
-            numerics=self.columns.numerics[:, : len(self._ids)],
+            vectors=vectors,
+            deleted=deleted,
+            codes=codes,
+            numerics=numerics,
         )
         manifest = {
             "version": 1,
             "dim": self.dim,
             "device_dtype": str(self.device_dtype),
             "saved_at": time.time(),
-            "ids": self._ids,
-            "docs": [d.to_dict() for d in self._docs],
-            "vocabs": self.columns.vocabs,
-            "count": len(self._ids),
+            "ids": ids,
+            "docs": docs,
+            "vocabs": vocabs,
+            "count": n,
         }
         (path / "manifest.json").write_text(
             json.dumps(manifest, ensure_ascii=False), encoding="utf-8"
