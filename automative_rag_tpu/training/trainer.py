@@ -32,6 +32,9 @@ class ContrastiveTrainer:
         max_length: int = 64,
         tokenizer_path: str = "",
         checkpoint_dir: Optional[str] = None,
+        sparse_head: bool = False,
+        sparse_loss_weight: float = 0.5,
+        flops_lambda: float = 1e-3,
     ):
         self.config = config
         self.mesh = mesh or make_mesh_2d(
@@ -40,9 +43,12 @@ class ContrastiveTrainer:
         self.max_length = max_length
         self.tokenizer = load_tokenizer(tokenizer_path, vocab_size=config.vocab_size)
         self.checkpoint_dir = checkpoint_dir
+        self.sparse_head = sparse_head
 
         init_fn, _, make_jitted = make_contrastive_train_step(
-            config, self.mesh, learning_rate=learning_rate
+            config, self.mesh, learning_rate=learning_rate,
+            sparse_head=sparse_head, sparse_loss_weight=sparse_loss_weight,
+            flops_lambda=flops_lambda,
         )
         self.params, self.opt_state = init_fn(seed=0)
         self._step_fn = make_jitted(self.params)
@@ -92,6 +98,9 @@ class ContrastiveTrainer:
                     "accuracy": float(metrics["accuracy"]),
                     "step_s": round(time.perf_counter() - t0, 4),
                 }
+                for key in ("sparse_loss", "sparse_accuracy"):
+                    if key in metrics:
+                        record[key] = float(metrics[key])
                 self.history.append(record)
                 if log_every and self.step % log_every == 0:
                     print(f"[train] step {self.step} loss {record['loss']:.4f} "
@@ -137,5 +146,16 @@ class ContrastiveTrainer:
         return self.step
 
     def export_params(self):
-        """Encoder params pytree, e.g. to hot-swap into a DenseEmbedder."""
-        return jax.device_get(self.params)
+        """Encoder params pytree (sparse head excluded), e.g. to hot-swap
+        into a DenseEmbedder."""
+        host = jax.device_get(self.params)
+        return {k: v for k, v in host.items() if k != "sparse_head"}
+
+    def export_sparse_head(self):
+        """Trained sparse head → (w [hidden], b) numpy, or None. Write as
+        ``sparse_linear.safetensors`` next to the encoder export and
+        ``models/sparse.SparseEncoder`` auto-loads it (transformer mode)."""
+        if not self.sparse_head:
+            return None
+        head = jax.device_get(self.params)["sparse_head"]
+        return np.asarray(head["w"], np.float32), float(head["b"])

@@ -197,6 +197,19 @@ def main():
         # swap BEFORE any ingest so index rows and query vectors agree
         app.embedder = embedder
         app.engine.embedder = embedder
+        if app.sparse_encoder is not None:
+            # rebuild the sparse encoder on the swapped embedder: a trained
+            # sparse_linear.safetensors next to the checkpoint upgrades the
+            # lexical arm to the LEARNED head (transformer mode)
+            from automative_rag_tpu.models.sparse import SparseEncoder
+
+            app.sparse_encoder = SparseEncoder(
+                embedder,
+                top_terms=app.sparse_encoder.top_terms,
+                query_terms=app.sparse_encoder.query_terms,
+            )
+            app.engine.sparse_encoder = app.sparse_encoder
+            mode_note += f" + sparse:{app.sparse_encoder.mode}"
     try:
         t0 = time.time()
         for fact in facts:

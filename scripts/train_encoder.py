@@ -78,6 +78,9 @@ def main():
     parser.add_argument("--dp", type=int, default=4)
     parser.add_argument("--tp", type=int, default=2)
     parser.add_argument("--tpu", action="store_true")
+    parser.add_argument("--no-sparse", dest="sparse", action="store_false",
+                        default=True,
+                        help="skip joint SPLADE-style sparse-head training")
     args = parser.parse_args()
 
     import jax
@@ -100,7 +103,7 @@ def main():
     mesh = make_mesh_2d(args.dp, args.tp, axis_names=("dp", "tp"),
                         devices=jax.devices()[: args.dp * args.tp])
     trainer = ContrastiveTrainer(config, mesh=mesh, learning_rate=args.lr,
-                                 max_length=48)
+                                 max_length=48, sparse_head=args.sparse)
     pairs = build_pairs(args.pairs)
     t0 = time.time()
     history = trainer.fit(pairs, batch_size=args.batch_size,
@@ -118,10 +121,29 @@ def main():
         "intermediate_size": config.intermediate_size,
         "max_position": config.max_position,
     }))
+    head = trainer.export_sparse_head()
+    if head is not None:
+        import numpy as np
+        from safetensors.numpy import save_file
+
+        w, b = head
+        # the exact layout models/sparse.SparseEncoder auto-loads when this
+        # directory backs a pretrained DenseEmbedder
+        save_file(
+            {
+                "sparse_linear.weight": np.ascontiguousarray(w, np.float32),
+                "sparse_linear.bias": np.full(1, b, np.float32),
+            },
+            str(out / "sparse_linear.safetensors"),
+        )
     summary = {
         "pairs": len(pairs), "steps": trainer.step,
         "final_loss": round(history[-1]["loss"], 4),
         "final_in_batch_accuracy": round(history[-1]["accuracy"], 4),
+        "sparse_head": head is not None,
+        "final_sparse_accuracy": (
+            round(history[-1]["sparse_accuracy"], 4)
+            if "sparse_accuracy" in history[-1] else None),
         "train_s": round(train_s, 1),
         "mesh": {"dp": args.dp, "tp": args.tp},
         "out": str(out),
@@ -150,4 +172,8 @@ def load_trained_embedder(directory: str):
     template = init_encoder_params(cfg, 0)
     params = flax.serialization.from_bytes(
         template, (out / "params.msgpack").read_bytes())
-    return DenseEmbedder.from_params(cfg, params, max_length=48)
+    embedder = DenseEmbedder.from_params(cfg, params, max_length=48)
+    # point the embedder at its export dir so SparseEncoder finds a trained
+    # sparse_linear.safetensors sitting next to it (transformer mode)
+    embedder.weights_path = str(out)
+    return embedder

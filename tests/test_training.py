@@ -74,3 +74,53 @@ def test_trained_params_hot_swap_into_embedder():
     np.testing.assert_allclose(a, b, rtol=1e-6)
     c = fresh.embed_query("宝马X5 加速")
     assert np.abs(a - c).max() > 1e-4  # training actually changed the encoder
+
+
+def test_sparse_head_trains_and_roundtrips(tmp_path):
+    """Joint SPLADE-style training: the sparse InfoNCE must improve over
+    random init, and the exported head must load back through
+    SparseEncoder's transformer mode."""
+    import json
+
+    import jax
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from automative_rag_tpu.models.encoder import EncoderConfig
+    from automative_rag_tpu.training.trainer import ContrastiveTrainer
+
+    cfg = EncoderConfig(vocab_size=512, hidden_size=32, num_layers=1,
+                        num_heads=4, intermediate_size=64, max_position=64)
+    trainer = ContrastiveTrainer(cfg, learning_rate=3e-4, max_length=16,
+                                 sparse_head=True)
+    pairs = [(f"query about item {i}", f"document describing item {i}")
+             for i in range(64)]
+    history = trainer.fit(pairs, batch_size=16, epochs=6, log_every=0)
+    assert "sparse_loss" in history[-1]
+    assert history[-1]["sparse_accuracy"] >= history[0]["sparse_accuracy"]
+
+    w, b = trainer.export_sparse_head()
+    assert w.shape == (cfg.hidden_size,)
+    save_file({"sparse_linear.weight": np.ascontiguousarray(w),
+               "sparse_linear.bias": np.full(1, b, np.float32)},
+              str(tmp_path / "sparse_linear.safetensors"))
+
+    from automative_rag_tpu.models.sparse import SparseEncoder, _load_sparse_head
+    loaded = _load_sparse_head(str(tmp_path))
+    assert loaded is not None
+    np.testing.assert_allclose(loaded[0], w, rtol=1e-6)
+
+    class _FakeDense:  # just enough surface for SparseEncoder
+        pretrained = True
+        weights_path = str(tmp_path)
+        max_length = 16
+        batch_size = 8
+
+        def __init__(self, trainer):
+            self.tokenizer = trainer.tokenizer
+            self.model = None
+            self.params = None
+
+    enc = SparseEncoder(_FakeDense(trainer), top_terms=8, query_terms=8)
+    assert enc.mode == "transformer"
+    assert enc.use_idf is False
