@@ -263,7 +263,10 @@ class RetrievalEngine:
                 or self.sparse_index is None):
             return ranked
         rows = [row_by_doc_id.get(doc.id, -1) for doc, _ in ranked]
-        if any(r < 0 for r in rows):
+        # a compaction racing this request can shrink the sparse table
+        # after the alignment check; stale rows just skip the blend
+        # (ordering falls back to pure rerank — correct, unboosted)
+        if any(r < 0 or r >= self.sparse_index.rows for r in rows):
             return ranked
         sparse = self.sparse_index.score_rows(rows, *q_terms)
         blended = (1.0 - w) * np.array([s for _, s in ranked], np.float64) \
