@@ -163,9 +163,12 @@ class MetadataExtractor:
         fields: Dict[str, Any] = {}
         lowered = text.lower()
 
-        # model first (implies manufacturer/type/fuel); longest match wins
+        # model first (implies manufacturer/type/fuel); longest match wins.
+        # Boundary-aware like the query side (_find_name): a naive substring
+        # tags 唐山/X50/G63 docs with 唐/X5/G6 — wrong metadata poisons the
+        # payload filters for every query over those fields
         for model in sorted(MODEL_CATALOG, key=len, reverse=True):
-            if model.lower() in lowered:
+            if _find_name(text, lowered, model):
                 info = MODEL_CATALOG[model]
                 fields["model"] = model
                 fields["manufacturer"] = info["manufacturer"]
@@ -175,7 +178,7 @@ class MetadataExtractor:
 
         if "manufacturer" not in fields:
             for alias in sorted(MANUFACTURER_ALIASES, key=len, reverse=True):
-                if alias in lowered:
+                if _find_name(text, lowered, alias):
                     fields["manufacturer"] = MANUFACTURER_ALIASES[alias]
                     break
 

@@ -284,3 +284,17 @@ def test_png_predictor_roundtrip():
     for ftype in (0, 1, 2, 3, 4):
         decoded = _undo_png_predictor(encode(ftype), w, h, px)
         assert decoded == img.tobytes(), f"filter {ftype}"
+
+
+def test_doc_extraction_is_boundary_aware():
+    """Document-side extraction must use the same boundary rules as the
+    query side: 唐山/X50 must not tag docs with model 唐/X5."""
+    from automative_rag_tpu.ingestion.metadata import MetadataExtractor
+
+    ex = MetadataExtractor()
+    assert ex.extract("唐山工厂今日投产新的零部件生产线。").get("model") is None
+    assert ex.extract("全新X50概念车亮相车展。").get("model") is None
+    # real mentions still extract
+    assert ex.extract("比亚迪唐DM 2023款上市。")["model"] == "唐DM"
+    assert ex.extract("我在武汉试驾了比亚迪汉")["model"] == "汉"
+    assert ex.extract("宝马X5 xDrive40i 油耗8.9升")["model"] == "X5"
