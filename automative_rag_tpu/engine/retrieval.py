@@ -225,9 +225,11 @@ class RetrievalEngine:
             extra = extra[: self.sparse_k]
             if extra:
                 dense_scores = self.index.host_scores(extra, qvec)
+                docs_for = self.index.documents_at(extra)
                 hits = list(hits) + [
-                    SearchResult(self.index.document_at(r), float(s), r)
-                    for r, s in zip(extra, dense_scores)
+                    SearchResult(d, float(s), r)
+                    for r, s, d in zip(extra, dense_scores, docs_for)
+                    if d is not None  # row invalidated by a racing compact
                 ]
         return hits, len(extra)
 

@@ -115,6 +115,9 @@ class FlatIndex:
         self.columns = MetadataColumns()
         # device cache
         self._device: Optional[dict] = None
+        # bumped by row-remapping operations (compact): searches that
+        # overlapped a remap retry so their row ids match the live table
+        self._generation = 0
         # guards host mirrors + device staging: ingestion runs on a worker
         # thread while direct API paths (debug-retrieval, /query/batch) may
         # search concurrently
@@ -244,6 +247,7 @@ class FlatIndex:
         self._deleted = np.zeros(live.size, bool)
         self.columns.select_rows(live)
         self._device = None
+        self._generation += 1
         return {
             "reclaimed_rows": reclaimed,
             "rows": int(live.size),
@@ -330,6 +334,26 @@ class FlatIndex:
             rows = np.pad(rows, pad, constant_values=-1)
         return vals, rows
 
+    def _hits_from(self, values: np.ndarray, indices: np.ndarray
+                   ) -> List[List[SearchResult]]:
+        """Build result lists with a bounds check: a compaction racing the
+        search swaps ``_docs`` for a shorter remapped list, and an unguarded
+        ``_docs[row]`` crashes the query (generation retry in ``search``
+        makes this consistent; the bound is the backstop)."""
+        with self._mutex:
+            docs = self._docs
+            n = len(docs)
+        out: List[List[SearchResult]] = []
+        for b in range(values.shape[0]):
+            hits = []
+            for score, row in zip(values[b], indices[b]):
+                row = int(row)
+                if not np.isfinite(score) or not 0 <= row < n:
+                    continue
+                hits.append(SearchResult(docs[row], float(score), row))
+            out.append(hits)
+        return out
+
     @staticmethod
     def _merge_host_tail(values, indices, tail, k: int):
         all_vals = np.concatenate([values, tail[0]], axis=1)
@@ -354,40 +378,42 @@ class FlatIndex:
             norms = np.linalg.norm(queries, axis=1, keepdims=True)
             queries = queries / np.maximum(norms, 1e-12)
 
-        state = self._device_state()
         spec, _ = self._compile(metadata_filter)
-        k_eff = min(k, state["capacity"])
-        if self._int8:
-            values, indices = _search_kernel_int8(
-                state["vectors"], state["row_scales"], state["valid"],
-                state["codes"], state["numerics"], jnp.asarray(queries), spec, k_eff,
-            )
-        else:
-            values, indices = _search_kernel(
-                state["vectors"],
-                state["valid"],
-                state["codes"],
-                state["numerics"],
-                jnp.asarray(queries),
-                spec,
-                k_eff,
-            )
-        values = np.asarray(values)
-        indices = np.asarray(indices)
-        tail = self._host_tail_top_k(queries, spec, k_eff,
-                                     state["staged_rows"])
-        if tail is not None:
-            values, indices = self._merge_host_tail(values, indices, tail, k_eff)
-
-        out: List[List[SearchResult]] = []
-        for b in range(values.shape[0]):
-            hits = []
-            for score, row in zip(values[b], indices[b]):
-                if not np.isfinite(score):
-                    continue
-                hits.append(SearchResult(self._docs[int(row)], float(score), int(row)))
-            out.append(hits)
-        return out
+        # generation retry: a compaction landing mid-search remaps rows, so
+        # the slab the kernel scored and the doc table the results index
+        # would disagree — recompute against the post-compact state
+        for _attempt in range(3):
+            with self._mutex:
+                state = self._device_state_locked()
+                generation = self._generation
+            k_eff = min(k, state["capacity"])
+            if self._int8:
+                values, indices = _search_kernel_int8(
+                    state["vectors"], state["row_scales"], state["valid"],
+                    state["codes"], state["numerics"], jnp.asarray(queries),
+                    spec, k_eff,
+                )
+            else:
+                values, indices = _search_kernel(
+                    state["vectors"],
+                    state["valid"],
+                    state["codes"],
+                    state["numerics"],
+                    jnp.asarray(queries),
+                    spec,
+                    k_eff,
+                )
+            values = np.asarray(values)
+            indices = np.asarray(indices)
+            tail = self._host_tail_top_k(queries, spec, k_eff,
+                                         state["staged_rows"])
+            if tail is not None:
+                values, indices = self._merge_host_tail(
+                    values, indices, tail, k_eff)
+            with self._mutex:
+                if self._generation == generation:
+                    break
+        return self._hits_from(values, indices)
 
     def similarity_search_with_score(
         self,
@@ -447,16 +473,28 @@ class FlatIndex:
     def host_scores(self, rows: Sequence[int], query_vec: np.ndarray
                     ) -> np.ndarray:
         """Cosine scores for an explicit row set against one query vector
-        (stored vectors are unit-normalized at add time)."""
+        (stored vectors are unit-normalized at add time). Rows invalidated
+        by a concurrent compaction score 0."""
         rows = np.asarray(list(rows), np.int64)
         if len(rows) == 0:
             return np.zeros(0, np.float32)
         with self._mutex:
-            vecs = self._vectors[rows]
-        return (vecs @ np.asarray(query_vec, np.float32)).astype(np.float32)
+            n = self._vectors.shape[0]
+            in_range = (rows >= 0) & (rows < n)
+            vecs = self._vectors[np.where(in_range, rows, 0)]
+        scores = (vecs @ np.asarray(query_vec, np.float32)).astype(np.float32)
+        return np.where(in_range, scores, 0.0).astype(np.float32)
 
     def document_at(self, row: int) -> Document:
         return self._docs[int(row)]
+
+    def documents_at(self, rows: Sequence[int]) -> List[Optional[Document]]:
+        """Docs for an explicit row set under one lock; ``None`` for rows a
+        concurrent compaction invalidated (callers drop those)."""
+        with self._mutex:
+            docs = self._docs
+            n = len(docs)
+        return [docs[int(r)] if 0 <= int(r) < n else None for r in rows]
 
     def metadata_search(
         self,

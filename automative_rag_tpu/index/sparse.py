@@ -279,15 +279,21 @@ class SparseIndex:
 
     def score_rows(self, rows: Sequence[int], q_ids: np.ndarray,
                    q_w: np.ndarray) -> np.ndarray:
-        """Host-side scores for a small explicit row set (fusion path)."""
+        """Host-side scores for a small explicit row set (fusion path).
+        Rows a concurrent compaction invalidated score 0 (no lexical
+        evidence) instead of crashing the query."""
         rows = np.asarray(list(rows), np.int64)
         if len(rows) == 0:
             return np.zeros(0, np.float32)
         with self._mutex:
-            ids = self._ids[rows]
-            w = self._weights[rows]
-        return _score_rows_np(
+            n = self._ids.shape[0]
+            in_range = (rows >= 0) & (rows < n)
+            safe = np.where(in_range, rows, 0)
+            ids = self._ids[safe]
+            w = self._weights[safe]
+        scores = _score_rows_np(
             ids, w, np.asarray(q_ids, np.int32), np.asarray(q_w, np.float32))
+        return np.where(in_range, scores, 0.0).astype(np.float32)
 
     # ------------------------------------------------------------- admin
     def drop_device_cache(self) -> None:

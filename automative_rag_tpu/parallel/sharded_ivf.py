@@ -411,14 +411,20 @@ class ShardedIVFIndex(ShardedFlatIndex):
                 nprobe = lvl
                 vals, rows = _run(nprobe)
 
+        # snapshot + bounds check: a compaction racing the search swaps
+        # _docs for a shorter remapped list (see FlatIndex._hits_from)
+        with self._mutex:
+            docs = self._docs
+            n_docs = len(docs)
         out: List[List[SearchResult]] = []
         for b in range(vals.shape[0]):
             hits, seen = [], set()
             for score, row in zip(vals[b], rows[b]):
-                if not np.isfinite(score) or int(row) in seen:
+                row = int(row)
+                if not np.isfinite(score) or row in seen or not 0 <= row < n_docs:
                     continue
-                seen.add(int(row))
-                hits.append(SearchResult(self._docs[int(row)], float(score), int(row)))
+                seen.add(row)
+                hits.append(SearchResult(docs[row], float(score), row))
             out.append(hits)
         return out
 

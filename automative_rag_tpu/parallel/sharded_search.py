@@ -180,12 +180,5 @@ class ShardedFlatIndex(FlatIndex):
                                      state["staged_rows"])
         if tail is not None:
             values, indices = self._merge_host_tail(values, indices, tail, k_eff)
-        out: List[List[SearchResult]] = []
-        for b in range(values.shape[0]):
-            hits = []
-            for score, row in zip(values[b], indices[b]):
-                if not np.isfinite(score):
-                    continue
-                hits.append(SearchResult(self._docs[int(row)], float(score), int(row)))
-            out.append(hits)
-        return out
+        # bounds-checked result build (compaction racing the search)
+        return self._hits_from(values, indices)
