@@ -797,7 +797,9 @@ async function loadSystem() {
     <div class="stat"><b>${idx.count ?? 0}</b><span>索引文档块 (${esc(idx.kind||"")})</span></div>
     <div class="stat"><b>${fmtBytes(idx.hbm_bytes||0)}</b><span>索引 HBM 占用 · ${esc(idx.device_dtype||"")}</span></div>
     <div class="stat"><b>${idx.tail_rows ?? 0}</b><span>未合并新增 (fresh tail)</span></div>
-    <div class="stat"><b>${Math.round(h.uptime_s||0)}s</b><span>运行时间</span></div>`;
+    <div class="stat"><b>${Math.round(h.uptime_s||0)}s</b><span>运行时间</span></div>` +
+    (h.sparse ? `
+    <div class="stat"><b>${h.sparse.rows ?? 0}</b><span>词项索引行 (sparse${h.sparse.kind==="sharded"?"·sharded":""}) · ${h.sparse.distinct_terms ?? 0} 个词项</span></div>` : "");
   const w = await api("/workers/status");
   const hb = await api("/system/heartbeats");
   $("sys-workers").innerHTML = "<h4>工作线程</h4>" + Object.entries(w.workers).map(([k,v]) =>
