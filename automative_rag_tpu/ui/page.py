@@ -799,7 +799,7 @@ async function loadSystem() {
     <div class="stat"><b>${idx.tail_rows ?? 0}</b><span>未合并新增 (fresh tail)</span></div>
     <div class="stat"><b>${Math.round(h.uptime_s||0)}s</b><span>运行时间</span></div>` +
     (h.sparse ? `
-    <div class="stat"><b>${h.sparse.rows ?? 0}</b><span>词项索引行 (sparse${h.sparse.kind==="sharded"?"·sharded":""}) · ${h.sparse.distinct_terms ?? 0} 个词项</span></div>` : "");
+    <div class="stat"><b>${esc(h.sparse.rows ?? 0)}</b><span>词项索引行 (sparse${esc(h.sparse.kind==="sharded"?"·sharded":"")}) · ${esc(h.sparse.distinct_terms ?? 0)} 个词项</span></div>` : "");
   const w = await api("/workers/status");
   const hb = await api("/system/heartbeats");
   $("sys-workers").innerHTML = "<h4>工作线程</h4>" + Object.entries(w.workers).map(([k,v]) =>
