@@ -23,11 +23,12 @@ BRANDS = {"汉EV": "比亚迪", "Model 3": "特斯拉", "X5": "宝马",
           "P7": "小鹏", "海豹": "比亚迪"}
 
 
-@pytest.fixture()
-def app(tmp_path):
+@pytest.fixture(params=["flat", "sharded"])
+def app(tmp_path, request):
     settings = Settings(
         data_dir=str(tmp_path / "data"),
         index_dir=str(tmp_path / "data" / "index"),
+        index_kind=request.param,
     )
     app = RAGApplication(settings=settings, tiny=True, tiny_dim=128)
     yield app
