@@ -95,6 +95,26 @@ def _search_kernel_int8(
     return masked_top_k(scores, mask, k)
 
 
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def _search_kernel_int4(
+    packed, row_scales, valid, codes, numerics, queries, spec: FilterSpec,
+    k: int, interpret: bool
+):
+    """w4a16 corpus search: the corpus is the packed int4 weight matrix of
+    the fused Pallas kernel (``ops/quant_matmul.w4_matmul`` — nibbles
+    unpack in registers on the way into the MXU, HBM only ever sees packed
+    bytes). Queries stay full precision, so the rank error is weight-only
+    int4 (~the 7B LLM's 0.003 rel err per matmul) at HALF the int8
+    corpus footprint: 512 B/row at dim 1024."""
+    from ..ops.quant_matmul import w4_matmul
+
+    scores = w4_matmul(
+        queries.astype(jnp.float32), packed, row_scales, interpret=interpret
+    ).astype(jnp.float32)
+    mask = valid & eval_filter_mask(codes, numerics, spec)
+    return masked_top_k(scores, mask, k)
+
+
 @jax.jit
 def _mask_kernel(valid, codes, numerics, spec: FilterSpec):
     return valid & eval_filter_mask(codes, numerics, spec)
@@ -105,7 +125,15 @@ class FlatIndex:
 
     def __init__(self, dim: int, device_dtype: str = "bfloat16"):
         self.dim = dim
-        self.device_dtype = jnp.dtype(device_dtype)
+        if str(device_dtype) == "int4":
+            # stored as packed nibble pairs in uint8 (pack_w4 layout)
+            if dim % 2:
+                raise ValueError("int4 storage needs an even dim")
+            self._dtype_name = "int4"
+            self.device_dtype = jnp.dtype(jnp.uint8)
+        else:
+            self.device_dtype = jnp.dtype(device_dtype)
+            self._dtype_name = self.device_dtype.name
         # host mirrors (source of truth)
         self._vectors = np.zeros((0, dim), np.float32)
         self._docs: List[Document] = []
@@ -259,6 +287,10 @@ class FlatIndex:
     def _int8(self) -> bool:
         return self.device_dtype == jnp.int8
 
+    @property
+    def _int4(self) -> bool:
+        return self._dtype_name == "int4"
+
     def _device_state(self) -> dict:
         with self._mutex:
             return self._device_state_locked()
@@ -287,6 +319,14 @@ class FlatIndex:
                 np.round(vectors / np.maximum(scales[:, None], 1e-12)), -127, 127
             ).astype(np.int8)
             self._device["vectors"] = jnp.asarray(quantized)
+            self._device["row_scales"] = jnp.asarray(scales, jnp.float32)
+        elif self._int4:
+            # corpus as the packed weight matrix of the fused w4a16 kernel:
+            # [D/2, cap] uint8 nibbles + per-row scales
+            from ..ops.quant_matmul import pack_w4
+
+            packed, scales = pack_w4(np.ascontiguousarray(vectors.T))
+            self._device["vectors"] = jnp.asarray(packed)
             self._device["row_scales"] = jnp.asarray(scales, jnp.float32)
         else:
             self._device["vectors"] = jnp.asarray(vectors, self.device_dtype)
@@ -392,6 +432,12 @@ class FlatIndex:
                     state["vectors"], state["row_scales"], state["valid"],
                     state["codes"], state["numerics"], jnp.asarray(queries),
                     spec, k_eff,
+                )
+            elif self._int4:
+                values, indices = _search_kernel_int4(
+                    state["vectors"], state["row_scales"], state["valid"],
+                    state["codes"], state["numerics"], jnp.asarray(queries),
+                    spec, k_eff, jax.default_backend() != "tpu",
                 )
             else:
                 values, indices = _search_kernel(
@@ -526,7 +572,7 @@ class FlatIndex:
             "total_rows": self.total_rows,
             "capacity": state["capacity"],
             "dim": self.dim,
-            "device_dtype": str(self.device_dtype),
+            "device_dtype": self._dtype_name,
             "hbm_bytes": int(state["vectors"].nbytes),
             "vocab_sizes": {k: len(v) for k, v in self.columns.vocabs.items()},
         }
@@ -560,7 +606,7 @@ class FlatIndex:
         manifest = {
             "version": 1,
             "dim": self.dim,
-            "device_dtype": str(self.device_dtype),
+            "device_dtype": self._dtype_name,
             "saved_at": time.time(),
             "ids": ids,
             "docs": docs,

@@ -420,6 +420,10 @@ class IVFIndex(FlatIndex):
         refine_shortlist: int = 2048,
     ):
         super().__init__(dim, device_dtype)
+        if self._int4:
+            raise ValueError(
+                "int4 storage is flat-index only for now (the IVF list "
+                "slabs have no packed-nibble path; use int8 or bfloat16)")
         self.n_lists = n_lists
         self.n_probe = n_probe
         self.kmeans_iters = kmeans_iters
@@ -877,7 +881,7 @@ class IVFIndex(FlatIndex):
         from pathlib import Path
 
         flat = FlatIndex.load(directory)
-        index = cls(dim=flat.dim, device_dtype=str(flat.device_dtype))
+        index = cls(dim=flat.dim, device_dtype=flat._dtype_name)
         index.__dict__.update(
             {k: v for k, v in flat.__dict__.items() if k in (
                 "_vectors", "_docs", "_ids", "_row_of_id", "_deleted", "columns",

@@ -97,6 +97,10 @@ class ShardedFlatIndex(FlatIndex):
     def __init__(self, dim: int, mesh: Mesh, axis_name: str = "shard",
                  device_dtype: str = "bfloat16"):
         super().__init__(dim, device_dtype)
+        if self._int4:
+            raise ValueError(
+                "int4 storage is single-device flat only for now "
+                "(no sharded packed-nibble path; use int8 or bfloat16)")
         self.mesh = mesh
         self.axis_name = axis_name
         self.n_shards = mesh.shape[axis_name]

@@ -275,3 +275,79 @@ def test_sharded_flat_live_appends(rng):
     assert index._device is staged
     hits = index.search(tv[0:1], 3)[0]
     assert hits[0].document.page_content == "t0"
+
+
+# ------------------------------------------------------------- int4 (w4a16)
+
+def _int4_corpus(n=600, dim=128, seed=0):
+    rng = np.random.default_rng(seed)
+    vectors = rng.normal(size=(n, dim)).astype(np.float32)
+    docs = [
+        Document(page_content=f"doc {i}",
+                 metadata={"manufacturer": f"m{i % 3}", "year": 2020 + i % 4})
+        for i in range(n)
+    ]
+    return vectors, docs
+
+
+def test_int4_recall_vs_f32_oracle():
+    """w4a16 search (packed-nibble corpus, full-precision queries) must
+    recall nearly everything the exact index returns — weight-only int4
+    error, repaired downstream by rerank."""
+    vectors, docs = _int4_corpus()
+    exact = FlatIndex(dim=128, device_dtype="float32")
+    exact.add(vectors, [Document(d.page_content, dict(d.metadata)) for d in docs])
+    q4 = FlatIndex(dim=128, device_dtype="int4")
+    q4.add(vectors, docs)
+    assert q4.stats()["device_dtype"] == "int4"
+    # packed corpus is half the int8 footprint
+    assert q4.stats()["hbm_bytes"] == q4._device_state()["capacity"] * 128 // 2
+
+    rng = np.random.default_rng(1)
+    overlaps = []
+    for _ in range(10):
+        q = rng.normal(size=128).astype(np.float32)
+        want = {h.row for h in exact.search(q, 10)[0]}
+        got = {h.row for h in q4.search(q, 10)[0]}
+        overlaps.append(len(want & got) / 10)
+    assert np.mean(overlaps) >= 0.85, overlaps
+    # self-query: the row's own vector must rank first
+    hits = q4.search(vectors[37], 5)[0]
+    assert hits[0].row == 37
+
+
+def test_int4_filters_tail_and_roundtrip(tmp_path):
+    vectors, docs = _int4_corpus(n=300)
+    idx = FlatIndex(dim=128, device_dtype="int4")
+    idx.add(vectors, docs)
+    q = vectors[12]
+    hits = idx.search(q, 8, {"manufacturer": "m1"})[0]
+    assert hits and all(h.document.metadata["manufacturer"] == "m1" for h in hits)
+    # live tail: append after staging, self-query the fresh row
+    idx.search(q, 4)
+    rng = np.random.default_rng(2)
+    fresh = rng.normal(size=(5, 128)).astype(np.float32)
+    idx.add(fresh, [Document(page_content=f"fresh {i}", metadata={})
+                    for i in range(5)])
+    hits = idx.search(fresh[3], 3)[0]
+    assert hits[0].row == 303
+    # checkpoint round-trip preserves the logical dtype
+    idx.save(str(tmp_path))
+    restored = FlatIndex.load(str(tmp_path))
+    assert restored._dtype_name == "int4"
+    assert restored.search(vectors[12], 3)[0][0].row == \
+        idx.search(vectors[12], 3)[0][0].row
+
+
+def test_int4_rejected_for_ivf_and_sharded():
+    import jax
+    import pytest as _pytest
+
+    from automative_rag_tpu.index.ivf import IVFIndex
+    from automative_rag_tpu.parallel import ShardedFlatIndex, make_mesh
+
+    with _pytest.raises(ValueError, match="int4"):
+        IVFIndex(dim=64, device_dtype="int4")
+    if len(jax.devices()) >= 2:
+        with _pytest.raises(ValueError, match="int4"):
+            ShardedFlatIndex(dim=64, mesh=make_mesh(2), device_dtype="int4")
