@@ -43,9 +43,16 @@ def bench_flat(n, dim=1024, k=20, batch=8, dtype="bfloat16", trials=3):
     rng = np.random.default_rng(0)
     raw = rng.normal(size=(n, dim)).astype(np.float32)
     int8 = dtype == "int8"
+    int4 = dtype == "int4"
     if int8:
         scales = np.abs(raw).max(axis=1) / 127.0
         vectors = jnp.asarray(np.clip(np.round(raw / scales[:, None]), -127, 127), jnp.int8)
+        row_scales = jnp.asarray(scales, jnp.float32)
+    elif int4:
+        from automative_rag_tpu.ops.quant_matmul import pack_w4
+
+        packed, scales = pack_w4(np.ascontiguousarray(raw.T))
+        vectors = jnp.asarray(packed)  # [D/2, N] uint8
         row_scales = jnp.asarray(scales, jnp.float32)
     else:
         vectors = jnp.asarray(raw, jnp.bfloat16)
@@ -54,21 +61,31 @@ def bench_flat(n, dim=1024, k=20, batch=8, dtype="bfloat16", trials=3):
     codes = jnp.zeros((7, n), jnp.int32)
     numerics = jnp.zeros((2, n), jnp.int32)
     q0 = jnp.asarray(np.random.default_rng(1).normal(size=(batch, dim)),
-                     jnp.int8 if int8 else jnp.bfloat16)
+                     jnp.int8 if int8 else
+                     jnp.float32 if int4 else jnp.bfloat16)
     spec = FilterSpec.match_all()
-    if not int8:
+    if not (int8 or int4):
         row_scales = jnp.zeros(1, jnp.float32)
 
     # the corpus is an ARGUMENT, not a closure constant: captured constants
     # get baked into the executable and shipped through the remote compiler
     # (a 2 GB program broke its transport at 1M×1024 bf16)
+    interpret = jax.default_backend() != "tpu"
+
     @jax.jit
     def many(q, vectors, row_scales):
         def body(carry, _):
-            scores = jax.lax.dot_general(
-                carry, vectors, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32 if int8 else jnp.float32,
-            )
+            if int4:
+                from automative_rag_tpu.ops.quant_matmul import w4_matmul
+
+                scores = w4_matmul(
+                    carry, vectors, row_scales, interpret=interpret
+                ).astype(jnp.float32)
+            else:
+                scores = jax.lax.dot_general(
+                    carry, vectors, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32 if int8 else jnp.float32,
+                )
             if int8:
                 scores = scores.astype(jnp.float32) * row_scales[None, :]
             mask = valid & eval_filter_mask(codes, numerics, spec)
@@ -299,7 +316,7 @@ def main():
               "device": str(jax.devices()[0])}
     if not args.skip_flat:
         for n in (100_000,) + (() if args.skip_1m else (1_000_000,)):
-            for dtype in ("bfloat16", "int8"):
+            for dtype in ("bfloat16", "int8", "int4"):
                 key = f"flat_{n}_{dtype}"
                 try:
                     report[key] = bench_flat(n, dtype=dtype)

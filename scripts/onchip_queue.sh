@@ -61,3 +61,9 @@ run_json sparse_1m BENCH_SPARSE_r03.json \
     python scripts/bench_sparse.py --n 1000000 --reps 200
 
 echo "$(date -u +%FT%TZ) queue complete (incl. sparse)" >> "$LOG"
+
+# 5. flat-search dtype ladder incl. the new int4/w4a16 path @100k
+run flat_ladder python scripts/bench_scale.py --skip-ivf --skip-1m \
+    --out BENCH_SCALE_r03b.json
+
+echo "$(date -u +%FT%TZ) queue complete (incl. int4 ladder)" >> "$LOG"
