@@ -285,7 +285,7 @@ class RAGApplication:
             dim=self.colbert.dim,
             max_doc_length=self.colbert.max_doc_length,
             device_dtype=(
-                "bfloat16" if self.settings.index_dtype == "int8"
+                "bfloat16" if self.settings.index_dtype in ("int8", "int4")
                 else self.settings.index_dtype
             ),
             device_budget_bytes=self.settings.token_store_device_budget_mb * 1024**2,

@@ -274,6 +274,7 @@ def main():
         ("ivf_tail", ("BENCH_IVF_TAIL_r03.json",)),
         ("w4_tune", ("W4_TUNE_r03.json",)),
         ("sparse", ("BENCH_SPARSE_r03.json",)),
+        ("flat_dtype_ladder", ("BENCH_SCALE_r03b.json",)),
         ("capacity_10m", ("CAPACITY_10M.json",)),
         ("recall_curves", ("RECALL_CURVES.json",)),
     ):
