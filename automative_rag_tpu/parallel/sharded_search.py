@@ -23,7 +23,8 @@ from ..index.flat import FlatIndex, SearchResult, _round_capacity
 from ..ops.topk import masked_top_k, merge_top_k
 
 
-def make_sharded_search(mesh: Mesh, axis_name: str, k: int, int8: bool = False):
+def make_sharded_search(mesh: Mesh, axis_name: str, k: int, int8: bool = False,
+                        int4: bool = False):
     """Build a jitted sharded-search executable for a given mesh/k.
 
     Signature: (vectors [N,D], row_scales [N], valid [N], codes [F,N],
@@ -31,14 +32,26 @@ def make_sharded_search(mesh: Mesh, axis_name: str, k: int, int8: bool = False):
     indices [B,k]) with *global* row indices; inputs must be placed with row
     sharding over ``axis_name``. With ``int8=True`` the corpus block is
     symmetric-int8 and ``row_scales`` carries the per-row dequant scales
-    (same scheme as ``flat._search_kernel_int8``); otherwise row_scales is
-    ignored (pass ones).
+    (same scheme as ``flat._search_kernel_int8``); with ``int4=True`` the
+    corpus block is the packed-nibble weight matrix [D/2, N] column-sharded
+    by corpus row (``flat._search_kernel_int4`` / ``ops.quant_matmul``);
+    otherwise row_scales is ignored (pass ones).
     """
+    import jax as _jax
+
+    interpret = _jax.default_backend() != "tpu"
 
     def _local_search(vectors, row_scales, valid, codes, numerics, queries,
                       spec: FilterSpec):
-        local_rows = vectors.shape[0]
-        if int8:
+        local_rows = vectors.shape[1] if int4 else vectors.shape[0]
+        if int4:
+            from ..ops.quant_matmul import w4_matmul
+
+            scores = w4_matmul(
+                queries.astype(jnp.float32), vectors, row_scales,
+                interpret=interpret,
+            ).astype(jnp.float32)
+        elif int8:
             q_scale = jnp.max(jnp.abs(queries), axis=1, keepdims=True) / 127.0
             q_i8 = jnp.clip(
                 jnp.round(queries / jnp.maximum(q_scale, 1e-12)), -127, 127
@@ -72,8 +85,9 @@ def make_sharded_search(mesh: Mesh, axis_name: str, k: int, int8: bool = False):
         _local_search,
         mesh=mesh,
         in_specs=(
-            P(axis_name, None),  # vectors row-sharded
-            P(axis_name),  # row scales (ones unless int8)
+            # int4 packs the corpus [D/2, N] (columns = rows); others [N, D]
+            P(None, axis_name) if int4 else P(axis_name, None),
+            P(axis_name),  # row scales (ones unless int8/int4)
             P(axis_name),  # valid
             P(None, axis_name),  # keyword codes column-sharded by row
             P(None, axis_name),  # numeric columns
@@ -97,10 +111,6 @@ class ShardedFlatIndex(FlatIndex):
     def __init__(self, dim: int, mesh: Mesh, axis_name: str = "shard",
                  device_dtype: str = "bfloat16"):
         super().__init__(dim, device_dtype)
-        if self._int4:
-            raise ValueError(
-                "int4 storage is single-device flat only for now "
-                "(no sharded packed-nibble path; use int8 or bfloat16)")
         self.mesh = mesh
         self.axis_name = axis_name
         self.n_shards = mesh.shape[axis_name]
@@ -138,6 +148,12 @@ class ShardedFlatIndex(FlatIndex):
             staged = np.clip(
                 np.round(vectors / np.maximum(scales[:, None], 1e-12)), -127, 127
             ).astype(np.int8)
+        elif self._int4:
+            from ..ops.quant_matmul import pack_w4
+
+            staged, scales = pack_w4(np.ascontiguousarray(vectors.T))
+            # packed layout is [D/2, cap]: corpus rows are COLUMNS
+            row_sharded = col_sharded
         else:
             scales = np.ones(capacity, np.float32)
             staged = vectors.astype(self.device_dtype)
@@ -170,10 +186,11 @@ class ShardedFlatIndex(FlatIndex):
         state = self._device_state()
         spec, _ = self._compile(metadata_filter)
         k_eff = min(k, state["capacity"] // self.n_shards)
-        key = (k_eff, self._int8)
+        key = (k_eff, self._int8, self._int4)
         fn = self._search_fns.get(key)
         if fn is None:
-            fn = make_sharded_search(self.mesh, self.axis_name, k_eff, int8=self._int8)
+            fn = make_sharded_search(self.mesh, self.axis_name, k_eff,
+                                     int8=self._int8, int4=self._int4)
             self._search_fns[key] = fn
         values, indices = fn(
             state["vectors"], state["row_scales"], state["valid"],

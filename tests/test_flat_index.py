@@ -339,15 +339,36 @@ def test_int4_filters_tail_and_roundtrip(tmp_path):
         idx.search(vectors[12], 3)[0][0].row
 
 
-def test_int4_rejected_for_ivf_and_sharded():
-    import jax
+def test_int4_rejected_for_ivf():
     import pytest as _pytest
 
     from automative_rag_tpu.index.ivf import IVFIndex
-    from automative_rag_tpu.parallel import ShardedFlatIndex, make_mesh
 
     with _pytest.raises(ValueError, match="int4"):
         IVFIndex(dim=64, device_dtype="int4")
-    if len(jax.devices()) >= 2:
-        with _pytest.raises(ValueError, match="int4"):
-            ShardedFlatIndex(dim=64, mesh=make_mesh(2), device_dtype="int4")
+
+
+def test_int4_sharded_matches_single_device():
+    """The mesh-sharded w4a16 path (packed corpus column-sharded by row,
+    per-shard w4_matmul + merge) must return what the single-device int4
+    index returns."""
+    import jax
+
+    from automative_rag_tpu.parallel import ShardedFlatIndex, make_mesh
+
+    assert len(jax.devices()) >= 8
+    vectors, docs = _int4_corpus(n=500)
+    single = FlatIndex(dim=128, device_dtype="int4")
+    single.add(vectors, [Document(d.page_content, dict(d.metadata)) for d in docs])
+    sharded = ShardedFlatIndex(dim=128, mesh=make_mesh(8), device_dtype="int4")
+    sharded.add(vectors, docs)
+    assert sharded.stats()["device_dtype"] == "int4"
+
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        q = rng.normal(size=128).astype(np.float32)
+        want = [(h.row, round(h.score, 4)) for h in single.search(q, 8)[0]]
+        got = [(h.row, round(h.score, 4)) for h in sharded.search(q, 8)[0]]
+        assert got == want
+    hits = sharded.search(vectors[77], 3, {"manufacturer": "m2"})[0]
+    assert all(h.document.metadata["manufacturer"] == "m2" for h in hits)
