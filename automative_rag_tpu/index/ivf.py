@@ -477,13 +477,20 @@ class IVFIndex(FlatIndex):
         # the mirrors; clustering itself runs lock-free on the snapshot
         with self._mutex:
             n = len(self._ids)
-            if n == 0:
-                raise ValueError("cannot build an empty index")
             live_idx = np.nonzero(~self._deleted[:n])[0].astype(np.int64)
             vectors = np.array(self._vectors[:n][live_idx])
         n_live = int(live_idx.size)
         if n_live == 0:
-            raise ValueError("cannot build an index of tombstones only")
+            # an empty / all-tombstoned corpus has nothing to cluster; an
+            # admin rebuild racing bulk deletes must be a defined no-op,
+            # not an error (every row stays on the exactly-searched tail)
+            with self._mutex:
+                self._centroids = None
+                self._list_table = None
+                self._indexed_rows = 0
+                self._tail_device = None
+            return {"kind": "ivf", "built": False, "live_rows": 0,
+                    "note": "no live rows to cluster"}
         if n_lists:
             self.n_lists = n_lists
         if not self.n_lists:

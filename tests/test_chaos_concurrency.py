@@ -23,7 +23,7 @@ BRANDS = {"汉EV": "比亚迪", "Model 3": "特斯拉", "X5": "宝马",
           "P7": "小鹏", "海豹": "比亚迪"}
 
 
-@pytest.fixture(params=["flat", "sharded"])
+@pytest.fixture(params=["flat", "sharded", "ivf"])
 def app(tmp_path, request):
     settings = Settings(
         data_dir=str(tmp_path / "data"),
@@ -104,11 +104,13 @@ def test_chaos_ingest_query_compact_checkpoint(app, tmp_path):
             if stop.is_set():
                 return
             roll = rng.random()
-            if roll < 0.4:
+            if roll < 0.35:
                 app.compact_index()
-            elif roll < 0.7:
+            elif roll < 0.6:
                 app.index.delete_by_filter(
                     {"manufacturer": rng.choice(list(BRANDS.values()))})
+            elif roll < 0.8:
+                app.rebuild_index()  # IVF: fold the fresh tail into lists
             else:
                 app.engine.sparse_rerank_weight = rng.choice([0.0, 0.2, 0.4])
             time.sleep(0.01)
