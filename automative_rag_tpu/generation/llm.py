@@ -467,7 +467,13 @@ class AnswerGenerator:
         # two-layer UI renders identically with or without an LLM
         if isinstance(self.llm, StubLLM) and raw and mode in (
             QueryMode.FEATURES, QueryMode.SCENARIOS
-        ) and not raw.startswith("【"):
+        ) and not raw.startswith(
+            ("【实证分析】", "【策略推理】", "【文档支撑】", "【权衡分析】", "【场景推荐】")
+        ):
+            # the old any-【 guard mistook the 【brand:…】 metadata marker
+            # (which every injected chunk quote starts with) for a section
+            # marker, so extractive features/scenarios answers never got
+            # their evidence section and the two-layer UI fell back flat
             raw = f"【实证分析】{raw}"
         return self._finalize(raw, documents, ordered, context, mode, ctx_params, t0)
 

@@ -160,6 +160,9 @@ def main():
     parser.add_argument("--no-spec-codes", dest="spec_codes",
                         action="store_false", default=True,
                         help="skip the sparse-arm trim-code disambiguation split")
+    parser.add_argument("--no-modes", dest="modes",
+                        action="store_false", default=True,
+                        help="skip the all-six-query-modes split")
     parser.add_argument("--trained", default="",
                         help="directory from scripts/train_encoder.py — swap "
                              "the lexical embedder for the TRAINED dense "
@@ -259,6 +262,37 @@ def main():
             }:
                 para_hits += 1
 
+        # all-six-modes split: every query mode must produce an answer that
+        # carries the fact and cites sources (modes change prompts, context
+        # budgets, and k — this catches a mode whose parameters break the
+        # pipeline; structured presence is informational in weightless mode
+        # since the extractive answerer only emits section markers for the
+        # modes whose contract guarantees them)
+        mode_split = None
+        if args.modes:
+            msample = random.Random(17).sample(facts, 8)
+            mode_split = {}
+            for mode_name in ("facts", "features", "tradeoffs", "scenarios",
+                              "debate", "quotes"):
+                answered = cited = structured = 0
+                for fact in msample:
+                    mjob = app.query_sync(
+                        f"{fact['model']}的{fact['metric']}是多少？",
+                        mode=mode_name, timeout=120)
+                    res = mjob["result"]
+                    if fact["value"] in res["answer"]:
+                        answered += 1
+                    if "【来源" in res["answer"]:
+                        cited += 1
+                    if res.get("structured"):
+                        structured += 1
+                n_m = len(msample)
+                mode_split[mode_name] = {
+                    "answer_accuracy": round(answered / n_m, 3),
+                    "cited": round(cited / n_m, 3),
+                    "structured": round(structured / n_m, 3),
+                }
+
         # spec-code disambiguation split: near-duplicate trim docs where
         # only the alphanumeric code differs — the sparse arm's raison
         # d'être (exact-term recall dense vectors blur)
@@ -285,6 +319,8 @@ def main():
             "ingest_s": round(ingest_s, 1),
             "mode": mode_note,
         }
+        if mode_split is not None:
+            report["mode_split"] = mode_split
         if spec_report is not None:
             report["spec_code_split"] = spec_report
         if args.json:
