@@ -663,6 +663,10 @@ def build_api(app: RAGApplication) -> HTTPApi:
         doc = app.index._docs[row]
         explanation = app.reranker.explain(body.query, doc,
                                            top_matches=body.top_matches)
+        if app.sparse_encoder is not None:
+            # the lexical half of the hybrid: which exact terms matched
+            explanation["sparse_overlap"] = app.sparse_encoder.explain_overlap(
+                body.query, doc.page_content, top=body.top_matches)
         return {"query": body.query, "doc_id": body.doc_id, **explanation}
 
     @router.post("/system/compress-token-store")

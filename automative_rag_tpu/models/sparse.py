@@ -222,3 +222,53 @@ class SparseEncoder:
         else:
             t_ids, t_w = self._lexical_terms(text)
         return self._pad(t_ids, t_w, self.query_terms)
+
+    # -------------------------------------------------------- explanation
+    def _id_strings(self, text: str) -> dict:
+        """term id → human-readable string for ``text``'s unigrams AND
+        hashed bigrams (tokenize strings and re-derive the ids the encoder
+        produces; works for the hash tokenizer — HF ids fall back to
+        ``#id`` markers in explain_overlap)."""
+        tok = self.tokenizer
+        if not hasattr(tok, "tokenize"):
+            return {}
+        strings = tok.tokenize(text)[: self.max_length - 2]
+        ids_row, mask = tok.encode_batch([text], self.max_length)
+        content = [int(i) for i, m in zip(ids_row[0][1:], mask[0][1:]) if m]
+        # drop the trailing [SEP]
+        content = content[: len(strings)]
+        out = {}
+        for s, i in zip(strings, content):
+            out.setdefault(i, s)
+        if self.bigrams:
+            base = self._bigram_base
+            for (sa, a), (sb, b) in zip(
+                zip(strings, content), zip(strings[1:], content[1:])
+            ):
+                bid = base + (a * _BIGRAM_MIX + b) % base
+                out.setdefault(bid, f"{sa} {sb}")
+        return out
+
+    def explain_overlap(self, query: str, doc_text: str, top: int = 10
+                        ) -> List[dict]:
+        """The shared terms driving the lexical score for (query, doc),
+        sorted by contribution — the sparse half of the hybrid explanation
+        (the MaxSim half is ``reranker.explain``)."""
+        q_ids, q_w = self.encode_query(query)
+        d_ids, d_w = self.encode_documents([doc_text])
+        id2s = self._id_strings(query)
+        id2s.update(self._id_strings(doc_text))
+        q_map = {int(i): float(w) for i, w in zip(q_ids, q_w) if int(i) >= 0}
+        matches = []
+        for i, w in zip(d_ids[0], d_w[0]):
+            i = int(i)
+            if i >= 0 and i in q_map:
+                contribution = q_map[i] * float(w)
+                matches.append({
+                    "term": id2s.get(i, f"#{i}"),
+                    "query_weight": round(q_map[i], 4),
+                    "doc_weight": round(float(w), 4),
+                    "contribution": round(contribution, 4),
+                })
+        matches.sort(key=lambda m: -m["contribution"])
+        return matches[:top]

@@ -442,3 +442,19 @@ def test_engine_retrieve_batch_uses_one_sparse_dispatch(engine_with_sparse):
         assert [d.page_content for d, _ in got] == \
             [d.page_content for d, _ in want]
     assert any("xDrive40i" in d.page_content for d, _ in batch[0])
+
+
+def test_explain_overlap_names_shared_terms(encoder):
+    matches = encoder.explain_overlap(
+        "xDrive40i 的油耗是多少", "宝马X5 xDrive40i 的百公里油耗是8.9升")
+    assert matches, "shared terms must be reported"
+    terms = [m["term"] for m in matches]
+    assert any("xdrive" in t for t in terms), terms  # subword-tokenized
+    # sorted by contribution, all positive
+    contribs = [m["contribution"] for m in matches]
+    assert contribs == sorted(contribs, reverse=True)
+    assert all(c > 0 for c in contribs)
+    # no overlap → empty
+    assert encoder.explain_overlap("毫无关联的词汇啊", "something else entirely") == [] or \
+        all(m["contribution"] >= 0 for m in
+            encoder.explain_overlap("毫无关联的词汇啊", "something else entirely"))
