@@ -71,3 +71,20 @@ def test_pp_rejects_indivisible_layers(pp_mesh):
     model = _model(num_layers=6)
     with pytest.raises(ValueError, match="divide"):
         make_pp_forward(model, pp_mesh, axis="pp")
+
+
+def test_pp_with_int8_quantized_weights(pp_mesh):
+    """pp exists for weights that outgrow a chip — which in practice means
+    quantized weights. The stacked per-layer params carry QuantDense
+    kernel_q/scale leaves; the staged scan must reproduce the unsharded
+    quantized decoder exactly."""
+    model = _model(num_layers=4, dtype=jnp.float32)
+    cfg8 = dataclasses.replace(model.config, weight_bits=8)
+    model8 = Qwen2Model(cfg8, seed=0)
+    rng = np.random.default_rng(5)
+    tokens = rng.integers(3, 250, size=(4, 8)).astype(np.int32)
+    fwd = make_pp_forward(model8, pp_mesh, axis="pp")
+    got = np.asarray(fwd(jnp.asarray(tokens)))
+    want = np.asarray(model8.decoder.apply({"params": model8.params},
+                                           jnp.asarray(tokens)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
