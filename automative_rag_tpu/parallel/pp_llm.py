@@ -44,7 +44,8 @@ def stack_layer_params(params: dict, num_layers: int):
 
 
 def make_pp_forward(model: Qwen2Model, mesh: Mesh, axis: str = "pp",
-                    n_micro: Optional[int] = None):
+                    n_micro: Optional[int] = None,
+                    tp_axis: Optional[str] = None):
     """Build a jitted pipelined forward: tokens [B, T] → logits [B, T, V].
 
     Token-identical to ``Qwen2Decoder.__call__`` (same per-layer op order;
@@ -52,6 +53,13 @@ def make_pp_forward(model: Qwen2Model, mesh: Mesh, axis: str = "pp",
     ``num_layers % n_stages == 0`` and ``B % n_micro == 0``;
     ``n_micro`` defaults to the stage count (the minimum that keeps every
     stage busy in steady state).
+
+    ``tp_axis`` composes pipeline × tensor parallelism on a 2-D mesh: the
+    pipeline stays MANUAL (``shard_map`` over ``axis`` only — the ticks and
+    ``ppermute`` need explicit control), while each stage's layer math runs
+    with megatron shardings (``tp_llm.qwen2_partition_specs``) under
+    automatic GSPMD on ``tp_axis`` — XLA inserts the per-stage all-reduces.
+    The stacked leaves carry ``P('pp', *tp_spec)``.
     """
     cfg = model.config
     n_stages = int(mesh.shape[axis])
@@ -60,10 +68,29 @@ def make_pp_forward(model: Qwen2Model, mesh: Mesh, axis: str = "pp",
             f"pp={n_stages} must divide num_layers={cfg.num_layers}")
     n_micro = int(n_micro or n_stages)
 
-    stage_sharded = NamedSharding(mesh, P(axis))
     replicated = NamedSharding(mesh, P())
-    stacked = jax.device_put(
-        stack_layer_params(model.params, cfg.num_layers), stage_sharded)
+    raw_stacked = stack_layer_params(model.params, cfg.num_layers)
+    if tp_axis is None:
+        stacked = jax.device_put(raw_stacked, NamedSharding(mesh, P(axis)))
+    else:
+        from .tp_llm import qwen2_partition_specs
+
+        layer_tpl = qwen2_partition_specs(cfg)["layer_0"]
+
+        def _place(spec_tree, tree):
+            out = {}
+            for key, value in tree.items():
+                spec = spec_tree[key]
+                if isinstance(value, dict):
+                    out[key] = _place(spec, value)
+                else:
+                    resolved = P(axis, *(
+                        tp_axis if p == "tp" else p for p in spec))
+                    out[key] = jax.device_put(
+                        value, NamedSharding(mesh, resolved))
+            return out
+
+        stacked = _place(layer_tpl, raw_stacked)
     rest = jax.device_put(
         {k: v for k, v in model.params.items() if not k.startswith("layer_")},
         replicated)
@@ -126,6 +153,10 @@ def make_pp_forward(model: Qwen2Model, mesh: Mesh, axis: str = "pp",
             P(),  # tokens replicated
         ),
         out_specs=P(),
+        # with tp_axis, only the pipeline axis is manual — GSPMD handles
+        # the tensor-parallel collectives inside each stage automatically
+        axis_names=frozenset({axis}) if tp_axis is not None else frozenset(
+            mesh.axis_names),
         check_vma=False,
     )
 

@@ -88,3 +88,19 @@ def test_pp_with_int8_quantized_weights(pp_mesh):
     want = np.asarray(model8.decoder.apply({"params": model8.params},
                                            jnp.asarray(tokens)))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_pp_times_tp_composition():
+    """2-D pp×tp: pipeline manual over 'pp', megatron tensor shardings
+    automatic (GSPMD) over 'tp' inside each stage — logits must match the
+    unsharded decoder."""
+    from jax.sharding import Mesh
+
+    model = _model(num_layers=4, dtype=jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("pp", "tp"))
+    rng = np.random.default_rng(6)
+    tokens = rng.integers(3, 250, size=(8, 12)).astype(np.int32)
+    fwd = make_pp_forward(model, mesh, axis="pp", tp_axis="tp")
+    got = np.asarray(fwd(jnp.asarray(tokens)))
+    want = _oracle_logits(model, tokens)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
