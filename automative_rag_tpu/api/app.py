@@ -1073,6 +1073,19 @@ def build_api(app: RAGApplication) -> HTTPApi:
     def system_model_info(req: Request):
         return model_status(req)
 
+    @router.post("/model/swap-encoder")
+    def swap_encoder(req: Request):
+        """Hot-swap the dense encoder from a trained export or HF dir and
+        re-embed the corpus in place (train→serve loop; see
+        RAGApplication.swap_encoder)."""
+        from ..schemas.models import SwapEncoderRequest
+
+        body = parse_body(req, SwapEncoderRequest)
+        try:
+            return app.swap_encoder(body.path)
+        except (ValueError, FileNotFoundError) as exc:
+            raise HTTPError(422, str(exc)) from exc
+
     @router.post("/model/reload-model")
     def reload_model(req: Request):
         """Re-instantiate encoders from the current settings paths

@@ -371,6 +371,71 @@ class RAGApplication:
                 info["rebuild"] = self.index.rebuild()
         return info
 
+    def swap_encoder(self, path: str) -> Dict[str, Any]:
+        """Hot-swap the dense encoder (a ``scripts/train_encoder.py`` export
+        or an HF checkpoint dir) and RE-EMBED the corpus in place — the
+        train→serve loop with no restart and no re-ingest. Dense vectors
+        and the sparse term lists regenerate under the new encoder (their
+        geometry/semantics changed); the ColBERT token store is untouched
+        (its encoder did not change). The reference's POST /reload-model
+        swaps weights but leaves the Qdrant collection embedded by the OLD
+        model (``background/models.py:444-476``) — every later query
+        compares apples to oranges; here the swap is consistent by
+        construction."""
+        import numpy as np
+
+        from .models.bge_m3 import DenseEmbedder
+
+        p = Path(path)
+        if (p / "params.msgpack").exists():
+            embedder = DenseEmbedder.from_export(str(p))
+        elif p.is_dir() and list(p.glob("*.safetensors")):
+            embedder = DenseEmbedder(
+                weights_path=str(p), tokenizer_path=str(p),
+                max_length=self.settings.embedding_max_length,
+                batch_size=self.settings.embedding_batch_size)
+        else:
+            raise ValueError(f"no loadable encoder under {path!r}")
+
+        with self._lock:
+            self.compact_index()  # drop tombstones; sidecars realign
+            docs = list(self.index._docs)
+            texts = [d.page_content for d in docs]
+            self.embedder = embedder
+            self.engine.embedder = embedder
+            if self.sparse_encoder is not None:
+                from .models.sparse import SparseEncoder
+
+                self.sparse_encoder = SparseEncoder(
+                    embedder,
+                    top_terms=self.settings.sparse_top_terms,
+                    query_terms=self.settings.sparse_query_terms)
+                self.engine.sparse_encoder = self.sparse_encoder
+            # fresh index at the new dim; add() preserves doc order == rows,
+            # so the (untouched) token store stays row-aligned
+            fresh = self._make_index()
+            if texts:
+                fresh.add(np.asarray(embedder.embed_texts(texts)), docs)
+            self.index = fresh
+            self.engine.index = fresh
+            if self.sparse_index is not None:
+                self.sparse_index = self._make_sparse_index()
+                self.engine.sparse_index = self.sparse_index
+                if texts:
+                    t_ids, t_w = self.sparse_encoder.encode_documents(texts)
+                    self.sparse_index.append(t_ids, t_w)
+            if hasattr(self.index, "rebuild") and self.index.count:
+                self.index.rebuild()
+        return {
+            "swapped": True,
+            "path": str(p),
+            "dim": embedder.dim,
+            "pretrained": embedder.pretrained,
+            "reindexed_docs": len(texts),
+            "sparse_mode": (None if self.sparse_encoder is None
+                            else self.sparse_encoder.mode),
+        }
+
     # ------------------------------------------------------------- tasks
     def _register_tasks(self) -> None:
         router = self.task_router

@@ -120,6 +120,29 @@ class DenseEmbedder:
         embedder.pretrained = True
         return embedder
 
+    @classmethod
+    def from_export(cls, directory: str, max_length: int = 48
+                    ) -> "DenseEmbedder":
+        """Rebuild an embedder from a ``scripts/train_encoder.py`` export
+        directory (config.json + params.msgpack). ``weights_path`` points
+        at the directory so a trained ``sparse_linear.safetensors`` next to
+        it upgrades the lexical arm (``models/sparse.SparseEncoder``)."""
+        import json as _json
+        from pathlib import Path as _Path
+
+        import flax.serialization
+
+        from .encoder import EncoderConfig, init_encoder_params
+
+        out = _Path(directory)
+        cfg = EncoderConfig(**_json.loads((out / "config.json").read_text()))
+        template = init_encoder_params(cfg, 0)
+        params = flax.serialization.from_bytes(
+            template, (out / "params.msgpack").read_bytes())
+        embedder = cls.from_params(cfg, params, max_length=max_length)
+        embedder.weights_path = str(out)
+        return embedder
+
     @property
     def dim(self) -> int:
         return self.config.hidden_size

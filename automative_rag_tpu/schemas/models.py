@@ -126,6 +126,10 @@ class ExplainRequest(BaseModel):
     top_matches: int = Field(default=5, ge=1, le=32)
 
 
+class SwapEncoderRequest(BaseModel):
+    path: str = Field(min_length=1, max_length=1024)
+
+
 class CompressTokenStoreRequest(BaseModel):
     k_centroids: int = Field(default=256, ge=2, le=65536)
     bits: int = Field(default=4)

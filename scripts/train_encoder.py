@@ -159,21 +159,6 @@ if __name__ == "__main__":
 def load_trained_embedder(directory: str):
     """Rebuild a DenseEmbedder from a train_encoder.py export (the eval's
     --trained path and the serving hot-swap)."""
-    import flax.serialization
-
     from automative_rag_tpu.models.bge_m3 import DenseEmbedder
-    from automative_rag_tpu.models.encoder import (
-        EncoderConfig,
-        init_encoder_params,
-    )
 
-    out = Path(directory)
-    cfg = EncoderConfig(**json.loads((out / "config.json").read_text()))
-    template = init_encoder_params(cfg, 0)
-    params = flax.serialization.from_bytes(
-        template, (out / "params.msgpack").read_bytes())
-    embedder = DenseEmbedder.from_params(cfg, params, max_length=48)
-    # point the embedder at its export dir so SparseEncoder finds a trained
-    # sparse_linear.safetensors sitting next to it (transformer mode)
-    embedder.weights_path = str(out)
-    return embedder
+    return DenseEmbedder.from_export(directory)
