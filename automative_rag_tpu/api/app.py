@@ -1111,11 +1111,20 @@ def build_api(app: RAGApplication) -> HTTPApi:
         )
         app.engine.embedder = app.embedder
         app.reranker.encoder = app.colbert
-        return {
+        out = {
             "reloaded": True,
             "embedder_pretrained": app.embedder.pretrained,
             "colbert_pretrained": app.colbert.pretrained,
         }
+        if app.index.count:
+            # reference-parity behavior, reference-parity trap: the corpus
+            # stays embedded by the PREVIOUS weights (background/models.py
+            # reload has the same hazard). swap-encoder re-embeds.
+            out["warning"] = (
+                f"{app.index.count} indexed documents still carry the "
+                "previous encoder's embeddings — POST /model/swap-encoder "
+                "to re-embed consistently, or /ingest/reset + re-ingest")
+        return out
 
     @router.get("/system/heartbeats")
     def heartbeats(req: Request):
