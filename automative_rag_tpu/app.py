@@ -401,31 +401,48 @@ class RAGApplication:
             self.compact_index()  # drop tombstones; sidecars realign
             docs = list(self.index._docs)
             texts = [d.page_content for d in docs]
+            # build EVERYTHING first, then swap the engine references in
+            # one burst: queries don't take the app lock, so a long-lived
+            # new-embedder/old-index mismatch window (the re-embed takes
+            # seconds at corpus scale) would feed wrong-dim queries into
+            # the live index. self.embedder may flip early — the query
+            # path reads engine.embedder, not app.embedder.
             self.embedder = embedder
-            self.engine.embedder = embedder
+            new_sparse_enc = None
             if self.sparse_encoder is not None:
                 from .models.sparse import SparseEncoder
 
-                self.sparse_encoder = SparseEncoder(
+                new_sparse_enc = SparseEncoder(
                     embedder,
                     top_terms=self.settings.sparse_top_terms,
                     query_terms=self.settings.sparse_query_terms)
-                self.engine.sparse_encoder = self.sparse_encoder
             # fresh index at the new dim; add() preserves doc order == rows,
             # so the (untouched) token store stays row-aligned
             fresh = self._make_index()
             if texts:
                 fresh.add(np.asarray(embedder.embed_texts(texts)), docs)
+            new_sparse_idx = None
+            if self.sparse_index is not None:
+                old_index, self.index = self.index, fresh
+                try:
+                    new_sparse_idx = self._make_sparse_index()  # reads mesh
+                finally:
+                    self.index = old_index
+                if texts:
+                    t_ids, t_w = new_sparse_enc.encode_documents(texts)
+                    new_sparse_idx.append(t_ids, t_w)
+            if hasattr(fresh, "rebuild") and fresh.count:
+                fresh.rebuild()
+            # the swap burst (attribute stores only; a query straddling it
+            # fails one dim check and the chain retry policy re-runs it)
             self.index = fresh
             self.engine.index = fresh
-            if self.sparse_index is not None:
-                self.sparse_index = self._make_sparse_index()
-                self.engine.sparse_index = self.sparse_index
-                if texts:
-                    t_ids, t_w = self.sparse_encoder.encode_documents(texts)
-                    self.sparse_index.append(t_ids, t_w)
-            if hasattr(self.index, "rebuild") and self.index.count:
-                self.index.rebuild()
+            self.engine.embedder = embedder
+            if new_sparse_enc is not None:
+                self.sparse_encoder = new_sparse_enc
+                self.engine.sparse_encoder = new_sparse_enc
+                self.sparse_index = new_sparse_idx
+                self.engine.sparse_index = new_sparse_idx
         return {
             "swapped": True,
             "path": str(p),
