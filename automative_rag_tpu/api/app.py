@@ -991,7 +991,7 @@ def build_api(app: RAGApplication) -> HTTPApi:
     @router.get("/model/status")
     def model_status(req: Request):
         """Per-model load status (reference model.py:80-229)."""
-        return {
+        out = {
             "embedder": {
                 "mode": app.embedder.mode,
                 "pretrained": app.embedder.pretrained,
@@ -1002,6 +1002,10 @@ def build_api(app: RAGApplication) -> HTTPApi:
                 "pretrained": app.colbert.pretrained,
                 "path": app.settings.colbert_model_path or None,
             },
+            "sparse": (None if app.sparse_encoder is None else {
+                "mode": app.sparse_encoder.mode,  # lexical | transformer
+                "learned_head": app.sparse_encoder.mode == "transformer",
+            }),
             "cross_encoder": {
                 "loaded": app.reranker.second_scorer is not None,
                 "path": app.settings.reranker_model_path or None,
@@ -1015,6 +1019,8 @@ def build_api(app: RAGApplication) -> HTTPApi:
                 "path": app.settings.whisper_model_path or None,
             },
         }
+        # the UI renders every entry as an object; drop disabled models
+        return {k: v for k, v in out.items() if v is not None}
 
     @router.post("/model/update-config")
     def update_config(req: Request):
