@@ -443,6 +443,12 @@ class RAGApplication:
                 self.engine.sparse_encoder = new_sparse_enc
                 self.sparse_index = new_sparse_idx
                 self.engine.sparse_index = new_sparse_idx
+        # pre-compile the new-dimension executables now (admin call pays
+        # the jit latency, not the first user query after the swap)
+        try:
+            self.warmup()
+        except Exception:  # noqa: BLE001 — warmup is best-effort
+            pass
         return {
             "swapped": True,
             "path": str(p),

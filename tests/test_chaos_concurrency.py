@@ -7,6 +7,7 @@ row remaps, atomic chain persistence, blend bounds) — every operation must
 either succeed or be a defined no-op, never corrupt state or throw.
 """
 
+import os
 import random
 import threading
 import time
@@ -16,7 +17,8 @@ import pytest
 from automative_rag_tpu.app import RAGApplication
 from automative_rag_tpu.config.settings import Settings
 
-N_OPS = 25  # per worker role — bounded for CI determinism
+# per worker role — bounded for CI; CHAOS_OPS=200 for a long manual soak
+N_OPS = int(os.environ.get("CHAOS_OPS", "25"))
 
 MODELS = ["汉EV", "Model 3", "X5", "P7", "海豹"]
 BRANDS = {"汉EV": "比亚迪", "Model 3": "特斯拉", "X5": "宝马",
