@@ -248,6 +248,9 @@ class ShardedTokenStore(TokenStore):
         """MaxSim scores [B, k] for candidate rows, computed in place on the
         mesh — only the score matrix crosses ICI."""
         rows = np.asarray(list(rows), np.int32)
+        # load-swap bounds clamp (see TokenStore.gather): stale rows become
+        # the -1 pad sentinel the kernel already masks to score 0
+        rows = np.where((rows >= 0) & (rows < self.rows), rows, -1)
         k = rows.shape[0]
         with self._mutex:
             cache = self._device_cache()

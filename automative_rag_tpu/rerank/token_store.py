@@ -479,7 +479,14 @@ class TokenStore:
         rows = np.asarray(list(rows), np.int32)
         with self._mutex:
             cache = self._device_cache()
-            masks_sel = jnp.asarray(self._masks[rows])
+            # bounds clamp: a checkpoint load can swap in a SMALLER store
+            # between the caller's row check and this gather; out-of-range
+            # rows clamp to 0 with an all-False mask, so their MaxSim
+            # score sinks instead of the gather crashing the query
+            n = self._masks.shape[0]
+            in_range = (rows >= 0) & (rows < n)
+            rows = np.where(in_range, rows, 0)
+            masks_sel = jnp.asarray(self._masks[rows] & in_range[:, None])
             if cache is not None:
                 # slice while holding the lock: the buffer is donated by
                 # in-place appends, so the gather must be DISPATCHED before
@@ -553,7 +560,11 @@ class TokenStore:
         rows = np.asarray(list(rows), np.int32)
         with self._mutex:
             cache = self._device_cache()
-            masks_sel = jnp.asarray(self._masks[rows])
+            # same load-swap bounds clamp as gather()
+            n = self._masks.shape[0]
+            in_range = (rows >= 0) & (rows < n)
+            rows = np.where(in_range, rows, 0)
+            masks_sel = jnp.asarray(self._masks[rows] & in_range[:, None])
             if cache is not None:
                 # dispatch inside the lock (see gather: donated buffers)
                 tokens_t, scales_t = cache[0], cache[1]
