@@ -869,3 +869,61 @@ def test_prefixed_chunked_int8_kv():
     assert eng.stats["prefix_admits"] == 1
     assert eng.stats["chunked_admits"] == 1
     assert req.result() == _solo(m8, full, 8)
+
+
+def test_submit_cancel_storm(model):
+    """Randomized submit/cancel storm: N threads fire requests and cancel
+    ~half of them at random points while the scheduler runs. Invariants:
+    every request reaches a terminal state (no hung result()), cancelled
+    requests stop, survivors stay token-identical to the solo oracle, and
+    the engine keeps serving afterwards."""
+    import random
+    import threading
+
+    eng = _engine(model, spec=True, prefill_chunk=8)
+    eng.start()
+    try:
+        errors = []
+
+        def worker(seed):
+            rng = random.Random(seed)
+            for i in range(12):
+                prompt = [int(t) for t in
+                          rng.sample(range(3, 200), rng.randint(3, 14))]
+                req = eng.submit(prompt, max_new_tokens=rng.randint(1, 8))
+                if rng.random() < 0.5:
+                    if rng.random() < 0.5:
+                        import time as _t
+                        _t.sleep(rng.random() * 0.05)
+                    eng.cancel(req)
+                    try:
+                        req.result(timeout=60)
+                    except TimeoutError:
+                        errors.append(f"cancelled req hung (seed {seed})")
+                        return
+                else:
+                    try:
+                        got = req.result(timeout=120)
+                    except TimeoutError:
+                        errors.append(f"live req hung (seed {seed})")
+                        return
+                    want = _solo(model, prompt, req.max_new_tokens)
+                    if not req.cancelled and got != want:
+                        errors.append(
+                            f"token mismatch seed {seed} iter {i}")
+                        return
+
+        threads = [threading.Thread(target=worker, args=(s,))
+                   for s in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+            assert not t.is_alive(), "storm worker wedged"
+        assert not errors, errors[:3]
+        assert eng.stats.get("scheduler_errors", 0) == 0
+        # engine still healthy after the storm
+        final = eng.submit([5, 6, 7], max_new_tokens=4)
+        assert final.result(timeout=60) == _solo(model, [5, 6, 7], 4)
+    finally:
+        eng.stop()
