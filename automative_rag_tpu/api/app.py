@@ -1039,6 +1039,8 @@ def build_api(app: RAGApplication) -> HTTPApi:
         for key in ("sparse_k", "sparse_weight", "sparse_rerank_weight"):
             if key in applied:
                 setattr(app.engine, key, applied[key])
+        if "retrieval_cache_size" in applied:
+            app.engine.cache_size = applied["retrieval_cache_size"]
         # reference persists config updates to a JSON file
         # (src/config/utils.py:17-90 via /model/update-config)
         saved_to = app.settings.save() if applied else None

@@ -156,6 +156,7 @@ class RAGApplication:
             sparse_k=self.settings.sparse_k,
             sparse_weight=self.settings.sparse_weight,
             sparse_rerank_weight=self.settings.sparse_rerank_weight,
+            cache_size=self.settings.retrieval_cache_size,
         )
         from .generation.llm import JaxCausalLM
 

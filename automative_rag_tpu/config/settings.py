@@ -156,6 +156,11 @@ class Settings:
     sparse_rerank_weight: float = field(
         default_factory=lambda: _env("SPARSE_RERANK_WEIGHT", 0.2)
     )
+    # repeated-query retrieval cache entries (0 disables); entries carry a
+    # state fingerprint so any corpus/config mutation self-invalidates
+    retrieval_cache_size: int = field(
+        default_factory=lambda: _env("RETRIEVAL_CACHE_SIZE", 256)
+    )
 
     # --- mesh / parallel layout ---
     mesh_data_axis: int = field(default_factory=lambda: _env("MESH_DATA_AXIS", 0))

@@ -15,7 +15,9 @@ Depths and cutoffs come from the per-mode table (``config.mode_config``).
 
 from __future__ import annotations
 
+import threading
 import time
+from collections import OrderedDict
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -117,6 +119,7 @@ class RetrievalEngine:
         sparse_k: int = 10,
         sparse_weight: float = 0.3,
         sparse_rerank_weight: float = 0.2,
+        cache_size: int = 256,
     ):
         self.embedder = embedder
         self.index = index
@@ -135,6 +138,57 @@ class RetrievalEngine:
         self.sparse_weight = sparse_weight
         self.sparse_rerank_weight = sparse_rerank_weight
         self.last_timings: Dict[str, float] = {}
+        # repeated-query retrieval cache (reference has none; analytics
+        # show the same canonical questions recur). Entries carry a STATE
+        # FINGERPRINT instead of relying on invalidation calls: any
+        # mutation that can change ranking — ingest, delete, compaction,
+        # checkpoint load (new index object), encoder swap, IVF rebuild,
+        # live tunable changes — shifts the fingerprint and the entry
+        # just misses. 0 disables.
+        self.cache_size = cache_size
+        self._cache: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._cache_lock = threading.Lock()
+        self.cache_stats = {"hits": 0, "misses": 0}
+
+    def _state_fingerprint(self) -> tuple:
+        idx = self.index
+        sp = self.sparse_index
+        return (
+            id(idx), idx.total_rows, idx.count,
+            getattr(idx, "_generation", 0),
+            getattr(idx, "_indexed_rows", None),
+            getattr(idx, "n_probe", None),
+            getattr(idx, "refine_dims", None),
+            None if sp is None else (id(sp), sp.rows),
+            self.sparse_k, self.sparse_weight, self.sparse_rerank_weight,
+            None if self.reranker is None else (
+                self.reranker.colbert_weight, self.reranker.second_weight),
+            id(self.embedder),
+            None if self.token_store is None else (
+                id(self.token_store), self.token_store.rows),
+        )
+
+    def _cache_get(self, key: tuple, fingerprint: tuple):
+        if not self.cache_size:
+            return None
+        with self._cache_lock:
+            hit = self._cache.get(key)
+            if hit is not None and hit[0] == fingerprint:
+                self._cache.move_to_end(key)
+                self.cache_stats["hits"] += 1
+                return list(hit[1])
+            self.cache_stats["misses"] += 1
+            if hit is not None:
+                del self._cache[key]  # stale fingerprint
+        return None
+
+    def _cache_put(self, key: tuple, fingerprint: tuple, value) -> None:
+        if not self.cache_size:
+            return
+        with self._cache_lock:
+            self._cache[key] = (fingerprint, list(value))
+            while len(self._cache) > self.cache_size:
+                self._cache.popitem(last=False)
 
     # ------------------------------------------------------------ ingest
     def add_documents(self, documents: List[Document]) -> List[str]:
@@ -295,6 +349,19 @@ class RetrievalEngine:
         k1 = retrieval_k or params["retrieval_k"]
         k2 = final_k or params["final_k"]
 
+        import json as _json
+
+        cache_key = (query, mode.value,
+                     _json.dumps(metadata_filter, sort_keys=True,
+                                 ensure_ascii=False, default=str),
+                     k1, k2, bool(rerank))
+        fingerprint = self._state_fingerprint()
+        cached = self._cache_get(cache_key, fingerprint)
+        if cached is not None:
+            self.last_timings = {"cached": True, "retrieval_k": k1,
+                                 "final_k": k2}
+            return cached
+
         t0 = time.perf_counter()
         qvec = self.embedder.embed_query(query)
         t1 = time.perf_counter()
@@ -359,6 +426,7 @@ class RetrievalEngine:
         if q_terms is not None:
             self.last_timings["sparse_s"] = t2s - t2
             self.last_timings["sparse_candidates"] = n_sparse
+        self._cache_put(cache_key, fingerprint, trimmed)
         return trimmed
 
     def retrieve_batch(
@@ -511,4 +579,9 @@ class RetrievalEngine:
             "embedder_dim": self.embedder.dim,
             "embedder_pretrained": getattr(self.embedder, "pretrained", False),
             "reranker": self.reranker is not None,
+            "retrieval_cache": {
+                "size": len(self._cache),
+                "capacity": self.cache_size,
+                **self.cache_stats,
+            },
         }

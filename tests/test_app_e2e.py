@@ -218,3 +218,57 @@ def test_ivf_app_end_to_end():
     finally:
         app.shutdown()
         settings.index_kind = "flat"
+
+
+def test_retrieval_cache_hits_and_self_invalidates(tmp_path):
+    """Repeated identical queries hit the fingerprinted cache; ANY ranking-
+    relevant mutation (ingest, delete, live tunable) self-invalidates
+    without explicit bump calls."""
+    import time as _time
+
+    from automative_rag_tpu.app import RAGApplication
+    from automative_rag_tpu.config.settings import Settings
+
+    settings = Settings(data_dir=str(tmp_path / "d"),
+                        index_dir=str(tmp_path / "d" / "i"))
+    app = RAGApplication(settings=settings, tiny=True, tiny_dim=64)
+    try:
+        for text, brand in (
+            ("比亚迪汉EV续航715公里。", "比亚迪"),
+            ("宝马X5油耗8.9升。", "宝马"),
+        ):
+            j = app.ingest_text(text, metadata={"manufacturer": brand})
+            while app.tracker.get_job(j)["status"] not in ("completed", "failed"):
+                _time.sleep(0.02)
+
+        q = "汉EV续航多少公里"
+        first = app.engine.retrieve(q, rerank=False)
+        assert app.engine.last_timings.get("cached") is None
+        second = app.engine.retrieve(q, rerank=False)
+        assert app.engine.last_timings.get("cached") is True
+        assert [d.page_content for d, _ in second] == \
+            [d.page_content for d, _ in first]
+        assert app.engine.cache_stats["hits"] >= 1
+
+        # ingest invalidates (fingerprint shifts via total_rows)
+        j = app.ingest_text("比亚迪汉EV 2025款续航730公里。",
+                            metadata={"manufacturer": "比亚迪"})
+        while app.tracker.get_job(j)["status"] not in ("completed", "failed"):
+            _time.sleep(0.02)
+        app.engine.retrieve(q, rerank=False)
+        assert app.engine.last_timings.get("cached") is None
+
+        # live tunable change invalidates
+        app.engine.retrieve(q, rerank=False)
+        assert app.engine.last_timings.get("cached") is True
+        app.engine.sparse_rerank_weight = 0.4
+        app.engine.retrieve(q, rerank=False)
+        assert app.engine.last_timings.get("cached") is None
+
+        # delete invalidates (count shifts)
+        app.engine.retrieve(q, rerank=False)
+        app.index.delete_by_filter({"manufacturer": "宝马"})
+        app.engine.retrieve(q, rerank=False)
+        assert app.engine.last_timings.get("cached") is None
+    finally:
+        app.shutdown()
