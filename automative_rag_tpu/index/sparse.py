@@ -45,20 +45,34 @@ _BLOCK = 8192
 _TAIL_FOLD = 4096
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _sparse_topk_kernel(ids, weights, n_rows, q_ids, q_w, k):
+@partial(jax.jit, static_argnames=("k", "broadcast"))
+def _sparse_topk_kernel(ids, weights, n_rows, q_ids, q_w, k,
+                        broadcast=False):
     """ids [cap, T] int32, weights [cap, T] bf16, q_ids [Q] int32,
-    q_w [Q] f32 → (values [k], rows [k]); cap % _BLOCK == 0."""
+    q_w [Q] f32 → (values [k], rows [k]); cap % _BLOCK == 0.
+
+    Two formulations of the same f32 reduction, picked per backend
+    (BENCH_SPARSE_r03.json A/B at 1M rows):
+    - ``broadcast=True`` (TPU): one-shot [block, T, Q] masked sum — the
+      VPU eats the broadcast and it runs 1.8x faster on-chip (7.8 ms vs
+      13.8 ms) because every term comparison is one fused elementwise pass.
+    - ``broadcast=False`` (CPU): per-query-term ``fori_loop`` with a
+      [block, T] working set — 2x faster on the CPU backend where the
+      [block, T, Q] temporary blows the cache.
+    """
     cap, t = ids.shape
     blocks_i = ids.reshape(cap // _BLOCK, _BLOCK, t)
     blocks_w = weights.reshape(cap // _BLOCK, _BLOCK, t)
     n_q = q_ids.shape[0]
 
     def block_scores(blk):
-        # accumulate over query terms: [block, T] working set per step
-        # (VMEM-tileable; 2x faster than the one-shot [block, T, Q]
-        # broadcast on the CPU backend, same f32 sums)
         bids, bw = blk
+        if broadcast:
+            m = bids[:, :, None] == q_ids[None, None, :]
+            return jnp.sum(
+                jnp.where(m, bw[:, :, None].astype(jnp.float32)
+                          * q_w[None, None, :], 0.0),
+                axis=(1, 2))
 
         def qstep(i, acc):
             hit = jnp.where(bids == q_ids[i], bw.astype(jnp.float32), 0.0)
@@ -70,6 +84,14 @@ def _sparse_topk_kernel(ids, weights, n_rows, q_ids, q_w, k):
     scores = jax.lax.map(block_scores, (blocks_i, blocks_w)).reshape(cap)
     scores = jnp.where(jnp.arange(cap) < n_rows, scores, -jnp.inf)
     return jax.lax.top_k(scores, k)
+
+
+def _use_broadcast() -> bool:
+    """Broadcast formulation on accelerators, fori accumulation on CPU."""
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:  # noqa: BLE001 — backend probe must never fail a query
+        return False
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -202,7 +224,8 @@ class SparseIndex:
         scan + all-gather merge."""
         ids_slab, w_slab, staged = state
         return _sparse_topk_kernel(
-            ids_slab, w_slab, staged, jnp.asarray(q_ids), jnp.asarray(q_w), k)
+            ids_slab, w_slab, staged, jnp.asarray(q_ids), jnp.asarray(q_w), k,
+            broadcast=_use_broadcast())
 
     def search(self, q_ids: np.ndarray, q_w: np.ndarray, k: int
                ) -> List[Tuple[int, float]]:

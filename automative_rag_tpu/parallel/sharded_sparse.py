@@ -23,7 +23,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..index.sparse import _BLOCK, SparseIndex
+from ..index.sparse import _BLOCK, SparseIndex, _use_broadcast
 
 
 def make_sharded_sparse_topk(mesh: Mesh, axis_name: str, k: int):
@@ -43,6 +43,14 @@ def make_sharded_sparse_topk(mesh: Mesh, axis_name: str, k: int):
 
         def block_scores(blk):
             bids, bw = blk
+            if _use_broadcast():
+                # TPU: one-shot [block, T, Q] masked sum, 1.8x the fori
+                # accumulation on-chip (BENCH_SPARSE_r03.json A/B)
+                m = bids[:, :, None] == q_ids[None, None, :]
+                return jnp.sum(
+                    jnp.where(m, bw[:, :, None].astype(jnp.float32)
+                              * q_w[None, None, :], 0.0),
+                    axis=(1, 2))
 
             def qstep(i, acc):
                 hit = jnp.where(bids == q_ids[i], bw.astype(jnp.float32), 0.0)

@@ -271,6 +271,8 @@ def main():
         ("asr", ("BENCH_ASR_r03.json", "BENCH_ASR_r02.json")),
         ("encode", ("BENCH_ENCODE_r03.json",)),
         ("serving", ("BENCH_SERVING_TPU_r03.json", "BENCH_SERVING_r03.json")),
+        ("serving_slots16", ("BENCH_SERVING_TPU_S16_r03.json",)),
+        ("serving_slots32", ("BENCH_SERVING_TPU_S32_r03.json",)),
         ("ivf_tail", ("BENCH_IVF_TAIL_r03.json",)),
         ("w4_tune", ("W4_TUNE_r03.json",)),
         ("sparse", ("BENCH_SPARSE_r03.json",)),
