@@ -134,12 +134,16 @@ class FlatIndex:
         else:
             self.device_dtype = jnp.dtype(device_dtype)
             self._dtype_name = self.device_dtype.name
-        # host mirrors (source of truth)
-        self._vectors = np.zeros((0, dim), np.float32)
+        # host mirrors (source of truth). _vectors/_deleted are exact-size
+        # VIEWS over geometric-growth buffers: r03 measured 101.8 s to append
+        # 10 rows at 1M×1024 because add() np.concatenate'd the full mirror
+        # per call — growth slack makes appends amortized O(rows appended).
+        self._nrows = 0
+        self._vec_buf = np.zeros((0, dim), np.float32)
+        self._del_buf = np.zeros(0, bool)
         self._docs: List[Document] = []
         self._ids: List[str] = []
         self._row_of_id: Dict[str, int] = {}
-        self._deleted = np.zeros(0, bool)
         self.columns = MetadataColumns()
         # device cache
         self._device: Optional[dict] = None
@@ -150,6 +154,45 @@ class FlatIndex:
         # thread while direct API paths (debug-retrieval, /query/batch) may
         # search concurrently
         self._mutex = threading.RLock()
+
+    # ------------------------------------------------------ host mirrors
+    @property
+    def _vectors(self) -> np.ndarray:
+        return self._vec_buf[: self._nrows]
+
+    @_vectors.setter
+    def _vectors(self, arr: np.ndarray) -> None:
+        # wholesale replacement (compact/load/transplant): the new array IS
+        # the buffer; _nrows follows it. Callers replace _deleted right after.
+        arr = np.asarray(arr, np.float32)
+        self._vec_buf = arr
+        self._nrows = arr.shape[0]
+
+    @property
+    def _deleted(self) -> np.ndarray:
+        return self._del_buf[: self._nrows]
+
+    @_deleted.setter
+    def _deleted(self, arr: np.ndarray) -> None:
+        arr = np.asarray(arr, bool)
+        if arr.shape[0] != self._nrows:
+            raise ValueError(
+                f"deleted mask rows {arr.shape[0]} != vector rows "
+                f"{self._nrows} (set _vectors first)")
+        self._del_buf = arr
+
+    def _ensure_host_capacity(self, n: int) -> None:
+        """Grow the host buffers to hold ≥ n rows (1.5× geometric, so a
+        10M-row mirror doesn't round up to 2× host RAM like pow2 would)."""
+        cap = self._vec_buf.shape[0]
+        if cap >= n:
+            return
+        new_cap = max(n, (cap * 3) // 2, 1024)
+        vec = np.empty((new_cap, self.dim), np.float32)
+        vec[: self._nrows] = self._vec_buf[: self._nrows]
+        dele = np.zeros(new_cap, bool)
+        dele[: self._nrows] = self._del_buf[: self._nrows]
+        self._vec_buf, self._del_buf = vec, dele
 
     # ------------------------------------------------------------------ size
     @property
@@ -191,8 +234,10 @@ class FlatIndex:
             n_new = len(documents)
             capacity = _round_capacity(start + n_new)
 
-            self._vectors = np.concatenate([self._vectors, vectors], axis=0)
-            self._deleted = np.concatenate([self._deleted, np.zeros(n_new, bool)])
+            self._ensure_host_capacity(start + n_new)
+            self._vec_buf[start : start + n_new] = vectors
+            self._del_buf[start : start + n_new] = False
+            self._nrows = start + n_new
             self.columns.append_rows([d.metadata for d in documents], capacity)
             new_ids = []
             upserted = False

@@ -889,11 +889,11 @@ class IVFIndex(FlatIndex):
 
         flat = FlatIndex.load(directory)
         index = cls(dim=flat.dim, device_dtype=flat._dtype_name)
-        index.__dict__.update(
-            {k: v for k, v in flat.__dict__.items() if k in (
-                "_vectors", "_docs", "_ids", "_row_of_id", "_deleted", "columns",
-            )}
-        )
+        # attribute access, not __dict__: _vectors/_deleted are properties
+        # over growth buffers (order matters — _vectors sets the row count)
+        for attr in ("_vectors", "_docs", "_ids", "_row_of_id", "_deleted",
+                     "columns"):
+            setattr(index, attr, getattr(flat, attr))
         ivf_path = Path(directory) / "ivf.npz"
         if ivf_path.exists():
             arrays = np.load(ivf_path)

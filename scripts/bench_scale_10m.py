@@ -1,0 +1,250 @@
+#!/usr/bin/env python3
+"""10M-vectors-on-one-chip capacity proof (BASELINE config #5, r03 verdict
+next #5).
+
+10M × 1024 is 10.24 GB at int8 and 5.12 GB packed int4 (w4a16) — both fit a
+single 16 GB-HBM chip with headroom for the [batch, 10M] score tensor.
+CAPACITY_10M.json was an analytic projection; this measures the real thing:
+
+- corpus generated host-side in chunks (one core, 125 GB RAM), quantized to
+  the production layouts (per-row symmetric int8 / pack_w4 nibble pairs,
+  `index/flat.py` device slabs),
+- an exact f32 oracle top-10 computed chunk-by-chunk during generation for a
+  fixed query panel, so recall@10 is vs full-precision ground truth,
+- QPS measured with the production filtered-search kernel (dot + filter mask
+  + masked_top_k, the same ops `index/flat.py:search` jits) inside a
+  serialized lax.scan (relay dispatch ~26 ms amortizes over REPS).
+
+Run on TPU (default backend). dtypes run sequentially and free the previous
+slab first — int8 + int4 resident together would exceed HBM.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+REPS = 50
+CHUNK = 500_000
+
+
+def _enable_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
+
+
+def generate_corpus(n, dim, n_oracle_q, seed=0):
+    """Chunked host-side build: int8 corpus + scales, int4 packed + scales,
+    and the exact f32 oracle top-10 for a fixed query panel."""
+    from automative_rag_tpu.ops.quant_matmul import pack_w4
+
+    rng = np.random.default_rng(seed)
+    queries = rng.normal(size=(n_oracle_q, dim)).astype(np.float32)
+
+    int8_rows = np.empty((n, dim), np.int8)
+    int8_scales = np.empty(n, np.float32)
+    int4_packed = np.empty((dim // 2, n), np.uint8)
+    int4_scales = np.empty(n, np.float32)
+    # running exact-f32 oracle: keep the best 10 (score, index) per query
+    k_oracle = 10
+    best_scores = np.full((n_oracle_q, k_oracle), -np.inf, np.float32)
+    best_idx = np.zeros((n_oracle_q, k_oracle), np.int64)
+
+    t0 = time.time()
+    for start in range(0, n, CHUNK):
+        stop = min(start + CHUNK, n)
+        chunk = rng.standard_normal((stop - start, dim), dtype=np.float32)
+
+        s8 = np.abs(chunk).max(axis=1) / 127.0
+        np.copyto(int8_scales[start:stop], s8)
+        int8_rows[start:stop] = np.clip(
+            np.round(chunk / np.maximum(s8, 1e-12)[:, None]), -127, 127)
+
+        packed, s4 = pack_w4(np.ascontiguousarray(chunk.T))
+        int4_packed[:, start:stop] = packed
+        int4_scales[start:stop] = s4
+
+        # exact oracle merge for this chunk
+        scores = queries @ chunk.T  # [Q, chunk]
+        part = np.argpartition(scores, -k_oracle, axis=1)[:, -k_oracle:]
+        cand_scores = np.take_along_axis(scores, part, axis=1)
+        merged_s = np.concatenate([best_scores, cand_scores], axis=1)
+        merged_i = np.concatenate([best_idx, part + start], axis=1)
+        keep = np.argpartition(merged_s, -k_oracle, axis=1)[:, -k_oracle:]
+        best_scores = np.take_along_axis(merged_s, keep, axis=1)
+        best_idx = np.take_along_axis(merged_i, keep, axis=1)
+        print(f"[gen] rows {stop}/{n} ({time.time() - t0:.0f}s)",
+              file=sys.stderr)
+
+    oracle = [set(best_idx[q].tolist()) for q in range(n_oracle_q)]
+    return {
+        "queries": queries,
+        "int8": (int8_rows, int8_scales),
+        "int4": (int4_packed, int4_scales),
+        "oracle": oracle,
+        "gen_s": round(time.time() - t0, 1),
+    }
+
+
+def bench_dtype(dtype, corpus, n, dim, k, batch, trials):
+    import jax
+    import jax.numpy as jnp
+
+    from automative_rag_tpu.index.filters import FilterSpec, eval_filter_mask
+    from automative_rag_tpu.ops.quant_matmul import w4_matmul
+    from automative_rag_tpu.ops.topk import masked_top_k
+
+    int8 = dtype == "int8"
+    queries = corpus["queries"]
+    n_oracle_q = queries.shape[0]
+    if int8:
+        rows, scales = corpus["int8"]
+        qs = np.abs(queries).max(axis=1) / 127.0
+        q_panel = np.clip(
+            np.round(queries / np.maximum(qs, 1e-12)[:, None]),
+            -127, 127).astype(np.int8)
+    else:
+        rows, scales = corpus["int4"]
+        q_panel = queries  # w4a16: full-precision activations
+
+    # pre-pad N to the w4 kernel's block multiple on the host: letting the
+    # kernel pad internally would clone the 5 GB packed slab inside the jit
+    n_eff = n
+    if not int8:
+        pad = (-n) % 512
+        if pad:
+            n_eff = n + pad
+            rows = np.pad(rows, ((0, 0), (0, pad)), constant_values=0x88)
+            scales = np.pad(scales, (0, pad))
+
+    valid = jnp.concatenate(
+        [jnp.ones(n, bool), jnp.zeros(n_eff - n, bool)]) if n_eff != n \
+        else jnp.ones(n, bool)
+    codes = jnp.zeros((7, n_eff), jnp.int32)
+    numerics = jnp.zeros((2, n_eff), jnp.int32)
+    spec = FilterSpec.match_all()
+    interpret = jax.default_backend() != "tpu"
+
+    @jax.jit
+    def many(q, vectors, row_scales):
+        def body(carry, _):
+            if int8:
+                scores = jax.lax.dot_general(
+                    carry, vectors, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * row_scales[None, :]
+            else:
+                scores = w4_matmul(
+                    carry, vectors, row_scales, interpret=interpret
+                ).astype(jnp.float32)
+            mask = valid & eval_filter_mask(codes, numerics, spec)
+            vals, idx = masked_top_k(scores, mask, k)
+            carry = carry + (vals[0, 0] * 0).astype(carry.dtype)
+            return carry, idx
+
+        _, outs = jax.lax.scan(body, q, None, length=REPS)
+        return outs
+
+    t_ship = time.time()
+    vectors = jax.device_put(jnp.asarray(rows))
+    row_scales = jax.device_put(jnp.asarray(scales))
+    jax.block_until_ready((vectors, row_scales))
+    ship_s = time.time() - t_ship
+
+    report = {"n": n, "dtype": dtype, "batch": batch, "k": k,
+              "hbm_gb": round(rows.nbytes / 2**30, 2),
+              "ship_s": round(ship_s, 1)}
+
+    # recall panel first (also the compile+warm call): run the oracle
+    # queries through the SAME executable, batch at a time
+    t_c = time.time()
+    got = []
+    for start in range(0, n_oracle_q, batch):
+        qb = q_panel[start:start + batch]
+        if qb.shape[0] < batch:
+            qb = np.pad(qb, ((0, batch - qb.shape[0]), (0, 0)))
+        idx = np.asarray(many(jnp.asarray(qb), vectors, row_scales))[-1]
+        got.extend(idx[: min(batch, n_oracle_q - start)])
+    report["compile_plus_recall_s"] = round(time.time() - t_c, 1)
+    overlaps = [
+        len(set(got[q].tolist()) & corpus["oracle"][q]) / 10.0
+        for q in range(n_oracle_q)
+    ]
+    report["recall_at_10_vs_f32"] = round(float(np.mean(overlaps)), 4)
+
+    q0 = jnp.asarray(q_panel[:batch])
+    samples = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        np.asarray(many(q0, vectors, row_scales))
+        samples.append((time.perf_counter() - t0) / REPS)
+    per_call = float(np.percentile(samples, 50))
+    report["latency_ms_per_batch"] = round(per_call * 1000, 3)
+    report["qps"] = round(batch / per_call, 1)
+
+    # free the slab before the next dtype
+    vectors.delete()
+    row_scales.delete()
+    return report
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=10_000_000)
+    parser.add_argument("--dim", type=int, default=1024)
+    parser.add_argument("--k", type=int, default=10)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--trials", type=int, default=3)
+    parser.add_argument("--oracle-queries", type=int, default=16)
+    parser.add_argument("--dtypes", default="int8,int4")
+    parser.add_argument("--out", default="BENCH_SCALE_10M_r04.json")
+    parser.add_argument("--cpu", action="store_true",
+                        help="pin the CPU backend (smoke tests)")
+    args = parser.parse_args()
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+    _enable_cache()
+
+    import jax
+
+    report = {
+        "bench": "flat_capacity_10m",
+        "platform": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "oracle": f"exact f32 top-10, {args.oracle_queries} queries",
+    }
+    corpus = generate_corpus(args.n, args.dim, args.oracle_queries)
+    report["gen_s"] = corpus["gen_s"]
+    for dtype in args.dtypes.split(","):
+        key = f"flat_{args.n // 1_000_000}m_{dtype}"
+        try:
+            report[key] = bench_dtype(
+                dtype, corpus, args.n, args.dim, args.k, args.batch,
+                args.trials)
+            print(f"[done] {key}: {report[key]}", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — record and continue
+            report[key] = {"error": repr(exc)[:500]}
+            print(f"[fail] {key}: {exc!r}", file=sys.stderr)
+        Path(args.out).write_text(json.dumps(report, indent=1))
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

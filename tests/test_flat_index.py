@@ -372,3 +372,37 @@ def test_int4_sharded_matches_single_device():
         assert got == want
     hits = sharded.search(vectors[77], 3, {"manufacturer": "m2"})[0]
     assert all(h.document.metadata["manufacturer"] == "m2" for h in hits)
+
+
+def test_append_is_amortized_no_full_copy(rng):
+    """r03 verdict weak #3: add() concatenated the FULL host mirror per call
+    (101.8 s for 10 rows at 1M×1024). With growth slack, appends inside the
+    slack must reuse the same backing buffer (no O(corpus) copy), and a
+    regrowth must preserve every row."""
+    vectors, docs = _random_corpus(rng, 600, 64)
+    index = FlatIndex(dim=64)
+    index.add(vectors[:500], docs[:500])
+    before = index._vectors.copy()
+    buf_id = id(index._vec_buf)
+    assert index._vec_buf.shape[0] >= 600  # slack exists
+
+    # appends within slack: backing buffer identity is stable
+    for i in range(500, 600, 10):
+        index.add(vectors[i : i + 10], docs[i : i + 10])
+        assert id(index._vec_buf) == buf_id
+    assert index.total_rows == 600
+
+    # force a regrowth well past the slack and check contents survive
+    more_v, more_docs = _random_corpus(rng, index._vec_buf.shape[0], 64)
+    for d in more_docs:
+        d.id = "grow-" + d.id  # distinct ids: pure append, no upsert
+    index.add(more_v, more_docs)
+    assert id(index._vec_buf) != buf_id
+    np.testing.assert_array_equal(index._vectors[:500], before[:500])
+    assert index.total_rows == 600 + len(more_docs)
+
+    # search still exact after regrowth
+    q = rng.normal(size=64).astype(np.float32)
+    hits = index.search(np.asarray([q]), k=5)[0]
+    oracle = _oracle_topk(index._vectors, q, 5)
+    assert [h.row for h in hits] == oracle
