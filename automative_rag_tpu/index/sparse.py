@@ -13,13 +13,15 @@ equality-match reduction —
 
     score[n] = Σ_t Σ_q [doc_ids[n,t] == q_ids[q]] · doc_w[n,t] · q_w[q]
 
-evaluated blockwise under one jit (``lax.map`` over row blocks so the
-[block, T, Q] intermediate stays small and fuses; f32 accumulation). At
-1M rows × T=48 the corpus slab is 48·(4+2) B/row ≈ 288 MB — the scan
-reads *less* HBM than the 1024-dim dense matmul, so the arm adds ≲0.5 ms
-on chip. Static shapes throughout: row capacity pads to a block multiple,
-term lists pad with id −1 / weight 0 (zero weight ⇒ zero contribution, so
-pad↔pad equality is harmless).
+The scan is VPU-compute-bound (~N·T·Q vector ops vs only N·T·6 B of HBM
+traffic — 288 MB at 1M rows × T=48, less than the dense matmul reads), so
+the device slab is TERM-MAJOR [T, cap] and the hot path is the fused
+Pallas kernel in ``ops/sparse_scan.py`` (full 128-lane tiles, no
+[.., Q] temporary, ~3 VPU ops per query term). XLA broadcast/fori
+formulations remain for CPU and parity tests. Static shapes throughout:
+column capacity pads to a block multiple, term lists pad with id −1 /
+weight 0 (zero weight ⇒ zero contribution, so pad↔pad equality is
+harmless).
 
 Live appends follow the flat index's staged-slab pattern
 (``index/flat.py``): the built device slab survives appends, fresh rows
@@ -45,81 +47,83 @@ _BLOCK = 8192
 _TAIL_FOLD = 4096
 
 
-@partial(jax.jit, static_argnames=("k", "broadcast"))
-def _sparse_topk_kernel(ids, weights, n_rows, q_ids, q_w, k,
-                        broadcast=False):
-    """ids [cap, T] int32, weights [cap, T] bf16, q_ids [Q] int32,
-    q_w [Q] f32 → (values [k], rows [k]); cap % _BLOCK == 0.
-
-    Two formulations of the same f32 reduction, picked per backend
-    (BENCH_SPARSE_r03.json A/B at 1M rows):
-    - ``broadcast=True`` (TPU): one-shot [block, T, Q] masked sum — the
-      VPU eats the broadcast and it runs 1.8x faster on-chip (7.8 ms vs
-      13.8 ms) because every term comparison is one fused elementwise pass.
-    - ``broadcast=False`` (CPU): per-query-term ``fori_loop`` with a
-      [block, T] working set — 2x faster on the CPU backend where the
-      [block, T, Q] temporary blows the cache.
-    """
-    cap, t = ids.shape
-    blocks_i = ids.reshape(cap // _BLOCK, _BLOCK, t)
-    blocks_w = weights.reshape(cap // _BLOCK, _BLOCK, t)
-    n_q = q_ids.shape[0]
-
-    def block_scores(blk):
-        bids, bw = blk
-        if broadcast:
-            m = bids[:, :, None] == q_ids[None, None, :]
-            return jnp.sum(
-                jnp.where(m, bw[:, :, None].astype(jnp.float32)
-                          * q_w[None, None, :], 0.0),
-                axis=(1, 2))
-
-        def qstep(i, acc):
-            hit = jnp.where(bids == q_ids[i], bw.astype(jnp.float32), 0.0)
-            return acc + q_w[i] * jnp.sum(hit, axis=1)
-
-        return jax.lax.fori_loop(
-            0, n_q, qstep, jnp.zeros(_BLOCK, jnp.float32))
-
-    scores = jax.lax.map(block_scores, (blocks_i, blocks_w)).reshape(cap)
-    scores = jnp.where(jnp.arange(cap) < n_rows, scores, -jnp.inf)
-    return jax.lax.top_k(scores, k)
-
-
-def _use_broadcast() -> bool:
-    """Broadcast formulation on accelerators, fori accumulation on CPU."""
+def _use_variant() -> str:
+    """Scan formulation by backend: the fused Pallas term-major kernel on
+    accelerators (full 128-lane tiles, no [.., Q] temporary —
+    ``ops/sparse_scan.py``), fori accumulation on CPU (cache-friendly)."""
     try:
-        return jax.default_backend() != "cpu"
+        return "pallas" if jax.default_backend() != "cpu" else "fori"
     except Exception:  # noqa: BLE001 — backend probe must never fail a query
-        return False
+        return "fori"
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _sparse_topk_batch_kernel(ids, weights, n_rows, q_ids, q_w, k):
+def _xla_scores_tm(ids_t, weights_t, q_ids, q_w, variant: str):
+    """XLA fallback scan over the term-major slab: lax.map over
+    column blocks of the shared scoring core."""
+    from ..ops.sparse_scan import xla_block_scores
+
+    t, cap = ids_t.shape
+    blocks_i = jnp.moveaxis(ids_t.reshape(t, cap // _BLOCK, _BLOCK), 1, 0)
+    blocks_w = jnp.moveaxis(weights_t.reshape(t, cap // _BLOCK, _BLOCK), 1, 0)
+
+    def block(blk):
+        bids, bw = blk
+        return xla_block_scores(bids, bw, q_ids, q_w, variant)
+
+    return jax.lax.map(block, (blocks_i, blocks_w)).reshape(cap)
+
+
+@partial(jax.jit, static_argnames=("k", "variant", "interpret"))
+def _sparse_topk_kernel(ids_t, weights_t, n_rows, q_ids, q_w, k,
+                        variant="fori", interpret=False):
+    """ids_t [T, cap] int32 (term-major), weights_t [T, cap] bf16,
+    q_ids [Q] int32, q_w [Q] f32 → (values [k], rows [k]);
+    cap % _BLOCK == 0.
+
+    ``variant`` ∈ ("pallas", "broadcast", "fori") — the fused Pallas
+    kernel on TPU (r04: ~VPU-roofline), the shared XLA formulations
+    elsewhere and for parity tests (``ops/sparse_scan.xla_block_scores``).
+    """
+    from ..ops.sparse_scan import sparse_scores_tm, two_stage_top_k
+
+    t, cap = ids_t.shape
+    if variant == "pallas":
+        scores = sparse_scores_tm(ids_t, weights_t, q_ids, q_w,
+                                  interpret=interpret)
+    else:
+        scores = _xla_scores_tm(ids_t, weights_t, q_ids, q_w, variant)
+    scores = jnp.where(jnp.arange(cap) < n_rows, scores, -jnp.inf)
+    return two_stage_top_k(scores, k)
+
+
+@partial(jax.jit, static_argnames=("k", "variant", "interpret"))
+def _sparse_topk_batch_kernel(ids_t, weights_t, n_rows, q_ids, q_w, k,
+                              variant="fori", interpret=False):
     """Batched variant: q_ids [B, Q] int32, q_w [B, Q] f32 →
     (values [B, k], rows [B, k]). One dispatch scores every query against
     the corpus — the serving-throughput path (engine ``retrieve_batch``)."""
-    cap, t = ids.shape
-    blocks_i = ids.reshape(cap // _BLOCK, _BLOCK, t)
-    blocks_w = weights.reshape(cap // _BLOCK, _BLOCK, t)
-    b, n_q = q_ids.shape
+    from ..ops.sparse_scan import (
+        sparse_scores_tm_batch, two_stage_top_k, xla_block_scores_batch)
 
-    def block_scores(blk):
-        bids, bw = blk
+    t, cap = ids_t.shape
+    b = q_ids.shape[0]
+    if variant == "pallas":
+        scores = sparse_scores_tm_batch(ids_t, weights_t, q_ids, q_w,
+                                        interpret=interpret)
+    else:
+        blocks_i = jnp.moveaxis(
+            ids_t.reshape(t, cap // _BLOCK, _BLOCK), 1, 0)
+        blocks_w = jnp.moveaxis(
+            weights_t.reshape(t, cap // _BLOCK, _BLOCK), 1, 0)
 
-        def qstep(i, acc):
-            hit = bids[None, :, :] == q_ids[:, i][:, None, None]
-            contrib = jnp.where(
-                hit, bw.astype(jnp.float32)[None], 0.0).sum(axis=2)
-            return acc + q_w[:, i][:, None] * contrib
+        def block(blk):
+            bids, bw = blk
+            return xla_block_scores_batch(bids, bw, q_ids, q_w, variant)
 
-        return jax.lax.fori_loop(
-            0, n_q, qstep, jnp.zeros((b, _BLOCK), jnp.float32))
-
-    scores = jax.lax.map(block_scores, (blocks_i, blocks_w))  # [nb, B, blk]
-    scores = jnp.moveaxis(scores, 0, 1).reshape(b, cap)
+        scores = jax.lax.map(block, (blocks_i, blocks_w))  # [nb, B, blk]
+        scores = jnp.moveaxis(scores, 0, 1).reshape(b, cap)
     scores = jnp.where(jnp.arange(cap)[None, :] < n_rows, scores, -jnp.inf)
-    return jax.lax.top_k(scores, k)
+    return two_stage_top_k(scores, k)
 
 
 def _score_rows_np(ids: np.ndarray, weights: np.ndarray,
@@ -138,8 +142,10 @@ class SparseIndex:
         self._ids = np.zeros((0, self.top_terms), np.int32)
         self._weights = np.zeros((0, self.top_terms), np.float32)
         self._df: Dict[int, int] = {}
-        # device cache: (ids_slab, weights_slab, staged_rows)
+        # device cache: (ids_slab [T, cap], weights_slab [T, cap], staged)
         self._device: Optional[Tuple[jnp.ndarray, jnp.ndarray, int]] = None
+        # None → auto by backend (_use_variant); tests pin a formulation
+        self.scan_variant: Optional[str] = None
         self._mutex = threading.RLock()
 
     # ------------------------------------------------------------- size
@@ -206,10 +212,13 @@ class SparseIndex:
         with self._mutex:
             if self._device is None and self.rows:
                 cap = max(_BLOCK, -(-self.rows // _BLOCK) * _BLOCK)
-                ids = np.full((cap, self.top_terms), -1, np.int32)
-                w = np.zeros((cap, self.top_terms), np.float32)
-                ids[: self.rows] = self._ids
-                w[: self.rows] = self._weights
+                # TERM-MAJOR device layout [T, cap]: the corpus is the lane
+                # dimension so every 128-lane VPU op in the scan is fully
+                # utilized (48-wide rows waste 2.7x of each tile row-major)
+                ids = np.full((self.top_terms, cap), -1, np.int32)
+                w = np.zeros((self.top_terms, cap), np.float32)
+                ids[:, : self.rows] = self._ids.T
+                w[:, : self.rows] = self._weights.T
                 self._device = (
                     jnp.asarray(ids),
                     jnp.asarray(w, self.device_dtype),
@@ -225,7 +234,8 @@ class SparseIndex:
         ids_slab, w_slab, staged = state
         return _sparse_topk_kernel(
             ids_slab, w_slab, staged, jnp.asarray(q_ids), jnp.asarray(q_w), k,
-            broadcast=_use_broadcast())
+            variant=self.scan_variant or _use_variant(),
+            interpret=jax.default_backend() != "tpu")
 
     def search(self, q_ids: np.ndarray, q_w: np.ndarray, k: int
                ) -> List[Tuple[int, float]]:
@@ -261,7 +271,9 @@ class SparseIndex:
                            q_w: np.ndarray, k: int):
         ids_slab, w_slab, staged = state
         return _sparse_topk_batch_kernel(
-            ids_slab, w_slab, staged, jnp.asarray(q_ids), jnp.asarray(q_w), k)
+            ids_slab, w_slab, staged, jnp.asarray(q_ids), jnp.asarray(q_w), k,
+            variant=self.scan_variant or _use_variant(),
+            interpret=jax.default_backend() != "tpu")
 
     def search_batch(self, q_ids: np.ndarray, q_w: np.ndarray, k: int
                      ) -> List[List[Tuple[int, float]]]:

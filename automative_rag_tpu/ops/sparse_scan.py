@@ -1,0 +1,216 @@
+"""Pallas sparse (lexical) term-match scan — term-major layout.
+
+The sparse arm's corpus scan is *VPU-compute-bound*, not HBM-bound: at
+Q=32 query terms the equality-match reduction
+
+    score[n] = Σ_t Σ_q [ids[n,t] == q_ids[q]] · w[n,t] · q_w[q]
+
+does ~N·T·Q vector ops against only N·T·6 bytes of HBM traffic. The r03
+XLA formulations (``index/sparse.py`` broadcast/fori) paid two extra
+costs on top of that intrinsic work: a materialized [block, T, Q]
+temporary, and — with the row-major [cap, T=48] slab — 128-lane VPU
+tiles running 48/128 useful lanes. This kernel removes both:
+
+- **term-major slab** [T, cap]: the lane dimension is the corpus, every
+  128-lane VPU op is fully utilized (same trick as the token-major
+  ColBERT doc slab in ``ops/maxsim.py``);
+- **no [.., Q] materialization**: the query loop accumulates
+  ``acc[t, n] += [ids==qid_q]·q_w_q`` in a single VMEM-resident f32
+  tile, then one weighted sublane reduction produces the block scores.
+
+Per element that is ~3 VPU ops per query term (compare, select, add)
+plus 2 closing ops — about 4.8 G ops for 1M×48×32, ≈1.3 ms at the VPU
+roofline vs 7.8 ms for the r03 broadcast variant (BENCH_SPARSE_r03.json).
+
+Shared XLA fallbacks (`xla_block_scores`) keep CPU/testing parity and are
+reused by the mesh-sharded arm (``parallel/sharded_sparse.py``) so the
+formulations can't drift (r03 ADVICE #2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _scan_kernel(q_ids_ref, q_w_ref, ids_ref, w_ref, out_ref):
+    """One corpus block: ids/w [T, bn] → scores [1, bn].
+
+    q_ids/q_w live in SMEM; the fori loop reads one scalar pair per step
+    (dynamic SMEM indexing) so Q never materializes a third tensor axis.
+    """
+    ids = ids_ref[...]                       # [T, bn] int32
+    n_q = q_ids_ref.shape[1]
+
+    def qstep(i, acc):
+        qid = q_ids_ref[0, i]
+        qw = q_w_ref[0, i]
+        return acc + jnp.where(ids == qid, qw, 0.0)
+
+    t, bn = ids.shape
+    acc = jax.lax.fori_loop(
+        0, n_q, qstep, jnp.zeros((t, bn), jnp.float32))
+    w = w_ref[...].astype(jnp.float32)
+    out_ref[...] = jnp.sum(acc * w, axis=0, keepdims=True)
+
+
+def _scan_kernel_batch(q_ids_ref, q_w_ref, ids_ref, w_ref, out_ref):
+    """Batched block: q [B, Q] SMEM → scores [B, bn]."""
+    ids = ids_ref[...]
+    w = w_ref[...].astype(jnp.float32)
+    b, n_q = q_ids_ref.shape
+    t, bn = ids.shape
+    for row in range(b):  # static: B is small (engine batch)
+        def qstep(i, acc, row=row):
+            qid = q_ids_ref[row, i]
+            qw = q_w_ref[row, i]
+            return acc + jnp.where(ids == qid, qw, 0.0)
+
+        acc = jax.lax.fori_loop(
+            0, n_q, qstep, jnp.zeros((t, bn), jnp.float32))
+        out_ref[row, :] = jnp.sum(acc * w, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def sparse_scores_tm(ids_t, w_t, q_ids, q_w, block_n: int = 4096,
+                     interpret: bool = False):
+    """ids_t [T, cap] int32, w_t [T, cap] (bf16), q_ids [Q] int32,
+    q_w [Q] f32 → scores [cap] f32. cap % block_n == 0 required (the slab
+    pads to the block multiple; pad columns carry id −1 / weight 0)."""
+    t, cap = ids_t.shape
+    bn = min(block_n, cap)
+    out = pl.pallas_call(
+        _scan_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, cap), jnp.float32),
+        grid=(cap // bn,),
+        in_specs=[
+            pl.BlockSpec((1, q_ids.shape[0]), lambda j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, q_w.shape[0]), lambda j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((t, bn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, bn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bn), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q_ids.reshape(1, -1), q_w.reshape(1, -1), ids_t, w_t)
+    return out[0]
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def sparse_scores_tm_batch(ids_t, w_t, q_ids, q_w, block_n: int = 4096,
+                           interpret: bool = False):
+    """Batched scan: q_ids/q_w [B, Q] → scores [B, cap] f32."""
+    t, cap = ids_t.shape
+    b = q_ids.shape[0]
+    bn = min(block_n, cap)
+    return pl.pallas_call(
+        _scan_kernel_batch,
+        out_shape=jax.ShapeDtypeStruct((b, cap), jnp.float32),
+        grid=(cap // bn,),
+        in_specs=[
+            pl.BlockSpec(q_ids.shape, lambda j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(q_w.shape, lambda j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((t, bn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, bn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, bn), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q_ids, q_w, ids_t, w_t)
+
+
+def xla_block_scores(bids, bw, q_ids, q_w, variant: str):
+    """Shared XLA scoring core over a TERM-MAJOR block (bids/bw [T, blk]).
+
+    The single-device, batched, and mesh-sharded scans all call this one
+    helper so the formulations cannot drift apart (r03 ADVICE #2 found the
+    broadcast variant missing from two of the three copies).
+
+    - ``broadcast``: one-shot [T, blk, Q] masked sum.
+    - ``fori``: per-query-term accumulation, [T, blk] working set (CPU
+      cache-friendly; also the reference semantics for parity tests).
+    """
+    if variant == "broadcast":
+        m = bids[:, :, None] == q_ids[None, None, :]
+        return jnp.sum(
+            jnp.where(m, bw[:, :, None].astype(jnp.float32)
+                      * q_w[None, None, :], 0.0),
+            axis=(0, 2))
+    if variant != "fori":
+        raise ValueError(f"unknown XLA sparse-scan variant {variant!r}")
+
+    def qstep(i, acc):
+        hit = jnp.where(bids == q_ids[i], bw.astype(jnp.float32), 0.0)
+        return acc + q_w[i] * jnp.sum(hit, axis=0)
+
+    return jax.lax.fori_loop(
+        0, q_ids.shape[0], qstep, jnp.zeros(bids.shape[1], jnp.float32))
+
+
+def xla_block_scores_batch(bids, bw, q_ids, q_w, variant: str):
+    """Batched shared core: q_ids/q_w [B, Q], block [T, blk] → [B, blk]."""
+    b = q_ids.shape[0]
+    if variant == "broadcast":
+        # [T, blk, B, Q] would blow memory; per-query loop with a batched
+        # broadcast keeps the working set [B, T, blk]
+        def qstep(i, acc):
+            hit = bids[None, :, :] == q_ids[:, i][:, None, None]
+            contrib = jnp.where(
+                hit, bw.astype(jnp.float32)[None], 0.0).sum(axis=1)
+            return acc + q_w[:, i][:, None] * contrib
+
+        return jax.lax.fori_loop(
+            0, q_ids.shape[1], qstep,
+            jnp.zeros((b, bids.shape[1]), jnp.float32))
+    if variant != "fori":
+        raise ValueError(f"unknown XLA sparse-scan variant {variant!r}")
+
+    def qstep(i, acc):
+        hit = bids[None, :, :] == q_ids[:, i][:, None, None]
+        contrib = jnp.where(
+            hit, bw.astype(jnp.float32)[None], 0.0).sum(axis=1)
+        return acc + q_w[:, i][:, None] * contrib
+
+    return jax.lax.fori_loop(
+        0, q_ids.shape[1], qstep, jnp.zeros((b, bids.shape[1]), jnp.float32))
+
+
+def two_stage_top_k(scores: jnp.ndarray, k: int, block: int = 8192):
+    """Hierarchical top-k over the last axis: per-block top-k then a final
+    merge. At 1M rows the flat lax.top_k costs as much as the whole Pallas
+    scan; two stages cut it to ~top-k over n/block·k candidates."""
+    *lead, n = scores.shape
+    if n <= block:
+        return jax.lax.top_k(scores, k)
+    n_blocks = n // block
+    assert n_blocks * block == n, (n, block)
+    blocked = scores.reshape(*lead, n_blocks, block)
+    k_local = min(k, block)
+    vals, idx = jax.lax.top_k(blocked, k_local)       # [..., nb, k]
+    base = (jnp.arange(n_blocks) * block)[:, None]
+    gidx = idx + base                                  # global row ids
+    flat_v = vals.reshape(*lead, n_blocks * k_local)
+    flat_i = gidx.reshape(*lead, n_blocks * k_local)
+    mvals, pos = jax.lax.top_k(flat_v, k)
+    return mvals, jnp.take_along_axis(flat_i, pos, axis=-1)
+
+
+def np_scores_tm(ids_t: np.ndarray, w_t: np.ndarray, q_ids: np.ndarray,
+                 q_w: np.ndarray) -> np.ndarray:
+    """Host oracle over the term-major layout (tests)."""
+    match = ids_t[:, :, None] == q_ids[None, None, :]
+    return (match * w_t[:, :, None].astype(np.float32)
+            * q_w[None, None, :]).sum((0, 2))

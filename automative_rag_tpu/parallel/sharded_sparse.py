@@ -2,11 +2,18 @@
 
 Completes the sharded story for bge-m3's third head: like the dense corpus
 (``sharded_search.py``) and the ColBERT token slabs (``sharded_rerank.py``),
-the padded term lists of ``index/sparse.py`` lay out row-sharded over the
-mesh ``shard`` axis. Each device runs the blockwise equality-match reduction
-on its HBM slice and keeps a local top-k; the [k] candidate lists are
-all-gathered over ICI and merged — O(shards·k) interconnect bytes for a
-corpus-sized scan, the same contract as the dense arm.
+the padded term lists of ``index/sparse.py`` lay out column-sharded
+(term-major [T, cap] slab, corpus on the lane axis) over the mesh ``shard``
+axis. Each device runs the scan on its HBM slice and keeps a local top-k;
+the [k] candidate lists are all-gathered over ICI and merged —
+O(shards·k) interconnect bytes for a corpus-sized scan, the same contract
+as the dense arm.
+
+Scoring goes through the SAME kernels as the single-device arm — the fused
+Pallas kernel (``ops/sparse_scan.sparse_scores_tm``) per shard on TPU, the
+shared XLA cores elsewhere — threaded by an explicit ``variant`` parameter
+so every formulation is testable from CPU (r03 ADVICE #1/#2: the broadcast
+branch was untestable and the scoring body was a drifting copy).
 
 The reference has no counterpart (it deploys only bge-m3's dense head and a
 single Qdrant node, SURVEY.md §2.2/§2.8); this module exists so the lexical
@@ -23,43 +30,40 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..index.sparse import _BLOCK, SparseIndex, _use_broadcast
+from ..index.sparse import _BLOCK, SparseIndex, _use_variant, _xla_scores_tm
 
 
-def make_sharded_sparse_topk(mesh: Mesh, axis_name: str, k: int):
-    """Jitted sharded executable: (ids [cap, T] row-sharded int32,
-    weights [cap, T] row-sharded, staged scalar, q_ids [Q], q_w [Q])
+def _local_scores(ids_t, weights_t, q_ids, q_w, variant: str,
+                  interpret: bool):
+    """Per-shard scores over the local [T, local_cap] slice — one shared
+    dispatcher for every formulation (single-device parity by import)."""
+    if variant == "pallas":
+        from ..ops.sparse_scan import sparse_scores_tm
+
+        return sparse_scores_tm(ids_t, weights_t, q_ids, q_w,
+                                interpret=interpret)
+    return _xla_scores_tm(ids_t, weights_t, q_ids, q_w, variant)
+
+
+def make_sharded_sparse_topk(mesh: Mesh, axis_name: str, k: int,
+                             variant: Optional[str] = None,
+                             interpret: Optional[bool] = None):
+    """Jitted sharded executable: (ids_t [T, cap] column-sharded int32,
+    weights_t [T, cap] column-sharded, staged scalar, q_ids [Q], q_w [Q])
     → (values [k], rows [k]) with *global* row indices.
 
     Per-shard local capacity must be a multiple of ``_BLOCK`` (the
     ``ShardedSparseIndex`` pads capacity to ``_BLOCK · n_shards``).
+    ``variant``/``interpret`` default by backend (tests pin them).
     """
+    variant = variant or _use_variant()
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
 
-    def _local(ids, weights, staged, q_ids, q_w):
-        local_cap, t = ids.shape
-        n_q = q_ids.shape[0]
-        blocks_i = ids.reshape(local_cap // _BLOCK, _BLOCK, t)
-        blocks_w = weights.reshape(local_cap // _BLOCK, _BLOCK, t)
-
-        def block_scores(blk):
-            bids, bw = blk
-            if _use_broadcast():
-                # TPU: one-shot [block, T, Q] masked sum, 1.8x the fori
-                # accumulation on-chip (BENCH_SPARSE_r03.json A/B)
-                m = bids[:, :, None] == q_ids[None, None, :]
-                return jnp.sum(
-                    jnp.where(m, bw[:, :, None].astype(jnp.float32)
-                              * q_w[None, None, :], 0.0),
-                    axis=(1, 2))
-
-            def qstep(i, acc):
-                hit = jnp.where(bids == q_ids[i], bw.astype(jnp.float32), 0.0)
-                return acc + q_w[i] * jnp.sum(hit, axis=1)
-
-            return jax.lax.fori_loop(
-                0, n_q, qstep, jnp.zeros(_BLOCK, jnp.float32))
-
-        scores = jax.lax.map(block_scores, (blocks_i, blocks_w)).reshape(local_cap)
+    def _local(ids_t, weights_t, staged, q_ids, q_w):
+        t, local_cap = ids_t.shape
+        scores = _local_scores(ids_t, weights_t, q_ids, q_w, variant,
+                               interpret)
         shard = jax.lax.axis_index(axis_name)
         base = shard * local_cap
         scores = jnp.where(
@@ -76,8 +80,8 @@ def make_sharded_sparse_topk(mesh: Mesh, axis_name: str, k: int):
         _local,
         mesh=mesh,
         in_specs=(
-            P(axis_name, None),  # term ids row-sharded
-            P(axis_name, None),  # term weights row-sharded
+            P(None, axis_name),  # term ids, corpus (lane) axis sharded
+            P(None, axis_name),  # term weights
             P(),                 # staged row count, replicated
             P(),                 # query term ids, replicated
             P(),                 # query term weights, replicated
@@ -88,30 +92,37 @@ def make_sharded_sparse_topk(mesh: Mesh, axis_name: str, k: int):
     return jax.jit(sharded)
 
 
-def make_sharded_sparse_topk_batch(mesh: Mesh, axis_name: str, k: int):
+def make_sharded_sparse_topk_batch(mesh: Mesh, axis_name: str, k: int,
+                                   variant: Optional[str] = None,
+                                   interpret: Optional[bool] = None):
     """Batched sharded executable: q_ids/q_w [B, Q] → (values [B, k],
     rows [B, k]) global row indices, one collective merge for the batch."""
+    variant = variant or _use_variant()
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
 
-    def _local(ids, weights, staged, q_ids, q_w):
-        local_cap, t = ids.shape
-        b, n_q = q_ids.shape
-        blocks_i = ids.reshape(local_cap // _BLOCK, _BLOCK, t)
-        blocks_w = weights.reshape(local_cap // _BLOCK, _BLOCK, t)
+    def _local(ids_t, weights_t, staged, q_ids, q_w):
+        t, local_cap = ids_t.shape
+        b = q_ids.shape[0]
+        if variant == "pallas":
+            from ..ops.sparse_scan import sparse_scores_tm_batch
 
-        def block_scores(blk):
-            bids, bw = blk
+            scores = sparse_scores_tm_batch(
+                ids_t, weights_t, q_ids, q_w, interpret=interpret)
+        else:
+            from ..ops.sparse_scan import xla_block_scores_batch
 
-            def qstep(i, acc):
-                hit = bids[None, :, :] == q_ids[:, i][:, None, None]
-                contrib = jnp.where(
-                    hit, bw.astype(jnp.float32)[None], 0.0).sum(axis=2)
-                return acc + q_w[:, i][:, None] * contrib
+            blocks_i = jnp.moveaxis(
+                ids_t.reshape(t, local_cap // _BLOCK, _BLOCK), 1, 0)
+            blocks_w = jnp.moveaxis(
+                weights_t.reshape(t, local_cap // _BLOCK, _BLOCK), 1, 0)
 
-            return jax.lax.fori_loop(
-                0, n_q, qstep, jnp.zeros((b, _BLOCK), jnp.float32))
+            def block(blk):
+                bids, bw = blk
+                return xla_block_scores_batch(bids, bw, q_ids, q_w, variant)
 
-        scores = jax.lax.map(block_scores, (blocks_i, blocks_w))
-        scores = jnp.moveaxis(scores, 0, 1).reshape(b, local_cap)
+            scores = jax.lax.map(block, (blocks_i, blocks_w))
+            scores = jnp.moveaxis(scores, 0, 1).reshape(b, local_cap)
         shard = jax.lax.axis_index(axis_name)
         base = shard * local_cap
         scores = jnp.where(
@@ -129,7 +140,7 @@ def make_sharded_sparse_topk_batch(mesh: Mesh, axis_name: str, k: int):
     sharded = shard_map(
         _local,
         mesh=mesh,
-        in_specs=(P(axis_name, None), P(axis_name, None), P(), P(), P()),
+        in_specs=(P(None, axis_name), P(None, axis_name), P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -137,13 +148,14 @@ def make_sharded_sparse_topk_batch(mesh: Mesh, axis_name: str, k: int):
 
 
 class ShardedSparseIndex(SparseIndex):
-    """SparseIndex whose device slab is row-sharded over a mesh.
+    """SparseIndex whose device slab is column-sharded over a mesh.
 
     Host-side mutation, df stats, tail scoring, fusion, and serialization are
     inherited; only device placement and the top-k executable differ.
     Capacity pads to a multiple of ``_BLOCK · n_shards`` so every shard gets
-    an equal, block-aligned slice (pad rows carry id −1 / weight 0 and are
-    masked by the staged-row bound, exactly like the single-device slab).
+    an equal, block-aligned slice (pad columns carry id −1 / weight 0 and
+    are masked by the staged-row bound, exactly like the single-device
+    slab).
     """
 
     def __init__(self, top_terms: int = 48, device_dtype: str = "bfloat16",
@@ -154,21 +166,21 @@ class ShardedSparseIndex(SparseIndex):
         self.mesh = mesh
         self.axis_name = axis_name
         self.n_shards = int(mesh.shape[axis_name])
-        self._search_fns: Dict[int, object] = {}
+        self._search_fns: Dict[object, object] = {}
 
     def _device_state(self):
         with self._mutex:
             if self._device is None and self.rows:
                 unit = _BLOCK * self.n_shards
                 cap = max(unit, -(-self.rows // unit) * unit)
-                ids = np.full((cap, self.top_terms), -1, np.int32)
-                w = np.zeros((cap, self.top_terms), np.float32)
-                ids[: self.rows] = self._ids
-                w[: self.rows] = self._weights
-                row_sharded = NamedSharding(self.mesh, P(self.axis_name, None))
+                ids = np.full((self.top_terms, cap), -1, np.int32)
+                w = np.zeros((self.top_terms, cap), np.float32)
+                ids[:, : self.rows] = self._ids.T
+                w[:, : self.rows] = self._weights.T
+                col_sharded = NamedSharding(self.mesh, P(None, self.axis_name))
                 self._device = (
-                    jax.device_put(ids, row_sharded),
-                    jax.device_put(w.astype(self.device_dtype), row_sharded),
+                    jax.device_put(ids, col_sharded),
+                    jax.device_put(w.astype(self.device_dtype), col_sharded),
                     self.rows,
                 )
             return self._device
@@ -176,20 +188,23 @@ class ShardedSparseIndex(SparseIndex):
     def _device_topk(self, state, q_ids: np.ndarray, q_w: np.ndarray,
                      k: int):
         ids_slab, w_slab, staged = state
-        fn = self._search_fns.get(k)
+        key = (k, self.scan_variant)
+        fn = self._search_fns.get(key)
         if fn is None:
-            fn = make_sharded_sparse_topk(self.mesh, self.axis_name, k)
-            self._search_fns[k] = fn
+            fn = make_sharded_sparse_topk(
+                self.mesh, self.axis_name, k, variant=self.scan_variant)
+            self._search_fns[key] = fn
         return fn(ids_slab, w_slab, jnp.asarray(staged, jnp.int32),
                   jnp.asarray(q_ids), jnp.asarray(q_w))
 
     def _device_topk_batch(self, state, q_ids: np.ndarray,
                            q_w: np.ndarray, k: int):
         ids_slab, w_slab, staged = state
-        key = ("batch", k)
+        key = ("batch", k, self.scan_variant)
         fn = self._search_fns.get(key)
         if fn is None:
-            fn = make_sharded_sparse_topk_batch(self.mesh, self.axis_name, k)
+            fn = make_sharded_sparse_topk_batch(
+                self.mesh, self.axis_name, k, variant=self.scan_variant)
             self._search_fns[key] = fn
         return fn(ids_slab, w_slab, jnp.asarray(staged, jnp.int32),
                   jnp.asarray(q_ids), jnp.asarray(q_w))

@@ -65,19 +65,28 @@ def generate_corpus(n, dim, n_oracle_q, seed=0):
     t0 = time.time()
     for start in range(0, n, CHUNK):
         stop = min(start + CHUNK, n)
-        chunk = rng.standard_normal((stop - start, dim), dtype=np.float32)
+        # generate TRANSPOSED [dim, m]: pack_w4 wants this layout, and the
+        # f32→f32 strided transpose it otherwise forces costs more than the
+        # whole rest of the chunk on one core; the int8 rows pay a 4×-cheaper
+        # int8 transpose instead
+        chunk_t = rng.standard_normal((dim, stop - start), dtype=np.float32)
 
-        s8 = np.abs(chunk).max(axis=1) / 127.0
+        # exact oracle scores BEFORE the in-place quantization below
+        scores = queries @ chunk_t  # [Q, chunk]
+
+        s8 = np.abs(chunk_t).max(axis=0) / 127.0
         np.copyto(int8_scales[start:stop], s8)
-        int8_rows[start:stop] = np.clip(
-            np.round(chunk / np.maximum(s8, 1e-12)[:, None]), -127, 127)
 
-        packed, s4 = pack_w4(np.ascontiguousarray(chunk.T))
+        packed, s4 = pack_w4(chunk_t)
         int4_packed[:, start:stop] = packed
         int4_scales[start:stop] = s4
 
-        # exact oracle merge for this chunk
-        scores = queries @ chunk.T  # [Q, chunk]
+        # int8 quantization in place (chunk_t is dead after this)
+        chunk_t /= np.maximum(s8, 1e-12)[None, :]
+        np.round(chunk_t, out=chunk_t)
+        np.clip(chunk_t, -127, 127, out=chunk_t)
+        int8_rows[start:stop] = chunk_t.astype(np.int8).T
+        del chunk_t
         part = np.argpartition(scores, -k_oracle, axis=1)[:, -k_oracle:]
         cand_scores = np.take_along_axis(scores, part, axis=1)
         merged_s = np.concatenate([best_scores, cand_scores], axis=1)

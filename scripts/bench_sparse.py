@@ -70,54 +70,41 @@ def main():
     print(f"oracle overlap (sample): {overlap}/{len(got_rows_in_sample)}",
           file=sys.stderr, flush=True)
 
-    # kernel timing: in-graph scan, corpus as argument; A/B the three
-    # scoring formulations (blocked fori = production kernel)
+    # kernel timing: in-graph scan, corpus as argument; A/B the scoring
+    # formulations over the r04 term-major slab. "pallas" is the production
+    # kernel on TPU (the headline reflects the SHIPPED variant — r03
+    # ADVICE #3 flagged a stale-headline mismatch); "broadcast"/"fori" are
+    # the shared XLA cores. "+flat_topk" isolates the two-stage top-k win.
+    from automative_rag_tpu.index.sparse import (
+        _sparse_topk_kernel, _use_variant, _xla_scores_tm)
+    from automative_rag_tpu.ops.sparse_scan import sparse_scores_tm
+
     state = idx._device_state()
     ids_slab, w_slab, staged = state
     k = min(args.k, staged)
     reps = args.reps
-    cap = ids_slab.shape[0]
+    cap = ids_slab.shape[1]
+    interpret = jax.default_backend() != "tpu"
 
-    def make_many(variant):
+    def make_many(variant, flat_topk=False):
         @jax.jit
         def many(qi, qw, islab, wslab):
             def body(carry, _):
                 qi_c, qw_c = carry
-                bi = islab.reshape(cap // _BLOCK, _BLOCK, t)
-                bw = wslab.reshape(cap // _BLOCK, _BLOCK, t)
-                if variant == "broadcast":
-                    def bs(blk):
-                        bids, bws = blk
-                        m = bids[:, :, None] == qi_c[None, None, :]
-                        return jnp.sum(
-                            jnp.where(m, bws[:, :, None].astype(jnp.float32)
-                                      * qw_c[None, None, :], 0.0),
-                            axis=(1, 2))
-
-                    scores = jax.lax.map(bs, (bi, bw)).reshape(cap)
-                elif variant == "blocked_fori":
-                    def bs(blk):
-                        bids, bws = blk
-
-                        def qstep(i, acc):
-                            hit = jnp.where(bids == qi_c[i],
-                                            bws.astype(jnp.float32), 0.0)
-                            return acc + qw_c[i] * jnp.sum(hit, axis=1)
-
-                        return jax.lax.fori_loop(
-                            0, q, qstep, jnp.zeros(_BLOCK, jnp.float32))
-
-                    scores = jax.lax.map(bs, (bi, bw)).reshape(cap)
-                else:  # flat_fori
-                    def qstep(i, acc):
-                        hit = jnp.where(islab == qi_c[i],
-                                        wslab.astype(jnp.float32), 0.0)
-                        return acc + qw_c[i] * jnp.sum(hit, axis=1)
-
-                    scores = jax.lax.fori_loop(
-                        0, q, qstep, jnp.zeros(cap, jnp.float32))
-                scores = jnp.where(jnp.arange(cap) < staged, scores, -jnp.inf)
-                vals, rows = jax.lax.top_k(scores, k)
+                if flat_topk:
+                    if variant == "pallas":
+                        scores = sparse_scores_tm(
+                            islab, wslab, qi_c, qw_c, interpret=interpret)
+                    else:
+                        scores = _xla_scores_tm(
+                            islab, wslab, qi_c, qw_c, variant)
+                    scores = jnp.where(
+                        jnp.arange(cap) < staged, scores, -jnp.inf)
+                    vals, rows = jax.lax.top_k(scores, k)
+                else:
+                    vals, rows = _sparse_topk_kernel(
+                        islab, wslab, staged, qi_c, qw_c, k,
+                        variant=variant, interpret=interpret)
                 # serialize reps through the carry so XLA can't hoist/CSE
                 qw_c = qw_c + (vals[0] * 0).astype(qw_c.dtype)
                 return (qi_c, qw_c), vals[0]
@@ -130,9 +117,17 @@ def main():
     qi_d = jnp.asarray(q_ids)
     qw_d = jnp.asarray(q_w)
     variants = {}
-    for variant in ("blocked_fori", "flat_fori", "broadcast"):
-        many = make_many(variant)
-        np.asarray(many(qi_d, qw_d, ids_slab, w_slab))  # compile
+    for variant, flat in (("pallas", False), ("pallas+flat_topk", True),
+                          ("broadcast", False), ("fori", False)):
+        if args.cpu and variant.startswith("pallas"):
+            continue  # interpret-mode timing is meaningless
+        name = variant.split("+")[0]
+        many = make_many(name, flat_topk=flat)
+        try:
+            np.asarray(many(qi_d, qw_d, ids_slab, w_slab))  # compile
+        except Exception as exc:  # noqa: BLE001 — record the A/B failure
+            print(f"{variant}: FAILED {exc!r}", file=sys.stderr, flush=True)
+            continue
         samples = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -141,7 +136,8 @@ def main():
         variants[variant] = float(np.percentile(samples, 50))
         print(f"{variant}: {variants[variant] * 1e3:.3f} ms",
               file=sys.stderr, flush=True)
-    per_call = variants["blocked_fori"]  # the production kernel
+    production = _use_variant()
+    per_call = variants.get(production, min(variants.values()))
 
     # batched-kernel amortization (the retrieve_batch serving path): one
     # dispatch scores B queries against the corpus
@@ -155,7 +151,8 @@ def main():
         def body(carry, _):
             qi_c, qw_c = carry
             vals, rows = _sparse_topk_batch_kernel(
-                islab, wslab, staged, qi_c, qw_c, k)
+                islab, wslab, staged, qi_c, qw_c, k,
+                variant=production, interpret=interpret)
             qw_c = qw_c + (vals[0, 0] * 0).astype(qw_c.dtype)
             return (qi_c, qw_c), vals[0, 0]
 
@@ -179,6 +176,7 @@ def main():
         "n": n, "top_terms": t, "query_terms": q, "k": k,
         "reps": reps,
         "kernel_ms": round(per_call * 1e3, 4),
+        "kernel_headline_variant": production,
         "kernel_ms_variants": {
             name: round(v * 1e3, 4) for name, v in variants.items()},
         "kernel_batch8_ms": round(b8_ms, 4),

@@ -120,3 +120,54 @@ def test_sharded_batch_matches_single(mesh):
         assert [r for r, _ in batch_hits] == [r for r, _ in want]
         np.testing.assert_allclose(
             [v for _, v in batch_hits], [v for _, v in want], rtol=1e-5)
+
+
+@pytest.mark.parametrize("variant", ["pallas", "broadcast", "fori"])
+def test_all_scan_variants_match_numpy_oracle(mesh, variant):
+    """r03 ADVICE #1: every scan formulation — including the TPU production
+    one (pallas, interpret-mode here) — must be forceable from a CPU test
+    and agree with the numpy oracle and each other, single AND sharded."""
+    from automative_rag_tpu.index.sparse import _score_rows_np
+    from automative_rag_tpu.parallel.sharded_sparse import (
+        make_sharded_sparse_topk, make_sharded_sparse_topk_batch)
+
+    rng = np.random.default_rng(7)
+    single, sharded, ids, weights = _build_pair(rng, mesh, n=900)
+    q_ids, q_w = _query(rng, ids)
+    k = 15
+
+    oracle = _score_rows_np(ids, weights, q_ids, q_w)
+    want_rows = np.argsort(-oracle)[:k].tolist()
+    want_vals = oracle[want_rows]
+
+    single.scan_variant = variant
+    got = single.search(q_ids, q_w, k=k)
+    assert [r for r, _ in got] == [r for r in want_rows if oracle[r] > 0]
+    np.testing.assert_allclose(
+        [v for _, v in got],
+        [v for v in want_vals if v > 0], rtol=1e-4)
+
+    sharded.scan_variant = variant
+    got_sh = sharded.search(q_ids, q_w, k=k)
+    assert [r for r, _ in got_sh] == [r for r, _ in got]
+
+    # batched paths, forced through the same variant
+    qb_ids = np.stack([q_ids, q_ids[::-1].copy()])
+    qb_w = np.stack([q_w, q_w[::-1].copy()])
+    got_b = single.search_batch(qb_ids, qb_w, k=k)
+    got_sh_b = sharded.search_batch(qb_ids, qb_w, k=k)
+    for a, b in zip(got_b, got_sh_b):
+        assert [r for r, _ in a] == [r for r, _ in b]
+    assert [r for r, _ in got_b[0]] == [r for r, _ in got]
+
+    # the explicit make_* factories accept the variant too (threading per
+    # ADVICE: default comes from the backend, tests pin it)
+    state = sharded._device_state()
+    fn = make_sharded_sparse_topk(mesh, "shard", k, variant=variant)
+    vals, rows = fn(state[0], state[1], np.int32(state[2]),
+                    q_ids.astype(np.int32), q_w)
+    assert np.asarray(rows).tolist()[: len(got)] == [r for r, _ in got]
+    fnb = make_sharded_sparse_topk_batch(mesh, "shard", k, variant=variant)
+    bvals, brows = fnb(state[0], state[1], np.int32(state[2]),
+                       qb_ids.astype(np.int32), qb_w)
+    assert np.asarray(brows)[0].tolist()[: len(got)] == [r for r, _ in got]
