@@ -6,13 +6,20 @@ both the assignment step (cosine scores) and the update step (one-hot
 aggregation) are MXU matmuls, chunked over rows with a ``lax.scan`` so the
 [N, K] similarity matrix never materializes.
 
-Scale design (measured on a 1M×1024 corpus): a full-corpus Lloyd pass is
-HBM-bound — it re-reads the whole corpus per iteration (4 GB f32, ~100 s at
-the chip's effective bandwidth), so centroids TRAIN on a bounded sample
-(``train_rows_per_cluster``·K rows, the FAISS recipe) and only the final
-assignment pass touches every row; vectors stage on-device as bf16 (half
-the bytes — assignment is an argmax, bf16 similarity is plenty) with f32
-accumulation for the centroid sums.
+Scale design (r03 measured 918 s for a 1M×1024 build — almost none of it
+MXU time; r04 restructures the host/device traffic):
+
+- centroids TRAIN on a bounded sample (``train_rows_per_cluster``·K rows,
+  the FAISS recipe); only the final assignment pass reads every row;
+- the corpus ships ONCE as f32 and is cast to bf16 + padded ON DEVICE
+  (host-side ml_dtypes conversion + a 4 GB pad copy on one core cost more
+  than the whole clustering); the training sample is gathered on device
+  from that staged slab — no second ship, no host fancy-index copy;
+- ALL Lloyd iterations run inside one jit (``fori_loop`` carrying the
+  centroids): r03 fetched sums/counts to the host every iteration, paying
+  ~26 ms relay dispatch plus host math per iter;
+- pad rows are masked in-kernel (valid = global row < n) instead of
+  patched on the host afterwards.
 """
 
 from __future__ import annotations
@@ -25,18 +32,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def _assign_and_accumulate(vectors, centroids, chunk: int):
-    """One Lloyd pass over bf16 rows: → (sums [K, D] f32, counts [K],
-    assignments [N], second [N] — each row's second-nearest centroid, used
-    by balanced list construction)."""
+@partial(jax.jit, static_argnames=("chunk", "n_pad"))
+def _stage_bf16(vectors, chunk: int, n_pad: int):
+    """Ship-once staging: f32 [n, D] host array → bf16 [n_pad, D] device."""
     n, dim = vectors.shape
+    out = vectors.astype(jnp.bfloat16)
+    if n_pad != n:
+        out = jnp.pad(out, ((0, n_pad - n), (0, 0)))
+    return out
+
+
+def _chunk_pass(vectors, centroids, n_rows, chunk: int, accumulate: bool):
+    """One pass over the staged slab: per-chunk cosine argmax (+ one-hot
+    accumulation when ``accumulate``). Rows ≥ n_rows (device padding) are
+    masked out of sums/counts and assigned arbitrarily."""
+    n_cap, dim = vectors.shape
     k = centroids.shape[0]
-    n_chunks = n // chunk
+    n_chunks = n_cap // chunk
 
     def body(carry, idx):
         sums, counts = carry
-        block = jax.lax.dynamic_slice(vectors, (idx * chunk, 0), (chunk, dim))
+        block = jax.lax.dynamic_slice(
+            vectors, (idx * chunk, 0), (chunk, dim))
         sim = jax.lax.dot_general(
             block, centroids.astype(block.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -44,20 +61,67 @@ def _assign_and_accumulate(vectors, centroids, chunk: int):
         _, top2 = jax.lax.top_k(sim, 2)
         assign = top2[:, 0]
         second = top2[:, 1]
-        onehot = jax.nn.one_hot(assign, k, dtype=block.dtype)  # [chunk, K]
-        sums = sums + jax.lax.dot_general(
-            onehot, block, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        counts = counts + onehot.sum(axis=0).astype(jnp.float32)
+        if accumulate:
+            valid = (idx * chunk + jnp.arange(chunk)) < n_rows
+            onehot = jnp.where(
+                valid[:, None], jax.nn.one_hot(assign, k, dtype=block.dtype),
+                0).astype(block.dtype)
+            sums = sums + jax.lax.dot_general(
+                onehot, block, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            counts = counts + onehot.sum(axis=0).astype(jnp.float32)
         return (sums, counts), (assign, second)
 
     init = (jnp.zeros((k, dim), jnp.float32), jnp.zeros((k,), jnp.float32))
     (sums, counts), (assigns, seconds) = jax.lax.scan(
         body, init, jnp.arange(n_chunks))
     return (sums, counts,
-            assigns.reshape(n_chunks * chunk),
-            seconds.reshape(n_chunks * chunk))
+            assigns.reshape(n_cap), seconds.reshape(n_cap))
+
+
+@partial(jax.jit, static_argnames=("chunk", "n_iters"))
+def _lloyd(vectors, centroids0, n_rows, chunk: int, n_iters: int):
+    """All Lloyd iterations in ONE device program; returns final centroids.
+    Empty clusters keep their previous centroid."""
+
+    def iteration(_, centroids):
+        sums, counts, _, _ = _chunk_pass(
+            vectors, centroids, n_rows, chunk, accumulate=True)
+        new = sums / jnp.maximum(counts[:, None], 1.0)
+        norms = jnp.linalg.norm(new, axis=1, keepdims=True)
+        ok = (counts[:, None] > 0) & (norms > 1e-6)
+        return jnp.where(ok, new / jnp.maximum(norms, 1e-12), centroids)
+
+    return jax.lax.fori_loop(0, n_iters, iteration, centroids0)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _assign(vectors, centroids, n_rows, chunk: int):
+    _, _, assigns, seconds = _chunk_pass(
+        vectors, centroids, n_rows, chunk, accumulate=False)
+    return assigns, seconds
+
+
+@partial(jax.jit, static_argnames=("n_pad", "chunk"))
+def _gather_rows(slab, rows, n_pad: int, chunk: int):
+    out = jnp.take(slab, rows, axis=0)
+    if n_pad != rows.shape[0]:
+        out = jnp.pad(out, ((0, n_pad - rows.shape[0]), (0, 0)))
+    return out
+
+
+def _pad_to(n: int, chunk: int) -> int:
+    return -(-n // chunk) * chunk
+
+
+def stage_corpus(vectors: np.ndarray, chunk: int = 8192):
+    """Ship a host f32 corpus once; returns (bf16 padded device slab, n)."""
+    vectors = np.ascontiguousarray(vectors, np.float32)
+    n = vectors.shape[0]
+    c = min(chunk, max(128, 1 << (n - 1).bit_length()))
+    slab = _stage_bf16(jnp.asarray(vectors), c, _pad_to(n, c))
+    return slab, n, c
 
 
 def spherical_kmeans(
@@ -68,14 +132,16 @@ def spherical_kmeans(
     seed: int = 0,
     train_rows_per_cluster: int = 256,
     return_second: bool = False,
+    staged=None,
 ):
     """→ (centroids [K, D] L2-normalized, assignments [N][, second [N]]).
 
-    Vectors must be L2-normalized. Centroids train on at most
-    ``train_rows_per_cluster · n_clusters`` sampled rows (full corpus when
-    smaller); a final pass assigns every row. Rows pad to the chunk size
-    with zeros (assigned arbitrarily; caller slices assignments back to N).
-    Empty clusters keep their previous centroid.
+    Vectors must be L2-normalized (the index mirrors are — ``add()``
+    normalizes at ingest). Centroids train on at most
+    ``train_rows_per_cluster · n_clusters`` device-gathered rows (full
+    corpus when smaller); a final pass assigns every row. ``staged`` lets a
+    caller that already holds the device slab (``stage_corpus``) skip the
+    ship.
     """
     vectors = np.asarray(vectors, np.float32)
     n, dim = vectors.shape
@@ -83,52 +149,37 @@ def spherical_kmeans(
         raise ValueError(f"n_clusters={n_clusters} > n={n}")
 
     rng = np.random.default_rng(seed)
-    centroids = vectors[rng.choice(n, size=n_clusters, replace=False)].copy()
+    if staged is None:
+        slab, _, c = stage_corpus(vectors, chunk)
+    else:
+        slab, _, c = staged
+
+    init_rows = np.sort(rng.choice(n, size=n_clusters, replace=False))
+    centroids0 = vectors[init_rows].astype(np.float32)
+    centroids0 /= np.maximum(
+        np.linalg.norm(centroids0, axis=1, keepdims=True), 1e-12)
 
     train_n = min(n, max(train_rows_per_cluster * n_clusters, n_clusters))
     if train_n < n:
-        train_rows = rng.choice(n, size=train_n, replace=False)
-        train = vectors[train_rows]
+        train_rows = np.sort(rng.choice(n, size=train_n, replace=False))
+        train_slab = _gather_rows(
+            slab, jnp.asarray(train_rows), _pad_to(train_n, c), c)
     else:
-        train = vectors
+        train_slab, train_n = slab, n
 
-    def _staged(arr):
-        c = min(chunk, max(128, 1 << (arr.shape[0] - 1).bit_length()))
-        n_pad = -(-arr.shape[0] // c) * c
-        padded = np.zeros((n_pad, dim), np.float32)
-        padded[: arr.shape[0]] = arr
-        return jnp.asarray(padded, jnp.bfloat16), c
-
-    device_train, train_chunk = _staged(train)
-    for _ in range(n_iters):
-        sums, counts, assigns, _ = _assign_and_accumulate(
-            device_train, jnp.asarray(centroids), train_chunk
-        )
-        sums, counts = np.asarray(sums), np.asarray(counts)
-        if device_train.shape[0] != train.shape[0]:
-            pad_assign = np.asarray(assigns)[train.shape[0]:]
-            np.add.at(counts, pad_assign, -1.0)
-            # padded zero-rows contribute zero to sums; only counts need fixing
-        nonempty = counts > 0
-        new = centroids.copy()
-        new[nonempty] = sums[nonempty] / counts[nonempty, None]
-        norms = np.linalg.norm(new, axis=1, keepdims=True)
-        centroids = new / np.maximum(norms, 1e-12)
+    centroids = _lloyd(
+        train_slab, jnp.asarray(centroids0), jnp.asarray(train_n, jnp.int32),
+        c, int(n_iters))
 
     # final full-corpus assignment (the only pass that reads every row)
-    if train_n < n:
-        device_all, full_chunk = _staged(vectors)
-        _, _, assigns, seconds = _assign_and_accumulate(
-            device_all, jnp.asarray(centroids), full_chunk
-        )
-    else:
-        seconds = None
-        if return_second:
-            _, _, assigns, seconds = _assign_and_accumulate(
-                device_train, jnp.asarray(centroids), train_chunk
-            )
+    assigns, seconds = _assign(
+        slab, centroids, jnp.asarray(n, jnp.int32), c)
     assignments = np.asarray(assigns)[:n].astype(np.int64)
-    centroids = centroids.astype(np.float32)
+    centroids = np.array(centroids, np.float32)  # writable host copy
+    # device bf16 normalization drift is possible on empty-cluster
+    # carry-through; re-normalize on host (K×D is tiny)
+    centroids /= np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
     if return_second:
         second = np.asarray(seconds)[:n].astype(np.int64)
         return centroids, assignments, second

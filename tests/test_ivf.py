@@ -552,3 +552,86 @@ def test_tail_slab_and_built_state_survive_appends(rng):
     assert index.tail_rows == 0
     hits = index.search(tail_vecs[3:4], 3)[0]
     assert hits and hits[0].document.id == "t3"
+
+
+def test_fold_tail_incremental_matches_search():
+    """r04 verdict #9: a tail past tail_fold_rows folds into the existing
+    lists in O(tail + table) — no k-means, staged slab updated on device —
+    and folded rows stay findable with tail_rows == 0."""
+    rng = np.random.default_rng(21)
+    vectors, docs = _corpus(rng, 4000, 64)
+    index = IVFIndex(dim=64, device_dtype="float32", n_lists=32, n_probe=8,
+                     tail_fold_rows=128)
+    index.add(vectors[:3000], docs[:3000])
+    index.rebuild()
+    centroids_before = index._centroids.copy()
+    # warm the staged slab so the fold exercises the device update path
+    index.search(rng.normal(size=64).astype(np.float32), 5)
+    assert index._device is not None
+
+    # append past the threshold in small batches: auto-fold must trigger
+    for off in range(3000, 4000, 100):
+        index.add(vectors[off:off + 100], docs[off:off + 100])
+    assert index.tail_rows <= index.tail_fold_rows
+    assert index._indexed_rows > 3000
+    # fold reuses centroids (no re-cluster)
+    np.testing.assert_array_equal(index._centroids, centroids_before)
+
+    # every folded row is findable through probes (its own vector as query)
+    for probe_row in (3100, 3500, 3897):
+        if probe_row >= index._indexed_rows:
+            continue
+        q = vectors[probe_row]
+        hits = index.search(q.astype(np.float32), 3)[0]
+        assert hits and hits[0].row == probe_row, (probe_row, hits)
+
+    # explicit fold of the remainder empties the tail
+    info = index.fold_tail()
+    assert index.tail_rows == 0
+    assert info["folded"] == 0 or info["rows_indexed"] == 4000
+    # recall vs exact oracle stays high at generous probes
+    got_hit = 0
+    for _ in range(20):
+        q = rng.normal(size=64).astype(np.float32)
+        want = _exact_topk(vectors, q, 10)
+        got = [h.row for h in index.search(q, 10, n_probe=32)[0]]
+        got_hit += len(set(got) & set(want))
+    assert got_hit / 200 > 0.9
+
+
+def test_fold_tail_with_deleted_tail_rows():
+    rng = np.random.default_rng(5)
+    vectors, docs = _corpus(rng, 1200, 64)
+    index = IVFIndex(dim=64, device_dtype="float32", n_lists=16, n_probe=16,
+                     tail_fold_rows=10_000)  # no auto-fold
+    index.add(vectors[:1000], docs[:1000])
+    index.rebuild()
+    index.add(vectors[1000:], docs[1000:])
+    victim = docs[1100].id
+    index.delete_by_ids([victim])
+    info = index.fold_tail()
+    assert info["folded"] == 199  # 200 tail rows minus the tombstone
+    assert index.tail_rows == 0
+    q = vectors[1100].astype(np.float32)
+    hits = index.search(q, 5, n_probe=16)[0]
+    assert all(h.document.id != victim for h in hits)
+    # a live folded neighbour is still findable
+    q2 = vectors[1150].astype(np.float32)
+    hits2 = index.search(q2, 3, n_probe=16)[0]
+    assert hits2 and hits2[0].row == 1150
+
+
+def test_fold_tail_int8_slab_update():
+    rng = np.random.default_rng(9)
+    vectors, docs = _corpus(rng, 2000, 64)
+    index = IVFIndex(dim=64, device_dtype="int8", n_lists=16, n_probe=16,
+                     tail_fold_rows=10_000)
+    index.add(vectors[:1600], docs[:1600])
+    index.rebuild()
+    index.search(rng.normal(size=64).astype(np.float32), 5)
+    index.add(vectors[1600:], docs[1600:])
+    info = index.fold_tail()
+    assert info["folded"] == 400 and info["slab_updated"]
+    q = vectors[1700].astype(np.float32)
+    hits = index.search(q, 3, n_probe=16)[0]
+    assert hits and hits[0].row == 1700
