@@ -117,6 +117,96 @@ def build_trim_corpus(n_trims: int, seed: int = 23):
     return trims
 
 
+def build_multiyear_facts(n_pairs: int, seed: int = 13, exclude=()):
+    """Near-miss year variants: each (model, metric) pair exists at THREE
+    years with three DIFFERENT values — a year-qualified query must answer
+    with its own year's value, not a sibling's (BASELINE config #0 corpus
+    realism; r03 verdict #3: the saturated 120-doc eval can't rank rounds)."""
+    from automative_rag_tpu.ingestion.metadata import MODEL_CATALOG
+
+    rng = random.Random(seed)
+    models = list(MODEL_CATALOG)
+    pairs = []
+    # disjoint from the canonical single-year facts: an unqualified query
+    # over a (model, metric) that ALSO exists at three other years with
+    # other values would be ill-posed, not hard
+    used = set(exclude)
+    while len(pairs) < n_pairs:
+        model = rng.choice(models)
+        metric, gen = METRICS[rng.randrange(len(METRICS))]
+        if (model, metric) in used:
+            continue
+        used.add((model, metric))
+        years = rng.sample(range(2018, 2025), 3)
+        values = set()
+        variants = []
+        for year in years:
+            value = gen(rng)
+            while value in values:
+                value = gen(rng)
+            values.add(value)
+            variants.append({
+                "model": model,
+                "manufacturer": MODEL_CATALOG[model]["manufacturer"],
+                "metric": metric,
+                "year": year,
+                "value": value,
+                "text": f"{model} {year}款 {metric}为{value}。",
+            })
+        pairs.append(variants)
+    return pairs
+
+
+def build_distractors(n: int, seed: int = 29):
+    """Non-fact noise at corpus scale: reviews, cross-model comparison
+    mentions (the wrong-model retrieval trap), and opinion text — the kind
+    of chunk the reference's ~1K example corpus is mostly made of."""
+    from automative_rag_tpu.ingestion.metadata import MODEL_CATALOG
+
+    rng = random.Random(seed)
+    models = list(MODEL_CATALOG)
+    templates = [
+        "试驾{a}的感受：动力输出线性，底盘调校偏舒适，隔音表现优秀。",
+        "{a}车主一年使用报告：优点是空间大、配置高；缺点是保值率一般。",
+        "对比测试中，{a}的操控表现优于{b}，但{b}的内饰质感更好。",
+        "网友热议：{a}和{b}到底怎么选？评论区吵翻了。",
+        "{a}的售后服务网点覆盖广，保养成本适中，适合家用。",
+        "冬季实测：{a}在低温环境下的表现令人满意，{b}则一般。",
+    ]
+    out = []
+    for _ in range(n):
+        a, b = rng.sample(models, 2)
+        out.append(rng.choice(templates).format(a=a, b=b))
+    return out
+
+
+def eval_year_precision(app, pairs, n_queries, rng):
+    """Year-qualified queries against the multi-year variants: the answer
+    must carry the QUERIED year's value; carrying a sibling year's value
+    counts as confusion."""
+    flat = [v for trio in pairs for v in trio]
+    sample = rng.sample(flat, min(n_queries, len(flat)))
+    correct = confused = 0
+    for fact in sample:
+        siblings = [v["value"] for trio in pairs for v in trio
+                    if v["model"] == fact["model"]
+                    and v["metric"] == fact["metric"]
+                    and v["year"] != fact["year"]]
+        query = f"{fact['model']} {fact['year']}款的{fact['metric']}是多少？"
+        job = app.query_sync(query, mode="facts", timeout=120)
+        answer = job["result"]["answer"]
+        if fact["value"] in answer:
+            correct += 1
+        elif any(s in answer for s in siblings):
+            confused += 1
+    n = len(sample)
+    return {
+        "queries": n,
+        "year_answer_accuracy": round(correct / n, 3),
+        "year_confusion_rate": round(confused / n, 3),
+    }
+
+
 def eval_spec_codes(app, trims, n_queries, rng):
     """Hit/answer rates on code-only queries, with the sparse arm engaged
     vs disengaged on the SAME app — isolates the lexical arm's recall."""
@@ -163,6 +253,13 @@ def main():
     parser.add_argument("--no-modes", dest="modes",
                         action="store_false", default=True,
                         help="skip the all-six-query-modes split")
+    parser.add_argument("--hard", action="store_true",
+                        help="~1K-chunk corpus: multi-year near-miss facts "
+                             "+ distractor/comparison noise + a "
+                             "year-precision split (BASELINE config #0 "
+                             "scale; r03 verdict #3)")
+    parser.add_argument("--total", type=int, default=1000,
+                        help="--hard corpus size target (docs)")
     parser.add_argument("--trained", default="",
                         help="directory from scripts/train_encoder.py — swap "
                              "the lexical embedder for the TRAINED dense "
@@ -215,10 +312,26 @@ def main():
             mode_note += f" + sparse:{app.sparse_encoder.mode}"
     try:
         t0 = time.time()
-        for fact in facts:
-            job = app.ingest_text(fact["text"])
-            while app.tracker.get_job(job)["status"] not in ("completed", "failed"):
+
+        def ingest(text):
+            job = app.ingest_text(text)
+            while app.tracker.get_job(job)["status"] not in (
+                    "completed", "failed"):
                 time.sleep(0.02)
+
+        for fact in facts:
+            ingest(fact["text"])
+        year_pairs = None
+        if args.hard:
+            year_pairs = build_multiyear_facts(
+                60, exclude={(f["model"], f["metric"]) for f in facts})
+            for trio in year_pairs:
+                for variant in trio:
+                    ingest(variant["text"])
+            n_noise = max(0, args.total - len(facts)
+                          - 3 * len(year_pairs) - 40)
+            for text in build_distractors(n_noise):
+                ingest(text)
         ingest_s = time.time() - t0
 
         rng = random.Random(11)
@@ -266,9 +379,15 @@ def main():
         # no later loop can shadow a canonical counter (r03 verdict weak #1:
         # the mode loop's `answered` overwrote this one and the committed
         # headline read last-mode/40 = 0.2)
+        year_report = None
+        if year_pairs is not None:
+            year_report = eval_year_precision(
+                app, year_pairs, 40, random.Random(41))
+
         n = len(sample)
         report = {
-            "corpus_docs": len(facts),
+            "corpus_docs": app.index.count,
+            "ground_truth_docs": len(facts),
             "queries": n,
             "retrieval_hit_rate": round(hits / n, 3),
             "answer_accuracy": round(answered / n, 3),
@@ -279,6 +398,8 @@ def main():
             "ingest_s": round(ingest_s, 1),
             "mode": mode_note,
         }
+        if year_report is not None:
+            report["year_split"] = year_report
 
         # all-six-modes split: every query mode must produce an answer that
         # carries the fact and cites sources (modes change prompts, context
