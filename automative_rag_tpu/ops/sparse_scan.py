@@ -189,23 +189,13 @@ def xla_block_scores_batch(bids, bw, q_ids, q_w, variant: str):
 
 
 def two_stage_top_k(scores: jnp.ndarray, k: int, block: int = 8192):
-    """Hierarchical top-k over the last axis: per-block top-k then a final
-    merge. At 1M rows the flat lax.top_k costs as much as the whole Pallas
-    scan; two stages cut it to ~top-k over n/block·k candidates."""
-    *lead, n = scores.shape
-    if n <= block:
-        return jax.lax.top_k(scores, k)
-    n_blocks = n // block
-    assert n_blocks * block == n, (n, block)
-    blocked = scores.reshape(*lead, n_blocks, block)
-    k_local = min(k, block)
-    vals, idx = jax.lax.top_k(blocked, k_local)       # [..., nb, k]
-    base = (jnp.arange(n_blocks) * block)[:, None]
-    gidx = idx + base                                  # global row ids
-    flat_v = vals.reshape(*lead, n_blocks * k_local)
-    flat_i = gidx.reshape(*lead, n_blocks * k_local)
-    mvals, pos = jax.lax.top_k(flat_v, k)
-    return mvals, jnp.take_along_axis(flat_i, pos, axis=-1)
+    """Hierarchical top-k over the last axis (per-block then merge): at 1M
+    rows the flat lax.top_k costs as much as the whole Pallas scan. Thin
+    alias over ``ops.topk.hierarchical_top_k`` (shared with the dense
+    search path)."""
+    from .topk import hierarchical_top_k
+
+    return hierarchical_top_k(scores, k, block=block)
 
 
 def np_scores_tm(ids_t: np.ndarray, w_t: np.ndarray, q_ids: np.ndarray,

@@ -15,6 +15,42 @@ import jax.numpy as jnp
 NEG_INF = jnp.float32(-jnp.inf)
 
 
+#: last-axis length above which top-k runs hierarchically. Flat
+#: ``lax.top_k`` cost grows super-linearly with N on TPU: at 10M×1024 int8
+#: the scan's HBM floor is ~16 ms but the flat top-k pushed the search to
+#: 276 ms/batch (BENCH_SCALE_10M_r04) — per-block top-k + a merge removes
+#: almost all of it.
+_TWO_STAGE_MIN = 32768
+_TWO_STAGE_BLOCK = 16384
+
+
+def hierarchical_top_k(scores: jax.Array, k: int,
+                       block: int = _TWO_STAGE_BLOCK):
+    """Exact top-k over the last axis via per-block top-k + candidate
+    merge. Handles non-multiple N with a remainder slice. Equal-value ties
+    resolve to the lowest index, same as flat ``lax.top_k``."""
+    *lead, n = scores.shape
+    if n <= max(block, k):
+        return jax.lax.top_k(scores, k)
+    n_blocks = n // block
+    main = n_blocks * block
+    k_local = min(k, block)
+    blocked = scores[..., :main].reshape(*lead, n_blocks, block)
+    vals, idx = jax.lax.top_k(blocked, k_local)  # [..., nb, kl]
+    gidx = idx + (jnp.arange(n_blocks) * block)[:, None]
+    cand_v = vals.reshape(*lead, n_blocks * k_local)
+    cand_i = gidx.reshape(*lead, n_blocks * k_local)
+    if main < n:
+        rem = n - main
+        k_rem = min(k, rem)
+        rvals, ridx = jax.lax.top_k(scores[..., main:], k_rem)
+        cand_v = jnp.concatenate([cand_v, rvals], axis=-1)
+        rgidx = jnp.broadcast_to(ridx + main, rvals.shape)
+        cand_i = jnp.concatenate([cand_i, rgidx], axis=-1)
+    top_v, pos = jax.lax.top_k(cand_v, k)
+    return top_v, jnp.take_along_axis(cand_i, pos, axis=-1)
+
+
 def masked_top_k(scores: jax.Array, mask: jax.Array, k: int):
     """Top-k over the last axis with a boolean validity mask.
 
@@ -28,6 +64,8 @@ def masked_top_k(scores: jax.Array, mask: jax.Array, k: int):
         than k rows are valid) carry value -inf.
     """
     masked = jnp.where(mask, scores.astype(jnp.float32), NEG_INF)
+    if masked.shape[-1] >= _TWO_STAGE_MIN:
+        return hierarchical_top_k(masked, k)
     return jax.lax.top_k(masked, k)
 
 

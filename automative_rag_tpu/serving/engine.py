@@ -139,7 +139,8 @@ class ServingEngine:
                  max_len: int = 2048,
                  prompt_buckets: Sequence[int] = (64, 128, 256, 512, 1024),
                  burst: int = 16, seed: int = 0, spec: bool = False,
-                 prefill_chunk: int = 0, chunk_burst: int = 0):
+                 prefill_chunk: int = 0, chunk_burst: int = 0,
+                 chunk_adaptive: bool = True, chunk_max_passes: int = 4):
         self.model = model
         self.config: Qwen2Config = model.config
         self.max_slots = int(max_slots)
@@ -162,6 +163,16 @@ class ServingEngine:
         # prefill (~137 ms at 7B/1024) to one chunk. 0 disables.
         self.prefill_chunk = int(prefill_chunk)
         self.chunk_burst = int(chunk_burst) or max(1, int(burst) // 4)
+        # adaptive policy (r03 bench: fixed-size chunking cut stall_max
+        # 1.95x but cost +19% wall and 7x the long request's own TTFT —
+        # every chunk pass re-reads the full weights, so many small chunks
+        # multiply the prefill's weight-HBM bill):
+        # - admissions only chunk when live streams exist (idle engine →
+        #   monolithic prefill; nothing can stall, chunking only costs),
+        # - the chunk size scales up so one admission is at most
+        #   ``chunk_max_passes`` passes (menu C/2C/4C — bounded compiles).
+        self.chunk_adaptive = bool(chunk_adaptive)
+        self.chunk_max_passes = max(2, int(chunk_max_passes))
         #: generated tokens live at buf[:, _gen_base:] — prompts (ragged,
         #: bucket-padded) at buf[:, :plen]; the fixed split lets the
         #: n-gram matcher mask the padding gap with per-row plen
@@ -191,7 +202,8 @@ class ServingEngine:
                       "requests_completed": 0, "busy_s": 0.0,
                       "prefix_admits": 0, "prefix_misses": 0,
                       "chunked_admits": 0, "scheduler_errors": 0,
-                      "engine_resets": 0, "truncated_prompts": 0}
+                      "engine_resets": 0, "truncated_prompts": 0,
+                      "chunk_idle_monolithic": 0}
         self.last_error: Optional[str] = None
         self._seed = seed
         self._warm_lock = threading.Lock()
@@ -944,16 +956,27 @@ class ServingEngine:
         if any(b >= slen and p_len + b <= self._gen_base
                for b in self.prompt_buckets):
             return True
-        return bool(self.prefill_chunk and slen > self.prefill_chunk
-                    and self._chunk_plan(p_len, slen) is not None)
+        c = self._chunk_size_for(slen)
+        return bool(c and slen > c
+                    and self._chunk_plan(p_len, slen, c) is not None)
 
     def _admit(self, req: Request, slot: int) -> None:
         if req.prefix_id is not None:
             return self._admit_prefixed(req, slot)
         plen = int(req.prompt_ids.size)
-        if self.prefill_chunk and plen > self.prefill_chunk \
-                and self._chunk_plan(0, plen) is not None:
-            return self._admit_chunked(req, slot)
+        c = self._chunk_size_for(plen)
+        if c and plen > c:
+            plan = self._chunk_plan(0, plen, c)
+            fits_bucket = any(b >= plen for b in self.prompt_buckets)
+            if plan is not None and (not fits_bucket
+                                     or not self.chunk_adaptive
+                                     or self._live_rows()):
+                return self._admit_chunked(req, slot, plan)
+            if plan is not None and fits_bucket:
+                # adaptive fast path: nothing in flight can stall — one
+                # monolithic prefill costs one weight read instead of
+                # n_chunks of them (r03: +19% wall, 7x TTFT)
+                self.stats["chunk_idle_monolithic"] += 1
         p_bucket = next(b for b in self.prompt_buckets if b >= plen)
         prompt = np.full((1, p_bucket), self.config.eos_token, np.int32)
         prompt[0, :plen] = req.prompt_ids
@@ -975,24 +998,31 @@ class ServingEngine:
         p_len = pre["plen"]
         suffix_ids = req.prompt_ids[p_len:]
         slen = int(suffix_ids.size)
-        if self.prefill_chunk and slen > self.prefill_chunk:
-            plan = self._chunk_plan(p_len, slen)
-            if plan is not None:
+        c = self._chunk_size_for(slen)
+        if c and slen > c:
+            plan = self._chunk_plan(p_len, slen, c)
+            fits_bucket = any(b >= slen and p_len + b <= self._gen_base
+                              for b in self.prompt_buckets)
+            if plan is not None and (not fits_bucket
+                                     or not self.chunk_adaptive
+                                     or self._live_rows()):
                 # long suffix: seed the row with the cached prefix KV
                 # (copies only), then chunk the suffix — otherwise a
                 # prefixed admission would re-introduce the monolithic
                 # stall chunked prefill exists to bound
-                n_full, last_off, lsize, cb = plan
+                c, n_full, last_off, lsize, cb = plan
                 self._state = self._prefix_seed_fn()(
                     self._state, pre["blobs"], pre["padded"],
                     jnp.int32(p_len), jnp.int32(slot))
                 self._fill_chunks(
                     np.asarray(suffix_ids, np.int32), slot, p_len,
-                    False, n_full)
+                    False, n_full, c)
                 self.stats["prefix_admits"] += 1
                 return self._finish_chunked(
                     req, slot, np.asarray(suffix_ids, np.int32),
                     p_len + slen, last_off, lsize, cb)
+            if plan is not None and fits_bucket:
+                self.stats["chunk_idle_monolithic"] += 1
         s_bucket = next(b for b in self.prompt_buckets
                         if b >= slen and p_len + b <= self._gen_base)
         suffix = np.full((1, s_bucket), self.config.eos_token, np.int32)
@@ -1011,38 +1041,57 @@ class ServingEngine:
         self.stats["prefix_admits"] += 1
         self._post_admit(req, slot, int(tok0), max_new)
 
-    def _chunk_plan(self, base: int, n: int) -> Optional[tuple]:
-        """Plan a chunked fill of ``n`` tokens starting at column ``base``:
-        (n_full, last_off, lsize, last_bucket), or None when no bucket
+    def _chunk_size_for(self, n: int) -> int:
+        """Chunk width for an ``n``-token fill: the base ``prefill_chunk``
+        when adaptivity is off; otherwise the smallest of {C, 2C, 4C} that
+        bounds the admission to ``chunk_max_passes`` passes. Every pass
+        re-reads the full weights (decode-grade HBM bill), so many small
+        chunks multiply prefill cost — the stall bound degrades gracefully
+        (one 2C/4C chunk) only for the longest prompts."""
+        C = self.prefill_chunk
+        if not C or not self.chunk_adaptive:
+            return C
+        for c in (C, 2 * C, 4 * C):
+            if -(-n // c) <= self.chunk_max_passes:
+                return c
+        return 4 * C
+
+    def _live_rows(self) -> bool:
+        return any(r is not None for r in self._slots)
+
+    def _chunk_plan(self, base: int, n: int, c: int = 0) -> Optional[tuple]:
+        """Plan a chunked fill of ``n`` tokens starting at column ``base``
+        with chunk width ``c`` (default: the base prefill_chunk):
+        (c, n_full, last_off, lsize, last_bucket), or None when no bucket
         fits the final chunk — its padded segment write must stay inside
         ``max_len`` (dynamic_update_slice clamps out-of-range starts,
         which would silently shift the write)."""
-        C = self.prefill_chunk
-        n_full = (n - 1) // C  # final chunk is 1..C tokens
-        last_off = base + n_full * C
-        lsize = n - n_full * C
-        fit = [b for b in (*self.prompt_buckets, C)
+        c = c or self.prefill_chunk
+        n_full = (n - 1) // c  # final chunk is 1..c tokens
+        last_off = base + n_full * c
+        lsize = n - n_full * c
+        fit = [b for b in (*self.prompt_buckets, c)
                if b >= lsize and last_off + b <= self.max_len]
         if not fit:
             return None
-        return n_full, last_off, lsize, min(fit)
+        return c, n_full, last_off, lsize, min(fit)
 
     def _fill_chunks(self, ids: np.ndarray, slot: int, base: int,
-                     first: bool, n_full: int) -> None:
-        """Write ``n_full`` full chunks of ``ids`` into row ``slot``
-        starting at column ``base``, a decode burst between chunks so
-        in-flight streams keep moving. The caller runs the final
+                     first: bool, n_full: int, c: int = 0) -> None:
+        """Write ``n_full`` full ``c``-wide chunks of ``ids`` into row
+        ``slot`` starting at column ``base``, a decode burst between chunks
+        so in-flight streams keep moving. The caller runs the final
         (sampling) chunk."""
-        C = self.prefill_chunk
+        c = c or self.prefill_chunk
         off = base
         for i in range(n_full):
-            j = i * C
-            chunk = np.asarray(ids[j:j + C], np.int32)[None, :]
-            fn = self._chunk_fill_fn(C, first=(first and i == 0))
+            j = i * c
+            chunk = np.asarray(ids[j:j + c], np.int32)[None, :]
+            fn = self._chunk_fill_fn(c, first=(first and i == 0))
             self._state = fn(
                 self.model.params, self._state, jnp.asarray(chunk),
-                jnp.int32(C), jnp.int32(off), jnp.int32(slot))
-            off += C
+                jnp.int32(c), jnp.int32(off), jnp.int32(slot))
+            off += c
             self._run_burst(self.chunk_burst)
 
     def _finish_chunked(self, req: Request, slot: int, ids: np.ndarray,
@@ -1062,16 +1111,17 @@ class ServingEngine:
         self.stats["chunked_admits"] += 1
         self._post_admit(req, slot, int(tok0), max_new)
 
-    def _admit_chunked(self, req: Request, slot: int) -> None:
-        """Admission in ``prefill_chunk``-sized pieces, with a short
-        decode burst between pieces so in-flight streams keep moving —
-        the classic chunked-prefill trade (Sarathi / vLLM): the arriving
-        request's TTFT stretches a little, every running request's
-        inter-token stall shrinks to one chunk."""
+    def _admit_chunked(self, req: Request, slot: int, plan: tuple) -> None:
+        """Admission in chunk-sized pieces, with a short decode burst
+        between pieces so in-flight streams keep moving — the classic
+        chunked-prefill trade (Sarathi / vLLM): the arriving request's
+        TTFT stretches a little, every running request's inter-token stall
+        shrinks to one chunk (the adaptive size caps the total pass count
+        so the weight-read bill stays bounded)."""
         ids = req.prompt_ids
         plen = int(ids.size)
-        n_full, last_off, lsize, cb = self._chunk_plan(0, plen)
-        self._fill_chunks(ids, slot, 0, True, n_full)
+        c, n_full, last_off, lsize, cb = plan
+        self._fill_chunks(ids, slot, 0, True, n_full, c)
         self._finish_chunked(req, slot, ids, plen, last_off, lsize, cb)
 
     def _notify(self, req: Request, fresh: List[int]) -> None:
@@ -1235,31 +1285,18 @@ class ServingEngine:
             return self._warmed  # idempotent: repeat /system/warmup calls
             # must not burn accelerator time on throwaway generations
 
-        def last_cb(plen):
-            plan = self._chunk_plan(0, plen)
-            return plan[3] if plan else None
-
         t0 = time.time()
         vocab = self.config.vocab_size
         small = self.prompt_buckets[0]
-        # one prompt per bucket; with chunking, extra lengths so every
-        # reachable FINAL-chunk bucket compiles too (a bucket-length
-        # prompt always has final chunk == prefill_chunk, which would
-        # leave short-tail admissions to stall on a live compile)
-        plans = list(self.prompt_buckets)
-        if self.prefill_chunk:
-            C = self.prefill_chunk
-            covered = {last_cb(b)
-                       for b in self.prompt_buckets if b > C}
-            for cb in sorted({x for x in (*self.prompt_buckets, C)
-                              if x <= C}):
-                plen = C + cb
-                if cb not in covered and plen <= self.prompt_buckets[-1] \
-                        and last_cb(plen) == cb:
-                    plans.append(plen)
-                    covered.add(cb)
+        # one prompt per bucket, plus the chunk-policy coverage set (every
+        # fill/last executable the adaptive policy can reach — a miss at
+        # runtime stalls an admission on a live compile)
+        plans = list(self.prompt_buckets) + self._warmup_chunk_plans()
         # submit-and-wait (never step() directly): the background
-        # scheduler thread may already be driving the engine
+        # scheduler thread may already be driving the engine. The streamer
+        # keeps a row live for the whole pass, so every plan admission
+        # takes the CHUNKED path (the adaptive policy chunks exactly when
+        # streams are in flight).
         streamer = self.submit(
             [3 + i % 7 for i in range(min(small, 4))],
             max_new_tokens=self.burst * (len(plans) + 3))
@@ -1275,13 +1312,62 @@ class ServingEngine:
         if self._thread is None:
             self.run_until_idle()
         streamer._done.wait(timeout=60)
+        # second pass, engine idle, STRICTLY sequential: the adaptive
+        # fast path admits monolithically when nothing is live, so the
+        # big-bucket monolithic prefills must be compiled too
+        if self.prefill_chunk and self.chunk_adaptive:
+            for plen in self.prompt_buckets:
+                ids = [3 + (7 * i) % (vocab - 10) for i in range(plen)]
+                req = self.submit(ids, max_new_tokens=2)
+                if self._thread is None:
+                    self.run_until_idle()
+                req.result(timeout=600)
         self._warmed = {
             "compiled_buckets": len(self.prompt_buckets),
             "prompt_lengths": plans,
             "chunked": bool(self.prefill_chunk),
+            "chunk_adaptive": self.chunk_adaptive,
             "seconds": round(time.time() - t0, 2),
         }
         return self._warmed
+
+    def _warmup_chunk_plans(self) -> List[int]:
+        """Prompt lengths that compile every (fill-width, first) and
+        final-chunk-bucket executable the chunk policy can reach, derived
+        by simulating the policy over representative lengths — so warmup
+        coverage can never drift from the policy (a cold executable at
+        admission time is a multi-second on-chip stall)."""
+        if not self.prefill_chunk:
+            return []
+        C = self.prefill_chunk
+        largest = self.prompt_buckets[-1]
+        candidates = sorted({
+            min(largest, x)
+            for x in (
+                [C + cb for cb in (*self.prompt_buckets, C) if cb <= C]
+                + [k * C for k in range(2, largest // C + 1)]
+                + [k * C + 1 for k in range(1, largest // C + 1)]
+                + [k * C + b for b in self.prompt_buckets
+                   for k in range(1, 9)]
+                + [largest]
+            ) if x > C
+        })
+        seen, plans = set(), []
+        for plen in candidates:
+            c = self._chunk_size_for(plen)
+            if not c or plen <= c:
+                continue
+            plan = self._chunk_plan(0, plen, c)
+            if plan is None:
+                continue
+            c, n_full, _, _, cb = plan
+            keys = {("fill", c, True), ("last", cb)}
+            if n_full > 1:
+                keys.add(("fill", c, False))
+            if not keys <= seen:
+                plans.append(plen)
+                seen |= keys
+        return plans
 
     # --------------------------------------------------- background mode
 

@@ -486,7 +486,9 @@ def test_jax_llm_auto_prefix_header_matches_direct():
 # ---------------------------------------------------------------------------
 
 def test_chunked_prefill_matches_solo(model):
-    eng = _engine(model, prefill_chunk=8)
+    # chunk_adaptive=False pins the r03 always-chunk behavior so every
+    # boundary case exercises the chunked executables
+    eng = _engine(model, prefill_chunk=8, chunk_adaptive=False)
     rng = np.random.default_rng(7)
     # lengths straddling chunk boundaries: 2 chunks ragged, exact
     # multiple, 3 chunks ragged, 4 chunks with 1-token tail
@@ -496,6 +498,51 @@ def test_chunked_prefill_matches_solo(model):
         eng.run_until_idle()
         assert req.result() == _solo(model, prompt, 10), plen
     assert eng.stats["chunked_admits"] == 5
+
+
+def test_adaptive_chunking_idle_fast_path(model):
+    """r04 policy: an idle engine admits long prompts monolithically
+    (nothing can stall; chunk passes would only multiply the weight-read
+    bill) — token-identical either way. With a live stream, the same
+    prompt chunks."""
+    eng = _engine(model, prefill_chunk=8)
+    rng = np.random.default_rng(7)
+    prompt = [int(t) for t in rng.integers(3, 200, size=25)]
+    req = eng.submit(prompt, max_new_tokens=10)
+    eng.run_until_idle()
+    assert req.result() == _solo(model, prompt, 10)
+    assert eng.stats["chunked_admits"] == 0
+    assert eng.stats["chunk_idle_monolithic"] == 1
+
+    # now with an in-flight stream: chunked path engages
+    runner = eng.submit([21, 8, 4], max_new_tokens=24)
+    eng.step()
+    req2 = eng.submit(prompt, max_new_tokens=10)
+    eng.run_until_idle()
+    assert eng.stats["chunked_admits"] == 1
+    assert req2.result() == _solo(model, prompt, 10)
+    assert runner.result() == _solo(model, [21, 8, 4], 24)
+
+
+def test_adaptive_chunk_size_caps_pass_count(model):
+    """Long prompts scale the chunk width up (menu C/2C/4C) so one
+    admission is at most chunk_max_passes passes."""
+    eng = _engine(model, prefill_chunk=4, max_len=128,
+                  prompt_buckets=(8, 16, 32, 64), chunk_max_passes=4)
+    assert eng._chunk_size_for(15) == 4    # 4 passes of 4
+    assert eng._chunk_size_for(17) == 8    # 5 passes of 4 → width 8
+    assert eng._chunk_size_for(32) == 8
+    assert eng._chunk_size_for(33) == 16   # width 16
+    assert eng._chunk_size_for(64) == 16
+    rng = np.random.default_rng(3)
+    prompt = [int(t) for t in rng.integers(3, 200, size=33)]
+    runner = eng.submit([21, 8, 4], max_new_tokens=30)
+    eng.step()
+    req = eng.submit(prompt, max_new_tokens=8)
+    eng.run_until_idle()
+    assert eng.stats["chunked_admits"] == 1
+    assert req.result() == _solo(model, prompt, 8)
+    assert runner.result() == _solo(model, [21, 8, 4], 30)
 
 
 def test_chunked_prefill_short_prompts_stay_monolithic(model):
@@ -571,7 +618,8 @@ def test_chunked_prefill_repetition_penalty_spans_chunks(model):
 def test_chunked_prefill_slot_reuse_resets_seen(model):
     """First chunk must RESET the slot's seen row: a token from the
     previous occupant's stream may not leak penalty onto the new one."""
-    eng = _engine(model, prefill_chunk=8, max_slots=1)
+    eng = _engine(model, prefill_chunk=8, max_slots=1,
+                  chunk_adaptive=False)
     first = eng.submit([50, 51, 52, 50, 51, 52], max_new_tokens=12,
                        repetition_penalty=1.5)
     eng.run_until_idle()
@@ -858,7 +906,8 @@ def test_prefixed_chunked_int8_kv():
     cfg = Qwen2Config(**{**Qwen2Config.tiny_test().__dict__,
                          "kv_cache_bits": 8})
     m8 = Qwen2Model(cfg, seed=3)
-    eng = _engine(m8, prefill_chunk=8, max_slots=2)
+    eng = _engine(m8, prefill_chunk=8, max_slots=2,
+                  chunk_adaptive=False)
     prefix = [5, 9, 14, 3]
     pid = eng.register_prefix(prefix)
     suffix = [int(t) for t in
