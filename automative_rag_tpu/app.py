@@ -334,9 +334,17 @@ class RAGApplication:
             return 1
 
     def rebuild_index(self) -> Dict[str, Any]:
-        """(Re)build the ANN structure (IVF lists); no-op for flat."""
+        """(Re)build the ANN structure (IVF lists); no-op for flat. After
+        the build, the index self-calibrates its probe width against an
+        exact-scan sample (distribution-adaptive recall —
+        ``IVF_CALIBRATE_RECALL``)."""
         if hasattr(self.index, "rebuild"):
-            return self.index.rebuild()
+            info = self.index.rebuild()
+            target = float(self.settings.ivf_calibrate_recall or 0)
+            if target > 0 and hasattr(self.index, "calibrate"):
+                info["calibration"] = self.index.calibrate(
+                    target_recall=target)
+            return info
         return {"kind": "flat", "note": "flat index needs no build"}
 
     def compact_index(self) -> Dict[str, Any]:

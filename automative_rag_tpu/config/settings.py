@@ -114,6 +114,11 @@ class Settings:
         default_factory=lambda: _env("IVF_REFINE_DIMS", 0))
     ivf_refine_shortlist: int = field(
         default_factory=lambda: _env("IVF_REFINE_SHORTLIST", 2048))
+    # after a rebuild, self-measure recall@k on sampled corpus rows and set
+    # n_probe to the smallest ladder width hitting this target (0 disables;
+    # power-law/anisotropic corpora under-probe at any fixed default)
+    ivf_calibrate_recall: float = field(
+        default_factory=lambda: _env("IVF_CALIBRATE_RECALL", 0.95, float))
     # store ColBERT token embeddings at ingest (rerank-from-store fast path)
     store_token_embeddings: bool = field(
         default_factory=lambda: _env("STORE_TOKEN_EMBEDDINGS", True, bool)

@@ -866,6 +866,51 @@ class IVFIndex(FlatIndex):
         return vals, rows
 
     # -------------------------------------------------------------- search
+    def calibrate(self, target_recall: float = 0.95, sample: int = 48,
+                  k: int = 10, seed: int = 0) -> Dict[str, Any]:
+        """Build-time probe self-tuning: sample live corpus rows as
+        queries, measure recall@k at each ladder width against the EXACT
+        flat scan over the same staged slab, and set ``n_probe`` to the
+        smallest width that hits ``target_recall``.
+
+        A fixed default probes well on isotropic/equal-cluster corpora and
+        badly on power-law / anisotropic ones (RECALL_CURVES_r04: nprobe-8
+        recall 0.97 equal-cluster vs 0.67 power-law) — and the index can't
+        know its distribution a priori, so it measures itself. Costs a few
+        searches + one exact pass, once per (re)build."""
+        with self._mutex:
+            n = self._indexed_rows
+            if n == 0 or self._centroids is None:
+                return {"calibrated": False, "note": "no build"}
+            live = np.nonzero(~self._deleted[:n])[0]
+            if live.size < 2 * k:
+                return {"calibrated": False, "note": "corpus too small"}
+            rng = np.random.default_rng(seed)
+            rows = live[rng.choice(live.size, size=min(sample, live.size),
+                                   replace=False)]
+            queries = np.array(self._vectors[rows], np.float32)
+
+        # exact oracle: the FLAT kernel over the very same staged slab
+        exact = FlatIndex.search(self, queries, k, normalize=False)
+        want = [{h.row for h in hits} for hits in exact]
+        ladder = probe_ladder(max(1, self.n_probe), self.n_lists)
+        curve = {}
+        chosen = ladder[-1]
+        for width in ladder:
+            got = self.search(queries, k, normalize=False,
+                              n_probe=width, pin_probe=True)
+            recall = float(np.mean([
+                len({h.row for h in hits} & w) / max(1, len(w))
+                for hits, w in zip(got, want)]))
+            curve[width] = round(recall, 4)
+            if recall >= target_recall:
+                chosen = width
+                break
+        self.n_probe = int(chosen)
+        return {"calibrated": True, "n_probe": int(chosen),
+                "target_recall": target_recall, "curve": curve,
+                "sample": int(rows.size)}
+
     def search(
         self,
         queries: np.ndarray,

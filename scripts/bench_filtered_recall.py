@@ -23,6 +23,63 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
+
+def build_distribution(dist, n, dim, n_queries, rng):
+    """→ (vectors [n, dim] f32, queries [n_queries, dim] f32), both drawn
+    from the SAME distribution (in-distribution queries — recall against
+    off-distribution gaussians has no cluster locality to exploit)."""
+    if dist == "isotropic":
+        # IVF's best case: no structure, every list equally likely
+        vectors = rng.normal(size=(n, dim)).astype(np.float32)
+        queries = rng.normal(size=(n_queries, dim)).astype(np.float32)
+        return vectors, queries
+    if dist == "encoder":
+        # the trained dense encoder over generated automotive docs — the
+        # closest available proxy for a real embedding manifold
+        from load_example_data import generate_corpus
+        from train_encoder import load_trained_embedder
+
+        emb = load_trained_embedder("data/trained_encoder")
+        texts = generate_corpus(min(n, 20_000))
+        vectors = np.asarray(emb.embed_texts(texts), np.float32)
+        qtexts = [t[:16] + " 怎么样" for t in texts[:n_queries]]
+        queries = np.asarray(emb.embed_texts(qtexts), np.float32)
+        return vectors, queries
+
+    n_clusters = 512
+    centers = rng.normal(size=(n_clusters, dim)).astype(np.float32) * 2
+    if dist == "clustered":
+        # equal-probability clusters (the r03 corpus)
+        assign = rng.integers(0, n_clusters, size=n)
+        q_assign = rng.integers(0, n_clusters, size=n_queries)
+        spread = np.ones(n_clusters, np.float32)
+    elif dist in ("powerlaw", "aniso"):
+        # zipf cluster masses: a few huge clusters + a long tail of tiny
+        # ones (real corpora: popular models dominate) and per-cluster
+        # spread variation — k-means centroids over-cover the heavy heads
+        # and starve the tail, so probes miss more
+        w = 1.0 / np.arange(1, n_clusters + 1) ** 1.2
+        w /= w.sum()
+        assign = rng.choice(n_clusters, size=n, p=w)
+        q_assign = rng.choice(n_clusters, size=n_queries, p=w)
+        spread = (0.5 + rng.random(n_clusters) * 2.0).astype(np.float32)
+    else:
+        raise SystemExit(f"unknown --dist {dist!r}")
+    vectors = (centers[assign]
+               + rng.normal(size=(n, dim)).astype(np.float32)
+               * spread[assign][:, None])
+    queries = (centers[q_assign]
+               + rng.normal(size=(n_queries, dim)).astype(np.float32)
+               * spread[q_assign][:, None])
+    if dist == "aniso":
+        # spectral decay (PCA spectra of real embedding models fall off
+        # fast): variance concentrates in the leading dims
+        decay = (1.0 / np.sqrt(np.arange(1, dim + 1))).astype(np.float32)
+        vectors = vectors * decay[None, :]
+        queries = queries * decay[None, :]
+    return vectors.astype(np.float32), queries.astype(np.float32)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=100_000)
@@ -33,6 +90,12 @@ def main():
                         help="run on the accelerator (default: pin CPU so "
                              "recall runs never contend for the chip)")
     parser.add_argument("--out", default="RECALL_CURVES.json")
+    parser.add_argument("--dist", default="clustered",
+                        help="corpus distribution: clustered | powerlaw | "
+                             "aniso | isotropic | encoder (r03 verdict #4: "
+                             "equal-size isotropic clusters are IVF's easy "
+                             "case; power-law sizes + spectral decay are "
+                             "what real embedding manifolds look like)")
     args = parser.parse_args()
 
     if not args.tpu:
@@ -47,12 +110,8 @@ def main():
     from automative_rag_tpu.index.ivf import IVFIndex, choose_probe, probe_ladder
 
     rng = np.random.default_rng(0)
-    # clustered corpus (realistic embedding geometry; uniform random is the
-    # IVF worst case and nothing like bge-m3 output)
-    centers = rng.normal(size=(512, args.dim)).astype(np.float32) * 2
-    assign = rng.integers(0, 512, size=args.n)
-    vectors = (centers[assign] + rng.normal(size=(args.n, args.dim)).astype(np.float32))
-    vectors = vectors.astype(np.float32)
+    vectors, queries_raw = build_distribution(args.dist, args.n, args.dim,
+                                              args.queries, rng)
 
     # metadata with controlled selectivities: manu (1/5), manu+year (1/40)
     docs = [
@@ -68,10 +127,7 @@ def main():
     build_s = time.time() - t0
 
     normalized = vectors / np.linalg.norm(vectors, axis=1, keepdims=True)
-    # in-distribution queries (same mixture as the corpus — recall against
-    # off-distribution gaussians has no cluster locality to exploit)
-    queries = (centers[rng.integers(0, 512, size=args.queries)]
-               + rng.normal(size=(args.queries, args.dim))).astype(np.float32)
+    queries = queries_raw
 
     filters = {
         "unfiltered": (None, np.ones(args.n, bool)),
@@ -98,7 +154,8 @@ def main():
 
     ladder = probe_ladder(index.n_probe, index.n_lists)
     report = {
-        "n": args.n, "dim": args.dim, "k": args.k, "build_s": round(build_s, 1),
+        "n": args.n, "dim": args.dim, "k": args.k,
+        "dist": args.dist, "build_s": round(build_s, 1),
         **build, "ladder": ladder, "curves": {}, "ladder_policy": {},
     }
 
@@ -126,6 +183,10 @@ def main():
         }
         print(name, "curve:", curve, "policy:", report["ladder_policy"][name],
               flush=True)
+
+    # build-time probe self-calibration (r04): measured recall on sampled
+    # corpus rows → smallest ladder width hitting the target
+    report["calibration"] = index.calibrate(target_recall=0.95)
 
     # headline check (VERDICT r1 #3): filtered recall within 2 pts of
     # unfiltered at the policy-chosen widths

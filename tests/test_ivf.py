@@ -635,3 +635,30 @@ def test_fold_tail_int8_slab_update():
     q = vectors[1700].astype(np.float32)
     hits = index.search(q, 3, n_probe=16)[0]
     assert hits and hits[0].row == 1700
+
+
+def test_probe_calibration_adapts_to_hard_distribution():
+    """r04: power-law cluster masses under-probe at any fixed width —
+    calibrate() measures recall on sampled corpus rows vs the exact scan
+    and raises n_probe until the target holds."""
+    rng = np.random.default_rng(3)
+    n, dim, n_clusters = 6000, 64, 128
+    w = 1.0 / np.arange(1, n_clusters + 1) ** 1.2
+    w /= w.sum()
+    centers = rng.normal(size=(n_clusters, dim)).astype(np.float32) * 2
+    assign = rng.choice(n_clusters, size=n, p=w)
+    spread = (0.5 + rng.random(n_clusters) * 2.0).astype(np.float32)
+    vectors = (centers[assign]
+               + rng.normal(size=(n, dim)).astype(np.float32)
+               * spread[assign][:, None])
+    docs = [Document(page_content=f"d{i}", metadata={}) for i in range(n)]
+    index = IVFIndex(dim=dim, device_dtype="float32", n_lists=64, n_probe=2)
+    index.add(vectors, docs)
+    index.rebuild()
+
+    info = index.calibrate(target_recall=0.95, sample=32)
+    assert info["calibrated"]
+    assert info["n_probe"] > 2, info  # the hard distribution forces wider
+    assert index.n_probe == info["n_probe"]
+    # measured recall at the chosen width meets the target
+    assert info["curve"][info["n_probe"]] >= 0.95, info
