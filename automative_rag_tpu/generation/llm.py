@@ -532,6 +532,9 @@ class AnswerGenerator:
                 "metadata": doc.metadata,
                 "id": doc.id,
                 "cited": doc_id in cited_ids,
+                # content preview for the UI metadata card (reference
+                # metadata_display.py render_content_preview)
+                "snippet": doc.page_content[:200],
             }
             for doc_id, doc, score in ordered
         ]

@@ -34,6 +34,42 @@ _USER_FIELD_KEYS = (
     ("transmission", "transmission"),
 )
 
+def extract_keywords(text: str, top_k: int = 8) -> List[str]:
+    """Per-document keyword analysis for transcript enrichment.
+
+    The reference imports ``jieba.analyse`` for this in its transcript
+    processor (``enhanced_transcript_processor.py:2-3``) but never calls
+    it; here the keywords are real: jieba TF-IDF when the package is
+    importable, with a CJK-bigram frequency fallback that needs nothing.
+    Stored in chunk metadata (``keywords``) and shown in the UI metadata
+    card."""
+    text = text[:4000]
+    if not text.strip():
+        return []
+    try:
+        import jieba.analyse
+
+        tags = jieba.analyse.extract_tags(text, topK=top_k)
+        if tags:
+            return [str(t) for t in tags]
+    except Exception:  # noqa: BLE001 — fall back to the built-in analyser
+        pass
+    # fallback: frequency over CJK bigrams + latin words, stopword-light
+    import re as _re
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for match in _re.finditer(r"[一-鿿]{2,}|[A-Za-z][A-Za-z0-9-]{2,}",
+                              text):
+        token = match.group(0)
+        if token.isascii():
+            counts[token.lower()] += 1
+        else:
+            for i in range(len(token) - 1):
+                counts[token[i : i + 2]] += 1
+    return [w for w, _ in counts.most_common(top_k)]
+
+
 # injected marker key order (reference _create_enhanced_document :500-560)
 _MARKER_KEYS = (
     ("manufacturer", "brand"),
@@ -113,6 +149,7 @@ class TranscriptProcessor:
 
         chunks = split_text(content, self.chunk_size, self.chunk_overlap)
         marker_prefix = self._markers(fields, remaining)
+        keywords = extract_keywords(content)
         now = int(time.time())
 
         documents: List[Document] = []
@@ -142,6 +179,8 @@ class TranscriptProcessor:
                 "vehicle_detected": self.extractor.vehicle_detected(fields),
                 "metadata_injected": bool(marker_prefix),
                 "chunk_chars": len(chunk),
+                # document-level keyword analysis (jieba TF-IDF / fallback)
+                "keywords": ", ".join(keywords) if keywords else None,
             }
             # propagate remaining scalar source metadata (pages, used_ocr,
             # duration, ...) without clobbering extracted fields

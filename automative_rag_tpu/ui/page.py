@@ -424,6 +424,94 @@ async function contribute() {
   $("q-pause").classList.add("hide");
 }
 
+// Unified validation rendering (reference validation_display.py parity:
+// summary badge + step bars + per-document status + document summary
+// metrics + status-keyed user guidance + the help expander).
+function renderValidation(v) {
+  const hid = "val-help-" + (++_valHelpSeq);
+  let html = `<br><h4>验证管线
+    <span class="badge ${v.status==="passed"?"ok":v.status==="warning"?"warn":"bad"}">
+    ${esc(String(v.status))} · ${esc(String(v.confidence))}</span>
+    <button class="ghost" onclick="toggleValHelp('${hid}')" style="margin-left:6px">❓ 验证说明</button></h4>
+    <div id="${hid}" class="hide src">验证分五步：检索充分性（候选数量达到模式要求）、
+      来源可信度（官方文档 &gt; 专业评测 &gt; 用户内容）、技术一致性（数值是否在物理合理范围、
+      是否存在乱码）、完整性（问题关键词是否被证据覆盖）、共识（多文档同一指标是否一致）。
+      综合 ≥70 通过，40-69 提醒，&lt;40 不通过。guided 模式会在低可信时暂停等待用户补充证据。</div>`;
+  html += Object.entries(v.steps || {}).map(([k,s]) => {
+      const pct = Math.round(Math.max(0, Math.min(100, +s.score)));  // scores are 0-100
+      const color = pct >= 70 ? "var(--ok)" : pct >= 40 ? "var(--warn)" : "var(--bad)";
+      return `<div class="src">${esc(k)} — ${esc(s.detail)}
+        <div style="background:#22263a;border-radius:4px;height:6px;margin-top:4px">
+          <div style="background:${color};width:${pct}%;height:6px;border-radius:4px"></div>
+        </div></div>`;
+    }).join("");
+  const ds = v.document_summary;
+  if (ds && ds.total) {
+    html += `<div class="grid" style="margin-top:8px">
+      <div class="stat"><b>${+ds.total}</b><span>总文档数</span></div>
+      <div class="stat"><b>${+ds.with_warnings}</b><span>包含提醒</span></div>
+      <div class="stat"><b>${+ds.warning_rate}%</b><span>提醒率</span></div></div>`;
+  }
+  if ((v.documents || []).length) {
+    html += "<h4>逐文档验证</h4>" + v.documents.map(d =>
+      `<div class="src">${(d.warnings||[]).length ? "⚠️" : "✅"}
+        <b>${esc(String(d.doc_id).slice(0,10))}</b>
+        <span class="badge dim">${esc(d.source_type)}</span>
+        可信 ${Math.round(+d.credibility)} · 相关 ${(+d.relevance).toFixed(2)}
+        ${(d.warnings||[]).map(w => `<span class="badge warn">${esc(w)}</span>`).join(" ")}
+      </div>`).join("");
+  }
+  // status-keyed user guidance (reference render_user_guidance)
+  const GUIDANCE = {
+    passed: "✅ 证据充分：答案基于多个可信来源且数值一致，可直接参考。",
+    warning: "⚠️ 部分提醒：答案有文档支撑但存在来源单一/数值分歧等提醒，" +
+             "建议核对引用来源，或补充更权威的文档后重试。",
+    failed: "❌ 证据不足：检索到的文档无法充分支撑该问题，" +
+            "请补充相关资料（数据摄取页）或放宽筛选条件后重试。",
+  };
+  const g = GUIDANCE[v.status];
+  if (g) html += `<div class="src" style="margin-top:6px">${esc(g)}</div>`;
+  return html;
+}
+let _valHelpSeq = 0;
+function toggleValHelp(hid) { $(hid).classList.toggle("hide"); }
+function toggleMetaCard(i) { $("meta-card-" + i).classList.toggle("hide"); }
+
+// Per-source metadata summary card (reference metadata_display.py parity:
+// typed metadata overview, quality indicators, content preview).
+const META_GROUPS = [
+  ["🚗 车辆", ["manufacturer", "model", "year", "category", "engine_type",
+              "transmission"]],
+  ["📄 来源", ["source", "source_id", "title", "author", "url", "keywords"]],
+  ["🕒 时间", ["ingestion_time", "published", "duration"]],
+];
+function metaCard(s) {
+  const md = s.metadata || {};
+  let html = "";
+  for (const [label, keys] of META_GROUPS) {
+    const rows = keys.filter(k => md[k] !== undefined && md[k] !== null
+                                  && md[k] !== "");
+    if (!rows.length) continue;
+    html += `<div style="margin-top:4px"><b>${label}</b> ` + rows.map(k =>
+      `<span class="badge dim">${esc(k)}: ${esc(String(md[k]))}</span>`
+    ).join(" ") + "</div>";
+  }
+  // quality indicators: key-field coverage + content agreement (does the
+  // tagged model actually appear in the chunk text?)
+  const key = ["manufacturer", "model", "year", "source"];
+  const covered = key.filter(k => md[k]).length;
+  const snippet = s.snippet || "";
+  const agree = md.model ? (snippet.includes(String(md.model)) ? "✅ 内容一致"
+                            : "⚠️ 正文未见型号") : "—";
+  html += `<div style="margin-top:4px">
+    <span class="badge ${covered >= 3 ? "ok" : covered >= 2 ? "warn" : "bad"}">
+      关键元数据 ${covered}/${key.length}</span>
+    <span class="badge dim">${esc(agree)}</span></div>`;
+  if (snippet) html += `<div style="margin-top:4px;color:var(--dim)">
+    ${esc(snippet)}${snippet.length >= 200 ? "…" : ""}</div>`;
+  return html;
+}
+
 async function pollQuery(jobId, t0) {
   const job = await api("/query/results/" + jobId);
   if (job.status === "waiting_user") {
@@ -486,23 +574,16 @@ async function pollQuery(jobId, t0) {
     $("q-quality").innerHTML = `<br><span class="badge ${grade[1]}">结果质量: ${grade[0]}
       (${Math.round(q*100)}/100)</span> <span class="badge dim">引用 ${cited}/${srcs.length} 来源</span> `
       + (qc.warnings || []).map(w => `<span class="badge warn">⚠️ ${esc(w)}</span>`).join(" ");
-    $("q-sources").innerHTML = (r.sources || []).map(s =>
+    $("q-sources").innerHTML = (r.sources || []).map((s, i) =>
       `<div class="src">${s.cited ? "✅" : "▫️"} <b>${s.doc_id}</b>
        ${esc(s.metadata.manufacturer||"")} ${esc(s.metadata.model||"")}
        ${s.metadata.year||""} · ${esc(s.metadata.source||"")}
-       · 相关度 ${(+s.score).toFixed(2)}</div>`).join("") || "<div class='src'>无来源</div>";
+       · 相关度 ${(+s.score).toFixed(2)}
+       <button class="ghost" onclick="toggleMetaCard(${i})">🗂 元数据</button>
+       <div id="meta-card-${i}" class="hide">${metaCard(s)}</div></div>`
+      ).join("") || "<div class='src'>无来源</div>";
     const v = r.validation;
-    $("q-validation").innerHTML = v ? `<br><h4>验证管线
-      <span class="badge ${v.status==="passed"?"ok":v.status==="warning"?"warn":"bad"}">
-      ${v.status} · ${v.confidence}</span></h4>` +
-      Object.entries(v.steps).map(([k,s]) => {
-        const pct = Math.round(Math.max(0, Math.min(100, +s.score)));  // scores are 0-100
-        const color = pct >= 70 ? "var(--ok)" : pct >= 40 ? "var(--warn)" : "var(--bad)";
-        return `<div class="src">${esc(k)} — ${esc(s.detail)}
-          <div style="background:#22263a;border-radius:4px;height:6px;margin-top:4px">
-            <div style="background:${color};width:${pct}%;height:6px;border-radius:4px"></div>
-          </div></div>`;
-      }).join("") : "";
+    $("q-validation").innerHTML = v ? renderValidation(v) : "";
   } else {
     $("q-status").textContent = `处理中 ${job.progress||0}%`;
     if (job.partial_answer) {  // streaming decode: show tokens as they land
@@ -717,11 +798,10 @@ async function jobDetail(jobId) {
   $("j-detail-id").textContent = jobId;
   $("j-detail-result").textContent = JSON.stringify(j.result || {}, null, 2).slice(0, 4000);
   const v = (j.result||{}).validation;
-  $("j-detail-validation").innerHTML = v ? `<h4>验证摘要
-    <span class="badge ${v.status==="passed"?"ok":v.status==="warning"?"warn":"bad"}">
-    ${v.status} · ${v.confidence ?? ""}</span></h4>` +
-    Object.entries(v.steps || {}).map(([k,s]) =>
-      `<div class="src">${esc(k)}: ${s.score} — ${esc(s.detail)}</div>`).join("") : "";
+  // same widget as the query page: step bars + per-document status +
+  // summary metrics + guidance (reference's 后台任务 job dashboard embeds
+  // the full validation summary per job, 后台任务.py)
+  $("j-detail-validation").innerHTML = v ? renderValidation(v) : "";
   try {
     const c = await api(`/ingest/jobs/${jobId}/chain`);
     $("j-detail-chain").innerHTML = "<h4>执行链</h4>" + c.steps.map((s, i) => {

@@ -99,12 +99,29 @@ class ValidationEngine:
             cred_score, f"{len(docs)} sources weighted by type"
         )
 
-        # -- technical consistency (plausibility + garbage)
+        # -- technical consistency (plausibility + garbage), tracked PER
+        # DOCUMENT so the UI can render individual document status + the
+        # docs-with-warnings summary (reference validation_display.py:117,
+        # 189 — the per-doc inline status and the 总文档数/包含提醒/提醒率
+        # metrics row)
         issues = []
-        for d in docs:
-            issues.extend(check_numerical_specs_realistic(d.page_content))
+        doc_rows = []
+        for d, score in ranked:
+            doc_issues = check_numerical_specs_realistic(d.page_content)
             if has_garbled_content(d.page_content):
-                issues.append("garbled content detected")
+                doc_issues = list(doc_issues) + ["garbled content detected"]
+            issues.extend(doc_issues)
+            source_type = _INGEST_SOURCE_TYPE.get(
+                str(d.metadata.get("source", "")), SourceType.USER_GENERATED)
+            doc_rows.append({
+                "doc_id": d.id,
+                "source": str(d.metadata.get("source", "")) or "unknown",
+                "source_type": source_type.value,
+                "credibility": round(
+                    100.0 * _SOURCE_CREDIBILITY[source_type], 1),
+                "relevance": round(float(score), 4),
+                "warnings": list(doc_issues)[:5],
+            })
         tech_score = max(0.0, 100.0 - 15.0 * len(issues))
         steps[ValidationStepType.TECHNICAL_CONSISTENCY.value] = self._step(
             tech_score, "; ".join(issues[:5]) or "no implausible claims"
@@ -146,6 +163,15 @@ class ValidationEngine:
             "confidence": round(overall, 1),
             "confidence_level": ConfidenceLevel.from_score(overall).value,
             "steps": steps,
+            "documents": doc_rows,
+            "document_summary": {
+                "total": len(doc_rows),
+                "with_warnings": sum(
+                    1 for r in doc_rows if r["warnings"]),
+                "warning_rate": round(
+                    100.0 * sum(1 for r in doc_rows if r["warnings"])
+                    / max(1, len(doc_rows)), 1),
+            },
         }
 
     def validate_answer(

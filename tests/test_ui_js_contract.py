@@ -68,6 +68,11 @@ ALLOWED_UNESCAPED = {
     "v.pretrained ? \"ok\" : \"dim\"",
     "v.pretrained ? \"已加载权重\" : (v.mode || \"内置模式\")",
     "v.dim ? \"dim=\"+v.dim : \"\"",
+    # metaCard() composes already-escaped HTML: its OWN template literals
+    # are ratcheted by this same test (every ${...} inside it must be
+    # esc()-wrapped or allowlisted), so interpolating its return value is
+    # interpolating vetted HTML
+    "metaCard(s)",
     "j.progress!=null?`<div class=bar><i style=\"width:${Math.min(100,j.progress)}%\"></i></div>`:\"\"",
     "Math.min(100,j.progress)",
     "s.score!=null?` · 相关度 ${(+s.score).toFixed(3)}`:\"\"",
