@@ -41,20 +41,17 @@ from jax.experimental.pallas import tpu as pltpu
 def _scan_kernel(q_ids_ref, q_w_ref, ids_ref, w_ref, out_ref):
     """One corpus block: ids/w [T, bn] → scores [1, bn].
 
-    q_ids/q_w live in SMEM; the fori loop reads one scalar pair per step
-    (dynamic SMEM indexing) so Q never materializes a third tensor axis.
+    q_ids/q_w live in SMEM. The query loop UNROLLS (Q is static and small):
+    a fori_loop here serializes 32 tiny VPU passes behind scalar loads and
+    loop control — measured 4.1 ms for the 1M scan where the pure VPU work
+    is ~1.3 ms; unrolling lets Mosaic software-pipeline the compares.
     """
     ids = ids_ref[...]                       # [T, bn] int32
     n_q = q_ids_ref.shape[1]
-
-    def qstep(i, acc):
-        qid = q_ids_ref[0, i]
-        qw = q_w_ref[0, i]
-        return acc + jnp.where(ids == qid, qw, 0.0)
-
     t, bn = ids.shape
-    acc = jax.lax.fori_loop(
-        0, n_q, qstep, jnp.zeros((t, bn), jnp.float32))
+    acc = jnp.zeros((t, bn), jnp.float32)
+    for i in range(n_q):                     # static unroll
+        acc = acc + jnp.where(ids == q_ids_ref[0, i], q_w_ref[0, i], 0.0)
     w = w_ref[...].astype(jnp.float32)
     out_ref[...] = jnp.sum(acc * w, axis=0, keepdims=True)
 
@@ -66,13 +63,10 @@ def _scan_kernel_batch(q_ids_ref, q_w_ref, ids_ref, w_ref, out_ref):
     b, n_q = q_ids_ref.shape
     t, bn = ids.shape
     for row in range(b):  # static: B is small (engine batch)
-        def qstep(i, acc, row=row):
-            qid = q_ids_ref[row, i]
-            qw = q_w_ref[row, i]
-            return acc + jnp.where(ids == qid, qw, 0.0)
-
-        acc = jax.lax.fori_loop(
-            0, n_q, qstep, jnp.zeros((t, bn), jnp.float32))
+        acc = jnp.zeros((t, bn), jnp.float32)
+        for i in range(n_q):  # static unroll (see _scan_kernel)
+            acc = acc + jnp.where(
+                ids == q_ids_ref[row, i], q_w_ref[row, i], 0.0)
         out_ref[row, :] = jnp.sum(acc * w, axis=0)
 
 
