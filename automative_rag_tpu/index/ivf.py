@@ -322,6 +322,7 @@ def balance_assignments(
     balance_factor: float,
     normalized: Optional[np.ndarray] = None,
     centroids: Optional[np.ndarray] = None,
+    margin: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Cap list sizes at ``balance_factor × mean`` — STRICTLY when the
     vectors/centroids are provided, best-effort otherwise.
@@ -348,14 +349,17 @@ def balance_assignments(
     order = np.argsort(assignments, kind="stable")
     starts = np.searchsorted(assignments[order], np.arange(n_lists))
     ranks = np.arange(n, dtype=np.int64) - starts[assignments[order]]
-    if normalized is not None and centroids is not None:
-        # overflow = the rows with the SMALLEST (first − second) affinity
-        # margin: a near-tie row is almost as close to its second list, so
-        # moving it barely dents probe reach (balanced-k-means style)
+    if margin is None and normalized is not None and centroids is not None:
+        # margin not precomputed (the k-means assignment pass returns it
+        # for free in r04): fall back to two host einsums
         cf = centroids.astype(np.float32)
         sims = np.einsum("nd,nd->n", normalized, cf[assignments])
         sims2 = np.einsum("nd,nd->n", normalized, cf[second])
         margin = sims - sims2
+    if margin is not None:
+        # overflow = the rows with the SMALLEST (first − second) affinity
+        # margin: a near-tie row is almost as close to its second list, so
+        # moving it barely dents probe reach (balanced-k-means style)
         # keep large-margin rows (ranks < cap); spill the near-ties
         sim_order = np.lexsort((-margin, assignments))
         ranks_sim = np.arange(n, dtype=np.int64) - starts[assignments[sim_order]]
@@ -675,7 +679,7 @@ class IVFIndex(FlatIndex):
             assignments = np.zeros(n_live, np.int64)
         else:
             t0 = _time.time()
-            centroids, assignments, second = spherical_kmeans(
+            centroids, assignments, second, margin = spherical_kmeans(
                 normalized, self.n_lists, n_iters=self.kmeans_iters,
                 seed=seed, return_second=True,
             )
@@ -685,6 +689,7 @@ class IVFIndex(FlatIndex):
                 assignments = balance_assignments(
                     assignments, second, self.n_lists, self.balance_factor,
                     normalized=normalized, centroids=centroids,
+                    margin=margin,
                 )
                 timings["balance_s"] = round(_time.time() - t0, 2)
 

@@ -58,9 +58,13 @@ def _chunk_pass(vectors, centroids, n_rows, chunk: int, accumulate: bool):
             block, centroids.astype(block.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [chunk, K]
-        _, top2 = jax.lax.top_k(sim, 2)
+        top2v, top2 = jax.lax.top_k(sim, 2)
         assign = top2[:, 0]
         second = top2[:, 1]
+        # first−second affinity margin: balanced list construction spills
+        # the near-tie rows; returning it here saves the builder two
+        # full-corpus host einsums (30+ s at 1M on one core)
+        margin = top2v[:, 0] - top2v[:, 1]
         if accumulate:
             valid = (idx * chunk + jnp.arange(chunk)) < n_rows
             onehot = jnp.where(
@@ -71,13 +75,13 @@ def _chunk_pass(vectors, centroids, n_rows, chunk: int, accumulate: bool):
                 preferred_element_type=jnp.float32,
             )
             counts = counts + onehot.sum(axis=0).astype(jnp.float32)
-        return (sums, counts), (assign, second)
+        return (sums, counts), (assign, second, margin)
 
     init = (jnp.zeros((k, dim), jnp.float32), jnp.zeros((k,), jnp.float32))
-    (sums, counts), (assigns, seconds) = jax.lax.scan(
+    (sums, counts), (assigns, seconds, margins) = jax.lax.scan(
         body, init, jnp.arange(n_chunks))
-    return (sums, counts,
-            assigns.reshape(n_cap), seconds.reshape(n_cap))
+    return (sums, counts, assigns.reshape(n_cap),
+            seconds.reshape(n_cap), margins.reshape(n_cap))
 
 
 @partial(jax.jit, static_argnames=("chunk", "n_iters"))
@@ -86,7 +90,7 @@ def _lloyd(vectors, centroids0, n_rows, chunk: int, n_iters: int):
     Empty clusters keep their previous centroid."""
 
     def iteration(_, centroids):
-        sums, counts, _, _ = _chunk_pass(
+        sums, counts, _, _, _ = _chunk_pass(
             vectors, centroids, n_rows, chunk, accumulate=True)
         new = sums / jnp.maximum(counts[:, None], 1.0)
         norms = jnp.linalg.norm(new, axis=1, keepdims=True)
@@ -98,9 +102,9 @@ def _lloyd(vectors, centroids0, n_rows, chunk: int, n_iters: int):
 
 @partial(jax.jit, static_argnames=("chunk",))
 def _assign(vectors, centroids, n_rows, chunk: int):
-    _, _, assigns, seconds = _chunk_pass(
+    _, _, assigns, seconds, margins = _chunk_pass(
         vectors, centroids, n_rows, chunk, accumulate=False)
-    return assigns, seconds
+    return assigns, seconds, margins
 
 
 @partial(jax.jit, static_argnames=("n_pad", "chunk"))
@@ -112,7 +116,15 @@ def _gather_rows(slab, rows, n_pad: int, chunk: int):
 
 
 def _pad_to(n: int, chunk: int) -> int:
-    return -(-n // chunk) * chunk
+    """Power-of-two capacity bucketing (≥ chunk): the staged-slab shape is
+    a static arg of every kmeans executable, and the remote compiler costs
+    minutes per new shape — exact-n padding would recompile on every
+    rebuild of a growing corpus. Pays ≤2× transient HBM on the bf16 slab
+    in the worst case (1.0 GB/M rows extra at dim 1024)."""
+    cap = chunk
+    while cap < n:
+        cap *= 2
+    return cap
 
 
 def stage_corpus(vectors: np.ndarray, chunk: int = 8192):
@@ -172,7 +184,7 @@ def spherical_kmeans(
         c, int(n_iters))
 
     # final full-corpus assignment (the only pass that reads every row)
-    assigns, seconds = _assign(
+    assigns, seconds, margins = _assign(
         slab, centroids, jnp.asarray(n, jnp.int32), c)
     assignments = np.asarray(assigns)[:n].astype(np.int64)
     centroids = np.array(centroids, np.float32)  # writable host copy
@@ -182,5 +194,6 @@ def spherical_kmeans(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
     if return_second:
         second = np.asarray(seconds)[:n].astype(np.int64)
-        return centroids, assignments, second
+        margin = np.asarray(margins)[:n].astype(np.float32)
+        return centroids, assignments, second, margin
     return centroids, assignments

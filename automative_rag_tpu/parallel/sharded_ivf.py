@@ -249,7 +249,7 @@ class ShardedIVFIndex(ShardedFlatIndex):
                 per_shard_info.append(0)
                 continue
             k_s = min(k_lists, rows.shape[0])
-            centroids, assign, second = spherical_kmeans(
+            centroids, assign, second, margin = spherical_kmeans(
                 rows, k_s, n_iters=self.kmeans_iters, seed=seed + s,
                 return_second=True,
             )
@@ -258,7 +258,7 @@ class ShardedIVFIndex(ShardedFlatIndex):
 
                 assign = balance_assignments(
                     assign, second, k_s, self.balance_factor,
-                    normalized=rows, centroids=centroids)
+                    normalized=rows, centroids=centroids, margin=margin)
             if k_s < k_lists:  # pad centroid count to the common K
                 centroids = np.concatenate(
                     [centroids, np.zeros((k_lists - k_s, self.dim), np.float32)]
