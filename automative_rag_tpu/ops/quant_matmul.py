@@ -82,13 +82,14 @@ def _w4_kernel(xlo_ref, xhi_ref, p_ref, scale_ref, o_ref, acc_ref, sum_ref,
         high = (p >> 4).astype(xlo_ref.dtype)
     elif unpack == "u8":
         # bitwise mask/shift in native uint8 lanes: 4× more elements per
-        # VPU op than the i32 widen. Mosaic has no direct u8→bf16 convert
-        # (r03 A/B failed with "Unsupported cast: uint8 -> bfloat16"), so
-        # the nibbles hop through f32 — the mask/shift stays in u8 lanes,
-        # which is where the u8 variant's win lives
+        # VPU op than the i32 widen. Mosaic legalizes NO direct u8 float
+        # convert (r03: "Unsupported cast: uint8 -> bfloat16"; r04 the f32
+        # hop failed the same way) — but u8→i32 is legal (the i32 variant
+        # rides it), so the nibbles widen through i32 AFTER the dense
+        # u8-lane mask/shift, which is where this variant's win lives
         p = p_ref[:]
-        low = (p & jnp.uint8(0xF)).astype(jnp.float32).astype(xlo_ref.dtype)
-        high = (p >> jnp.uint8(4)).astype(jnp.float32).astype(xlo_ref.dtype)
+        low = (p & jnp.uint8(0xF)).astype(jnp.int32).astype(xlo_ref.dtype)
+        high = (p >> jnp.uint8(4)).astype(jnp.int32).astype(xlo_ref.dtype)
     else:  # "merged": one mask on the big tile; raw bytes feed the MXU.
         # p = low + 16·high ⇒ x_hi@high = (x_hi/16)@p − (x_hi/16)@low, so
         #   y = (x_lo − x_hi/16)@low + (x_hi/16)@p − 8·rowsum(x)

@@ -1223,6 +1223,9 @@ class ServingEngine:
         engine state is rebuilt before the exception propagates, so the
         caller (the exception-isolated scheduler loop, or run_until_idle)
         resumes from a servable engine."""
+        if self._state is None:
+            # released: recovery must NOT reallocate the freed KV pool
+            raise RuntimeError("serving engine is released")
         try:
             return self._step_inner()
         except Exception:
@@ -1414,3 +1417,31 @@ class ServingEngine:
                 return
             with self._lock:
                 self._thread = None
+
+    def release(self) -> None:
+        """Free this engine's device memory (KV state, prefix blobs) NOW
+        instead of waiting for Python GC. The engine is permanently
+        unusable afterwards — any further submit()/step() raises.
+
+        Exists because the per-engine KV pool is large (slots x max_len x
+        layers; ~235 MB at 7B/8 slots, ~1 GB at 32) and a process that
+        builds several engines against one chip (benches, A/B drivers,
+        engine swap on reconfigure) exhausts HBM long before GC notices:
+        the r04 on-chip serving sweep OOMed at 16/32 slots and stalled
+        19 min at 8 because seven dead engines still pinned their pools."""
+        self.stop()
+        with self._lock:
+            state, self._state = self._state, None
+            prefixes, self._prefixes = self._prefixes, {}
+            pending, self._pending = self._pending, []
+            slots, self._slots = (list(self._slots),
+                                  [None] * self.max_slots)
+        for req in pending + [r for r in slots if r is not None]:
+            req.cancelled = True
+            self._complete(req, slot=None)
+        for leaf in jax.tree_util.tree_leaves(
+                (state, [p.get("blobs") for p in prefixes.values()])):
+            try:
+                leaf.delete()
+            except Exception:
+                pass  # already deleted / non-donatable host constant

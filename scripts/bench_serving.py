@@ -148,6 +148,7 @@ def main():
     eng = ServingEngine(model, max_slots=args.slots, max_len=max_len,
                         prompt_buckets=buckets, burst=args.burst)
     continuous = drive(eng, "continuous")
+    eng.release()  # each engine holds a full KV pool; 8 live pools OOM
     total_tokens = args.n * new_tokens
 
     # spec bursts on the same workload: random prompts are the no-match
@@ -160,6 +161,7 @@ def main():
                               prompt_buckets=buckets, burst=args.burst,
                               spec=True)
         spec = drive(eng_s, "continuous_spec")
+        eng_s.release()
 
     # ------------------------------------------------------- static b8
     static = None
@@ -210,10 +212,12 @@ def main():
         eng_p = ServingEngine(model, max_slots=args.slots, max_len=max_len,
                               prompt_buckets=buckets, burst=args.burst)
         copy_plain = drive(eng_p, "continuous_copy_plain")
+        eng_p.release()
         eng_c = ServingEngine(model, max_slots=args.slots, max_len=max_len,
                               prompt_buckets=buckets, burst=args.burst,
                               spec=True)
         spec_copy = drive(eng_c, "continuous_copy_spec")
+        eng_c.release()
         spec_copy["plain_same_workload"] = copy_plain
         spec_copy["speedup_vs_plain"] = round(
             copy_plain["wall_s"] / spec_copy["wall_s"], 2)
@@ -240,12 +244,14 @@ def main():
                                max_len=max_len, prompt_buckets=pb,
                                burst=args.burst)
         plain_pref = drive(eng_np, "prefix_workload_plain")
+        eng_np.release()
         eng_pf = ServingEngine(model, max_slots=args.slots,
                                max_len=max_len, prompt_buckets=pb,
                                burst=args.burst)
         pid = eng_pf.register_prefix(pre_ids)
         cached = drive(eng_pf, "prefix_workload_cached", prefix_id=pid)
         assert eng_pf.stats["prefix_misses"] == 0, eng_pf.stats
+        eng_pf.release()
         prefix = {
             "prefix_len": pre_len, "suffix_len": suf_len,
             "plain": plain_pref, "cached": cached,
@@ -311,6 +317,7 @@ def main():
                 "wall_s": round(wall, 3),
                 "chunked_admits": eng.stats["chunked_admits"],
             }
+            eng.release()
             print(f"{label}: {report}", file=sys.stderr)
             return report
 

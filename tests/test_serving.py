@@ -976,3 +976,39 @@ def test_submit_cancel_storm(model):
         assert final.result(timeout=60) == _solo(model, [5, 6, 7], 4)
     finally:
         eng.stop()
+
+
+def test_release_frees_state_and_refuses_further_work(model):
+    """release() is the bench/A-B teardown path: the KV pool's device
+    buffers are deleted immediately, and nothing afterwards can
+    reallocate them (a post-release step() must not take the
+    _recover_state path, which would rebuild the freed pool)."""
+    eng = _engine(model)
+    prompt = [5, 9, 14, 3, 7]
+    req = eng.submit(prompt, max_new_tokens=6)
+    eng.run_until_idle()
+    assert req.result() == _solo(model, prompt, 6)
+    pid = eng.register_prefix([4, 6, 8, 10])
+    state_leaves = [l for l in __import__("jax").tree_util.tree_leaves(
+        eng._state) if hasattr(l, "is_deleted")]
+    blob_leaves = [l for l in __import__("jax").tree_util.tree_leaves(
+        eng._prefixes[pid]["blobs"]) if hasattr(l, "is_deleted")]
+    eng.release()
+    assert all(l.is_deleted() for l in state_leaves)
+    assert all(l.is_deleted() for l in blob_leaves)
+    with pytest.raises(RuntimeError):
+        eng.submit(prompt, max_new_tokens=4)
+    with pytest.raises(RuntimeError):
+        eng.step()
+    assert eng.stats["engine_resets"] == 0  # recovery never reallocated
+
+
+def test_release_fails_inflight_and_pending_requests(model):
+    eng = _engine(model, max_slots=1)
+    inflight = eng.submit([5, 9, 14], max_new_tokens=40)
+    eng.step()  # admit
+    pending = eng.submit([7, 3, 2], max_new_tokens=4)
+    eng.release()
+    assert inflight.finished and inflight.cancelled
+    assert pending.finished and pending.cancelled
+    assert pending.result() is not None  # unblocks, no hang
