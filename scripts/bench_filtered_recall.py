@@ -152,11 +152,21 @@ def main():
         order = np.argsort(-scores)[: args.k]
         return {int(o) for o in order if np.isfinite(scores[o])}
 
-    ladder = probe_ladder(index.n_probe, index.n_lists)
+    # build-time probe self-calibration FIRST — production order
+    # (/system/rebuild-index calibrates right after a build, so the
+    # selectivity ladder the live index uses is anchored at the
+    # calibrated base; r04's first powerlaw artifact measured the policy
+    # from the uncalibrated default and read 0.265 recall unfiltered)
+    base_probe = index.n_probe
+    calibration = index.calibrate(target_recall=0.95)
+    pre_ladder = probe_ladder(base_probe, index.n_lists)
+    post_ladder = probe_ladder(index.n_probe, index.n_lists)
+    ladder = sorted(set(pre_ladder) | set(post_ladder))
     report = {
         "n": args.n, "dim": args.dim, "k": args.k,
         "dist": args.dist, "build_s": round(build_s, 1),
-        **build, "ladder": ladder, "curves": {}, "ladder_policy": {},
+        **build, "ladder": ladder, "calibration": calibration,
+        "curves": {}, "ladder_policy": {},
     }
 
     for name, (flt, row_mask) in filters.items():
@@ -172,21 +182,22 @@ def main():
             curve[nprobe] = round(recall / len(queries), 4)
         report["curves"][name] = curve
 
-        # what the production ladder policy picks for this selectivity
+        # what the production ladder policy picks for this selectivity —
+        # from the calibrated base (chosen_nprobe) and, for comparison,
+        # from the uncalibrated default (precalib_nprobe)
         selectivity = float(row_mask.mean())
         rows_per_list = index._indexed_rows / max(1, index.n_lists)
-        chosen = choose_probe(ladder, selectivity, rows_per_list, args.k)
+        chosen = choose_probe(post_ladder, selectivity, rows_per_list, args.k)
+        pre = choose_probe(pre_ladder, selectivity, rows_per_list, args.k)
         report["ladder_policy"][name] = {
             "selectivity": round(selectivity, 4),
             "chosen_nprobe": chosen,
             "recall_at_chosen": curve[chosen],
+            "precalib_nprobe": pre,
+            "recall_precalib": curve[pre],
         }
         print(name, "curve:", curve, "policy:", report["ladder_policy"][name],
               flush=True)
-
-    # build-time probe self-calibration (r04): measured recall on sampled
-    # corpus rows → smallest ladder width hitting the target
-    report["calibration"] = index.calibrate(target_recall=0.95)
 
     # headline check (VERDICT r1 #3): filtered recall within 2 pts of
     # unfiltered at the policy-chosen widths
