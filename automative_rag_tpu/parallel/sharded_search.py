@@ -186,10 +186,18 @@ class ShardedFlatIndex(FlatIndex):
         state = self._device_state()
         spec, _ = self._compile(metadata_filter)
         k_eff = min(k, state["capacity"] // self.n_shards)
-        key = (k_eff, self._int8, self._int4)
+        # quantized shortlist + exact host rescore (FlatIndex._host_refine):
+        # per-shard top-(mult·k) then the O(shards·mult·k) merged shortlist
+        # rescores in f32 on the host mirror
+        quantized = self._int8 or self._int4
+        k_scan = k_eff
+        if quantized and self.refine_mult > 1:
+            k_scan = min(k_eff * self.refine_mult,
+                         state["capacity"] // self.n_shards)
+        key = (k_scan, self._int8, self._int4)
         fn = self._search_fns.get(key)
         if fn is None:
-            fn = make_sharded_search(self.mesh, self.axis_name, k_eff,
+            fn = make_sharded_search(self.mesh, self.axis_name, k_scan,
                                      int8=self._int8, int4=self._int4)
             self._search_fns[key] = fn
         values, indices = fn(
@@ -197,6 +205,9 @@ class ShardedFlatIndex(FlatIndex):
             state["codes"], state["numerics"], jnp.asarray(queries), spec,
         )
         values, indices = np.asarray(values), np.asarray(indices)
+        if k_scan > k_eff:
+            values, indices = self._host_refine(queries, values, indices,
+                                                k_eff)
         tail = self._host_tail_top_k(queries, spec, k_eff,
                                      state["staged_rows"])
         if tail is not None:

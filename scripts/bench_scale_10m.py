@@ -107,7 +107,7 @@ def generate_corpus(n, dim, n_oracle_q, seed=0):
     }
 
 
-def bench_dtype(dtype, corpus, n, dim, k, batch, trials):
+def bench_dtype(dtype, corpus, n, dim, k, batch, trials, refine_mult=8):
     import jax
     import jax.numpy as jnp
 
@@ -146,6 +146,13 @@ def bench_dtype(dtype, corpus, n, dim, k, batch, trials):
     spec = FilterSpec.match_all()
     interpret = jax.default_backend() != "tpu"
 
+    # the scan returns a refine_mult·k shortlist — the production config
+    # (index/flat.py host refine): exact host rescore of the shortlist can
+    # never lose a true-top-k row it contains (anything that outranks it
+    # in exact order is itself true top-k), so refined recall@k IS the
+    # shortlist-containment rate, measurable without the 40 GB f32 corpus
+    k_scan = max(k, k * refine_mult)
+
     @jax.jit
     def many(q, vectors, row_scales):
         def body(carry, _):
@@ -159,7 +166,7 @@ def bench_dtype(dtype, corpus, n, dim, k, batch, trials):
                     carry, vectors, row_scales, interpret=interpret
                 ).astype(jnp.float32)
             mask = valid & eval_filter_mask(codes, numerics, spec)
-            vals, idx = masked_top_k(scores, mask, k)
+            vals, idx = masked_top_k(scores, mask, k_scan)
             carry = carry + (vals[0, 0] * 0).astype(carry.dtype)
             return carry, idx
 
@@ -188,10 +195,18 @@ def bench_dtype(dtype, corpus, n, dim, k, batch, trials):
         got.extend(idx[: min(batch, n_oracle_q - start)])
     report["compile_plus_recall_s"] = round(time.time() - t_c, 1)
     overlaps = [
-        len(set(got[q].tolist()) & corpus["oracle"][q]) / 10.0
+        len(set(got[q][:k].tolist()) & corpus["oracle"][q]) / 10.0
         for q in range(n_oracle_q)
     ]
     report["recall_at_10_vs_f32"] = round(float(np.mean(overlaps)), 4)
+    # refined recall@10 at each shortlist prefix (= containment; see above)
+    report["refined_recall_at_10"] = {
+        str(s): round(float(np.mean([
+            len(set(got[q][:s].tolist()) & corpus["oracle"][q]) / 10.0
+            for q in range(n_oracle_q)])), 4)
+        for s in (2 * k, 4 * k, 8 * k) if s <= k_scan
+    }
+    report["k_scan"] = k_scan
 
     q0 = jnp.asarray(q_panel[:batch])
     samples = []
@@ -217,6 +232,8 @@ def main():
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--trials", type=int, default=3)
     parser.add_argument("--oracle-queries", type=int, default=16)
+    parser.add_argument("--refine-mult", type=int, default=8,
+                        help="shortlist = refine_mult*k (0/1 = plain scan)")
     parser.add_argument("--dtypes", default="int8,int4")
     parser.add_argument("--out", default="BENCH_SCALE_10M_r04.json")
     parser.add_argument("--cpu", action="store_true",
@@ -246,7 +263,7 @@ def main():
         try:
             report[key] = bench_dtype(
                 dtype, corpus, args.n, args.dim, args.k, args.batch,
-                args.trials)
+                args.trials, refine_mult=args.refine_mult)
             print(f"[done] {key}: {report[key]}", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — record and continue
             report[key] = {"error": repr(exc)[:500]}

@@ -406,3 +406,51 @@ def test_append_is_amortized_no_full_copy(rng):
     hits = index.search(np.asarray([q]), k=5)[0]
     oracle = _oracle_topk(index._vectors, q, 5)
     assert [h.row for h in hits] == oracle
+
+
+def test_int4_host_refine_repairs_recall_with_exact_scores():
+    """The quantized scan returns a refine_mult*k shortlist whose rows are
+    rescored exactly on the host f32 mirror: recall@10 must be >= the
+    unrefined scan's and the returned scores must be TRUE cosines
+    (10M int4 direct recall was 0.7063, BENCH_SCALE_10M_r04)."""
+    vectors, docs = _int4_corpus(n=2000)
+    exact = FlatIndex(dim=128, device_dtype="float32")
+    exact.add(vectors, [Document(d.page_content, dict(d.metadata)) for d in docs])
+    plain = FlatIndex(dim=128, device_dtype="int4", refine_mult=0)
+    plain.add(vectors, [Document(d.page_content, dict(d.metadata)) for d in docs])
+    refined = FlatIndex(dim=128, device_dtype="int4")  # default: refine on
+    refined.add(vectors, docs)
+    assert refined.stats()["refine_mult"] == 8
+
+    rng = np.random.default_rng(7)
+    rec_plain, rec_ref = [], []
+    for _ in range(8):
+        q = rng.normal(size=128).astype(np.float32)
+        want = {h.row for h in exact.search(q, 10)[0]}
+        rec_plain.append(len(want & {h.row for h in plain.search(q, 10)[0]}) / 10)
+        hits = refined.search(q, 10)[0]
+        rec_ref.append(len(want & {h.row for h in hits}) / 10)
+        # scores are exact cosines of the normalized pair
+        qn = q / np.linalg.norm(q)
+        for h in hits[:3]:
+            vn = vectors[h.row] / np.linalg.norm(vectors[h.row])
+            assert abs(h.score - float(qn @ vn)) < 1e-5
+    assert np.mean(rec_ref) >= np.mean(rec_plain)
+    assert np.mean(rec_ref) >= 0.95, (np.mean(rec_plain), np.mean(rec_ref))
+
+
+def test_int8_host_refine_exact_scores_and_tail():
+    """int8 + refine: exact scores, and the host-tail merge stays
+    consistent (tail scores were already exact f32 — refined slab scores
+    now live on the same scale, so the merged rank is the true rank)."""
+    vectors, docs = _int4_corpus(n=800)
+    idx = FlatIndex(dim=128, device_dtype="int8")
+    idx.add(vectors, docs)
+    idx.search(vectors[0], 4)  # stage the slab
+    rng = np.random.default_rng(11)
+    fresh = rng.normal(size=(6, 128)).astype(np.float32)
+    idx.add(fresh, [Document(page_content=f"fresh {i}", metadata={})
+                    for i in range(6)])
+    hits = idx.search(fresh[2], 5)[0]
+    assert hits[0].row == 802  # the fresh row wins via the exact merge
+    assert abs(hits[0].score - 1.0) < 1e-5
