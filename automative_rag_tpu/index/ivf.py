@@ -679,11 +679,13 @@ class IVFIndex(FlatIndex):
             assignments = np.zeros(n_live, np.int64)
         else:
             t0 = _time.time()
+            km_timings: Dict[str, float] = {}
             centroids, assignments, second, margin = spherical_kmeans(
                 normalized, self.n_lists, n_iters=self.kmeans_iters,
-                seed=seed, return_second=True,
+                seed=seed, return_second=True, timings=km_timings,
             )
             timings["kmeans_s"] = round(_time.time() - t0, 2)
+            timings["kmeans_phases"] = km_timings
             if self.balance_factor:
                 t0 = _time.time()
                 assignments = balance_assignments(

@@ -58,13 +58,21 @@ def _chunk_pass(vectors, centroids, n_rows, chunk: int, accumulate: bool):
             block, centroids.astype(block.dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [chunk, K]
-        top2v, top2 = jax.lax.top_k(sim, 2)
-        assign = top2[:, 0]
-        second = top2[:, 1]
+        # top-2 as two VPU max/argmax reductions, NOT lax.top_k: top_k
+        # lowers to a sort-network on TPU and dominated the r04 1M build
+        # (the same pathology hierarchical_top_k fixed for the 10M scan).
+        # Ties resolve to the first occurrence in both formulations, so
+        # this is bit-identical to top_k(sim, 2).
+        v1 = jnp.max(sim, axis=1)
+        assign = jnp.argmax(sim, axis=1)
+        masked = jnp.where(
+            jnp.arange(k)[None, :] == assign[:, None], -jnp.inf, sim)
+        v2 = jnp.max(masked, axis=1)
+        second = jnp.argmax(masked, axis=1)
         # first−second affinity margin: balanced list construction spills
         # the near-tie rows; returning it here saves the builder two
         # full-corpus host einsums (30+ s at 1M on one core)
-        margin = top2v[:, 0] - top2v[:, 1]
+        margin = v1 - v2
         if accumulate:
             valid = (idx * chunk + jnp.arange(chunk)) < n_rows
             onehot = jnp.where(
@@ -145,6 +153,7 @@ def spherical_kmeans(
     train_rows_per_cluster: int = 256,
     return_second: bool = False,
     staged=None,
+    timings: dict | None = None,
 ):
     """→ (centroids [K, D] L2-normalized, assignments [N][, second [N]]).
 
@@ -160,17 +169,25 @@ def spherical_kmeans(
     if n_clusters > n:
         raise ValueError(f"n_clusters={n_clusters} > n={n}")
 
+    import time as _time
+
+    if timings is None:
+        timings = {}
     rng = np.random.default_rng(seed)
+    t0 = _time.time()
     if staged is None:
         slab, _, c = stage_corpus(vectors, chunk)
+        jax.block_until_ready(slab)
     else:
         slab, _, c = staged
+    timings["ship_s"] = round(_time.time() - t0, 2)
 
     init_rows = np.sort(rng.choice(n, size=n_clusters, replace=False))
     centroids0 = vectors[init_rows].astype(np.float32)
     centroids0 /= np.maximum(
         np.linalg.norm(centroids0, axis=1, keepdims=True), 1e-12)
 
+    t0 = _time.time()
     train_n = min(n, max(train_rows_per_cluster * n_clusters, n_clusters))
     if train_n < n:
         train_rows = np.sort(rng.choice(n, size=train_n, replace=False))
@@ -182,10 +199,16 @@ def spherical_kmeans(
     centroids = _lloyd(
         train_slab, jnp.asarray(centroids0), jnp.asarray(train_n, jnp.int32),
         c, int(n_iters))
+    jax.block_until_ready(centroids)
+    timings["train_s"] = round(_time.time() - t0, 2)
 
     # final full-corpus assignment (the only pass that reads every row)
+    t0 = _time.time()
     assigns, seconds, margins = _assign(
         slab, centroids, jnp.asarray(n, jnp.int32), c)
+    jax.block_until_ready(assigns)
+    timings["assign_s"] = round(_time.time() - t0, 2)
+    t0 = _time.time()
     assignments = np.asarray(assigns)[:n].astype(np.int64)
     centroids = np.array(centroids, np.float32)  # writable host copy
     # device bf16 normalization drift is possible on empty-cluster
@@ -195,5 +218,7 @@ def spherical_kmeans(
     if return_second:
         second = np.asarray(seconds)[:n].astype(np.int64)
         margin = np.asarray(margins)[:n].astype(np.float32)
+        timings["fetch_s"] = round(_time.time() - t0, 2)
         return centroids, assignments, second, margin
+    timings["fetch_s"] = round(_time.time() - t0, 2)
     return centroids, assignments
