@@ -140,7 +140,8 @@ class ServingEngine:
                  prompt_buckets: Sequence[int] = (64, 128, 256, 512, 1024),
                  burst: int = 16, seed: int = 0, spec: bool = False,
                  prefill_chunk: int = 0, chunk_burst: int = 0,
-                 chunk_adaptive: bool = True, chunk_max_passes: int = 4):
+                 chunk_adaptive: bool = True, chunk_max_passes: int = 4,
+                 admit_pacing: bool = True):
         self.model = model
         self.config: Qwen2Config = model.config
         self.max_slots = int(max_slots)
@@ -173,6 +174,16 @@ class ServingEngine:
         #   ``chunk_max_passes`` passes (menu C/2C/4C — bounded compiles).
         self.chunk_adaptive = bool(chunk_adaptive)
         self.chunk_max_passes = max(2, int(chunk_max_passes))
+        # admission pacing: when live streams exist, admit at most ONE
+        # request per scheduler step. The dominant decode-stall source is
+        # admission PILEUP — several arrivals admitting back-to-back in one
+        # step stall in-flight streams for n_admissions × prefill
+        # (BENCH_SERVING_TPU_r04 monolithic stall_max 954 ms ≈ 2-3 stacked
+        # 512-token prefills) — and pacing bounds it at one prefill for
+        # ZERO extra weight reads (the decode burst between paced
+        # admissions is useful work chunking pays extra passes for). An
+        # idle engine still admits a full batch: nothing can stall.
+        self.admit_pacing = bool(admit_pacing)
         #: generated tokens live at buf[:, _gen_base:] — prompts (ragged,
         #: bucket-padded) at buf[:, :plen]; the fixed split lets the
         #: n-gram matcher mask the padding gap with per-row plen
@@ -1239,7 +1250,14 @@ class ServingEngine:
             pending, self._pending = self._pending, []
         # re-queue what we cannot admit yet (preserve arrival order)
         free = self._free_slots()
-        admit, overflow = pending[:len(free)], pending[len(free):]
+        cap = len(free)
+        paced = False
+        if self.admit_pacing and cap > 1 and self._live_rows():
+            # live streams would observe every stacked prefill; admit one,
+            # let the burst below advance the streams, repeat next step
+            cap = 1
+            paced = True
+        admit, overflow = pending[:cap], pending[cap:]
         if overflow:
             with self._lock:
                 self._pending = overflow + self._pending
@@ -1257,7 +1275,14 @@ class ServingEngine:
                 req.cancelled = True
                 self._complete(req, slot=None)
                 raise
-        ran = self._run_burst()
+        # while a paced backlog drains, interleave SHORT bursts (the
+        # chunk-interleave length): streams get MORE frequent deliveries
+        # (the observed stall is burst-delivery-dominated on hardware —
+        # a full 16-step burst gaps streams ~1 s while a prefill is only
+        # ~90 ms) and the next admission happens sooner, so pacing stops
+        # costing wall. Full bursts resume the step the backlog clears.
+        steps = self.chunk_burst if (paced and overflow) else None
+        ran = self._run_burst(steps)
         if ran or admit:
             self.stats["busy_s"] += time.time() - t0
         return ran or bool(admit)

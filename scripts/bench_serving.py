@@ -52,7 +52,16 @@ def main():
                     help="skip the prefix-KV-cache section")
     ap.add_argument("--skip-chunk", action="store_true",
                     help="skip the chunked-prefill stall section")
+    ap.add_argument("--only-stall", action="store_true",
+                    help="run ONLY the admission-stall section (cheap "
+                         "on-chip re-run of the pacing/chunking policy)")
+    ap.add_argument("--merge-into", default="",
+                    help="existing artifact JSON: replace just the "
+                         "sections this run produced, keep the rest")
     args = ap.parse_args()
+    if args.only_stall:
+        args.skip_static = args.skip_spec = True
+        args.skip_copy = args.skip_prefix = True
 
     if not args.tpu:
         import jax
@@ -145,10 +154,12 @@ def main():
         print(f"{label}: {report}", file=sys.stderr)
         return report
 
-    eng = ServingEngine(model, max_slots=args.slots, max_len=max_len,
-                        prompt_buckets=buckets, burst=args.burst)
-    continuous = drive(eng, "continuous")
-    eng.release()  # each engine holds a full KV pool; 8 live pools OOM
+    continuous = None
+    if not args.only_stall:
+        eng = ServingEngine(model, max_slots=args.slots, max_len=max_len,
+                            prompt_buckets=buckets, burst=args.burst)
+        continuous = drive(eng, "continuous")
+        eng.release()  # each engine holds a full KV pool; 8 live pools OOM
     total_tokens = args.n * new_tokens
 
     # spec bursts on the same workload: random prompts are the no-match
@@ -277,18 +288,21 @@ def main():
             size=min(prompt_len, buckets[0])).astype(np.int32)
         chunk_size = max(lp // 4, 8)
 
-        def stall_drive(prefill_chunk, label):
+        def stall_drive(prefill_chunk, label, pacing=True):
             eng = ServingEngine(
                 model, max_slots=args.slots, max_len=max_len,
                 prompt_buckets=buckets, burst=args.burst,
-                prefill_chunk=prefill_chunk)
-            # streamer must still be decoding during the long admission,
-            # or the interleave burst (burst=chunk_burst) never compiles
+                prefill_chunk=prefill_chunk, admit_pacing=pacing)
+            # streamer must still be decoding during the long admissions,
+            # or the interleave burst (burst=chunk_burst) never compiles;
+            # TWO longs so a paced backlog forms (the short drain burst
+            # only compiles when an admission leaves overflow behind)
             s0 = eng.submit(stream_prompt, max_new_tokens=args.burst * 3)
             eng.step()
             w0 = eng.submit(long_prompts[0], max_new_tokens=6)
+            w1 = eng.submit(long_prompts[-1], max_new_tokens=6)
             eng.run_until_idle()
-            s0.result(), w0.result()
+            s0.result(), w0.result(), w1.result()
             print(f"{label}: compiled", file=sys.stderr)
             tick_lists = [[], []]
             start = time.time()
@@ -321,17 +335,24 @@ def main():
             print(f"{label}: {report}", file=sys.stderr)
             return report
 
-        mono = stall_drive(0, "stall_monolithic")
-        chk = stall_drive(chunk_size, "stall_chunked")
+        mono = stall_drive(0, "stall_monolithic_unpaced", pacing=False)
+        paced = stall_drive(0, "stall_paced")
+        chk = stall_drive(chunk_size, "stall_paced_chunked")
         chunked = {
             "long_prompt_len": lp, "chunk": chunk_size,
             "n_long_admissions": n_long,
-            "monolithic": mono, "chunked": chk,
+            "monolithic": mono, "paced": paced, "chunked": chk,
+            "paced_stall_max_improvement": round(
+                mono["stall_max_ms"] / max(paced["stall_max_ms"], 1e-9), 2),
+            "paced_wall_ratio": round(
+                paced["wall_s"] / max(mono["wall_s"], 1e-9), 3),
             "stall_max_improvement": round(
                 mono["stall_max_ms"] / max(chk["stall_max_ms"], 1e-9), 2),
         }
-        print(f"chunked-prefill max-stall improvement: "
-              f"{chunked['stall_max_improvement']}x", file=sys.stderr)
+        print(f"stall_max: unpaced {mono['stall_max_ms']} -> paced "
+              f"{paced['stall_max_ms']} -> paced+chunked "
+              f"{chk['stall_max_ms']} ms; paced wall ratio "
+              f"{chunked['paced_wall_ratio']}", file=sys.stderr)
 
     out = {
         "bench": "serving_continuous_batching",
@@ -345,6 +366,11 @@ def main():
         "continuous_copy_spec": spec_copy, "static_b8": static,
         "prefix_cache": prefix, "chunked_prefill": chunked,
     }
+    if args.merge_into and os.path.exists(args.merge_into):
+        with open(args.merge_into) as fh:
+            merged = json.load(fh)
+        merged.update({k: v for k, v in out.items() if v is not None})
+        out = merged
     print(json.dumps(out))
 
 

@@ -1012,3 +1012,73 @@ def test_release_fails_inflight_and_pending_requests(model):
     assert inflight.finished and inflight.cancelled
     assert pending.finished and pending.cancelled
     assert pending.result() is not None  # unblocks, no hang
+
+
+# ------------------------------------------------------- admission pacing
+
+
+def test_admit_pacing_trickles_admissions_one_per_step(model):
+    """With live streams, a pileup admits ONE request per scheduler step
+    (each stacked prefill would stall every in-flight stream), and the
+    paced requests stay token-identical to solo generation."""
+    eng = _engine(model, admit_pacing=True)
+    r0 = eng.submit([5, 9, 14], max_new_tokens=24)
+    eng.step()
+    assert sum(s is not None for s in eng._slots) == 1
+    prompts = [[i + 2, i + 5] for i in range(3)]
+    rs = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    eng.step()
+    assert sum(s is not None for s in eng._slots) == 2
+    assert len(eng._pending) == 2
+    eng.step()
+    assert sum(s is not None for s in eng._slots) == 3
+    eng.run_until_idle()
+    assert r0.result() == _solo(model, [5, 9, 14], 24)
+    for p, r in zip(prompts, rs):
+        assert r.result() == _solo(model, p, 6), p
+
+
+def test_admit_pacing_off_stacks_admissions(model):
+    eng = _engine(model, admit_pacing=False)
+    eng.submit([5, 9, 14], max_new_tokens=24)
+    eng.step()
+    rs = [eng.submit([i + 2, i + 5], max_new_tokens=6) for i in range(3)]
+    eng.step()  # all three admit in one step
+    assert sum(s is not None for s in eng._slots) == 4
+    assert not eng._pending
+    eng.run_until_idle()
+    for r in rs:
+        assert r.finished
+
+
+def test_admit_pacing_idle_engine_admits_full_batch(model):
+    """Nothing live = nothing can observe a stall: a burst of arrivals
+    into an idle engine admits monolithically in one step."""
+    eng = _engine(model, admit_pacing=True)
+    rs = [eng.submit([i + 2, i + 5], max_new_tokens=8) for i in range(3)]
+    eng.step()
+    assert sum(s is not None for s in eng._slots) == 3
+    eng.run_until_idle()
+    for r in rs:
+        assert r.finished
+
+
+def test_paced_backlog_drains_with_short_bursts(model):
+    """While a paced backlog exists the interleave burst is the SHORT
+    (chunk_burst) length — streams deliver more often and the next
+    admission happens sooner — and full bursts resume once it clears."""
+    eng = _engine(model, admit_pacing=True, burst=8, chunk_burst=2)
+    streamer = eng.submit([5, 9, 14], max_new_tokens=40)
+    eng.step()  # idle admit + full burst
+    base = int(np.asarray(eng._state["gen_count"])[0])
+    rs = [eng.submit([i + 2, i + 5], max_new_tokens=4) for i in range(2)]
+    eng.step()  # paced admit #1, backlog remains -> short burst
+    after = int(np.asarray(eng._state["gen_count"])[0])
+    assert after - base == 2  # chunk_burst, not burst
+    eng.step()  # paced admit #2, backlog clear -> full burst again
+    final = int(np.asarray(eng._state["gen_count"])[0])
+    assert final - after == 8
+    eng.run_until_idle()
+    assert streamer.result() == _solo(model, [5, 9, 14], 40)
+    for r in rs:
+        assert r.finished
