@@ -188,6 +188,7 @@ class RAGApplication:
                 burst=self.settings.llm_serving_burst,
                 spec=self.settings.llm_serving_spec,
                 prefill_chunk=self.settings.llm_prefill_chunk,
+                admit_pacing=self.settings.llm_admit_pacing,
             )
         self.generator = AnswerGenerator(llm)
         self.validation_engine = ValidationEngine()

@@ -249,6 +249,12 @@ class Settings:
     # stall a long prompt imposes on in-flight streams; 0 = monolithic
     llm_prefill_chunk: int = field(
         default_factory=lambda: _env("LLM_PREFILL_CHUNK", 0))
+    # admission pacing: with live streams, admit ONE request per scheduler
+    # step — bounds the decode stall from admission pileup at one prefill
+    # for zero extra weight reads (the burst between paced admissions is
+    # useful decode work). Idle engines still admit full batches.
+    llm_admit_pacing: bool = field(
+        default_factory=lambda: _env("LLM_ADMIT_PACING", True, bool))
     # split encoder batches data-parallel over the sharded index's mesh
     encoder_data_parallel: bool = field(
         default_factory=lambda: _env("ENCODER_DP", False, bool)

@@ -27,6 +27,7 @@ from ..documents.schema import Document
 from ..index.flat import SearchResult
 from ..models.bge_m3 import DenseEmbedder
 from ..rerank.reranker import LateInteractionReranker
+from ..utils.quality import expand_query_synonyms
 
 
 def _minmax(scores: np.ndarray) -> np.ndarray:
@@ -363,6 +364,13 @@ class RetrievalEngine:
             return cached
 
         t0 = time.perf_counter()
+        # canonical-synonym expansion (功率→马力 …) feeds the exact-term
+        # consumers: the sparse arm (lexical bridge from colloquial
+        # phrasing to spec-sheet docs) and the reranker (extra query
+        # tokens can only add MaxSim evidence). The DENSE vector keeps the
+        # user's words — appending terms the target doc may not contain
+        # dilutes its cosine below the mode relevance_cutoff.
+        exp_query = expand_query_synonyms(query)
         qvec = self.embedder.embed_query(query)
         t1 = time.perf_counter()
         hits = self.index.search(np.asarray(qvec), k1, metadata_filter)[0]
@@ -381,7 +389,7 @@ class RetrievalEngine:
                 hits = hits + [h for h in extra if h.row not in seen_rows]
         t2 = time.perf_counter()
         hits, q_terms, n_sparse = self._sparse_union(
-            query, np.asarray(qvec), hits, metadata_filter)
+            exp_query, np.asarray(qvec), hits, metadata_filter)
         t2s = time.perf_counter()
 
         candidates = [h.document for h in hits]
@@ -392,10 +400,11 @@ class RetrievalEngine:
             # final k
             if self.token_store is not None and max(rows) < self.token_store.rows:
                 ranked = self.reranker.rerank_rows(
-                    query, candidates, rows, self.token_store, top_k=None
+                    exp_query, candidates, rows, self.token_store, top_k=None
                 )
             else:
-                ranked = self.reranker.rerank(query, candidates, top_k=None)
+                ranked = self.reranker.rerank(
+                    exp_query, candidates, top_k=None)
             if ranked:
                 ranked = _normalize_ranked(ranked)
                 ranked = self._blend_sparse(
@@ -454,6 +463,9 @@ class RetrievalEngine:
         k2 = final_k or params["final_k"]
 
         t0 = time.perf_counter()
+        # same canonical-synonym expansion as the single-query path
+        # (sparse arm + reranker only; the dense vectors keep user words)
+        exp_queries = [expand_query_synonyms(q) for q in queries]
         qvecs = self.embedder.embed_texts(queries)
         t1 = time.perf_counter()
         import json as _json
@@ -504,7 +516,7 @@ class RetrievalEngine:
         q_terms_per_query: List[Optional[Tuple]] = [None] * len(queries)
         n_sparse = 0
         if self._sparse_active():
-            terms = [self._sparse_terms(q) for q in queries]
+            terms = [self._sparse_terms(q) for q in exp_queries]
             cand_b = self.sparse_index.search_batch(
                 np.stack([t[0] for t in terms]),
                 np.stack([t[1] for t in terms]),
@@ -532,14 +544,14 @@ class RetrievalEngine:
             and max(all_rows) < self.token_store.rows
         ):
             ranked_per_query = self.reranker.rerank_rows_batch(
-                queries, docs_per_query, rows_per_query, self.token_store,
-                top_k=None,
+                exp_queries, docs_per_query, rows_per_query,
+                self.token_store, top_k=None,
             )
         elif rerank and self.reranker is not None and any(docs_per_query):
             # no token store coverage: per-query encode-and-rerank fallback
             ranked_per_query = [
                 self.reranker.rerank(q, docs, top_k=None) if docs else []
-                for q, docs in zip(queries, docs_per_query)
+                for q, docs in zip(exp_queries, docs_per_query)
             ]
         else:
             ranked_per_query = [

@@ -28,7 +28,7 @@ from typing import Any, Callable, Dict, List, Optional, Protocol, Tuple
 
 from ..config.mode_config import QueryMode, mode_config
 from ..documents.schema import Document
-from ..utils.quality import extract_key_terms, term_matches
+from ..utils.quality import METRIC_SYNONYMS, extract_key_terms, term_matches
 from .context import documents_in_context_order, format_documents_with_relevance_scores
 from .fact_check import SimpleFactChecker
 from .prompts import build_prompt, prompt_header
@@ -36,6 +36,15 @@ from .prompts import build_prompt, prompt_header
 _THINK_RE = re.compile(r"<think>.*?</think>", re.DOTALL)
 # don't treat a decimal point inside a number (6.9秒, 3.0T) as a boundary
 _SENTENCE_SPLIT = re.compile(r"(?<=[。！？!?])\s*|(?<=\.)(?!\d)\s*")
+_NUMERAL = re.compile(r"\d")
+_MARKER_RE = re.compile(r"【[^】]*】")
+# metric-seeking question detection for the extractive value tie-break:
+# extract_key_terms canonicalizes metric synonyms (能跑多远 → 续航里程), so
+# matching any key term against this lexicon string flags a spec question
+_METRIC_HINT = "，".join(sorted(
+    set(METRIC_SYNONYMS.values())
+    | {"续航里程", "电池容量", "马力", "扭矩", "综合油耗", "百公里加速",
+       "最高时速", "轴距", "后备箱容积", "电耗", "容积", "车重", "价格"}))
 
 
 class LLMBackend(Protocol):
@@ -65,7 +74,17 @@ class StubLLM:
         context = params.get("_stub_context", self._context)
         question = params.get("_stub_question", self._question)
         terms = extract_key_terms(question)
-        candidates: List[tuple] = []  # (n_matched, relevance, order, cited)
+        # spec questions want a VALUE: between sentences matching the same
+        # number of query terms, one that carries a numeral beats opinion
+        # prose ("CLTC续航715公里" over "续航表现不错") — on distractor-
+        # heavy corpora the context mixes spec and review docs of the same
+        # entity, and review sentences can tie on matched terms with a
+        # higher retrieval score. Quote/debate questions are unaffected:
+        # their key terms come from the opinion language itself, so
+        # opinion sentences out-MATCH before this tie-break is consulted.
+        wants_value = bool(_NUMERAL.search(question)) or any(
+            term_matches(t, _METRIC_HINT) for t in terms)
+        candidates: List[tuple] = []
         for order, (doc_id, doc, score) in enumerate(context):
             for sentence in _SENTENCE_SPLIT.split(doc.page_content):
                 sentence = sentence.strip()
@@ -74,15 +93,22 @@ class StubLLM:
                 matched = sum(1 for t in terms if term_matches(t, sentence))
                 if terms and matched == 0:
                     continue
+                # ingested chunks open with the injected metadata header
+                # (【brand:…】【year:2023】…) glued to the first sentence —
+                # its digits must not make opinion prose read as a value
+                has_value = 1 if (wants_value and _NUMERAL.search(
+                    _MARKER_RE.sub("", sentence))) else 0
                 candidates.append(
-                    (matched, score, -order, f"{sentence}【来源：{doc_id}】")
+                    (matched, has_value, score, -order,
+                     f"{sentence}【来源：{doc_id}】")
                 )
         if not candidates:
             text = "根据提供文档，未找到具体的相关数据。"
         else:
-            # most matched query terms first, then retrieval relevance
-            candidates.sort(key=lambda c: (c[0], c[1], c[2]), reverse=True)
-            picked = [c[3] for c in candidates[:5]]
+            # most matched query terms first, then the value tie-break,
+            # then retrieval relevance
+            candidates.sort(key=lambda c: c[:4], reverse=True)
+            picked = [c[4] for c in candidates[:5]]
             text = "。".join(p.rstrip("。") for p in picked) + "。"
         on_text = params.get("on_text")
         if on_text is not None:
@@ -164,7 +190,7 @@ class JaxCausalLM:
     def enable_serving(self, max_slots: int = 8, max_len: int = 2048,
                        burst: int = 16, spec: bool = True,
                        prefill_chunk: int = 0,
-                       prompt_buckets=None):
+                       prompt_buckets=None, admit_pacing: bool = True):
         """Route ``generate`` through the continuous-batching engine:
         concurrent callers (N llm-queue workers, ``QueueManager``
         concurrency) share decode bursts instead of serializing. Greedy
@@ -187,7 +213,7 @@ class JaxCausalLM:
                 self._serving = ServingEngine(
                     self.model, max_slots=max_slots, max_len=max_len,
                     burst=burst, spec=spec, prefill_chunk=prefill_chunk,
-                    **kwargs)
+                    admit_pacing=admit_pacing, **kwargs)
                 self._serving.start()
             return self._serving
 

@@ -74,6 +74,23 @@ def expand_metric_terms(query: str, terms: List[str]) -> List[str]:
     return out
 
 
+def expand_query_synonyms(query: str) -> str:
+    """Retrieval-side query expansion: append the canonical spec term for
+    every colloquial metric synonym in the query (功率→马力, 充一次电能跑→
+    续航里程, 极速→最高时速 …). Colloquial questions share no surface
+    tokens with spec-sheet sentences, so on distractor-heavy corpora the
+    entity's review/comparison docs crowd the fact doc out of the
+    candidate set (EVAL --hard paraphrase split); the appended canonical
+    term restores the lexical bridge for BOTH retrieval arms and the
+    reranker. Identity when the query already speaks spec-sheet."""
+    extra, seen = [], set()
+    for syn, canonical in METRIC_SYNONYMS.items():
+        if syn in query and canonical not in query and canonical not in seen:
+            seen.add(canonical)
+            extra.append(canonical)
+    return query + " " + " ".join(extra) if extra else query
+
+
 def extract_key_terms(query: str) -> List[str]:
     """Key terms from a query: jieba-segmented CJK words when available
     (regex CJK runs otherwise), latin words, numbers; stopwords and

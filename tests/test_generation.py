@@ -464,3 +464,31 @@ def test_stub_llm_concurrent_queries_keep_their_own_context():
     for t in threads:
         t.join()
     assert not errors, errors[:2]
+
+
+def test_extractive_value_tie_break_prefers_spec_sentence():
+    """Metric questions pick the value-carrying sentence over a
+    higher-scored opinion review (EVAL_r04 --hard paraphrase 0.8: right
+    doc retrieved, review sentence quoted); opinion questions still lead
+    with the opinion sentence."""
+    from automative_rag_tpu.documents.schema import Document
+
+    # the injected metadata header (【year:2023】 digits!) glues to the
+    # first sentence of every ingested chunk — it must not make opinion
+    # prose read as a value sentence (caught live: the review doc led the
+    # answer because its header digits passed the numeral check)
+    hdr = "【brand:比亚迪】【model:汉】【year:2023】\n\n"
+    spec = Document(
+        page_content=hdr + "2023款比亚迪汉EV的CLTC续航里程为715公里。",
+        metadata={})
+    review = Document(
+        page_content=hdr + "比亚迪汉的续航表现非常不错，开起来很安心，值得推荐。",
+        metadata={})
+    ctx = [("DOC_1", review, 0.95), ("DOC_2", spec, 0.90)]
+    llm = StubLLM()
+    out = llm.generate("", {"_stub_context": ctx,
+                            "_stub_question": "比亚迪汉充一次电能跑多远"})
+    assert "715" in out.split("。")[0]
+    out2 = llm.generate("", {"_stub_context": ctx,
+                             "_stub_question": "大家觉得比亚迪汉开起来怎么样 值得推荐吗"})
+    assert "推荐" in out2.split("。")[0]

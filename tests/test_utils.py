@@ -128,3 +128,23 @@ def test_metric_synonyms_expand_terms():
     assert "百公里加速" in terms
     # no false expansion without a synonym
     assert "续航里程" not in extract_key_terms("X5的轴距多少")
+
+
+def test_expand_query_synonyms_for_retrieval():
+    """Retrieval-side expansion appends canonical spec terms (the lexical
+    bridge from colloquial phrasings to spec-sheet docs) and is identity
+    when the query already carries them."""
+    from automative_rag_tpu.utils.quality import expand_query_synonyms
+
+    out = expand_query_synonyms("Model 3功率有多强？")
+    assert out.startswith("Model 3功率有多强？")
+    assert "马力" in out
+    # canonical already present -> no duplicate append
+    assert expand_query_synonyms("汉的续航里程是多少") == "汉的续航里程是多少"
+    # 轴距多长 is a synonym key but 轴距 itself is already in the query
+    assert expand_query_synonyms("X5的轴距多长") == "X5的轴距多长"
+    # no synonyms at all -> identity
+    assert expand_query_synonyms("你好") == "你好"
+    # two synonyms of the same canonical append it once
+    out = expand_query_synonyms("极速多少 最快能开多快")
+    assert out.count("最高时速") == 1
