@@ -634,6 +634,8 @@ class IVFIndex(FlatIndex):
         t0 = _time.time()
         # snapshot under the mutex so a concurrent add can't tear n vs
         # the mirrors; clustering itself runs lock-free on the snapshot
+        staged = None
+        keep_slab = False
         with self._mutex:
             n = len(self._ids)
             live_idx = np.nonzero(~self._deleted[:n])[0].astype(np.int64)
@@ -643,6 +645,18 @@ class IVFIndex(FlatIndex):
                 # consistent snapshot without the O(corpus) fancy-index
                 # copy (4 GB at 1M×1024, r03 build_s included it)
                 vectors = self._vectors[:n]
+                # the resident device slab IS the corpus (bf16/f32 kinds):
+                # hand it to kmeans as the pre-staged slab — the host→HBM
+                # re-ship it replaces is the dominant warm-rebuild cost
+                # (4 GB f32 at the ~69 MB/s relay ≈ 58 s minimum; measured
+                # far worse under relay contention). Quantized kinds keep
+                # the host path (kmeans clusters full-precision rows).
+                dev = self._device
+                if (dev is not None and not self._int8 and not self._int4
+                        and dev.get("staged_rows") == n):
+                    cap = int(dev["capacity"])
+                    staged = (dev["vectors"], n, min(8192, cap))
+                    keep_slab = True
             else:
                 vectors = np.array(self._vectors[:n][live_idx])
         n_live = int(live_idx.size)
@@ -683,6 +697,7 @@ class IVFIndex(FlatIndex):
             centroids, assignments, second, margin = spherical_kmeans(
                 normalized, self.n_lists, n_iters=self.kmeans_iters,
                 seed=seed, return_second=True, timings=km_timings,
+                staged=staged,
             )
             timings["kmeans_s"] = round(_time.time() - t0, 2)
             timings["kmeans_phases"] = km_timings
@@ -717,7 +732,21 @@ class IVFIndex(FlatIndex):
             self._centroids = centroids
             self._list_table = table
             self._indexed_rows = n
-            self._device = None
+            dev = self._device
+            if (keep_slab and dev is not None
+                    and dev.get("staged_rows") == n):
+                # rebuild changes centroids/table, NOT row vectors: keep
+                # the resident corpus slab (a None here re-ships the whole
+                # corpus on the next search). Functional copy so an
+                # in-flight search keeps a consistent old state.
+                state = dict(dev)
+                centroid_dtype = (
+                    jnp.bfloat16 if self._int8 else self.device_dtype)
+                state["centroids"] = jnp.asarray(centroids, centroid_dtype)
+                state["list_table"] = jnp.asarray(table)
+                self._device = state
+            else:
+                self._device = None
             self._tail_device = None  # tail folded into the lists
         timings["table_s"] = round(_time.time() - t0, 2)
         return {

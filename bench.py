@@ -320,7 +320,13 @@ def main():
         "append_tail_s": _pick("ivf_tail", "append_latency_s"),
         "e2e_query_p50_s": _pick("e2e_query", "facts", "p50_s"),
         "eval_answer_acc": _pick("eval", "answer_accuracy"),
+        "eval_hard_paraphrase": _pick(
+            "eval", "hard", "paraphrase_answer_accuracy"),
         "flat10m_qps": _pick("capacity_10m", "flat_10m_int8", "qps"),
+        "stall_paced_max_ms": _pick(
+            "serving", "chunked_prefill", "paced", "stall_max_ms"),
+        "stall_unpaced_max_ms": _pick(
+            "serving", "chunked_prefill", "monolithic", "stall_max_ms"),
     }
     headlines = {k: v for k, v in headlines.items() if v is not None}
 

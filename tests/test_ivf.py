@@ -662,3 +662,46 @@ def test_probe_calibration_adapts_to_hard_distribution():
     assert index.n_probe == info["n_probe"]
     # measured recall at the chosen width meets the target
     assert info["curve"][info["n_probe"]] >= 0.95, info
+
+
+def test_rebuild_reuses_resident_device_slab():
+    """A warm rebuild (device slab already staged by a prior search) must
+    (a) hand the resident slab to kmeans instead of re-shipping the host
+    corpus, (b) produce the identical build to the host-ship path, and
+    (c) keep the slab alive across the swap — invalidating it makes the
+    next search re-ship the whole corpus."""
+    rng = np.random.default_rng(13)
+    vectors, docs = _corpus(rng, 600, 64, clusters=8)
+
+    cold = IVFIndex(dim=64, n_lists=8)
+    cold.add(vectors, docs)
+    info_cold = cold.rebuild(seed=3)
+
+    warm = IVFIndex(dim=64, n_lists=8)
+    warm.add(vectors, docs)
+    warm.search(rng.normal(size=(1, 64)).astype(np.float32), k=5)  # stages
+    slab_before = warm._device["vectors"]
+    info_warm = warm.rebuild(seed=3)
+
+    # same clustering either way (same seed, same bf16 slab values)
+    assert np.array_equal(warm._list_table, cold._list_table)
+    assert np.allclose(warm._centroids, cold._centroids, atol=1e-6)
+    assert info_warm["timings"]["kmeans_phases"]["ship_s"] <= \
+        info_cold["timings"]["kmeans_phases"].get("ship_s", 0.0) + 1e-9
+    # slab survived the swap (same device buffer, fresh centroids/table)
+    assert warm._device is not None
+    assert warm._device["vectors"] is slab_before
+    assert warm._device["list_table"] is not None
+
+    # search correctness after the in-place swap
+    q = vectors[17][None, :].astype(np.float32)
+    hits = warm.search(q, k=5, n_probe=8)[0]
+    assert hits and hits[0].row == 17
+
+    # quantized kinds keep the host path (kmeans wants full precision)
+    q8 = IVFIndex(dim=64, n_lists=8, device_dtype="int8")
+    q8.add(vectors, docs)
+    q8.search(rng.normal(size=(1, 64)).astype(np.float32), k=5)
+    q8.rebuild(seed=3)
+    hits = q8.search(q, k=5, n_probe=8)[0]
+    assert hits and hits[0].row == 17
