@@ -85,8 +85,13 @@ def main():
                     carry, vecs, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 ).astype(jnp.float32)
-                idx = select(scores)
-                carry = carry + (idx[0, 0] * 0).astype(carry.dtype)
+                vals, idx = select(scores)
+                # serialize the carry on a FLOAT value: x*0 is not
+                # foldable for floats (NaN/Inf), so XLA cannot hoist the
+                # loop-invariant body out of the scan. An int idx*0 IS
+                # folded to 0 — the first run of this bench did that and
+                # timed the dispatch floor (1.4 ms) instead of the scan.
+                carry = carry + (vals[0, 0] * 0).astype(carry.dtype)
                 return carry, idx
 
             _, outs = jax.lax.scan(body, q, None, length=REPS)
@@ -94,12 +99,16 @@ def main():
 
         return many
 
+    def _argmax(s):
+        return (jnp.max(s, axis=-1, keepdims=True),
+                jnp.argmax(s, axis=-1)[:, None])
+
     variants = {
-        "argmax_floor": lambda s: jnp.argmax(s, axis=-1)[:, None],
-        "hier_exact": lambda s: hierarchical_top_k(s, k_scan)[1],
-        "approx_95": lambda s: jax.lax.approx_max_k(s, k_scan)[1],
+        "argmax_floor": _argmax,
+        "hier_exact": lambda s: hierarchical_top_k(s, k_scan),
+        "approx_95": lambda s: jax.lax.approx_max_k(s, k_scan),
         "approx_99": lambda s: jax.lax.approx_max_k(
-            s, k_scan, recall_target=0.99)[1],
+            s, k_scan, recall_target=0.99),
     }
 
     report = {
