@@ -280,7 +280,9 @@ class RAGApplication:
                 axis_name=self.settings.mesh_shard_axis_name,
                 device_dtype=self.settings.index_dtype,
             )
-        return FlatIndex(dim=self.embedder.dim, device_dtype=self.settings.index_dtype)
+        return FlatIndex(dim=self.embedder.dim,
+                         device_dtype=self.settings.index_dtype,
+                         topk_approx=self.settings.index_topk_approx)
 
     def _make_token_store(self):
         common = dict(

@@ -119,6 +119,12 @@ class Settings:
     # power-law/anisotropic corpora under-probe at any fixed default)
     ivf_calibrate_recall: float = field(
         default_factory=lambda: _env("IVF_CALIBRATE_RECALL", 0.95, float))
+    # approximate SHORTLIST selection (TPU-native lax.approx_max_k) for the
+    # refined quantized flat scan — the host refine rescores it exactly, so
+    # this trades nothing measurable for removing the exact-top-k stage
+    # that dominates huge scans (BENCH_TOPK_AB_r04)
+    index_topk_approx: bool = field(
+        default_factory=lambda: _env("INDEX_TOPK_APPROX", True, bool))
     # store ColBERT token embeddings at ingest (rerank-from-store fast path)
     store_token_embeddings: bool = field(
         default_factory=lambda: _env("STORE_TOKEN_EMBEDDINGS", True, bool)

@@ -73,9 +73,10 @@ def _search_kernel(vectors, valid, codes, numerics, queries, spec: FilterSpec, k
     return masked_top_k(scores, mask, k)
 
 
-@partial(jax.jit, static_argnames=("k",))
+@partial(jax.jit, static_argnames=("k", "approx"))
 def _search_kernel_int8(
-    vectors_i8, row_scales, valid, codes, numerics, queries, spec: FilterSpec, k: int
+    vectors_i8, row_scales, valid, codes, numerics, queries, spec: FilterSpec,
+    k: int, approx: bool = False
 ):
     """Symmetric-int8 corpus search: the int32 MXU matmul runs at 2× bf16
     throughput and the corpus HBM footprint halves; per-row and per-query
@@ -92,13 +93,13 @@ def _search_kernel_int8(
     )  # [B, N] int32
     scores = raw.astype(jnp.float32) * q_scale * row_scales[None, :]
     mask = valid & eval_filter_mask(codes, numerics, spec)
-    return masked_top_k(scores, mask, k)
+    return masked_top_k(scores, mask, k, approx=approx)
 
 
-@partial(jax.jit, static_argnames=("k", "interpret"))
+@partial(jax.jit, static_argnames=("k", "interpret", "approx"))
 def _search_kernel_int4(
     packed, row_scales, valid, codes, numerics, queries, spec: FilterSpec,
-    k: int, interpret: bool
+    k: int, interpret: bool, approx: bool = False
 ):
     """w4a16 corpus search: the corpus is the packed int4 weight matrix of
     the fused Pallas kernel (``ops/quant_matmul.w4_matmul`` — nibbles
@@ -112,7 +113,7 @@ def _search_kernel_int4(
         queries.astype(jnp.float32), packed, row_scales, interpret=interpret
     ).astype(jnp.float32)
     mask = valid & eval_filter_mask(codes, numerics, spec)
-    return masked_top_k(scores, mask, k)
+    return masked_top_k(scores, mask, k, approx=approx)
 
 
 @jax.jit
@@ -124,8 +125,15 @@ class FlatIndex:
     """Exact cosine search over an HBM-resident corpus."""
 
     def __init__(self, dim: int, device_dtype: str = "bfloat16",
-                 refine_mult: int = 8):
+                 refine_mult: int = 8, topk_approx: bool = True):
         self.dim = dim
+        # approximate SHORTLIST selection (lax.approx_max_k) for the
+        # refined quantized scan only: the host refine rescores the
+        # shortlist exactly, and at k_scan=8·k the approximate shortlist
+        # contained the full exact top-10 at 10M rows (BENCH_TOPK_AB_r04)
+        # — exact hierarchical selection cost ~3× the scan itself there.
+        # Never used when results come straight from the device top-k.
+        self.topk_approx = bool(topk_approx)
         if str(device_dtype) == "int4":
             # stored as packed nibble pairs in uint8 (pack_w4 layout)
             if dim % 2:
@@ -524,17 +532,21 @@ class FlatIndex:
             k_scan = k_eff
             if quantized and self.refine_mult > 1:
                 k_scan = min(k_eff * self.refine_mult, state["capacity"])
+            # approximate shortlist selection is only sound when the
+            # host refine rescores it exactly afterwards
+            approx = bool(self.topk_approx and k_scan > k_eff)
             if self._int8:
                 values, indices = _search_kernel_int8(
                     state["vectors"], state["row_scales"], state["valid"],
                     state["codes"], state["numerics"], jnp.asarray(queries),
-                    spec, k_scan,
+                    spec, k_scan, approx=approx,
                 )
             elif self._int4:
                 values, indices = _search_kernel_int4(
                     state["vectors"], state["row_scales"], state["valid"],
                     state["codes"], state["numerics"], jnp.asarray(queries),
                     spec, k_scan, jax.default_backend() != "tpu",
+                    approx=approx,
                 )
             else:
                 values, indices = _search_kernel(

@@ -51,20 +51,32 @@ def hierarchical_top_k(scores: jax.Array, k: int,
     return top_v, jnp.take_along_axis(cand_i, pos, axis=-1)
 
 
-def masked_top_k(scores: jax.Array, mask: jax.Array, k: int):
+def masked_top_k(scores: jax.Array, mask: jax.Array, k: int,
+                 approx: bool = False):
     """Top-k over the last axis with a boolean validity mask.
 
     Args:
         scores: [..., N] float scores.
         mask:   [N] or [..., N] boolean; False rows can never be selected.
         k:      static number of results.
+        approx: use the TPU-native approximate top-k (``lax.approx_max_k``
+            → PartialReduce, one pass over the scores instead of the
+            sort-network cost of exact selection). Only for SHORTLIST
+            selection whose rows an exact stage rescores afterwards (the
+            quantized flat search's host refine): at k_scan=8·k the
+            approximate shortlist contained the full exact top-10 at 10M
+            rows (BENCH_TOPK_AB_r04). On CPU the op falls back to an
+            exact implementation, so parity tests run everywhere.
 
     Returns:
         (values [..., k], indices [..., k]); masked-out selections (when fewer
         than k rows are valid) carry value -inf.
     """
     masked = jnp.where(mask, scores.astype(jnp.float32), NEG_INF)
-    if masked.shape[-1] >= _TWO_STAGE_MIN:
+    n = masked.shape[-1]
+    if approx and n >= _TWO_STAGE_MIN and n > k:
+        return jax.lax.approx_max_k(masked, k, recall_target=0.95)
+    if n >= _TWO_STAGE_MIN:
         return hierarchical_top_k(masked, k)
     return jax.lax.top_k(masked, k)
 

@@ -454,3 +454,35 @@ def test_int8_host_refine_exact_scores_and_tail():
     hits = idx.search(fresh[2], 5)[0]
     assert hits[0].row == 802  # the fresh row wins via the exact merge
     assert abs(hits[0].score - 1.0) < 1e-5
+
+
+def test_approx_shortlist_parity_with_exact_refine():
+    """topk_approx only engages on the REFINED quantized scan (host refine
+    rescores the shortlist exactly), so results must match the exact-
+    shortlist path; the unrefined bf16 path must be untouched by the flag."""
+    import numpy as np
+
+    from automative_rag_tpu.documents import Document
+    from automative_rag_tpu.index.flat import FlatIndex
+
+    rng = np.random.default_rng(5)
+    n = 40_000  # above the two-stage/approx threshold (32768)
+    vectors = rng.normal(size=(n, 32)).astype(np.float32)
+    docs = [Document(page_content=f"d{i}", metadata={"year": 2015 + i % 8})
+            for i in range(n)]
+    queries = rng.normal(size=(3, 32)).astype(np.float32)
+
+    results = {}
+    for approx in (False, True):
+        idx = FlatIndex(dim=32, device_dtype="int8", topk_approx=approx)
+        idx.add(vectors, docs)
+        results[approx] = idx.search(queries, k=10)
+    for ra, re_ in zip(results[True], results[False]):
+        assert [h.row for h in ra] == [h.row for h in re_]
+        assert np.allclose([h.score for h in ra], [h.score for h in re_])
+
+    # filtered path too (mask interacts with the shortlist selection)
+    idx = FlatIndex(dim=32, device_dtype="int8", topk_approx=True)
+    idx.add(vectors, docs)
+    hits = idx.search(queries, k=10, metadata_filter={"year": 2017})[0]
+    assert hits and all(h.document.metadata["year"] == 2017 for h in hits)
