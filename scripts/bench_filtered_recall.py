@@ -112,6 +112,10 @@ def main():
     rng = np.random.default_rng(0)
     vectors, queries_raw = build_distribution(args.dist, args.n, args.dim,
                                               args.queries, rng)
+    # the encoder distribution produces the trained encoder's own dim and
+    # as many rows as generated docs exist (< --n for big --n)
+    args.n = int(vectors.shape[0])
+    args.dim = int(vectors.shape[1])
 
     # metadata with controlled selectivities: manu (1/5), manu+year (1/40)
     docs = [
