@@ -345,8 +345,12 @@ class RAGApplication:
             info = self.index.rebuild()
             target = float(self.settings.ivf_calibrate_recall or 0)
             if target > 0 and hasattr(self.index, "calibrate"):
+                # prefer REAL query traffic as calibration probes:
+                # corpus-sampled rows overestimate recall when queries sit
+                # off the doc manifold (RECALL_CURVES_r04 encoder analysis)
                 info["calibration"] = self.index.calibrate(
-                    target_recall=target)
+                    target_recall=target,
+                    queries=self.engine.recent_queries())
             return info
         return {"kind": "flat", "note": "flat index needs no build"}
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import threading
 import time
-from collections import OrderedDict
+from collections import OrderedDict, deque
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -150,6 +150,23 @@ class RetrievalEngine:
         self._cache: "OrderedDict[tuple, tuple]" = OrderedDict()
         self._cache_lock = threading.Lock()
         self.cache_stats = {"hits": 0, "misses": 0}
+        # rolling buffer of real query vectors: IVF probe calibration on
+        # corpus-sampled rows OVERESTIMATES recall when queries sit off
+        # the doc manifold (RECALL_CURVES_r04 encoder analysis) — rebuilds
+        # calibrate against this traffic sample when it's populated
+        self._recent_qvecs: deque = deque(maxlen=256)
+
+    def recent_queries(self):
+        """Snapshot of the rolling real-query vector buffer ([n, dim] f32,
+        or None when fewer than 8 queries have been seen) — the probe
+        source for query-sampled IVF calibration. Entries from before an
+        encoder hot-swap (different dim) are dropped."""
+        dim = getattr(self.embedder, "dim", None)
+        vecs = [v for v in self._recent_qvecs
+                if dim is None or v.shape[-1] == dim]
+        if len(vecs) < 8:
+            return None
+        return np.stack(vecs)
 
     def _state_fingerprint(self) -> tuple:
         idx = self.index
@@ -372,6 +389,7 @@ class RetrievalEngine:
         # dilutes its cosine below the mode relevance_cutoff.
         exp_query = expand_query_synonyms(query)
         qvec = self.embedder.embed_query(query)
+        self._recent_qvecs.append(np.asarray(qvec, np.float32))
         t1 = time.perf_counter()
         hits = self.index.search(np.asarray(qvec), k1, metadata_filter)[0]
         # entity-guided expansion: when the query names a known model or
@@ -467,6 +485,8 @@ class RetrievalEngine:
         # (sparse arm + reranker only; the dense vectors keep user words)
         exp_queries = [expand_query_synonyms(q) for q in queries]
         qvecs = self.embedder.embed_texts(queries)
+        for v in np.asarray(qvecs, np.float32):
+            self._recent_qvecs.append(v)
         t1 = time.perf_counter()
         import json as _json
 

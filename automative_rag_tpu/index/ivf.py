@@ -903,11 +903,18 @@ class IVFIndex(FlatIndex):
 
     # -------------------------------------------------------------- search
     def calibrate(self, target_recall: float = 0.95, sample: int = 48,
-                  k: int = 10, seed: int = 0) -> Dict[str, Any]:
-        """Build-time probe self-tuning: sample live corpus rows as
-        queries, measure recall@k at each ladder width against the EXACT
-        flat scan over the same staged slab, and set ``n_probe`` to the
-        smallest width that hits ``target_recall``.
+                  k: int = 10, seed: int = 0,
+                  queries: Optional[np.ndarray] = None) -> Dict[str, Any]:
+        """Build-time probe self-tuning: measure recall@k at each ladder
+        width against the EXACT flat scan over the same staged slab, and
+        set ``n_probe`` to the smallest width that hits ``target_recall``.
+
+        Probes are ``queries`` (real query vectors — e.g. the engine's
+        recent-query buffer) when given, else sampled live corpus rows.
+        Corpus rows are always available but can OVERESTIMATE recall when
+        real queries sit off the doc manifold (RECALL_CURVES_r04: the
+        trained-encoder corpus calibrates to nprobe 8 on corpus-sampled
+        probes, yet question-phrasing queries measure 0.853 there).
 
         A fixed default probes well on isotropic/equal-cluster corpora and
         badly on power-law / anisotropic ones (RECALL_CURVES_r04: nprobe-8
@@ -924,7 +931,15 @@ class IVFIndex(FlatIndex):
             rng = np.random.default_rng(seed)
             rows = live[rng.choice(live.size, size=min(sample, live.size),
                                    replace=False)]
-            queries = np.array(self._vectors[rows], np.float32)
+        probe_source = "corpus_rows"
+        if queries is not None and len(queries) >= 8:
+            queries = np.asarray(queries, np.float32)[-sample:]
+            queries = queries / np.maximum(
+                np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+            probe_source = "recent_queries"
+        else:
+            with self._mutex:
+                queries = np.array(self._vectors[rows], np.float32)
 
         # exact oracle: the FLAT kernel over the very same staged slab
         exact = FlatIndex.search(self, queries, k, normalize=False)
@@ -945,7 +960,7 @@ class IVFIndex(FlatIndex):
         self.n_probe = int(chosen)
         return {"calibrated": True, "n_probe": int(chosen),
                 "target_recall": target_recall, "curve": curve,
-                "sample": int(rows.size)}
+                "sample": int(len(queries)), "probe_source": probe_source}
 
     def search(
         self,

@@ -705,3 +705,46 @@ def test_rebuild_reuses_resident_device_slab():
     q8.rebuild(seed=3)
     hits = q8.search(q, k=5, n_probe=8)[0]
     assert hits and hits[0].row == 17
+
+
+def test_calibrate_prefers_real_query_probes():
+    """calibrate(queries=...) measures recall on REAL query vectors instead
+    of corpus-sampled rows (corpus rows overestimate recall when queries
+    sit off the doc manifold — RECALL_CURVES_r04 encoder analysis)."""
+    rng = np.random.default_rng(3)
+    vectors, docs = _corpus(rng, 800, 64, clusters=8)
+    index = IVFIndex(dim=64, n_lists=8, n_probe=1)
+    index.add(vectors, docs)
+    index.rebuild(seed=0)
+
+    qs = vectors[rng.integers(0, 800, size=16)] + \
+        0.3 * rng.normal(size=(16, 64)).astype(np.float32)
+    info = index.calibrate(target_recall=0.9, queries=qs)
+    assert info["calibrated"] and info["probe_source"] == "recent_queries"
+    assert info["sample"] == 16
+    assert index.n_probe == info["n_probe"] >= 1
+
+    # no/too-few queries -> corpus-row fallback
+    info2 = index.calibrate(target_recall=0.9, queries=qs[:3])
+    assert info2["probe_source"] == "corpus_rows"
+
+
+def test_engine_recent_query_buffer_feeds_calibration():
+    from automative_rag_tpu.engine.retrieval import RetrievalEngine
+    from automative_rag_tpu.models.bge_m3 import DenseEmbedder
+    from automative_rag_tpu.models.encoder import EncoderConfig
+
+    emb = DenseEmbedder(config=EncoderConfig.tiny(hidden_size=64))
+    index = IVFIndex(dim=emb.dim, n_lists=4)
+    eng = RetrievalEngine(emb, index, reranker=None)
+    docs = [Document(page_content=f"宝马X{i} 的马力是{200+i}匹",
+                     metadata={"manufacturer": "宝马"}) for i in range(64)]
+    eng.add_documents(docs)
+    index.rebuild(seed=0)
+    assert eng.recent_queries() is None  # nothing seen yet
+    for i in range(10):
+        eng.retrieve(f"宝马X{i} 马力", rerank=False)
+    qs = eng.recent_queries()
+    assert qs is not None and qs.shape[0] == 10 and qs.shape[1] == emb.dim
+    info = index.calibrate(target_recall=0.9, queries=qs)
+    assert info["probe_source"] == "recent_queries"
