@@ -107,7 +107,8 @@ def generate_corpus(n, dim, n_oracle_q, seed=0):
     }
 
 
-def bench_dtype(dtype, corpus, n, dim, k, batch, trials, refine_mult=8):
+def bench_dtype(dtype, corpus, n, dim, k, batch, trials, refine_mult=8,
+                selection="approx"):
     import jax
     import jax.numpy as jnp
 
@@ -152,6 +153,13 @@ def bench_dtype(dtype, corpus, n, dim, k, batch, trials, refine_mult=8):
     # in exact order is itself true top-k), so refined recall@k IS the
     # shortlist-containment rate, measurable without the 40 GB f32 corpus
     k_scan = max(k, k * refine_mult)
+    # shortlist selection: "approx" = lax.approx_max_k, the production
+    # default (index/flat.py topk_approx) — BENCH_TOPK_AB_r04 measured it
+    # AT the 14.1 ms argmax scan floor at 10M with the exact top-10 fully
+    # contained in the 80-row shortlist, where exact hierarchical
+    # selection costs 68.6 ms (the selection was ~80% of r04's first-pass
+    # 71.5 ms/batch). "exact" reproduces the old path for A/B.
+    approx_sel = selection == "approx" and refine_mult > 1
 
     @jax.jit
     def many(q, vectors, row_scales):
@@ -166,7 +174,8 @@ def bench_dtype(dtype, corpus, n, dim, k, batch, trials, refine_mult=8):
                     carry, vectors, row_scales, interpret=interpret
                 ).astype(jnp.float32)
             mask = valid & eval_filter_mask(codes, numerics, spec)
-            vals, idx = masked_top_k(scores, mask, k_scan)
+            vals, idx = masked_top_k(scores, mask, k_scan,
+                                     approx=approx_sel)
             carry = carry + (vals[0, 0] * 0).astype(carry.dtype)
             return carry, idx
 
@@ -180,6 +189,7 @@ def bench_dtype(dtype, corpus, n, dim, k, batch, trials, refine_mult=8):
     ship_s = time.time() - t_ship
 
     report = {"n": n, "dtype": dtype, "batch": batch, "k": k,
+              "selection": "approx_max_k" if approx_sel else "exact",
               "hbm_gb": round(rows.nbytes / 2**30, 2),
               "ship_s": round(ship_s, 1)}
 
@@ -234,6 +244,10 @@ def main():
     parser.add_argument("--oracle-queries", type=int, default=16)
     parser.add_argument("--refine-mult", type=int, default=8,
                         help="shortlist = refine_mult*k (0/1 = plain scan)")
+    parser.add_argument("--selection", choices=("approx", "exact"),
+                        default="approx",
+                        help="shortlist selection: approx_max_k "
+                             "(production default) or exact hierarchical")
     parser.add_argument("--dtypes", default="int8,int4")
     parser.add_argument("--out", default="BENCH_SCALE_10M_r04.json")
     parser.add_argument("--cpu", action="store_true",
@@ -263,7 +277,8 @@ def main():
         try:
             report[key] = bench_dtype(
                 dtype, corpus, args.n, args.dim, args.k, args.batch,
-                args.trials, refine_mult=args.refine_mult)
+                args.trials, refine_mult=args.refine_mult,
+                selection=args.selection)
             print(f"[done] {key}: {report[key]}", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — record and continue
             report[key] = {"error": repr(exc)[:500]}
