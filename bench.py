@@ -284,7 +284,8 @@ def main():
         ("w4_tune", ("W4_TUNE_r04.json", "W4_TUNE_r03.json")),
         ("sparse", ("BENCH_SPARSE_r04.json", "BENCH_SPARSE_r03.json")),
         ("flat_dtype_ladder", ("BENCH_SCALE_r03b.json",)),
-        ("capacity_10m", ("BENCH_SCALE_10M_r04.json", "CAPACITY_10M.json")),
+        ("capacity_10m", ("BENCH_SCALE_10M_r04b.json",
+                          "BENCH_SCALE_10M_r04.json", "CAPACITY_10M.json")),
         ("recall_curves", ("RECALL_CURVES_r04.json", "RECALL_CURVES.json")),
         ("recall_1m_powerlaw", ("RECALL_1M_POWERLAW_r04.json",)),
         ("e2e_query", ("BENCH_E2E_TPU_r04.json",)),
