@@ -315,6 +315,29 @@ def choose_probe(levels: List[int], selectivity: float, rows_per_list: float,
 # slab restages per add.
 
 
+# Minimum homeless-row count before phase-2 preference ranking moves to the
+# device slab (below this, the host matmul beats a dispatch round-trip).
+# Module-level so tests can force the device path at tiny sizes.
+_HOMELESS_DEVICE_MIN = 8192
+
+
+@partial(jax.jit, static_argnames=("r",))
+def _homeless_prefs_kernel(slab, centroids, rows, r: int):
+    """Top-``r`` centroid preferences for a padded chunk of corpus rows,
+    gathered from the staged device slab. Ship: [chunk] int32 row ids;
+    fetch: [chunk, r] int32 — the previous host path shipped the rows'
+    f32 vectors up and the full [H, K] affinity back down through the
+    ~69 MB/s relay (≈1.6 GB round trip at H=200K, most of the measured
+    31 s balance phase at 1M)."""
+    block = jnp.take(slab, rows, axis=0).astype(jnp.float32)
+    aff = jax.lax.dot_general(
+        block, centroids, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    _, pref = jax.lax.top_k(aff, r)
+    return pref.astype(jnp.int32)
+
+
 def balance_assignments(
     assignments: np.ndarray,
     second: np.ndarray,
@@ -323,6 +346,7 @@ def balance_assignments(
     normalized: Optional[np.ndarray] = None,
     centroids: Optional[np.ndarray] = None,
     margin: Optional[np.ndarray] = None,
+    staged=None,
 ) -> np.ndarray:
     """Cap list sizes at ``balance_factor × mean`` — STRICTLY when the
     vectors/centroids are provided, best-effort otherwise.
@@ -339,7 +363,13 @@ def balance_assignments(
        every list lands ≤ cap and fill_ratio ≥ 1/balance_factor.
 
     Spilled rows remain findable: probes ranked by centroid affinity reach
-    the spill list at the same rate the row's own affinity ranks it."""
+    the spill list at the same rate the row's own affinity ranks it.
+
+    ``staged``: an optional ``(device slab, n, chunk)`` tuple (the kmeans
+    ``stage_corpus`` shape) whose row ``i`` IS assignment row ``i`` — only
+    valid for no-tombstone builds. When present, phase-2 preferences are
+    computed on device from the resident slab and only ``[H, 64]`` int32
+    indices cross the relay."""
     n = assignments.shape[0]
     cap = max(8, int(np.ceil(balance_factor * n / n_lists)))
     counts = np.bincount(assignments, minlength=n_lists)
@@ -390,22 +420,67 @@ def balance_assignments(
     ok = accept_per_dest(overflow_rows, sec)
     move(overflow_rows[ok], sec[ok])
     homeless = overflow_rows[~ok]
-    if homeless.size and normalized is not None and centroids is not None:
-        # device matmul: affinity of each homeless row to every centroid;
-        # then round-based vectorized placement — round r offers every
-        # still-homeless row its r-th choice, capacity-gated
-        affinity = np.asarray(jnp.asarray(
-            normalized[homeless], jnp.float32
-        ) @ jnp.asarray(centroids, jnp.float32).T)
-        pref = np.argsort(-affinity, axis=1)
+    can_rank_host = normalized is not None and centroids is not None
+    if homeless.size and centroids is not None and (
+            can_rank_host or staged is not None):
+        # round-based vectorized placement — round r offers every
+        # still-homeless row its r-th-choice centroid, capacity-gated.
+        # Placement rarely needs more than a few dozen rounds, so only the
+        # top-R preferences are ranked up front ([H, K] full argsort was
+        # ~3 s of host time at 1M); the straggler set that exhausts R
+        # falls back to a full ranking (total capacity ≥ 1.25·n, so every
+        # row provably places).
+        cf = np.ascontiguousarray(centroids, np.float32)
+        r_pref = int(min(n_lists, 64))
+        if staged is not None and homeless.size >= _HOMELESS_DEVICE_MIN:
+            slab = staged[0]
+            cent_dev = jnp.asarray(cf)
+            chunk_rows = 131072  # one executable shape; [chunk, K] f32
+            prefs = []
+            for s in range(0, homeless.size, chunk_rows):
+                rows = homeless[s:s + chunk_rows]
+                m = rows.shape[0]
+                if m < chunk_rows:
+                    rows = np.pad(rows, (0, chunk_rows - m))
+                p = np.asarray(_homeless_prefs_kernel(
+                    slab, cent_dev, jnp.asarray(rows, jnp.int32), r_pref))
+                prefs.append(p[:m])
+            pref = np.concatenate(prefs, axis=0)
+        else:
+            affinity = normalized[homeless].astype(np.float32) @ cf.T
+            if r_pref < n_lists:
+                part = np.argpartition(
+                    -affinity, r_pref - 1, axis=1)[:, :r_pref]
+                sub = np.take_along_axis(affinity, part, axis=1)
+                pref = np.take_along_axis(
+                    part, np.argsort(-sub, axis=1), axis=1)
+            else:
+                pref = np.argsort(-affinity, axis=1)
         alive = np.arange(homeless.shape[0])
-        for r in range(n_lists):
+        for r in range(pref.shape[1]):
             if alive.size == 0:
                 break
             dests = pref[alive, r]
             ok = accept_per_dest(homeless[alive], dests)
             move(homeless[alive][ok], dests[ok])
             alive = alive[~ok]
+        if alive.size:
+            rest = homeless[alive]
+            if can_rank_host:
+                aff_rest = normalized[rest].astype(np.float32) @ cf.T
+            else:
+                aff_rest = np.asarray(jnp.take(
+                    staged[0], jnp.asarray(rest, jnp.int32), axis=0
+                ).astype(jnp.float32)) @ cf.T
+            pref_rest = np.argsort(-aff_rest, axis=1)
+            alive2 = np.arange(rest.shape[0])
+            for r in range(n_lists):
+                if alive2.size == 0:
+                    break
+                dests = pref_rest[alive2, r]
+                ok = accept_per_dest(rest[alive2], dests)
+                move(rest[alive2][ok], dests[ok])
+                alive2 = alive2[~ok]
     return assignments
 
 
@@ -706,7 +781,7 @@ class IVFIndex(FlatIndex):
                 assignments = balance_assignments(
                     assignments, second, self.n_lists, self.balance_factor,
                     normalized=normalized, centroids=centroids,
-                    margin=margin,
+                    margin=margin, staged=staged,
                 )
                 timings["balance_s"] = round(_time.time() - t0, 2)
 

@@ -748,3 +748,68 @@ def test_engine_recent_query_buffer_feeds_calibration():
     assert qs is not None and qs.shape[0] == 10 and qs.shape[1] == emb.dim
     info = index.calibrate(target_recall=0.9, queries=qs)
     assert info["probe_source"] == "recent_queries"
+
+
+def test_balance_homeless_device_ranking_matches_host(monkeypatch):
+    """Phase-2 homeless placement ranked on the resident device slab (only
+    [H, r] int32 indices cross the relay instead of the rows' f32 vectors +
+    the full [H, K] affinity — the dominant balance-phase cost at 1M over
+    the ~69 MB/s relay) places rows identically to the host ranking and
+    keeps the strict-cap guarantee."""
+    import jax.numpy as jnp
+
+    import automative_rag_tpu.index.ivf as ivf_mod
+    from automative_rag_tpu.index.ivf import balance_assignments
+
+    rng = np.random.default_rng(11)
+    n, dim, n_lists = 4096, 64, 16
+    v = rng.normal(size=(n, dim)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    # adversarial: every row assigned to list 0 with second choice 1, so
+    # most rows overflow AND their second choice fills -> large homeless set
+    assignments = np.zeros(n, np.int64)
+    second = np.ones(n, np.int64)
+    centroids = rng.normal(size=(n_lists, dim)).astype(np.float32)
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    factor = 1.2
+    cap = int(np.ceil(factor * n / n_lists))
+
+    host = balance_assignments(
+        assignments.copy(), second.copy(), n_lists, factor,
+        normalized=v, centroids=centroids)
+
+    monkeypatch.setattr(ivf_mod, "_HOMELESS_DEVICE_MIN", 1)
+    staged = (jnp.asarray(v), n, 8192)
+    dev = balance_assignments(
+        assignments.copy(), second.copy(), n_lists, factor,
+        normalized=v, centroids=centroids, staged=staged)
+
+    counts = np.bincount(dev, minlength=n_lists)
+    assert counts.max() <= cap, counts.max()
+    assert counts.sum() == n
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_rebuild_passes_staged_slab_to_balance(monkeypatch):
+    """End-to-end: a no-tombstone f32 rebuild hands the resident device slab
+    to the balancer; the build stays strict-cap and recall holds with the
+    device-ranked homeless path forced on."""
+    import automative_rag_tpu.index.ivf as ivf_mod
+
+    monkeypatch.setattr(ivf_mod, "_HOMELESS_DEVICE_MIN", 1)
+    rng = np.random.default_rng(5)
+    n, dim = 6000, 64
+    vectors, docs = _corpus(rng, n, dim, clusters=4)  # skewed -> homeless
+    index = IVFIndex(dim=dim, device_dtype="float32", n_lists=64,
+                     balance_factor=1.2)
+    index.add(vectors, docs)
+    info = index.rebuild()
+    cap = int(np.ceil(1.2 * n / 64))
+    assert info["max_list"] <= -(-cap // 8) * 8, info
+    hits = 0
+    for _ in range(10):
+        q = vectors[rng.integers(0, n)] + 0.01 * rng.normal(size=dim).astype(np.float32)
+        want = set(_exact_topk(vectors, q, 10))
+        got = {h.row for h in index.search(q, 10, n_probe=16, pin_probe=True)[0]}
+        hits += len(want & got)
+    assert hits / 100 >= 0.9, hits / 100
