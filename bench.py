@@ -270,6 +270,7 @@ def main():
         ("scale", ("BENCH_SCALE_r03.json", "BENCH_SCALE_r02.json",
                    "BENCH_SCALE.json")),
         ("ivf_1m", ("BENCH_IVF1M_r04.json", "BENCH_IVF1M_r03.json")),
+        ("ivf_1m_rebuild", ("BENCH_IVF1M_REBUILD_r04.json",)),
         ("llm", ("BENCH_LLM_r03.json", "BENCH_LLM_r02.json")),
         ("llm_7b", ("BENCH_LLM7B_r04.json", "BENCH_LLM7B_r03.json")),
         ("asr", ("BENCH_ASR_r03.json", "BENCH_ASR_r02.json")),
@@ -315,6 +316,9 @@ def main():
         "ivf1m_recall_nprobe8": _pick(
             "ivf_1m", "ivf_1m", "probes", "8", "recall_at_10"),
         "ivf1m_build_s": _pick("ivf_1m", "ivf_1m", "build_s"),
+        "ivf1m_warm_build_s": (
+            _pick("ivf_1m_rebuild", "ivf_1m", "warm_build_s")
+            or _pick("ivf_1m", "ivf_1m", "warm_build_s")),
         "serving_tok_s": _pick("serving", "continuous_copy_spec",
                                "tokens_per_s"),
         "sparse_kernel_ms": _pick("sparse", "kernel_ms"),

@@ -194,6 +194,20 @@ def bench_ivf_scale(n=1_000_000, dim=1024, k=10, n_lists=1024,
     info_warm = index.rebuild(seed=1)
     warm_build_s = time.time() - t0
 
+    if not probes:
+        # rebuild-only mode: the recall/QPS story is already landed
+        # (BENCH_IVF1M_r04.json); this isolates the steady-state build
+        # numbers (e.g. after balance-phase changes) without the ~10 min
+        # host oracle + probe ladder
+        return {"n": n, "dtype": dtype, "n_lists": index.n_lists,
+                "add_s": round(add_s, 1), "build_s": round(build_s, 1),
+                "stage_s": round(stage_s, 1),
+                "warm_build_s": round(warm_build_s, 1),
+                "build_timings": info_warm.get("timings"),
+                "cold_build_timings": info.get("timings"),
+                "fill_ratio": info_warm.get("fill_ratio"),
+                "list_cap": info_warm.get("list_cap")}
+
     normalized = vectors / np.maximum(
         np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
     del vectors
@@ -321,6 +335,9 @@ def main():
                              "k-means + 4 GB host oracle)")
     parser.add_argument("--ivf-1m-dtype", default="bfloat16",
                         choices=("bfloat16", "int8"))
+    parser.add_argument("--ivf-1m-rebuild-only", action="store_true",
+                        help="skip the 1M oracle + probe ladder; measure "
+                             "add/cold-build/warm-build timings only")
     args = parser.parse_args()
     _enable_cache()
 
@@ -346,7 +363,9 @@ def main():
             report["ivf_100k"] = {"error": str(exc)[:200]}
     if args.ivf_1m:
         try:
-            report["ivf_1m"] = bench_ivf_scale(dtype=args.ivf_1m_dtype)
+            report["ivf_1m"] = bench_ivf_scale(
+                dtype=args.ivf_1m_dtype,
+                probes=() if args.ivf_1m_rebuild_only else (8, 32, 128))
         except Exception as exc:  # noqa: BLE001
             report["ivf_1m"] = {"error": str(exc)[:200]}
             print("ivf_1m FAILED", exc, flush=True)
