@@ -366,10 +366,11 @@ def balance_assignments(
     the spill list at the same rate the row's own affinity ranks it.
 
     ``staged``: an optional ``(device slab, n, chunk)`` tuple (the kmeans
-    ``stage_corpus`` shape) whose row ``i`` IS assignment row ``i`` — only
-    valid for no-tombstone builds. When present, phase-2 preferences are
-    computed on device from the resident slab and only ``[H, 64]`` int32
-    indices cross the relay."""
+    ``stage_corpus`` shape) whose row ``i`` IS assignment row ``i`` —
+    either the index's resident serving slab (no-tombstone builds only)
+    or the slab kmeans itself staged (row-aligned in every build). When
+    present, phase-2 preferences are computed on device from the resident
+    slab and only ``[H, 64]`` int32 indices cross the relay."""
     n = assignments.shape[0]
     cap = max(8, int(np.ceil(balance_factor * n / n_lists)))
     counts = np.bincount(assignments, minlength=n_lists)
@@ -769,19 +770,27 @@ class IVFIndex(FlatIndex):
         else:
             t0 = _time.time()
             km_timings: Dict[str, float] = {}
+            km_staged: Dict[str, Any] = {}
             centroids, assignments, second, margin = spherical_kmeans(
                 normalized, self.n_lists, n_iters=self.kmeans_iters,
                 seed=seed, return_second=True, timings=km_timings,
-                staged=staged,
+                staged=staged, staged_out=km_staged,
             )
             timings["kmeans_s"] = round(_time.time() - t0, 2)
             timings["kmeans_phases"] = km_timings
             if self.balance_factor:
                 t0 = _time.time()
+                # the kmeans-staged slab row i IS `normalized` row i in
+                # every build (cold, warm, tombstoned — kmeans stages the
+                # exact array it clusters), so the balancer's homeless
+                # ranking can always run on device. At 1M powerlaw the
+                # host/relay balance phase measured 209.8 s on-chip
+                # (RECALL_1M_POWERLAW_r04.json); the device path fetches
+                # only [H, 64] int32.
                 assignments = balance_assignments(
                     assignments, second, self.n_lists, self.balance_factor,
                     normalized=normalized, centroids=centroids,
-                    margin=margin, staged=staged,
+                    margin=margin, staged=km_staged.get("staged", staged),
                 )
                 timings["balance_s"] = round(_time.time() - t0, 2)
 

@@ -154,6 +154,7 @@ def spherical_kmeans(
     return_second: bool = False,
     staged=None,
     timings: dict | None = None,
+    staged_out: dict | None = None,
 ):
     """→ (centroids [K, D] L2-normalized, assignments [N][, second [N]]).
 
@@ -162,7 +163,10 @@ def spherical_kmeans(
     ``train_rows_per_cluster · n_clusters`` device-gathered rows (full
     corpus when smaller); a final pass assigns every row. ``staged`` lets a
     caller that already holds the device slab (``stage_corpus``) skip the
-    ship.
+    ship. ``staged_out``, when given, receives the staged tuple under
+    ``"staged"`` so downstream phases (the list balancer's homeless
+    ranking) can keep computing against the resident slab instead of
+    re-shipping rows — slab row ``i`` is exactly ``vectors`` row ``i``.
     """
     vectors = np.asarray(vectors, np.float32)
     n, dim = vectors.shape
@@ -181,6 +185,8 @@ def spherical_kmeans(
     else:
         slab, _, c = staged
     timings["ship_s"] = round(_time.time() - t0, 2)
+    if staged_out is not None:
+        staged_out["staged"] = (slab, n, c)
 
     init_rows = np.sort(rng.choice(n, size=n_clusters, replace=False))
     centroids0 = vectors[init_rows].astype(np.float32)

@@ -813,3 +813,37 @@ def test_rebuild_passes_staged_slab_to_balance(monkeypatch):
         got = {h.row for h in index.search(q, 10, n_probe=16, pin_probe=True)[0]}
         hits += len(want & got)
     assert hits / 100 >= 0.9, hits / 100
+
+
+def test_tombstoned_rebuild_uses_kmeans_slab_for_balance(monkeypatch):
+    """Cold/tombstoned builds have no index-resident slab, but kmeans
+    stages the exact array it clusters — the balancer's device-ranked
+    homeless path must hold row correspondence through the live-row
+    compaction copy."""
+    import automative_rag_tpu.index.ivf as ivf_mod
+
+    monkeypatch.setattr(ivf_mod, "_HOMELESS_DEVICE_MIN", 1)
+    rng = np.random.default_rng(9)
+    n, dim = 6000, 64
+    vectors, docs = _corpus(rng, n, dim, clusters=4)
+    index = IVFIndex(dim=dim, device_dtype="float32", n_lists=64,
+                     balance_factor=1.2)
+    index.add(vectors, docs)
+    # tombstone a third of the corpus -> rebuild clusters a compacted COPY
+    doomed = rng.choice(n, size=n // 3, replace=False)
+    index.delete_by_ids([docs[i].id for i in doomed])
+    info = index.rebuild()
+    n_live = n - len(set(doomed.tolist()))
+    assert info["rows_live"] == n_live, info
+    cap = int(np.ceil(1.2 * n_live / 64))
+    assert info["max_list"] <= -(-cap // 8) * 8, info
+    live_mask = np.ones(n, bool)
+    live_mask[doomed] = False
+    hits = 0
+    for _ in range(10):
+        src = rng.choice(np.nonzero(live_mask)[0])
+        q = vectors[src] + 0.01 * rng.normal(size=dim).astype(np.float32)
+        want = set(_exact_topk(vectors, q, 10, row_mask=live_mask))
+        got = {h.row for h in index.search(q, 10, n_probe=16, pin_probe=True)[0]}
+        hits += len(want & got)
+    assert hits / 100 >= 0.9, hits / 100
