@@ -328,7 +328,12 @@ def _homeless_prefs_kernel(slab, centroids, rows, r: int):
     fetch: [chunk, r] int32 — the previous host path shipped the rows'
     f32 vectors up and the full [H, K] affinity back down through the
     ~69 MB/s relay (≈1.6 GB round trip at H=200K, most of the measured
-    31 s balance phase at 1M)."""
+    31 s balance phase at 1M).
+
+    Note: when the staged slab is bf16 (every real build), rankings can
+    diverge from the host f32 path on near-tie affinities. Placement is a
+    heuristic — the strict-cap invariant holds either way and the
+    divergence is recall-neutral noise (ADVICE r04 low #2)."""
     block = jnp.take(slab, rows, axis=0).astype(jnp.float32)
     aff = jax.lax.dot_general(
         block, centroids, (((1,), (1,)), ((), ())),
@@ -433,7 +438,12 @@ def balance_assignments(
         # row provably places).
         cf = np.ascontiguousarray(centroids, np.float32)
         r_pref = int(min(n_lists, 64))
-        if staged is not None and homeless.size >= _HOMELESS_DEVICE_MIN:
+        # staged-only callers (normalized=None) must take the device kernel
+        # regardless of the size heuristic — the host branch below
+        # dereferences `normalized` (ADVICE r04: TypeError at
+        # 0 < homeless < _HOMELESS_DEVICE_MIN with a staged slab only)
+        if staged is not None and (
+                homeless.size >= _HOMELESS_DEVICE_MIN or not can_rank_host):
             slab = staged[0]
             cent_dev = jnp.asarray(cf)
             chunk_rows = 131072  # one executable shape; [chunk, K] f32

@@ -316,9 +316,10 @@ def main():
         "ivf1m_recall_nprobe8": _pick(
             "ivf_1m", "ivf_1m", "probes", "8", "recall_at_10"),
         "ivf1m_build_s": _pick("ivf_1m", "ivf_1m", "build_s"),
-        "ivf1m_warm_build_s": (
-            _pick("ivf_1m_rebuild", "ivf_1m", "warm_build_s")
-            or _pick("ivf_1m", "ivf_1m", "warm_build_s")),
+        "ivf1m_warm_build_s": next(
+            (v for v in (_pick("ivf_1m_rebuild", "ivf_1m", "warm_build_s"),
+                         _pick("ivf_1m", "ivf_1m", "warm_build_s"))
+             if v is not None), None),
         "serving_tok_s": _pick("serving", "continuous_copy_spec",
                                "tokens_per_s"),
         "sparse_kernel_ms": _pick("sparse", "kernel_ms"),

@@ -787,7 +787,72 @@ def test_balance_homeless_device_ranking_matches_host(monkeypatch):
     counts = np.bincount(dev, minlength=n_lists)
     assert counts.max() <= cap, counts.max()
     assert counts.sum() == n
-    np.testing.assert_array_equal(dev, host)
+    # bitwise-identical placement would require XLA HIGHEST matmul and the
+    # host BLAS to round near-tie affinities the same way on every platform
+    # (ADVICE r04 low #3) — assert the invariants plus near-equality of the
+    # chosen affinities instead, tolerating a tiny fraction of row flips
+    host_counts = np.bincount(host, minlength=n_lists)
+    assert host_counts.max() <= cap and host_counts.sum() == n
+    aff_dev = np.einsum("nd,nd->n", v, centroids[dev])
+    aff_host = np.einsum("nd,nd->n", v, centroids[host])
+    mismatched = dev != host
+    assert mismatched.mean() <= 0.01, mismatched.mean()
+    np.testing.assert_allclose(
+        aff_dev[mismatched], aff_host[mismatched], atol=1e-3)
+
+
+def test_balance_staged_only_small_homeless():
+    """Staged-but-no-normalized callers with a homeless set below
+    _HOMELESS_DEVICE_MIN must take the device ranking, not crash on the
+    host branch's `normalized[...]` (ADVICE r04 medium)."""
+    import jax.numpy as jnp
+
+    from automative_rag_tpu.index.ivf import balance_assignments
+
+    rng = np.random.default_rng(3)
+    n, dim, n_lists = 512, 32, 8
+    v = rng.normal(size=(n, dim)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    assignments = np.zeros(n, np.int64)
+    second = np.ones(n, np.int64)
+    centroids = rng.normal(size=(n_lists, dim)).astype(np.float32)
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    factor = 1.2
+    out = balance_assignments(
+        assignments.copy(), second.copy(), n_lists, factor,
+        normalized=None, centroids=centroids,
+        staged=(jnp.asarray(v), n, 512))
+    cap = int(np.ceil(factor * n / n_lists))
+    counts = np.bincount(out, minlength=n_lists)
+    assert counts.max() <= cap and counts.sum() == n
+
+
+def test_balance_bf16_slab_keeps_strict_cap(monkeypatch):
+    """Real builds stage a bf16 slab — the device ranking may diverge from
+    host f32 on near-ties, but the strict-cap invariant must hold
+    (ADVICE r04 low #2)."""
+    import jax.numpy as jnp
+
+    import automative_rag_tpu.index.ivf as ivf_mod
+    from automative_rag_tpu.index.ivf import balance_assignments
+
+    monkeypatch.setattr(ivf_mod, "_HOMELESS_DEVICE_MIN", 1)
+    rng = np.random.default_rng(17)
+    n, dim, n_lists = 2048, 64, 16
+    v = rng.normal(size=(n, dim)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    assignments = np.zeros(n, np.int64)
+    second = np.ones(n, np.int64)
+    centroids = rng.normal(size=(n_lists, dim)).astype(np.float32)
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    factor = 1.25
+    out = balance_assignments(
+        assignments.copy(), second.copy(), n_lists, factor,
+        normalized=v, centroids=centroids,
+        staged=(jnp.asarray(v, jnp.bfloat16), n, 2048))
+    cap = int(np.ceil(factor * n / n_lists))
+    counts = np.bincount(out, minlength=n_lists)
+    assert counts.max() <= cap and counts.sum() == n
 
 
 def test_rebuild_passes_staged_slab_to_balance(monkeypatch):
