@@ -257,6 +257,7 @@ class RAGApplication:
                 n_probe=self.settings.ivf_n_probe,
                 refine_dims=self.settings.ivf_refine_dims,
                 refine_shortlist=self.settings.ivf_refine_shortlist,
+                probe_mode=self.settings.ivf_probe_mode,
             )
         if self.settings.index_kind == "sharded-ivf":
             from .parallel import ShardedIVFIndex, make_mesh

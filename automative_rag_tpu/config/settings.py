@@ -108,6 +108,11 @@ class Settings:
     index_dtype: str = field(default_factory=lambda: _env("INDEX_DTYPE", "bfloat16"))
     ivf_n_lists: int = field(default_factory=lambda: _env("IVF_N_LISTS", 0))  # 0=auto
     ivf_n_probe: int = field(default_factory=lambda: _env("IVF_N_PROBE", 16))
+    # "budget": variable-length lists probed to a scanned-row budget
+    # (distribution-robust — the r05 default); "table": legacy balanced
+    # padded list table (supports refine_dims two-stage probing)
+    ivf_probe_mode: str = field(
+        default_factory=lambda: _env("IVF_PROBE_MODE", "budget"))
     # >0 → probes beyond ivf_n_probe screen on this many head dims, then
     # exact-rescore a shortlist (coarse-then-refine; cheap high-recall mode)
     ivf_refine_dims: int = field(

@@ -263,6 +263,133 @@ def _ivf_search_refined_kernel(
     return merge_top_k(jnp.stack([vals, svals]), jnp.stack([rows, srows]), k)
 
 
+#: alignment (rows) of each list's span in the CSR layout — sublane-dim
+#: friendly and keeps fold scatters 8-aligned
+CSR_ALIGN = 8
+
+
+def _pow2_at_least(n: int, floor: int = 128) -> int:
+    cap = floor
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+@partial(jax.jit, static_argnames=("budget", "k", "int8"))
+def _ivf_budget_search_kernel(
+    vectors,      # [cap, D] corpus slab in ORIGINAL row order
+    row_scales,   # [cap] f32 (int8) or zeros
+    full_mask,    # [cap] bool — valid ∧ filter
+    centroids,    # [K, D] float
+    sorted_rows,  # [M] int32 — row ids grouped by list, -1 = empty slot
+    list_starts,  # [K] int32 — span start of each list in sorted_rows
+    scan_lens,    # [K] int32 — CSR_ALIGN-aligned scan extent of each list
+    queries,      # [B, D] f32
+    budget: int,  # scanned-slot budget per query (static)
+    k: int,
+    int8: bool,
+):
+    """Budget probing over VARIABLE-length lists (VERDICT r04 #1): lists
+    are ranked by centroid affinity and scanned in that order until the
+    per-query slot budget is spent — the cost knob is rows scanned, not
+    list count, so skewed corpora (power-law/encoder manifolds) keep their
+    dense regions in few big lists instead of spilling overflow rows into
+    far lists the probe ranking can never reach (the balanced build's
+    nprobe-8 recall on 1M powerlaw was 0.265; unbalanced assignment is the
+    textbook IVF contract). All static shapes:
+
+        1. q @ centroidsᵀ → full list ranking                       (MXU)
+        2. scatter-mark + cumsum inverts the ranked cumulative
+           lengths into per-slot (list, offset) — O(K + budget)     (VPU)
+        3. chunked gather + masked scores → running top-k           (MXU)
+    """
+    b, dim = queries.shape
+    n_lists = centroids.shape[0]
+    m_slots = sorted_rows.shape[0]
+
+    coarse = jax.lax.dot_general(
+        queries.astype(centroids.dtype), centroids, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [B, K]
+    # full descending list ranking (K ≲ 4–8K: one flat sort per batch)
+    _, order = jax.lax.top_k(coarse, n_lists)  # [B, K]
+    lens_ord = scan_lens[order]
+    cum = jnp.cumsum(lens_ord, axis=1)  # [B, K]
+    prev = cum - lens_ord
+    total = jnp.minimum(cum[:, -1:], budget)  # [B, 1]
+
+    # invert cumulative lengths → per-slot list index j: j[s] = #{l: cum[l] ≤ s}
+    # via scatter-add marks at each list's end position + cumsum (s is the
+    # sorted iota, so this is O(K + budget) instead of a searchsorted)
+    marks = jnp.zeros((b, budget + 1), jnp.int32)
+    ends = jnp.minimum(cum, budget)  # [B, K]
+    marks = marks.at[jnp.arange(b)[:, None], ends].add(1)
+    j = jnp.cumsum(marks[:, :budget], axis=1)  # [B, budget]
+    j_safe = jnp.minimum(j, n_lists - 1)
+    s = jnp.arange(budget, dtype=jnp.int32)[None, :]
+    within = s - jnp.take_along_axis(prev, j_safe, axis=1)
+    pos = jnp.take_along_axis(list_starts[order], j_safe, axis=1) + within
+    valid_slot = s < total
+    cand = jnp.where(
+        valid_slot, sorted_rows[jnp.clip(pos, 0, m_slots - 1)], -1
+    )  # [B, budget]
+
+    # ---- chunked scoring with a running top-k (memory flat in budget) ----
+    chunk = min(budget, PROBE_GATHER_ROWS)
+    n_chunks = -(-budget // chunk)
+    pad = n_chunks * chunk - budget
+    if pad:
+        cand = jnp.pad(cand, ((0, 0), (0, pad)), constant_values=-1)
+    cand_s = cand.reshape(b, n_chunks, chunk).transpose(1, 0, 2)
+
+    k_run = min(k, chunk)
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if (not int8 and vectors.dtype == jnp.float32)
+        else jax.lax.Precision.DEFAULT
+    )
+    if int8:
+        q_scale = jnp.max(jnp.abs(queries), axis=1, keepdims=True) / 127.0
+        q_i8 = jnp.clip(
+            jnp.round(queries / jnp.maximum(q_scale, 1e-12)), -127, 127
+        ).astype(jnp.int8)
+
+    def body(carry, cand_chunk):
+        best_vals, best_rows = carry
+        safe = jnp.maximum(cand_chunk, 0)
+        cand_vecs = vectors[safe]  # [B, chunk, D]
+        if int8:
+            raw = jnp.einsum(
+                "bd,bmd->bm", q_i8, cand_vecs,
+                preferred_element_type=jnp.int32)
+            scores = raw.astype(jnp.float32) * q_scale * row_scales[safe]
+        else:
+            scores = jnp.einsum(
+                "bd,bmd->bm", queries.astype(vectors.dtype), cand_vecs,
+                precision=precision, preferred_element_type=jnp.float32)
+        mask = (cand_chunk >= 0) & full_mask[safe]
+        vals, pos_c = masked_top_k(scores, mask, k_run)
+        rows = jnp.take_along_axis(cand_chunk, pos_c, axis=1)
+        # lists are disjoint and each slot is visited once → no dup rows
+        merged = merge_top_k(
+            jnp.stack([best_vals, vals]), jnp.stack([best_rows, rows]), k_run)
+        return merged, None
+
+    init = (
+        jnp.full((b, k_run), -jnp.inf, jnp.float32),
+        jnp.full((b, k_run), -1, jnp.int32),
+    )
+    (vals, rows), _ = jax.lax.scan(body, init, cand_s)
+    if k_run < k:
+        padk = k - k_run
+        vals = jnp.concatenate(
+            [vals, jnp.full((b, padk), -jnp.inf, vals.dtype)], axis=1)
+        rows = jnp.concatenate(
+            [rows, jnp.full((b, padk), -1, rows.dtype)], axis=1)
+    return vals, rows
+
+
 @jax.jit
 def _full_mask_kernel(valid, codes, numerics, spec: FilterSpec):
     mask = valid & eval_filter_mask(codes, numerics, spec)
@@ -522,16 +649,19 @@ class IVFIndex(FlatIndex):
         n_lists: int = 0,  # 0 → auto (~sqrt(N) at build time)
         n_probe: int = 16,
         kmeans_iters: int = 10,
-        balance_factor: float = 1.25,  # 0 → unbalanced lists
-        refine_dims: int = 0,  # >0 → far probes screen on this many dims
+        balance_factor: float = 1.25,  # table mode only; 0 → unbalanced
+        refine_dims: int = 0,  # table mode: far probes screen on few dims
         refine_shortlist: int = 2048,
         tail_fold_rows: int = 4096,  # tail size that triggers fold_tail
+        probe_mode: str = "budget",  # "budget" (CSR) | "table" (legacy)
     ):
         super().__init__(dim, device_dtype)
         if self._int4:
             raise ValueError(
                 "int4 storage is flat-index only for now (the IVF list "
                 "slabs have no packed-nibble path; use int8 or bfloat16)")
+        if probe_mode not in ("budget", "table"):
+            raise ValueError(f"unknown probe_mode {probe_mode!r}")
         self.n_lists = n_lists
         self.n_probe = n_probe
         self.kmeans_iters = kmeans_iters
@@ -539,14 +669,50 @@ class IVFIndex(FlatIndex):
         self.refine_dims = refine_dims
         self.refine_shortlist = refine_shortlist
         self.tail_fold_rows = tail_fold_rows
+        # "budget": VARIABLE-length lists in a CSR layout, probed by a
+        # scanned-row budget (survives skewed distributions — VERDICT r04
+        # #1); "table": legacy balanced padded list table.
+        self.probe_mode = probe_mode
         # build artifacts (host)
         self._centroids: Optional[np.ndarray] = None
-        self._list_table: Optional[np.ndarray] = None
+        self._list_table: Optional[np.ndarray] = None  # table mode
+        # budget mode: CSR arrays — row ids grouped by list with per-list
+        # slack for folds; spans CSR_ALIGN-aligned
+        self._sorted_rows: Optional[np.ndarray] = None  # [M] int32, -1 pad
+        self._list_starts: Optional[np.ndarray] = None  # [K] int32
+        self._list_span: Optional[np.ndarray] = None    # [K] allocated slots
+        self._list_used: Optional[np.ndarray] = None    # [K] slots written
+        self._built_live: int = 0  # live rows at build → rows-per-list avg
         self._indexed_rows: int = 0  # rows covered by the lists; rest = tail
         # device slab for the fresh tail (rows ≥ _indexed_rows), bucketed to
         # a power-of-two capacity; appends drop only THIS, never the built
         # slab (restaging 1M×1024 bf16 costs a ~2 GB host→HBM transfer)
         self._tail_device: Optional[dict] = None
+
+    @property
+    def _budget_built(self) -> bool:
+        return self._sorted_rows is not None
+
+    def _scan_lens(self) -> np.ndarray:
+        """Per-list scan extent for the budget kernel: the used slots,
+        CSR_ALIGN-aligned (pad slots are -1 and mask out), clipped to the
+        allocated span."""
+        aligned = -(-self._list_used // CSR_ALIGN) * CSR_ALIGN
+        return np.minimum(aligned, self._list_span).astype(np.int32)
+
+    def _budget_of(self, level: int, k: int) -> int:
+        """Map an ``n_probe`` ladder level to a scanned-slot budget:
+        level × (live rows per list at build), rounded up to a power of two
+        (bounded executable count across rebuilds) and capped at the CSR
+        slot count (= scan everything)."""
+        if level >= self.n_lists:
+            # the ladder's top level means "scan everything" — the slot
+            # count, not level×rpl (slack/alignment make slots > live rows)
+            return len(self._sorted_rows)
+        rpl = max(1.0, self._built_live / max(1, self.n_lists))
+        raw = int(np.ceil(level * rpl))
+        return min(_pow2_at_least(max(raw, k, 64), 64),
+                   len(self._sorted_rows))
 
     # ------------------------------------------------------------ mutation
     def add(self, vectors, documents, normalize: bool = True) -> List[str]:
@@ -592,14 +758,20 @@ class IVFIndex(FlatIndex):
 
     def fold_tail(self) -> Dict[str, Any]:
         """Assign tail rows [_indexed_rows, n) to the EXISTING centroids and
-        extend the list table — O(tail + table) vs a full k-means
+        extend the lists — O(tail + table) vs a full k-means
         ``rebuild()`` (918 s at 1M on-chip in r03). The staged search slab
         is functionally updated in place on device (tail vectors +
         validity/metadata columns), so no corpus re-ship either. Folded
         rows can skew list sizes over time — periodic ``rebuild()`` still
-        owns clustering QUALITY; this owns the append cadence."""
+        owns clustering QUALITY; this owns the append cadence.
+
+        Budget (CSR) mode folds into each list's slack span; the maximal
+        PREFIX of tail rows that fits is folded (a row whose list span is
+        full stops the fold there — rows stay on the exactly-searched tail
+        until a rebuild re-spans, so correctness never depends on slack)."""
         with self._mutex:
-            if self._centroids is None or self._list_table is None:
+            if self._centroids is None or not (
+                    self._budget_built or self._list_table is not None):
                 return {"folded": 0, "note": "no build to fold into"}
             start = self._indexed_rows
             n = len(self._ids)
@@ -619,9 +791,14 @@ class IVFIndex(FlatIndex):
 
         with self._mutex:
             if (self._generation != gen or self._indexed_rows != start
-                    or len(self._ids) < n or self._list_table is None):
+                    or len(self._ids) < n
+                    or not (self._budget_built
+                            or self._list_table is not None)):
                 # a rebuild/compact/competing fold won — theirs covers us
                 return {"folded": 0, "note": "superseded"}
+            if self._budget_built:
+                return self._fold_tail_csr_locked(start, n, assign,
+                                                  tail_deleted)
             table = self._list_table
             live = ~tail_deleted
             live_assign = assign[live]
@@ -659,6 +836,88 @@ class IVFIndex(FlatIndex):
                                     / (self.n_lists * new_cap), 4),
                 "slab_updated": self._device is not None,
             }
+
+    def _fold_tail_csr_locked(self, start: int, n: int, assign: np.ndarray,
+                              tail_deleted: np.ndarray) -> Dict[str, Any]:
+        """Budget-mode fold: write tail rows into their lists' slack slots.
+        Folds the maximal PREFIX of the tail whose rows all fit (the first
+        row whose list span is exhausted stops the fold, preserving the
+        contiguous-tail invariant); leftovers stay exactly searched."""
+        t = assign.shape[0]
+        free = (self._list_span - self._list_used).astype(np.int64)
+        live_idx = np.nonzero(~tail_deleted)[0]
+        a_live = assign[live_idx]
+        # rank of each live tail row within its destination list (in tail
+        # order): stable-sort by list, rank = position − group start
+        order = np.argsort(a_live, kind="stable")
+        grouped = a_live[order]
+        gstart = np.searchsorted(grouped, np.arange(self.n_lists))
+        rank_sorted = np.arange(a_live.size, dtype=np.int64) - gstart[grouped]
+        rank_live = np.empty(a_live.size, np.int64)
+        rank_live[order] = rank_sorted
+        rejected = np.nonzero(rank_live >= free[a_live])[0]
+        if rejected.size:
+            # some list's slack is exhausted: RESPAN — the CSR stores row
+            # ids only (the slab is original-order), so re-laying the spans
+            # with fresh slack is O(N) host work + an int32 reship, no
+            # vector movement and no k-means
+            self._respan_csr_locked(extra_counts=np.bincount(
+                a_live, minlength=self.n_lists))
+            free = (self._list_span - self._list_used).astype(np.int64)
+            rejected = np.nonzero(rank_live >= free[a_live])[0]
+        cut = int(live_idx[rejected[0]]) if rejected.size else t
+        if cut == 0:
+            return {"folded": 0,
+                    "note": "list spans full — rebuild() re-spans"}
+        sel = live_idx[live_idx < cut]
+        a = assign[sel]
+        rows = (start + sel).astype(np.int32)
+        order2 = np.argsort(a, kind="stable")
+        sa = a[order2]
+        s2 = np.searchsorted(sa, np.arange(self.n_lists))
+        slots = np.arange(a.size, dtype=np.int64) - s2[sa]
+        pos = (self._list_starts[sa].astype(np.int64)
+               + self._list_used[sa] + slots)
+        self._sorted_rows[pos] = rows[order2]
+        counts = np.bincount(a, minlength=self.n_lists)
+        self._list_used = (self._list_used
+                           + counts.astype(np.int32)).astype(np.int32)
+        self._indexed_rows = start + cut
+        self._tail_device = None
+        if self._device is not None:
+            self._device = self._fold_device_update(self._device, start + cut)
+        return {
+            "folded": int(a.size),
+            "rows_indexed": start + cut,
+            "deferred_tail": int(t - cut),
+            "slab_updated": self._device is not None,
+        }
+
+    def _respan_csr_locked(self, extra_counts: Optional[np.ndarray] = None
+                           ) -> None:
+        """Re-lay the CSR spans with fresh ~25% slack (sized for the used
+        slots plus ``extra_counts`` about to fold). Pure index-side: row
+        ids shift between int32 arrays; the vector slab never moves."""
+        used = self._list_used.astype(np.int64)
+        need = used + (0 if extra_counts is None
+                       else extra_counts.astype(np.int64))
+        slack = np.maximum(CSR_ALIGN, need // 4)
+        span = (-(-(need + slack) // CSR_ALIGN) * CSR_ALIGN).astype(np.int64)
+        starts = np.zeros(self.n_lists, np.int64)
+        np.cumsum(span[:-1], out=starts[1:])
+        m_slots = _pow2_at_least(int(span.sum()))
+        new_rows = np.full(m_slots, -1, np.int32)
+        # vectorized span copy: flat (list, within) coordinates for every
+        # used slot in both layouts
+        list_ids = np.repeat(np.arange(self.n_lists, dtype=np.int64), used)
+        within = (np.arange(list_ids.size, dtype=np.int64)
+                  - np.repeat(np.cumsum(used) - used, used))
+        old_pos = self._list_starts[list_ids].astype(np.int64) + within
+        new_rows[starts[list_ids] + within] = self._sorted_rows[old_pos]
+        self._sorted_rows = new_rows
+        self._list_starts = starts.astype(np.int32)
+        self._list_span = span.astype(np.int32)
+        # _list_used unchanged (dead -1 slots copy along; rebuild reclaims)
 
     def _fold_device_update(self, state: dict, n: int) -> Optional[dict]:
         """Return a copy of the staged search state covering rows up to
@@ -703,7 +962,7 @@ class IVFIndex(FlatIndex):
                 new_state["vectors_head"] = jnp.asarray(
                     new_state["vectors"][:, :rd])
             new_state["staged_rows"] = n
-        new_state["list_table"] = jnp.asarray(self._list_table)
+        self._stage_lists(new_state)
         new_state["centroids"] = state["centroids"]
         return new_state
 
@@ -781,14 +1040,25 @@ class IVFIndex(FlatIndex):
             t0 = _time.time()
             km_timings: Dict[str, float] = {}
             km_staged: Dict[str, Any] = {}
-            centroids, assignments, second, margin = spherical_kmeans(
-                normalized, self.n_lists, n_iters=self.kmeans_iters,
-                seed=seed, return_second=True, timings=km_timings,
-                staged=staged, staged_out=km_staged,
-            )
+            if self.probe_mode == "budget":
+                # budget probing wants the TRUE nearest-centroid lists —
+                # no balance pass, so second/margin (its inputs) are
+                # never fetched from the device
+                centroids, assignments = spherical_kmeans(
+                    normalized, self.n_lists, n_iters=self.kmeans_iters,
+                    seed=seed, timings=km_timings,
+                    staged=staged, staged_out=km_staged,
+                )
+                second = margin = None
+            else:
+                centroids, assignments, second, margin = spherical_kmeans(
+                    normalized, self.n_lists, n_iters=self.kmeans_iters,
+                    seed=seed, return_second=True, timings=km_timings,
+                    staged=staged, staged_out=km_staged,
+                )
             timings["kmeans_s"] = round(_time.time() - t0, 2)
             timings["kmeans_phases"] = km_timings
-            if self.balance_factor:
+            if self.balance_factor and self.probe_mode == "table":
                 t0 = _time.time()
                 # the kmeans-staged slab row i IS `normalized` row i in
                 # every build (cold, warm, tombstoned — kmeans stages the
@@ -806,10 +1076,6 @@ class IVFIndex(FlatIndex):
 
         t0 = _time.time()
         counts = np.bincount(assignments, minlength=self.n_lists)
-        list_cap = max(8, int(counts.max()))
-        # lane-align the gather width
-        list_cap = -(-list_cap // 8) * 8
-        table = np.full((self.n_lists, list_cap), -1, np.int32)
         # vectorized bucket fill (a Python loop here costs minutes at 1M
         # rows): stable-sort rows by cluster, then each row's slot is its
         # rank within its cluster
@@ -817,19 +1083,49 @@ class IVFIndex(FlatIndex):
         sorted_assign = assignments[order]
         starts = np.searchsorted(sorted_assign, np.arange(self.n_lists))
         slots = np.arange(n_live, dtype=np.int64) - starts[sorted_assign]
-        # table entries are ORIGINAL row ids (live subset → corpus rows)
-        table[sorted_assign, slots] = live_idx[order].astype(np.int32)
+        row_ids = live_idx[order].astype(np.int32)
+
+        if self.probe_mode == "budget":
+            # CSR layout: per-list spans with ~25% slack (fold headroom),
+            # CSR_ALIGN-aligned, concatenated into one pow2-bucketed slot
+            # array (compile-stable kernel shape across rebuilds)
+            slack = np.maximum(CSR_ALIGN, counts // 4)
+            span = (-(-(counts + slack) // CSR_ALIGN) * CSR_ALIGN).astype(
+                np.int64)
+            list_starts = np.zeros(self.n_lists, np.int64)
+            np.cumsum(span[:-1], out=list_starts[1:])
+            m_slots = _pow2_at_least(int(span.sum()))
+            sorted_rows = np.full(m_slots, -1, np.int32)
+            sorted_rows[list_starts[sorted_assign] + slots] = row_ids
+            list_cap = int(counts.max())
+        else:
+            list_cap = max(8, int(counts.max()))
+            # lane-align the gather width
+            list_cap = -(-list_cap // 8) * 8
+            table = np.full((self.n_lists, list_cap), -1, np.int32)
+            # table entries are ORIGINAL row ids (live subset → corpus rows)
+            table[sorted_assign, slots] = row_ids
 
         # atomic swap: a concurrent search must never pair new centroids
-        # with the old table (torn probes → wrong/empty results)
+        # with the old lists (torn probes → wrong/empty results)
         with self._mutex:
             self._centroids = centroids
-            self._list_table = table
+            if self.probe_mode == "budget":
+                self._list_table = None
+                self._sorted_rows = sorted_rows
+                self._list_starts = list_starts.astype(np.int32)
+                self._list_span = span.astype(np.int32)
+                self._list_used = counts.astype(np.int32)
+                self._built_live = n_live
+            else:
+                self._list_table = table
+                self._sorted_rows = None
+                self._list_starts = self._list_span = self._list_used = None
             self._indexed_rows = n
             dev = self._device
             if (keep_slab and dev is not None
                     and dev.get("staged_rows") == n):
-                # rebuild changes centroids/table, NOT row vectors: keep
+                # rebuild changes centroids/lists, NOT row vectors: keep
                 # the resident corpus slab (a None here re-ships the whole
                 # corpus on the next search). Functional copy so an
                 # in-flight search keeps a consistent old state.
@@ -837,22 +1133,42 @@ class IVFIndex(FlatIndex):
                 centroid_dtype = (
                     jnp.bfloat16 if self._int8 else self.device_dtype)
                 state["centroids"] = jnp.asarray(centroids, centroid_dtype)
-                state["list_table"] = jnp.asarray(table)
+                self._stage_lists(state)
                 self._device = state
             else:
                 self._device = None
             self._tail_device = None  # tail folded into the lists
         timings["table_s"] = round(_time.time() - t0, 2)
-        return {
+        info = {
             "n_lists": self.n_lists,
+            "probe_mode": self.probe_mode,
             "list_cap": list_cap,
             "rows_indexed": n,
             "rows_live": n_live,
-            "fill_ratio": round(float(counts.sum()) / table.size, 4),
             "max_list": int(counts.max()),
             "min_list": int(counts.min()),
             "timings": timings,
         }
+        if self.probe_mode == "budget":
+            info["csr_slots"] = int(m_slots)
+            info["fill_ratio"] = round(float(counts.sum()) / m_slots, 4)
+        else:
+            info["fill_ratio"] = round(
+                float(counts.sum()) / table.size, 4)
+        return info
+
+    def _stage_lists(self, state: dict) -> None:
+        """Refresh the list-structure device arrays on a state dict (tiny:
+        int32 [M] + 2×[K]) for the active probe mode."""
+        if self._budget_built:
+            state["sorted_rows"] = jnp.asarray(self._sorted_rows)
+            state["list_starts"] = jnp.asarray(self._list_starts)
+            state["scan_lens"] = jnp.asarray(self._scan_lens())
+            state.pop("list_table", None)
+        elif self._list_table is not None:
+            state["list_table"] = jnp.asarray(self._list_table)
+            for key in ("sorted_rows", "list_starts", "scan_lens"):
+                state.pop(key, None)
 
     def _compact_locked(self) -> Dict[str, Any]:
         """Compaction preserves the IVF build: list-table entries are
@@ -866,14 +1182,23 @@ class IVFIndex(FlatIndex):
         live = info.get("live_order")
         if live is None:
             return info
-        if self._list_table is not None:
+        if self._list_table is not None or self._sorted_rows is not None:
             new_of_old = np.full(n, -1, np.int32)
             new_of_old[live] = np.arange(live.size, dtype=np.int32)
+        if self._list_table is not None:
             table = self._list_table
             safe = np.clip(table, 0, max(n - 1, 0))
             self._list_table = np.where(
                 table >= 0, new_of_old[safe], np.int32(-1)
             ).astype(np.int32)
+        if self._sorted_rows is not None:
+            sr = self._sorted_rows
+            safe = np.clip(sr, 0, max(n - 1, 0))
+            # tombstoned entries map to -1 (the empty-slot sentinel the
+            # budget scan already masks); spans/used keep the dead slots —
+            # a rebuild reclaims the slack
+            self._sorted_rows = np.where(
+                sr >= 0, new_of_old[safe], np.int32(-1)).astype(np.int32)
         # rows below the old boundary stay list-covered at their new ids;
         # the exact-searched fresh tail shifts down with them
         self._indexed_rows = int((live < old_indexed).sum())
@@ -894,7 +1219,7 @@ class IVFIndex(FlatIndex):
             # refine_dims is runtime-mutable (settings): top up / retire
             # the head-slice copy when it changed after the cache was built
             state = self._device
-            if self.refine_dims and self._centroids is not None:
+            if self.refine_dims and self._list_table is not None:
                 rd = min(self.refine_dims, self.dim)
                 head = state.get("vectors_head")
                 if head is None or head.shape[1] != rd:
@@ -910,10 +1235,10 @@ class IVFIndex(FlatIndex):
                 jnp.bfloat16 if self._int8 else self.device_dtype
             )
             state["centroids"] = jnp.asarray(self._centroids, centroid_dtype)
-            state["list_table"] = jnp.asarray(self._list_table)
+            self._stage_lists(state)
         if "row_scales" not in state:
             state["row_scales"] = jnp.zeros(state["capacity"], jnp.float32)
-        if self.refine_dims and self._centroids is not None:
+        if self.refine_dims and self._list_table is not None:
             # Contiguous [N, refine_dims] copy for the partial-dim screen.
             # Gathering `vectors[safe, :refine_dims]` (row gather + column
             # slice in one op) sends XLA:TPU down a catastrophic fallback
@@ -1086,6 +1411,11 @@ class IVFIndex(FlatIndex):
             state["valid"], state["codes"], state["numerics"], spec
         )
 
+        if self._budget_built:
+            return self._search_budget(
+                queries, k, state, spec, full_mask, mask_count,
+                metadata_filter, n_probe, pin_probe)
+
         k_eff = min(k, state["capacity"])
         base = min(n_probe or self.n_probe, self.n_lists)
         ladder = probe_ladder(base, self.n_lists)
@@ -1177,6 +1507,82 @@ class IVFIndex(FlatIndex):
             out.append(hits)
         return out
 
+    def _search_budget(self, queries, k, state, spec, full_mask, mask_count,
+                       metadata_filter, n_probe, pin_probe
+                       ) -> List[List[SearchResult]]:
+        """Budget-mode search: ``n_probe`` levels map to scanned-slot
+        budgets (level × rows-per-list, pow2-quantized); the selectivity
+        policy and ladder escalation work on levels exactly as in table
+        mode. Quantized corpora return an exact host-refined top-k."""
+        k_eff = min(k, state["capacity"])
+        base = min(n_probe or self.n_probe, self.n_lists)
+        ladder = probe_ladder(base, self.n_lists)
+        if metadata_filter and not pin_probe:
+            selectivity = float(mask_count) / max(1, len(self._ids))
+            rows_per_list = max(
+                1.0, self._indexed_rows / max(1, self.n_lists))
+            level = choose_probe(ladder, selectivity, rows_per_list, k_eff)
+        else:
+            level = base
+
+        k_scan = k_eff
+        if self._int8 and self.refine_mult > 1:
+            k_scan = min(k_eff * self.refine_mult, state["capacity"])
+
+        def _run(level_now: int):
+            budget = self._budget_of(level_now, k_scan)
+            vals, rows = _ivf_budget_search_kernel(
+                state["vectors"], state["row_scales"], full_mask,
+                state["centroids"], state["sorted_rows"],
+                state["list_starts"], state["scan_lens"],
+                jnp.asarray(queries), budget, k_scan, self._int8)
+            vals, rows = np.asarray(vals), np.asarray(rows)
+            if self.tail_rows > 0:
+                tail_vals, tail_rows = self._tail_top_k(
+                    queries, spec, k_scan)
+                all_vals = np.concatenate([vals, tail_vals], axis=1)
+                all_rows = np.concatenate(
+                    [rows.astype(np.int64), tail_rows], axis=1)
+                order = np.argsort(-all_vals, axis=1)[:, :k_scan]
+                vals = np.take_along_axis(all_vals, order, axis=1)
+                rows = np.take_along_axis(all_rows, order, axis=1)
+            if k_scan > k_eff:
+                # exact f32 rescore of the quantized shortlist (the flat
+                # int8 path's refine; the budget kernel only RANKS)
+                vals, rows = self._host_refine(queries, vals, rows, k_eff)
+            return vals, rows
+
+        vals, rows = _run(level)
+        if metadata_filter and not pin_probe:
+            prev_budget = self._budget_of(level, k_scan)
+            for lvl in ladder:
+                if lvl <= level:
+                    continue
+                budget = self._budget_of(lvl, k_scan)
+                if budget == prev_budget:
+                    continue  # pow2 quantization collapsed the level
+                need = min(k_eff, int(mask_count))
+                if np.isfinite(vals).sum(axis=1).min() >= need:
+                    break
+                level, prev_budget = lvl, budget
+                vals, rows = _run(lvl)
+
+        with self._mutex:
+            docs = self._docs
+            n_docs = len(docs)
+        out: List[List[SearchResult]] = []
+        for b in range(vals.shape[0]):
+            hits, seen = [], set()
+            for score, row in zip(vals[b], rows[b]):
+                row = int(row)
+                if (not np.isfinite(score) or row in seen
+                        or not 0 <= row < n_docs):
+                    continue
+                seen.add(row)
+                hits.append(SearchResult(docs[row], float(score), row))
+            out.append(hits)
+        return out
+
     def precompile_ladder(self, k: int = 20) -> List[int]:
         """Compile the probe-escalation ladder's executables ahead of time
         (remote compiles take minutes; the first selective filtered query
@@ -1189,6 +1595,27 @@ class IVFIndex(FlatIndex):
         mask = jnp.ones(state["capacity"], bool)
         dummy = jnp.zeros((1, self.dim), jnp.float32)
         levels = probe_ladder(min(self.n_probe, self.n_lists), self.n_lists)
+        if self._budget_built:
+            k_scan = k_eff
+            if self._int8 and self.refine_mult > 1:
+                k_scan = min(k_eff * self.refine_mult, state["capacity"])
+            compiled = set()
+            for lvl in levels:
+                budget = self._budget_of(lvl, k_scan)
+                if budget in compiled:
+                    continue
+                compiled.add(budget)
+                _ivf_budget_search_kernel(
+                    state["vectors"], state["row_scales"], mask,
+                    state["centroids"], state["sorted_rows"],
+                    state["list_starts"], state["scan_lens"], dummy,
+                    budget, k_scan, self._int8)
+            if self.tail_rows > 0:
+                from .filters import FilterSpec as _FS
+
+                self._tail_top_k(np.zeros((1, self.dim), np.float32),
+                                 _FS.match_all(), k_scan)
+            return levels
         split = min(self.n_probe, self.n_lists)
         vectors_head = state.get("vectors_head")
         for lvl in levels:
@@ -1222,12 +1649,15 @@ class IVFIndex(FlatIndex):
         base.update(
             {
                 "kind": "ivf",
+                "probe_mode": self.probe_mode,
                 "n_lists": self.n_lists if self._centroids is not None else 0,
                 "n_probe": self.n_probe,
                 "rows_indexed": self._indexed_rows,
                 "tail_rows": self.tail_rows,
             }
         )
+        if self._budget_built:
+            base["csr_slots"] = int(len(self._sorted_rows))
         return base
 
     # ----------------------------------------------------------- persist
@@ -1236,13 +1666,22 @@ class IVFIndex(FlatIndex):
         if self._centroids is not None:
             from pathlib import Path
 
-            np.savez_compressed(
-                Path(directory) / "ivf.npz",
-                centroids=self._centroids,
-                list_table=self._list_table,
-                indexed_rows=np.int64(self._indexed_rows),
-                n_probe=np.int64(self.n_probe),
-            )
+            arrays: Dict[str, Any] = {
+                "centroids": self._centroids,
+                "indexed_rows": np.int64(self._indexed_rows),
+                "n_probe": np.int64(self.n_probe),
+            }
+            if self._budget_built:
+                arrays.update(
+                    csr_rows=self._sorted_rows,
+                    csr_starts=self._list_starts,
+                    csr_span=self._list_span,
+                    csr_used=self._list_used,
+                    built_live=np.int64(self._built_live),
+                )
+            else:
+                arrays["list_table"] = self._list_table
+            np.savez_compressed(Path(directory) / "ivf.npz", **arrays)
 
     @classmethod
     def load(cls, directory: str) -> "IVFIndex":
@@ -1259,7 +1698,18 @@ class IVFIndex(FlatIndex):
         if ivf_path.exists():
             arrays = np.load(ivf_path)
             index._centroids = np.asarray(arrays["centroids"], np.float32)
-            index._list_table = np.asarray(arrays["list_table"], np.int32)
+            if "csr_rows" in arrays:
+                index.probe_mode = "budget"
+                index._sorted_rows = np.asarray(arrays["csr_rows"], np.int32)
+                index._list_starts = np.asarray(
+                    arrays["csr_starts"], np.int32)
+                index._list_span = np.asarray(arrays["csr_span"], np.int32)
+                index._list_used = np.asarray(arrays["csr_used"], np.int32)
+                index._built_live = int(arrays["built_live"])
+            else:
+                index.probe_mode = "table"
+                index._list_table = np.asarray(
+                    arrays["list_table"], np.int32)
             index._indexed_rows = int(arrays["indexed_rows"])
             index.n_probe = int(arrays["n_probe"])
             index.n_lists = index._centroids.shape[0]

@@ -81,15 +81,19 @@ def _w4_kernel(xlo_ref, xhi_ref, p_ref, scale_ref, o_ref, acc_ref, sum_ref,
         low = (p & 0xF).astype(xlo_ref.dtype)
         high = (p >> 4).astype(xlo_ref.dtype)
     elif unpack == "u8":
-        # bitwise mask/shift in native uint8 lanes: 4× more elements per
-        # VPU op than the i32 widen. Mosaic legalizes NO direct u8 float
-        # convert (r03: "Unsupported cast: uint8 -> bfloat16"; r04 the f32
-        # hop failed the same way) — but u8→i32 is legal (the i32 variant
-        # rides it), so the nibbles widen through i32 AFTER the dense
-        # u8-lane mask/shift, which is where this variant's win lives
+        # bitwise masks in native uint8 lanes: 4× more elements per VPU op
+        # than the i32 widen. Mosaic legalizes NO direct u8 float convert
+        # (r03: "Unsupported cast: uint8 -> bfloat16") and NO u8-lane
+        # right-shift either (r05: 'arith.shrui' on vector<i8> fails to
+        # legalize — the root cause of every prior u8 compile failure), so
+        # BOTH nibbles extract with a dense u8 mask: low = p & 0x0F,
+        # high·16 = p & 0xF0, and the ÷16 folds into the x tile (exact:
+        # power of two in bf16). Only the mask runs at u8 lane density;
+        # the widen to matmul dtype goes through the legal u8→i32 cast.
         p = p_ref[:]
-        low = (p & jnp.uint8(0xF)).astype(jnp.int32).astype(xlo_ref.dtype)
-        high = (p >> jnp.uint8(4)).astype(jnp.int32).astype(xlo_ref.dtype)
+        low = (p & jnp.uint8(0x0F)).astype(jnp.int32).astype(xlo_ref.dtype)
+        high = (p & jnp.uint8(0xF0)).astype(jnp.int32).astype(xlo_ref.dtype)
+        xhi = (xhi * 0.0625).astype(xlo_ref.dtype)
     else:  # "merged": one mask on the big tile; raw bytes feed the MXU.
         # p = low + 16·high ⇒ x_hi@high = (x_hi/16)@p − (x_hi/16)@low, so
         #   y = (x_lo − x_hi/16)@low + (x_hi/16)@p − 8·rowsum(x)

@@ -96,6 +96,12 @@ def main():
                              "equal-size isotropic clusters are IVF's easy "
                              "case; power-law sizes + spectral decay are "
                              "what real embedding manifolds look like)")
+    parser.add_argument("--probe-mode", default="budget",
+                        choices=["budget", "table"],
+                        help="IVF probing mode A/B (r05: budget = CSR "
+                             "variable-length lists, the new default)")
+    parser.add_argument("--dtype", default="bfloat16",
+                        help="index device dtype (bfloat16 | int8)")
     args = parser.parse_args()
 
     if not args.tpu:
@@ -124,7 +130,8 @@ def main():
         for i in range(args.n)
     ]
 
-    index = IVFIndex(dim=args.dim, device_dtype="bfloat16", n_probe=8)
+    index = IVFIndex(dim=args.dim, device_dtype=args.dtype, n_probe=8,
+                     probe_mode=args.probe_mode)
     index.add(vectors, docs)
     t0 = time.time()
     build = index.rebuild()
@@ -208,6 +215,32 @@ def main():
     unf = report["ladder_policy"]["unfiltered"]["recall_at_chosen"]
     worst = min(p["recall_at_chosen"] for p in report["ladder_policy"].values())
     report["filtered_within_2pts_of_unfiltered"] = bool(worst >= unf - 0.02)
+
+    # latency alongside recall (VERDICT r05 item 1 'Done' criterion):
+    # batched pinned search wall time per ladder level, host-API honest
+    # (includes dispatch + result build), after a warmup pass
+    qb = np.stack([queries[i % len(queries)] for i in range(8)])
+    report["latency"] = {}
+    for nprobe in ladder:
+        index.search(qb, args.k, n_probe=nprobe, pin_probe=True)  # warm
+        samples = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            index.search(qb, args.k, n_probe=nprobe, pin_probe=True)
+            samples.append(time.perf_counter() - t0)
+        p50 = float(np.percentile(samples, 50))
+        report["latency"][nprobe] = {
+            "batch8_ms": round(p50 * 1000, 2), "qps": round(8 / p50, 1),
+            "recall_unfiltered": report["curves"]["unfiltered"][nprobe],
+        }
+        print("latency", nprobe, report["latency"][nprobe], flush=True)
+    cal_probe = int(index.n_probe)
+    if cal_probe in report["latency"]:
+        report["headline"] = {
+            "calibrated_nprobe": cal_probe,
+            "recall_at_10": report["curves"]["unfiltered"].get(cal_probe),
+            "qps": report["latency"][cal_probe]["qps"],
+        }
 
     Path(args.out).write_text(json.dumps(report, indent=2))
     print("wrote", args.out)

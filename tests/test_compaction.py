@@ -108,16 +108,36 @@ def test_ivf_compact_remaps_lists(rng):
     info = index.compact()
     assert info["reclaimed_rows"] == len(docs[::3])
     # the build survives: still list-covered, tail unchanged in size
-    assert index._list_table is not None
+    assert index._budget_built
     assert index.total_rows - index._indexed_rows == old_tail
-    # remapped table points at live rows only
-    table = index._list_table
-    assert table.max() < index.total_rows
-    live_entries = table[table >= 0]
+    # remapped CSR entries point at live rows only
+    entries = index._sorted_rows
+    assert entries.max() < index.total_rows
+    live_entries = entries[entries >= 0]
     assert not index._deleted[live_entries].any()
 
     for i in range(3):
         assert _top_ids(index, q[i : i + 1], k=10) == before[i]
+
+
+def test_ivf_table_mode_compact_remaps_lists(rng):
+    docs = _mk_docs(200)
+    vectors = _mk_vectors(rng, 200)
+    index = IVFIndex(dim=64, n_lists=8, n_probe=8, probe_mode="table")
+    index.add(vectors, docs)
+    index.rebuild()
+    index.delete_by_ids([d.id for d in docs[::3]])
+    q = _mk_vectors(rng, 3)
+    before = [_top_ids(index, q[i: i + 1], k=10) for i in range(3)]
+    info = index.compact()
+    assert info["reclaimed_rows"] == len(docs[::3])
+    assert index._list_table is not None
+    table = index._list_table
+    assert table.max() < index.total_rows
+    live_entries = table[table >= 0]
+    assert not index._deleted[live_entries].any()
+    for i in range(3):
+        assert _top_ids(index, q[i: i + 1], k=10) == before[i]
 
 
 def test_token_store_select_rows_alignment(rng):

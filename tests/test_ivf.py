@@ -203,18 +203,18 @@ def test_probe_ladder_and_choice():
 
 def test_selective_filter_chooses_wide_probe_upfront(built, monkeypatch):
     """The selectivity-driven choice must widen the FIRST launch, not
-    retry-escalate: count kernel launches per nprobe value."""
+    retry-escalate: count kernel launches per budget value."""
     import automative_rag_tpu.index.ivf as ivf_mod
 
     index, vectors, docs = built[:3]
     launches = []
-    real_kernel = ivf_mod._ivf_search_kernel
+    real_kernel = ivf_mod._ivf_budget_search_kernel
 
     def spy(*args, **kwargs):
-        launches.append(args[6] if len(args) > 6 else kwargs.get("nprobe"))
+        launches.append(args[8] if len(args) > 8 else kwargs.get("budget"))
         return real_kernel(*args, **kwargs)
 
-    monkeypatch.setattr(ivf_mod, "_ivf_search_kernel", spy)
+    monkeypatch.setattr(ivf_mod, "_ivf_budget_search_kernel", spy)
     # manufacturer ∧ year keeps 1/40 of rows — selective enough that nprobe=1
     # would starve the candidate set
     flt = {
@@ -226,12 +226,14 @@ def test_selective_filter_chooses_wide_probe_upfront(built, monkeypatch):
     assert hits and all(
         h.document.metadata["manufacturer"] == flt["manufacturer"] for h in hits
     )
-    # first launch already ran wider than the requested nprobe=1
-    assert launches[0] > 1
-    # and any escalation stayed on the ladder for nprobe=1
+    # first launch already ran wider than the level-1 budget
+    assert launches[0] > index._budget_of(1, 5)
+    # and any escalation stayed on the ladder's budget set for nprobe=1
     from automative_rag_tpu.index.ivf import probe_ladder
 
-    assert set(launches) <= set(probe_ladder(1, index.n_lists))
+    allowed = {index._budget_of(lvl, 5)
+               for lvl in probe_ladder(1, index.n_lists)}
+    assert set(launches) <= allowed, (launches, allowed)
 
 
 def test_precompile_ladder(built):
@@ -255,7 +257,8 @@ def test_probe_chunked_scan_matches_single_gather(rng):
     n, dim = 4000, 64
     vectors = rng.normal(size=(n, dim)).astype(np.float32)
     docs = [Document(page_content=f"d{i}", metadata={}) for i in range(n)]
-    index = IVFIndex(dim=dim, device_dtype="float32", n_lists=32)
+    index = IVFIndex(dim=dim, device_dtype="float32", n_lists=32,
+                     probe_mode="table")
     index.add(vectors, docs)
     index.rebuild()
     state = index._device_state()
@@ -279,6 +282,95 @@ def test_probe_chunked_scan_matches_single_gather(rng):
                                rtol=1e-5)
 
 
+def test_budget_chunked_scan_matches_single_gather(rng):
+    """The budget kernel's chunked scoring scan must return the same top-k
+    as a single-chunk pass — forced multi-chunk by shrinking the gather
+    budget below the slot budget."""
+    import jax.numpy as jnp
+
+    from automative_rag_tpu.index import ivf as ivf_mod
+
+    n, dim = 4000, 64
+    vectors = rng.normal(size=(n, dim)).astype(np.float32)
+    docs = [Document(page_content=f"d{i}", metadata={}) for i in range(n)]
+    index = IVFIndex(dim=dim, device_dtype="float32", n_lists=32)
+    index.add(vectors, docs)
+    index.rebuild()
+    state = index._device_state()
+    queries = rng.normal(size=(3, dim)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    mask = jnp.ones(state["capacity"], bool)
+
+    kernel = ivf_mod._ivf_budget_search_kernel.__wrapped__
+    args = (state["vectors"], state["row_scales"], mask, state["centroids"],
+            state["sorted_rows"], state["list_starts"], state["scan_lens"],
+            jnp.asarray(queries))
+    want_v, want_r = kernel(*args, budget=1024, k=10, int8=False)
+
+    old = ivf_mod.PROBE_GATHER_ROWS
+    ivf_mod.PROBE_GATHER_ROWS = 128  # 8 chunks
+    try:
+        got_v, got_r = kernel(*args, budget=1024, k=10, int8=False)
+    finally:
+        ivf_mod.PROBE_GATHER_ROWS = old
+    np.testing.assert_array_equal(np.asarray(got_r), np.asarray(want_r))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=1e-5)
+
+
+def test_budget_kernel_matches_bruteforce_over_probed_lists(rng):
+    """Oracle test for the slot-budget inversion: the budget kernel's
+    candidate set must equal 'rank lists by affinity, scan whole lists
+    until the slot budget is spent' computed in numpy, and its top-k must
+    match brute force over exactly those candidates."""
+    import jax.numpy as jnp
+
+    from automative_rag_tpu.index import ivf as ivf_mod
+
+    n, dim, n_lists = 3000, 32, 24
+    vectors, docs = _corpus(rng, n, dim, clusters=6)  # skewed lists
+    index = IVFIndex(dim=dim, device_dtype="float32", n_lists=n_lists)
+    index.add(vectors, docs)
+    index.rebuild()
+    state = index._device_state()
+    v = np.asarray(state["vectors"], np.float32)
+    starts = np.asarray(index._list_starts, np.int64)
+    lens = np.asarray(index._scan_lens(), np.int64)
+    sorted_rows = index._sorted_rows
+    centroids = index._centroids
+    budget = 512
+
+    q = rng.normal(size=(2, dim)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    mask = jnp.ones(state["capacity"], bool)
+    got_v, got_r = ivf_mod._ivf_budget_search_kernel(
+        state["vectors"], state["row_scales"], mask, state["centroids"],
+        state["sorted_rows"], state["list_starts"], state["scan_lens"],
+        jnp.asarray(q), budget, 10, False)
+    got_v, got_r = np.asarray(got_v), np.asarray(got_r)
+
+    for b in range(q.shape[0]):
+        aff = q[b] @ centroids.T
+        order = np.argsort(-aff, kind="stable")
+        cand = []
+        spent = 0
+        for j in order:
+            if spent >= budget:
+                break
+            take = min(int(lens[j]), budget - spent)
+            span = sorted_rows[starts[j]: starts[j] + take]
+            cand.extend(int(r) for r in span if r >= 0)
+            spent += int(lens[j])
+        cand = np.array(sorted(set(cand)), np.int64)
+        scores = v[cand] @ q[b]
+        want = cand[np.argsort(-scores)[:10]]
+        want_scores = np.sort(scores)[::-1][:10]
+        np.testing.assert_allclose(
+            np.sort(got_v[b]), np.sort(want_scores), rtol=2e-3, atol=2e-3)
+        # row sets match up to near-tie score rounding
+        assert len(set(got_r[b].tolist()) & set(want.tolist())) >= 9
+
+
 def test_pin_probe_disables_policy_and_escalation(built, rng, monkeypatch):
     """pin_probe=True must run EXACTLY the requested width — no selectivity
     policy, no ladder backstop (recall-curve / latency-pinning callers)."""
@@ -286,18 +378,18 @@ def test_pin_probe_disables_policy_and_escalation(built, rng, monkeypatch):
 
     index, vectors, docs, _, _ = built
     launches = []
-    real_kernel = ivf_mod._ivf_search_kernel
+    real_kernel = ivf_mod._ivf_budget_search_kernel
 
     def spy(*args, **kwargs):
-        launches.append(args[6] if len(args) > 6 else kwargs.get("nprobe"))
+        launches.append(args[8] if len(args) > 8 else kwargs.get("budget"))
         return real_kernel(*args, **kwargs)
 
-    monkeypatch.setattr(ivf_mod, "_ivf_search_kernel", spy)
+    monkeypatch.setattr(ivf_mod, "_ivf_budget_search_kernel", spy)
     flt = {"manufacturer": docs[7].metadata["manufacturer"],
            "year": docs[7].metadata["year"]}
     q = rng.normal(size=64).astype(np.float32)
     index.search(q, 5, flt, n_probe=1, pin_probe=True)
-    assert launches == [1], launches
+    assert launches == [index._budget_of(1, 5)], launches
 
 
 def test_strict_balance_caps_every_list():
@@ -310,7 +402,8 @@ def test_strict_balance_caps_every_list():
     n = 20_000
     # skewed cluster sizes (zipf-ish): the realistic imbalance source
     vectors, docs = _corpus(rng, n, dim, clusters=16)
-    index = IVFIndex(dim=dim, n_lists=128, balance_factor=1.2)
+    index = IVFIndex(dim=dim, n_lists=128, balance_factor=1.2,
+                     probe_mode="table")
     index.add(vectors, docs)
     info = index.rebuild()
     cap = int(np.ceil(1.2 * n / 128))
@@ -334,10 +427,10 @@ def test_refined_far_probes_hold_recall():
     rng = np.random.default_rng(11)
     dim = 128
     vectors, docs = _corpus(rng, 20_000, dim)
-    full = IVFIndex(dim=dim, n_lists=128, n_probe=4)
+    full = IVFIndex(dim=dim, n_lists=128, n_probe=4, probe_mode="table")
     full.add(vectors, docs)
     full.rebuild()
-    refined = IVFIndex(dim=dim, n_lists=128, n_probe=4,
+    refined = IVFIndex(dim=dim, n_lists=128, n_probe=4, probe_mode="table",
                        refine_dims=dim // 4, refine_shortlist=512)
     refined.add(vectors, docs)
     refined.rebuild(seed=0)
@@ -371,6 +464,7 @@ def test_refined_int8_path():
     dim = 128
     vectors, docs = _corpus(rng, 8_000, dim)
     index = IVFIndex(dim=dim, device_dtype="int8", n_lists=64, n_probe=4,
+                     probe_mode="table",
                      refine_dims=dim // 4, refine_shortlist=256)
     index.add(vectors, docs)
     index.rebuild()
@@ -391,6 +485,7 @@ def test_refined_path_respects_filters():
     dim = 128
     vectors, docs = _corpus(rng, 10_000, dim)
     index = IVFIndex(dim=dim, n_lists=64, n_probe=4, refine_dims=32,
+                     probe_mode="table",
                      refine_shortlist=512)
     index.add(vectors, docs)
     index.rebuild()
@@ -415,7 +510,7 @@ def test_refine_dims_runtime_toggle():
     rng = np.random.default_rng(23)
     dim = 128
     vectors, docs = _corpus(rng, 5_000, dim)
-    index = IVFIndex(dim=dim, n_lists=64, n_probe=4)
+    index = IVFIndex(dim=dim, n_lists=64, n_probe=4, probe_mode="table")
     index.add(vectors, docs)
     index.rebuild()
     q = vectors[7] + 0.05 * rng.normal(size=dim).astype(np.float32)
@@ -440,6 +535,7 @@ def test_refined_search_k_exceeds_shortlist():
 
     rng = np.random.default_rng(0)
     idx = IVFIndex(dim=32, device_dtype="float32", n_lists=8, n_probe=2,
+                   probe_mode="table",
                    refine_dims=8, refine_shortlist=4)
     vecs = rng.normal(size=(64, 32)).astype(np.float32)
     idx.add(vecs, [Document(page_content=f"d{i}", metadata={})
@@ -684,14 +780,15 @@ def test_rebuild_reuses_resident_device_slab():
     info_warm = warm.rebuild(seed=3)
 
     # same clustering either way (same seed, same bf16 slab values)
-    assert np.array_equal(warm._list_table, cold._list_table)
+    assert np.array_equal(warm._sorted_rows, cold._sorted_rows)
+    assert np.array_equal(warm._list_starts, cold._list_starts)
     assert np.allclose(warm._centroids, cold._centroids, atol=1e-6)
     assert info_warm["timings"]["kmeans_phases"]["ship_s"] <= \
         info_cold["timings"]["kmeans_phases"].get("ship_s", 0.0) + 1e-9
-    # slab survived the swap (same device buffer, fresh centroids/table)
+    # slab survived the swap (same device buffer, fresh centroids/lists)
     assert warm._device is not None
     assert warm._device["vectors"] is slab_before
-    assert warm._device["list_table"] is not None
+    assert warm._device["sorted_rows"] is not None
 
     # search correctness after the in-place swap
     q = vectors[17][None, :].astype(np.float32)
@@ -866,7 +963,7 @@ def test_rebuild_passes_staged_slab_to_balance(monkeypatch):
     n, dim = 6000, 64
     vectors, docs = _corpus(rng, n, dim, clusters=4)  # skewed -> homeless
     index = IVFIndex(dim=dim, device_dtype="float32", n_lists=64,
-                     balance_factor=1.2)
+                     balance_factor=1.2, probe_mode="table")
     index.add(vectors, docs)
     info = index.rebuild()
     cap = int(np.ceil(1.2 * n / 64))
@@ -892,7 +989,7 @@ def test_tombstoned_rebuild_uses_kmeans_slab_for_balance(monkeypatch):
     n, dim = 6000, 64
     vectors, docs = _corpus(rng, n, dim, clusters=4)
     index = IVFIndex(dim=dim, device_dtype="float32", n_lists=64,
-                     balance_factor=1.2)
+                     balance_factor=1.2, probe_mode="table")
     index.add(vectors, docs)
     # tombstone a third of the corpus -> rebuild clusters a compacted COPY
     doomed = rng.choice(n, size=n // 3, replace=False)
