@@ -45,6 +45,9 @@ import numpy as np
 _BLOCK = 8192
 #: appended-tail size that triggers folding the tail into the device slab
 _TAIL_FOLD = 4096
+#: distinct-term ceiling for the 16-bit dense remap (int16 positive range
+#: with headroom) — beyond this the scan stays 32-bit
+_DENSE16_MAX = 30000
 
 
 def _use_variant() -> str:
@@ -87,7 +90,8 @@ def _sparse_topk_kernel(ids_t, weights_t, n_rows, q_ids, q_w, k,
     from ..ops.sparse_scan import sparse_scores_tm, two_stage_top_k
 
     t, cap = ids_t.shape
-    if variant == "pallas":
+    if variant.startswith("pallas"):  # "pallas" | "pallas16" (slab dtype
+        # picks the 32/16-bit kernel inside sparse_scores_tm)
         scores = sparse_scores_tm(ids_t, weights_t, q_ids, q_w,
                                   interpret=interpret)
     else:
@@ -107,7 +111,7 @@ def _sparse_topk_batch_kernel(ids_t, weights_t, n_rows, q_ids, q_w, k,
 
     t, cap = ids_t.shape
     b = q_ids.shape[0]
-    if variant == "pallas":
+    if variant.startswith("pallas"):
         scores = sparse_scores_tm_batch(ids_t, weights_t, q_ids, q_w,
                                         interpret=interpret)
     else:
@@ -146,6 +150,11 @@ class SparseIndex:
         self._device: Optional[Tuple[jnp.ndarray, jnp.ndarray, int]] = None
         # None → auto by backend (_use_variant); tests pin a formulation
         self.scan_variant: Optional[str] = None
+        # 16-bit scan support: sorted raw term ids the CURRENT slab was
+        # densely remapped with (queries remap through the same snapshot;
+        # None → slab is 32-bit). Swapped together with _device.
+        self._staged_keys: Optional[np.ndarray] = None
+        self._staged_want16 = False  # the variant the slab was staged for
         self._mutex = threading.RLock()
 
     # ------------------------------------------------------------- size
@@ -208,23 +217,66 @@ class SparseIndex:
             out[i] = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
         return out
 
+    def _want16(self) -> bool:
+        variant = self.scan_variant or _use_variant()
+        return variant == "pallas16"
+
     def _device_state(self):
+        want16 = self._want16()
         with self._mutex:
+            if self._device is not None and want16 != self._staged_want16:
+                self._device = None  # variant flipped → restage
             if self._device is None and self.rows:
                 cap = max(_BLOCK, -(-self.rows // _BLOCK) * _BLOCK)
                 # TERM-MAJOR device layout [T, cap]: the corpus is the lane
                 # dimension so every 128-lane VPU op in the scan is fully
                 # utilized (48-wide rows waste 2.7x of each tile row-major)
-                ids = np.full((self.top_terms, cap), -1, np.int32)
+                raw = self._ids.T  # [T, rows]
+                keys = None
+                if want16:
+                    keys = np.unique(raw[raw >= 0])
+                    if keys.size > _DENSE16_MAX:
+                        keys = None  # vocab too wide — stay 32-bit
+                if keys is not None:
+                    # dense exact remap: slab value = index into the sorted
+                    # key table; pad stays −1. 2× VPU lane packing in the
+                    # 16-bit kernel, zero collisions by construction.
+                    dense = np.searchsorted(keys, np.where(raw < 0, keys[0],
+                                                           raw))
+                    dense = np.where(raw < 0, -1, dense).astype(np.int16)
+                    ids = np.full((self.top_terms, cap), -1, np.int16)
+                    ids[:, : self.rows] = dense
+                else:
+                    ids = np.full((self.top_terms, cap), -1, np.int32)
+                    ids[:, : self.rows] = raw
                 w = np.zeros((self.top_terms, cap), np.float32)
-                ids[:, : self.rows] = self._ids.T
                 w[:, : self.rows] = self._weights.T
+                self._staged_keys = keys
+                self._staged_want16 = want16
                 self._device = (
                     jnp.asarray(ids),
                     jnp.asarray(w, self.device_dtype),
                     self.rows,
                 )
             return self._device
+
+    @staticmethod
+    def _map_query_ids(q_ids: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        """Remap raw query term ids through the slab's staged key table
+        (16-bit slabs only). Terms absent from the staged vocabulary map
+        to −2: they can only match tail rows, which score on the host
+        with RAW ids."""
+        pos = np.searchsorted(keys, q_ids)
+        pos_c = np.clip(pos, 0, len(keys) - 1)
+        return np.where((q_ids >= 0) & (keys[pos_c] == q_ids),
+                        pos_c, -2).astype(np.int32)
+
+    def _device_state_with_keys(self):
+        """State + the matching 16-bit key snapshot under ONE lock hold
+        (a concurrent restage must not pair a fresh slab with stale
+        keys)."""
+        with self._mutex:
+            return self._device_state(), self._staged_keys
 
     def _device_topk(self, state, q_ids: np.ndarray, q_w: np.ndarray,
                      k: int):
@@ -243,13 +295,15 @@ class SparseIndex:
         (no term overlap means the row is noise, not a candidate)."""
         if self.rows == 0 or k <= 0:
             return []
-        state = self._device_state()
+        state, keys16 = self._device_state_with_keys()
         q_ids = np.asarray(q_ids, np.int32)
         q_w = np.asarray(q_w, np.float32)
         k_eff = min(k, self.rows)
         staged = state[2]
+        q_dev = (self._map_query_ids(q_ids, keys16)
+                 if keys16 is not None else q_ids)
         values, rows = self._device_topk(
-            state, q_ids, q_w, min(k_eff, staged))
+            state, q_dev, q_w, min(k_eff, staged))
         values = np.asarray(values)
         rows = np.asarray(rows)
         with self._mutex:
@@ -286,11 +340,13 @@ class SparseIndex:
         b = q_ids.shape[0]
         if self.rows == 0 or k <= 0 or b == 0:
             return [[] for _ in range(b)]
-        state = self._device_state()
+        state, keys16 = self._device_state_with_keys()
         staged = state[2]
         k_eff = min(k, self.rows)
+        q_dev = (self._map_query_ids(q_ids, keys16)
+                 if keys16 is not None else q_ids)
         values, rows = self._device_topk_batch(
-            state, q_ids, q_w, min(k_eff, staged))
+            state, q_dev, q_w, min(k_eff, staged))
         values = np.asarray(values)
         rows = np.asarray(rows)
         with self._mutex:

@@ -256,19 +256,36 @@ class _Attention(nn.Module):
 
     def _attend(self, q, k, v, mask):
         """q [B,Tq,H,D]; k/v [B,Tk,Hkv,D]; mask broadcastable to
-        [B,H,Tq,Tk] or None."""
+        [B,1|H,Tq,Tk] or None.
+
+        GQA contracts the grouped query heads against the SHARED kv head
+        directly (q reshaped [B,Tq,Hkv,G,D]) — the previous
+        ``jnp.repeat(k, groups)`` materialized a groups-times bf16 copy of
+        the whole KV pool EVERY decode step, so burst steps scaled with
+        slots×max_len instead of staying weight-bound (S32 steps measured
+        ~4× S8 on-chip; the repeat alone moves ~26 GB/step at
+        S32×1024×7B). Same contraction per (kv-head, group) pair —
+        token-identical outputs. Q heads are grouped HF-style: heads
+        [g·G, (g+1)·G) share kv head g, matching repeat's interleaving."""
         cfg = self.config
         groups = cfg.num_heads // cfg.num_kv_heads
-        k = jnp.repeat(k, groups, axis=2)
-        v = jnp.repeat(v, groups, axis=2)
+        b, tq, h, d = q.shape
+        hkv = cfg.num_kv_heads
+        qg = q.reshape(b, tq, hkv, groups, d)
         scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+            "bqhgd,bkhd->bhgqk", qg.astype(jnp.float32),
+            k.astype(jnp.float32)
         ) / np.sqrt(cfg.head_dim)
         if mask is not None:
+            if mask.ndim == 4 and mask.shape[1] == h:
+                mask = mask.reshape(
+                    mask.shape[0], hkv, groups, *mask.shape[2:])
+            else:  # head axis is 1 (every internal caller) → broadcast
+                mask = mask[:, :, None]
             scores = jnp.where(mask, scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
-        return self.o_proj(out.reshape(*out.shape[:2], -1))
+        out = jnp.einsum("bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v)
+        return self.o_proj(out.reshape(b, tq, h * d))
 
     def __call__(self, x, positions):
         t = x.shape[1]

@@ -70,16 +70,56 @@ def _scan_kernel_batch(q_ids_ref, q_w_ref, ids_ref, w_ref, out_ref):
         out_ref[row, :] = jnp.sum(acc * w, axis=0)
 
 
+def _scan_kernel16(q_ids_ref, q_w_ref, ids_ref, w_ref, out_ref):
+    """16-bit block scan: ids [T, bn] int16 (dense corpus-local vocab),
+    accumulator bf16 — both run at 2× VPU lane packing (16-bit tiles pack
+    16 sublanes into 8 physical), which is the only lever left on a scan
+    already AT the 32-bit VPU roofline (BENCH_SPARSE_r04: 2.2 ms measured
+    vs ~2.3 ms theoretical for 1M×48×32 at 3 ops/element/term).
+
+    The bf16 accumulator is EXACT, not approximate: query terms are
+    unique, so each (t, n) element matches at most one of them — acc
+    never sums two nonzero values, it just holds bf16(q_w) or 0. The
+    closing weighted reduction runs in f32."""
+    ids = ids_ref[...]                       # [T, bn] int16
+    n_q = q_ids_ref.shape[1]
+    t, bn = ids.shape
+    acc = jnp.zeros((t, bn), jnp.bfloat16)
+    for i in range(n_q):                     # static unroll
+        qid = q_ids_ref[0, i].astype(jnp.int16)
+        qw = q_w_ref[0, i].astype(jnp.bfloat16)
+        acc = acc + jnp.where(ids == qid, qw, jnp.bfloat16(0))
+    w = w_ref[...].astype(jnp.float32)
+    out_ref[...] = jnp.sum(acc.astype(jnp.float32) * w, axis=0,
+                           keepdims=True)
+
+
+def _scan_kernel16_batch(q_ids_ref, q_w_ref, ids_ref, w_ref, out_ref):
+    """Batched 16-bit block (see _scan_kernel16)."""
+    ids = ids_ref[...]
+    w = w_ref[...].astype(jnp.float32)
+    b, n_q = q_ids_ref.shape
+    t, bn = ids.shape
+    for row in range(b):
+        acc = jnp.zeros((t, bn), jnp.bfloat16)
+        for i in range(n_q):
+            qid = q_ids_ref[row, i].astype(jnp.int16)
+            qw = q_w_ref[row, i].astype(jnp.bfloat16)
+            acc = acc + jnp.where(ids == qid, qw, jnp.bfloat16(0))
+        out_ref[row, :] = jnp.sum(acc.astype(jnp.float32) * w, axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
 def sparse_scores_tm(ids_t, w_t, q_ids, q_w, block_n: int = 4096,
                      interpret: bool = False):
-    """ids_t [T, cap] int32, w_t [T, cap] (bf16), q_ids [Q] int32,
-    q_w [Q] f32 → scores [cap] f32. cap % block_n == 0 required (the slab
-    pads to the block multiple; pad columns carry id −1 / weight 0)."""
+    """ids_t [T, cap] int32 (or int16 → the 2× 16-bit kernel), w_t
+    [T, cap] (bf16), q_ids [Q] int32, q_w [Q] f32 → scores [cap] f32.
+    cap % block_n == 0 required (the slab pads to the block multiple;
+    pad columns carry id −1 / weight 0)."""
     t, cap = ids_t.shape
     bn = min(block_n, cap)
     out = pl.pallas_call(
-        _scan_kernel,
+        _scan_kernel16 if ids_t.dtype == jnp.int16 else _scan_kernel,
         out_shape=jax.ShapeDtypeStruct((1, cap), jnp.float32),
         grid=(cap // bn,),
         in_specs=[
@@ -107,7 +147,8 @@ def sparse_scores_tm_batch(ids_t, w_t, q_ids, q_w, block_n: int = 4096,
     b = q_ids.shape[0]
     bn = min(block_n, cap)
     return pl.pallas_call(
-        _scan_kernel_batch,
+        _scan_kernel16_batch if ids_t.dtype == jnp.int16
+        else _scan_kernel_batch,
         out_shape=jax.ShapeDtypeStruct((b, cap), jnp.float32),
         grid=(cap // bn,),
         in_specs=[

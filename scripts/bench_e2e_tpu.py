@@ -184,13 +184,27 @@ def main():
                   flush=True)
             Path(args.out).write_text(json.dumps(report, indent=1))
 
-        # retrieval-only latency for the breakdown (no LLM)
-        t0 = time.time()
+        # retrieval-only latency for the breakdown (no LLM) + the per-stage
+        # split (r05 item 3: 1.77 s at 300 docs = dispatch round trips, not
+        # kernels — the stage timings say WHICH host→device hops dominate)
+        lat, stages = [], []
         for i in range(10):
             fact = sample[i % len(sample)]
+            t0 = time.time()
             app.engine.retrieve(
                 f"{fact['model']}的{fact['metric']}是多少？", mode="facts")
-        report["retrieval_only_p50_s"] = round((time.time() - t0) / 10, 4)
+            lat.append(time.time() - t0)
+            if not app.engine.last_timings.get("cached"):
+                stages.append(dict(app.engine.last_timings))
+        lat.sort()
+        report["retrieval_only_p50_s"] = round(lat[len(lat) // 2], 4)
+        if stages:
+            keys = {k for s in stages for k in s
+                    if isinstance(s.get(k), float)}
+            report["retrieval_stage_p50_s"] = {
+                k: round(float(np.median([s[k] for s in stages if k in s])),
+                         4)
+                for k in sorted(keys)}
         Path(args.out).write_text(json.dumps(report, indent=1))
         print(json.dumps(report, ensure_ascii=False))
     finally:

@@ -198,10 +198,13 @@ def main():
 
         for budget in args.budgets:
             @jax.jit
-            def bk(q):
+            def bk(q, slab_a, scales_a, mask_a, cent_a, sr_a, st_a, sl_a,
+                   budget=budget):
+                # corpus tensors are ARGUMENTS — a captured multi-GB
+                # constant breaks the remote compiler
                 def body(carry, _):
                     vals, rows = _ivf_budget_search_kernel(
-                        slab, scales, mask, centroids, sr, st, sl,
+                        slab_a, scales_a, mask_a, cent_a, sr_a, st_a, sl_a,
                         carry, budget, 10, is_int8)
                     carry = carry + vals[0, 0] * 0.0
                     return carry, vals
@@ -211,7 +214,8 @@ def main():
 
             key = f"budget_kernel:R{budget}"
             try:
-                ms, comp = timed(bk, q0)
+                ms, comp = timed(bk, q0, slab, scales, mask, centroids,
+                                 sr, st, sl)
                 report["results"][key] = {
                     "ms_per_batch": round(ms, 3),
                     "qps": round(batch / (ms / 1000), 1),

@@ -128,6 +128,15 @@ def bench_ivf_recall(n=100_000, dim=1024, k=10, n_lists=256, probes=(8, 16, 32))
     t0 = time.time()
     info = index.rebuild()
     build_s = time.time() - t0
+    # warm rebuild (r05 item 5): the cold number above includes the remote
+    # compiler minting the pow2-bucket executables for this shape (r04
+    # measured 544 s at 100K, 529 s of it 'fetch' = compile hidden behind
+    # an unreliable block_until_ready); steady-state rebuilds reuse them
+    # AND the resident slab
+    index._device_state()
+    t0 = time.time()
+    info = index.rebuild(seed=1)
+    warm_build_s = time.time() - t0
 
     normalized = vectors / np.linalg.norm(vectors, axis=1, keepdims=True)
     # in-distribution queries (drawn from the same cluster mixture): IVF
@@ -135,7 +144,8 @@ def bench_ivf_recall(n=100_000, dim=1024, k=10, n_lists=256, probes=(8, 16, 32))
     # true neighbors have no cluster locality
     queries = (centers[rng.integers(0, centers.shape[0], size=20)]
                + rng.normal(size=(20, dim))).astype(np.float32)
-    out = {"build_s": round(build_s, 1), **info, "probes": {}}
+    out = {"build_s": round(build_s, 1),
+           "warm_build_s": round(warm_build_s, 1), **info, "probes": {}}
     for nprobe in probes:
         recall, latency = 0.0, []
         for q in queries:
@@ -225,9 +235,33 @@ def bench_ivf_scale(n=1_000_000, dim=1024, k=10, n_lists=1024,
            "list_cap": info.get("list_cap"), "probes": {}}
     full_mask = jnp.asarray(np.ones(state["capacity"], bool))
 
+    budget_mode = index._budget_built
+
     def make_many(nprobe):
         # nprobe/k/int8 are static via closure; the corpus tensors are
         # ARGUMENTS (a captured 2 GB constant breaks the remote compiler)
+        if budget_mode:
+            from automative_rag_tpu.index.ivf import (
+                _ivf_budget_search_kernel,
+            )
+
+            budget = index._budget_of(nprobe, k)
+
+            @jax.jit
+            def many(q, vectors, row_scales, centroids, lists_a, full_mask,
+                     lists_b, lists_c):
+                def body(carry, _):
+                    vals, _rows = _ivf_budget_search_kernel(
+                        vectors, row_scales, full_mask, centroids,
+                        lists_a, lists_b, lists_c, carry, budget, k, int8)
+                    carry = carry + (vals[0, 0] * 0).astype(carry.dtype)
+                    return carry, vals[:, 0]
+
+                _, outs = jax.lax.scan(body, q, None, length=REPS)
+                return outs
+
+            return many
+
         @jax.jit
         def many(q, vectors, row_scales, centroids, list_table, full_mask):
             def body(carry, _):
@@ -273,8 +307,13 @@ def bench_ivf_scale(n=1_000_000, dim=1024, k=10, n_lists=1024,
         return float(np.percentile(samples, 50))
 
     qb = jnp.asarray(qn[:batch])
-    operands = (qb, state["vectors"], state["row_scales"],
-                state["centroids"], state["list_table"], full_mask)
+    if budget_mode:
+        operands = (qb, state["vectors"], state["row_scales"],
+                    state["centroids"], state["sorted_rows"], full_mask,
+                    state["list_starts"], state["scan_lens"])
+    else:
+        operands = (qb, state["vectors"], state["row_scales"],
+                    state["centroids"], state["list_table"], full_mask)
     split, refine_dims, shortlist = probes[0], max(64, dim // 4), 2048
     for nprobe in probes:
       try:  # the build+oracle above cost ~30 min — keep partial points
@@ -291,12 +330,14 @@ def bench_ivf_scale(n=1_000_000, dim=1024, k=10, n_lists=1024,
             "latency_ms_per_batch": round(per_call * 1000, 3),
             "qps": round(batch / per_call, 1),
         }
+        if budget_mode:
+            out["probes"][nprobe]["budget"] = index._budget_of(nprobe, k)
         print("ivf_1m probe", nprobe, out["probes"][nprobe], flush=True)
 
         # coarse-then-refine: same probe width, far probes screened on
         # refine_dims dims + exact shortlist rescore (high-recall points
-        # stop costing linear-in-nprobe)
-        if nprobe > split:
+        # stop costing linear-in-nprobe; table mode only)
+        if nprobe > split and not budget_mode:
             index.refine_dims = refine_dims
             index.refine_shortlist = shortlist
             index.n_probe = split

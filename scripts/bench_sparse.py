@@ -169,6 +169,76 @@ def main():
     print(f"batch8 kernel: {b8_ms:.3f} ms ({b8_ms / 8:.3f} ms/query)",
           file=sys.stderr, flush=True)
 
+    # ---- 16-bit scan A/B (r05 item 6): vocab-bounded corpora (the
+    # product's zh+spec vocabulary is ~10-30K distinct terms) stage an
+    # int16 dense-remap slab + bf16 accumulator → 2× VPU lane packing on
+    # a scan that is already AT the 32-bit VPU roofline. Same zipf shape,
+    # ids folded into a 25K vocab; 32-bit baseline on the SAME corpus.
+    kernel16 = {}
+    if not args.cpu:
+        ids_v = (ids % 25_000).astype(np.int32)
+        qids_v = (q_ids % 25_000).astype(np.int32)
+        variants16 = {}
+        b8_16 = {}
+        for vname in ("pallas", "pallas16"):
+            idx_v = SparseIndex(top_terms=t)
+            idx_v.append(ids_v, weights)
+            idx_v.scan_variant = vname
+            st_v, keys_v = idx_v._device_state_with_keys()
+            islab_v, wslab_v, staged_v = st_v
+            qv = (idx_v._map_query_ids(qids_v, keys_v)
+                  if keys_v is not None else qids_v)
+            many = make_many(vname)
+            qi_v, qw_v = jnp.asarray(qv), jnp.asarray(q_w)
+            try:
+                np.asarray(many(qi_v, qw_v, islab_v, wslab_v))
+            except Exception as exc:  # noqa: BLE001
+                variants16[vname] = f"FAILED {exc!r}"[:200]
+                continue
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(many(qi_v, qw_v, islab_v, wslab_v))
+                samples.append((time.perf_counter() - t0) / reps)
+            variants16[vname] = round(
+                float(np.percentile(samples, 50)) * 1e3, 4)
+            print(f"vocab25k {vname}: {variants16[vname]} ms",
+                  file=sys.stderr, flush=True)
+
+            bq = jnp.asarray(np.stack([np.asarray(qv)] * 8))
+            bw = jnp.asarray(np.stack([q_w] * 8))
+
+            @jax.jit
+            def many_b(qi, qw, islab, wslab, vname=vname,
+                       staged_v=staged_v):
+                def body(carry, _):
+                    qi_c, qw_c = carry
+                    vals, rows = _sparse_topk_batch_kernel(
+                        islab, wslab, staged_v, qi_c, qw_c, k,
+                        variant=vname, interpret=interpret)
+                    qw_c = qw_c + (vals[0, 0] * 0).astype(qw_c.dtype)
+                    return (qi_c, qw_c), vals[0, 0]
+
+                _, outs = jax.lax.scan(body, (qi, qw), None, length=reps)
+                return outs
+
+            try:
+                np.asarray(many_b(bq, bw, islab_v, wslab_v))
+                samples = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    np.asarray(many_b(bq, bw, islab_v, wslab_v))
+                    samples.append((time.perf_counter() - t0) / reps)
+                ms = float(np.percentile(samples, 50)) * 1e3
+                b8_16[vname] = {"batch8_ms": round(ms, 4),
+                                "per_query_ms": round(ms / 8, 4)}
+                print(f"vocab25k {vname} batch8: {ms:.3f} ms "
+                      f"({ms / 8:.3f}/q)", file=sys.stderr, flush=True)
+            except Exception as exc:  # noqa: BLE001
+                b8_16[vname] = {"error": repr(exc)[:200]}
+        kernel16 = {"vocab": 25_000, "single_ms": variants16,
+                    "batch8": b8_16}
+
     bytes_read = staged * t * (4 + w_slab.dtype.itemsize)
     result = {
         "bench": "sparse_scan",
@@ -186,6 +256,8 @@ def main():
         "oracle_overlap": f"{overlap}/{len(got_rows_in_sample)}",
         "end_to_end_search_ms": None,
     }
+    if kernel16:
+        result["kernel16"] = kernel16
 
     # end-to-end host call (includes idf-free query prep + host merge)
     idx.search(q_ids, q_w, k=args.k)

@@ -458,3 +458,85 @@ def test_explain_overlap_names_shared_terms(encoder):
     assert encoder.explain_overlap("毫无关联的词汇啊", "something else entirely") == [] or \
         all(m["contribution"] >= 0 for m in
             encoder.explain_overlap("毫无关联的词汇啊", "something else entirely"))
+
+
+def test_pallas16_variant_matches_32bit():
+    """The 16-bit scan (dense exact remap + bf16 accumulator) must rank
+    like the 32-bit path up to bf16(q_w) rounding: same rows except
+    near-tie reorders, scores within ~0.4% (one bf16 ulp)."""
+    import numpy as np
+
+    from automative_rag_tpu.index.sparse import SparseIndex
+
+    rng = np.random.default_rng(0)
+    n, T, Q = 3000, 48, 32
+    vocab = rng.choice(100_000, size=5000, replace=False)
+    ids = vocab[rng.integers(0, 5000, size=(n, T))].astype(np.int32)
+    w = rng.random((n, T)).astype(np.float32)
+    q_ids = vocab[rng.integers(0, 5000, size=Q)].astype(np.int32)
+    q_ids[-2:] = (-1, 999_999_999)  # pad + never-seen term
+    q_w = rng.random(Q).astype(np.float32)
+
+    idx32 = SparseIndex(top_terms=T)
+    idx32.append(ids, w)
+    idx32.scan_variant = "pallas"
+    idx16 = SparseIndex(top_terms=T)
+    idx16.append(ids, w)
+    idx16.scan_variant = "pallas16"
+    assert idx16._device_state()[0].dtype == np.int16
+
+    r32 = idx32.search(q_ids, q_w, k=20)
+    r16 = idx16.search(q_ids, q_w, k=20)
+    rows32 = {r for r, _ in r32}
+    rows16 = {r for r, _ in r16}
+    assert len(rows32 & rows16) >= 18, (r32, r16)
+    by_row32 = dict(r32)
+    for row, v16 in r16:
+        if row in by_row32:
+            assert abs(by_row32[row] - v16) <= 4e-3 * max(
+                abs(by_row32[row]), 1e-6)
+
+    # batched path agrees with itself and the 32-bit batch
+    qb = np.stack([q_ids, np.roll(q_ids, 3)])
+    qwb = np.stack([q_w, q_w * 0.5])
+    for a, b in zip(idx32.search_batch(qb, qwb, k=10),
+                    idx16.search_batch(qb, qwb, k=10)):
+        assert len({r for r, _ in a} & {r for r, _ in b}) >= 8
+
+
+def test_pallas16_tail_and_vocab_fallback():
+    """Tail rows score on the host with RAW ids (terms unknown to the
+    staged 16-bit vocab must still match tail rows); a vocabulary wider
+    than the int16 budget falls back to the 32-bit slab."""
+    import numpy as np
+
+    import automative_rag_tpu.index.sparse as sp
+    from automative_rag_tpu.index.sparse import SparseIndex
+
+    rng = np.random.default_rng(1)
+    n, T = 500, 48
+    ids = rng.integers(0, 3000, size=(n, T)).astype(np.int32)
+    w = rng.random((n, T)).astype(np.float32)
+    idx = SparseIndex(top_terms=T)
+    idx.append(ids, w)
+    idx.scan_variant = "pallas16"
+    idx._device_state()  # stage 16-bit
+    new_ids = np.full((1, T), -1, np.int32)
+    new_ids[0, 0] = 999_999_999
+    new_w = np.zeros((1, T), np.float32)
+    new_w[0, 0] = 5.0
+    idx.append(new_ids, new_w)  # tail (below fold threshold)
+    hits = idx.search(np.array([999_999_999], np.int32),
+                      np.array([2.0], np.float32), k=3)
+    assert hits and hits[0][0] == n, hits
+
+    # vocab fallback: > _DENSE16_MAX distinct terms → int32 slab
+    wide = SparseIndex(top_terms=T)
+    m = (sp._DENSE16_MAX // T) + 8
+    wide_ids = np.arange(m * T, dtype=np.int32).reshape(m, T)
+    wide.append(wide_ids, np.ones((m, T), np.float32))
+    wide.scan_variant = "pallas16"
+    assert wide._device_state()[0].dtype == np.int32
+    hits = wide.search(np.array([5], np.int32),
+                       np.array([1.0], np.float32), k=2)
+    assert hits and hits[0][0] == 0
