@@ -269,6 +269,7 @@ class RAGApplication:
                 device_dtype=self.settings.index_dtype,
                 n_lists=self.settings.ivf_n_lists,
                 n_probe=self.settings.ivf_n_probe,
+                probe_mode=self.settings.ivf_probe_mode,
             )
         if self.settings.index_kind == "sharded" or (
             self.settings.index_kind == "auto" and self._n_devices() > 1

@@ -1,0 +1,184 @@
+"""One-dispatch retrieval search stage (r05 verdict item 3).
+
+The host-orchestrated hot path paid one relay round trip (~26 ms through
+the axon tunnel) per stage: filter mask, dense probe, entity-expansion
+probe, sparse lexical scan — `BENCH_E2E_TPU_r04` measured
+`retrieval_only_p50_s = 1.77 s` at 300 docs, i.e. pure dispatch hops, not
+kernels. This module assembles those stages into ONE jitted program over
+the index's and sparse arm's staged device states:
+
+    qvec ─┬─ valid ∧ filter(spec)      ─ budget-IVF top-k   (dense)
+          ├─ valid ∧ filter(entity)    ─ budget-IVF top-k   (expansion)
+          └─ term-match scan + top-k                        (sparse)
+
+Eligibility is deliberately narrow — single-device budget-mode IVFIndex,
+no fresh tail, sparse arm staged (or absent) — anything else falls back
+to the per-stage path, which stays the source of truth for semantics.
+The engine merges the three candidate lists on the host exactly as the
+per-stage path does.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.filters import FilterSpec, eval_filter_mask
+from ..index.ivf import IVFIndex, _ivf_budget_search_kernel
+from ..index.sparse import _sparse_topk_kernel
+
+
+@partial(jax.jit, static_argnames=(
+    "budget", "entity_budget", "k_dense", "k_entity", "k_sparse", "int8",
+    "has_entity", "has_sparse", "sparse_variant", "interpret"))
+def _fused_search_kernel(
+    vectors, row_scales, valid, codes, numerics, centroids,
+    sorted_rows, list_starts, scan_lens,
+    sp_ids, sp_w, sp_staged,
+    qvec,                      # [1, D] f32
+    q_ids, q_w,                # [Q] sparse query terms (dense-remapped)
+    spec_main: FilterSpec, spec_entity: FilterSpec,
+    budget: int, entity_budget: int, k_dense: int, k_entity: int,
+    k_sparse: int,
+    int8: bool, has_entity: bool, has_sparse: bool,
+    sparse_variant: str, interpret: bool,
+):
+    mask_main = valid & eval_filter_mask(codes, numerics, spec_main)
+    d_vals, d_rows = _ivf_budget_search_kernel(
+        vectors, row_scales, mask_main, centroids, sorted_rows,
+        list_starts, scan_lens, qvec, budget, k_dense, int8)
+    if has_entity:
+        mask_ent = valid & eval_filter_mask(codes, numerics, spec_entity)
+        e_vals, e_rows = _ivf_budget_search_kernel(
+            vectors, row_scales, mask_ent, centroids, sorted_rows,
+            list_starts, scan_lens, qvec, entity_budget, k_entity, int8)
+    else:
+        e_vals = jnp.zeros((1, 1), jnp.float32)
+        e_rows = jnp.full((1, 1), -1, jnp.int32)
+    if has_sparse:
+        s_vals, s_rows = _sparse_topk_kernel(
+            sp_ids, sp_w, sp_staged, q_ids, q_w, k_sparse,
+            variant=sparse_variant, interpret=interpret)
+    else:
+        s_vals = jnp.full((1,), -jnp.inf, jnp.float32)
+        s_rows = jnp.full((1,), -1, jnp.int32)
+    return d_vals, d_rows, e_vals, e_rows, s_vals, s_rows
+
+
+def fused_search(engine, qvec: np.ndarray, k1: int,
+                 entity_filter: Optional[dict],
+                 sparse_terms) -> Optional[dict]:
+    """Run the fused search stage if the engine's state is eligible;
+    returns ``{"dense": (vals, rows), "entity": ... | None,
+    "sparse": [(row, score), ...] | None}`` or ``None`` (caller falls
+    back to the per-stage path).
+
+    Only the UNFILTERED main search fuses: a metadata-filtered query
+    needs the mask popcount BEFORE the probe width can be chosen, which
+    is inherently two dispatches (and the selectivity ladder may
+    escalate anyway)."""
+    index = engine.index
+    if type(index) is not IVFIndex or not index._budget_built:
+        return None
+    if index.plan == "flat":
+        # the calibrated planner priced IVF out on this distribution —
+        # the per-stage path routes to the exact quantized scan
+        return None
+    if index.tail_rows > 0:
+        return None
+    with index._mutex:
+        state = index._device_state_locked()
+    if "sorted_rows" not in state:
+        return None
+
+    sparse_on = sparse_terms is not None and engine.sparse_index is not None
+    sp_state = sp_keys = None
+    if sparse_on:
+        sp = engine.sparse_index
+        # only the plain single-device arm participates (sharded arms
+        # collective-merge internally; tails need a host pass)
+        if not hasattr(sp, "_device_state_with_keys"):
+            return None
+        sp_state, sp_keys = sp._device_state_with_keys()
+        if sp_state is None or sp_state[2] != sp.rows:
+            # sparse tail rows would need a host pass the fused program
+            # can't see — the per-stage path owns that case
+            return None
+
+    spec_main = FilterSpec.match_all()
+    has_entity = entity_filter is not None
+    if has_entity:
+        spec_entity, ok = index._compile(entity_filter)
+        if not ok:
+            has_entity = False
+            spec_entity = FilterSpec.match_all()
+    else:
+        spec_entity = FilterSpec.match_all()
+
+    k_dense = min(k1, state["capacity"])
+    k_scan = k_dense
+    if index._int8 and index.refine_mult > 1:
+        k_scan = min(k_dense * index.refine_mult, state["capacity"])
+    level = min(index.n_probe, index.n_lists)
+    budget = index._budget_of(level, k_scan)
+    k_entity = min(engine.ENTITY_EXPAND_K, state["capacity"])
+    # the per-stage entity search widens its probe from the filter's mask
+    # popcount — which is exactly the dispatch this path removes. The
+    # entity arm FULL-SCANS instead: recall is exact (≥ any policy pick),
+    # and the arm only runs when a known model/brand is named.
+    entity_budget = len(index._sorted_rows)
+
+    if sparse_on:
+        q_ids, q_w = sparse_terms
+        q_ids = np.asarray(q_ids, np.int32)
+        if sp_keys is not None:
+            q_ids = sp._map_query_ids(q_ids, sp_keys)
+        sp_ids, sp_w, sp_staged = sp_state
+        k_sparse = min(engine.sparse_k + 8, sp_staged)
+        variant = sp.scan_variant or _default_sparse_variant()
+        q_ids_dev = jnp.asarray(q_ids)
+        q_w_dev = jnp.asarray(np.asarray(q_w, np.float32))
+    else:
+        sp_ids = jnp.zeros((1, 8), jnp.int32)
+        sp_w = jnp.zeros((1, 8), jnp.float32)
+        sp_staged, k_sparse, variant = 0, 1, "fori"
+        q_ids_dev = jnp.zeros((1,), jnp.int32)
+        q_w_dev = jnp.zeros((1,), jnp.float32)
+
+    interpret = jax.default_backend() != "tpu"
+    d_vals, d_rows, e_vals, e_rows, s_vals, s_rows = _fused_search_kernel(
+        state["vectors"], state["row_scales"], state["valid"],
+        state["codes"], state["numerics"], state["centroids"],
+        state["sorted_rows"], state["list_starts"], state["scan_lens"],
+        sp_ids, sp_w, sp_staged,
+        jnp.asarray(np.asarray(qvec, np.float32).reshape(1, -1)),
+        q_ids_dev, q_w_dev, spec_main, spec_entity,
+        budget, entity_budget, k_scan, k_entity, k_sparse,
+        index._int8, has_entity, sparse_on,
+        variant, interpret)
+
+    d_vals, d_rows = np.asarray(d_vals), np.asarray(d_rows)
+    if k_scan > k_dense:
+        # exact f32 rescore of the quantized shortlist (host mirror math,
+        # no extra dispatch)
+        d_vals, d_rows = index._host_refine(
+            np.asarray(qvec, np.float32).reshape(1, -1),
+            d_vals, d_rows, k_dense)
+    out = {"dense": (d_vals[0], d_rows[0]), "entity": None, "sparse": None}
+    if has_entity:
+        out["entity"] = (np.asarray(e_vals)[0], np.asarray(e_rows)[0])
+    if sparse_on:
+        sv, sr = np.asarray(s_vals), np.asarray(s_rows)
+        out["sparse"] = [(int(r), float(v)) for v, r in zip(sv, sr)
+                         if np.isfinite(v) and v > 0.0]
+    return out
+
+
+def _default_sparse_variant() -> str:
+    from ..index.sparse import _use_variant
+
+    return _use_variant()

@@ -28,6 +28,7 @@ from ..index.flat import SearchResult
 from ..models.bge_m3 import DenseEmbedder
 from ..rerank.reranker import LateInteractionReranker
 from ..utils.quality import expand_query_synonyms
+from .fused import fused_search
 
 
 def _minmax(scores: np.ndarray) -> np.ndarray:
@@ -138,6 +139,9 @@ class RetrievalEngine:
         self.sparse_k = sparse_k
         self.sparse_weight = sparse_weight
         self.sparse_rerank_weight = sparse_rerank_weight
+        # one-dispatch search stage for eligible states (engine/fused.py);
+        # False pins the per-stage path (tests, semantics debugging)
+        self.fused_path = True
         self.last_timings: Dict[str, float] = {}
         # repeated-query retrieval cache (reference has none; analytics
         # show the same canonical questions recur). Entries carry a STATE
@@ -241,6 +245,19 @@ class RetrievalEngine:
         return ids
 
     # -------------------------------------------------------- sparse arm
+    def _hits_from_rows(self, vals, rows) -> List[SearchResult]:
+        """(vals, rows) arrays → SearchResult list (bounds-safe through
+        ``documents_at``; -inf/-1 padding and dup rows dropped)."""
+        rows = [int(r) for r in rows]
+        docs = self.index.documents_at(rows)
+        out, seen = [], set()
+        for v, r, d in zip(vals, rows, docs):
+            if not np.isfinite(v) or r in seen or d is None:
+                continue
+            seen.add(r)
+            out.append(SearchResult(d, float(v), r))
+        return out
+
     def _sparse_union(
         self,
         query: str,
@@ -391,24 +408,52 @@ class RetrievalEngine:
         qvec = self.embedder.embed_query(query)
         self._recent_qvecs.append(np.asarray(qvec, np.float32))
         t1 = time.perf_counter()
-        hits = self.index.search(np.asarray(qvec), k1, metadata_filter)[0]
-        # entity-guided expansion: when the query names a known model or
-        # brand and the caller didn't filter, union in a few hard-filtered
-        # hits so the entity's own documents are guaranteed a rerank slot;
-        # wrong detections only add candidates, which rerank screens out
+        # entity-guided expansion filter: when the query names a known
+        # model or brand and the caller didn't filter, union in a few
+        # hard-filtered hits so the entity's own documents are guaranteed
+        # a rerank slot; wrong detections only add candidates, which
+        # rerank screens out
         detected = None
         if self.entity_expansion and metadata_filter is None:
             detected = _query_entities(query)
+
+        # fused fast path (r05 item 3): dense probe + entity expansion +
+        # sparse scan in ONE device dispatch — each stage was a ~26 ms
+        # relay round trip on the per-stage path
+        fused_out = None
+        if self.fused_path and metadata_filter is None:
+            q_terms_pre = (self._sparse_terms(exp_query)
+                           if self._sparse_active() else None)
+            fused_out = fused_search(self, np.asarray(qvec), k1,
+                                     detected, q_terms_pre)
+        if fused_out is not None:
+            hits = self._hits_from_rows(*fused_out["dense"])
+            if fused_out["entity"] is not None:
+                seen_rows = {h.row for h in hits}
+                hits = hits + [
+                    h for h in self._hits_from_rows(*fused_out["entity"])
+                    if h.row not in seen_rows]
+            t2 = time.perf_counter()
+            if q_terms_pre is not None:
+                hits, n_sparse = self._sparse_merge(
+                    np.asarray(qvec), hits, None, fused_out["sparse"])
+                q_terms = q_terms_pre
+            else:
+                q_terms, n_sparse = None, 0
+            t2s = time.perf_counter()
+        else:
+            hits = self.index.search(
+                np.asarray(qvec), k1, metadata_filter)[0]
             if detected:
                 seen_rows = {h.row for h in hits}
                 extra = self.index.search(
                     np.asarray(qvec), self.ENTITY_EXPAND_K, detected
                 )[0]
                 hits = hits + [h for h in extra if h.row not in seen_rows]
-        t2 = time.perf_counter()
-        hits, q_terms, n_sparse = self._sparse_union(
-            exp_query, np.asarray(qvec), hits, metadata_filter)
-        t2s = time.perf_counter()
+            t2 = time.perf_counter()
+            hits, q_terms, n_sparse = self._sparse_union(
+                exp_query, np.asarray(qvec), hits, metadata_filter)
+            t2s = time.perf_counter()
 
         candidates = [h.document for h in hits]
         if rerank and self.reranker is not None and candidates:
@@ -449,6 +494,7 @@ class RetrievalEngine:
             "retrieval_k": k1,
             "final_k": k2,
             "candidates": len(candidates),
+            "fused": fused_out is not None,
         }
         if q_terms is not None:
             self.last_timings["sparse_s"] = t2s - t2

@@ -74,6 +74,20 @@ class StubLLM:
         context = params.get("_stub_context", self._context)
         question = params.get("_stub_question", self._question)
         terms = extract_key_terms(question)
+        # short CJK model names (汉, 唐) fall below extract_key_terms'
+        # length floor, so a sibling doc sharing every OTHER term (e.g. a
+        # trim code shared across models) ties with the queried model's
+        # doc — the boundary-aware entity matcher restores the
+        # discriminating term (EVAL r05 shared_code_split)
+        try:
+            from ..ingestion.metadata import find_query_entities
+
+            for val in find_query_entities(question).values():
+                for v in (val if isinstance(val, list) else [val]):
+                    if v and v not in terms:
+                        terms.append(v)
+        except Exception:  # noqa: BLE001 — term enrichment is best-effort
+            pass
         # spec questions want a VALUE: between sentences matching the same
         # number of query terms, one that carries a numeral beats opinion
         # prose ("CLTC续航715公里" over "续航表现不错") — on distractor-
@@ -108,7 +122,20 @@ class StubLLM:
             # most matched query terms first, then the value tie-break,
             # then retrieval relevance
             candidates.sort(key=lambda c: c[:4], reverse=True)
-            picked = [c[4] for c in candidates[:5]]
+            top = candidates[:5]
+            if wants_value:
+                # shared-term near-duplicates (e.g. one trim code shared
+                # across models) tie on every term except the queried
+                # entity — keep only the best-matched tier so a sibling
+                # model's value never rides into a value answer (EVAL r05
+                # shared_code_split: cross_model_confusion was 0.5). Only
+                # when that tier itself carries a value: a review sentence
+                # can out-match the spec sentence without having one.
+                best = top[0][0]
+                tier = [c for c in top if c[0] == best]
+                if any(c[1] for c in tier):
+                    top = tier
+            picked = [c[4] for c in top]
             text = "。".join(p.rstrip("。") for p in picked) + "。"
         on_text = params.get("on_text")
         if on_text is not None:

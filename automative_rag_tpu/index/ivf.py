@@ -673,6 +673,16 @@ class IVFIndex(FlatIndex):
         # scanned-row budget (survives skewed distributions — VERDICT r04
         # #1); "table": legacy balanced padded list table.
         self.probe_mode = probe_mode
+        # query plan, set by calibrate(): "ivf" = probe the lists;
+        # "flat" = the distribution needs so wide a budget that the exact
+        # quantized matmul scan is FASTER (it streams each row once for
+        # the whole query batch; the probe gather re-reads rows per
+        # query — the crossover sits around budget ≈ slots/8 at batch 8).
+        # RECALL_1M_POWERLAW_r05: powerlaw needed a 52%-of-slots budget
+        # for 0.95 — a regime where IVF of any layout loses to the scan.
+        self.plan = "ivf"
+        #: budget fraction above which calibrate() switches the plan
+        self.flat_cutoff = 0.125
         # build artifacts (host)
         self._centroids: Optional[np.ndarray] = None
         self._list_table: Optional[np.ndarray] = None  # table mode
@@ -1110,6 +1120,7 @@ class IVFIndex(FlatIndex):
         # with the old lists (torn probes → wrong/empty results)
         with self._mutex:
             self._centroids = centroids
+            self.plan = "ivf"  # a fresh build re-earns any flat fallback
             if self.probe_mode == "budget":
                 self._list_table = None
                 self._sorted_rows = sorted_rows
@@ -1377,9 +1388,20 @@ class IVFIndex(FlatIndex):
                 chosen = width
                 break
         self.n_probe = int(chosen)
-        return {"calibrated": True, "n_probe": int(chosen),
+        info = {"calibrated": True, "n_probe": int(chosen),
                 "target_recall": target_recall, "curve": curve,
                 "sample": int(len(queries)), "probe_source": probe_source}
+        if self._budget_built:
+            # planner: price the budget the target recall needs; past
+            # flat_cutoff of the slots the exact quantized scan is faster
+            # (and exact) — route production searches there. pin_probe
+            # callers (recall curves, latency pinning) always get IVF.
+            budget = self._budget_of(int(chosen), 10)
+            frac = budget / max(1, len(self._sorted_rows))
+            self.plan = "flat" if frac > self.flat_cutoff else "ivf"
+            info["budget_fraction"] = round(frac, 4)
+            info["plan"] = self.plan
+        return info
 
     def search(
         self,
@@ -1396,6 +1418,12 @@ class IVFIndex(FlatIndex):
         exactly ``n_probe`` (latency pinning, recall-vs-nprobe curves)."""
         if self._centroids is None:
             # not built yet → exact
+            return super().search(queries, k, metadata_filter, normalize)
+        if self.plan == "flat" and not pin_probe and n_probe is None:
+            # calibrated planner fallback: the measured recall/budget
+            # curve priced IVF out on this distribution — the exact
+            # quantized scan (with its host refine) is faster AND exact.
+            # Explicit n_probe / pin_probe requests still probe.
             return super().search(queries, k, metadata_filter, normalize)
 
         queries = np.asarray(queries, np.float32)
@@ -1658,6 +1686,7 @@ class IVFIndex(FlatIndex):
         )
         if self._budget_built:
             base["csr_slots"] = int(len(self._sorted_rows))
+            base["plan"] = self.plan
         return base
 
     # ----------------------------------------------------------- persist
@@ -1678,6 +1707,7 @@ class IVFIndex(FlatIndex):
                     csr_span=self._list_span,
                     csr_used=self._list_used,
                     built_live=np.int64(self._built_live),
+                    plan_flat=np.int64(1 if self.plan == "flat" else 0),
                 )
             else:
                 arrays["list_table"] = self._list_table
@@ -1706,6 +1736,8 @@ class IVFIndex(FlatIndex):
                 index._list_span = np.asarray(arrays["csr_span"], np.int32)
                 index._list_used = np.asarray(arrays["csr_used"], np.int32)
                 index._built_live = int(arrays["built_live"])
+                if "plan_flat" in arrays.files and int(arrays["plan_flat"]):
+                    index.plan = "flat"
             else:
                 index.probe_mode = "table"
                 index._list_table = np.asarray(

@@ -26,7 +26,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..index.filters import FilterSpec, eval_filter_mask
 from ..index.flat import SearchResult
-from ..index.ivf import choose_probe, probe_ladder
+from ..index.ivf import (
+    CSR_ALIGN,
+    _ivf_budget_search_kernel,
+    _pow2_at_least,
+    choose_probe,
+    probe_ladder,
+)
 from ..ops.kmeans import spherical_kmeans
 from ..ops.topk import masked_top_k, merge_top_k
 from .sharded_search import ShardedFlatIndex
@@ -170,21 +176,89 @@ def make_sharded_ivf_search(mesh: Mesh, axis_name: str, nprobe: int, k: int,
     return jax.jit(sharded)
 
 
+def make_sharded_budget_search(mesh: Mesh, axis_name: str, budget: int,
+                               k: int, int8: bool = False):
+    """Budget-probing IVF under ``shard_map``: each shard runs the
+    production ``_ivf_budget_search_kernel`` over its own CSR lists
+    (variable-length, no balance constraint — same distribution
+    robustness as the single-device r05 default) and only the [k]
+    candidate lists cross the interconnect."""
+
+    def _local(vectors, row_scales, valid, codes, numerics, centroids,
+               sorted_rows, list_starts, scan_lens, queries,
+               spec: FilterSpec):
+        rps = vectors.shape[0]
+        shard = jax.lax.axis_index(axis_name)
+        gid_base = shard * rps
+        full_mask = valid & eval_filter_mask(codes, numerics, spec)
+        vals, rows = _ivf_budget_search_kernel(
+            vectors, row_scales, full_mask, centroids[0], sorted_rows[0],
+            list_starts[0], scan_lens[0], queries, budget, k, int8)
+        rows = jnp.where(rows >= 0, rows + gid_base, rows)
+        all_vals = jax.lax.all_gather(vals, axis_name)
+        all_rows = jax.lax.all_gather(rows, axis_name)
+        return merge_top_k(all_vals, all_rows, k)
+
+    sharded = shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(
+            P(axis_name, None),   # vectors
+            P(axis_name),         # row scales
+            P(axis_name),         # valid
+            P(None, axis_name),   # codes
+            P(None, axis_name),   # numerics
+            P(axis_name, None, None),  # centroids [S, K, D]
+            P(axis_name, None),   # sorted rows [S, M]
+            P(axis_name, None),   # list starts [S, K]
+            P(axis_name, None),   # scan lens [S, K]
+            P(None, None),        # queries replicated
+            P(),                  # spec replicated
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 class ShardedIVFIndex(ShardedFlatIndex):
     def __init__(self, dim: int, mesh: Mesh, axis_name: str = "shard",
                  device_dtype: str = "bfloat16", n_lists: int = 0,
                  n_probe: int = 16, kmeans_iters: int = 10,
-                 balance_factor: float = 1.25):
+                 balance_factor: float = 1.25,
+                 probe_mode: str = "budget"):
         super().__init__(dim, mesh, axis_name, device_dtype)
+        if probe_mode not in ("budget", "table"):
+            raise ValueError(f"unknown probe_mode {probe_mode!r}")
         self.n_lists = n_lists
         self.n_probe = n_probe
         self.kmeans_iters = kmeans_iters
         self.balance_factor = balance_factor
+        self.probe_mode = probe_mode
         self._centroids: Optional[np.ndarray] = None  # [S, K, D]
         self._list_table: Optional[np.ndarray] = None  # [S, K, cap] local ids
+        # budget mode: per-shard CSR arrays padded to common widths
+        self._sorted_rows: Optional[np.ndarray] = None  # [S, M] local ids
+        self._list_starts: Optional[np.ndarray] = None  # [S, K]
+        self._scan_lens: Optional[np.ndarray] = None    # [S, K]
+        self._built_live = 0
         self._built_capacity = 0
         self._indexed_rows = 0
         self._ivf_search_fns: Dict[Any, Any] = {}
+
+    def _budget_of(self, level: int, k: int) -> int:
+        """Per-shard scanned-slot budget for an ``n_probe`` level (the
+        single-device mapping, computed on per-shard row counts)."""
+        if self._sorted_rows is None:
+            return 64
+        m_slots = int(self._sorted_rows.shape[1])
+        k_lists = max(1, self._centroids.shape[1])
+        if level >= k_lists:
+            return m_slots
+        rpl = max(1.0, (self._built_live / max(1, self.n_shards))
+                  / k_lists)
+        raw = int(np.ceil(level * rpl))
+        return min(_pow2_at_least(max(raw, k, 64), 64), m_slots)
 
     @property
     def tail_rows(self) -> int:
@@ -249,11 +323,16 @@ class ShardedIVFIndex(ShardedFlatIndex):
                 per_shard_info.append(0)
                 continue
             k_s = min(k_lists, rows.shape[0])
-            centroids, assign, second, margin = spherical_kmeans(
-                rows, k_s, n_iters=self.kmeans_iters, seed=seed + s,
-                return_second=True,
-            )
-            if k_s > 1 and self.balance_factor:
+            if self.probe_mode == "budget":
+                centroids, assign = spherical_kmeans(
+                    rows, k_s, n_iters=self.kmeans_iters, seed=seed + s)
+            else:
+                centroids, assign, second, margin = spherical_kmeans(
+                    rows, k_s, n_iters=self.kmeans_iters, seed=seed + s,
+                    return_second=True,
+                )
+            if (k_s > 1 and self.balance_factor
+                    and self.probe_mode == "table"):
                 from ..index.ivf import balance_assignments
 
                 assign = balance_assignments(
@@ -269,31 +348,83 @@ class ShardedIVFIndex(ShardedFlatIndex):
             shard_tables.append(assign)
             per_shard_info.append(rows.shape[0])
 
-        list_cap = -(-max_cap // 8) * 8
-        tables = np.full((self.n_shards, k_lists, list_cap), -1, np.int32)
-        for s, assign in enumerate(shard_tables):
-            if assign is None:
-                continue
-            # vectorized bucket fill: rank within cluster via stable sort
-            m = assign.shape[0]
-            order = np.argsort(assign, kind="stable").astype(np.int64)
-            sorted_assign = assign[order]
-            starts = np.searchsorted(sorted_assign, np.arange(k_lists))
-            slots = np.arange(m, dtype=np.int64) - starts[sorted_assign]
-            tables[s, sorted_assign, slots] = order.astype(np.int32)
+        if self.probe_mode == "budget":
+            # per-shard CSR padded to a COMMON pow2 slot width (shard_map
+            # needs one static shape across the mesh)
+            prepared = []
+            for assign in shard_tables:
+                if assign is None:
+                    prepared.append(None)
+                    continue
+                counts = np.bincount(assign, minlength=k_lists)
+                slack = np.maximum(CSR_ALIGN, counts // 4)
+                span = (-(-(counts + slack) // CSR_ALIGN)
+                        * CSR_ALIGN).astype(np.int64)
+                starts = np.zeros(k_lists, np.int64)
+                np.cumsum(span[:-1], out=starts[1:])
+                prepared.append((assign, counts, span, starts))
+            m_slots = _pow2_at_least(int(max(
+                (int(p[2].sum()) for p in prepared if p is not None),
+                default=CSR_ALIGN)))
+            sorted_rows = np.full((self.n_shards, m_slots), -1, np.int32)
+            starts_arr = np.zeros((self.n_shards, k_lists), np.int32)
+            lens_arr = np.zeros((self.n_shards, k_lists), np.int32)
+            for s, p in enumerate(prepared):
+                if p is None:
+                    continue
+                assign, counts, span, starts = p
+                order = np.argsort(assign, kind="stable").astype(np.int64)
+                sa = assign[order]
+                gs = np.searchsorted(sa, np.arange(k_lists))
+                slots = np.arange(assign.size, dtype=np.int64) - gs[sa]
+                sorted_rows[s, starts[sa] + slots] = order.astype(np.int32)
+                starts_arr[s] = starts.astype(np.int32)
+                lens_arr[s] = np.minimum(
+                    -(-counts // CSR_ALIGN) * CSR_ALIGN, span
+                ).astype(np.int32)
+            self._sorted_rows = sorted_rows
+            self._list_starts = starts_arr
+            self._scan_lens = lens_arr
+            self._list_table = None
+            self._built_live = n
+            list_cap = int(max(
+                (int(p[1].max()) for p in prepared if p is not None),
+                default=0))
+            csr_slots = m_slots
+        else:
+            list_cap = -(-max_cap // 8) * 8
+            tables = np.full(
+                (self.n_shards, k_lists, list_cap), -1, np.int32)
+            for s, assign in enumerate(shard_tables):
+                if assign is None:
+                    continue
+                # vectorized bucket fill: rank within cluster, stable sort
+                m = assign.shape[0]
+                order = np.argsort(assign, kind="stable").astype(np.int64)
+                sorted_assign = assign[order]
+                starts = np.searchsorted(sorted_assign, np.arange(k_lists))
+                slots = np.arange(m, dtype=np.int64) - starts[sorted_assign]
+                tables[s, sorted_assign, slots] = order.astype(np.int32)
+            self._list_table = tables
+            self._sorted_rows = None
+            self._list_starts = self._scan_lens = None
+            csr_slots = 0
 
         self._centroids = np.stack(shard_centroids)
-        self._list_table = tables
         self._built_capacity = capacity
         self._indexed_rows = n
         self._device = None
-        return {
+        info = {
             "n_shards": self.n_shards,
+            "probe_mode": self.probe_mode,
             "n_lists_per_shard": k_lists,
             "list_cap": list_cap,
             "rows_indexed": n,
             "rows_per_shard": per_shard_info,
         }
+        if self.probe_mode == "budget":
+            info["csr_slots"] = csr_slots
+        return info
 
     def _compact_locked(self) -> Dict[str, Any]:
         """Compaction shifts rows ACROSS shard boundaries (local ids are
@@ -304,6 +435,8 @@ class ShardedIVFIndex(ShardedFlatIndex):
         if info.get("live_order") is not None and self._centroids is not None:
             self._centroids = None
             self._list_table = None
+            self._sorted_rows = None
+            self._list_starts = self._scan_lens = None
             self._built_capacity = 0
             self._indexed_rows = 0
             info["rebuild_required"] = True
@@ -320,12 +453,21 @@ class ShardedIVFIndex(ShardedFlatIndex):
         state = super()._device_state_locked()
         if self._built():
             spec3 = NamedSharding(self.mesh, P(self.axis_name, None, None))
+            spec2 = NamedSharding(self.mesh, P(self.axis_name, None))
             # centroids stay float for int8 corpora (coarse ranking quality)
             cdtype = jnp.bfloat16 if self._int8 else self.device_dtype
             state["centroids"] = jax.device_put(
                 self._centroids.astype(cdtype), spec3
             )
-            state["list_table"] = jax.device_put(self._list_table, spec3)
+            if self._sorted_rows is not None:
+                state["sorted_rows"] = jax.device_put(
+                    self._sorted_rows, spec2)
+                state["list_starts"] = jax.device_put(
+                    self._list_starts, spec2)
+                state["scan_lens"] = jax.device_put(self._scan_lens, spec2)
+            else:
+                state["list_table"] = jax.device_put(
+                    self._list_table, spec3)
         self._device = state
         return state
 
@@ -375,7 +517,33 @@ class ShardedIVFIndex(ShardedFlatIndex):
                                       self._indexed_rows)
                 if self.tail_rows > 0 else None)
 
+        budget_mode = self._sorted_rows is not None
+
         def _run(nprobe_now: int):
+            if budget_mode:
+                budget = self._budget_of(nprobe_now, k_eff)
+                key = ("budget", k_eff, budget, self._int8)
+                fn = self._ivf_search_fns.get(key)
+                if fn is None:
+                    fn = make_sharded_budget_search(
+                        self.mesh, self.axis_name, budget, k_eff,
+                        int8=self._int8)
+                    self._ivf_search_fns[key] = fn
+                vals, rows = fn(
+                    state["vectors"], state["row_scales"], state["valid"],
+                    state["codes"], state["numerics"], state["centroids"],
+                    state["sorted_rows"], state["list_starts"],
+                    state["scan_lens"], jnp.asarray(queries), spec,
+                )
+                vals, rows = np.asarray(vals), np.asarray(rows)
+                if tail is not None:
+                    all_vals = np.concatenate([vals, tail[0]], axis=1)
+                    all_rows = np.concatenate(
+                        [rows.astype(np.int64), tail[1]], axis=1)
+                    order = np.argsort(-all_vals, axis=1)[:, :k_eff]
+                    vals = np.take_along_axis(all_vals, order, axis=1)
+                    rows = np.take_along_axis(all_rows, order, axis=1)
+                return vals, rows
             key = (k_eff, nprobe_now, self._int8)
             fn = self._ivf_search_fns.get(key)
             if fn is None:
@@ -440,6 +608,25 @@ class ShardedIVFIndex(ShardedFlatIndex):
         levels = probe_ladder(
             min(self.n_probe, self._centroids.shape[1]), self._centroids.shape[1]
         )
+        if self._sorted_rows is not None:
+            compiled = set()
+            for lvl in levels:
+                budget = self._budget_of(lvl, k_eff)
+                if budget in compiled:
+                    continue
+                compiled.add(budget)
+                key = ("budget", k_eff, budget, self._int8)
+                fn = self._ivf_search_fns.get(key)
+                if fn is None:
+                    fn = make_sharded_budget_search(
+                        self.mesh, self.axis_name, budget, k_eff,
+                        int8=self._int8)
+                    self._ivf_search_fns[key] = fn
+                fn(state["vectors"], state["row_scales"], state["valid"],
+                   state["codes"], state["numerics"], state["centroids"],
+                   state["sorted_rows"], state["list_starts"],
+                   state["scan_lens"], jnp.asarray(dummy), spec)
+            return levels
         for lvl in levels:
             key = (k_eff, lvl, self.tail_rows > 0, self._int8)
             fn = self._ivf_search_fns.get(key)
@@ -461,15 +648,24 @@ class ShardedIVFIndex(ShardedFlatIndex):
         if self._centroids is not None:
             from pathlib import Path
 
-            np.savez_compressed(
-                Path(directory) / "sharded_ivf.npz",
+            arrays: Dict[str, Any] = dict(
                 centroids=self._centroids,
-                list_table=self._list_table,
                 built_capacity=np.int64(self._built_capacity),
                 indexed_rows=np.int64(self._indexed_rows),
                 n_probe=np.int64(self.n_probe),
                 n_shards=np.int64(self.n_shards),
             )
+            if self._sorted_rows is not None:
+                arrays.update(
+                    csr_rows=self._sorted_rows,
+                    csr_starts=self._list_starts,
+                    csr_lens=self._scan_lens,
+                    built_live=np.int64(self._built_live),
+                )
+            else:
+                arrays["list_table"] = self._list_table
+            np.savez_compressed(
+                Path(directory) / "sharded_ivf.npz", **arrays)
 
     def restore_build(self, directory: str) -> bool:
         """Re-attach saved IVF build artifacts after the flat row state has
@@ -485,7 +681,18 @@ class ShardedIVFIndex(ShardedFlatIndex):
         if int(arrays["n_shards"]) != self.n_shards:
             return False
         self._centroids = np.asarray(arrays["centroids"], np.float32)
-        self._list_table = np.asarray(arrays["list_table"], np.int32)
+        if "csr_rows" in arrays:
+            self.probe_mode = "budget"
+            self._sorted_rows = np.asarray(arrays["csr_rows"], np.int32)
+            self._list_starts = np.asarray(arrays["csr_starts"], np.int32)
+            self._scan_lens = np.asarray(arrays["csr_lens"], np.int32)
+            self._built_live = int(arrays["built_live"])
+            self._list_table = None
+        else:
+            self.probe_mode = "table"
+            self._list_table = np.asarray(arrays["list_table"], np.int32)
+            self._sorted_rows = None
+            self._list_starts = self._scan_lens = None
         self._built_capacity = int(arrays["built_capacity"])
         self._indexed_rows = int(arrays["indexed_rows"])
         self.n_probe = int(arrays["n_probe"])
@@ -497,6 +704,7 @@ class ShardedIVFIndex(ShardedFlatIndex):
         base = super().stats()
         base.update({
             "kind": "sharded-ivf",
+            "probe_mode": self.probe_mode,
             "built": self._built(),
             "n_shards": self.n_shards,
             "n_probe": self.n_probe,

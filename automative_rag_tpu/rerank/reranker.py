@@ -103,6 +103,19 @@ class LateInteractionReranker:
                 "sharded": True,
             }
             return scores
+        if hasattr(store, "maxsim_fused"):
+            # gather + kernel in ONE dispatch when the store is
+            # device-resident (r05 item 3: each eager hop is a ~26 ms
+            # relay round trip)
+            fused = store.maxsim_fused(q_emb, q_mask, rows)
+            if fused is not None:
+                scores = np.asarray(fused)
+                self.last_timings = {
+                    "encode_query_s": t1 - t0,
+                    "maxsim_s": time.perf_counter() - t1,
+                    "fused_gather": True,
+                }
+                return scores
         if hasattr(store, "gather_for_maxsim"):
             # int8 stores stay int8 all the way into the kernel (half the
             # gather write + half the kernel read); others dequantize

@@ -57,6 +57,27 @@ def _to_token_major(x):
     return jnp.swapaxes(x, 0, 1)
 
 
+@partial(jax.jit, static_argnames=("use_pallas",))
+def _maxsim_fused_int8(tokens_t, scales_t, rows, q, q_mask, d_mask,
+                       use_pallas: bool):
+    from ..ops.maxsim import maxsim_scores
+
+    return maxsim_scores(
+        q, q_mask, tokens_t[:, rows, :], d_mask, token_major=True,
+        d_scales=scales_t[:, rows], use_pallas=use_pallas,
+        interpret=not use_pallas)
+
+
+@partial(jax.jit, static_argnames=("use_pallas",))
+def _maxsim_fused_plain(tokens_t, rows, q, q_mask, d_mask,
+                        use_pallas: bool):
+    from ..ops.maxsim import maxsim_scores
+
+    return maxsim_scores(
+        q, q_mask, tokens_t[:, rows, :], d_mask, token_major=True,
+        use_pallas=use_pallas, interpret=not use_pallas)
+
+
 class TokenStore:
     def __init__(
         self,
@@ -468,6 +489,35 @@ class TokenStore:
                 jnp.asarray(self._masks),
             )
         return self._device
+
+    def maxsim_fused(self, q_emb, q_mask, rows) -> Optional[jnp.ndarray]:
+        """Candidate gather + MaxSim in ONE jitted dispatch (r05 item 3:
+        the eager cache slice in ``gather_for_maxsim`` was its own device
+        round trip — ~26 ms through the relay — before the kernel's).
+        Returns scores [B, n], or None when the store has no resident
+        device cache or uses the residual2 codec (those keep the
+        two-dispatch path)."""
+        rows = np.asarray(list(rows), np.int32)
+        with self._mutex:
+            cache = self._device_cache()
+            if cache is None or self.quantize == "residual2":
+                return None
+            n = self._masks.shape[0]
+            in_range = (rows >= 0) & (rows < n)
+            rows_c = np.where(in_range, rows, 0)
+            masks_sel = jnp.asarray(self._masks[rows_c] & in_range[:, None])
+            from ..ops.maxsim import _on_tpu
+
+            # dispatch inside the lock: appends donate the cache buffer,
+            # and a dispatched op keeps its operand buffers alive
+            if self.quantize == "int8":
+                return _maxsim_fused_int8(
+                    cache[0], cache[1], jnp.asarray(rows_c),
+                    jnp.asarray(q_emb), jnp.asarray(q_mask), masks_sel,
+                    use_pallas=_on_tpu())
+            return _maxsim_fused_plain(
+                cache[0], jnp.asarray(rows_c), jnp.asarray(q_emb),
+                jnp.asarray(q_mask), masks_sel, use_pallas=_on_tpu())
 
     def gather(self, rows: Sequence[int]) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """→ (docs_t [Ld, n, D] device array, masks [n, Ld]).

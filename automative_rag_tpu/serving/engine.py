@@ -141,7 +141,7 @@ class ServingEngine:
                  burst: int = 16, seed: int = 0, spec: bool = False,
                  prefill_chunk: int = 0, chunk_burst: int = 0,
                  chunk_adaptive: bool = True, chunk_max_passes: int = 4,
-                 admit_pacing: bool = True):
+                 admit_pacing: bool = True, admit_batch: int = 8):
         self.model = model
         self.config: Qwen2Config = model.config
         self.max_slots = int(max_slots)
@@ -184,6 +184,12 @@ class ServingEngine:
         # admissions is useful work chunking pays extra passes for). An
         # idle engine still admits a full batch: nothing can stall.
         self.admit_pacing = bool(admit_pacing)
+        # batched admission: up to this many same-bucket monolithic
+        # admissions share ONE prefill forward/dispatch (sizes {8,4,2}
+        # compile; 1 disables). Engages when several requests land on an
+        # idle engine — pacing still trickles admissions one per step
+        # while live streams exist.
+        self.admit_batch = max(1, int(admit_batch))
         #: generated tokens live at buf[:, _gen_base:] — prompts (ragged,
         #: bucket-padded) at buf[:, :plen]; the fixed split lets the
         #: n-gram matcher mask the padding gap with per-row plen
@@ -214,7 +220,7 @@ class ServingEngine:
                       "prefix_admits": 0, "prefix_misses": 0,
                       "chunked_admits": 0, "scheduler_errors": 0,
                       "engine_resets": 0, "truncated_prompts": 0,
-                      "chunk_idle_monolithic": 0}
+                      "chunk_idle_monolithic": 0, "multi_admits": 0}
         self.last_error: Optional[str] = None
         self._seed = seed
         self._warm_lock = threading.Lock()
@@ -296,6 +302,170 @@ class ServingEngine:
             "key": key,
         }
         return state, tok0
+
+    def _activate_rows(self, state, caches, buf, slots, logits, seen_rows,
+                       totals, temps, top_ps, penalties, max_news):
+        """Batched admission tail: sample token 0 for R rows and write
+        every per-row state field via slot scatters (the R-row analog of
+        ``_activate_row``; slots are distinct by construction)."""
+        cfg = self.config
+        logits = _penalize_rows(logits, seen_rows, penalties)
+        key, sub = jax.random.split(state["key"])
+        toks = _sample_rows(logits, sub, temps, top_ps)  # [R]
+        rr = jnp.arange(toks.shape[0])
+        seen_rows = seen_rows.at[rr, toks].set(True)
+        done0 = (toks == cfg.eos_token) | (max_news <= 1)
+        buf = buf.at[slots, self._gen_base].set(toks)
+        state = {
+            **state,
+            "caches": caches,
+            "buf": buf,
+            "plen": state["plen"].at[slots].set(totals),
+            "cur": state["cur"].at[slots].set(toks),
+            "frontier": state["frontier"].at[slots].set(totals),
+            "seen": state["seen"].at[slots].set(seen_rows),
+            "finished": state["finished"].at[slots].set(done0),
+            "active": state["active"].at[slots].set(True),
+            "gen_count": state["gen_count"].at[slots].set(
+                jnp.ones_like(totals)),
+            "max_new": state["max_new"].at[slots].set(max_news),
+            "temp": state["temp"].at[slots].set(temps),
+            "top_p": state["top_p"].at[slots].set(top_ps),
+            "penalty": state["penalty"].at[slots].set(penalties),
+            "key": key,
+        }
+        return state, toks
+
+    def _prefill_multi_fn(self, p_bucket: int, rows: int):
+        """Compile the R-row batched admission (r05 item 2): R same-bucket
+        monolithic admissions share ONE prefill forward + ONE dispatch —
+        the per-request path paid a full host→device round trip (~26 ms
+        relay) and a separate weight read per admission, so a 16-request
+        burst serialized ~16 × (dispatch + prefill) before decoding."""
+        key = ("multi", p_bucket, rows)
+        if key in self._prefill_cache:
+            return self._prefill_cache[key]
+        cfg = self.config
+        decoder = self.model.decoder
+
+        def _prefill(params, state, prompts, plens, slots, temps, top_ps,
+                     penalties, max_news):
+            """prompts [R, Pb] (eos-padded); plens/slots [R]."""
+            dparams = {"params": params}
+            hidden, kvs = decoder.apply(
+                dparams, prompts, method="prefill_hidden")
+            rr = jnp.arange(rows)
+            caches = []
+            for (k, v), entry in zip(kvs, state["caches"]):
+                if cfg.kv_cache_bits == 8:
+                    new_entry = []
+                    for full, (cq, cs) in zip((k, v), entry):
+                        quant, scales = _quant_kv(full)
+                        new_entry.append((
+                            cq.at[slots, :p_bucket].set(quant),
+                            cs.at[slots, :p_bucket].set(
+                                scales.astype(cs.dtype)),
+                        ))
+                    caches.append(tuple(new_entry))
+                else:
+                    ck, cv = entry
+                    caches.append((
+                        ck.at[slots, :p_bucket].set(k.astype(cfg.dtype)),
+                        cv.at[slots, :p_bucket].set(v.astype(cfg.dtype)),
+                    ))
+            hidden_last = jnp.take_along_axis(
+                hidden, (plens - 1)[:, None, None], axis=1)  # [R, 1, H]
+            logits = decoder.apply(
+                dparams, hidden_last, method="logits_at")[:, 0]  # [R, V]
+            prompt_mask = jnp.arange(p_bucket)[None, :] < plens[:, None]
+            seen_rows = jnp.zeros(
+                (rows, cfg.vocab_size), bool
+            ).at[rr[:, None], prompts].max(prompt_mask)
+            buf = state["buf"].at[slots, :p_bucket].set(prompts)
+            return self._activate_rows(
+                state, caches, buf, slots, logits, seen_rows, plens,
+                temps, top_ps, penalties, max_news)
+
+        fn = jax.jit(_prefill, donate_argnums=(1,))
+        self._prefill_cache[key] = fn
+        return fn
+
+    def _admit_multi(self, reqs, slots) -> None:
+        """Admit R same-bucket monolithic requests in one dispatch."""
+        rows = len(reqs)
+        plens = np.array([r.prompt_ids.size for r in reqs], np.int32)
+        p_bucket = next(b for b in self.prompt_buckets
+                        if b >= int(plens.max()))
+        prompts = np.full((rows, p_bucket), self.config.eos_token, np.int32)
+        for i, req in enumerate(reqs):
+            prompts[i, : plens[i]] = req.prompt_ids
+        head = self.draft_k if self.spec else 0
+        max_news = np.maximum(np.minimum(
+            [r.max_new_tokens for r in reqs],
+            self.max_len - plens - 1 - head), 1).astype(np.int32)
+        fn = self._prefill_multi_fn(p_bucket, rows)
+        self._state, toks = fn(
+            self.model.params, self._state, jnp.asarray(prompts),
+            jnp.asarray(plens), jnp.asarray(np.asarray(slots, np.int32)),
+            jnp.asarray(np.array([r.temperature for r in reqs],
+                                 np.float32)),
+            jnp.asarray(np.array([r.top_p for r in reqs], np.float32)),
+            jnp.asarray(np.array([r.repetition_penalty for r in reqs],
+                                 np.float32)),
+            jnp.asarray(max_news))
+        toks = np.asarray(toks)
+        for i, (req, slot) in enumerate(zip(reqs, slots)):
+            self._post_admit(req, slot, int(toks[i]), int(max_news[i]))
+        self.stats["multi_admits"] = (
+            self.stats.get("multi_admits", 0) + rows)
+
+    def _admission_groups(self, admit, free):
+        """Partition this step's admissions into dispatch groups: runs of
+        multi-eligible requests sharing a prompt bucket batch at sizes
+        {8, 4, 2} (largest compiled size that fits, remainder re-grouped);
+        everything else admits singly, in arrival order."""
+        pairs = [(r, s) for r, s in zip(admit, free)]
+        groups = []
+        i = 0
+        while i < len(pairs):
+            req, slot = pairs[i]
+            if (self.admit_batch <= 1 or req.cancelled
+                    or not self._multi_eligible(req)):
+                groups.append(([req], [slot]))
+                i += 1
+                continue
+            bucket = next(b for b in self.prompt_buckets
+                          if b >= req.prompt_ids.size)
+            run = [pairs[i]]
+            j = i + 1
+            while j < len(pairs) and len(run) < self.admit_batch:
+                r2, s2 = pairs[j]
+                if (not r2.cancelled and self._multi_eligible(r2)
+                        and next(b for b in self.prompt_buckets
+                                 if b >= r2.prompt_ids.size) == bucket):
+                    run.append(pairs.pop(j))
+                else:
+                    j += 1
+            while run:
+                size = next((s for s in (8, 4, 2)
+                             if s <= min(len(run), self.admit_batch)), 1)
+                chunk, run = run[:size], run[size:]
+                groups.append(([r for r, _ in chunk],
+                               [s for _, s in chunk]))
+            i += 1
+        return groups
+
+    def _multi_eligible(self, req: Request) -> bool:
+        """A request the plain monolithic path would take as-is: no prefix
+        KV, no chunk plan in play (chunking and prefix seeding keep the
+        single-dispatch path — their KV writes are offset-dependent)."""
+        if req.prefix_id is not None or req.cancelled:
+            return False
+        plen = int(req.prompt_ids.size)
+        c = self._chunk_size_for(plen)
+        if c and plen > c:
+            return False
+        return any(b >= plen for b in self.prompt_buckets)
 
     def _prefill_fn(self, p_bucket: int):
         """Compile (per prompt bucket) the admit-into-slot program."""
@@ -1261,19 +1431,32 @@ class ServingEngine:
         if overflow:
             with self._lock:
                 self._pending = overflow + self._pending
-        for idx, (req, slot) in enumerate(zip(admit, free)):
-            if req.cancelled:  # cancelled while overflowed/mid-swap
-                self._complete(req, slot=None)
+        groups = self._admission_groups(admit, free)
+        for gidx, (reqs_g, slots_g) in enumerate(groups):
+            live = [(r, s) for r, s in zip(reqs_g, slots_g)
+                    if not r.cancelled]
+            for req in reqs_g:  # cancelled while overflowed/mid-swap
+                if req.cancelled:
+                    self._complete(req, slot=None)
+            if not live:
                 continue
             try:
-                self._admit(req, slot)
+                if len(live) > 1:
+                    self._admit_multi([r for r, _ in live],
+                                      [s for _, s in live])
+                else:
+                    self._admit(*live[0])
             except Exception:
-                # the raiser fails fast; the rest of the swapped-out batch
-                # goes back to pending instead of vanishing un-admitted
+                # the raising group fails fast (a multi dispatch is
+                # atomic — its rows can't be told apart); later groups go
+                # back to pending instead of vanishing un-admitted
                 with self._lock:
-                    self._pending = list(admit[idx + 1:]) + self._pending
-                req.cancelled = True
-                self._complete(req, slot=None)
+                    self._pending = [
+                        r for rs, _ in groups[gidx + 1:] for r in rs
+                    ] + self._pending
+                for req, _ in live:
+                    req.cancelled = True
+                    self._complete(req, slot=None)
                 raise
         # while a paced backlog drains, interleave SHORT bursts (the
         # chunk-interleave length): streams get MORE frequent deliveries
@@ -1341,15 +1524,30 @@ class ServingEngine:
             self.run_until_idle()
         streamer._done.wait(timeout=60)
         # second pass, engine idle, STRICTLY sequential: the adaptive
-        # fast path admits monolithically when nothing is live, so the
-        # big-bucket monolithic prefills must be compiled too
-        if self.prefill_chunk and self.chunk_adaptive:
-            for plen in self.prompt_buckets:
-                ids = [3 + (7 * i) % (vocab - 10) for i in range(plen)]
-                req = self.submit(ids, max_new_tokens=2)
+        # fast path admits monolithically when nothing is live, so every
+        # bucket's SINGLE monolithic prefill must be compiled too (with
+        # batched admission the first pass may have grouped them away)
+        for plen in self.prompt_buckets:
+            ids = [3 + (7 * i) % (vocab - 10) for i in range(plen)]
+            req = self.submit(ids, max_new_tokens=2)
+            if self._thread is None:
+                self.run_until_idle()
+            req.result(timeout=600)
+        # batched-admission executables (smallest bucket; other buckets
+        # compile on first use): N same-bucket requests landing on an
+        # idle engine admit in one dispatch at sizes {2, 4, 8}
+        if self.admit_batch > 1:
+            for size in (2, 4, 8):
+                if size > min(self.admit_batch, self.max_slots):
+                    continue
+                batch = [
+                    self.submit([3 + (11 * i) % (vocab - 10)
+                                 for i in range(small)], max_new_tokens=2)
+                    for _ in range(size)]
                 if self._thread is None:
                     self.run_until_idle()
-                req.result(timeout=600)
+                for r in batch:
+                    r.result(timeout=600)
         self._warmed = {
             "compiled_buckets": len(self.prompt_buckets),
             "prompt_lengths": plans,

@@ -60,7 +60,26 @@ METRIC_SYNONYMS = {
     "轴距多长": "轴距", "车身轴距": "轴距",
     "油耗": "综合油耗", "耗油": "综合油耗", "费油": "综合油耗",
     "后备箱多大": "后备箱容积", "尾箱容积": "后备箱容积",
+    # English metric phrasings (the reference is bilingual — its UI and
+    # prompts handle zh/en queries; EVAL r05 english split): ASCII keys
+    # match case-insensitively in the expanders. The appended CANONICAL zh
+    # spec term is the lexical bridge from an English question to the
+    # zh spec-sheet sentence — without it both retrieval arms see zero
+    # token overlap beyond the model name.
+    "0 to 100": "百公里加速", "0-100": "百公里加速",
+    "acceleration": "百公里加速",
+    "top speed": "最高时速", "fastest": "最高时速",
+    "horsepower": "马力", "power output": "马力",
+    "driving range": "续航里程", "battery range": "续航里程",
+    "on a charge": "续航里程", "how far": "续航里程",
+    "wheelbase": "轴距",
+    "fuel consumption": "综合油耗", "fuel economy": "综合油耗",
+    "trunk capacity": "后备箱容积", "boot space": "后备箱容积",
 }
+
+
+def _syn_hit(syn: str, query: str, query_lower: str) -> bool:
+    return syn in query or (syn.isascii() and syn in query_lower)
 
 
 def expand_metric_terms(query: str, terms: List[str]) -> List[str]:
@@ -68,8 +87,9 @@ def expand_metric_terms(query: str, terms: List[str]) -> List[str]:
     (matched against the raw query: segmentation may split phrases like
     能跑多远)."""
     out = list(terms)
+    query_lower = query.lower()
     for syn, canonical in METRIC_SYNONYMS.items():
-        if syn in query and canonical not in out:
+        if _syn_hit(syn, query, query_lower) and canonical not in out:
             out.append(canonical)
     return out
 
@@ -84,8 +104,10 @@ def expand_query_synonyms(query: str) -> str:
     term restores the lexical bridge for BOTH retrieval arms and the
     reranker. Identity when the query already speaks spec-sheet."""
     extra, seen = [], set()
+    query_lower = query.lower()
     for syn, canonical in METRIC_SYNONYMS.items():
-        if syn in query and canonical not in query and canonical not in seen:
+        if (_syn_hit(syn, query, query_lower) and canonical not in query
+                and canonical not in seen):
             seen.add(canonical)
             extra.append(canonical)
     return query + " " + " ".join(extra) if extra else query

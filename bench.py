@@ -267,30 +267,33 @@ def main():
             or os.path.dirname(__file__) or ".")
     folds = {}
     for key, scale_files in (
-        ("scale", ("BENCH_SCALE_r03.json", "BENCH_SCALE_r02.json",
+        ("scale", ("BENCH_SCALE100K_r05.json", "BENCH_SCALE_r03.json", "BENCH_SCALE_r02.json",
                    "BENCH_SCALE.json")),
-        ("ivf_1m", ("BENCH_IVF1M_r04.json", "BENCH_IVF1M_r03.json")),
+        ("ivf_1m", ("BENCH_IVF1M_r05.json", "BENCH_IVF1M_r04.json", "BENCH_IVF1M_r03.json")),
         ("ivf_1m_rebuild", ("BENCH_IVF1M_REBUILD_r04.json",)),
         ("llm", ("BENCH_LLM_r03.json", "BENCH_LLM_r02.json")),
         ("llm_7b", ("BENCH_LLM7B_r04.json", "BENCH_LLM7B_r03.json")),
         ("asr", ("BENCH_ASR_r03.json", "BENCH_ASR_r02.json")),
         ("encode", ("BENCH_ENCODE_r03.json",)),
-        ("serving", ("BENCH_SERVING_TPU_r04.json",
+        ("serving", ("BENCH_SERVING_TPU_r05.json", "BENCH_SERVING_TPU_r04.json",
                      "BENCH_SERVING_TPU_r03.json", "BENCH_SERVING_r03.json")),
-        ("serving_slots16", ("BENCH_SERVING_TPU_S16_r04.json",
+        ("serving_slots16", ("BENCH_SERVING_TPU_S16_r05.json",
+                             "BENCH_SERVING_TPU_S16_r04.json",
                              "BENCH_SERVING_TPU_S16_r03.json",)),
-        ("serving_slots32", ("BENCH_SERVING_TPU_S32_r04.json",
+        ("serving_slots32", ("BENCH_SERVING_TPU_S32_r05.json",
+                             "BENCH_SERVING_TPU_S32_r04.json",
                              "BENCH_SERVING_TPU_S32_r03.json",)),
-        ("ivf_tail", ("BENCH_IVF_TAIL_r04.json", "BENCH_IVF_TAIL_r03.json")),
-        ("w4_tune", ("W4_TUNE_r04.json", "W4_TUNE_r03.json")),
-        ("sparse", ("BENCH_SPARSE_r04.json", "BENCH_SPARSE_r03.json")),
+        ("ivf_tail", ("BENCH_IVF_TAIL_r05.json", "BENCH_IVF_TAIL_r04.json", "BENCH_IVF_TAIL_r03.json")),
+        ("w4_tune", ("W4_TUNE_r05.json", "W4_TUNE_r04.json", "W4_TUNE_r03.json")),
+        ("sparse", ("BENCH_SPARSE_r05.json", "BENCH_SPARSE_r04.json", "BENCH_SPARSE_r03.json")),
         ("flat_dtype_ladder", ("BENCH_SCALE_r03b.json",)),
-        ("capacity_10m", ("BENCH_SCALE_10M_r04b.json",
+        ("capacity_10m", ("BENCH_SCALE_10M_r05.json", "BENCH_SCALE_10M_r04b.json",
                           "BENCH_SCALE_10M_r04.json", "CAPACITY_10M.json")),
         ("recall_curves", ("RECALL_CURVES_r04.json", "RECALL_CURVES.json")),
-        ("recall_1m_powerlaw", ("RECALL_1M_POWERLAW_r04.json",)),
-        ("e2e_query", ("BENCH_E2E_TPU_r04.json",)),
-        ("eval", ("EVAL_r04.json", "EVAL_r03.json")),
+        ("recall_1m_powerlaw", ("RECALL_1M_POWERLAW_r05.json",
+                                "RECALL_1M_POWERLAW_r04.json",)),
+        ("e2e_query", ("BENCH_E2E_TPU_r05.json", "BENCH_E2E_TPU_r04.json",)),
+        ("eval", ("EVAL_r05.json", "EVAL_r04.json", "EVAL_r03.json")),
     ):
         for scale_file in scale_files:
             try:
@@ -308,8 +311,20 @@ def main():
             node = node.get(part)
         return node if isinstance(node, (int, float, str)) else None
 
+    # ivf@10M: best QPS among budget points holding refined recall ≥ 0.95
+    ivf10m = folds.get("capacity_10m", {}).get("data", {})
+    ivf10m = ivf10m.get("ivf_10m") if isinstance(ivf10m, dict) else None
+    ivf10m_qps = None
+    if isinstance(ivf10m, dict):
+        good = [b.get("qps") for b in ivf10m.get("budgets", {}).values()
+                if isinstance(b, dict) and b.get("qps")
+                and (b.get("recall_at_10_refined") or 0) >= 0.95]
+        if good:
+            ivf10m_qps = max(good)
+
     # one-scalar-per-subsystem headline extracts — keep this SMALL
     headlines = {
+        "ivf10m_qps_r95": ivf10m_qps,
         "llm7b_int8_tok_s_b1": _pick("llm_7b", "int8_b1", "tokens_per_s"),
         "llm7b_int8_tok_s_b8": _pick("llm_7b", "int8_b8", "tokens_per_s"),
         "ivf1m_qps_nprobe8": _pick("ivf_1m", "ivf_1m", "probes", "8", "qps"),
@@ -329,6 +344,14 @@ def main():
         "eval_hard_paraphrase": _pick(
             "eval", "hard", "paraphrase_answer_accuracy"),
         "flat10m_qps": _pick("capacity_10m", "flat_10m_int8", "qps"),
+        "powerlaw1m_recall": _pick(
+            "recall_1m_powerlaw", "headline", "recall_at_10"),
+        "powerlaw1m_qps": next(
+            (v for v in (
+                _pick("recall_1m_powerlaw", "headline", "qps_in_graph"),
+                _pick("recall_1m_powerlaw", "headline", "qps"))
+             if v is not None), None),
+        "powerlaw1m_plan": _pick("recall_1m_powerlaw", "headline", "plan"),
         "stall_paced_max_ms": _pick(
             "serving", "chunked_prefill", "paced", "stall_max_ms"),
         "stall_unpaced_max_ms": _pick(

@@ -127,7 +127,17 @@ def main():
                  "mode's full max_tokens budget (worst-case length)"),
     }
 
-    app = RAGApplication(tiny=True, tiny_dim=args.dim)
+    import os
+
+    # budget-mode IVF: the production kind at scale, and the state the
+    # fused one-dispatch search stage (engine/fused.py, r05 item 3)
+    # engages on — the flat default kept r04's e2e on the per-stage path
+    os.environ.setdefault("INDEX_KIND", "ivf")
+    from automative_rag_tpu.config.settings import Settings
+
+    # a fresh Settings(): the module-level default_settings snapshot was
+    # taken at import time, before the INDEX_KIND override above
+    app = RAGApplication(settings=Settings(), tiny=True, tiny_dim=args.dim)
     try:
         t0 = time.time()
         facts = build_corpus(min(60, args.docs // 2))
@@ -138,6 +148,9 @@ def main():
             while app.tracker.get_job(jid)["status"] not in (
                     "completed", "failed"):
                 time.sleep(0.01)
+        report["index_rebuild"] = {
+            k: v for k, v in app.rebuild_index().items()
+            if not isinstance(v, dict)}
         report["ingest_s"] = round(time.time() - t0, 1)
 
         t0 = time.time()

@@ -115,6 +115,14 @@ def main():
         "note": ("previous design: any tail forced a FULL flat scan per "
                  "query (≈ the 1M flat p50) AND every append restaged the "
                  "whole corpus slab to HBM"),
+        "methodology_note": (
+            "p50s here are HOST-API wall times through index.search() — "
+            "each search is 2-3 relay dispatches at ~26 ms round trip "
+            "plus host result assembly, which is why p50_no_tail_ms "
+            "(~70 ms) is ~20x the in-graph IVF kernel p50 (3.7 ms, "
+            "BENCH_IVF1M): the DELTA between with/without tail is the "
+            "honest number this bench exists for (r05 verdict item 7 "
+            "reconciliation)"),
     }
     Path(args.out).write_text(json.dumps(out, indent=1))
     print(json.dumps(out))

@@ -234,6 +234,193 @@ def bench_dtype(dtype, corpus, n, dim, k, batch, trials, refine_mult=8,
     return report
 
 
+def bench_ivf_10m(corpus, n, dim, k, batch, trials, n_lists=4096,
+                  budgets=(32768, 65536, 131072, 262144), refine_mult=8,
+                  train_per_list=192, iters=8):
+    """Budget-probing IVF at 10M on one chip (r05 item 4; flat floor is
+    565 QPS). Clustering never touches a host f32 mirror (40 GB at 10M):
+
+    - k-means TRAINS on a device-gathered subsample of the int8 slab,
+      dequantized to bf16 (per-row scales are positive, so int8·centroid
+      argmax assignment is scale-invariant — the full-corpus assign pass
+      reads the int8 slab directly);
+    - the CSR build is O(n) host int32 work;
+    - search = the production ``_ivf_budget_search_kernel`` (chunked
+      candidate gather — BENCH_GATHER_r05 measured XLA row-gather at
+      ~400 GB/s at the 32K chunk size, so no bespoke DMA kernel needed);
+    - recall = shortlist containment of the exact f32 oracle top-10
+      (the host refine rescores the shortlist exactly, same as flat)."""
+    import jax
+    import jax.numpy as jnp
+
+    from automative_rag_tpu.index.ivf import (
+        CSR_ALIGN, _ivf_budget_search_kernel, _pow2_at_least)
+    from automative_rag_tpu.ops.kmeans import _gather_rows, _lloyd, _pad_to
+
+    rng = np.random.default_rng(7)
+    rows_host, scales_host = corpus["int8"]
+    queries = corpus["queries"]
+    n_oracle_q = queries.shape[0]
+    report = {"n": n, "n_lists": n_lists, "k": k, "batch": batch}
+
+    t0 = time.time()
+    vectors = jax.device_put(jnp.asarray(rows_host))
+    row_scales = jax.device_put(jnp.asarray(scales_host))
+    jax.block_until_ready((vectors, row_scales))
+    report["ship_s"] = round(time.time() - t0, 1)
+
+    # ---- cluster ----
+    t0 = time.time()
+    chunk = 8192
+    train_n = min(n, train_per_list * n_lists)
+    train_rows = np.sort(rng.choice(n, size=train_n, replace=False))
+
+    @jax.jit
+    def _dequant_rows(slab, scl, rows):
+        block = jnp.take(slab, rows, axis=0).astype(jnp.bfloat16)
+        return block * scl[rows][:, None].astype(jnp.bfloat16)
+
+    # gather + dequant in 256K-row slices (one [train_n, D] bf16 slab)
+    train_parts = []
+    for s in range(0, train_n, 262144):
+        rr = jnp.asarray(train_rows[s: s + 262144], jnp.int32)
+        train_parts.append(_dequant_rows(vectors, row_scales, rr))
+    train_slab = jnp.concatenate(train_parts, axis=0)
+    del train_parts
+    pad_n = _pad_to(train_n, chunk)
+    if pad_n != train_n:
+        train_slab = jnp.pad(train_slab, ((0, pad_n - train_n), (0, 0)))
+    init_rows = np.sort(rng.choice(n, size=n_lists, replace=False))
+    cent0 = (rows_host[init_rows].astype(np.float32)
+             * scales_host[init_rows][:, None])
+    cent0 /= np.maximum(np.linalg.norm(cent0, axis=1, keepdims=True), 1e-12)
+    centroids = _lloyd(train_slab, jnp.asarray(cent0, jnp.float32),
+                       jnp.asarray(train_n, jnp.int32), chunk, iters)
+    jax.block_until_ready(centroids)
+    del train_slab
+    report["train_s"] = round(time.time() - t0, 1)
+
+    # ---- full-corpus assignment: int8 slab · bf16 centroids, argmax is
+    # scale-invariant (positive per-row scales) ----
+    t0 = time.time()
+    a_chunk = 131072
+    n_pad = -(-n // a_chunk) * a_chunk
+
+    @jax.jit
+    def _assign_int8(slab, cent):
+        def body(_, idx):
+            block = jax.lax.dynamic_slice(
+                slab, (idx * a_chunk, 0), (a_chunk, dim)).astype(jnp.bfloat16)
+            sim = jax.lax.dot_general(
+                block, cent.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return _, jnp.argmax(sim, axis=1).astype(jnp.int32)
+
+        _, assigns = jax.lax.scan(body, None, jnp.arange(n_pad // a_chunk))
+        return assigns.reshape(-1)
+
+    pad_rows = n_pad - n
+    slab_a = (jnp.pad(vectors, ((0, pad_rows), (0, 0)))
+              if pad_rows else vectors)
+    assigns = np.asarray(_assign_int8(slab_a, centroids))[:n].astype(np.int64)
+    if pad_rows:
+        del slab_a
+    report["assign_s"] = round(time.time() - t0, 1)
+
+    # ---- CSR build (host int32 work only) ----
+    t0 = time.time()
+    counts = np.bincount(assigns, minlength=n_lists)
+    span = (-(-(counts + np.maximum(CSR_ALIGN, counts // 4)) // CSR_ALIGN)
+            * CSR_ALIGN).astype(np.int64)
+    starts = np.zeros(n_lists, np.int64)
+    np.cumsum(span[:-1], out=starts[1:])
+    m_slots = _pow2_at_least(int(span.sum()))
+    sorted_rows = np.full(m_slots, -1, np.int32)
+    order = np.argsort(assigns, kind="stable")
+    sa = assigns[order]
+    gstart = np.searchsorted(sa, np.arange(n_lists))
+    slots = np.arange(n, dtype=np.int64) - gstart[sa]
+    sorted_rows[starts[sa] + slots] = order.astype(np.int32)
+    scan_lens = np.minimum(-(-counts // CSR_ALIGN) * CSR_ALIGN,
+                           span).astype(np.int32)
+    report["csr_build_s"] = round(time.time() - t0, 1)
+    report["csr_slots"] = int(m_slots)
+    report["max_list"] = int(counts.max())
+    report["min_list"] = int(counts.min())
+
+    sr = jax.device_put(jnp.asarray(sorted_rows))
+    st = jax.device_put(jnp.asarray(starts.astype(np.int32)))
+    sl = jax.device_put(jnp.asarray(scan_lens))
+    cent_dev = jax.device_put(centroids.astype(jnp.bfloat16))
+    mask = jnp.ones(n, bool)
+    k_scan = max(k, k * refine_mult)
+
+    qs = np.abs(queries).max(axis=1) / 127.0
+    q_panel = np.clip(np.round(queries / np.maximum(qs, 1e-12)[:, None]),
+                      -127, 127).astype(np.int8).astype(np.float32)
+
+    report["budgets"] = {}
+    for budget in budgets:
+        entry = {}
+        try:
+            @jax.jit
+            def once(q, v, rs, m, c, a, b, c2, budget=budget):
+                return _ivf_budget_search_kernel(
+                    v, rs, m, c, a, b, c2, q, budget, k_scan, True)
+
+            # recall panel (also compiles)
+            t0 = time.time()
+            got = []
+            for s in range(0, n_oracle_q, batch):
+                qb = q_panel[s: s + batch]
+                if qb.shape[0] < batch:
+                    qb = np.pad(qb, ((0, batch - qb.shape[0]), (0, 0)))
+                _, rows_out = once(jnp.asarray(qb), vectors, row_scales,
+                                   mask, cent_dev, sr, st, sl)
+                got.extend(np.asarray(rows_out)[: min(batch,
+                                                      n_oracle_q - s)])
+            entry["compile_plus_recall_s"] = round(time.time() - t0, 1)
+            entry["recall_at_10_raw"] = round(float(np.mean([
+                len(set(got[q][:k].tolist()) & corpus["oracle"][q]) / k
+                for q in range(n_oracle_q)])), 4)
+            entry["recall_at_10_refined"] = round(float(np.mean([
+                len(set(got[q].tolist()) & corpus["oracle"][q]) / k
+                for q in range(n_oracle_q)])), 4)
+
+            @jax.jit
+            def many(q, v, rs, m, c, a, b, c2, budget=budget):
+                def body(carry, _):
+                    vals, rows_o = _ivf_budget_search_kernel(
+                        v, rs, m, c, a, b, c2, carry, budget, k_scan, True)
+                    carry = carry + (vals[0, 0] * 0).astype(carry.dtype)
+                    return carry, vals[:, 0]
+
+                _, outs = jax.lax.scan(body, q, None, length=REPS)
+                return outs
+
+            q0 = jnp.asarray(q_panel[:batch])
+            np.asarray(many(q0, vectors, row_scales, mask, cent_dev,
+                            sr, st, sl))
+            samples = []
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                np.asarray(many(q0, vectors, row_scales, mask, cent_dev,
+                                sr, st, sl))
+                samples.append((time.perf_counter() - t0) / REPS)
+            per_call = float(np.percentile(samples, 50))
+            entry["latency_ms_per_batch"] = round(per_call * 1000, 3)
+            entry["qps"] = round(batch / per_call, 1)
+        except Exception as exc:  # noqa: BLE001 — keep partial points
+            entry["error"] = repr(exc)[:300]
+        report["budgets"][str(budget)] = entry
+        print(f"[ivf_10m] budget {budget}: {entry}", file=sys.stderr,
+              flush=True)
+
+    vectors.delete()
+    row_scales.delete()
+    return report
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=10_000_000)
@@ -249,6 +436,12 @@ def main():
                         help="shortlist selection: approx_max_k "
                              "(production default) or exact hierarchical")
     parser.add_argument("--dtypes", default="int8,int4")
+    parser.add_argument("--ivf", action="store_true",
+                        help="run the budget-probing IVF section (r05 "
+                             "item 4); re-ships the int8 slab after the "
+                             "flat sections free theirs")
+    parser.add_argument("--skip-flat", action="store_true",
+                        help="IVF section only (with --ivf)")
     parser.add_argument("--out", default="BENCH_SCALE_10M_r04.json")
     parser.add_argument("--cpu", action="store_true",
                         help="pin the CPU backend (smoke tests)")
@@ -272,15 +465,26 @@ def main():
     }
     corpus = generate_corpus(args.n, args.dim, args.oracle_queries)
     report["gen_s"] = corpus["gen_s"]
-    for dtype in args.dtypes.split(","):
-        key = f"flat_{args.n // 1_000_000}m_{dtype}"
+    if not args.skip_flat:
+        for dtype in args.dtypes.split(","):
+            key = f"flat_{args.n // 1_000_000}m_{dtype}"
+            try:
+                report[key] = bench_dtype(
+                    dtype, corpus, args.n, args.dim, args.k, args.batch,
+                    args.trials, refine_mult=args.refine_mult,
+                    selection=args.selection)
+                print(f"[done] {key}: {report[key]}", file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001 — record and continue
+                report[key] = {"error": repr(exc)[:500]}
+                print(f"[fail] {key}: {exc!r}", file=sys.stderr)
+            Path(args.out).write_text(json.dumps(report, indent=1))
+    if args.ivf:
+        key = f"ivf_{args.n // 1_000_000}m"
         try:
-            report[key] = bench_dtype(
-                dtype, corpus, args.n, args.dim, args.k, args.batch,
-                args.trials, refine_mult=args.refine_mult,
-                selection=args.selection)
+            report[key] = bench_ivf_10m(
+                corpus, args.n, args.dim, args.k, args.batch, args.trials)
             print(f"[done] {key}: {report[key]}", file=sys.stderr)
-        except Exception as exc:  # noqa: BLE001 — record and continue
+        except Exception as exc:  # noqa: BLE001
             report[key] = {"error": repr(exc)[:500]}
             print(f"[fail] {key}: {exc!r}", file=sys.stderr)
         Path(args.out).write_text(json.dumps(report, indent=1))

@@ -58,6 +58,8 @@ def main():
     ap.add_argument("--merge-into", default="",
                     help="existing artifact JSON: replace just the "
                          "sections this run produced, keep the rest")
+    ap.add_argument("--out", default="",
+                    help="also write the JSON artifact to this path")
     args = ap.parse_args()
     if args.only_stall:
         args.skip_static = args.skip_spec = True
@@ -371,6 +373,9 @@ def main():
             merged = json.load(fh)
         merged.update({k: v for k, v in out.items() if v is not None})
         out = merged
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(out, fh)
     print(json.dumps(out))
 
 

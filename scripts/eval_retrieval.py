@@ -58,6 +58,18 @@ PARAPHRASES = {
     "轴距": "{model}的轴距多长？",
 }
 
+# English phrasings (r05 eval item 9: the reference is bilingual, the
+# eval was zh-only) — the only shared surface token with the zh spec
+# sentence is the model name; METRIC_SYNONYMS' English keys must bridge
+# the metric term for retrieval to work at all
+EN_PARAPHRASES = {
+    "百公里加速": "How many seconds does the {model} take from 0 to 100?",
+    "最高时速": "What is the top speed of the {model}?",
+    "马力": "How much horsepower does the {model} have?",
+    "续航里程": "What is the driving range of the {model} on a charge?",
+    "轴距": "How long is the wheelbase of the {model}?",
+}
+
 
 def build_corpus(n_docs: int, seed: int = 7):
     from automative_rag_tpu.ingestion.metadata import MODEL_CATALOG
@@ -177,6 +189,125 @@ def build_distractors(n: int, seed: int = 29):
     for _ in range(n):
         a, b = rng.sample(models, 2)
         out.append(rng.choice(templates).format(a=a, b=b))
+    return out
+
+
+def build_shared_code_trims(n_codes: int = 10, seed: int = 43, exclude=()):
+    """Trim codes SHARED across three models with different values — the
+    adversarial case for the sparse arm alone (the code matches all three
+    docs identically; the dense model entity + metadata must break the
+    tie). r05 eval item 9: distractors that target the lexical arm."""
+    from automative_rag_tpu.ingestion.metadata import MODEL_CATALOG
+
+    rng = random.Random(seed)
+    models = [m for m in MODEL_CATALOG][8:20]
+    letters = "ABCDEFGHJKLMNPRSTUVWXYZ"
+    values = rng.sample(range(1001, 1999), 3 * n_codes)
+    groups = []
+    used = set(exclude)
+    vi = 0
+    while len(groups) < n_codes:
+        code = (rng.choice(letters) + rng.choice(letters)
+                + str(rng.randrange(20, 80)) + rng.choice("iLhdt"))
+        if code in used:
+            continue
+        used.add(code)
+        trio = []
+        for model in rng.sample(models, 3):
+            value = f"{values[vi]}公里"
+            vi += 1
+            trio.append({
+                "model": model,
+                "manufacturer": MODEL_CATALOG[model]["manufacturer"],
+                "code": code,
+                "value": value,
+                "text": f"{model} {code}版 续航里程为{value}。",
+            })
+        groups.append(trio)
+    return groups
+
+
+def eval_shared_codes(app, groups, n_queries, rng):
+    """model+shared-code queries: the answer must carry THAT model's
+    value; a sibling model's value (same code) counts as cross-model
+    confusion."""
+    answered = confused = 0
+    probes = []
+    for trio in groups:
+        probes.extend(trio)
+    probes = rng.sample(probes, min(n_queries, len(probes)))
+    for probe in probes:
+        job = app.query_sync(
+            f"{probe['model']} {probe['code']}版的续航里程是多少？",
+            mode="facts", timeout=120)
+        answer = job["result"]["answer"]
+        if probe["value"] in answer:
+            answered += 1
+        siblings = [p for trio in groups for p in trio
+                    if p["code"] == probe["code"] and p is not probe]
+        if any(s["value"] in answer for s in siblings):
+            confused += 1
+    n = len(probes)
+    return {"queries": n,
+            "answer_accuracy": round(answered / n, 3),
+            "cross_model_confusion": round(confused / n, 3)}
+
+
+def eval_english(app, sample):
+    """English phrasings of the canonical facts (bilingual parity)."""
+    hits = answered = 0
+    for fact in sample:
+        query = EN_PARAPHRASES[fact["metric"]].format(model=fact["model"])
+        job = app.query_sync(query, mode="facts", timeout=120)
+        result = job["result"]
+        if fact["value"] in result["answer"]:
+            answered += 1
+        if fact["model"] in {
+                s["metadata"].get("model") for s in result["sources"]}:
+            hits += 1
+    n = len(sample)
+    return {"queries": n, "hit_rate": round(hits / n, 3),
+            "answer_accuracy": round(answered / n, 3)}
+
+
+def eval_ablations(app, facts, n_queries, rng):
+    """Arm ablations over the PARAPHRASE queries (the ones where the arms
+    matter): full pipeline vs rerank off, cross-encoder head off
+    (ColBERT-only rerank), and sparse arm off. Reports retrieval hit rate
+    per configuration — the delta is each arm's measured contribution."""
+    eng = app.engine
+    sample = rng.sample(facts, min(n_queries, len(facts)))
+
+    def hit_rate(rerank=True):
+        with eng._cache_lock:
+            eng._cache.clear()
+        hits = 0
+        for fact in sample:
+            query = PARAPHRASES[fact["metric"]].format(model=fact["model"])
+            ranked = eng.retrieve(query, mode="facts", rerank=rerank)
+            if fact["model"] in {d.metadata.get("model")
+                                 for d, _ in ranked}:
+                hits += 1
+        return round(hits / len(sample), 3)
+
+    out = {"full": hit_rate()}
+    out["rerank_off"] = hit_rate(rerank=False)
+    if eng.reranker is not None:
+        saved = (eng.reranker.colbert_weight, eng.reranker.second_weight)
+        try:
+            eng.reranker.colbert_weight, eng.reranker.second_weight = 1.0, 0.0
+            out["cross_encoder_off"] = hit_rate()
+        finally:
+            (eng.reranker.colbert_weight,
+             eng.reranker.second_weight) = saved
+    saved_sparse = eng.sparse_index
+    try:
+        eng.sparse_index = None
+        out["sparse_off"] = hit_rate()
+    finally:
+        eng.sparse_index = saved_sparse
+    with eng._cache_lock:
+        eng._cache.clear()
     return out
 
 
@@ -452,6 +583,25 @@ def main():
             report["mode_split"] = mode_split
         if spec_report is not None:
             report["spec_code_split"] = spec_report
+
+        # r05 item 9 splits: bilingual parity, arm ablations, and the
+        # shared-code adversarial case for the sparse arm
+        report["english_split"] = eval_english(
+            app, rng.sample(facts, min(20, len(facts))))
+        report["ablation_split"] = eval_ablations(
+            app, facts, 12, random.Random(53))
+        if args.spec_codes and app.engine.sparse_index is not None:
+            shared = build_shared_code_trims(
+                10, exclude={t["code"] for t in (trims if spec_report
+                                                 else [])})
+            for trio in shared:
+                for trim in trio:
+                    job = app.ingest_text(trim["text"])
+                    while app.tracker.get_job(job)["status"] not in (
+                            "completed", "failed"):
+                        time.sleep(0.02)
+            report["shared_code_split"] = eval_shared_codes(
+                app, shared, 20, random.Random(59))
         if args.json:
             print(json.dumps(report, ensure_ascii=False))
         else:

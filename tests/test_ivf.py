@@ -1009,3 +1009,60 @@ def test_tombstoned_rebuild_uses_kmeans_slab_for_balance(monkeypatch):
         got = {h.row for h in index.search(q, 10, n_probe=16, pin_probe=True)[0]}
         hits += len(want & got)
     assert hits / 100 >= 0.9, hits / 100
+
+
+def test_calibrate_planner_flat_fallback():
+    """On a distribution where the target recall needs a budget past
+    flat_cutoff of the slots, calibrate() must switch the plan to the
+    exact quantized scan (faster AND exact there —
+    RECALL_1M_POWERLAW_r05 measured powerlaw needing 52% of slots);
+    pinned/n_probe searches still probe, and a rebuild resets the plan."""
+    rng = np.random.default_rng(2)
+    n, dim = 4000, 48
+    # one tight blob + uniform noise: neighbors of blob queries spread
+    # over many near-identical lists, so fixed budgets under-recall
+    blob = rng.normal(size=dim).astype(np.float32)
+    v = np.concatenate([
+        blob[None] + 0.01 * rng.normal(size=(n // 2, dim)).astype(np.float32),
+        rng.normal(size=(n - n // 2, dim)).astype(np.float32)])
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    docs = [Document(page_content=f"d{i}", metadata={}) for i in range(n)]
+    index = IVFIndex(dim=dim, device_dtype="float32", n_lists=64, n_probe=1)
+    index.add(v, docs, normalize=False)
+    index.rebuild(seed=0)
+    assert index.plan == "ivf"
+    index.flat_cutoff = 0.02  # force the planner to trip at any width > 1
+    info = index.calibrate(target_recall=0.99, sample=24)
+    assert info["plan"] == "flat", info
+    assert index.plan == "flat"
+
+    # production searches route to the exact scan — results match
+    # FlatIndex.search bit-for-bit
+    q = v[7]
+    got = [(h.row, round(h.score, 6)) for h in index.search(q, 10)[0]]
+    from automative_rag_tpu.index.flat import FlatIndex
+
+    want = [(h.row, round(h.score, 6))
+            for h in FlatIndex.search(index, q, 10)[0]]
+    assert got == want
+
+    # pinned searches still probe (curve callers)
+    import automative_rag_tpu.index.ivf as ivf_mod
+
+    launches = []
+    real = ivf_mod._ivf_budget_search_kernel
+
+    def spy(*a, **kw):
+        launches.append(1)
+        return real(*a, **kw)
+
+    try:
+        ivf_mod._ivf_budget_search_kernel = spy
+        index.search(q, 10, n_probe=4, pin_probe=True)
+    finally:
+        ivf_mod._ivf_budget_search_kernel = real
+    assert launches, "pin_probe must still run the probe kernel"
+
+    # a rebuild re-earns the plan
+    index.rebuild(seed=1)
+    assert index.plan == "ivf"

@@ -221,3 +221,48 @@ def test_components_scipy_matches_python_oracle():
         want = sorted(GlyphAtlasOCR._components_py(ink))
         assert got == want
     assert GlyphAtlasOCR._components(np.zeros((8, 8), bool)) == []
+
+
+def _scanned_pdf_pages(imgs) -> bytes:
+    """Multi-page scanned PDF: one JPEG image XObject per page."""
+    kids = b" ".join(b"%d 0 R" % (3 + i * 3) for i in range(len(imgs)))
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count %d >>" % len(imgs),
+    ]
+    content = b"q 612 0 0 792 0 0 cm /Im0 Do Q"
+    for i, img in enumerate(imgs):
+        base = 3 + i * 3
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG", quality=95)
+        jpeg = buf.getvalue()
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /XObject << /Im0 %d 0 R >> >> /Contents %d 0 R >>"
+            % (base + 1, base + 2))
+        objs.append(
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode "
+            b"/Length %d >>\nstream\n%s\nendstream"
+            % (img.width, img.height, len(jpeg), jpeg))
+        objs.append(b"<< /Length %d >>\nstream\n%s\nendstream"
+                    % (len(content), content))
+    out = [b"%PDF-1.4"]
+    for i, body in enumerate(objs, start=1):
+        out.append(b"%d 0 obj\n%s\nendobj" % (i, body))
+    out.append(b"%%EOF")
+    return b"\n".join(out)
+
+
+def test_ocr_pdf_process_pool_matches_serial(tmp_path, engine):
+    """Pooled page OCR (spawn workers, r05 item 10) must produce exactly
+    the serial output, in page order."""
+    imgs = [_render_page([f"PAGE {i} BMW X5", f"POWER {200 + i} KW"])
+            for i in range(4)]
+    path = tmp_path / "multi.pdf"
+    path.write_bytes(_scanned_pdf_pages(imgs))
+    serial = engine.ocr_pdf(str(path), workers=0)
+    pooled = engine.ocr_pdf(str(path), workers=3)
+    assert pooled == serial
+    assert "PAGE" in pooled.replace(" ", "") or "PAGE" in pooled
+    assert "203" in pooled  # last page made it
