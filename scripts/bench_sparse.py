@@ -37,6 +37,13 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              "/tmp/jax_compile_cache")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:  # noqa: BLE001 — cache is best-effort
+            pass
     import jax.numpy as jnp
     import numpy as np
 

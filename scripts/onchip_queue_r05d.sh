@@ -4,9 +4,9 @@
 set -u
 cd /root/repo
 LOG=/tmp/onchip_queue_r05d.log
-echo "$(date -u +%FT%TZ) r05 phase-4 waiting for phase-3" >> "$LOG"
+echo "$(date -u +%FT%TZ) r05 phase-4 waiting for phase-5" >> "$LOG"
 for i in $(seq 1 1440); do  # up to 12 h
-  [ -f /tmp/onchip_queue_r05c_done ] && break
+  [ -f /tmp/onchip_queue_r05e_done ] && break
   sleep 30
 done
 echo "$(date -u +%FT%TZ) r05 phase-4 start" >> "$LOG"
