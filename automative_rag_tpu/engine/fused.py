@@ -28,13 +28,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..index.filters import FilterSpec, eval_filter_mask
+from ..index.flat import _search_kernel, _search_kernel_int8
 from ..index.ivf import IVFIndex, _ivf_budget_search_kernel
 from ..index.sparse import _sparse_topk_kernel
 
 
 @partial(jax.jit, static_argnames=(
     "budget", "entity_budget", "k_dense", "k_entity", "k_sparse", "int8",
-    "has_entity", "has_sparse", "sparse_variant", "interpret"))
+    "has_entity", "has_sparse", "sparse_variant", "interpret", "use_flat"))
 def _fused_search_kernel(
     vectors, row_scales, valid, codes, numerics, centroids,
     sorted_rows, list_starts, scan_lens,
@@ -45,17 +46,27 @@ def _fused_search_kernel(
     budget: int, entity_budget: int, k_dense: int, k_entity: int,
     k_sparse: int,
     int8: bool, has_entity: bool, has_sparse: bool,
-    sparse_variant: str, interpret: bool,
+    sparse_variant: str, interpret: bool, use_flat: bool,
 ):
-    mask_main = valid & eval_filter_mask(codes, numerics, spec_main)
-    d_vals, d_rows = _ivf_budget_search_kernel(
-        vectors, row_scales, mask_main, centroids, sorted_rows,
-        list_starts, scan_lens, qvec, budget, k_dense, int8)
+    def dense_arm(spec, k):
+        # the calibrated planner may have priced IVF out (use_flat) — the
+        # exact matmul scan composes into the same single dispatch
+        if use_flat:
+            if int8:
+                return _search_kernel_int8(
+                    vectors, row_scales, valid, codes, numerics, qvec,
+                    spec, k)
+            return _search_kernel(
+                vectors, valid, codes, numerics, qvec, spec, k)
+        mask = valid & eval_filter_mask(codes, numerics, spec)
+        b = budget if spec is spec_main else entity_budget
+        return _ivf_budget_search_kernel(
+            vectors, row_scales, mask, centroids, sorted_rows,
+            list_starts, scan_lens, qvec, b, k, int8)
+
+    d_vals, d_rows = dense_arm(spec_main, k_dense)
     if has_entity:
-        mask_ent = valid & eval_filter_mask(codes, numerics, spec_entity)
-        e_vals, e_rows = _ivf_budget_search_kernel(
-            vectors, row_scales, mask_ent, centroids, sorted_rows,
-            list_starts, scan_lens, qvec, entity_budget, k_entity, int8)
+        e_vals, e_rows = dense_arm(spec_entity, k_entity)
     else:
         e_vals = jnp.zeros((1, 1), jnp.float32)
         e_rows = jnp.full((1, 1), -1, jnp.int32)
@@ -84,12 +95,12 @@ def fused_search(engine, qvec: np.ndarray, k1: int,
     index = engine.index
     if type(index) is not IVFIndex or not index._budget_built:
         return None
-    if index.plan == "flat":
-        # the calibrated planner priced IVF out on this distribution —
-        # the per-stage path routes to the exact quantized scan
-        return None
     if index.tail_rows > 0:
         return None
+    # the calibrated planner may have priced IVF out on this distribution
+    # — the fused program swaps its dense/entity arms for the exact
+    # quantized scan (same single dispatch either way)
+    use_flat = index.plan == "flat"
     with index._mutex:
         state = index._device_state_locked()
     if "sorted_rows" not in state:
@@ -159,7 +170,7 @@ def fused_search(engine, qvec: np.ndarray, k1: int,
         q_ids_dev, q_w_dev, spec_main, spec_entity,
         budget, entity_budget, k_scan, k_entity, k_sparse,
         index._int8, has_entity, sparse_on,
-        variant, interpret)
+        variant, interpret, use_flat)
 
     d_vals, d_rows = np.asarray(d_vals), np.asarray(d_rows)
     if k_scan > k_dense:

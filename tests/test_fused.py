@@ -135,3 +135,22 @@ def test_fused_int8_refine_matches():
         eng._cache.clear()
     b = eng.retrieve("样本42 的马力", mode="facts", rerank=False)
     assert _pairs(a) == _pairs(b)
+
+
+def test_fused_flat_plan_single_dispatch_matches():
+    """When the calibrated planner routes to the exact scan, the fused
+    program swaps its dense arm for the flat kernel — results must match
+    the per-stage flat path."""
+    eng, docs = _mk_engine(n_docs=300, with_sparse=True)
+    eng.index.plan = "flat"
+    q = "比亚迪汉充一次电能跑多远"
+    eng.fused_path = True
+    with eng._cache_lock:
+        eng._cache.clear()
+    fused = eng.retrieve(q, mode="facts", rerank=False)
+    assert eng.last_timings.get("fused") is True
+    eng.fused_path = False
+    with eng._cache_lock:
+        eng._cache.clear()
+    staged = eng.retrieve(q, mode="facts", rerank=False)
+    assert _score_groups(fused) == _score_groups(staged)
