@@ -287,7 +287,8 @@ def main():
         ("w4_tune", ("W4_TUNE_r05.json", "W4_TUNE_r04.json", "W4_TUNE_r03.json")),
         ("sparse", ("BENCH_SPARSE_r05.json", "BENCH_SPARSE_r04.json", "BENCH_SPARSE_r03.json")),
         ("flat_dtype_ladder", ("BENCH_SCALE_r03b.json",)),
-        ("capacity_10m", ("BENCH_SCALE_10M_r05.json", "BENCH_SCALE_10M_r04b.json",
+        ("capacity_10m_ivf", ("BENCH_SCALE_10M_r05.json",)),
+        ("capacity_10m", ("BENCH_SCALE_10M_r04b.json",
                           "BENCH_SCALE_10M_r04.json", "CAPACITY_10M.json")),
         ("recall_curves", ("RECALL_CURVES_r04.json", "RECALL_CURVES.json")),
         ("recall_1m_powerlaw", ("RECALL_1M_POWERLAW_r05.json",
@@ -312,7 +313,8 @@ def main():
         return node if isinstance(node, (int, float, str)) else None
 
     # ivf@10M: best QPS among budget points holding refined recall ≥ 0.95
-    ivf10m = folds.get("capacity_10m", {}).get("data", {})
+    ivf10m = folds.get("capacity_10m_ivf",
+                       folds.get("capacity_10m", {})).get("data", {})
     ivf10m = ivf10m.get("ivf_10m") if isinstance(ivf10m, dict) else None
     ivf10m_qps = None
     if isinstance(ivf10m, dict):

@@ -16,8 +16,9 @@ run() {
   timeout 14400 "$@" >> "$LOG" 2>&1
   echo "$(date -u +%FT%TZ) END $name rc=$?" >> "$LOG"
 }
-# item 4: 10M flat (int8+int4 regen at HEAD) + budget-probing IVF
-run scale10m python scripts/bench_scale_10m.py --ivf \
+# item 4: budget-probing IVF at 10M (the flat int8/int4 numbers stand
+# from BENCH_SCALE_10M_r04b — that path is unchanged at HEAD)
+run scale10m python scripts/bench_scale_10m.py --ivf --skip-flat \
     --out BENCH_SCALE_10M_r05.json
 # item 7: ivf-tail artifact with the methodology reconciliation note
 run ivf_tail python scripts/bench_ivf_tail.py --out BENCH_IVF_TAIL_r05.json

@@ -18,8 +18,6 @@ run() {
 }
 run serving_s8 python scripts/bench_serving.py --tpu \
     --out BENCH_SERVING_TPU_r05.json
-run serving_s16 python scripts/bench_serving.py --tpu --slots 16 \
-    --skip-chunk --out BENCH_SERVING_TPU_S16_r05.json
 run serving_s32 python scripts/bench_serving.py --tpu --slots 32 \
     --skip-chunk --out BENCH_SERVING_TPU_S32_r05.json
 # planner-enabled powerlaw at int8: the artifact that answers item 1
