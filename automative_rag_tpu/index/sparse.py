@@ -47,7 +47,7 @@ _BLOCK = 8192
 _TAIL_FOLD = 4096
 #: distinct-term ceiling for the 16-bit dense remap (int16 positive range
 #: with headroom) — beyond this the scan stays 32-bit
-_DENSE16_MAX = 30000
+_DENSE16_MAX = 30000  # +DENSE16_BASE stays under int16 max
 
 
 def _use_variant() -> str:
@@ -238,11 +238,15 @@ class SparseIndex:
                     if keys.size > _DENSE16_MAX:
                         keys = None  # vocab too wide — stay 32-bit
                 if keys is not None:
-                    # dense exact remap: slab value = index into the sorted
-                    # key table; pad stays −1. 2× VPU lane packing in the
-                    # 16-bit kernel, zero collisions by construction.
-                    dense = np.searchsorted(keys, np.where(raw < 0, keys[0],
-                                                           raw))
+                    # dense exact remap: slab value = DENSE16_BASE + index
+                    # into the sorted key table (bit patterns ≥ 256 are
+                    # normal positive bf16 values — the kernel compares
+                    # bitcast-as-bf16; pad −1 is a NaN pattern that never
+                    # matches). 2× VPU lane packing, zero collisions.
+                    from ..ops.sparse_scan import DENSE16_BASE
+
+                    dense = DENSE16_BASE + np.searchsorted(
+                        keys, np.where(raw < 0, keys[0], raw))
                     dense = np.where(raw < 0, -1, dense).astype(np.int16)
                     ids = np.full((self.top_terms, cap), -1, np.int16)
                     ids[:, : self.rows] = dense
@@ -266,10 +270,12 @@ class SparseIndex:
         (16-bit slabs only). Terms absent from the staged vocabulary map
         to −2: they can only match tail rows, which score on the host
         with RAW ids."""
+        from ..ops.sparse_scan import DENSE16_BASE
+
         pos = np.searchsorted(keys, q_ids)
         pos_c = np.clip(pos, 0, len(keys) - 1)
         return np.where((q_ids >= 0) & (keys[pos_c] == q_ids),
-                        pos_c, -2).astype(np.int32)
+                        DENSE16_BASE + pos_c, -2).astype(np.int32)
 
     def _device_state_with_keys(self):
         """State + the matching 16-bit key snapshot under ONE lock hold

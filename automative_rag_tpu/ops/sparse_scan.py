@@ -70,23 +70,50 @@ def _scan_kernel_batch(q_ids_ref, q_w_ref, ids_ref, w_ref, out_ref):
         out_ref[row, :] = jnp.sum(acc * w, axis=0)
 
 
-def _scan_kernel16(q_ids_ref, q_w_ref, ids_ref, w_ref, out_ref):
-    """16-bit block scan: ids [T, bn] int16 (dense corpus-local vocab),
-    accumulator bf16 — both run at 2× VPU lane packing (16-bit tiles pack
-    16 sublanes into 8 physical), which is the only lever left on a scan
-    already AT the 32-bit VPU roofline (BENCH_SPARSE_r04: 2.2 ms measured
-    vs ~2.3 ms theoretical for 1M×48×32 at 3 ops/element/term).
+#: 16-bit dense ids start here: bit patterns ≥ 256 reinterpret as NORMAL
+#: positive bf16 values (denormal compares can flush to zero; id 0 would
+#: alias +0), so bf16 equality is exact bit equality. Pad −1 (0xFFFF) and
+#: query-unknown −2 (0xFFFE) are NaN patterns — NaN ≠ everything, which
+#: is precisely the never-match semantic those sentinels need.
+#:
+#: MEASURED VERDICT (r05, on-chip): v5e Mosaic legalizes NEITHER int16
+#: NOR bf16 vector equality ("Target does not support this comparison")
+#: — only 32-bit compares exist on this target, so the hoped-for 2× lane
+#: packing is unavailable and the 32-bit kernel's 2.19 ms at 1M×48×32
+#: (vs ~2.3 ms theoretical VPU roofline) is the hardware floor. The
+#: batch-8 per-query cost (~2.66 ms) is therefore intrinsic compute
+#: scaling, not a batching defect (the corpus READ amortizes; the
+#: compare work cannot). The 16-bit path stays for CPU/interpret parity
+#: and for future Mosaic targets that add sub-32-bit compares; on TPU it
+#: must be explicitly pinned (scan_variant="pallas16") and will fail to
+#: compile on v5e.
+DENSE16_BASE = 256
+
+
+def _scan_kernel16(q_bits_ref, q_w_ref, ids_ref, w_ref, out_ref):
+    """16-bit block scan: ids [T, bn] int16 (dense corpus-local vocab,
+    offset by DENSE16_BASE) compared as bf16 BIT PATTERNS — v5e Mosaic has
+    no int16 vector compare ("Target does not support this comparison"),
+    but bf16 equality runs at 2× VPU lane packing, which is the only
+    lever left on a scan already AT the 32-bit roofline (BENCH_SPARSE_r04:
+    2.2 ms measured vs ~2.3 ms theoretical for 1M×48×32). Query ids
+    arrive PRE-BITCAST as a bf16 VMEM row (tpu.bitcast is vector-only —
+    a scalar in-kernel bitcast fails verification).
 
     The bf16 accumulator is EXACT, not approximate: query terms are
     unique, so each (t, n) element matches at most one of them — acc
     never sums two nonzero values, it just holds bf16(q_w) or 0. The
     closing weighted reduction runs in f32."""
-    ids = ids_ref[...]                       # [T, bn] int16
-    n_q = q_ids_ref.shape[1]
+    ids = jax.lax.bitcast_convert_type(ids_ref[...], jnp.bfloat16)
+    n_q = q_bits_ref.shape[1]
     t, bn = ids.shape
     acc = jnp.zeros((t, bn), jnp.bfloat16)
     for i in range(n_q):                     # static unroll
-        qid = q_ids_ref[0, i].astype(jnp.int16)
+        # q comparands ride SMEM as f32 holding bf16-EXACT values (Mosaic
+        # can neither extract sub-32-bit scalars nor broadcast a [1,1]
+        # tile in both axes); the f32→bf16 scalar cast is lossless here
+        # and the scalar splat into the compare is a supported pattern
+        qid = q_bits_ref[0, i].astype(jnp.bfloat16)
         qw = q_w_ref[0, i].astype(jnp.bfloat16)
         acc = acc + jnp.where(ids == qid, qw, jnp.bfloat16(0))
     w = w_ref[...].astype(jnp.float32)
@@ -94,16 +121,16 @@ def _scan_kernel16(q_ids_ref, q_w_ref, ids_ref, w_ref, out_ref):
                            keepdims=True)
 
 
-def _scan_kernel16_batch(q_ids_ref, q_w_ref, ids_ref, w_ref, out_ref):
+def _scan_kernel16_batch(q_bits_ref, q_w_ref, ids_ref, w_ref, out_ref):
     """Batched 16-bit block (see _scan_kernel16)."""
-    ids = ids_ref[...]
+    ids = jax.lax.bitcast_convert_type(ids_ref[...], jnp.bfloat16)
     w = w_ref[...].astype(jnp.float32)
-    b, n_q = q_ids_ref.shape
+    b, n_q = q_bits_ref.shape
     t, bn = ids.shape
     for row in range(b):
         acc = jnp.zeros((t, bn), jnp.bfloat16)
         for i in range(n_q):
-            qid = q_ids_ref[row, i].astype(jnp.int16)
+            qid = q_bits_ref[row, i].astype(jnp.bfloat16)
             qw = q_w_ref[row, i].astype(jnp.bfloat16)
             acc = acc + jnp.where(ids == qid, qw, jnp.bfloat16(0))
         out_ref[row, :] = jnp.sum(acc.astype(jnp.float32) * w, axis=0)
@@ -118,13 +145,24 @@ def sparse_scores_tm(ids_t, w_t, q_ids, q_w, block_n: int = 4096,
     pad columns carry id −1 / weight 0)."""
     t, cap = ids_t.shape
     bn = min(block_n, cap)
+    is16 = ids_t.dtype == jnp.int16
+    q_spec = pl.BlockSpec((1, q_ids.shape[0]), lambda j: (0, 0),
+                          memory_space=pltpu.SMEM)
+    if is16:
+        # bf16 bit-pattern values widened to f32 OUTSIDE the kernel
+        # (lossless: every bf16 is f32-exact) so the kernel reads 32-bit
+        # SMEM scalars and casts down — see _scan_kernel16
+        q_arg = jax.lax.bitcast_convert_type(
+            q_ids.astype(jnp.int16), jnp.bfloat16
+        ).astype(jnp.float32).reshape(1, -1)
+    else:
+        q_arg = q_ids.reshape(1, -1)
     out = pl.pallas_call(
-        _scan_kernel16 if ids_t.dtype == jnp.int16 else _scan_kernel,
+        _scan_kernel16 if is16 else _scan_kernel,
         out_shape=jax.ShapeDtypeStruct((1, cap), jnp.float32),
         grid=(cap // bn,),
         in_specs=[
-            pl.BlockSpec((1, q_ids.shape[0]), lambda j: (0, 0),
-                         memory_space=pltpu.SMEM),
+            q_spec,
             pl.BlockSpec((1, q_w.shape[0]), lambda j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((t, bn), lambda j: (0, j),
@@ -135,7 +173,7 @@ def sparse_scores_tm(ids_t, w_t, q_ids, q_w, block_n: int = 4096,
         out_specs=pl.BlockSpec((1, bn), lambda j: (0, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(q_ids.reshape(1, -1), q_w.reshape(1, -1), ids_t, w_t)
+    )(q_arg, q_w.reshape(1, -1), ids_t, w_t)
     return out[0]
 
 
@@ -146,14 +184,20 @@ def sparse_scores_tm_batch(ids_t, w_t, q_ids, q_w, block_n: int = 4096,
     t, cap = ids_t.shape
     b = q_ids.shape[0]
     bn = min(block_n, cap)
+    is16 = ids_t.dtype == jnp.int16
+    q_spec = pl.BlockSpec(q_ids.shape, lambda j: (0, 0),
+                          memory_space=pltpu.SMEM)
+    if is16:
+        q_arg = jax.lax.bitcast_convert_type(
+            q_ids.astype(jnp.int16), jnp.bfloat16).astype(jnp.float32)
+    else:
+        q_arg = q_ids
     return pl.pallas_call(
-        _scan_kernel16_batch if ids_t.dtype == jnp.int16
-        else _scan_kernel_batch,
+        _scan_kernel16_batch if is16 else _scan_kernel_batch,
         out_shape=jax.ShapeDtypeStruct((b, cap), jnp.float32),
         grid=(cap // bn,),
         in_specs=[
-            pl.BlockSpec(q_ids.shape, lambda j: (0, 0),
-                         memory_space=pltpu.SMEM),
+            q_spec,
             pl.BlockSpec(q_w.shape, lambda j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((t, bn), lambda j: (0, j),
@@ -164,7 +208,7 @@ def sparse_scores_tm_batch(ids_t, w_t, q_ids, q_w, block_n: int = 4096,
         out_specs=pl.BlockSpec((b, bn), lambda j: (0, j),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(q_ids, q_w, ids_t, w_t)
+    )(q_arg, q_w, ids_t, w_t)
 
 
 def xla_block_scores(bids, bw, q_ids, q_w, variant: str):
