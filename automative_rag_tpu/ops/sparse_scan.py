@@ -90,6 +90,186 @@ def _scan_kernel_batch(q_ids_ref, q_w_ref, ids_ref, w_ref, out_ref):
 DENSE16_BASE = 256
 
 
+def _scan_kernel_lut(tab_i_ref, tab_w_ref, r_ids_ref, r_w_ref,
+                     ids_ref, w_ref, out_ref):
+    """Hash-LUT block scan — O(1) query-term lookups instead of a Q-wide
+    compare unroll.
+
+    The plain kernel pays ~3 VPU ops per (element, query term): ~96 ops
+    per slab element at Q=32, which is why the scan is compute-bound
+    (BENCH_SPARSE_r04: 2.2 ms ≈ the 32-bit VPU roofline) and why batching
+    scaled linearly in Q. This kernel inverts the loop: the QUERY is
+    preprocessed (host-side, 32 terms) into a bn-wide open-addressed hash
+    table keyed by ``id & (bn-1)`` holding (expected raw id, weight);
+    per element the score is two ``tpu.dynamic_gather`` lane lookups plus
+    ONE compare —
+
+        slot   = ids & (bn-1)
+        match  = ids == tab_i[slot]
+        acc    = match ? tab_w[slot] : 0
+
+    — ~6 ops per element per QUERY (plus 3·R for the static residual
+    unroll that catches hash collisions), independent of Q. Collisions are
+    rare (32 terms into 4096 slots: P ≈ 0.12 per query); queries whose
+    collisions overflow R fall back to the plain kernel host-side.
+
+    Table sentinel is −2: slab pad is −1 and real ids are ≥ 0, so an empty
+    slot can never match. Pad query slots (id −1 / weight 0) are skipped
+    at build time.
+    """
+    ids = ids_ref[...]                       # [T, bn] int32
+    t, bn = ids.shape
+    slot = jax.lax.bitwise_and(ids, bn - 1)  # bn is a power of two
+    tab_i = jnp.broadcast_to(tab_i_ref[...], (t, bn))
+    tab_w = jnp.broadcast_to(tab_w_ref[...], (t, bn))
+    expect = jnp.take_along_axis(tab_i, slot, axis=1,
+                                 mode="promise_in_bounds")
+    wq = jnp.take_along_axis(tab_w, slot, axis=1,
+                             mode="promise_in_bounds")
+    acc = jnp.where(ids == expect, wq, 0.0)
+    n_r = r_ids_ref.shape[1]
+    for i in range(n_r):                     # static residual unroll
+        acc = acc + jnp.where(ids == r_ids_ref[0, i], r_w_ref[0, i], 0.0)
+    w = w_ref[...].astype(jnp.float32)
+    out_ref[...] = jnp.sum(acc * w, axis=0, keepdims=True)
+
+
+def _scan_kernel_lut_batch(tab_i_ref, tab_w_ref, r_ids_ref, r_w_ref,
+                           ids_ref, w_ref, out_ref):
+    """Batched hash-LUT block (see _scan_kernel_lut): per-query tables
+    [B, bn], residuals [B, R]. Per-query cost is Q-independent, so batch-8
+    runs at ~the same per-query cost as batch-1 — the amortization the
+    compare-unroll kernel could not deliver (r04 verdict item 6)."""
+    ids = ids_ref[...]
+    w = w_ref[...].astype(jnp.float32)
+    t, bn = ids.shape
+    b = tab_i_ref.shape[0]
+    slot = jax.lax.bitwise_and(ids, bn - 1)
+    n_r = r_ids_ref.shape[1]
+    for row in range(b):                     # static: engine batch is small
+        tab_i = jnp.broadcast_to(tab_i_ref[row:row + 1, :], (t, bn))
+        tab_w = jnp.broadcast_to(tab_w_ref[row:row + 1, :], (t, bn))
+        expect = jnp.take_along_axis(tab_i, slot, axis=1,
+                                     mode="promise_in_bounds")
+        wq = jnp.take_along_axis(tab_w, slot, axis=1,
+                                 mode="promise_in_bounds")
+        acc = jnp.where(ids == expect, wq, 0.0)
+        for i in range(n_r):
+            acc = acc + jnp.where(
+                ids == r_ids_ref[row, i], r_w_ref[row, i], 0.0)
+        out_ref[row, :] = jnp.sum(acc * w, axis=0)
+
+
+#: residual-slot count for hash-collision overflow (static unroll width)
+LUT_RESIDUALS = 4
+
+
+def build_query_lut(q_ids: np.ndarray, q_w: np.ndarray, width: int,
+                    n_residual: int = LUT_RESIDUALS):
+    """Host-side query preprocessing for the LUT kernels.
+
+    q_ids/q_w: [Q] or [B, Q] raw term ids / weights. Returns
+    (tab_i [B, width] int32, tab_w [B, width] f32, r_ids [B, R] int32,
+    r_w [B, R] f32) or None when any query's hash collisions overflow the
+    residual slots (caller falls back to the compare-unroll kernel).
+    ``width`` must be a power of two (the kernel masks with width−1).
+    """
+    q_ids = np.atleast_2d(np.asarray(q_ids, np.int32))
+    q_w = np.atleast_2d(np.asarray(q_w, np.float32))
+    b, _ = q_ids.shape
+    tab_i = np.full((b, width), -2, np.int32)
+    tab_w = np.zeros((b, width), np.float32)
+    r_ids = np.full((b, n_residual), -2, np.int32)
+    r_w = np.zeros((b, n_residual), np.float32)
+    for row in range(b):
+        n_r = 0
+        for tid, tw in zip(q_ids[row].tolist(), q_w[row].tolist()):
+            if tid < 0 or tw == 0.0:
+                continue                      # pad / no-op term
+            s = tid & (width - 1)
+            if tab_i[row, s] == -2:
+                tab_i[row, s] = tid
+                tab_w[row, s] = tw
+            else:
+                if n_r >= n_residual:
+                    return None               # overflow → fallback
+                r_ids[row, n_r] = tid
+                r_w[row, n_r] = tw
+                n_r += 1
+    return tab_i, tab_w, r_ids, r_w
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def sparse_scores_tm_lut(ids_t, w_t, tab_i, tab_w, r_ids, r_w,
+                         block_n: int = 4096, interpret: bool = False):
+    """Hash-LUT scan: ids_t [T, cap] int32, tables from build_query_lut
+    (single query: B=1) → scores [cap] f32. Table width must equal the
+    kernel block width (the gather's lane extent)."""
+    t, cap = ids_t.shape
+    bn = min(block_n, cap)
+    if tab_i.shape[1] != bn:
+        raise ValueError(
+            f"LUT width {tab_i.shape[1]} != kernel block width {bn}")
+    out = pl.pallas_call(
+        _scan_kernel_lut,
+        out_shape=jax.ShapeDtypeStruct((1, cap), jnp.float32),
+        grid=(cap // bn,),
+        in_specs=[
+            pl.BlockSpec((1, bn), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r_ids.shape[1]), lambda j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, r_w.shape[1]), lambda j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((t, bn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, bn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bn), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(tab_i, tab_w, r_ids, r_w, ids_t, w_t)
+    return out[0]
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def sparse_scores_tm_lut_batch(ids_t, w_t, tab_i, tab_w, r_ids, r_w,
+                               block_n: int = 4096,
+                               interpret: bool = False):
+    """Batched hash-LUT scan: tables [B, bn] → scores [B, cap] f32."""
+    t, cap = ids_t.shape
+    b = tab_i.shape[0]
+    bn = min(block_n, cap)
+    if tab_i.shape[1] != bn:
+        raise ValueError(
+            f"LUT width {tab_i.shape[1]} != kernel block width {bn}")
+    return pl.pallas_call(
+        _scan_kernel_lut_batch,
+        out_shape=jax.ShapeDtypeStruct((b, cap), jnp.float32),
+        grid=(cap // bn,),
+        in_specs=[
+            pl.BlockSpec((b, bn), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, bn), lambda j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, r_ids.shape[1]), lambda j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, r_w.shape[1]), lambda j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((t, bn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, bn), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, bn), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(tab_i, tab_w, r_ids, r_w, ids_t, w_t)
+
+
 def _scan_kernel16(q_bits_ref, q_w_ref, ids_ref, w_ref, out_ref):
     """16-bit block scan: ids [T, bn] int16 (dense corpus-local vocab,
     offset by DENSE16_BASE) compared as bf16 BIT PATTERNS — v5e Mosaic has

@@ -36,8 +36,13 @@ from ..index.sparse import _BLOCK, SparseIndex, _use_variant, _xla_scores_tm
 def _local_scores(ids_t, weights_t, q_ids, q_w, variant: str,
                   interpret: bool):
     """Per-shard scores over the local [T, local_cap] slice — one shared
-    dispatcher for every formulation (single-device parity by import)."""
-    if variant == "pallas":
+    dispatcher for every formulation (single-device parity by import).
+
+    "pallas_lut" degrades to the compare-unroll kernel here: the LUT's
+    per-query hash tables are built host-side per call, which cannot live
+    inside the cached shard_map executable (the single-device path owns
+    that optimization; scores are bit-identical either way)."""
+    if variant in ("pallas", "pallas_lut"):
         from ..ops.sparse_scan import sparse_scores_tm
 
         return sparse_scores_tm(ids_t, weights_t, q_ids, q_w,
@@ -104,7 +109,7 @@ def make_sharded_sparse_topk_batch(mesh: Mesh, axis_name: str, k: int,
     def _local(ids_t, weights_t, staged, q_ids, q_w):
         t, local_cap = ids_t.shape
         b = q_ids.shape[0]
-        if variant == "pallas":
+        if variant in ("pallas", "pallas_lut"):  # LUT degrades per-shard
             from ..ops.sparse_scan import sparse_scores_tm_batch
 
             scores = sparse_scores_tm_batch(

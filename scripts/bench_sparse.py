@@ -176,6 +176,92 @@ def main():
     print(f"batch8 kernel: {b8_ms:.3f} ms ({b8_ms / 8:.3f} ms/query)",
           file=sys.stderr, flush=True)
 
+    # ---- hash-LUT scan A/B (r05 item 6, second attempt after the 16-bit
+    # route died on v5e Mosaic's missing sub-32-bit compares): the query
+    # preprocesses into a block-width hash table, the kernel pays ~6 VPU
+    # ops per element per QUERY (two dynamic_gather lookups + one compare)
+    # instead of ~3·Q — Q-independent, so batching stops scaling linearly
+    # in total query terms.
+    kernel_lut = {}
+    if not args.cpu:
+        from automative_rag_tpu.index.sparse import (
+            _sparse_topk_lut_batch_kernel, _sparse_topk_lut_kernel)
+        from automative_rag_tpu.ops.sparse_scan import build_query_lut
+
+        lut = build_query_lut(q_ids, q_w, width=min(4096, cap))
+        lut_b8 = build_query_lut(np.stack([q_ids] * 8),
+                                 np.stack([q_w] * 8),
+                                 width=min(4096, cap))
+        if lut is None or lut_b8 is None:
+            kernel_lut = {"error": "residual overflow at build"}
+        else:
+            tabs = tuple(jnp.asarray(a) for a in lut)
+            tabs8 = tuple(jnp.asarray(a) for a in lut_b8)
+
+            @jax.jit
+            def many_lut(tab_i, tab_w, r_i, r_w, islab, wslab):
+                def body(carry, _):
+                    tw_c, rw_c = carry
+                    vals, rows = _sparse_topk_lut_kernel(
+                        islab, wslab, staged, tab_i, tw_c, r_i, rw_c, k,
+                        interpret=interpret)
+                    tw_c = tw_c + (vals[0] * 0).astype(tw_c.dtype)
+                    return (tw_c, rw_c), vals[0]
+
+                _, outs = jax.lax.scan(
+                    body, (tab_w, r_w), None, length=reps)
+                return outs
+
+            @jax.jit
+            def many_lut_b8(tab_i, tab_w, r_i, r_w, islab, wslab):
+                def body(carry, _):
+                    tw_c, rw_c = carry
+                    vals, rows = _sparse_topk_lut_batch_kernel(
+                        islab, wslab, staged, tab_i, tw_c, r_i, rw_c, k,
+                        interpret=interpret)
+                    tw_c = tw_c + (vals[0, 0] * 0).astype(tw_c.dtype)
+                    return (tw_c, rw_c), vals[0, 0]
+
+                _, outs = jax.lax.scan(
+                    body, (tab_w, r_w), None, length=reps)
+                return outs
+
+            for name, fn, targs in (
+                    ("single", many_lut, tabs),
+                    ("batch8", many_lut_b8, tabs8)):
+                try:
+                    out = np.asarray(
+                        fn(targs[0], targs[1], targs[2], targs[3],
+                           ids_slab, w_slab))  # compile
+                    samples = []
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        np.asarray(fn(targs[0], targs[1], targs[2],
+                                      targs[3], ids_slab, w_slab))
+                        samples.append((time.perf_counter() - t0) / reps)
+                    ms = float(np.percentile(samples, 50)) * 1e3
+                    kernel_lut[name] = round(ms, 4)
+                    if name == "batch8":
+                        kernel_lut["batch8_per_query_ms"] = round(ms / 8, 4)
+                    print(f"pallas_lut {name}: {ms:.3f} ms",
+                          file=sys.stderr, flush=True)
+                except Exception as exc:  # noqa: BLE001 — record A/B failure
+                    kernel_lut[name] = f"FAILED {exc!r}"[:200]
+                    print(f"pallas_lut {name}: FAILED {exc!r}"[:300],
+                          file=sys.stderr, flush=True)
+            # sanity: LUT top-k rows must match the production kernel
+            try:
+                v_ref, r_ref = _sparse_topk_kernel(
+                    ids_slab, w_slab, staged, qi_d, qw_d, k,
+                    variant="pallas", interpret=interpret)
+                v_lut, r_lut = _sparse_topk_lut_kernel(
+                    ids_slab, w_slab, staged, *tabs, k,
+                    interpret=interpret)
+                kernel_lut["rows_match"] = bool(
+                    np.array_equal(np.asarray(r_ref), np.asarray(r_lut)))
+            except Exception as exc:  # noqa: BLE001
+                kernel_lut["rows_match"] = f"FAILED {exc!r}"[:200]
+
     # ---- 16-bit scan A/B (r05 item 6): vocab-bounded corpora (the
     # product's zh+spec vocabulary is ~10-30K distinct terms) stage an
     # int16 dense-remap slab + bf16 accumulator → 2× VPU lane packing on
@@ -263,6 +349,8 @@ def main():
         "oracle_overlap": f"{overlap}/{len(got_rows_in_sample)}",
         "end_to_end_search_ms": None,
     }
+    if kernel_lut:
+        result["kernel_lut"] = kernel_lut
     if kernel16:
         result["kernel16"] = kernel16
 

@@ -540,3 +540,86 @@ def test_pallas16_tail_and_vocab_fallback():
     hits = wide.search(np.array([5], np.int32),
                        np.array([1.0], np.float32), k=2)
     assert hits and hits[0][0] == 0
+
+
+def test_pallas_lut_variant_matches_exactly():
+    """The hash-LUT scan ("pallas_lut") is EXACT vs the compare-unroll
+    kernel: per element at most one query term matches, so both kernels
+    accumulate the identical f32 values in the identical order — scores
+    must be bitwise equal, rows identical."""
+    from automative_rag_tpu.index.sparse import SparseIndex
+
+    rng = np.random.default_rng(7)
+    n, T, Q = 3000, 48, 32
+    vocab = rng.choice(2_000_000_000, size=5000, replace=False)
+    ids = vocab[rng.integers(0, 5000, size=(n, T))].astype(np.int32)
+    w = rng.random((n, T)).astype(np.float32)
+    q_ids = vocab[rng.integers(0, 5000, size=Q)].astype(np.int32)
+    q_ids[-2:] = (-1, 1_999_999_999)  # pad + never-seen term
+    q_w = rng.random(Q).astype(np.float32)
+    q_w[-2] = 0.0
+
+    base = SparseIndex(top_terms=T)
+    base.append(ids, w)
+    base.scan_variant = "pallas"
+    lut = SparseIndex(top_terms=T)
+    lut.append(ids, w)
+    lut.scan_variant = "pallas_lut"
+
+    r_base = base.search(q_ids, q_w, k=20)
+    r_lut = lut.search(q_ids, q_w, k=20)
+    assert [r for r, _ in r_base] == [r for r, _ in r_lut]
+    for (_, a), (_, b) in zip(r_base, r_lut):
+        assert a == b
+
+    # batched: rows and scores identical to the single-query LUT path
+    qb = np.stack([q_ids, np.roll(q_ids, 5)])
+    qwb = np.stack([q_w, q_w * 0.5])
+    batch = lut.search_batch(qb, qwb, k=10)
+    for i in range(2):
+        single = lut.search(qb[i], qwb[i], k=10)
+        assert batch[i] == single
+
+
+def test_pallas_lut_collisions_and_overflow():
+    """Query terms sharing a hash slot (id ≡ id' mod 4096) flow into the
+    static residual slots; overflow beyond LUT_RESIDUALS falls back to the
+    compare-unroll kernel — both must score exactly."""
+    from automative_rag_tpu.index.sparse import SparseIndex
+    from automative_rag_tpu.ops.sparse_scan import (
+        LUT_RESIDUALS, build_query_lut)
+
+    T = 48
+    width = 4096
+    n = 300
+    rng = np.random.default_rng(3)
+    # corpus rows each hold one of the colliding terms
+    collide = np.array([100 + j * width for j in range(LUT_RESIDUALS + 2)],
+                       np.int32)
+    ids = np.full((n, T), -1, np.int32)
+    w = np.zeros((n, T), np.float32)
+    ids[:, 0] = collide[rng.integers(0, len(collide), size=n)]
+    w[:, 0] = 1.0
+
+    # 1 table slot + LUT_RESIDUALS residuals: builds
+    q_ok = collide[: LUT_RESIDUALS + 1]
+    built = build_query_lut(q_ok, np.ones(len(q_ok), np.float32), width)
+    assert built is not None
+    tab_i, _, r_ids, _ = built
+    assert tab_i[0, 100] == 100
+    assert sorted(r_ids[0].tolist()) == sorted(q_ok[1:].tolist())
+
+    # one more collision overflows → build returns None
+    assert build_query_lut(
+        collide, np.ones(len(collide), np.float32), width) is None
+
+    # and the index path still answers exactly via the fallback
+    idx = SparseIndex(top_terms=T)
+    idx.append(ids, w)
+    idx.scan_variant = "pallas_lut"
+    q_w = np.linspace(1.0, 2.0, len(collide)).astype(np.float32)
+    hits = idx.search(collide, q_w, k=10)
+    oracle = _score_rows_np(ids, w, collide, q_w)
+    top = np.argsort(-oracle, kind="stable")[:10]
+    assert {r for r, _ in hits} <= set(np.where(oracle > 0)[0].tolist())
+    assert hits[0][1] == oracle[top[0]]
