@@ -117,6 +117,10 @@ def main():
     # -------------------------------------------- continuous (+spec)
     def drive(eng, label, prefix_id=None):
         """Timed open-loop run: Poisson arrivals against a live engine."""
+        eng.warmup()  # covers batched-admission sizes {2,4,8} too — the
+        # r05 first pass warmed only the single-admission path and paid a
+        # ~22 s multi-8 prefill compile INSIDE the measured window (wall
+        # 29.9 s vs 7.5 s at identical burst counts)
         w = eng.submit(prompts[0], max_new_tokens=max(args.burst + 2, 4),
                        prefix_id=prefix_id)
         eng.run_until_idle()
@@ -295,6 +299,9 @@ def main():
                 model, max_slots=args.slots, max_len=max_len,
                 prompt_buckets=buckets, burst=args.burst,
                 prefill_chunk=prefill_chunk, admit_pacing=pacing)
+            eng.warmup()  # admission singles + multi sizes {2,4,8} — the
+            # measured unpaced run admits n_long requests at once, which
+            # groups at sizes the two-long warm below never reaches
             # streamer must still be decoding during the long admissions,
             # or the interleave burst (burst=chunk_burst) never compiles;
             # TWO longs so a paced backlog forms (the short drain burst
