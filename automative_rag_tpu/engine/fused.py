@@ -30,7 +30,7 @@ import numpy as np
 from ..index.filters import FilterSpec, eval_filter_mask
 from ..index.flat import _search_kernel, _search_kernel_int8
 from ..index.ivf import IVFIndex, _ivf_budget_search_kernel
-from ..index.sparse import _sparse_topk_kernel
+from ..index.sparse import _sparse_topk_kernel, _sparse_topk_lut_kernel
 
 
 @partial(jax.jit, static_argnames=(
@@ -42,6 +42,9 @@ def _fused_search_kernel(
     sp_ids, sp_w, sp_staged,
     qvec,                      # [1, D] f32
     q_ids, q_w,                # [Q] sparse query terms (dense-remapped)
+    sp_tab_i, sp_tab_w, sp_r_i, sp_r_w,  # LUT tables ("pallas_lut" only;
+    # [1,1] dummies otherwise — has_sparse/sparse_variant are static, so
+    # the unused arms trace away)
     spec_main: FilterSpec, spec_entity: FilterSpec,
     budget: int, entity_budget: int, k_dense: int, k_entity: int,
     k_sparse: int,
@@ -71,9 +74,14 @@ def _fused_search_kernel(
         e_vals = jnp.zeros((1, 1), jnp.float32)
         e_rows = jnp.full((1, 1), -1, jnp.int32)
     if has_sparse:
-        s_vals, s_rows = _sparse_topk_kernel(
-            sp_ids, sp_w, sp_staged, q_ids, q_w, k_sparse,
-            variant=sparse_variant, interpret=interpret)
+        if sparse_variant == "pallas_lut":
+            s_vals, s_rows = _sparse_topk_lut_kernel(
+                sp_ids, sp_w, sp_staged, sp_tab_i, sp_tab_w, sp_r_i,
+                sp_r_w, k_sparse, interpret=interpret)
+        else:
+            s_vals, s_rows = _sparse_topk_kernel(
+                sp_ids, sp_w, sp_staged, q_ids, q_w, k_sparse,
+                variant=sparse_variant, interpret=interpret)
     else:
         s_vals = jnp.full((1,), -jnp.inf, jnp.float32)
         s_rows = jnp.full((1,), -1, jnp.int32)
@@ -143,6 +151,9 @@ def fused_search(engine, qvec: np.ndarray, k1: int,
     # and the arm only runs when a known model/brand is named.
     entity_budget = len(index._sorted_rows)
 
+    lut_dummy = (jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.float32),
+                 jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.float32))
+    lut_args = lut_dummy
     if sparse_on:
         q_ids, q_w = sparse_terms
         q_ids = np.asarray(q_ids, np.int32)
@@ -151,6 +162,13 @@ def fused_search(engine, qvec: np.ndarray, k1: int,
         sp_ids, sp_w, sp_staged = sp_state
         k_sparse = min(engine.sparse_k + 8, sp_staged)
         variant = sp.scan_variant or _default_sparse_variant()
+        if variant == "pallas_lut":
+            lut = sp._lut_args(sp_state, q_ids,
+                               np.asarray(q_w, np.float32))
+            if lut is None:       # hash-collision overflow → compare unroll
+                variant = "pallas"
+            else:
+                lut_args = tuple(jnp.asarray(a) for a in lut)
         q_ids_dev = jnp.asarray(q_ids)
         q_w_dev = jnp.asarray(np.asarray(q_w, np.float32))
     else:
@@ -167,7 +185,7 @@ def fused_search(engine, qvec: np.ndarray, k1: int,
         state["sorted_rows"], state["list_starts"], state["scan_lens"],
         sp_ids, sp_w, sp_staged,
         jnp.asarray(np.asarray(qvec, np.float32).reshape(1, -1)),
-        q_ids_dev, q_w_dev, spec_main, spec_entity,
+        q_ids_dev, q_w_dev, *lut_args, spec_main, spec_entity,
         budget, entity_budget, k_scan, k_entity, k_sparse,
         index._int8, has_entity, sparse_on,
         variant, interpret, use_flat)

@@ -154,3 +154,22 @@ def test_fused_flat_plan_single_dispatch_matches():
         eng._cache.clear()
     staged = eng.retrieve(q, mode="facts", rerank=False)
     assert _score_groups(fused) == _score_groups(staged)
+
+
+def test_fused_sparse_lut_variant_matches():
+    """The fused dispatch's sparse arm at scan_variant="pallas_lut" must
+    return exactly what the per-stage path returns under the same variant
+    (the LUT tables are built host-side and ride the same dispatch)."""
+    eng, docs = _mk_engine(with_sparse=True)
+    eng.sparse_index.scan_variant = "pallas_lut"
+    q = "第37版 马力多少匹"  # no entity arm → identical candidate sets
+    eng.fused_path = True
+    with eng._cache_lock:
+        eng._cache.clear()
+    fused = eng.retrieve(q, mode="facts", rerank=False)
+    assert eng.last_timings.get("fused") is True, eng.last_timings
+    eng.fused_path = False
+    with eng._cache_lock:
+        eng._cache.clear()
+    staged = eng.retrieve(q, mode="facts", rerank=False)
+    assert _score_groups(fused) == _score_groups(staged)
