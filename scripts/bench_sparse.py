@@ -30,6 +30,12 @@ def main():
     parser.add_argument("--k", type=int, default=18)
     parser.add_argument("--reps", type=int, default=200)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--lean", action="store_true",
+                        help="production + LUT kernels only: skip the "
+                             "broadcast/fori/flat-topk A/B and the 16-bit "
+                             "section (each is a fresh multi-minute remote "
+                             "compile; their verdicts are already on "
+                             "record)")
     parser.add_argument("--out", default="")
     args = parser.parse_args()
 
@@ -124,8 +130,10 @@ def main():
     qi_d = jnp.asarray(q_ids)
     qw_d = jnp.asarray(q_w)
     variants = {}
-    for variant, flat in (("pallas", False), ("pallas+flat_topk", True),
-                          ("broadcast", False), ("fori", False)):
+    todo = (("pallas", False),) if args.lean else (
+        ("pallas", False), ("pallas+flat_topk", True),
+        ("broadcast", False), ("fori", False))
+    for variant, flat in todo:
         if args.cpu and variant.startswith("pallas"):
             continue  # interpret-mode timing is meaningless
         name = variant.split("+")[0]
@@ -268,7 +276,7 @@ def main():
     # a scan that is already AT the 32-bit VPU roofline. Same zipf shape,
     # ids folded into a 25K vocab; 32-bit baseline on the SAME corpus.
     kernel16 = {}
-    if not args.cpu:
+    if not args.cpu and not args.lean:
         ids_v = (ids % 25_000).astype(np.int32)
         qids_v = (q_ids % 25_000).astype(np.int32)
         variants16 = {}
@@ -361,6 +369,19 @@ def main():
         idx.search(q_ids, q_w, k=args.k)
     result["end_to_end_search_ms"] = round((time.perf_counter() - t0) / 20 * 1e3, 3)
 
+    if args.lean and args.out and Path(args.out).exists():
+        # merge into the existing artifact: keep the variant A/B and
+        # 16-bit verdicts already on record, refresh what this run
+        # measured
+        try:
+            old = json.loads(Path(args.out).read_text())
+            merged_variants = {**old.get("kernel_ms_variants", {}),
+                               **result.get("kernel_ms_variants", {})}
+            old.update(result)
+            old["kernel_ms_variants"] = merged_variants
+            result = old
+        except Exception:  # noqa: BLE001 — unreadable → overwrite
+            pass
     line = json.dumps(result, ensure_ascii=False)
     if args.out:
         Path(args.out).write_text(line)
