@@ -189,6 +189,7 @@ class RAGApplication:
                 spec=self.settings.llm_serving_spec,
                 prefill_chunk=self.settings.llm_prefill_chunk,
                 admit_pacing=self.settings.llm_admit_pacing,
+                admit_pacing_group=self.settings.llm_admit_pacing_group,
             )
         self.generator = AnswerGenerator(llm)
         self.validation_engine = ValidationEngine()

@@ -266,6 +266,10 @@ class Settings:
     # useful decode work). Idle engines still admit full batches.
     llm_admit_pacing: bool = field(
         default_factory=lambda: _env("LLM_ADMIT_PACING", True, bool))
+    # paced admissions per step: a small group shares ONE batched-prefill
+    # dispatch (stall ~ one batched prefill, half the admission dispatches)
+    llm_admit_pacing_group: int = field(
+        default_factory=lambda: _env("LLM_ADMIT_PACING_GROUP", 2))
     # split encoder batches data-parallel over the sharded index's mesh
     encoder_data_parallel: bool = field(
         default_factory=lambda: _env("ENCODER_DP", False, bool)

@@ -217,7 +217,8 @@ class JaxCausalLM:
     def enable_serving(self, max_slots: int = 8, max_len: int = 2048,
                        burst: int = 16, spec: bool = True,
                        prefill_chunk: int = 0,
-                       prompt_buckets=None, admit_pacing: bool = True):
+                       prompt_buckets=None, admit_pacing: bool = True,
+                       admit_pacing_group: int = 2):
         """Route ``generate`` through the continuous-batching engine:
         concurrent callers (N llm-queue workers, ``QueueManager``
         concurrency) share decode bursts instead of serializing. Greedy
@@ -240,7 +241,8 @@ class JaxCausalLM:
                 self._serving = ServingEngine(
                     self.model, max_slots=max_slots, max_len=max_len,
                     burst=burst, spec=spec, prefill_chunk=prefill_chunk,
-                    admit_pacing=admit_pacing, **kwargs)
+                    admit_pacing=admit_pacing,
+                    admit_pacing_group=admit_pacing_group, **kwargs)
                 self._serving.start()
             return self._serving
 

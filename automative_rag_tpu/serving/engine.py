@@ -141,7 +141,8 @@ class ServingEngine:
                  burst: int = 16, seed: int = 0, spec: bool = False,
                  prefill_chunk: int = 0, chunk_burst: int = 0,
                  chunk_adaptive: bool = True, chunk_max_passes: int = 4,
-                 admit_pacing: bool = True, admit_batch: int = 8):
+                 admit_pacing: bool = True, admit_batch: int = 8,
+                 admit_pacing_group: int = 2):
         self.model = model
         self.config: Qwen2Config = model.config
         self.max_slots = int(max_slots)
@@ -184,6 +185,12 @@ class ServingEngine:
         # admissions is useful work chunking pays extra passes for). An
         # idle engine still admits a full batch: nothing can stall.
         self.admit_pacing = bool(admit_pacing)
+        # paced admissions per step: with batched admission a small group
+        # lands in ONE multi-row prefill dispatch, so a live stream's
+        # stall stays ~one (batched) prefill while the backlog drains in
+        # half the dispatches (G=1 measured 409.7 tok/s of static 596.7
+        # at S8/16req — admission overhead, not decode, was the gap)
+        self.admit_pacing_group = max(1, int(admit_pacing_group))
         # batched admission: up to this many same-bucket monolithic
         # admissions share ONE prefill forward/dispatch (sizes {8,4,2}
         # compile; 1 disables). Engages when several requests land on an
@@ -1422,10 +1429,12 @@ class ServingEngine:
         free = self._free_slots()
         cap = len(free)
         paced = False
-        if self.admit_pacing and cap > 1 and self._live_rows():
-            # live streams would observe every stacked prefill; admit one,
-            # let the burst below advance the streams, repeat next step
-            cap = 1
+        if (self.admit_pacing and cap > self.admit_pacing_group
+                and self._live_rows()):
+            # live streams would observe every stacked prefill; admit a
+            # small group (one batched-prefill dispatch), let the burst
+            # below advance the streams, repeat next step
+            cap = self.admit_pacing_group
             paced = True
         admit, overflow = pending[:cap], pending[cap:]
         if overflow:

@@ -1022,7 +1022,7 @@ def test_admit_pacing_trickles_admissions_one_per_step(model):
     """With live streams, a pileup admits ONE request per scheduler step
     (each stacked prefill would stall every in-flight stream), and the
     paced requests stay token-identical to solo generation."""
-    eng = _engine(model, admit_pacing=True)
+    eng = _engine(model, admit_pacing=True, admit_pacing_group=1)
     r0 = eng.submit([5, 9, 14], max_new_tokens=24)
     eng.step()
     assert sum(s is not None for s in eng._slots) == 1
@@ -1033,6 +1033,27 @@ def test_admit_pacing_trickles_admissions_one_per_step(model):
     assert len(eng._pending) == 2
     eng.step()
     assert sum(s is not None for s in eng._slots) == 3
+    eng.run_until_idle()
+    assert r0.result() == _solo(model, [5, 9, 14], 24)
+    for p, r in zip(prompts, rs):
+        assert r.result() == _solo(model, p, 6), p
+
+
+def test_admit_pacing_group_admits_batched_pairs(model):
+    """The default pacing group (2) drains a backlog two requests per
+    step in ONE batched-prefill dispatch each — half the admission
+    dispatches of per-request trickling at ~the same stream stall (a
+    2-row prefill costs ~1.3x a 1-row one, not 2x). Token parity holds."""
+    eng = _engine(model, admit_pacing=True)
+    assert eng.admit_pacing_group == 2
+    r0 = eng.submit([5, 9, 14], max_new_tokens=24)
+    eng.step()
+    assert sum(s is not None for s in eng._slots) == 1
+    prompts = [[i + 2, i + 5] for i in range(3)]
+    rs = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    eng.step()  # paced group of 2
+    assert sum(s is not None for s in eng._slots) == 3
+    assert len(eng._pending) == 1
     eng.run_until_idle()
     assert r0.result() == _solo(model, [5, 9, 14], 24)
     for p, r in zip(prompts, rs):
@@ -1068,7 +1089,8 @@ def test_paced_backlog_drains_with_short_bursts(model):
     """While a paced backlog exists the interleave burst is the SHORT
     (chunk_burst) length — streams deliver more often and the next
     admission happens sooner — and full bursts resume once it clears."""
-    eng = _engine(model, admit_pacing=True, burst=8, chunk_burst=2)
+    eng = _engine(model, admit_pacing=True, admit_pacing_group=1,
+                  burst=8, chunk_burst=2)
     streamer = eng.submit([5, 9, 14], max_new_tokens=40)
     eng.step()  # idle admit + full burst
     base = int(np.asarray(eng._state["gen_count"])[0])
