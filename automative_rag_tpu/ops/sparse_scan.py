@@ -91,7 +91,7 @@ DENSE16_BASE = 256
 
 
 def _scan_kernel_lut(tab_i_ref, tab_w_ref, r_ids_ref, r_w_ref,
-                     ids_ref, w_ref, out_ref):
+                     ids_ref, w_ref, out_ref, *, hash_width: int):
     """Hash-LUT block scan — O(1) query-term lookups instead of a Q-wide
     compare unroll.
 
@@ -119,7 +119,10 @@ def _scan_kernel_lut(tab_i_ref, tab_w_ref, r_ids_ref, r_w_ref,
     """
     ids = ids_ref[...]                       # [T, bn] int32
     t, bn = ids.shape
-    slot = jax.lax.bitwise_and(ids, bn - 1)  # bn is a power of two
+    # hash width ≤ bn (both powers of two): the table ships padded to the
+    # block width (the gather's lane extent), but only its first
+    # hash_width lanes are addressable
+    slot = jax.lax.bitwise_and(ids, hash_width - 1)
     tab_i = jnp.broadcast_to(tab_i_ref[...], (t, bn))
     tab_w = jnp.broadcast_to(tab_w_ref[...], (t, bn))
     expect = jnp.take_along_axis(tab_i, slot, axis=1,
@@ -135,7 +138,7 @@ def _scan_kernel_lut(tab_i_ref, tab_w_ref, r_ids_ref, r_w_ref,
 
 
 def _scan_kernel_lut_batch(tab_i_ref, tab_w_ref, r_ids_ref, r_w_ref,
-                           ids_ref, w_ref, out_ref):
+                           ids_ref, w_ref, out_ref, *, hash_width: int):
     """Batched hash-LUT block (see _scan_kernel_lut): per-query tables
     [B, bn], residuals [B, R]. Per-query cost is Q-independent, so batch-8
     runs at ~the same per-query cost as batch-1 — the amortization the
@@ -144,7 +147,7 @@ def _scan_kernel_lut_batch(tab_i_ref, tab_w_ref, r_ids_ref, r_w_ref,
     w = w_ref[...].astype(jnp.float32)
     t, bn = ids.shape
     b = tab_i_ref.shape[0]
-    slot = jax.lax.bitwise_and(ids, bn - 1)
+    slot = jax.lax.bitwise_and(ids, hash_width - 1)
     n_r = r_ids_ref.shape[1]
     for row in range(b):                     # static: engine batch is small
         tab_i = jnp.broadcast_to(tab_i_ref[row:row + 1, :], (t, bn))
@@ -199,19 +202,34 @@ def build_query_lut(q_ids: np.ndarray, q_w: np.ndarray, width: int,
     return tab_i, tab_w, r_ids, r_w
 
 
+def _pad_lut(tab_i, tab_w, bn):
+    """Pad hash tables to the block width (the gather's lane extent);
+    pad slots hold the −2 sentinel (never matches). Returns the padded
+    pair and the original hash width."""
+    hw = tab_i.shape[1]
+    if hw > bn:
+        raise ValueError(f"LUT width {hw} > kernel block width {bn}")
+    if hw & (hw - 1):
+        raise ValueError(f"LUT width {hw} must be a power of two")
+    if hw == bn:
+        return tab_i, tab_w, hw
+    pad = bn - hw
+    tab_i = jnp.pad(tab_i, ((0, 0), (0, pad)), constant_values=-2)
+    tab_w = jnp.pad(tab_w, ((0, 0), (0, pad)))
+    return tab_i, tab_w, hw
+
+
 @functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
 def sparse_scores_tm_lut(ids_t, w_t, tab_i, tab_w, r_ids, r_w,
                          block_n: int = 4096, interpret: bool = False):
     """Hash-LUT scan: ids_t [T, cap] int32, tables from build_query_lut
-    (single query: B=1) → scores [cap] f32. Table width must equal the
-    kernel block width (the gather's lane extent)."""
+    (single query: B=1) → scores [cap] f32. Table width: a power of two
+    ≤ the kernel block width (padded up to it for the gather)."""
     t, cap = ids_t.shape
     bn = min(block_n, cap)
-    if tab_i.shape[1] != bn:
-        raise ValueError(
-            f"LUT width {tab_i.shape[1]} != kernel block width {bn}")
+    tab_i, tab_w, hw = _pad_lut(tab_i, tab_w, bn)
     out = pl.pallas_call(
-        _scan_kernel_lut,
+        functools.partial(_scan_kernel_lut, hash_width=hw),
         out_shape=jax.ShapeDtypeStruct((1, cap), jnp.float32),
         grid=(cap // bn,),
         in_specs=[
@@ -239,15 +257,13 @@ def sparse_scores_tm_lut(ids_t, w_t, tab_i, tab_w, r_ids, r_w,
 def sparse_scores_tm_lut_batch(ids_t, w_t, tab_i, tab_w, r_ids, r_w,
                                block_n: int = 4096,
                                interpret: bool = False):
-    """Batched hash-LUT scan: tables [B, bn] → scores [B, cap] f32."""
+    """Batched hash-LUT scan: tables [B, hw] → scores [B, cap] f32."""
     t, cap = ids_t.shape
     b = tab_i.shape[0]
     bn = min(block_n, cap)
-    if tab_i.shape[1] != bn:
-        raise ValueError(
-            f"LUT width {tab_i.shape[1]} != kernel block width {bn}")
+    tab_i, tab_w, hw = _pad_lut(tab_i, tab_w, bn)
     return pl.pallas_call(
-        _scan_kernel_lut_batch,
+        functools.partial(_scan_kernel_lut_batch, hash_width=hw),
         out_shape=jax.ShapeDtypeStruct((b, cap), jnp.float32),
         grid=(cap // bn,),
         in_specs=[
