@@ -339,6 +339,12 @@ def main():
              if v is not None), None),
         "serving_tok_s": _pick("serving", "continuous_copy_spec",
                                "tokens_per_s"),
+        "serving_continuous_tok_s": _pick("serving", "continuous",
+                                          "tokens_per_s"),
+        "serving_static_b8_tok_s": _pick("serving", "static_b8",
+                                         "tokens_per_s"),
+        "serving_s32_tok_s": _pick("serving_slots32", "continuous",
+                                   "tokens_per_s"),
         "sparse_kernel_ms": _pick("sparse", "kernel_ms"),
         "append_tail_s": _pick("ivf_tail", "append_latency_s"),
         "e2e_query_p50_s": _pick("e2e_query", "facts", "p50_s"),
