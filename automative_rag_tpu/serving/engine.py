@@ -1519,7 +1519,9 @@ class ServingEngine:
         # streams are in flight).
         streamer = self.submit(
             [3 + i % 7 for i in range(min(small, 4))],
-            max_new_tokens=self.burst * (len(plans) + 3))
+            max_new_tokens=self.burst * (len(plans) + 6))  # +3 extra
+        # bursts of headroom so the paced-drain coverage pass below still
+        # has a live stream to pace against
         reqs = []
         for plen in plans:
             ids = [3 + (7 * i) % (vocab - 10) for i in range(plen)]
@@ -1528,6 +1530,30 @@ class ServingEngine:
             self.run_until_idle()
         for r in reqs:
             r.result(timeout=600)
+        # paced-drain coverage: the SHORT drain burst (steps=chunk_burst)
+        # is its own executable that only runs on a step with
+        # (paced AND overflow) — the passes above may never produce one
+        # (single-bucket geometries with few plans), and the cold compile
+        # read as a 26-37 s stall inside r05's measured stall sections.
+        # Force it: a dedicated live pacer stream + pacing-group+1 queued
+        # requests make one step admit a paced group and leave overflow.
+        if self.admit_pacing and self.max_slots >= self.admit_pacing_group + 2:
+            pacer = self.submit([5 + (3 * i) % (vocab - 10)
+                                 for i in range(small)],
+                                max_new_tokens=self.burst * 6)
+            if self._thread is None:
+                self.step()  # admit the pacer so the drains see it live
+            drains = [
+                self.submit([5 + (3 * i) % (vocab - 10)
+                             for i in range(small)], max_new_tokens=2)
+                for _ in range(self.admit_pacing_group + 1)]
+            if self._thread is None:
+                self.run_until_idle()
+            for r in drains:
+                r.result(timeout=600)
+            self.cancel(pacer)
+            if self._thread is None:
+                self.run_until_idle()
         self.cancel(streamer)
         if self._thread is None:
             self.run_until_idle()

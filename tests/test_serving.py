@@ -1105,3 +1105,16 @@ def test_paced_backlog_drains_with_short_bursts(model):
     assert streamer.result() == _solo(model, [5, 9, 14], 40)
     for r in rs:
         assert r.finished
+
+
+def test_warmup_compiles_paced_drain_burst(model):
+    """warmup() must reach the SHORT drain burst (steps=chunk_burst) —
+    it only runs on a step with (paced AND overflow), which single-bucket
+    geometries with few chunk plans never produce organically; the cold
+    executable read as a 26-37 s stall inside r05's measured stall
+    sections on hardware."""
+    eng = _engine(model, admit_pacing=True, burst=8, chunk_burst=2)
+    eng.warmup()
+    assert 2 in eng._burst_cache, sorted(eng._burst_cache)
+    # and the full burst too, of course
+    assert 8 in eng._burst_cache, sorted(eng._burst_cache)
