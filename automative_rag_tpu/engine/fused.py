@@ -159,6 +159,10 @@ def fused_search(engine, qvec: np.ndarray, k1: int,
         q_ids = np.asarray(q_ids, np.int32)
         if sp_keys is not None:
             q_ids = sp._map_query_ids(q_ids, sp_keys)
+        # pad-bucket the query width (scan cost is linear in the compiled
+        # Q; real queries carry far fewer terms than the encoder pad)
+        q_ids, q_w = sp._trim_query_width(q_ids, q_w)
+        q_ids, q_w = q_ids[0], q_w[0]
         sp_ids, sp_w, sp_staged = sp_state
         k_sparse = min(engine.sparse_k + 8, sp_staged)
         variant = sp.scan_variant or _default_sparse_variant()

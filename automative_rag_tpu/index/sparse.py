@@ -315,6 +315,34 @@ class SparseIndex:
         with self._mutex:
             return self._device_state(), self._staged_keys
 
+    @staticmethod
+    def _trim_query_width(q_ids: np.ndarray, q_w: np.ndarray):
+        """Compact valid terms forward and round the query width up to a
+        power-of-two bucket (min 8). Scan cost is LINEAR in the compiled
+        query width and the encoder pads to a fixed 32/64, while real
+        queries carry ~5-16 terms — bucketing cuts the compare-unroll
+        work up to 4x for typical traffic without touching scores (pad /
+        zero-weight terms contribute exactly 0). One executable per
+        bucket. Accepts [Q] or [B, Q]; batches share the max bucket."""
+        q_ids = np.atleast_2d(np.asarray(q_ids, np.int32))
+        q_w = np.atleast_2d(np.asarray(q_w, np.float32))
+        b, q = q_ids.shape
+        valid = (q_ids >= 0) & (q_w != 0.0)
+        counts = valid.sum(axis=1)
+        need = max(1, int(counts.max()) if b else 1)
+        bucket = 8
+        while bucket < need:
+            bucket *= 2
+        bucket = min(bucket, q)
+        out_ids = np.full((b, bucket), -1, np.int32)
+        out_w = np.zeros((b, bucket), np.float32)
+        for row in range(b):
+            n = int(counts[row])
+            take = min(n, bucket)
+            out_ids[row, :take] = q_ids[row, valid[row]][:take]
+            out_w[row, :take] = q_w[row, valid[row]][:take]
+        return out_ids, out_w
+
     def _lut_args(self, state, q_ids: np.ndarray, q_w: np.ndarray):
         """Hash tables for the "pallas_lut" variant, or None when a
         query's collisions overflow the residual slots (fall back to the
@@ -332,6 +360,8 @@ class SparseIndex:
         ids_slab, w_slab, staged = state
         variant = self.scan_variant or _use_variant()
         interpret = jax.default_backend() != "tpu"
+        trimmed = self._trim_query_width(q_ids, q_w)
+        q_ids, q_w = trimmed[0][0], trimmed[1][0]
         if variant == "pallas_lut":
             lut = self._lut_args(state, q_ids, q_w)
             if lut is not None:
@@ -382,6 +412,7 @@ class SparseIndex:
         ids_slab, w_slab, staged = state
         variant = self.scan_variant or _use_variant()
         interpret = jax.default_backend() != "tpu"
+        q_ids, q_w = self._trim_query_width(q_ids, q_w)
         if variant == "pallas_lut":
             lut = self._lut_args(state, q_ids, q_w)
             if lut is not None:

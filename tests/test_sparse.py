@@ -623,3 +623,45 @@ def test_pallas_lut_collisions_and_overflow():
     top = np.argsort(-oracle, kind="stable")[:10]
     assert {r for r, _ in hits} <= set(np.where(oracle > 0)[0].tolist())
     assert hits[0][1] == oracle[top[0]]
+
+
+def test_query_width_bucketing_is_exact():
+    """Pad/zero-weight terms contribute exactly 0, so trimming the query
+    to a power-of-two bucket must not change any score; interspersed pads
+    compact forward."""
+    from automative_rag_tpu.index.sparse import SparseIndex
+
+    rng = np.random.default_rng(11)
+    n, T = 800, 48
+    ids = rng.integers(0, 40_000, size=(n, T)).astype(np.int32)
+    w = rng.random((n, T)).astype(np.float32)
+    idx = SparseIndex(top_terms=T)
+    idx.append(ids, w)
+
+    # 5 real terms scattered through a 32-wide padded query
+    q_ids = np.full(32, -1, np.int32)
+    q_w = np.zeros(32, np.float32)
+    slots = [0, 7, 13, 21, 30]
+    for i, s in enumerate(slots):
+        q_ids[s] = ids[i, 0]
+        q_w[s] = 1.0 + i
+    # plus a zero-weight real id that must also trim away
+    q_ids[3] = ids[9, 0]
+
+    t_ids, t_w = SparseIndex._trim_query_width(q_ids, q_w)
+    assert t_ids.shape == (1, 8)  # 5 valid terms -> bucket 8
+    assert (t_ids[0] >= 0).sum() == 5
+
+    full = idx.search(q_ids, q_w, k=10)
+    # scores must be identical to the untrimmed evaluation (search trims
+    # internally; compare against the numpy oracle on the raw query)
+    oracle = _score_rows_np(ids, w, q_ids, q_w)
+    for r, v in full:  # bf16 slab weights bound the score error
+        assert abs(v - oracle[r]) <= 4e-3 * max(abs(oracle[r]), 1e-6), (
+            r, v, oracle[r])
+
+    # batch path: rows with different term counts share the max bucket
+    qb = np.stack([q_ids, q_ids])
+    qwb = np.stack([q_w, q_w * 0.5])
+    batch = idx.search_batch(qb, qwb, k=10)
+    assert batch[0] == full
