@@ -85,7 +85,40 @@ def _fused_search_kernel(
     else:
         s_vals = jnp.full((1,), -jnp.inf, jnp.float32)
         s_rows = jnp.full((1,), -1, jnp.int32)
-    return d_vals, d_rows, e_vals, e_rows, s_vals, s_rows
+    # pack every arm into ONE flat f32 vector (row indices ride as
+    # bitcast bit patterns): each result leaf fetched separately costs a
+    # full relay round trip (~26 ms × 5 extra = most of the measured
+    # 248 ms search stage); one array = one fetch
+    def _bits(x):
+        return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+    return jnp.concatenate([
+        d_vals.reshape(-1), _bits(d_rows.reshape(-1)),
+        e_vals.reshape(-1), _bits(e_rows.reshape(-1)),
+        s_vals.reshape(-1), _bits(s_rows.reshape(-1)),
+    ])
+
+
+_CONST_CACHE: dict = {}
+
+
+def _lut_dummy():
+    """Device-resident dummy LUT tables (variant != pallas_lut): fresh
+    jnp.zeros per call would re-upload four arrays through the relay on
+    every query."""
+    if "lut" not in _CONST_CACHE:
+        _CONST_CACHE["lut"] = (
+            jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.float32),
+            jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.float32))
+    return _CONST_CACHE["lut"]
+
+
+def _match_all_spec():
+    """Device-resident match-all FilterSpec (6 arrays otherwise re-ship
+    per query)."""
+    if "match_all" not in _CONST_CACHE:
+        _CONST_CACHE["match_all"] = FilterSpec.match_all()
+    return _CONST_CACHE["match_all"]
 
 
 def fused_search(engine, qvec: np.ndarray, k1: int,
@@ -128,15 +161,15 @@ def fused_search(engine, qvec: np.ndarray, k1: int,
             # can't see — the per-stage path owns that case
             return None
 
-    spec_main = FilterSpec.match_all()
+    spec_main = _match_all_spec()
     has_entity = entity_filter is not None
     if has_entity:
         spec_entity, ok = index._compile(entity_filter)
         if not ok:
             has_entity = False
-            spec_entity = FilterSpec.match_all()
+            spec_entity = _match_all_spec()
     else:
-        spec_entity = FilterSpec.match_all()
+        spec_entity = _match_all_spec()
 
     k_dense = min(k1, state["capacity"])
     k_scan = k_dense
@@ -151,9 +184,7 @@ def fused_search(engine, qvec: np.ndarray, k1: int,
     # and the arm only runs when a known model/brand is named.
     entity_budget = len(index._sorted_rows)
 
-    lut_dummy = (jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.float32),
-                 jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.float32))
-    lut_args = lut_dummy
+    lut_args = _lut_dummy()
     if sparse_on:
         q_ids, q_w = sparse_terms
         q_ids = np.asarray(q_ids, np.int32)
@@ -183,7 +214,7 @@ def fused_search(engine, qvec: np.ndarray, k1: int,
         q_w_dev = jnp.zeros((1,), jnp.float32)
 
     interpret = jax.default_backend() != "tpu"
-    d_vals, d_rows, e_vals, e_rows, s_vals, s_rows = _fused_search_kernel(
+    packed = np.asarray(_fused_search_kernel(
         state["vectors"], state["row_scales"], state["valid"],
         state["codes"], state["numerics"], state["centroids"],
         state["sorted_rows"], state["list_starts"], state["scan_lens"],
@@ -192,9 +223,22 @@ def fused_search(engine, qvec: np.ndarray, k1: int,
         q_ids_dev, q_w_dev, *lut_args, spec_main, spec_entity,
         budget, entity_budget, k_scan, k_entity, k_sparse,
         index._int8, has_entity, sparse_on,
-        variant, interpret, use_flat)
+        variant, interpret, use_flat))
 
-    d_vals, d_rows = np.asarray(d_vals), np.asarray(d_rows)
+    # unpack the single-fetch layout (see _fused_search_kernel's tail)
+    ke = k_entity if has_entity else 1
+    ks = k_sparse if sparse_on else 1
+    sizes = (k_scan, k_scan, ke, ke, ks, ks)
+    parts, off = [], 0
+    for n in sizes:
+        parts.append(packed[off:off + n])
+        off += n
+    d_vals = parts[0].reshape(1, -1)
+    d_rows = np.ascontiguousarray(parts[1]).view(np.int32).reshape(1, -1)
+    e_vals = parts[2].reshape(1, -1)
+    e_rows = np.ascontiguousarray(parts[3]).view(np.int32).reshape(1, -1)
+    s_vals = parts[4]
+    s_rows = np.ascontiguousarray(parts[5]).view(np.int32)
     if k_scan > k_dense:
         # exact f32 rescore of the quantized shortlist (host mirror math,
         # no extra dispatch)
