@@ -85,6 +85,10 @@ def main():
     parser.add_argument("--tiny", action="store_true",
                         help="tiny LLM geometry + CPU (wiring smoke test)")
     parser.add_argument("--modes", default=",".join(MODES))
+    parser.add_argument("--retrieval-only", action="store_true",
+                        help="skip LLM init + per-mode sections; refresh "
+                             "only the retrieval split (merged into an "
+                             "existing --out artifact)")
     parser.add_argument("--out", default="BENCH_E2E_TPU_r04.json")
     args = parser.parse_args()
 
@@ -153,16 +157,18 @@ def main():
             if not isinstance(v, dict)}
         report["ingest_s"] = round(time.time() - t0, 1)
 
-        t0 = time.time()
-        llm = build_llm(args.tiny, args.max_positions)
-        app.generator = AnswerGenerator(llm)
-        report["llm_init_s"] = round(time.time() - t0, 1)
+        if not args.retrieval_only:
+            t0 = time.time()
+            llm = build_llm(args.tiny, args.max_positions)
+            app.generator = AnswerGenerator(llm)
+            report["llm_init_s"] = round(time.time() - t0, 1)
 
         rng = np.random.default_rng(5)
         sample = [facts[i] for i in
                   rng.choice(len(facts), size=len(facts), replace=False)]
 
-        modes = [m for m in args.modes.split(",") if m]
+        modes = ([] if args.retrieval_only
+                 else [m for m in args.modes.split(",") if m])
         for mode in modes:
             # warm with an untimed pass over the EXACT measurement query
             # set: one warmup query only covers one prompt bucket, and the
@@ -212,8 +218,16 @@ def main():
         # split (r05 item 3: 1.77 s at 300 docs = dispatch round trips, not
         # kernels — the stage timings say WHICH host→device hops dominate)
         lat, stages = [], []
+        # warm the retrieval executables once, then measure STRICTLY
+        # uncached queries (the first r05 pass mixed ~6 cached hits into
+        # the 10 samples, understating the p50 it reported)
+        app.engine.retrieve(
+            f"{sample[0]['model']}的{sample[0]['metric']}是多少？",
+            mode="facts")
         for i in range(10):
             fact = sample[i % len(sample)]
+            with app.engine._cache_lock:
+                app.engine._cache.clear()
             t0 = time.time()
             app.engine.retrieve(
                 f"{fact['model']}的{fact['metric']}是多少？", mode="facts")
@@ -229,6 +243,13 @@ def main():
                 k: round(float(np.median([s[k] for s in stages if k in s])),
                          4)
                 for k in sorted(keys)}
+        if args.retrieval_only and Path(args.out).exists():
+            try:  # keep the per-mode sections from the full run
+                old_r = json.loads(Path(args.out).read_text())
+                old_r.update(report)
+                report = old_r
+            except Exception:  # noqa: BLE001 — unreadable -> overwrite
+                pass
         Path(args.out).write_text(json.dumps(report, indent=1))
         print(json.dumps(report, ensure_ascii=False))
     finally:
