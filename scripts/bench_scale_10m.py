@@ -301,30 +301,43 @@ def bench_ivf_10m(corpus, n, dim, k, batch, trials, n_lists=4096,
     report["train_s"] = round(time.time() - t0, 1)
 
     # ---- full-corpus assignment: int8 slab · bf16 centroids, argmax is
-    # scale-invariant (positive per-row scales) ----
+    # scale-invariant (positive per-row scales). NO padded slab copy:
+    # jnp.pad of the 9.54 GB device slab to the chunk multiple DOUBLED
+    # the footprint and OOM'd the 16 GB chip (r05 first pass) — full
+    # chunks scan in place and the ragged tail re-reads the last full
+    # chunk window, keeping only its fresh rows ----
     t0 = time.time()
-    a_chunk = 131072
-    n_pad = -(-n // a_chunk) * a_chunk
+    a_chunk = min(131072, n)
+    n_full = (n // a_chunk) * a_chunk
+
+    def _sim_argmax(block, cent):
+        sim = jax.lax.dot_general(
+            block.astype(jnp.bfloat16), cent.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        return jnp.argmax(sim, axis=1).astype(jnp.int32)
 
     @jax.jit
     def _assign_int8(slab, cent):
         def body(_, idx):
             block = jax.lax.dynamic_slice(
-                slab, (idx * a_chunk, 0), (a_chunk, dim)).astype(jnp.bfloat16)
-            sim = jax.lax.dot_general(
-                block, cent.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            return _, jnp.argmax(sim, axis=1).astype(jnp.int32)
+                slab, (idx * a_chunk, 0), (a_chunk, dim))
+            return _, _sim_argmax(block, cent)
 
-        _, assigns = jax.lax.scan(body, None, jnp.arange(n_pad // a_chunk))
+        _, assigns = jax.lax.scan(body, None, jnp.arange(n_full // a_chunk))
         return assigns.reshape(-1)
 
-    pad_rows = n_pad - n
-    slab_a = (jnp.pad(vectors, ((0, pad_rows), (0, 0)))
-              if pad_rows else vectors)
-    assigns = np.asarray(_assign_int8(slab_a, centroids))[:n].astype(np.int64)
-    if pad_rows:
-        del slab_a
+    @jax.jit
+    def _assign_tail(slab, cent):
+        block = jax.lax.dynamic_slice(
+            slab, (n - a_chunk, 0), (a_chunk, dim))
+        return _sim_argmax(block, cent)
+
+    assigns = np.asarray(_assign_int8(vectors, centroids))
+    tail = n - n_full
+    if tail:
+        at = np.asarray(_assign_tail(vectors, centroids))[a_chunk - tail:]
+        assigns = np.concatenate([assigns, at])
+    assigns = assigns[:n].astype(np.int64)
     report["assign_s"] = round(time.time() - t0, 1)
 
     # ---- CSR build (host int32 work only) ----
@@ -463,7 +476,30 @@ def main():
         "device": str(jax.devices()[0]),
         "oracle": f"exact f32 top-10, {args.oracle_queries} queries",
     }
-    corpus = generate_corpus(args.n, args.dim, args.oracle_queries)
+    # disk-cache the generated corpus: the 10M host build is ~30 min and
+    # a failed device phase (e.g. the r05 OOM) otherwise pays it again
+    cache = Path(f"/tmp/bench10m_corpus_{args.n}_{args.dim}_"
+                 f"{args.oracle_queries}.npz")
+    if cache.exists():
+        z = np.load(cache)
+        corpus = {
+            "int8": (z["i8"], z["i8s"]), "int4": (z["i4"], z["i4s"]),
+            "queries": z["q"],
+            "oracle": [set(r.tolist()) for r in z["orc"]],
+            "gen_s": float(z["gen_s"]),
+        }
+        print(f"[gen] corpus loaded from {cache}", file=sys.stderr)
+    else:
+        corpus = generate_corpus(args.n, args.dim, args.oracle_queries)
+        try:
+            np.savez(cache, i8=corpus["int8"][0], i8s=corpus["int8"][1],
+                     i4=corpus["int4"][0], i4s=corpus["int4"][1],
+                     q=corpus["queries"],
+                     orc=np.array([sorted(s) for s in corpus["oracle"]],
+                                  np.int64),
+                     gen_s=corpus["gen_s"])
+        except Exception as exc:  # noqa: BLE001 — cache is best-effort
+            print(f"[gen] cache write failed: {exc!r}", file=sys.stderr)
     report["gen_s"] = corpus["gen_s"]
     if not args.skip_flat:
         for dtype in args.dtypes.split(","):
