@@ -218,12 +218,16 @@ def main():
         # split (r05 item 3: 1.77 s at 300 docs = dispatch round trips, not
         # kernels — the stage timings say WHICH host→device hops dominate)
         lat, stages = [], []
-        # warm the retrieval executables once, then measure STRICTLY
-        # uncached queries (the first r05 pass mixed ~6 cached hits into
-        # the 10 samples, understating the p50 it reported)
-        app.engine.retrieve(
-            f"{sample[0]['model']}的{sample[0]['metric']}是多少？",
-            mode="facts")
+        # warm the retrieval executables over the FULL measurement query
+        # set (distinct queries reach distinct candidate-count rerank
+        # buckets — a single warm query left their first invocations
+        # inside the timed loop: rerank p50 read 0.80 s vs 0.13 warm),
+        # then measure STRICTLY uncached (the first r05 pass mixed ~6
+        # cached hits into the 10 samples)
+        for i in range(10):
+            fact = sample[i % len(sample)]
+            app.engine.retrieve(
+                f"{fact['model']}的{fact['metric']}是多少？", mode="facts")
         for i in range(10):
             fact = sample[i % len(sample)]
             with app.engine._cache_lock:
