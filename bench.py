@@ -334,8 +334,8 @@ def main():
             "ivf_1m", "ivf_1m", "probes", "8", "recall_at_10"),
         "ivf1m_build_s": _pick("ivf_1m", "ivf_1m", "build_s"),
         "ivf1m_warm_build_s": next(
-            (v for v in (_pick("ivf_1m_rebuild", "ivf_1m", "warm_build_s"),
-                         _pick("ivf_1m", "ivf_1m", "warm_build_s"))
+            (v for v in (_pick("ivf_1m", "ivf_1m", "warm_build_s"),
+                         _pick("ivf_1m_rebuild", "ivf_1m", "warm_build_s"))
              if v is not None), None),
         "serving_tok_s": _pick("serving", "continuous_copy_spec",
                                "tokens_per_s"),
